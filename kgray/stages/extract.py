@@ -1,0 +1,153 @@
+"""Quintuple extraction stage (the reference's Module 2).
+
+The reference prompts an LLM per atomic fact for structured
+``RelationshipsExtractor`` output — a list of
+``(startNode{name,label}, name, endNode{name,label}, t_start[], t_end[])``
+(itext2kg/atom/models/schemas.py:139-204, prompt prompts.py:4-56), batched
+per provider limits (langchain_output_parser.py:168-221) with retries.
+
+Ray Data mapping: a callable-class actor pool —
+``chunks.map_batches(Extractor, concurrency=N, batch_size=B)`` — whose
+``__init__`` holds the expensive state (LLM client / compiled patterns) and
+whose ``__call__`` maps a batch of chunks to exploded quintuple rows.  The
+deterministic :class:`RuleExtractor` covers tests/benchmarks (mirroring how
+the reference's own unit tests mock the LLM,
+tests/atom/test_atom_matching.py:173-240); :class:`LLMQuintupleExtractor`
+is the production-shaped variant (network-gated, stubbed in this sandbox).
+
+Output columns (FIXTURES.md §3): subj_name, subj_label, pred, obj_name,
+obj_label, t_start:list<str>, t_end:list<str>, atomic_fact, obs_date,
+conv_id, chunk_idx, fact_idx, sort_key.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+RAW_QUINTUPLE_SCHEMA = pa.schema(
+    [
+        ("subj_name", pa.large_string()),
+        ("subj_label", pa.large_string()),
+        ("pred", pa.large_string()),
+        ("obj_name", pa.large_string()),
+        ("obj_label", pa.large_string()),
+        ("t_start", pa.list_(pa.large_string())),
+        ("t_end", pa.list_(pa.large_string())),
+        ("atomic_fact", pa.large_string()),
+        ("obs_date", pa.large_string()),
+        ("conv_id", pa.large_string()),
+        ("chunk_idx", pa.int32()),
+        ("fact_idx", pa.int32()),
+        ("sort_key", pa.large_string()),
+    ]
+)
+
+_S = r"(?P<s>[A-Za-z][A-Za-z .&\-]*?)"
+_O = r"(?P<o>[A-Za-z][A-Za-z .&\-]*?)"
+_POS = r"(?P<pos>[a-z ]+?)"
+_D = r"(?P<d>[^.]+?)"
+
+# (compiled pattern, predicate surface, subj label, obj label, temporal slot)
+# slot: "start" → t_start=[d], "end" → t_end=[d], None → atemporal.
+_RULES: list[tuple[str, str, str, str, str | None]] = [
+    (rf"^{_S} is no longer a {_POS} at {_O} on {_D}\.$", "works at", "Person", "Organization", "end"),
+    (rf"^{_S} is employed as a {_POS} at {_O} on {_D}\.$", "is employed at", "Person", "Organization", "start"),
+    (rf"^{_S} is a {_POS} at {_O} on {_D}\.$", "works at", "Person", "Organization", "start"),
+    (rf"^{_S} is the CEO of {_O} on {_D}\.$", "is ceo of", "Person", "Organization", "start"),
+    (rf"^{_S} serves as chief executive of {_O} on {_D}\.$", "ceo of", "Person", "Organization", "start"),
+    (rf"^{_S} acquired {_O} on {_D}\.$", "acquired", "Organization", "Organization", "start"),
+    (rf"^{_S} bought {_O} on {_D}\.$", "bought", "Organization", "Organization", "start"),
+    (rf"^{_S} lives in {_O}\.$", "lives in", "Person", "City", None),
+    (rf"^{_S} resides in {_O}\.$", "resides in", "Person", "City", None),
+    (rf"^{_S} codes in {_O}\.$", "codes in", "Person", "Language", None),
+    (rf"^{_S} studies {_O}\.$", "studies", "Person", "Animal", None),
+]
+
+
+class RuleExtractor:
+    """Deterministic pattern extractor over the closed-world templates.
+
+    Patterns compile once per actor (``__init__``); ``__call__`` is a pure
+    per-batch function, so the stage scales as a standard actor pool.  Each
+    non-empty line of a chunk is one atomic fact; the line text is attached
+    as provenance exactly as the reference attaches the source fact to every
+    relationship it yields (atom.py:181-183).
+    """
+
+    def __init__(self) -> None:
+        self._rules = [(re.compile(p), pred, sl, ol, slot) for p, pred, sl, ol, slot in _RULES]
+
+    def _extract_line(self, line: str):
+        for pat, pred, sl, ol, slot in self._rules:
+            m = pat.match(line)
+            if m is None:
+                continue
+            g = m.groupdict()
+            t_start: list[str] = []
+            t_end: list[str] = []
+            if slot == "start":
+                t_start = [g["d"]]
+            elif slot == "end":
+                t_end = [g["d"]]
+            return (g["s"], sl, pred, g["o"], ol, t_start, t_end)
+        return None
+
+    def __call__(self, batch: dict) -> pa.Table:
+        cols: dict[str, list] = {name: [] for name in RAW_QUINTUPLE_SCHEMA.names}
+        texts = batch["text"]
+        conv_ids = batch["conv_id"]
+        chunk_idxs = batch["chunk_idx"]
+        obs_dates = batch["obs_date"]
+        for text, conv_id, chunk_idx, obs_date in zip(texts, conv_ids, chunk_idxs, obs_dates):
+            fact_idx = 0
+            for line in str(text).split("\n"):
+                hit = self._extract_line(line)
+                if hit is None:
+                    continue  # empty-extraction path (atom.py:186)
+                s, sl, pred, o, ol, t_start, t_end = hit
+                cols["subj_name"].append(s)
+                cols["subj_label"].append(sl)
+                cols["pred"].append(pred)
+                cols["obj_name"].append(o)
+                cols["obj_label"].append(ol)
+                cols["t_start"].append(t_start)
+                cols["t_end"].append(t_end)
+                cols["atomic_fact"].append(line)
+                cols["obs_date"].append(str(obs_date))
+                cols["conv_id"].append(str(conv_id))
+                cols["chunk_idx"].append(int(chunk_idx))
+                cols["fact_idx"].append(fact_idx)
+                cols["sort_key"].append(f"{obs_date}|{conv_id}|{int(chunk_idx):05d}|{fact_idx:05d}")
+                fact_idx += 1
+        return pa.table(
+            {n: pa.array(cols[n], type=RAW_QUINTUPLE_SCHEMA.field(n).type) for n in RAW_QUINTUPLE_SCHEMA.names}
+        )
+
+
+class LLMQuintupleExtractor:
+    """Production-shaped LLM extractor actor (sandbox-stubbed).
+
+    Mirrors the reference's client lifecycle: one structured-output chat
+    client per actor, provider-aware request sub-batching (≤40 contexts /
+    ≤8k tokens per request for OpenAI, langchain_output_parser.py:38-71,
+    168-221) and bounded retries with exponential backoff (:287-381).  This
+    container has no network or LLM SDKs, so construction requires an
+    injected ``client_factory``; the Ray-side plumbing (actor signature,
+    batch schema in/out) is identical to :class:`RuleExtractor` and is what
+    the pipeline tests exercise.
+    """
+
+    def __init__(self, client_factory=None, max_elements: int = 40, max_retries: int = 3):
+        if client_factory is None:
+            raise NotImplementedError(
+                "No LLM client available in this environment; pass client_factory "
+                "or use RuleExtractor."
+            )
+        self.client = client_factory()
+        self.max_elements = max_elements
+        self.max_retries = max_retries
+
+    def __call__(self, batch: dict) -> pa.Table:
+        raise NotImplementedError("LLM-backed extraction requires network access.")

@@ -1,0 +1,162 @@
+"""End-to-end KG pipeline tests over the deterministic closed world
+(FIXTURES.md §6 scenarios) + parity vs the reference-semantics oracle."""
+
+import pandas as pd
+import pytest
+import ray.data
+
+from kgray.config import PipelineConfig
+from kgray.oracle import ReferenceOracle, precision_recall
+from kgray.pipelines.kg import build_kg, extract_quintuples
+from kgray.sources.testdata import embedder_concepts, generate_transcripts
+from kgray.stages.chunk import assemble_chunks, ordered_turns
+from kgray.stages.embed import HashEmbedder
+from kgray.stages.extract import RuleExtractor
+
+CFG = PipelineConfig(extract_concurrency=2)
+N_CONVS = 80
+
+
+@pytest.fixture(scope="module")
+def world_data(tmp_path_factory):
+    df, world = generate_transcripts(seed=42, n_conversations=N_CONVS)
+    path = str(tmp_path_factory.mktemp("transcripts") / "transcripts.parquet")
+    df.to_parquet(path, index=False)
+    return df, world, path
+
+
+@pytest.fixture(scope="module")
+def kg_result(world_data):
+    df, world, path = world_data
+    concepts = embedder_concepts(world)
+    transcripts = ray.data.read_parquet(path)
+    result = build_kg(
+        transcripts,
+        cfg=CFG,
+        embedder_factory=lambda: HashEmbedder(dim=CFG.embed_dim, concepts=concepts),
+    )
+    edges = result.edges.to_pandas()
+    nodes = result.nodes.to_pandas()
+    return result, nodes, edges
+
+
+def test_ordered_turns_restores_stable_order(world_data):
+    df, world, path = world_data
+    out = ordered_turns(ray.data.read_parquet(path)).to_pandas()
+    for conv_id, g in out.groupby("conv_id"):
+        assert list(g["turn_idx"]) == sorted(g["turn_idx"])
+        want = df[df.conv_id == conv_id].sort_values("turn_idx")["text"].tolist()
+        assert g["text"].tolist() == want  # per-turn text equality invariant
+
+
+def test_chunks_preserve_turn_text(world_data):
+    df, world, path = world_data
+    chunks = assemble_chunks(ray.data.read_parquet(path), CFG.max_chunk_chars).to_pandas()
+    for conv_id, g in chunks.groupby("conv_id"):
+        g = g.sort_values("chunk_idx")
+        joined = "\n".join(g["text"])
+        want = "\n".join(
+            t for t in df[df.conv_id == conv_id].sort_values("turn_idx")["text"] if t
+        )
+        assert joined == want
+        assert (g["text"].str.len() <= CFG.max_chunk_chars + 200).all()
+
+
+def test_nodes_and_edges_consistent(kg_result):
+    result, nodes, edges = kg_result
+    assert len(nodes) > 0 and len(edges) > 0
+    assert nodes["entity_id"].is_unique
+    node_ids = set(nodes["entity_id"])
+    assert set(edges["subj_id"]) <= node_ids
+    assert set(edges["obj_id"]) <= node_ids
+    # triple key unique after merge
+    assert not edges.duplicated(subset=["subj_id", "pred", "obj_id"]).any()
+    # time lists present, floats
+    for col in ("t_obs", "t_start", "t_end"):
+        assert edges[col].map(lambda v: all(isinstance(x, float) for x in v)).all()
+    # every edge carries at least one t_obs and provenance
+    assert edges["t_obs"].map(len).ge(1).all()
+    assert edges["atomic_facts"].map(len).ge(1).all()
+
+
+def test_parity_vs_reference_oracle(kg_result, world_data):
+    df, world, path = world_data
+    result, nodes, edges = kg_result
+    concepts = embedder_concepts(world)
+
+    # same deterministic extraction feeds the oracle (raw surface forms)
+    chunks = assemble_chunks(ray.data.read_parquet(path), CFG.max_chunk_chars).to_pandas()
+    extractor = RuleExtractor()
+    raw = extractor(
+        {
+            "text": chunks["text"].to_numpy(),
+            "conv_id": chunks["conv_id"].to_numpy(),
+            "chunk_idx": chunks["chunk_idx"].to_numpy(),
+            "obs_date": chunks["obs_date"].to_numpy(),
+        }
+    ).to_pylist()
+
+    oracle = ReferenceOracle(
+        HashEmbedder(dim=CFG.embed_dim, concepts=concepts),
+        name_weight=CFG.entity_name_weight,
+        label_weight=CFG.entity_label_weight,
+        ent_threshold=CFG.ent_threshold,
+        rel_threshold=CFG.rel_threshold,
+    )
+    want = oracle.build(raw)
+
+    got_keys = {
+        (r.subj_name, r.subj_label, r.pred, r.obj_name, r.obj_label)
+        for r in edges.itertuples()
+    }
+    p, r = precision_recall(got_keys, set(want))
+    assert p >= 0.95 and r >= 0.95, (
+        f"P={p:.3f} R={r:.3f}; engine-only={sorted(got_keys - set(want))[:5]} "
+        f"oracle-only={sorted(set(want) - got_keys)[:5]}"
+    )
+
+    # time/provenance lists agree on the common triples. t_start/t_end and
+    # provenance compare as multisets; t_obs compares as a SET of
+    # observation dates: the reference's merge order (endpoint remap after
+    # triple matching, matcher.py:155-227) lets duplicate rows survive a
+    # date's merge and stamp the same date twice — an artifact, not
+    # semantics (t_obs is per-date presence, atom.py:193-194).  Documented
+    # parity deviation (see PARITY.md).
+    for row in edges.itertuples():
+        key = (row.subj_name, row.subj_label, row.pred, row.obj_name, row.obj_label)
+        if key not in want:
+            continue
+        assert set(row.t_obs) == set(want[key]["t_obs"]), (key, "t_obs")
+        for col in ("t_start", "t_end"):
+            assert sorted(getattr(row, col)) == sorted(want[key][col]), (key, col)
+        assert sorted(row.atomic_facts) == sorted(want[key]["facts"]), key
+
+
+def test_invalid_dates_skipped(world_data):
+    df, world, path = world_data
+    quintuples = extract_quintuples(ray.data.read_parquet(path), CFG).to_pandas()
+    # generator injects 'an-unknown-date' strings at ~5%; they must be
+    # dropped from parsed lists without dropping the triple itself
+    n_start = quintuples["t_start"].map(len).sum()
+    assert len(quintuples) > 0
+    assert n_start > 0
+    flat = [x for v in pd.concat([quintuples["t_start"], quintuples["t_end"]]) for x in v]
+    assert all(isinstance(x, float) for x in flat)
+
+
+def test_determinism_across_runs(world_data, kg_result):
+    df, world, path = world_data
+    result, nodes, edges = kg_result
+    concepts = embedder_concepts(world)
+    result2 = build_kg(
+        ray.data.read_parquet(path),
+        cfg=CFG,
+        embedder_factory=lambda: HashEmbedder(dim=CFG.embed_dim, concepts=concepts),
+    )
+    edges2 = result2.edges.to_pandas()
+    key = ["subj_id", "pred", "obj_id"]
+    a = edges.sort_values(key).reset_index(drop=True)
+    b = edges2.sort_values(key).reset_index(drop=True)
+    assert a[key].equals(b[key])
+    assert a["t_obs"].map(tuple).equals(b["t_obs"].map(tuple))
+    assert a["atomic_facts"].map(tuple).equals(b["atomic_facts"].map(tuple))
