@@ -1,16 +1,16 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() per-operator callables,
+oracle_sql() DuckDB equivalents.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the DRIVER before importing this module — nothing
+here may call ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The KG pipeline is exercised on two inputs:
+- the deterministic closed-world transcripts (kgray/sources/testdata.py) —
+  fuzzy entity/predicate matching, rows-only driver check, pinned by the
+  reference-semantics oracle parity tests in tests/;
+- transcripts derived from the ``events`` table
+  (kgray/sources/events_transcripts.py) — exact-matching world, fully
+  SQL-expressible, so the whole pipeline is value-checked against DuckDB.
 """
 
 from __future__ import annotations
@@ -18,27 +18,359 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import ray.data
+
+from kgray.config import PipelineConfig
+from kgray.ops import dedup as dd
+from kgray.ops import similarity as sim
+from kgray.ops import text as tx
+from kgray.ops.multimodal import extract_features
+from kgray.pipelines import relational as rel
+from kgray.pipelines.kg import build_kg, extract_quintuples
+from kgray.sources.events_transcripts import TRANSCRIPTS_FROM_EVENTS_SQL, transcripts_from_events
+from kgray.sources.testdata import embedder_concepts, generate_transcripts, transcripts_cache_path
+from kgray.stages.chunk import assemble_chunks
+from kgray.stages.embed import HashEmbedder
+from kgray.stages.extract import EventsRuleExtractor
+
+_CFG = PipelineConfig(extract_concurrency=4)
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.001
+
+
+def _world_transcripts(sf_dir: str) -> tuple[ray.data.Dataset, dict]:
+    """Closed-world transcripts sized by sf, cached idempotently in /tmp."""
+    n_convs = max(60, int(200_000 * _sf_of(sf_dir)))
+    path = transcripts_cache_path(n_convs)
+    _, world = generate_transcripts(seed=42, n_conversations=2)  # world is size-independent
+    return ray.data.read_parquet(path), embedder_concepts(world)
+
+
+def _kg_closed_world(sf_dir: str):
+    transcripts, concepts = _world_transcripts(sf_dir)
+    return build_kg(
+        transcripts,
+        cfg=_CFG,
+        embedder_factory=lambda: HashEmbedder(dim=_CFG.embed_dim, concepts=concepts),
+    )
+
+
+def _kg_events(sf_dir: str):
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    transcripts = transcripts_from_events(events)
+    return build_kg(
+        transcripts,
+        cfg=_CFG,
+        embedder_factory=lambda: HashEmbedder(dim=_CFG.embed_dim),
+        extractor_cls=EventsRuleExtractor,
+    )
+
+
+def _edges_scalar(edges: ray.data.Dataset) -> pd.DataFrame:
+    df = edges.to_pandas()
+    out = df[["subj_name", "subj_label", "pred", "obj_name", "obj_label"]].copy()
+    out["n_obs"] = df["n_obs"].astype("int64")
+    out["n_dates"] = df["t_obs"].map(len).astype("int64")
+    out["n_start"] = df["t_start"].map(len).astype("int64")
+    out["n_end"] = df["t_end"].map(len).astype("int64")
+    return out.sort_values(["subj_name", "pred", "obj_name"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full KG build over closed-world transcripts at sf0.001."""
+    return _edges_scalar(_kg_closed_world("/root/testdata/sf0.001").edges)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: dict[str, Callable[[str], Any]] = {}
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- KG pipeline -----------------------------------------------------
+    q["kg_edges_closed_world"] = lambda sf: _edges_scalar(_kg_closed_world(sf).edges)
+    q["kg_nodes_closed_world"] = lambda sf: (
+        _kg_closed_world(sf).nodes.to_pandas().sort_values("entity_id").reset_index(drop=True)
+    )
+    q["kg_triples_events"] = lambda sf: (
+        _edges_scalar(_kg_events(sf).edges)[
+            ["subj_name", "subj_label", "pred", "obj_name", "obj_label", "n_obs"]
+        ]
+    )
+    q["kg_nodes_events"] = lambda sf: (
+        _kg_events(sf).nodes.to_pandas().sort_values("entity_id").reset_index(drop=True)
+    )
+    q["kg_quintuples_closed_world"] = lambda sf: _quintuple_counts(sf)
 
+    # --- conversation assembly (oracle-checked) --------------------------
+    q["transcripts_from_events"] = _q_transcripts_from_events
+    q["conversation_concat_events"] = _q_conversation_concat
+
+    # --- text analysis ---------------------------------------------------
+    q["doc_token_stats"] = lambda sf: (
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(tx.token_stats, batch_format="pyarrow")
+        .to_pandas()
+    )
+    q["doc_bpe_tokens"] = lambda sf: (
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(tx.bpe_ish_token_count, batch_format="pyarrow")
+        .to_pandas()
+    )
+    q["doc_fingerprint"] = lambda sf: (
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(tx.fingerprint, batch_format="pyarrow")
+        .to_pandas()
+    )
+    q["doc_quality"] = lambda sf: (
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(tx.quality_score, batch_format="pandas")
+        .to_pandas()
+    )
+    q["doc_langid"] = lambda sf: (
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(tx.LangId, batch_format="pandas", concurrency=2)
+        .to_pandas()
+    )
+
+    # --- dedup -----------------------------------------------------------
+    q["doc_exact_dedup"] = lambda sf: dd.exact_dedup(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    ).to_pandas().sort_values("content_hash").reset_index(drop=True)
+    q["doc_minhash_dedup"] = lambda sf: dd.minhash_lsh_dedup(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    )
+    q["doc_simhash_pairs"] = lambda sf: dd.simhash_near_dup_pairs(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    )
+    q["embedding_near_dup"] = _q_embedding_near_dup
+
+    # --- similarity search ----------------------------------------------
+    q["knn_bruteforce"] = _q_knn
+    q["knn_lsh"] = _q_knn_lsh
+
+    # --- multimodal plumbing --------------------------------------------
+    q["multimodal_payload_stats"] = lambda sf: (
+        extract_features(
+            ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        )
+        .to_pandas()[["doc_id", "payload_bytes"]]
+    )
+
+    # --- relational coverage --------------------------------------------
+    q["pricing_summary"] = rel.pricing_summary
+    q["revenue_by_nation"] = rel.revenue_by_nation
+    q["events_daily"] = rel.events_daily
+    q["top_parts"] = rel.top_parts
+    q["user_sessions"] = rel.user_sessions
+    return q
+
+
+def _quintuple_counts(sf_dir: str) -> pd.DataFrame:
+    """Pre-canonicalization extraction stats: quintuple rows per predicate
+    surface (rows-only check; parity is pinned in tests)."""
+    transcripts, _ = _world_transcripts(sf_dir)
+    quintuples = extract_quintuples(transcripts, _CFG)
+    from ray.data.aggregate import Count
+
+    return (
+        quintuples.groupby("pred").aggregate(Count(alias_name="n"))
+        .to_pandas().sort_values("pred").reset_index(drop=True)
+    )
+
+
+def _q_transcripts_from_events(sf_dir: str) -> pd.DataFrame:
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    df = transcripts_from_events(events).to_pandas()
+    df["ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+    return (
+        df[["conv_id", "turn_idx", "role", "text", "tool", "ts_us"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_conversation_concat(sf_dir: str) -> pd.DataFrame:
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    transcripts = transcripts_from_events(events)
+    chunks = assemble_chunks(transcripts, max_chunk_chars=1 << 30).to_pandas()
+    out = chunks[["conv_id", "text", "obs_ts"]].copy()
+    out["obs_ts_us"] = out.pop("obs_ts").astype("datetime64[us]").astype("int64")
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def _q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
+    out = dd.embedding_near_dup_pairs(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.3
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                            "cosine": pd.Series(dtype="float64")})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(n)
+    return df["vec_id"].to_numpy(), np.stack(df["embedding"].to_numpy()).astype(np.float64)
+
+
+def _q_knn(sf_dir: str) -> pd.DataFrame:
+    qids, qmat = _query_vectors(sf_dir)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = sim.knn_bruteforce(emb, qids, qmat, k=10)
+    return out[["query_id", "neighbor_id", "rank", "cosine"]]
+
+
+def _q_knn_lsh(sf_dir: str) -> pd.DataFrame:
+    qids, qmat = _query_vectors(sf_dir)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return sim.knn_lsh(emb, qids, qmat, k=10)
+
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    transcripts_cte = f"WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
+    return {
+        "kg_triples_events": """
+            SELECT 'user ' || CAST(user_id AS VARCHAR) AS subj_name,
+                   'user' AS subj_label,
+                   'did' AS pred,
+                   event_type AS obj_name,
+                   'event_type' AS obj_label,
+                   count(*) AS n_obs
+            FROM events
+            GROUP BY user_id, event_type
+        """,
+        "kg_nodes_events": """
+            WITH ents AS (
+              SELECT DISTINCT 'user ' || CAST(user_id AS VARCHAR) AS name, 'user' AS label FROM events
+              UNION
+              SELECT DISTINCT event_type AS name, 'event_type' AS label FROM events
+            )
+            SELECT 'e_' || substr(md5(name || '|' || label), 1, 16) AS entity_id,
+                   name, label, label AS neo4j_label
+            FROM ents
+        """,
+        "transcripts_from_events": f"""
+            {transcripts_cte}
+            SELECT conv_id, turn_idx, role, text, tool,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us
+            FROM transcripts
+        """,
+        "conversation_concat_events": f"""
+            {transcripts_cte}
+            SELECT conv_id,
+                   string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+                   CAST(epoch_us(min(ts)) AS BIGINT) AS obs_ts_us
+            FROM transcripts
+            GROUP BY conv_id
+        """,
+        "doc_token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(strlen(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "doc_bpe_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                     AS n_bpe_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents
+        """,
+        "doc_exact_dedup": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "embedding_near_dup": """
+            WITH p AS (
+              SELECT a.vec_id AS a, b.vec_id AS b,
+                     round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+            )
+            SELECT a, b, CAST(cosine AS DOUBLE) AS cosine FROM p WHERE cosine >= 0.3
+        """,
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5),
+            scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])) AS cos_raw
+              FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos_raw,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_raw DESC, neighbor_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+                   round(cos_raw, 6) AS cosine
+            FROM ranked WHERE rank <= 10
+        """,
+        "multimodal_payload_stats": """
+            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+            FROM documents
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "events_daily": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        """,
+        "top_parts": """
+            SELECT p_partkey, p_name, p_retailprice
+            FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+        """,
+        "user_sessions": """
+            WITH ordered AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            )
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(CASE WHEN prev_ts IS NULL
+                                 OR ts - prev_ts > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM ordered GROUP BY user_id
+        """,
+    }

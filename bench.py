@@ -1,0 +1,132 @@
+"""Benchmark harness.
+
+Headline: full KG construction (chunk → extract → normalize → canonicalize
+→ merge) over closed-world transcripts sized to the scale factor, reported
+as wall seconds + turns/sec.  Additional representative pipelines are timed
+into ``queries``.
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "turns": T, "turns_per_sec": R}
+
+``--scaling``: runs the headline twice in fresh processes at
+RAY_GRAFT_CPUS=8 and 32 on the same input and reports both throughputs and
+the scaling efficiency (BASELINE.md criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def run_bench() -> dict:
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data
+
+    import __ray_entry__ as entry
+    from kgray.sources.testdata import embedder_concepts, generate_transcripts, transcripts_cache_path
+
+    sf = entry._sf_of(sf_dir)
+    n_convs = max(60, int(200_000 * sf))
+    path = transcripts_cache_path(n_convs)  # generated+cached, untimed
+    _, world = generate_transcripts(seed=42, n_conversations=2)
+    concepts = embedder_concepts(world)
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    n_turns = ray.data.read_parquet(path).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # --- headline: KG construction end-to-end ---------------------------
+    from kgray.config import PipelineConfig
+    from kgray.pipelines.kg import build_kg
+    from kgray.stages.embed import HashEmbedder
+
+    cfg = PipelineConfig(extract_concurrency=max(2, num_cpus // 4))
+
+    def kg():
+        res = build_kg(
+            ray.data.read_parquet(path),
+            cfg=cfg,
+            embedder_factory=lambda: HashEmbedder(dim=cfg.embed_dim, concepts=concepts),
+        )
+        return res.edges.count(), res.nodes.count()
+
+    n_edges, n_nodes = timed("kg_closed_world", kg)
+
+    # --- representative pipelines ---------------------------------------
+    timed("kg_triples_events", lambda: len(entry.queries()["kg_triples_events"](sf_dir)))
+    timed("doc_minhash_dedup", lambda: len(entry.queries()["doc_minhash_dedup"](sf_dir)))
+    timed("knn_bruteforce", lambda: len(entry.queries()["knn_bruteforce"](sf_dir)))
+    timed("pricing_summary", lambda: len(entry.queries()["pricing_summary"](sf_dir)))
+    timed("doc_token_stats", lambda: len(entry.queries()["doc_token_stats"](sf_dir)))
+
+    headline = timings["kg_closed_world"]
+    result = {
+        "metric": "kg_construction_wall_sec",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "turns": int(n_turns),
+        "edges": int(n_edges),
+        "nodes": int(n_nodes),
+        "turns_per_sec": round(n_turns / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    speedup = lo["value"] / hi["value"]
+    eff = speedup / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "sec_8cpu": lo["value"],
+        "sec_32cpu": hi["value"],
+        "turns_per_sec_8cpu": lo["turns_per_sec"],
+        "turns_per_sec_32cpu": hi["turns_per_sec"],
+        "speedup_8_to_32": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+        "turns": lo["turns"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,94 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video decode libraries are not available in this container, so
+the decode kernels are STUBS behind a clearly-marked gate — but the
+Ray-side plumbing is real and tested: binary columns flow as Arrow
+``large_binary`` (keep batches small: payload bytes x batch_size x
+concurrency must fit the worker heap), feature extraction is an actor-pool
+``map_batches`` stage whose model state loads once per actor, and outputs
+are fixed-size float vectors + scalar metadata.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+try:  # the real decoders would land here (PIL / torchaudio / pyav)
+    import PIL.Image  # type: ignore # noqa: F401
+
+    _HAVE_IMAGE_LIBS = True
+except ImportError:
+    _HAVE_IMAGE_LIBS = False
+
+
+def attach_payload(batch: pa.Table, source_col: str = "text") -> pa.Table:
+    """Demo payload builder: treat a text column's UTF-8 bytes as an opaque
+    binary payload (stands in for image/audio bytes read via
+    ``read_binary_files``)."""
+    payload = pa.array(
+        [t.encode("utf-8") for t in batch[source_col].to_pylist()], type=pa.large_binary()
+    )
+    return batch.append_column("payload", payload)
+
+
+class FeatureExtractor:
+    """Actor-pool multimodal feature stage.
+
+    ``__init__`` loads the model once per actor (here: a deterministic fake
+    when the decode libs are absent); ``__call__`` maps payload bytes to a
+    fixed-size feature vector + metadata.  The signature, batch schema and
+    output layout are exactly what a real CLIP/wav2vec stage would use.
+    """
+
+    def __init__(self, dim: int = 16, use_real_decoder: bool = False):
+        if use_real_decoder and not _HAVE_IMAGE_LIBS:
+            raise NotImplementedError(
+                "No image/audio decode libraries in this environment; "
+                "run with use_real_decoder=False for the deterministic fake."
+            )
+        self.dim = dim
+        self.use_real_decoder = use_real_decoder
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        if self.use_real_decoder:
+            raise NotImplementedError("real decoder path requires PIL/torchaudio")
+        # deterministic fake: md5-seeded unit vector (stable across runs)
+        seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(self.dim)
+        return (v / np.linalg.norm(v)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        feats = np.stack([self._features(p) for p in payloads])
+        sizes = pa.array([len(p) for p in payloads], type=pa.int64())
+        out = batch.drop_columns(["payload"])  # payloads are consumed, not re-shipped
+        out = out.append_column("payload_bytes", sizes)
+        return out.append_column(
+            "features", pa.FixedSizeListArray.from_arrays(pa.array(feats.ravel(), type=pa.float32()), self.dim)
+        )
+
+
+def extract_features(
+    ds: ray.data.Dataset,
+    source_col: str = "text",
+    dim: int = 16,
+    batch_size: int = 64,
+    concurrency: int = 2,
+) -> ray.data.Dataset:
+    """documents-with-payload → features.  Small batch_size on purpose:
+    with real image/audio payloads, batch bytes dominate worker memory."""
+    with_payload = ds.map_batches(
+        lambda t: attach_payload(t, source_col), batch_format="pyarrow"
+    )
+    return with_payload.map_batches(
+        FeatureExtractor,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

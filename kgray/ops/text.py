@@ -1,0 +1,151 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All stateless vectorized ``map_batches`` transforms (pyarrow.compute /
+pandas string kernels) except language-ID, which is an actor-pool stage
+holding compiled token sets.  These extend the engine beyond the
+reference's own operator set (SURVEY.md §2.8 covers its scalar string
+work); they run over the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def token_stats(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens (whitespace fields), n_chars — zero-copy Arrow.
+
+    n_tokens = #separators + 1 (DuckDB's len(string_split(text,' '))
+    semantics, so the oracle matches exactly)."""
+    text = batch["text"]
+    n_tokens = pc.add(pc.count_substring(text, " "), 1)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        }
+    )
+
+
+def fingerprint(batch: pa.Table) -> pa.Table:
+    """Stable document fingerprint: first 16 hex chars of md5(text) —
+    mirrors DuckDB's md5() for the oracle."""
+    fps = [hashlib.md5(t.encode("utf-8")).hexdigest()[:16] for t in batch["text"].to_pylist()]
+    return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(fps, type=pa.string())})
+
+
+# BPE-ish token counting: words, numbers, punctuation runs — a cheap proxy
+# for subword tokenizers when sizing LLM batches (reference counts tokens
+# with tiktoken, langchain_output_parser.py:157-166).
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(batch: pa.Table) -> pa.Table:
+    counts = pc.count_substring_regex(batch["text"], _BPE_ISH)
+    return pa.table(
+        {"doc_id": batch["doc_id"], "n_bpe_tokens": pc.cast(counts, pa.int64())}
+    )
+
+
+_STOPWORDS = {
+    "en": {"the", "a", "of", "to", "and", "in", "is", "that", "it", "for", "on", "with", "as", "was"},
+    "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "est", "que", "en", "du", "dans", "pour"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von", "mit", "auf", "nicht"},
+    "es": {"el", "la", "los", "las", "de", "y", "un", "una", "es", "que", "en", "del", "por", "con"},
+}
+
+
+class LangId:
+    """Actor-pool language-ID stage: stopword-hit ratio per language plus a
+    CJK codepoint check; state (token sets, compiled regex) built once per
+    actor."""
+
+    def __init__(self) -> None:
+        import re
+
+        self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.stops = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+
+    def _predict(self, text: str) -> str:
+        if any("一" <= ch <= "鿿" for ch in text[:400]):
+            return "zh"
+        toks = [t.lower() for t in self.word.findall(text[:2000])]
+        if not toks:
+            return "und"
+        best, best_hits = "und", 0
+        for lang, stop in self.stops.items():
+            hits = sum(1 for t in toks if t in stop)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best if best_hits >= 1 else "und"
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "pred_lang": [self._predict(t) for t in batch["text"]]}
+        )
+
+
+def quality_score(batch: pd.DataFrame) -> pd.DataFrame:
+    """Heuristic document-quality features + composite score: length band,
+    alpha ratio, punctuation ratio, mean token length, repetition ratio.
+    Vectorized pandas string kernels."""
+    text = batch["text"].fillna("")
+    n_chars = text.str.len()
+    n_alpha = text.str.count(r"[A-Za-z]")
+    n_punct = text.str.count(r"[^\w\s]")
+    tokens = text.str.split()
+    n_tokens = tokens.map(len).clip(lower=1)
+    n_unique = tokens.map(lambda t: len(set(t)))
+    alpha_ratio = (n_alpha / n_chars.clip(lower=1)).round(6)
+    punct_ratio = (n_punct / n_chars.clip(lower=1)).round(6)
+    mean_tok_len = (n_chars / n_tokens).round(6)
+    rep_ratio = (1.0 - n_unique / n_tokens).round(6)
+    length_ok = ((n_chars >= 100) & (n_chars <= 20000)).astype(float)
+    score = (
+        0.3 * length_ok
+        + 0.3 * alpha_ratio
+        + 0.2 * (1.0 - punct_ratio)
+        + 0.2 * (1.0 - rep_ratio)
+    ).round(6)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "alpha_ratio": alpha_ratio,
+            "punct_ratio": punct_ratio,
+            "mean_tok_len": mean_tok_len,
+            "rep_ratio": rep_ratio,
+            "quality": score,
+        }
+    )
+
+
+def rolling_fingerprint(batch: pd.DataFrame, window: int = 64, base: int = 257, mod: int = (1 << 61) - 1) -> pd.DataFrame:
+    """Rolling-hash document fingerprint: min rolling hash over byte windows
+    (a Rabin-Karp content-defined fingerprint, robust to prefix edits)."""
+    out = []
+    pows = pow(base, window - 1, mod)
+    for t in batch["text"]:
+        b = t.encode("utf-8")
+        if len(b) < window:
+            h = 0
+            for ch in b:
+                h = (h * base + ch) % mod
+            out.append(h)
+            continue
+        h = 0
+        for ch in b[:window]:
+            h = (h * base + ch) % mod
+        mn = h
+        for i in range(window, len(b)):
+            h = ((h - b[i - window] * pows) * base + b[i]) % mod
+            if h < mn:
+                mn = h
+        out.append(mn)
+    return pd.DataFrame({"doc_id": batch["doc_id"], "rolling_fp": np.array(out, dtype="uint64")})

@@ -1,0 +1,147 @@
+"""Relational operator coverage over the TPC-H-ish tables: pruned reads,
+vectorized Arrow filters/projections, pre-aggregated groupbys, broadcast
+hash joins, sort/limit, windowed (sessionized) per-key aggregation.
+
+Each function takes ``sf_dir`` and returns a Dataset/DataFrame whose
+column names match the SQL oracle in ``__ray_entry__.oracle_sql`` exactly.
+Float aggregates are rounded (4 dp) on both sides so distributed summation
+order cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped aggregate: filter at the read, compute the derived
+    revenue column vectorized, pre-aggregable groupby."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        cutoff = pa.scalar(pd.Timestamp("1998-09-02"), type=t["l_shipdate"].type)
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc_price)
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_disc"):
+        out[c] = out[c].astype(float).round(4)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """lineitem ⋈ orders ⋈ customer ⋈ nation revenue rollup.
+
+    The dimension chain (orders→customer→nation) is collapsed driver-side
+    into one small orderkey→nation dict and broadcast via ``ray.put`` —
+    read once per actor, a per-batch pandas .map lookup, no shuffle join.
+    """
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_nation = customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    order_nation = orders.merge(cust_nation, left_on="o_custkey", right_on="c_custkey")
+    lookup_ref = ray.put(dict(zip(order_nation["o_orderkey"], order_nation["n_name"])))
+
+    class AttachNation:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch["n_name"] = batch["l_orderkey"].map(self.lookup)
+            batch["revenue"] = batch["l_extendedprice"] * (1.0 - batch["l_discount"])
+            return batch[["n_name", "revenue"]]
+
+    out = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(AttachNation, batch_format="pandas", concurrency=2)
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n_items"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].astype(float).round(4)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def events_daily(sf_dir: str) -> pd.DataFrame:
+    """Per (event_type, day) count + value sum — the tumbling-window shape."""
+
+    def derive(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        return pa.table({"event_type": t["event_type"], "day": day, "value": t["value"]})
+
+    out = (
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(derive, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].astype(float).round(4)
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+def top_parts(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Global sort + limit."""
+    return (
+        _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+        .sort(["p_retailprice", "p_partkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Sessionization: per-user ordered event stream split at >gap_minutes
+    idle gaps — the stream-shaped windowed aggregate (sorted map_groups)."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        new_session = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_session[1:] = (ts[1:] - ts[:-1]) > gap
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(g)],
+                "n_sessions": [int(new_session.sum())],
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )

@@ -126,6 +126,25 @@ class RuleExtractor:
         )
 
 
+class EventsRuleExtractor(RuleExtractor):
+    """Deterministic extractor for events-derived transcripts
+    (kgray/sources/events_transcripts.py): 'User 3 did click event 42.'
+    → (user 3:user, did, click:event_type).  Atemporal; the observation
+    date carries the time axis.  Exactly SQL-mirrorable, giving the full
+    KG pipeline an oracle-checkable path."""
+
+    def __init__(self) -> None:
+        self._rules = [
+            (
+                re.compile(r"^(?P<s>User \d+) did (?P<o>\w+) event \d+\.$"),
+                "did",
+                "user",
+                "event_type",
+                None,
+            )
+        ]
+
+
 class LLMQuintupleExtractor:
     """Production-shaped LLM extractor actor (sandbox-stubbed).
 

@@ -1,0 +1,158 @@
+"""Training-data operator tests: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from kgray.ops import dedup as dd
+from kgray.ops import text as tx
+from kgray.ops.multimodal import extract_features
+from kgray.ops.similarity import knn_bruteforce, knn_lsh
+
+
+@pytest.fixture(scope="module")
+def docs():
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "pack my box with five dozen liquor jugs before the morning train leaves",
+        "how vexingly quick daft zebras jump over the sleeping guard dog",
+        "sphinx of black quartz judge my vow said the old librarian quietly",
+    ]
+    rows = []
+    # exact duplicates of doc 0, near-duplicate of doc 1 (one word changed),
+    # and unrelated docs
+    rows.append((0, base[0]))
+    rows.append((1, base[0]))  # exact dup
+    rows.append((2, base[1]))
+    rows.append((3, base[1].replace("morning", "evening")))  # near dup
+    rows.append((4, base[2]))
+    rows.append((5, base[3]))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    return ray.data.from_pandas(df)
+
+
+def test_exact_dedup(docs):
+    out = dd.exact_dedup(docs).to_pandas()
+    assert len(out) == 5  # 6 docs, one exact-dup pair
+    dup = out[out["n_dups"] == 2]
+    assert len(dup) == 1 and dup["doc_id"].iloc[0] == 0  # min doc_id survives
+
+
+def test_minhash_lsh_dedup(docs):
+    out = dd.minhash_lsh_dedup(docs, threshold=0.5)
+    m = dict(zip(out["doc_id"], out["canonical_id"]))
+    assert m[1] == 0  # exact dup clustered
+    assert m[3] == 2  # near dup clustered
+    assert m[4] == 4 and m[5] == 5  # unrelated untouched
+
+
+def test_simhash_pairs(docs):
+    out = dd.simhash_near_dup_pairs(docs, max_hamming=8)
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 1) in pairs  # exact dup → hamming 0
+    assert out[(out.a == 0) & (out.b == 1)]["hamming"].iloc[0] == 0
+    assert (3, 5) not in pairs and (2, 5) not in pairs
+
+
+def test_ngram_jaccard(docs):
+    out = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 1) in pairs
+    got = out[(out.a == 0) & (out.b == 1)]["jaccard"].iloc[0]
+    assert got == 1.0
+
+
+def test_embedding_near_dup():
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((4, 8))
+    rows = []
+    vid = 0
+    for label in (0, 1):
+        for i in range(4):
+            rows.append((vid, list(base[i] + 0.01 * rng.standard_normal(8) + 5 * label), label))
+            vid += 1
+    df = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    ds = ray.data.from_pandas(df)
+    out = dd.embedding_near_dup_pairs(ds, threshold=0.99).to_pandas()
+    # label-1 vectors are base+5 → all mutually similar; label 0 not
+    assert ((out["a"] >= 4) & (out["b"] >= 4)).any()
+    assert not out.empty
+    assert (out["cosine"] >= 0.99).all()
+
+
+def test_knn_bruteforce_and_lsh_recall():
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((300, 16))
+    df = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(mat)})
+    ds = ray.data.from_pandas(df)
+    qids, qmat = np.arange(3), mat[:3]
+    exact = knn_bruteforce(ds, qids, qmat, k=5)
+    assert len(exact) == 15
+    assert (exact.groupby("query_id")["rank"].max() == 5).all()
+    # self excluded
+    assert not ((exact["query_id"] == exact["neighbor_id"]).any())
+    # rank 1 = nearest: verify directly for q0
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit[0] @ unit.T
+    sims[0] = -9
+    assert exact[exact.query_id == 0].iloc[0]["neighbor_id"] == int(np.argmax(sims))
+
+    approx = knn_lsh(ds, qids, qmat, k=5, n_planes=4)
+    hits = len(
+        set(zip(exact["query_id"], exact["neighbor_id"]))
+        & set(zip(approx["query_id"], approx["neighbor_id"]))
+    )
+    assert hits / len(exact) >= 0.5  # multi-probe recall on random data
+
+
+def test_token_stats_and_fingerprint(docs):
+    out = docs.map_batches(tx.token_stats, batch_format="pyarrow").to_pandas()
+    row = out[out.doc_id == 0].iloc[0]
+    assert row["n_tokens"] == 13 and row["n_chars"] == len(
+        "the quick brown fox jumps over the lazy dog again and again today"
+    )
+    fp = docs.map_batches(tx.fingerprint, batch_format="pyarrow").to_pandas()
+    assert fp["fp"].str.len().eq(16).all()
+    assert fp[fp.doc_id == 0]["fp"].iloc[0] == fp[fp.doc_id == 1]["fp"].iloc[0]
+
+
+def test_langid():
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "the cat sat on the mat and it was happy with the sun",
+                "le chat est dans la maison et il regarde les oiseaux dans le jardin",
+                "der Hund ist in dem Haus und die Katze ist nicht da",
+                "el perro es grande y la casa es blanca con un jardín",
+                "这是一个中文文档的例子",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    out = ds.map_batches(tx.LangId, batch_format="pandas", concurrency=1).to_pandas()
+    assert out.sort_values("doc_id")["pred_lang"].tolist() == ["en", "fr", "de", "es", "zh"]
+
+
+def test_quality_score(docs):
+    out = docs.map_batches(tx.quality_score, batch_format="pandas").to_pandas()
+    assert (out["quality"] > 0).all() and (out["quality"] <= 1.0).all()
+    assert (out["rep_ratio"] >= 0).all()
+
+
+def test_multimodal_plumbing(docs):
+    out = extract_features(docs, dim=8).to_pandas()
+    assert len(out) == 6
+    assert (out["payload_bytes"] > 0).all()
+    feats = np.stack(out["features"].to_numpy())
+    assert feats.shape == (6, 8)
+    # deterministic: same payload → same features (docs 0 and 1 identical)
+    f = out.set_index("doc_id")["features"]
+    assert np.allclose(np.asarray(f[0]), np.asarray(f[1]))
+    # stub gate: real decoder path clearly marked unavailable
+    from kgray.ops.multimodal import FeatureExtractor
+
+    with pytest.raises(NotImplementedError):
+        FeatureExtractor(use_real_decoder=True)
