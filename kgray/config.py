@@ -32,10 +32,16 @@ class PipelineConfig:
     embed_batch_size: int = 4096
     # actor pool size for stateful stages; None → let Ray autoscale tasks.
     extract_concurrency: int | None = None
-    # entity-match strategy: number of distinct entities up to which we use
-    # a broadcast full-candidate cosine match (exactly the reference's
-    # candidate set, parallelized over blocks).  Beyond this, LSH bucketing
-    # bounds the candidate sets (scale path).
+    # entity-match strategy ladder (all reproduce the same >=threshold
+    # argmax semantics):
+    # - N <= driver_match_max_entities: embed+match driver-side in one
+    #   numpy pass (the distinct set is already collapsed; no actor-pool
+    #   spin-up for tiny vocabularies)
+    # - N <= broadcast_match_max_entities: actor-pool blocks vs a
+    #   broadcast candidate matrix (exactly the reference's candidate set,
+    #   parallelized over blocks)
+    # - beyond: LSH bucketing bounds the candidate sets (scale path).
+    driver_match_max_entities: int = 20_000
     broadcast_match_max_entities: int = 200_000
     # LSH (random-hyperplane band) parameters for the scale path.
     lsh_n_bands: int = 8

@@ -31,14 +31,14 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
+
 import ray
 import ray.data
 from ray.data.aggregate import Count, Min
 
 from kgray.config import PipelineConfig
 from kgray.functions.normalize import entity_id_py
-from kgray.stages.embed import EntityEmbedderStage, TextEmbedderStage
+from kgray.stages.embed import EntityEmbedderStage
 from kgray.state.unionfind import cluster_representatives
 
 
@@ -150,6 +150,26 @@ def match_edges_lsh(
     raise NotImplementedError("LSH matching lands in round 2; use the broadcast path.")
 
 
+def _match_edges_driver(keys: list[tuple], mat: np.ndarray, threshold: float,
+                        block: int = 1024) -> list[tuple[tuple, tuple]]:
+    """Driver-side twin of the broadcast matcher for small distinct sets:
+    same >= threshold argmax semantics, blockwise so memory stays bounded."""
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = (mat / norms[:, None]).astype(np.float32)
+    edges = []
+    n = len(keys)
+    for start in range(0, n, block):
+        sims = unit[start : start + block] @ unit.T
+        for i in range(sims.shape[0]):
+            sims[i, start + i] = -np.inf
+        best = np.argmax(sims, axis=1)
+        scores = sims[np.arange(sims.shape[0]), best]
+        for i in np.nonzero(scores >= threshold)[0]:
+            edges.append((keys[start + i], keys[int(best[i])]))
+    return edges
+
+
 def resolve_entities(
     raw: ray.data.Dataset,
     cfg: PipelineConfig,
@@ -160,30 +180,43 @@ def resolve_entities(
     distinct entity (identity entries included so downstream lookup is a
     single dict hit, with ids precomputed once on the distinct set).
     """
-    distinct = distinct_entities(raw)
-    embedded = distinct.map_batches(
-        EntityEmbedderStage,
-        fn_constructor_kwargs={
-            "embedder_factory": embedder_factory,
-            "name_weight": cfg.entity_name_weight,
-            "label_weight": cfg.entity_label_weight,
-        },
-        batch_format="numpy",
-        batch_size=cfg.embed_batch_size,
-        concurrency=2,
-    ).materialize()
-
-    rows = embedded.take_all()
-    keys = [(r["name"], r["label"]) for r in rows]
-    if not keys:
+    distinct = distinct_entities(raw).materialize()
+    n = distinct.count()
+    if n == 0:
         return {}
-    mat = np.stack([np.asarray(r["vec"], dtype=np.float32) for r in rows])
-    ranks = {k: r["first_seen"] for k, r in zip(keys, rows)}
 
-    if len(keys) <= cfg.broadcast_match_max_entities:
-        edges = _match_edges_broadcast(embedded, keys, mat, cfg.ent_threshold)
+    if n <= cfg.driver_match_max_entities:
+        # small vocabulary: embed + match driver-side (no actor pools)
+        rows = distinct.take_all()
+        keys = [(r["name"], r["label"]) for r in rows]
+        embedder = embedder_factory()
+        from kgray.stages.embed import combine_entity_embeddings
+
+        nv = embedder.embed_texts([k[0] for k in keys])
+        lv = embedder.embed_texts([k[1] for k in keys])
+        mat = combine_entity_embeddings(nv, lv, cfg.entity_name_weight, cfg.entity_label_weight)
+        ranks = {k: r["first_seen"] for k, r in zip(keys, rows)}
+        edges = _match_edges_driver(keys, mat, cfg.ent_threshold)
     else:
-        raise NotImplementedError("LSH matching path lands in round 2.")
+        embedded = distinct.map_batches(
+            EntityEmbedderStage,
+            fn_constructor_kwargs={
+                "embedder_factory": embedder_factory,
+                "name_weight": cfg.entity_name_weight,
+                "label_weight": cfg.entity_label_weight,
+            },
+            batch_format="numpy",
+            batch_size=cfg.embed_batch_size,
+            concurrency=2,
+        ).materialize()
+        rows = embedded.take_all()
+        keys = [(r["name"], r["label"]) for r in rows]
+        mat = np.stack([np.asarray(r["vec"], dtype=np.float32) for r in rows])
+        ranks = {k: r["first_seen"] for k, r in zip(keys, rows)}
+        if n <= cfg.broadcast_match_max_entities:
+            edges = _match_edges_broadcast(embedded, keys, mat, cfg.ent_threshold)
+        else:
+            raise NotImplementedError("LSH matching path lands in round 2.")
 
     rep_map = cluster_representatives(edges, ranks)
     mapping: dict = {}
@@ -206,26 +239,18 @@ def resolve_predicates(
     """Predicate resolution → ``pred → canon_pred`` (identity included).
 
     Mirrors matcher.py:105-153: rename iff best cosine >= rel_threshold;
-    endpoints untouched.
+    endpoints untouched.  The predicate vocabulary is tiny by construction
+    (it collapses in the distinct groupby), so embedding + matching run
+    driver-side.
     """
-    distinct = distinct_predicates(raw)
-    embedded = distinct.map_batches(
-        TextEmbedderStage,
-        fn_constructor_kwargs={"embedder_factory": embedder_factory, "column": "pred"},
-        batch_format="numpy",
-        batch_size=cfg.embed_batch_size,
-        concurrency=2,
-    ).materialize()
-
-    rows = embedded.take_all()
+    rows = distinct_predicates(raw).take_all()
     if not rows:
         return {}
     keys = [(r["pred"],) for r in rows]
-    mat = np.stack([np.asarray(r["vec"], dtype=np.float32) for r in rows])
+    embedder = embedder_factory()
+    mat = embedder.embed_texts([k[0] for k in keys])
     ranks = {k: r["first_seen"] for k, r in zip(keys, rows)}
-
-    embedded = embedded.rename_columns({"pred": "name"})
-    edges = _match_edges_broadcast(embedded, keys, mat, cfg.rel_threshold)
+    edges = _match_edges_driver(keys, mat, cfg.rel_threshold)
     rep_map = cluster_representatives(edges, ranks)
     return {k[0]: rep_map.get(k, k)[0] for k in keys}
 
@@ -233,31 +258,39 @@ def resolve_predicates(
 class _ApplyResolution:
     """map_batches actor: rewrite endpoints/predicates to canonical forms
     and attach entity ids.  Mapping dicts are broadcast via ``ray.put`` and
-    fetched once per actor."""
+    fetched once per actor.  Arrow in / Arrow out, so the quintuple
+    stream's list<double> time columns keep their types through the
+    downstream shuffle."""
 
     def __init__(self, ent_map_ref, pred_map_ref):
-        ent_map = ray.get(ent_map_ref)
-        pred_map = ray.get(pred_map_ref)
-        # flat string keys → pandas .map runs the lookup loop in C
-        self.ent_flat = {
-            f"{n}\x1f{l}": (cn, cl, cid) for (n, l), (cn, cl, cid) in ent_map.items()
-        }
-        self.pred_map = pred_map
+        self.ent_map = ray.get(ent_map_ref)
+        self.pred_map = ray.get(pred_map_ref)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow as pa  # noqa: F811 (worker-local)
+
         for side in ("subj", "obj"):
-            key = batch[f"{side}_name"].str.cat(batch[f"{side}_label"], sep="\x1f")
-            resolved = key.map(self.ent_flat)
-            fallback = list(zip(batch[f"{side}_name"], batch[f"{side}_label"]))
-            vals = [
-                r if isinstance(r, tuple) else (fb[0], fb[1], entity_id_py(fb[0], fb[1]))
-                for r, fb in zip(resolved, fallback)
+            names = batch[f"{side}_name"].to_pylist()
+            labels = batch[f"{side}_label"].to_pylist()
+            resolved = [
+                self.ent_map.get((n, l)) or (n, l, entity_id_py(n, l))
+                for n, l in zip(names, labels)
             ]
-            batch[f"{side}_name"] = [v[0] for v in vals]
-            batch[f"{side}_label"] = [v[1] for v in vals]
-            batch[f"{side}_id"] = [v[2] for v in vals]
-        batch["pred"] = batch["pred"].map(lambda p: self.pred_map.get(p, p))
-        return batch
+            idx_n = batch.schema.get_field_index(f"{side}_name")
+            idx_l = batch.schema.get_field_index(f"{side}_label")
+            batch = batch.set_column(
+                idx_n, f"{side}_name", pa.array([v[0] for v in resolved], type=pa.large_string())
+            )
+            batch = batch.set_column(
+                idx_l, f"{side}_label", pa.array([v[1] for v in resolved], type=pa.large_string())
+            )
+            batch = batch.append_column(
+                f"{side}_id", pa.array([v[2] for v in resolved], type=pa.large_string())
+            )
+        preds = [self.pred_map.get(p, p) for p in batch["pred"].to_pylist()]
+        return batch.set_column(
+            batch.schema.get_field_index("pred"), "pred", pa.array(preds, type=pa.large_string())
+        )
 
 
 def apply_resolution(
@@ -271,7 +304,7 @@ def apply_resolution(
     return timeparsed.map_batches(
         _ApplyResolution,
         fn_constructor_kwargs={"ent_map_ref": ent_ref, "pred_map_ref": pred_ref},
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=16384,
         concurrency=concurrency,
     )

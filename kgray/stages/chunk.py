@@ -2,12 +2,19 @@
 
 Ray Data mapping of the reference's document/section sourcing
 (itext2kg/atom/atom.py:155-164 takes pre-chunked atomic-fact lists per
-observation date): here the unit of observation is a conversation — we
-``groupby(conv_id)`` (one shuffle, the partitioning key reused downstream),
-restore stable turn order by sorting ``turn_idx`` inside each group (the
-input files store turns shuffled), drop empty turns, and emit chunks of at
-most ``max_chunk_chars`` characters (~400 tokens, the reference's optimal
-chunk size, README.md:79), never splitting a turn across chunks.
+observation date): the unit of observation is a conversation — turns are
+co-located by conversation, restored to stable turn order (the input files
+store turns shuffled), empty turns dropped, and chunked to at most
+``max_chunk_chars`` characters (~400 tokens, the reference's optimal chunk
+size, README.md:79) without splitting a turn.
+
+Scale shape: conversations are hash-bucketed (stable crc32, not Python's
+process-randomized hash) and the shuffle groups BUCKETS, not conversations
+— one UDF dispatch per bucket instead of one per conversation, with all
+per-conversation work vectorized pandas inside the bucket.  Chunk
+boundaries are assigned by per-conversation cumulative character count
+(deterministic at any parallelism); the concatenation of a conversation's
+chunks always equals its ordered turn texts (the per-turn invariant).
 
 The conversation's observation date = the calendar day of its first turn
 (maps to ATOM's per-batch ``obs_timestamp``, atom.py:155-164).
@@ -15,55 +22,72 @@ The conversation's observation date = the calendar day of its first turn
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
+
+DEFAULT_NUM_BUCKETS = 64
+
+
+def _add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    buckets = pa.array(
+        [zlib.crc32(s.encode("utf-8")) % num_buckets for s in batch["conv_id"].to_pylist()],
+        type=pa.int32(),
+    )
+    return batch.append_column("bucket", buckets)
 
 
 def assemble_chunks(
     transcripts: ray.data.Dataset,
     max_chunk_chars: int = 1600,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
 ) -> ray.data.Dataset:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → chunks
     (conv_id, chunk_idx, text, obs_ts, obs_date)."""
 
-    def per_conv(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values("turn_idx", kind="mergesort")
-        conv_id = group["conv_id"].iloc[0]
-        obs_ts = group["ts"].min()
-        obs_date = pd.Timestamp(obs_ts).strftime("%Y-%m-%d")
-        texts = [t for t in group["text"].tolist() if t]
-        chunks: list[str] = []
-        cur: list[str] = []
-        cur_len = 0
-        for t in texts:
-            if cur and cur_len + len(t) + 1 > max_chunk_chars:
-                chunks.append("\n".join(cur))
-                cur, cur_len = [], 0
-            cur.append(t)
-            cur_len += len(t) + 1
-        if cur:
-            chunks.append("\n".join(cur))
-        if not chunks:
-            return pd.DataFrame(columns=["conv_id", "chunk_idx", "text", "obs_ts", "obs_date"])
-        return pd.DataFrame(
-            {
-                "conv_id": conv_id,
-                "chunk_idx": np.arange(len(chunks), dtype="int32"),
-                "text": chunks,
-                "obs_ts": obs_ts,
-                "obs_date": obs_date,
-            }
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        obs = b.groupby("conv_id", sort=False)["ts"].transform("min")
+        b = b.assign(obs_ts=obs)
+        b = b[b["text"].astype(str) != ""]
+        if b.empty:
+            return pd.DataFrame(
+                {"conv_id": pd.Series(dtype=str), "chunk_idx": pd.Series(dtype="int32"),
+                 "text": pd.Series(dtype=str), "obs_ts": pd.Series(dtype="datetime64[us]"),
+                 "obs_date": pd.Series(dtype=str)}
+            )
+        lens = b["text"].str.len() + 1
+        cum = lens.groupby(b["conv_id"], sort=False).cumsum() - lens
+        b = b.assign(chunk_idx=(cum // max_chunk_chars).astype("int32"))
+        out = (
+            b.groupby(["conv_id", "chunk_idx"], sort=False)
+            .agg(text=("text", "\n".join), obs_ts=("obs_ts", "first"))
+            .reset_index()
         )
+        out["obs_date"] = out["obs_ts"].dt.strftime("%Y-%m-%d")
+        return out[["conv_id", "chunk_idx", "text", "obs_ts", "obs_date"]]
 
-    return transcripts.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+    return (
+        transcripts.map_batches(lambda t: _add_bucket(t, num_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
-def ordered_turns(transcripts: ray.data.Dataset) -> ray.data.Dataset:
+def ordered_turns(
+    transcripts: ray.data.Dataset, num_buckets: int = DEFAULT_NUM_BUCKETS
+) -> ray.data.Dataset:
     """Per-turn view with stable ordering restored — evidences the
     per-row invariant (per-turn text equality under stable turn ordering)."""
 
-    def per_conv(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values("turn_idx", kind="mergesort")
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["conv_id", "turn_idx"], kind="mergesort").drop(columns=["bucket"])
 
-    return transcripts.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+    return (
+        transcripts.map_batches(lambda t: _add_bucket(t, num_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
