@@ -43,8 +43,10 @@ class PipelineConfig:
     # - beyond: LSH bucketing bounds the candidate sets (scale path).
     driver_match_max_entities: int = 20_000
     broadcast_match_max_entities: int = 200_000
-    # LSH (random-hyperplane band) parameters for the scale path.
-    lsh_n_bands: int = 8
+    # LSH (random-hyperplane band) parameters for the scale path.  24
+    # bands x 8 bits → per-pair miss ~(1-p^8)^24 ≈ 5e-6 at the ~0.94
+    # variant cosine the thresholds are calibrated for.
+    lsh_n_bands: int = 24
     lsh_band_bits: int = 8
 
     # --- lineage / checkpointing ---

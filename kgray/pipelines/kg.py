@@ -75,17 +75,38 @@ def extract_quintuples(
     return normalized.map_batches(parse_quintuple_times, batch_format="pyarrow")
 
 
+_CANON_COLS = [
+    "subj_id", "subj_name", "subj_label", "pred", "obj_id", "obj_name", "obj_label",
+    "t_obs", "t_start", "t_end", "atomic_facts", "obs_date", "sort_key",
+]
+
+
 def build_kg(
     transcripts: ray.data.Dataset,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     embedder_factory=None,
     extractor_cls=RuleExtractor,
     extractor_kwargs: dict | None = None,
+    existing_store: str | None = None,
 ) -> KGBuildResult:
+    """Fresh or incremental KG build.
+
+    ``existing_store``: directory written by :func:`save_kg_store` on a
+    previous run — its canonical entities/predicates seed the resolution
+    candidate sets (existing canonicals always win, mirroring the
+    reference's existing-KG merge, atom.py:196-208) and its edges re-enter
+    the triple merge so time/provenance lists extend.
+    """
     if embedder_factory is None:
         from kgray.stages.embed import HashEmbedder
 
         embedder_factory = lambda: HashEmbedder(dim=cfg.embed_dim)
+
+    store = None
+    if existing_store is not None:
+        from kgray.state.store import load_store
+
+        store = load_store(existing_store)
 
     quintuples = extract_quintuples(transcripts, cfg, extractor_cls, extractor_kwargs)
     # The quintuple stream feeds three consumers (entity resolution,
@@ -94,14 +115,31 @@ def build_kg(
     # and Ray spills blocks if it outgrows the object store.
     quintuples = quintuples.materialize()
 
-    ent_map = resolve_entities(quintuples, cfg, embedder_factory)
-    pred_map = resolve_predicates(quintuples, cfg, embedder_factory)
+    from kgray.stages.canonicalize import resolve_vocabulary
+
+    ent_map, pred_map = resolve_vocabulary(
+        quintuples, cfg, embedder_factory,
+        existing_entities=store.entities if store else None,
+        existing_predicates=store.predicates if store else None,
+    )
 
     canon = apply_resolution(quintuples, ent_map, pred_map)
+    if store is not None and store.edges is not None:
+        from kgray.state.store import edges_as_canon_rows
+
+        old_canon = apply_resolution(edges_as_canon_rows(store.edges), ent_map, pred_map)
+        canon = canon.select_columns(_CANON_COLS).union(old_canon.select_columns(_CANON_COLS))
     edges = merge_triples(canon)
 
     nodes = _nodes_from_mapping(ent_map)
     return KGBuildResult(nodes=nodes, edges=edges, ent_map=ent_map, pred_map=pred_map)
+
+
+def save_kg_store(result: KGBuildResult, store_dir: str) -> None:
+    """Persist the canonical state for the next incremental run."""
+    from kgray.state.store import save_store
+
+    save_store(result.edges, store_dir)
 
 
 def _nodes_from_mapping(ent_map: dict) -> ray.data.Dataset:

@@ -251,16 +251,27 @@ def write_transcripts(path: str, seed: int = 42, n_conversations: int = 200) -> 
     return world
 
 
-def transcripts_cache_path(n_conversations: int, seed: int = 42, tmpdir: str = "/tmp/kgray") -> str:
-    """Idempotent cached parquet path for a given generator config."""
+def transcripts_cache_path(
+    n_conversations: int, seed: int = 42, tmpdir: str = "/tmp/kgray", n_files: int = 32
+) -> str:
+    """Idempotent cached parquet DIRECTORY for a given generator config.
+
+    Written as ``n_files`` part files so a Ray read starts with enough
+    blocks to feed every downstream worker (a single file = a single input
+    block = serialized pipeline)."""
     import os
 
     os.makedirs(tmpdir, exist_ok=True)
-    key = hashlib.md5(f"{seed}|{n_conversations}|v1".encode()).hexdigest()[:10]
-    path = os.path.join(tmpdir, f"transcripts_{n_conversations}_{key}.parquet")
+    key = hashlib.md5(f"{seed}|{n_conversations}|v2|{n_files}".encode()).hexdigest()[:10]
+    path = os.path.join(tmpdir, f"transcripts_{n_conversations}_{key}")
     if not os.path.exists(path):
         tmp = path + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
         df, _ = generate_transcripts(seed=seed, n_conversations=n_conversations)
-        df.to_parquet(tmp, index=False)
+        step = (len(df) + n_files - 1) // n_files
+        for i in range(n_files):
+            part = df.iloc[i * step : (i + 1) * step]
+            if len(part):
+                part.to_parquet(os.path.join(tmp, f"part-{i:04d}.parquet"), index=False)
         os.replace(tmp, path)
     return path

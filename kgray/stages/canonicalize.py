@@ -34,7 +34,7 @@ import pandas as pd
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min, Sum
 
 from kgray.config import PipelineConfig
 from kgray.functions.normalize import entity_id_py
@@ -45,28 +45,50 @@ from kgray.state.unionfind import cluster_representatives
 def distinct_entities(raw: ray.data.Dataset) -> ray.data.Dataset:
     """Distinct (name,label) with mention count and first-seen sort key.
 
-    One shuffle over (name,label); exact duplicates collapse here — the
-    reference's exact-match pass (matcher.py:41-63) and set-dedup
-    (knowledge_graph.py:26-27) in one groupby.
+    Pre-aggregated inside ``map_batches`` (one partial row per key per
+    batch) before the groupby, so the all-to-all exchange moves the
+    vocabulary, not the mention stream — the reference's exact-match pass
+    (matcher.py:41-63) and set-dedup (knowledge_graph.py:26-27) in one
+    (small) shuffle.
     """
-    subj = raw.select_columns(["subj_name", "subj_label", "sort_key"]).rename_columns(
-        {"subj_name": "name", "subj_label": "label"}
-    )
-    obj = raw.select_columns(["obj_name", "obj_label", "sort_key"]).rename_columns(
-        {"obj_name": "name", "obj_label": "label"}
-    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        subj = b[["subj_name", "subj_label", "sort_key"]].rename(
+            columns={"subj_name": "name", "subj_label": "label"}
+        )
+        obj = b[["obj_name", "obj_label", "sort_key"]].rename(
+            columns={"obj_name": "name", "obj_label": "label"}
+        )
+        both = pd.concat([subj, obj], ignore_index=True)
+        out = (
+            both.groupby(["name", "label"], sort=False)["sort_key"]
+            .agg(n_mentions="size", first_seen="min")
+            .reset_index()
+        )
+        out["n_mentions"] = out["n_mentions"].astype("int64")
+        return out
+
     return (
-        subj.union(obj)
+        raw.map_batches(partial, batch_format="pandas", batch_size=32768)
         .groupby(["name", "label"])
-        .aggregate(Count(alias_name="n_mentions"), Min("sort_key", alias_name="first_seen"))
+        .aggregate(Sum("n_mentions", alias_name="n_mentions"), Min("first_seen", alias_name="first_seen"))
     )
 
 
 def distinct_predicates(raw: ray.data.Dataset) -> ray.data.Dataset:
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            b.groupby("pred", sort=False)["sort_key"]
+            .agg(n_mentions="size", first_seen="min")
+            .reset_index()
+        )
+        out["n_mentions"] = out["n_mentions"].astype("int64")
+        return out
+
     return (
-        raw.select_columns(["pred", "sort_key"])
+        raw.map_batches(partial, batch_format="pandas", batch_size=65536)
         .groupby("pred")
-        .aggregate(Count(alias_name="n_mentions"), Min("sort_key", alias_name="first_seen"))
+        .aggregate(Sum("n_mentions", alias_name="n_mentions"), Min("first_seen", alias_name="first_seen"))
     )
 
 
@@ -138,29 +160,108 @@ def match_edges_lsh(
     distinct_embedded: ray.data.Dataset,
     threshold: float,
     cfg: PipelineConfig,
-) -> ray.data.Dataset:
+    max_bucket: int = 512,
+) -> list[tuple[tuple, tuple]]:
     """Scale path: random-hyperplane band LSH bucketing, then within-bucket
-    cosine matching.  Each entity is routed to ``lsh_n_bands`` buckets; a
-    pair matching in any band yields a match edge.  Recall for cos >= 0.8
-    with 8 bands x 8 bits is >0.99; hot buckets are bounded by band-bit
-    count and salted if they still exceed the cap.  Implemented in round 2;
-    the broadcast path covers candidate sets up to
-    ``broadcast_match_max_entities``.
+    cosine matching — bounds the candidate set so no broadcast of the full
+    matrix is needed.
+
+    Each entity is routed to ``lsh_n_bands`` buckets (one per band of
+    ``lsh_band_bits`` hyperplane sign bits, deterministic seeded planes); a
+    within-bucket pair with cosine >= threshold yields a match edge, and
+    union-find closes the clusters.  Recall for cos>=0.8 with 16 bands x 8
+    bits is ~0.94 per pair (≈1.0 for the ~0.94-cosine surface variants the
+    thresholds were calibrated on).  Buckets larger than ``max_bucket`` are
+    deterministically truncated (sorted by first_seen) — the skew guard for
+    degenerate embedding spaces; truncation counts are carried in the
+    ``truncated`` column for observability.
     """
-    raise NotImplementedError("LSH matching lands in round 2; use the broadcast path.")
+    n_bands, bits = cfg.lsh_n_bands, cfg.lsh_band_bits
+
+    def bucketize(batch: dict) -> pd.DataFrame:
+        import hashlib as _h
+
+        vecs = np.asarray(batch["vec"], dtype=np.float32)
+        dim = vecs.shape[1]
+        planes = []
+        for band in range(n_bands):
+            seed = int.from_bytes(_h.md5(f"kgray-lsh|{band}".encode()).digest()[:8], "little")
+            planes.append(np.random.default_rng(seed).standard_normal((dim, bits)))
+        names = batch["name"].tolist()
+        labels = batch["label"].tolist()
+        first_seen = batch["first_seen"].tolist()
+        out = {"bucket": [], "name": [], "label": [], "first_seen": [], "vec": []}
+        for band in range(n_bands):
+            codes = (vecs @ planes[band] > 0).astype(np.uint8)
+            packed = (codes * (1 << np.arange(bits))).sum(axis=1)
+            for i in range(len(names)):
+                out["bucket"].append(f"{band}:{packed[i]}")
+                out["name"].append(names[i])
+                out["label"].append(labels[i])
+                out["first_seen"].append(first_seen[i])
+                out["vec"].append(vecs[i])
+        return pd.DataFrame(out)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("first_seen", kind="mergesort")
+        truncated = max(0, len(g) - max_bucket)
+        g = g.head(max_bucket)
+        mat = np.stack(g["vec"].to_numpy()).astype(np.float32)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        ai, bi = np.triu_indices(len(g), k=1)
+        keep = sims[ai, bi] >= threshold
+        names = g["name"].to_numpy()
+        labels = g["label"].to_numpy()
+        return pd.DataFrame(
+            {
+                "a": [f"{names[i]}\x1f{labels[i]}" for i in ai[keep]],
+                "b": [f"{names[j]}\x1f{labels[j]}" for j in bi[keep]],
+                "truncated": truncated,
+            }
+        )
+
+    pairs = (
+        distinct_embedded.map_batches(bucketize, batch_format="numpy")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if not pairs.empty and int(pairs["truncated"].sum()) > 0:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "LSH buckets truncated %d candidate rows (max_bucket=%d)",
+            int(pairs["truncated"].sum()), max_bucket,
+        )
+    seen = set()
+    edges = []
+    for a, b in zip(pairs.get("a", []), pairs.get("b", [])):
+        if (a, b) not in seen:
+            seen.add((a, b))
+            edges.append((tuple(a.split("\x1f")), tuple(b.split("\x1f"))))
+    return edges
 
 
 def _match_edges_driver(keys: list[tuple], mat: np.ndarray, threshold: float,
-                        block: int = 1024) -> list[tuple[tuple, tuple]]:
+                        block: int = 1024, n_query: int | None = None) -> list[tuple[tuple, tuple]]:
     """Driver-side twin of the broadcast matcher for small distinct sets:
-    same >= threshold argmax semantics, blockwise so memory stays bounded."""
+    same >= threshold argmax semantics, blockwise so memory stays bounded.
+
+    ``n_query``: only the first n_query keys act as queries (incremental
+    runs match NEW surfaces against the full candidate set but never remap
+    existing canonicals, mirroring matcher.py where only entities_1 is
+    matched)."""
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     unit = (mat / norms[:, None]).astype(np.float32)
     edges = []
-    n = len(keys)
+    n = len(keys) if n_query is None else n_query
     for start in range(0, n, block):
-        sims = unit[start : start + block] @ unit.T
+        stop = min(start + block, n)
+        sims = unit[start:stop] @ unit.T
         for i in range(sims.shape[0]):
             sims[i, start + i] = -np.inf
         best = np.argmax(sims, axis=1)
@@ -170,33 +271,176 @@ def _match_edges_driver(keys: list[tuple], mat: np.ndarray, threshold: float,
     return edges
 
 
+def _resolve_entities_driver(
+    rows: list[dict],
+    cfg: PipelineConfig,
+    embedder_factory,
+    existing_ranked: list[tuple[tuple, str]],
+) -> dict:
+    """Driver-side entity resolution over a small distinct vocabulary:
+    embed, blockwise >= threshold argmax match, union-find, id assignment."""
+    keys = [(r["name"], r["label"]) for r in rows]
+    n_query = len(keys)
+    ranks = {k: r["first_seen"] for k, r in zip(keys, rows)}
+    seen = set(keys)
+    for k, rank in existing_ranked:
+        if k not in ranks or rank < ranks[k]:
+            ranks[k] = rank
+        if k not in seen:
+            seen.add(k)
+            keys.append(k)
+    if not keys:
+        return {}
+    embedder = embedder_factory()
+    from kgray.stages.embed import combine_entity_embeddings
+
+    nv = embedder.embed_texts([k[0] for k in keys])
+    lv = embedder.embed_texts([k[1] for k in keys])
+    mat = combine_entity_embeddings(nv, lv, cfg.entity_name_weight, cfg.entity_label_weight)
+    edges = _match_edges_driver(keys, mat, cfg.ent_threshold, n_query=n_query)
+    rep_map = cluster_representatives(edges, ranks)
+    mapping: dict = {}
+    id_cache: dict = {}
+    for k in keys:
+        canon = rep_map.get(k, k)
+        cid = id_cache.get(canon)
+        if cid is None:
+            cid = entity_id_py(canon[0], canon[1])
+            id_cache[canon] = cid
+        mapping[k] = (canon[0], canon[1], cid)
+    return mapping
+
+
+def _resolve_predicates_driver(
+    rows: list[dict],
+    cfg: PipelineConfig,
+    embedder_factory,
+    existing: list[tuple[str, str]] | None,
+) -> dict:
+    keys = [(r["pred"],) for r in rows]
+    n_query = len(keys)
+    ranks = {k: r["first_seen"] for k, r in zip(keys, rows)}
+    seen = set(keys)
+    for pred, fs in existing or []:
+        k = (pred,)
+        rank = "0|" + fs
+        if k not in ranks or rank < ranks[k]:
+            ranks[k] = rank
+        if k not in seen:
+            seen.add(k)
+            keys.append(k)
+    if not keys:
+        return {}
+    embedder = embedder_factory()
+    mat = embedder.embed_texts([k[0] for k in keys])
+    edges = _match_edges_driver(keys, mat, cfg.rel_threshold, n_query=n_query)
+    rep_map = cluster_representatives(edges, ranks)
+    return {k[0]: rep_map.get(k, k)[0] for k in keys}
+
+
+def resolve_vocabulary(
+    raw: ray.data.Dataset,
+    cfg: PipelineConfig,
+    embedder_factory,
+    existing_entities: list[tuple[str, str, str]] | None = None,
+    existing_predicates: list[tuple[str, str]] | None = None,
+) -> tuple[dict, dict]:
+    """Entity + predicate resolution with ONE fused distinct shuffle.
+
+    The per-batch partial emits (kind, name, label) rows for entity
+    surfaces ('e') and predicate surfaces ('p') together, so a single small
+    groupby collapses the whole vocabulary in one execution.  Falls back to
+    the separate distributed ladder when the entity vocabulary exceeds the
+    driver threshold."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        subj = b[["subj_name", "subj_label", "sort_key"]].rename(
+            columns={"subj_name": "name", "subj_label": "label"}
+        )
+        obj = b[["obj_name", "obj_label", "sort_key"]].rename(
+            columns={"obj_name": "name", "obj_label": "label"}
+        )
+        ents = pd.concat([subj, obj], ignore_index=True)
+        ents["kind"] = "e"
+        preds = b[["pred", "sort_key"]].rename(columns={"pred": "name"})
+        preds["label"] = ""
+        preds["kind"] = "p"
+        both = pd.concat([ents, preds], ignore_index=True)
+        out = (
+            both.groupby(["kind", "name", "label"], sort=False)["sort_key"]
+            .agg(n_mentions="size", first_seen="min")
+            .reset_index()
+        )
+        out["n_mentions"] = out["n_mentions"].astype("int64")
+        return out
+
+    vocab = (
+        raw.map_batches(partial, batch_format="pandas", batch_size=32768)
+        .groupby(["kind", "name", "label"])
+        .aggregate(Sum("n_mentions", alias_name="n_mentions"), Min("first_seen", alias_name="first_seen"))
+        .take_all()
+    )
+    ent_rows = [r for r in vocab if r["kind"] == "e"]
+    pred_rows = [
+        {"pred": r["name"], "first_seen": r["first_seen"]} for r in vocab if r["kind"] == "p"
+    ]
+
+    if len(ent_rows) > cfg.driver_match_max_entities:
+        ent_map = resolve_entities(raw, cfg, embedder_factory, existing=existing_entities)
+    else:
+        existing_ranked = [
+            ((name, label), "0|" + fs) for name, label, fs in (existing_entities or [])
+        ]
+        ent_map = _resolve_entities_driver(ent_rows, cfg, embedder_factory, existing_ranked)
+    pred_map = _resolve_predicates_driver(pred_rows, cfg, embedder_factory, existing_predicates)
+    return ent_map, pred_map
+
+
 def resolve_entities(
     raw: ray.data.Dataset,
     cfg: PipelineConfig,
     embedder_factory,
+    existing: list[tuple[str, str, str]] | None = None,
 ) -> dict:
     """Full entity resolution → mapping dict
     ``(name,label) → (canon_name, canon_label, entity_id)`` for EVERY
     distinct entity (identity entries included so downstream lookup is a
     single dict hit, with ids precomputed once on the distinct set).
+
+    ``existing`` (incremental runs, the reference's ST4 evolving-KG state,
+    atom.py:196-208): canonical entities from a previous run as
+    ``(name, label, first_seen)``.  They join the candidate set with ranks
+    that sort before any new sort key ('0|' prefix), so new surface forms
+    merge ONTO existing canonicals — mirroring the reference where the
+    accumulated KG is the surviving entities_2 side of the merge.
     """
     distinct = distinct_entities(raw).materialize()
     n = distinct.count()
-    if n == 0:
+    if n == 0 and not existing:
         return {}
+
+    existing_ranked = [((name, label), "0|" + fs) for name, label, fs in (existing or [])]
 
     if n <= cfg.driver_match_max_entities:
         # small vocabulary: embed + match driver-side (no actor pools)
         rows = distinct.take_all()
         keys = [(r["name"], r["label"]) for r in rows]
+        n_query = len(keys)
+        ranks = {k: r["first_seen"] for k, r in zip(keys, rows)}
+        seen = set(keys)
+        for k, rank in existing_ranked:
+            if k not in ranks or rank < ranks[k]:
+                ranks[k] = rank
+            if k not in seen:
+                seen.add(k)
+                keys.append(k)
         embedder = embedder_factory()
         from kgray.stages.embed import combine_entity_embeddings
 
         nv = embedder.embed_texts([k[0] for k in keys])
         lv = embedder.embed_texts([k[1] for k in keys])
         mat = combine_entity_embeddings(nv, lv, cfg.entity_name_weight, cfg.entity_label_weight)
-        ranks = {k: r["first_seen"] for k, r in zip(keys, rows)}
-        edges = _match_edges_driver(keys, mat, cfg.ent_threshold)
+        edges = _match_edges_driver(keys, mat, cfg.ent_threshold, n_query=n_query)
     else:
         embedded = distinct.map_batches(
             EntityEmbedderStage,
@@ -211,12 +455,51 @@ def resolve_entities(
         ).materialize()
         rows = embedded.take_all()
         keys = [(r["name"], r["label"]) for r in rows]
-        mat = np.stack([np.asarray(r["vec"], dtype=np.float32) for r in rows])
+        mats = [np.stack([np.asarray(r["vec"], dtype=np.float32) for r in rows])]
         ranks = {k: r["first_seen"] for k, r in zip(keys, rows)}
-        if n <= cfg.broadcast_match_max_entities:
+        if existing_ranked:
+            # fold the previous canonical store into the candidate set
+            seen = set(keys)
+            new_existing = []
+            for k, rank in existing_ranked:
+                if k not in ranks or rank < ranks[k]:
+                    ranks[k] = rank
+                if k not in seen:
+                    seen.add(k)
+                    keys.append(k)
+                    new_existing.append(k)
+            if new_existing:
+                embedder = embedder_factory()
+                from kgray.stages.embed import combine_entity_embeddings
+
+                nv = embedder.embed_texts([k[0] for k in new_existing])
+                lv = embedder.embed_texts([k[1] for k in new_existing])
+                mats.append(
+                    combine_entity_embeddings(
+                        nv, lv, cfg.entity_name_weight, cfg.entity_label_weight
+                    )
+                )
+        mat = np.concatenate(mats, axis=0)
+        if existing_ranked and len(mats) > 1:
+            # fold the existing canonical rows into the candidate Dataset so
+            # both match paths see them (LSH buckets them like any row)
+            import pandas as pd_  # noqa: PLC0415
+
+            n_new = len(rows)
+            extra = pd_.DataFrame(
+                {
+                    "name": [k[0] for k in keys[n_new:]],
+                    "label": [k[1] for k in keys[n_new:]],
+                    "n_mentions": 0,
+                    "first_seen": [ranks[k] for k in keys[n_new:]],
+                    "vec": list(mats[1]),
+                }
+            )
+            embedded = embedded.union(ray.data.from_pandas(extra)).materialize()
+        if len(keys) <= cfg.broadcast_match_max_entities:
             edges = _match_edges_broadcast(embedded, keys, mat, cfg.ent_threshold)
         else:
-            raise NotImplementedError("LSH matching path lands in round 2.")
+            edges = match_edges_lsh(embedded, cfg.ent_threshold, cfg)
 
     rep_map = cluster_representatives(edges, ranks)
     mapping: dict = {}
@@ -235,76 +518,105 @@ def resolve_predicates(
     raw: ray.data.Dataset,
     cfg: PipelineConfig,
     embedder_factory,
+    existing: list[tuple[str, str]] | None = None,
 ) -> dict:
     """Predicate resolution → ``pred → canon_pred`` (identity included).
 
     Mirrors matcher.py:105-153: rename iff best cosine >= rel_threshold;
     endpoints untouched.  The predicate vocabulary is tiny by construction
     (it collapses in the distinct groupby), so embedding + matching run
-    driver-side.
+    driver-side.  ``existing``: (pred, first_seen) from a previous run's
+    canonical store; new surfaces rename onto existing canonicals.
     """
     rows = distinct_predicates(raw).take_all()
-    if not rows:
+    if not rows and not existing:
         return {}
     keys = [(r["pred"],) for r in rows]
+    n_query = len(keys)
+    ranks = {k: r["first_seen"] for k, r in zip(keys, rows)}
+    seen = set(keys)
+    for pred, fs in existing or []:
+        k = (pred,)
+        rank = "0|" + fs
+        if k not in ranks or rank < ranks[k]:
+            ranks[k] = rank
+        if k not in seen:
+            seen.add(k)
+            keys.append(k)
     embedder = embedder_factory()
     mat = embedder.embed_texts([k[0] for k in keys])
-    ranks = {k: r["first_seen"] for k, r in zip(keys, rows)}
-    edges = _match_edges_driver(keys, mat, cfg.rel_threshold)
+    edges = _match_edges_driver(keys, mat, cfg.rel_threshold, n_query=n_query)
     rep_map = cluster_representatives(edges, ranks)
     return {k[0]: rep_map.get(k, k)[0] for k in keys}
 
 
-class _ApplyResolution:
-    """map_batches actor: rewrite endpoints/predicates to canonical forms
-    and attach entity ids.  Mapping dicts are broadcast via ``ray.put`` and
-    fetched once per actor.  Arrow in / Arrow out, so the quintuple
-    stream's list<double> time columns keep their types through the
-    downstream shuffle."""
+# worker-local cache: a broadcast mapping is deserialized at most once per
+# worker process, however many tasks it runs
+_BROADCAST_CACHE: dict = {}
 
-    def __init__(self, ent_map_ref, pred_map_ref):
-        self.ent_map = ray.get(ent_map_ref)
-        self.pred_map = ray.get(pred_map_ref)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow as pa  # noqa: F811 (worker-local)
+def _cached_get(ref):
+    key = ref.hex()
+    val = _BROADCAST_CACHE.get(key)
+    if val is None:
+        val = ray.get(ref)
+        if len(_BROADCAST_CACHE) > 8:  # bound worker memory across runs
+            _BROADCAST_CACHE.clear()
+        _BROADCAST_CACHE[key] = val
+    return val
 
-        for side in ("subj", "obj"):
-            names = batch[f"{side}_name"].to_pylist()
-            labels = batch[f"{side}_label"].to_pylist()
-            resolved = [
-                self.ent_map.get((n, l)) or (n, l, entity_id_py(n, l))
-                for n, l in zip(names, labels)
-            ]
-            idx_n = batch.schema.get_field_index(f"{side}_name")
-            idx_l = batch.schema.get_field_index(f"{side}_label")
-            batch = batch.set_column(
-                idx_n, f"{side}_name", pa.array([v[0] for v in resolved], type=pa.large_string())
-            )
-            batch = batch.set_column(
-                idx_l, f"{side}_label", pa.array([v[1] for v in resolved], type=pa.large_string())
-            )
-            batch = batch.append_column(
-                f"{side}_id", pa.array([v[2] for v in resolved], type=pa.large_string())
-            )
-        preds = [self.pred_map.get(p, p) for p in batch["pred"].to_pylist()]
-        return batch.set_column(
-            batch.schema.get_field_index("pred"), "pred", pa.array(preds, type=pa.large_string())
+
+def _apply_resolution_table(batch: pa.Table, ent_map: dict, pred_map: dict) -> pa.Table:
+    """Rewrite endpoints/predicates to canonical forms and attach entity
+    ids.  Arrow in / Arrow out, so the quintuple stream's list<double> time
+    columns keep their types through the downstream shuffle."""
+    import pyarrow as pa  # noqa: F811 (worker-local)
+
+    for side in ("subj", "obj"):
+        names = batch[f"{side}_name"].to_pylist()
+        labels = batch[f"{side}_label"].to_pylist()
+        resolved = [
+            ent_map.get((n, l)) or (n, l, entity_id_py(n, l))
+            for n, l in zip(names, labels)
+        ]
+        idx_n = batch.schema.get_field_index(f"{side}_name")
+        idx_l = batch.schema.get_field_index(f"{side}_label")
+        batch = batch.set_column(
+            idx_n, f"{side}_name", pa.array([v[0] for v in resolved], type=pa.large_string())
         )
+        batch = batch.set_column(
+            idx_l, f"{side}_label", pa.array([v[1] for v in resolved], type=pa.large_string())
+        )
+        batch = batch.append_column(
+            f"{side}_id", pa.array([v[2] for v in resolved], type=pa.large_string())
+        )
+    preds = [pred_map.get(p, p) for p in batch["pred"].to_pylist()]
+    batch = batch.set_column(
+        batch.schema.get_field_index("pred"), "pred", pa.array(preds, type=pa.large_string())
+    )
+    if "atomic_fact" in batch.schema.names:
+        # normalize provenance to a list column (incremental runs feed
+        # already-merged edges whose provenance is a list)
+        facts = pa.array(
+            [[f] if f is not None else [] for f in batch["atomic_fact"].to_pylist()],
+            type=pa.list_(pa.large_string()),
+        )
+        batch = batch.drop_columns(["atomic_fact"]).append_column("atomic_facts", facts)
+    return batch
 
 
 def apply_resolution(
     timeparsed: ray.data.Dataset,
     ent_map: dict,
     pred_map: dict,
-    concurrency: int = 4,
 ) -> ray.data.Dataset:
+    """Stateless-task stage (no actor-pool spin-up): the mapping dicts are
+    broadcast once via ``ray.put`` and deserialized at most once per worker
+    process through the worker-local cache."""
     ent_ref = ray.put(ent_map)
     pred_ref = ray.put(pred_map)
-    return timeparsed.map_batches(
-        _ApplyResolution,
-        fn_constructor_kwargs={"ent_map_ref": ent_ref, "pred_map_ref": pred_ref},
-        batch_format="pyarrow",
-        batch_size=16384,
-        concurrency=concurrency,
-    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _apply_resolution_table(batch, _cached_get(ent_ref), _cached_get(pred_ref))
+
+    return timeparsed.map_batches(fn, batch_format="pyarrow", batch_size=16384)

@@ -66,6 +66,23 @@ _RULES: list[tuple[str, str, str, str, str | None]] = [
 ]
 
 
+# cheap substring dispatch before the (expensive) anchored regex — one
+# regex attempt per line instead of eleven (hot-path: every transcript line)
+_DISPATCH = [
+    (" is no longer a ", 0),
+    (" is employed as a ", 1),
+    (" is a ", 2),
+    (" is the CEO of ", 3),
+    (" serves as chief executive of ", 4),
+    (" acquired ", 5),
+    (" bought ", 6),
+    (" lives in ", 7),
+    (" resides in ", 8),
+    (" codes in ", 9),
+    (" studies ", 10),
+]
+
+
 class RuleExtractor:
     """Deterministic pattern extractor over the closed-world templates.
 
@@ -78,9 +95,18 @@ class RuleExtractor:
 
     def __init__(self) -> None:
         self._rules = [(re.compile(p), pred, sl, ol, slot) for p, pred, sl, ol, slot in _RULES]
+        self._dispatch = _DISPATCH
+
+    def _candidate_rules(self, line: str):
+        if self._dispatch is None:  # subclasses without a dispatch table
+            return self._rules
+        for needle, idx in self._dispatch:
+            if needle in line:
+                return (self._rules[idx],)
+        return ()
 
     def _extract_line(self, line: str):
-        for pat, pred, sl, ol, slot in self._rules:
+        for pat, pred, sl, ol, slot in self._candidate_rules(line):
             m = pat.match(line)
             if m is None:
                 continue
@@ -143,6 +169,7 @@ class EventsRuleExtractor(RuleExtractor):
                 None,
             )
         ]
+        self._dispatch = None
 
 
 class LLMQuintupleExtractor:

@@ -67,7 +67,7 @@ def merge_triples(
                     "t_obs": t_obs,
                     "t_start": [float(x) for vals in g["t_start"] for x in vals],
                     "t_end": [float(x) for vals in g["t_end"] for x in vals],
-                    "atomic_facts": [str(x) for x in g["atomic_fact"]],
+                    "atomic_facts": [str(x) for vals in g["atomic_facts"] for x in vals],
                     "n_obs": len(g),
                     "first_seen": first["sort_key"],
                 }

@@ -1,0 +1,113 @@
+"""Canonical KG store: the persisted evolving state between incremental
+runs (the reference's ST4 — ``existing_knowledge_graph`` threaded run to
+run, atom.py:196-208; eval harness pickles the whole KG per batch,
+evaluation/latency/testing_atom.py:479-494).
+
+Layout under ``store_dir``:
+- ``edges/``       merged edge rows (full lists + first_seen) — Parquet
+- ``entity_state/`` canonical (name, label, first_seen) — Parquet
+- ``pred_state/``  canonical (pred, first_seen) — Parquet
+
+A new run loads entity/predicate state into the resolution candidate set
+(ranked before all new data so existing canonicals survive), unions the
+stored edges into the triple merge, and saves the grown store.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Min
+
+
+@dataclass
+class KGStore:
+    entities: list[tuple[str, str, str]]  # (name, label, first_seen)
+    predicates: list[tuple[str, str]]  # (pred, first_seen)
+    edges: ray.data.Dataset | None
+
+
+def save_store(edges: ray.data.Dataset, store_dir: str) -> None:
+    """Persist the canonical state of a finished build.
+
+    Entity/predicate state is derived from the edges with groupby-min
+    aggregations (scales with the distinct vocabulary, not the corpus).
+    """
+    edges = edges.materialize()
+    edges.write_parquet(os.path.join(store_dir, "edges"))
+
+    def side(which: str) -> ray.data.Dataset:
+        # arrow-level projection: edge blocks may be pandas (map_groups
+        # output), where Dataset.rename_columns is unavailable
+        def project(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "name": t[f"{which}_name"],
+                    "label": t[f"{which}_label"],
+                    "first_seen": t["first_seen"],
+                }
+            )
+
+        return edges.map_batches(project, batch_format="pyarrow")
+
+    (
+        side("subj")
+        .union(side("obj"))
+        .groupby(["name", "label"])
+        .aggregate(Min("first_seen", alias_name="first_seen"))
+        .write_parquet(os.path.join(store_dir, "entity_state"))
+    )
+    (
+        edges.select_columns(["pred", "first_seen"])
+        .groupby("pred")
+        .aggregate(Min("first_seen", alias_name="first_seen"))
+        .write_parquet(os.path.join(store_dir, "pred_state"))
+    )
+
+
+def load_store(store_dir: str) -> KGStore:
+    ents = ray.data.read_parquet(os.path.join(store_dir, "entity_state")).take_all()
+    preds = ray.data.read_parquet(os.path.join(store_dir, "pred_state")).take_all()
+    edges = ray.data.read_parquet(os.path.join(store_dir, "edges"))
+    return KGStore(
+        entities=[(r["name"], r["label"], r["first_seen"]) for r in ents],
+        predicates=[(r["pred"], r["first_seen"]) for r in preds],
+        edges=edges,
+    )
+
+
+def edges_as_canon_rows(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Stored edges → canon-format quintuple rows so they re-enter the
+    triple merge: obs_date='' (their t_obs lists are already final units;
+    the merge's per-date stamp dedup keys on obs_date, and '' appears at
+    most once per triple since the store holds unique triples),
+    sort_key=first_seen (preserves global first-seen ordering)."""
+
+    target = pa.schema(
+        [
+            ("subj_name", pa.large_string()),
+            ("subj_label", pa.large_string()),
+            ("pred", pa.large_string()),
+            ("obj_name", pa.large_string()),
+            ("obj_label", pa.large_string()),
+            ("t_obs", pa.list_(pa.float64())),
+            ("t_start", pa.list_(pa.float64())),
+            ("t_end", pa.list_(pa.float64())),
+            ("atomic_facts", pa.list_(pa.large_string())),
+        ]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        n = len(t)
+        # parquet round-trips strings as string/list<string>; cast back to
+        # the live stream's large_string layout so union block concat works
+        out = t.select(target.names).cast(target)
+        out = out.append_column("obs_date", pa.array([""] * n, type=pa.large_string()))
+        return out.append_column(
+            "sort_key", t["first_seen"].cast(pa.large_string())
+        )
+
+    return edges.map_batches(prep, batch_format="pyarrow")
