@@ -64,13 +64,29 @@ def extract_quintuples(
 ) -> ray.data.Dataset:
     """transcripts → normalized, time-parsed quintuple rows."""
     chunks = assemble_chunks(transcripts, cfg.max_chunk_chars)
-    raw = chunks.map_batches(
-        extractor_cls,
-        fn_constructor_kwargs=extractor_kwargs or {},
-        batch_format="numpy",
-        batch_size=cfg.extract_batch_size,
-        concurrency=cfg.extract_concurrency or 4,
-    )
+    if getattr(extractor_cls, "STATELESS", False):
+        # trivial-state extractor → plain tasks (one cached instance per
+        # worker process); no actor pool to spawn or size
+        kwargs = extractor_kwargs or {}
+        cache: dict = {}
+
+        def extract_fn(batch):
+            ext = cache.get("x")
+            if ext is None:
+                ext = cache["x"] = extractor_cls(**kwargs)
+            return ext(batch)
+
+        raw = chunks.map_batches(
+            extract_fn, batch_format="numpy", batch_size=cfg.extract_batch_size
+        )
+    else:
+        raw = chunks.map_batches(
+            extractor_cls,
+            fn_constructor_kwargs=extractor_kwargs or {},
+            batch_format="numpy",
+            batch_size=cfg.extract_batch_size,
+            concurrency=cfg.extract_concurrency or 4,
+        )
     normalized = raw.map_batches(normalize_quintuples, batch_format="pyarrow")
     return normalized.map_batches(parse_quintuple_times, batch_format="pyarrow")
 

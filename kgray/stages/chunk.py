@@ -22,7 +22,7 @@ The conversation's observation date = the calendar day of its first turn
 
 from __future__ import annotations
 
-import zlib
+
 
 import numpy as np
 import pandas as pd
@@ -33,11 +33,11 @@ DEFAULT_NUM_BUCKETS = 64
 
 
 def _add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
-    buckets = pa.array(
-        [zlib.crc32(s.encode("utf-8")) % num_buckets for s in batch["conv_id"].to_pylist()],
-        type=pa.int32(),
-    )
-    return batch.append_column("bucket", buckets)
+    # vectorized deterministic hash (pandas siphash with its fixed default
+    # key — stable across processes, unlike Python's str hash)
+    conv = batch["conv_id"].to_pandas()
+    buckets = (pd.util.hash_array(conv.to_numpy(dtype=object)) % num_buckets).astype("int32")
+    return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
 
 
 def assemble_chunks(
@@ -47,6 +47,12 @@ def assemble_chunks(
 ) -> ray.data.Dataset:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → chunks
     (conv_id, chunk_idx, text, obs_ts, obs_date)."""
+    # Block-count note: the groupby's all-to-all cost grows with
+    # (input blocks x output partitions); read the transcripts with
+    # override_num_blocks ≈ cluster CPUs (see sources.read_transcripts) —
+    # measured 25s -> 5s on 8.4M rows going from 224 auto-split blocks to
+    # 32.  An in-pipeline repartition() is NOT used: it is itself an
+    # all-to-all and costs as much as it saves.
 
     def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values(["conv_id", "turn_idx"], kind="mergesort")

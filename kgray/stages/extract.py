@@ -66,47 +66,83 @@ _RULES: list[tuple[str, str, str, str, str | None]] = [
 ]
 
 
-# cheap substring dispatch before the (expensive) anchored regex — one
-# regex attempt per line instead of eleven (hot-path: every transcript line)
-_DISPATCH = [
-    (" is no longer a ", 0),
-    (" is employed as a ", 1),
-    (" is a ", 2),
-    (" is the CEO of ", 3),
-    (" serves as chief executive of ", 4),
-    (" acquired ", 5),
-    (" bought ", 6),
-    (" lives in ", 7),
-    (" resides in ", 8),
-    (" codes in ", 9),
-    (" studies ", 10),
+# fast template rules: (needle, predicate surface, subj label, obj label,
+# temporal slot, shape).  shape: "pod" = "<S><needle><pos> at <O> on <D>.",
+# "od" = "<S><needle><O> on <D>.", "o" = "<S><needle><O>." — parsed with C
+# string partitioning instead of backtracking regexes (hot path: every
+# transcript line; ~30x cheaper than the equivalent regex match).
+_FAST_RULES = [
+    (" is no longer a ", "works at", "Person", "Organization", "end", "pod"),
+    (" is employed as a ", "is employed at", "Person", "Organization", "start", "pod"),
+    (" is a ", "works at", "Person", "Organization", "start", "pod"),
+    (" is the CEO of ", "is ceo of", "Person", "Organization", "start", "od"),
+    (" serves as chief executive of ", "ceo of", "Person", "Organization", "start", "od"),
+    (" acquired ", "acquired", "Organization", "Organization", "start", "od"),
+    (" bought ", "bought", "Organization", "Organization", "start", "od"),
+    (" lives in ", "lives in", "Person", "City", None, "o"),
+    (" resides in ", "resides in", "Person", "City", None, "o"),
+    (" codes in ", "codes in", "Person", "Language", None, "o"),
+    (" studies ", "studies", "Person", "Animal", None, "o"),
 ]
 
 
 class RuleExtractor:
     """Deterministic pattern extractor over the closed-world templates.
 
-    Patterns compile once per actor (``__init__``); ``__call__`` is a pure
-    per-batch function, so the stage scales as a standard actor pool.  Each
-    non-empty line of a chunk is one atomic fact; the line text is attached
-    as provenance exactly as the reference attaches the source fact to every
-    relationship it yields (atom.py:181-183).
+    ``STATELESS = True``: construction is trivial, so the pipeline runs it
+    as plain tasks (one cached instance per worker process) instead of an
+    actor pool — no pool spawn cost and no risk of the pool starving the
+    upstream shuffle.  LLM-backed extractors set ``STATELESS = False`` and
+    get a real actor pool (client built once per actor).
+
+    Each non-empty line of a chunk is one atomic fact; the line text is
+    attached as provenance exactly as the reference attaches the source
+    fact to every relationship it yields (atom.py:181-183).
+
+    Subclasses may instead set ``_rules`` (compiled-regex form of _RULES)
+    with ``_fast = None`` to use the generic regex path.
     """
 
-    def __init__(self) -> None:
-        self._rules = [(re.compile(p), pred, sl, ol, slot) for p, pred, sl, ol, slot in _RULES]
-        self._dispatch = _DISPATCH
+    STATELESS = True
 
-    def _candidate_rules(self, line: str):
-        if self._dispatch is None:  # subclasses without a dispatch table
-            return self._rules
-        for needle, idx in self._dispatch:
-            if needle in line:
-                return (self._rules[idx],)
-        return ()
+    def __init__(self) -> None:
+        self._fast = _FAST_RULES
+        self._rules: list | None = None
 
     def _extract_line(self, line: str):
-        for pat, pred, sl, ol, slot in self._candidate_rules(line):
+        if self._fast is None:
+            return self._extract_line_regex(line)
+        if not line.endswith("."):
+            return None
+        for needle, pred, sl, ol, slot, shape in self._fast:
+            i = line.find(needle)
+            if i <= 0:
+                continue
+            s = line[:i]
+            rest = line[i + len(needle) : -1]
+            d = None
+            if shape == "pod":
+                _pos, found, rest2 = rest.partition(" at ")
+                if not found:
+                    continue
+                o, found, d = rest2.partition(" on ")
+                if not found or not o or not d:
+                    continue
+            elif shape == "od":
+                o, found, d = rest.partition(" on ")
+                if not found or not o or not d:
+                    continue
+            else:
+                o = rest
+                if not o:
+                    continue
+            t_start = [d] if (slot == "start" and d) else []
+            t_end = [d] if (slot == "end" and d) else []
+            return (s, sl, pred, o, ol, t_start, t_end)
+        return None
+
+    def _extract_line_regex(self, line: str):
+        for pat, pred, sl, ol, slot in self._rules or ():
             m = pat.match(line)
             if m is None:
                 continue
@@ -160,6 +196,7 @@ class EventsRuleExtractor(RuleExtractor):
     KG pipeline an oracle-checkable path."""
 
     def __init__(self) -> None:
+        self._fast = None
         self._rules = [
             (
                 re.compile(r"^(?P<s>User \d+) did (?P<o>\w+) event \d+\.$"),
@@ -169,7 +206,6 @@ class EventsRuleExtractor(RuleExtractor):
                 None,
             )
         ]
-        self._dispatch = None
 
 
 class LLMQuintupleExtractor:
@@ -184,6 +220,8 @@ class LLMQuintupleExtractor:
     batch schema in/out) is identical to :class:`RuleExtractor` and is what
     the pipeline tests exercise.
     """
+
+    STATELESS = False
 
     def __init__(self, client_factory=None, max_elements: int = 40, max_retries: int = 3):
         if client_factory is None:
