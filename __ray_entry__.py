@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _kg_events(sf).nodes.to_pandas().sort_values("entity_id").reset_index(drop=True)
     )
     q["kg_quintuples_closed_world"] = lambda sf: _quintuple_counts(sf)
+    q["legacy_kg_triples_events"] = _q_legacy_kg_events
+    q["kg_node_degrees_events"] = _q_node_degrees_events
 
     # --- conversation assembly (oracle-checked) --------------------------
     q["transcripts_from_events"] = _q_transcripts_from_events
@@ -173,6 +175,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["top_parts"] = rel.top_parts
     q["user_sessions"] = rel.user_sessions
     return q
+
+
+def _q_legacy_kg_events(sf_dir: str) -> pd.DataFrame:
+    """Legacy two-step pipeline over events-derived transcripts — exact
+    world, so its triples reduce to the same SQL aggregate as the ATOM
+    path (itext2kg/itext2kg_star two-step semantics)."""
+    from kgray.pipelines.legacy import build_kg_legacy
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    res = build_kg_legacy(
+        transcripts_from_events(events),
+        cfg=_CFG,
+        embedder_factory=lambda: HashEmbedder(dim=_CFG.embed_dim),
+        base_extractor_cls=EventsRuleExtractor,
+    )
+    return _edges_scalar(res.edges)[
+        ["subj_name", "subj_label", "pred", "obj_name", "obj_label", "n_obs"]
+    ]
+
+
+def _q_node_degrees_events(sf_dir: str) -> pd.DataFrame:
+    from kgray.functions.graph import node_degrees
+
+    res = _kg_events(sf_dir)
+    out = node_degrees(res.edges).to_pandas()
+    out["out_degree"] = out["out_degree"].astype("int64")
+    out["in_degree"] = out["in_degree"].astype("int64")
+    out["degree"] = out["degree"].astype("int64")
+    return out.sort_values("entity_id").reset_index(drop=True)
 
 
 def _quintuple_counts(sf_dir: str) -> pd.DataFrame:
@@ -255,6 +286,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_obs
             FROM events
             GROUP BY user_id, event_type
+        """,
+        "legacy_kg_triples_events": """
+            SELECT 'user ' || CAST(user_id AS VARCHAR) AS subj_name,
+                   'user' AS subj_label,
+                   'did' AS pred,
+                   event_type AS obj_name,
+                   'event_type' AS obj_label,
+                   count(*) AS n_obs
+            FROM events
+            GROUP BY user_id, event_type
+        """,
+        "kg_node_degrees_events": """
+            WITH triples AS (
+              SELECT DISTINCT 'user ' || CAST(user_id AS VARCHAR) AS subj_name,
+                     event_type AS obj_name
+              FROM events
+            ),
+            degs AS (
+              SELECT subj_name AS name, 'user' AS label,
+                     count(*) AS out_degree, 0 AS in_degree
+              FROM triples GROUP BY subj_name
+              UNION ALL
+              SELECT obj_name AS name, 'event_type' AS label,
+                     0 AS out_degree, count(*) AS in_degree
+              FROM triples GROUP BY obj_name
+            )
+            SELECT 'e_' || substr(md5(name || '|' || label), 1, 16) AS entity_id,
+                   name, label,
+                   CAST(out_degree AS BIGINT) AS out_degree,
+                   CAST(in_degree AS BIGINT) AS in_degree,
+                   CAST(out_degree + in_degree AS BIGINT) AS degree
+            FROM degs
         """,
         "kg_nodes_events": """
             WITH ents AS (

@@ -1,0 +1,67 @@
+"""Graph-side operators over the nodes/edges datasets.
+
+- isolated entities: the reference's anti-join ``entities − (start ∪ end)``
+  (itext2kg/atom/models/knowledge_graph.py:80-83), used by the legacy
+  isolated-entity re-prompt loop;
+- node degrees: per-entity edge participation (a pre-aggregated groupby).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def node_degrees(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(entity_id, name, label, out_degree, in_degree, degree) from the
+    edges table — partial per-batch counts, then one small groupby."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        subj = b.groupby(["subj_id", "subj_name", "subj_label"], sort=False).size()
+        obj = b.groupby(["obj_id", "obj_name", "obj_label"], sort=False).size()
+        s = subj.reset_index()
+        s.columns = ["entity_id", "name", "label", "out_degree"]
+        s["in_degree"] = 0
+        o = obj.reset_index()
+        o.columns = ["entity_id", "name", "label", "in_degree"]
+        o["out_degree"] = 0
+        out = pd.concat([s, o], ignore_index=True)
+        out["out_degree"] = out["out_degree"].astype("int64")
+        out["in_degree"] = out["in_degree"].astype("int64")
+        return out[["entity_id", "name", "label", "out_degree", "in_degree"]]
+
+    agg = (
+        edges.map_batches(partial, batch_format="pandas")
+        .groupby(["entity_id", "name", "label"])
+        .aggregate(
+            Sum("out_degree", alias_name="out_degree"),
+            Sum("in_degree", alias_name="in_degree"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "degree", pc.add(t["out_degree"], t["in_degree"])
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def isolated_entities(nodes: ray.data.Dataset, edges: ray.data.Dataset) -> pd.DataFrame:
+    """Anti-join: nodes that participate in no edge
+    (knowledge_graph.py:80-83).  The referenced id set is collected from a
+    distinct projection (vocabulary-sized) and broadcast as a filter."""
+    ref_ids = set(
+        r["entity_id"]
+        for r in node_degrees(edges).select_columns(["entity_id"]).take_all()
+    )
+
+    def keep_isolated(t: pa.Table) -> pa.Table:
+        mask = pa.array([eid not in ref_ids for eid in t["entity_id"].to_pylist()])
+        return t.filter(mask)
+
+    return nodes.map_batches(keep_isolated, batch_format="pyarrow").to_pandas()
