@@ -54,21 +54,23 @@ class MinHasher:
     batch vectorizes over a document's shingle-hash array.
     """
 
-    def __init__(self, num_perm: int = 64, shingle_n: int = 3, seed: int = 13):
+    def __init__(self, num_perm: int = 63, shingle_n: int = 3, seed: int = 13):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.shingle_n = shingle_n
 
-    def shingle_hashes(self, text: str) -> np.ndarray:
+    def _shingles(self, text: str) -> set:
         toks = text.split()
         n = self.shingle_n
         if len(toks) < n:
-            shingles = {" ".join(toks)} if toks else {""}
-        else:
-            shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-        return np.fromiter((_md5_u64(s) for s in shingles), dtype=np.uint64, count=len(shingles))
+            return {" ".join(toks)} if toks else {""}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        sh = sorted(self._shingles(text))
+        return pd.util.hash_array(np.array(sh, dtype=object)).astype(np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
         h = self.shingle_hashes(text)
@@ -77,7 +79,20 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: dict) -> pd.DataFrame:
-        sigs = [self.signature(t) for t in batch["text"].tolist()]
+        # hash every shingle of the batch in ONE vectorized pass (pandas
+        # siphash — deterministic across processes), then per-doc min-hash
+        texts = batch["text"].tolist()
+        all_shingles: list[str] = []
+        offsets = [0]
+        for t in texts:
+            all_shingles.extend(self._shingles(t))
+            offsets.append(len(all_shingles))
+        hashes = pd.util.hash_array(np.array(all_shingles, dtype=object)).astype(np.uint64)
+        sigs = []
+        for i in range(len(texts)):
+            h = hashes[offsets[i] : offsets[i + 1]]
+            vals = (np.outer(self.a, h) + self.b[:, None]) % _MERSENNE
+            sigs.append(vals.min(axis=1))
         return pd.DataFrame({"doc_id": batch["doc_id"], "sig": sigs})
 
 
@@ -99,16 +114,21 @@ def _pairs_from_buckets(group: pd.DataFrame, max_bucket: int = 200) -> pd.DataFr
 
 def minhash_lsh_dedup(
     docs: ray.data.Dataset,
-    num_perm: int = 64,
-    n_bands: int = 8,
+    num_perm: int = 63,
+    n_bands: int = 21,
     shingle_n: int = 3,
-    threshold: float = 0.7,
+    threshold: float = 0.5,
 ) -> pd.DataFrame:
     """MinHash + banded LSH near-dedup.
 
     shingle → minhash (actor pool) → explode to (band, band_hash) buckets →
     groupby bucket → candidate pairs with signature-estimated Jaccard →
     union-find → representative = min doc_id per cluster.
+
+    Default banding 21 bands x 3 rows targets the near-dup regime: the LSH
+    S-curve threshold is (1/b)^(1/r) ≈ 0.36, so J >= 0.5 pairs become
+    candidates with >97% probability; the estimated-Jaccard filter then
+    enforces ``threshold`` exactly.
 
     Returns a driver-side DataFrame (doc_id, canonical_id); the pair set is
     tiny relative to the corpus.
@@ -134,10 +154,31 @@ def minhash_lsh_dedup(
                 out.append((doc_id, f"{band}:{bh}", sig))
         return pd.DataFrame(out, columns=["doc_id", "bucket", "sig"])
 
+    # LSH buckets are numerous and tiny (mostly singletons); shuffle into a
+    # bounded number of SUPER-buckets and pair-generate inside each — one
+    # UDF dispatch per super-bucket, singleton buckets dropped vectorized
+    def add_super(b: pd.DataFrame) -> pd.DataFrame:
+        b["sb"] = (
+            pd.util.hash_array(b["bucket"].to_numpy(dtype=object)) % 64
+        ).astype("int32")
+        return b
+
+    def pairs_in_super(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g["bucket"].value_counts()
+        multi = counts.index[counts >= 2]
+        g = g[g["bucket"].isin(multi)]
+        if g.empty:
+            return pd.DataFrame(columns=["a", "b", "est_jaccard"])
+        frames = [
+            _pairs_from_buckets(grp) for _, grp in g.groupby("bucket", sort=False)
+        ]
+        return pd.concat(frames, ignore_index=True)
+
     pairs = (
         sigs.map_batches(explode_with_sig, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(_pairs_from_buckets, batch_format="pandas")
+        .map_batches(add_super, batch_format="pandas")
+        .groupby("sb")
+        .map_groups(pairs_in_super, batch_format="pandas")
         .to_pandas()
     )
     pairs = pairs[pairs["est_jaccard"] >= threshold].drop_duplicates(subset=["a", "b"])
@@ -161,30 +202,42 @@ def minhash_lsh_dedup(
 
 
 class SimHasher:
-    """Actor-pool stage: 64-bit SimHash over word features."""
+    """64-bit SimHash over word features — token hashing vectorized over
+    the whole batch (pandas siphash), bit voting vectorized per doc."""
 
     def __init__(self) -> None:
         self.bits = 64
+        self._shifts = np.arange(64, dtype=np.uint64)
 
     def simhash(self, text: str) -> int:
-        acc = np.zeros(self.bits, dtype=np.int64)
-        for tok in set(text.split()):
-            h = np.uint64(_md5_u64(tok))
-            bits = (h >> np.arange(self.bits, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        out = 0
-        for i in range(self.bits):
-            if acc[i] > 0:
-                out |= 1 << i
-        return out
+        return int(self._simhash_from_hashes(
+            pd.util.hash_array(np.array(sorted(set(text.split())), dtype=object)).astype(np.uint64)
+        ))
+
+    def _simhash_from_hashes(self, hashes: np.ndarray) -> np.uint64:
+        if len(hashes) == 0:
+            return np.uint64(0)
+        bits = (hashes[:, None] >> self._shifts) & np.uint64(1)  # (n_tok, 64)
+        votes = 2 * bits.astype(np.int64) - 1
+        sign = votes.sum(axis=0) > 0
+        return np.uint64((sign.astype(np.uint64) << self._shifts).sum(dtype=np.uint64))
 
     def __call__(self, batch: dict) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "simhash": np.array([self.simhash(t) for t in batch["text"].tolist()], dtype="uint64"),
-            }
+        texts = batch["text"].tolist()
+        all_toks: list[str] = []
+        offsets = [0]
+        for t in texts:
+            all_toks.extend(set(t.split()))
+            offsets.append(len(all_toks))
+        hashes = pd.util.hash_array(np.array(all_toks, dtype=object)).astype(np.uint64)
+        out = np.array(
+            [
+                self._simhash_from_hashes(hashes[offsets[i] : offsets[i + 1]])
+                for i in range(len(texts))
+            ],
+            dtype="uint64",
         )
+        return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": out})
 
 
 def simhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:

@@ -37,27 +37,36 @@ FROM events
 """
 
 
-def transcripts_from_events(events: ray.data.Dataset) -> ray.data.Dataset:
-    """Ray twin of :data:`TRANSCRIPTS_FROM_EVENTS_SQL` — one shuffle on
-    user_id, rank assignment inside the group."""
+def transcripts_from_events(events: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
+    """Ray twin of :data:`TRANSCRIPTS_FROM_EVENTS_SQL` — users hash into
+    buckets so the shuffle groups buckets (one UDF dispatch per bucket,
+    vectorized rank assignment per user inside)."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
-        uid = int(g["user_id"].iloc[0])
-        idx = np.arange(len(g), dtype="int32")
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["bucket"] = (b["user_id"] % num_buckets).astype("int32")
+        return b
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        idx = b.groupby("user_id", sort=False).cumcount().to_numpy(dtype="int32")
+        uids = b["user_id"].to_numpy()
         roles = np.array(["user", "assistant", "tool"], dtype=object)[idx % 3]
         return pd.DataFrame(
             {
-                "conv_id": f"conv-{uid:06d}",
+                "conv_id": [f"conv-{u:06d}" for u in uids],
                 "turn_idx": idx,
                 "role": roles,
                 "text": [
-                    f"User {uid} did {et} event {eid}."
-                    for et, eid in zip(g["event_type"], g["event_id"])
+                    f"User {u} did {et} event {eid}."
+                    for u, et, eid in zip(uids, b["event_type"], b["event_id"])
                 ],
-                "tool": np.where(idx % 3 == 2, g["event_type"], ""),
-                "ts": g["ts"],
+                "tool": np.where(idx % 3 == 2, b["event_type"], ""),
+                "ts": b["ts"],
             }
         )
 
-    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        events.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

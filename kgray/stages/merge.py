@@ -1,5 +1,5 @@
-"""Triple merge: partial per-block aggregation + groupby (subj_id, pred,
-obj_id) list-concat.
+"""Triple merge: partial per-block aggregation + bucketed groupby
+(subj_id, pred, obj_id) list-concat.
 
 Reference semantics (matcher.py:155-173 + relationship.py:38-76): once
 entities and predicates are canonical, relationships equal on
@@ -8,69 +8,94 @@ entities and predicates are canonical, relationships equal on
 atomic_facts``.  ``t_obs`` is stamped once per observation batch
 (atom.py:193-194), so the merged edge carries one ``t_obs`` entry per
 observation date that saw the triple (duplicate dates collapse; see
-PARITY.md §1 — the reference can double-stamp through its merge-order
-artifact).
+PARITY.md §1).
 
 Scale shape: rows are PRE-AGGREGATED inside ``map_batches`` — one partial
-row per triple per block — before the groupby, so the all-to-all sort runs
-over ~#triples x #blocks rows instead of the full quintuple stream (the
-payload bytes still move; the sort/scheduling cost collapses).  Output
-lists are canonically ordered (times ascending, provenance lexicographic,
-``t_obs`` unique-ascending), which makes results bit-identical at any
-parallelism; the reference's list order is thread-schedule-dependent, so
-parity compares multisets either way.
+row per triple per block, combined with vectorized pandas C aggregations
+(`first`/`sum`/`min`) plus a chain-concat per list column — then the
+groupby shuffles only vocabulary-sized partials, bucketed so the final
+combine dispatches one UDF per bucket, not per triple.  Output lists are
+canonically ordered (times ascending, provenance lexicographic, ``t_obs``
+unique-ascending): bit-identical at any parallelism; the reference's list
+order is thread-schedule-dependent, so parity compares multisets.
 """
 
 from __future__ import annotations
 
+from itertools import chain
+
 import pandas as pd
-import pyarrow as pa
 import ray.data
+
+DEFAULT_NUM_BUCKETS = 64
 
 _GROUP_COLS = ["subj_id", "pred", "obj_id"]
 _CARRY_COLS = ["subj_name", "subj_label", "obj_name", "obj_label"]
+_LIST_COLS = ["t_obs", "t_start", "t_end", "atomic_facts"]
+_OUT_COLS = [
+    "subj_id", "subj_name", "subj_label", "pred", "obj_id", "obj_name",
+    "obj_label", "t_obs", "t_start", "t_end", "atomic_facts", "n_obs", "first_seen",
+]
 
 
-def _combine(g: pd.DataFrame) -> dict:
-    first = g.iloc[0]
-    row = {c: first[c] for c in _GROUP_COLS + _CARRY_COLS}
-    row["t_obs"] = [float(x) for vals in g["t_obs"] for x in vals]
-    row["t_start"] = [float(x) for vals in g["t_start"] for x in vals]
-    row["t_end"] = [float(x) for vals in g["t_end"] for x in vals]
-    row["atomic_facts"] = [str(x) for vals in g["atomic_facts"] for x in vals]
-    row["n_obs"] = int(g["n_obs"].sum()) if "n_obs" in g else len(g)
-    key = g["first_seen"] if "first_seen" in g else g["sort_key"]
-    row["first_seen"] = key.min()
-    return row
+def _combine_frame(b: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-group combine: C-speed first/sum/min for scalars,
+    one chain-concat per list column per group."""
+    gb = b.groupby(_GROUP_COLS, sort=False)
+    out = gb.agg(
+        subj_name=("subj_name", "first"),
+        subj_label=("subj_label", "first"),
+        obj_name=("obj_name", "first"),
+        obj_label=("obj_label", "first"),
+        n_obs=("n_obs", "sum"),
+        first_seen=("first_seen", "min"),
+    )
+    for col in _LIST_COLS:
+        out[col] = gb[col].agg(lambda s: list(chain.from_iterable(s)))
+    return out.reset_index()
 
 
 def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+    if "n_obs" not in batch:
+        batch = batch.assign(n_obs=1)
+    if "first_seen" not in batch:
+        batch = batch.assign(first_seen=batch["sort_key"])
     # one t_obs stamp per (triple, obs_date) within this block; cross-block
-    # duplicates collapse in the final unique pass (values are equal floats
-    # for equal dates)
-    keep = ~batch.duplicated(subset=_GROUP_COLS + ["obs_date"])
-    batch = batch.assign(t_obs=[v if k else [] for v, k in zip(batch["t_obs"], keep)])
-    rows = [
-        _combine(g) for _, g in batch.groupby(_GROUP_COLS, sort=False)
-    ]
-    return pd.DataFrame(rows)
+    # duplicates collapse in the final unique pass (equal dates parse to
+    # equal floats)
+    if "obs_date" in batch:
+        keep = ~batch.duplicated(subset=_GROUP_COLS + ["obs_date"])
+        batch = batch.assign(
+            t_obs=[list(v) if k else [] for v, k in zip(batch["t_obs"], keep)]
+        )
+    return _combine_frame(batch)
 
 
-def _final(group: pd.DataFrame) -> pd.DataFrame:
-    row = _combine(group)
-    row["t_obs"] = sorted(set(row["t_obs"]))
-    row["t_start"] = sorted(row["t_start"])
-    row["t_end"] = sorted(row["t_end"])
-    row["atomic_facts"] = sorted(row["atomic_facts"])
-    out = pd.DataFrame([row])
+def _final_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    out = _combine_frame(group.drop(columns=["bucket"]))
+    out["t_obs"] = out["t_obs"].map(lambda v: sorted(set(float(x) for x in v)))
+    out["t_start"] = out["t_start"].map(lambda v: sorted(float(x) for x in v))
+    out["t_end"] = out["t_end"].map(lambda v: sorted(float(x) for x in v))
+    out["atomic_facts"] = out["atomic_facts"].map(lambda v: sorted(str(x) for x in v))
     out["n_obs"] = out["n_obs"].astype("int64")
-    return out[
-        ["subj_id", "subj_name", "subj_label", "pred", "obj_id", "obj_name",
-         "obj_label", "t_obs", "t_start", "t_end", "atomic_facts", "n_obs", "first_seen"]
-    ]
+    return out[_OUT_COLS]
 
 
-def merge_triples(canon: ray.data.Dataset) -> ray.data.Dataset:
+def merge_triples(
+    canon: ray.data.Dataset, num_buckets: int = DEFAULT_NUM_BUCKETS
+) -> ray.data.Dataset:
     """canonical quintuple rows → one edge row per (subj_id, pred, obj_id)."""
     partials = canon.map_batches(_partial, batch_format="pandas", batch_size=65536)
-    return partials.groupby(_GROUP_COLS).map_groups(_final, batch_format="pandas")
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["subj_id"].str.cat([b["pred"], b["obj_id"]], sep="|")
+        b["bucket"] = (pd.util.hash_array(key.to_numpy(dtype=object)) % num_buckets).astype(
+            "int32"
+        )
+        return b
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_final_bucket, batch_format="pandas")
+    )
