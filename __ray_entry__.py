@@ -15,6 +15,11 @@ The KG pipeline is exercised on two inputs:
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from collections.abc import Callable
 from typing import Any
 
