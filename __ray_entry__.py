@@ -35,7 +35,7 @@ from kgray.ops.multimodal import extract_features
 from kgray.pipelines import relational as rel
 from kgray.pipelines.kg import build_kg, extract_quintuples
 from kgray.sources.events_transcripts import TRANSCRIPTS_FROM_EVENTS_SQL, transcripts_from_events
-from kgray.sources.testdata import embedder_concepts, generate_transcripts, transcripts_cache_path
+from kgray.sources.testdata import embedder_concepts, transcripts_cache_path, world_for
 from kgray.sources.transcripts import read_transcripts
 from kgray.stages.chunk import assemble_chunks
 from kgray.stages.embed import HashEmbedder
@@ -55,7 +55,7 @@ def _world_transcripts(sf_dir: str) -> tuple[ray.data.Dataset, dict]:
     """Closed-world transcripts sized by sf, cached idempotently in /tmp."""
     n_convs = max(60, int(200_000 * _sf_of(sf_dir)))
     path = transcripts_cache_path(n_convs)
-    _, world = generate_transcripts(seed=42, n_conversations=2)  # world is size-independent
+    world = world_for(n_convs)  # vocabulary scales with the corpus
     return read_transcripts(path), embedder_concepts(world)
 
 

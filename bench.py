@@ -42,13 +42,12 @@ def run_bench() -> dict:
     import ray.data
 
     import __ray_entry__ as entry
-    from kgray.sources.testdata import embedder_concepts, generate_transcripts, transcripts_cache_path
+    from kgray.sources.testdata import embedder_concepts, transcripts_cache_path, world_for
 
     sf = entry._sf_of(sf_dir)
     n_convs = int(os.environ.get("KGRAY_BENCH_CONVS", 0)) or max(60, int(200_000 * sf))
     path = transcripts_cache_path(n_convs)  # generated+cached, untimed
-    _, world = generate_transcripts(seed=42, n_conversations=2)
-    concepts = embedder_concepts(world)
+    concepts = embedder_concepts(world_for(n_convs))
 
     # warm up: spawn every Ray worker process and prime the OS page cache
     # so timings measure compute + shuffle, not process spawn / cold disk

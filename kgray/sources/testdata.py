@@ -105,14 +105,20 @@ def build_world(seed: int, n_persons: int = 24, n_orgs: int = 10) -> World:
     w = World(seed=seed, n_persons=n_persons, n_orgs=n_orgs)
 
     pairs = [(f, l) for f in _FIRST for l in _LAST]
-    idx = rng.permutation(len(pairs))[:n_persons]
-    for k, i in enumerate(idx):
-        variants = _person_variants(*pairs[i])
+    idx = rng.permutation(len(pairs))
+    for k in range(n_persons):
+        first, last = pairs[idx[k % len(pairs)]]
+        if k >= len(pairs):  # beyond the name pool: numbered generations
+            last = f"{last} {k // len(pairs) + 1}"
+        variants = _person_variants(first, last)
         w.person_surfaces.append(variants)
         for v in variants:
             w.concepts[_norm(v)] = f"person:{k}"
     for k in range(n_orgs):
-        variants = _org_variants(_ORGS[k % len(_ORGS)])
+        org = _ORGS[k % len(_ORGS)]
+        if k >= len(_ORGS):
+            org = f"{org} {k // len(_ORGS) + 1}"
+        variants = _org_variants(org)
         w.org_surfaces.append(variants)
         for v in variants:
             w.concepts[_norm(v)] = f"org:{k}"
@@ -133,6 +139,17 @@ def embedder_concepts(world: World) -> dict[str, str]:
     return world.surface_to_concept()
 
 
+def world_for(n_conversations: int, seed: int = 42) -> World:
+    """The world a ``generate_transcripts(seed, n_conversations)`` call
+    uses — build it without generating the transcripts (cheap; callers
+    need the concept table for the embedder)."""
+    return build_world(
+        seed,
+        n_persons=max(24, n_conversations // 150),
+        n_orgs=max(10, n_conversations // 500),
+    )
+
+
 _BASE = datetime(2020, 1, 1, tzinfo=timezone.utc)
 
 
@@ -151,8 +168,13 @@ def generate_transcripts(
     A closed pool of ``n_conversations // 2`` world facts is sampled with
     replacement by conversations, so the same fact recurs across observation
     dates (FIXTURES.md §6 scenario 1).
+
+    The entity vocabulary scales with the corpus (~1 person per 150
+    conversations beyond the base world) so canonicalization work grows
+    realistically with input size instead of staying a fixed 60-entity
+    toy; small worlds (tests) keep the original 24/10 vocabulary.
     """
-    world = build_world(seed)
+    world = world_for(n_conversations, seed)
     rng = np.random.default_rng(seed + 1)
 
     # --- fact pool -------------------------------------------------------
@@ -262,7 +284,10 @@ def transcripts_cache_path(
     import os
 
     os.makedirs(tmpdir, exist_ok=True)
-    key = hashlib.md5(f"{seed}|{n_conversations}|v2|{n_files}".encode()).hexdigest()[:10]
+    w = world_for(n_conversations, seed)
+    key = hashlib.md5(
+        f"{seed}|{n_conversations}|v4|{n_files}|{w.n_persons}|{w.n_orgs}".encode()
+    ).hexdigest()[:10]
     path = os.path.join(tmpdir, f"transcripts_{n_conversations}_{key}")
     if not os.path.exists(path):
         tmp = path + ".tmp"
