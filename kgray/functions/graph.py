@@ -11,7 +11,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Sum
+
 
 
 def node_degrees(edges: ray.data.Dataset) -> ray.data.Dataset:
@@ -32,23 +32,29 @@ def node_degrees(edges: ray.data.Dataset) -> ray.data.Dataset:
         out["in_degree"] = out["in_degree"].astype("int64")
         return out[["entity_id", "name", "label", "out_degree", "in_degree"]]
 
-    agg = (
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["bucket"] = (
+            pd.util.hash_array(b["entity_id"].to_numpy(dtype=object)) % 64
+        ).astype("int32")
+        return b
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["entity_id", "name", "label"], sort=False)
+            .agg(out_degree=("out_degree", "sum"), in_degree=("in_degree", "sum"))
+            .reset_index()
+        )
+        out["out_degree"] = out["out_degree"].astype("int64")
+        out["in_degree"] = out["in_degree"].astype("int64")
+        out["degree"] = out["out_degree"] + out["in_degree"]
+        return out
+
+    return (
         edges.map_batches(partial, batch_format="pandas")
-        .groupby(["entity_id", "name", "label"])
-        .aggregate(
-            Sum("out_degree", alias_name="out_degree"),
-            Sum("in_degree", alias_name="in_degree"),
-        )
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
     )
-
-    def finish(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.append_column(
-            "degree", pc.add(t["out_degree"], t["in_degree"])
-        )
-
-    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def isolated_entities(nodes: ray.data.Dataset, edges: ray.data.Dataset) -> pd.DataFrame:

@@ -28,22 +28,41 @@ def _md5_u64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
 
 
-def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
+def exact_dedup(docs: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
     """Exact dedup: md5(text) hash-partition + keep min doc_id per group.
-    Returns (content_hash, doc_id=min, n_dups)."""
+    Returns (content_hash, doc_id=min, n_dups).
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
-        return pa.table(
-            {"content_hash": pa.array(hashes, type=pa.string()), "doc_id": batch["doc_id"]}
+    Per-batch pre-agg + bucketed pandas combine (Ray's builtin Min/Count
+    aggregate reduces per row in Python — unusable on a corpus-sized
+    stream)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            content_hash=[hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]]
         )
+        out = (
+            batch.groupby("content_hash", sort=False)["doc_id"]
+            .agg(doc_id="min", n_dups="size")
+            .reset_index()
+        )
+        out["bucket"] = (
+            pd.util.hash_array(out["content_hash"].to_numpy(dtype=object)) % num_buckets
+        ).astype("int32")
+        return out
 
-    from ray.data.aggregate import Count, Min
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("content_hash", sort=False)
+            .agg(doc_id=("doc_id", "min"), n_dups=("n_dups", "sum"))
+            .reset_index()
+        )
+        out["n_dups"] = out["n_dups"].astype("int64")
+        return out
 
     return (
-        docs.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("content_hash")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
+        docs.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
     )
 
 

@@ -20,7 +20,6 @@ from dataclasses import dataclass
 
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Min
 
 
 @dataclass
@@ -36,34 +35,60 @@ def save_store(edges: ray.data.Dataset, store_dir: str) -> None:
     Entity/predicate state is derived from the edges with groupby-min
     aggregations (scales with the distinct vocabulary, not the corpus).
     """
+    import pandas as pd
+
     edges = edges.materialize()
     edges.write_parquet(os.path.join(store_dir, "edges"))
 
-    def side(which: str) -> ray.data.Dataset:
-        # arrow-level projection: edge blocks may be pandas (map_groups
-        # output), where Dataset.rename_columns is unavailable
-        def project(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "name": t[f"{which}_name"],
-                    "label": t[f"{which}_label"],
-                    "first_seen": t["first_seen"],
-                }
-            )
+    # per-batch pre-agg → bucketed shuffle → pandas combine (Ray's builtin
+    # Min aggregate reduces per row in Python; see canonicalize's
+    # _bucketed_distinct for the measurement)
+    def ent_partial(b: pd.DataFrame) -> pd.DataFrame:
+        subj = b[["subj_name", "subj_label", "first_seen"]].rename(
+            columns={"subj_name": "name", "subj_label": "label"}
+        )
+        obj = b[["obj_name", "obj_label", "first_seen"]].rename(
+            columns={"obj_name": "name", "obj_label": "label"}
+        )
+        both = pd.concat([subj, obj], ignore_index=True)
+        return (
+            both.groupby(["name", "label"], sort=False)["first_seen"].min().reset_index()
+        )
 
-        return edges.map_batches(project, batch_format="pyarrow")
+    def bucket(cols):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            key = b[cols[0]].astype(str)
+            for c in cols[1:]:
+                key = key.str.cat(b[c].astype(str), sep="\x1f")
+            b["bucket"] = (
+                pd.util.hash_array(key.to_numpy(dtype=object)) % 64
+            ).astype("int32")
+            return b
+
+        return fn
+
+    def combine(cols):
+        def fn(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby(cols, sort=False)["first_seen"].min().reset_index()
+
+        return fn
 
     (
-        side("subj")
-        .union(side("obj"))
-        .groupby(["name", "label"])
-        .aggregate(Min("first_seen", alias_name="first_seen"))
+        edges.map_batches(ent_partial, batch_format="pandas")
+        .map_batches(bucket(["name", "label"]), batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(combine(["name", "label"]), batch_format="pandas")
         .write_parquet(os.path.join(store_dir, "entity_state"))
     )
+
+    def pred_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("pred", sort=False)["first_seen"].min().reset_index()
+
     (
-        edges.select_columns(["pred", "first_seen"])
-        .groupby("pred")
-        .aggregate(Min("first_seen", alias_name="first_seen"))
+        edges.map_batches(pred_partial, batch_format="pandas")
+        .map_batches(bucket(["pred"]), batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(combine(["pred"]), batch_format="pandas")
         .write_parquet(os.path.join(store_dir, "pred_state"))
     )
 
