@@ -46,8 +46,9 @@ def run_bench() -> dict:
 
     sf = entry._sf_of(sf_dir)
     n_convs = int(os.environ.get("KGRAY_BENCH_CONVS", 0)) or max(60, int(200_000 * sf))
-    path = transcripts_cache_path(n_convs)  # generated+cached, untimed
-    concepts = embedder_concepts(world_for(n_convs))
+    compact = os.environ.get("KGRAY_BENCH_VOCAB", "scaled") == "compact"
+    path = transcripts_cache_path(n_convs, compact=compact)  # generated+cached, untimed
+    concepts = embedder_concepts(world_for(n_convs, compact=compact))
 
     # warm up: spawn every Ray worker process and prime the OS page cache
     # so timings measure compute + shuffle, not process spawn / cold disk
@@ -135,6 +136,10 @@ def run_scaling() -> dict:
     itself scales linearly; on a real N vs 4N node cluster the same
     measurement applies unchanged."""
     n_convs = os.environ.get("KGRAY_SCALING_CONVS", "600000")
+    # "compact" keeps the entity vocabulary constant so the measurement
+    # isolates the data-parallel stages (engine scaling); "scaled" grows
+    # the vocabulary with the corpus — both results live in BASELINE.md
+    vocab = os.environ.get("KGRAY_SCALING_VOCAB", "compact")
     lo_cpu, hi_cpu = (
         int(x) for x in os.environ.get("KGRAY_SCALING_CPUS", "4,16").split(",")
     )
@@ -145,7 +150,7 @@ def run_scaling() -> dict:
         best = None
         for _ in range(repeats):  # best-of-N damps single-node scheduler noise
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), KGRAY_BENCH_CONVS=n_convs,
-                       KGRAY_BENCH_KG_ONLY="1")
+                       KGRAY_BENCH_KG_ONLY="1", KGRAY_BENCH_VOCAB=vocab)
             out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                                  env=env, capture_output=True, text=True, check=True).stdout
             r = json.loads(out.strip().splitlines()[-1])
@@ -166,6 +171,7 @@ def run_scaling() -> dict:
         f"turns_per_sec_{hi_cpu}cpu": hi["turns_per_sec"],
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
+        "vocab_profile": vocab,
         "sf": lo["sf"],
         "turns": lo["turns"],
     }

@@ -139,10 +139,16 @@ def embedder_concepts(world: World) -> dict[str, str]:
     return world.surface_to_concept()
 
 
-def world_for(n_conversations: int, seed: int = 42) -> World:
+def world_for(n_conversations: int, seed: int = 42, compact: bool = False) -> World:
     """The world a ``generate_transcripts(seed, n_conversations)`` call
     uses — build it without generating the transcripts (cheap; callers
-    need the concept table for the embedder)."""
+    need the concept table for the embedder).
+
+    ``compact=True`` keeps the base 24/10 vocabulary regardless of corpus
+    size: the entity-resolution stage stays constant-sized, which isolates
+    the data-parallel stages for engine-scaling measurements."""
+    if compact:
+        return build_world(seed)
     return build_world(
         seed,
         n_persons=max(24, n_conversations // 150),
@@ -162,6 +168,7 @@ def generate_transcripts(
     n_conversations: int = 200,
     n_days: int = 40,
     invalid_date_rate: float = 0.05,
+    compact: bool = False,
 ) -> tuple[pd.DataFrame, World]:
     """Generate the transcripts table + its world.
 
@@ -174,7 +181,7 @@ def generate_transcripts(
     realistically with input size instead of staying a fixed 60-entity
     toy; small worlds (tests) keep the original 24/10 vocabulary.
     """
-    world = world_for(n_conversations, seed)
+    world = world_for(n_conversations, seed, compact=compact)
     rng = np.random.default_rng(seed + 1)
 
     # --- fact pool -------------------------------------------------------
@@ -274,7 +281,8 @@ def write_transcripts(path: str, seed: int = 42, n_conversations: int = 200) -> 
 
 
 def transcripts_cache_path(
-    n_conversations: int, seed: int = 42, tmpdir: str = "/tmp/kgray", n_files: int = 32
+    n_conversations: int, seed: int = 42, tmpdir: str = "/tmp/kgray", n_files: int = 32,
+    compact: bool = False,
 ) -> str:
     """Idempotent cached parquet DIRECTORY for a given generator config.
 
@@ -284,7 +292,7 @@ def transcripts_cache_path(
     import os
 
     os.makedirs(tmpdir, exist_ok=True)
-    w = world_for(n_conversations, seed)
+    w = world_for(n_conversations, seed, compact=compact)
     key = hashlib.md5(
         f"{seed}|{n_conversations}|v4|{n_files}|{w.n_persons}|{w.n_orgs}".encode()
     ).hexdigest()[:10]
@@ -292,7 +300,7 @@ def transcripts_cache_path(
     if not os.path.exists(path):
         tmp = path + ".tmp"
         os.makedirs(tmp, exist_ok=True)
-        df, _ = generate_transcripts(seed=seed, n_conversations=n_conversations)
+        df, _ = generate_transcripts(seed=seed, n_conversations=n_conversations, compact=compact)
         step = (len(df) + n_files - 1) // n_files
         for i in range(n_files):
             part = df.iloc[i * step : (i + 1) * step]
