@@ -16,7 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Mean, Sum
+
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
@@ -38,21 +38,40 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
         disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return t.append_column("disc_price", disc_price)
 
-    out = (
-        ds.map_batches(derive, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="count_order"),
+    # partial per-batch aggregation (C-speed pandas) → tiny partial stream
+    # → driver combine: Ray's builtin Sum/Mean reduce per ROW in Python,
+    # which does not survive corpus-sized streams
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                sum_disc=("l_discount", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+            .reset_index()
         )
-        .to_pandas()
+
+    partials = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pandas", batch_size=262144)
+        .to_pandas()  # a handful of rows per block
     )
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"], sort=False)
+        .sum()
+        .reset_index()
+    )
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    out["avg_disc"] = out["sum_disc"] / out["count_order"]
+    out = out.drop(columns=["sum_disc"])
     for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_disc"):
         out[c] = out[c].astype(float).round(4)
+    out["count_order"] = out["count_order"].astype("int64")
+    out = out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+               "sum_disc_price", "avg_qty", "avg_disc", "count_order"]]
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
@@ -77,16 +96,20 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             batch["n_name"] = batch["l_orderkey"].map(self.lookup)
             batch["revenue"] = batch["l_extendedprice"] * (1.0 - batch["l_discount"])
-            return batch[["n_name", "revenue"]]
+            return (
+                batch.groupby("n_name", sort=False)["revenue"]
+                .agg(revenue="sum", n_items="size")
+                .reset_index()
+            )
 
-    out = (
+    partials = (
         _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-        .map_batches(AttachNation, batch_format="pandas", concurrency=2)
-        .groupby("n_name")
-        .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n_items"))
+        .map_batches(AttachNation, batch_format="pandas", batch_size=262144, concurrency=2)
         .to_pandas()
     )
+    out = partials.groupby("n_name", sort=False).sum().reset_index()
     out["revenue"] = out["revenue"].astype(float).round(4)
+    out["n_items"] = out["n_items"].astype("int64")
     return out.sort_values("n_name").reset_index(drop=True)
 
 
@@ -97,14 +120,22 @@ def events_daily(sf_dir: str) -> pd.DataFrame:
         day = pc.strftime(t["ts"], format="%Y-%m-%d")
         return pa.table({"event_type": t["event_type"], "day": day, "value": t["value"]})
 
-    out = (
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["event_type", "day"], sort=False)["value"]
+            .agg(n_events="size", sum_value="sum")
+            .reset_index()
+        )
+
+    partials = (
         _read(sf_dir, "events", ["event_type", "ts", "value"])
         .map_batches(derive, batch_format="pyarrow")
-        .groupby(["event_type", "day"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .map_batches(partial, batch_format="pandas", batch_size=262144)
         .to_pandas()
     )
+    out = partials.groupby(["event_type", "day"], sort=False).sum().reset_index()
     out["sum_value"] = out["sum_value"].astype(float).round(4)
+    out["n_events"] = out["n_events"].astype("int64")
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
 
 
