@@ -149,29 +149,41 @@ def top_parts(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
 
-def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+def user_sessions(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64) -> pd.DataFrame:
     """Sessionization: per-user ordered event stream split at >gap_minutes
-    idle gaps — the stream-shaped windowed aggregate (sorted map_groups)."""
+    idle gaps — the stream-shaped windowed aggregate.  Users hash into
+    buckets (one UDF dispatch per bucket); inside a bucket, session starts
+    are computed fully vectorized: first event per user OR gap exceeded."""
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = g["ts"].to_numpy()
-        new_session = np.ones(len(g), dtype=bool)
-        if len(g) > 1:
-            new_session[1:] = (ts[1:] - ts[:-1]) > gap
-        return pd.DataFrame(
-            {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_events": [len(g)],
-                "n_sessions": [int(new_session.sum())],
-            }
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["bucket"] = (b["user_id"] % num_buckets).astype("int32")
+        return b
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = b["ts"].to_numpy()
+        uid = b["user_id"].to_numpy()
+        new_session = np.ones(len(b), dtype=bool)
+        if len(b) > 1:
+            same_user = uid[1:] == uid[:-1]
+            new_session[1:] = ~same_user | ((ts[1:] - ts[:-1]) > gap)
+        out = (
+            pd.DataFrame({"user_id": uid, "new_session": new_session})
+            .groupby("user_id", sort=False)["new_session"]
+            .agg(n_events="size", n_sessions="sum")
+            .reset_index()
         )
+        out["user_id"] = out["user_id"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        return out
 
     return (
         _read(sf_dir, "events", ["user_id", "event_id", "ts"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()
         .sort_values("user_id")
         .reset_index(drop=True)
