@@ -48,6 +48,10 @@ class PipelineConfig:
     # variant cosine the thresholds are calibrated for.
     lsh_n_bands: int = 24
     lsh_band_bits: int = 8
+    # match-edge sets above this stay distributed: representatives are
+    # computed by iterative min-label propagation
+    # (kgray/state/unionfind.py:46) instead of driver union-find.
+    driver_edge_max: int = 2_000_000
 
     # --- lineage / checkpointing ---
     num_partitions: int = 16
