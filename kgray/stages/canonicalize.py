@@ -701,20 +701,8 @@ def resolve_predicates(
     return {k[0]: rep_map.get(k, k)[0] for k in keys}
 
 
-# worker-local cache: a broadcast mapping is deserialized at most once per
-# worker process, however many tasks it runs
-_BROADCAST_CACHE: dict = {}
-
-
-def _cached_get(ref):
-    key = ref.hex()
-    val = _BROADCAST_CACHE.get(key)
-    if val is None:
-        val = ray.get(ref)
-        if len(_BROADCAST_CACHE) > 8:  # bound worker memory across runs
-            _BROADCAST_CACHE.clear()
-        _BROADCAST_CACHE[key] = val
-    return val
+# worker-local broadcast cache shared across stages
+from kgray.functions.broadcast import cached_get as _cached_get  # noqa: E402
 
 
 def _apply_resolution_table(batch: pa.Table, ent_map: dict, pred_map: dict) -> pa.Table:

@@ -41,7 +41,7 @@ def test_exact_dedup(docs):
 
 
 def test_minhash_lsh_dedup(docs):
-    out = dd.minhash_lsh_dedup(docs, threshold=0.4)
+    out = dd.minhash_lsh_dedup(docs, threshold=0.4).to_pandas()
     m = dict(zip(out["doc_id"], out["canonical_id"]))
     assert m[1] == 0  # exact dup clustered
     assert m[3] == 2  # near dup clustered
