@@ -1,0 +1,44 @@
+"""Deterministic fake structured-output clients for exercising the
+LLM-backed extraction path without a network — the engine's counterpart of
+the reference's mocked-LLM unit tests (tests/atom/test_atom_matching.py:173-240).
+
+These are importable from worker processes (unlike classes defined inside a
+test module), which matters because ``LLMQuintupleExtractor`` runs as a Ray
+actor pool: the constructor argument must resolve on the worker.
+"""
+
+from __future__ import annotations
+
+from kgray.stages.extract import RuleExtractor
+
+
+def context_of(prompt: str) -> str:
+    """Invert ``assemble_prompt``: recover the context (atomic fact)."""
+    return prompt.split("# Context: ", 1)[1].split("\n\n# Question:", 1)[0]
+
+
+class RuleBackedStructuredClient:
+    """'LLM' that answers every prompt with the closed-world rule
+    extraction as a ``RelationshipsExtractor``-shaped payload."""
+
+    def __init__(self):
+        self._rule = RuleExtractor()
+
+    def __call__(self, prompts):
+        out = []
+        for p in prompts:
+            hit = self._rule._extract_line(context_of(p))
+            rels = []
+            if hit:
+                s, sl, pred, o, ol, ts, te = hit
+                rels = [
+                    {
+                        "startNode": {"name": s, "label": sl},
+                        "endNode": {"name": o, "label": ol},
+                        "name": pred,
+                        "t_start": ts,
+                        "t_end": te,
+                    }
+                ]
+            out.append({"relationships": rels})
+        return out

@@ -41,6 +41,65 @@ def assemble_prompt(context: str, system_query: str) -> str:
     return f"# Context: {context}\n\n# Question: {system_query}\n\nAnswer: "
 
 
+# --- ATOM temporal extraction prompt (itext2kg/atom/models/prompts.py:4-56)
+# Paraphrased to the same structure: an observation-date-anchored system
+# query plus few-shot quintuple examples covering explicit dates, relative
+# dates resolved against the observation date, end-only actions, and
+# atemporal facts — the documented source of the reference's
+# temporal-exhaustivity gains (README.md:36).
+
+TEMPORAL_FEW_SHOT_EXAMPLES = """\
+FEW-SHOT EXAMPLES
+
+* Michel served as CFO at Acme Corp from 2019 to 2021, then joined Beta Inc \
+in 2021 and left in 2023.
+-> (Michel, is_CFO_of, Acme Corp, ["01-01-2019"], ["01-01-2021"]), \
+(Michel, works_at, Beta Inc, ["01-01-2021"], ["01-01-2023"])
+
+* Sarah was a board member of GreenFuture until 2019.
+-> (Sarah, is_board_member_of, GreenFuture, [], ["01-01-2019"])
+
+* (observation_date = 2024-06-15) John Doe is no longer the CEO of GreenIT \
+a few months ago.
+-> (John Doe, is_CEO_of, GreenIT, [], ["2024-03-15"])
+
+* (observation_date = 2024-03-20) The AI Summit conference started yesterday \
+and will end tomorrow.
+-> (AI Summit, has_status, Started, ["2024-03-19"], ["2024-03-21"])
+
+* Researchers used high-resolution imaging in a study on neural plasticity.
+-> (Researchers, use, High-Resolution Imaging, [], []), \
+(High-Resolution Imaging, is_used_in, Study on Neural Plasticity, [], [])
+"""
+
+
+def temporal_system_query(obs_date: str) -> str:
+    """Observation-date-anchored system query (prompts.py:47-56): extract
+    relationships as present-tense predicates with t_start/t_end lists,
+    resolving relative time references against the observation date."""
+    return (
+        f"Observation Time : {obs_date}\n\n"
+        "You are a top-tier algorithm designed for extracting information in "
+        "structured formats to build a knowledge graph.\n"
+        "Extract every relationship as (subject, present-tense predicate, "
+        "object, t_start[], t_end[]). Capture as much information from the "
+        "text as possible without sacrificing accuracy; never add information "
+        "that is not explicitly in the text. Resolve relative temporal "
+        "expressions (today, yesterday, last month, ...) against the "
+        "observation time; keep explicit dates as-is; use t_end for end "
+        "actions while keeping the predicate in affirmative present tense. "
+        "Keep entity references consistent so the knowledge graph stays "
+        "coherent.\n\n" + TEMPORAL_FEW_SHOT_EXAMPLES
+    )
+
+
+def atom_extraction_prompt(atomic_fact: str, obs_date: str) -> str:
+    """Full per-fact extraction prompt: the reference sends the fact as the
+    context and the obs-date-anchored system query as the question
+    (langchain_output_parser.py:268-271 + prompts.py:47-56)."""
+    return assemble_prompt(atomic_fact, temporal_system_query(obs_date))
+
+
 def split_request_batches(
     contexts: Sequence[str],
     max_elements: int = 40,

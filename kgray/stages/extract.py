@@ -215,29 +215,123 @@ class EventsRuleExtractor(RuleExtractor):
 
 
 class LLMQuintupleExtractor:
-    """Production-shaped LLM extractor actor (sandbox-stubbed).
+    """Production-shaped LLM extractor actor.
 
-    Mirrors the reference's client lifecycle: one structured-output chat
-    client per actor, provider-aware request sub-batching (≤40 contexts /
-    ≤8k tokens per request for OpenAI, langchain_output_parser.py:38-71,
-    168-221) and bounded retries with exponential backoff (:287-381).  This
-    container has no network or LLM SDKs, so construction requires an
-    injected ``client_factory``; the Ray-side plumbing (actor signature,
-    batch schema in/out) is identical to :class:`RuleExtractor` and is what
-    the pipeline tests exercise.
+    Mirrors the reference's client lifecycle end to end: one
+    structured-output client per actor; each non-empty chunk line is one
+    atomic fact, prompted with the obs-date-anchored ATOM temporal query
+    (atom/models/prompts.py:4-56 via
+    :func:`kgray.functions.prompts.atom_extraction_prompt`); prompts are
+    provider-batched (≤40 contexts / ≤8k tokens for OpenAI,
+    langchain_output_parser.py:38-71, 168-221); every request batch runs
+    under the bounded exponential-backoff retry loop (:287-386, reference
+    ST3) and its payloads are validated against the
+    ``RelationshipsExtractor`` schema (malformed output → flat-backoff
+    re-request).
+
+    ``client_factory`` builds the per-actor client: a callable
+    ``client(prompts: list[str]) -> list[payload]`` where each payload
+    matches ``RelationshipsExtractorModel`` (or the injected ``schema``).
+    This container has no network or LLM SDKs, so a real provider client
+    cannot be built here — tests inject deterministic/flaky fakes; the Ray
+    plumbing, prompting, batching, retrying and parsing are all real.
     """
 
     STATELESS = False
 
-    def __init__(self, client_factory=None, max_elements: int = 40, max_retries: int = 3):
+    def __init__(
+        self,
+        client_factory=None,
+        provider: str = "openai",
+        max_retries: int = 3,
+        base_sleep: float = 2.0,
+        sleep=None,
+        schema=None,
+    ):
         if client_factory is None:
             raise NotImplementedError(
                 "No LLM client available in this environment; pass client_factory "
                 "or use RuleExtractor."
             )
+        import time as _time
+
+        from kgray.functions.prompts import PROVIDER_CONFIGS
+        from kgray.functions.retry import RetryPolicy
+        from kgray.functions.schemas import RelationshipsExtractorModel
+
         self.client = client_factory()
-        self.max_elements = max_elements
-        self.max_retries = max_retries
+        cfg = PROVIDER_CONFIGS.get(provider, PROVIDER_CONFIGS["default"])
+        self.max_elements = int(cfg["max_elements"])
+        self.max_tokens = int(cfg["max_tokens"])
+        self.policy = RetryPolicy(
+            max_retries=max_retries,
+            base_sleep=base_sleep,
+            sleep=sleep if sleep is not None else _time.sleep,
+        )
+        self.schema = schema if schema is not None else RelationshipsExtractorModel
 
     def __call__(self, batch: dict) -> pa.Table:
-        raise NotImplementedError("LLM-backed extraction requires network access.")
+        from kgray.functions.prompts import atom_extraction_prompt, split_request_batches
+        from kgray.functions.retry import MalformedOutputError, with_retries
+        from kgray.functions.schemas import validate_output
+
+        # 1. one atomic fact per non-empty chunk line (atom.py:176-183)
+        facts: list[tuple[str, int, str, str]] = []  # (conv, chunk, obs, line)
+        for text, conv_id, chunk_idx, obs_date in zip(
+            batch["text"], batch["conv_id"], batch["chunk_idx"], batch["obs_date"]
+        ):
+            for line in str(text).split("\n"):
+                if line.strip():
+                    facts.append((str(conv_id), int(chunk_idx), str(obs_date), line))
+
+        # 2. provider-batched prompting with retries; payloads align 1:1
+        prompts = [atom_extraction_prompt(line, obs) for _, _, obs, line in facts]
+        outputs: list[dict] = []
+        for req in split_request_batches(prompts, self.max_elements, self.max_tokens):
+            # validation runs INSIDE the retried closure: a malformed
+            # structured payload re-requests the batch (flat backoff),
+            # exactly the reference's parse-failure path
+            def request(r=req):
+                payloads = self.client(r)
+                if len(payloads) != len(r):
+                    raise MalformedOutputError(
+                        f"client returned {len(payloads)} payloads for {len(r)} prompts"
+                    )
+                return [validate_output(p, self.schema) for p in payloads]
+
+            outputs.extend(with_retries(request, self.policy))
+
+        # 3. explode validated relationships into quintuple rows; fact_idx
+        # counts non-empty extractions per chunk in line order, exactly as
+        # RuleExtractor assigns provenance sort keys
+        cols: dict[str, list] = {name: [] for name in RAW_QUINTUPLE_SCHEMA.names}
+        fact_counters: dict[tuple[str, int], int] = {}
+        for (conv_id, chunk_idx, obs_date, line), out in zip(facts, outputs):
+            rels = out.get("relationships", [])
+            if not rels:
+                continue  # empty-extraction filter (atom.py:186)
+            key = (conv_id, chunk_idx)
+            fact_idx = fact_counters.get(key, 0)
+            fact_counters[key] = fact_idx + 1
+            for rel in rels:
+                cols["subj_name"].append(rel["startNode"]["name"])
+                cols["subj_label"].append(rel["startNode"].get("label", ""))
+                cols["pred"].append(rel["name"])
+                cols["obj_name"].append(rel["endNode"]["name"])
+                cols["obj_label"].append(rel["endNode"].get("label", ""))
+                cols["t_start"].append([str(t) for t in rel.get("t_start", [])])
+                cols["t_end"].append([str(t) for t in rel.get("t_end", [])])
+                cols["atomic_fact"].append(line)
+                cols["obs_date"].append(obs_date)
+                cols["conv_id"].append(conv_id)
+                cols["chunk_idx"].append(chunk_idx)
+                cols["fact_idx"].append(fact_idx)
+                cols["sort_key"].append(
+                    f"{obs_date}|{conv_id}|{chunk_idx:05d}|{fact_idx:05d}"
+                )
+        return pa.table(
+            {
+                n: pa.array(cols[n], type=RAW_QUINTUPLE_SCHEMA.field(n).type)
+                for n in RAW_QUINTUPLE_SCHEMA.names
+            }
+        )

@@ -148,3 +148,43 @@ def test_merge_quality_metric():
     assert merge_quality(distinct, threshold=0.8)["residual_pairs"] == 0
     with_dup = np.vstack([distinct, distinct[0] + 0.01])
     assert merge_quality(with_dup, threshold=0.8)["residual_pairs"] == 1
+
+
+def test_stability_metric():
+    from kgray.eval import corpus_stability, quintuple_stability
+
+    emb = HashEmbedder(dim=32)
+    q = [
+        {"subj": "john", "pred": "works_at", "obj": "google", "t_start": ["2020-01-01"], "t_end": []},
+        {"subj": "mary", "pred": "lives_in", "obj": "paris", "t_start": [], "t_end": []},
+    ]
+    same = quintuple_stability(q, q, emb.embed_texts)
+    assert same["similarity"] == 1.0 and same["comparison_type"] == "full_comparison"
+
+    other = [{"subj": "zeta", "pred": "orbits", "obj": "star", "t_start": [], "t_end": []}]
+    diff = quintuple_stability(q, other, emb.embed_texts)
+    assert diff["similarity"] < 0.5  # hash embeddings: unrelated ≈ orthogonal
+
+    assert quintuple_stability([], [], emb.embed_texts)["similarity"] == 1.0
+    assert quintuple_stability(q, [], emb.embed_texts)["similarity"] == 0.0
+
+    corpus = corpus_stability({"d1": q, "d2": []}, {"d1": q, "d2": []}, emb.embed_texts)
+    assert corpus["mean_similarity"] == 1.0 and corpus["n_documents"] == 2
+
+
+def test_cost_estimation():
+    from kgray.eval import extraction_cost, price_tokens
+
+    p = price_tokens("gpt-4.1", input_tokens=1_000_000, output_tokens=500_000)
+    assert p["input_cost_usd"] == 2.0 and p["output_cost_usd"] == 4.0
+    assert p["total_cost_usd"] == 6.0
+    assert price_tokens("gpt-4.1", 1_000_000, 500_000, batch=True)["total_cost_usd"] == 3.0
+
+    facts = ["alice works at acme.", "bob lives in lyon."]
+    c = extraction_cost(facts, model="claude-sonnet-4", obs_date="2024-06-15")
+    assert c["n_facts"] == 2 and c["output_estimated"]
+    # every prompt includes the obs-date-anchored system query + few-shots
+    assert c["input_tokens"] > 2 * 300
+    with_outputs = extraction_cost(facts, outputs=['{"relationships": []}'] * 2)
+    assert not with_outputs["output_estimated"]
+    assert with_outputs["output_tokens"] < c["output_tokens"]
