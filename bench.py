@@ -96,11 +96,14 @@ def run_bench() -> dict:
         return result
 
     # --- representative pipelines ---------------------------------------
-    timed("kg_triples_events", lambda: len(entry.queries()["kg_triples_events"](sf_dir)))
-    timed("doc_minhash_dedup", lambda: len(entry.queries()["doc_minhash_dedup"](sf_dir)))
-    timed("knn_bruteforce", lambda: len(entry.queries()["knn_bruteforce"](sf_dir)))
-    timed("pricing_summary", lambda: len(entry.queries()["pricing_summary"](sf_dir)))
-    timed("doc_token_stats", lambda: len(entry.queries()["doc_token_stats"](sf_dir)))
+    def size(obj):
+        return obj.count() if isinstance(obj, ray.data.Dataset) else len(obj)
+
+    timed("kg_triples_events", lambda: size(entry.queries()["kg_triples_events"](sf_dir)))
+    timed("doc_minhash_dedup", lambda: size(entry.queries()["doc_minhash_dedup"](sf_dir)))
+    timed("knn_bruteforce", lambda: size(entry.queries()["knn_bruteforce"](sf_dir)))
+    timed("pricing_summary", lambda: size(entry.queries()["pricing_summary"](sf_dir)))
+    timed("doc_token_stats", lambda: size(entry.queries()["doc_token_stats"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {
@@ -144,7 +147,7 @@ def run_scaling() -> dict:
         int(x) for x in os.environ.get("KGRAY_SCALING_CPUS", "4,16").split(",")
     )
 
-    repeats = int(os.environ.get("KGRAY_SCALING_REPEATS", "1"))
+    repeats = int(os.environ.get("KGRAY_SCALING_REPEATS", "2"))
 
     def one(ncpu: int) -> dict:
         best = None

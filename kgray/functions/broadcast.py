@@ -26,6 +26,14 @@ def cached_get(ref):
     return val
 
 
+def rows_of(ds) -> list[dict]:
+    """Driver-side row list via ONE columnar pull.  ``Dataset.take_all``
+    converts row by row (measured ~3 ms/row on pandas blocks — 28 s for a
+    10k-row vocabulary); ``to_pandas().to_dict("records")`` is ~100x
+    faster.  Only for driver-sized results (vocabularies, pair lists)."""
+    return ds.to_pandas().to_dict("records")
+
+
 def auto_concurrency(cap: int = 16, reserve: int = 2) -> tuple[int, int]:
     """Autoscaling actor-pool bounds sized from the cluster: ``(1, N)`` so
     tiny inputs don't spawn idle actors and big inputs use the node.

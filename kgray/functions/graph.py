@@ -12,6 +12,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from kgray.functions.broadcast import rows_of
+
 
 
 def node_degrees(edges: ray.data.Dataset) -> ray.data.Dataset:
@@ -63,7 +65,7 @@ def isolated_entities(nodes: ray.data.Dataset, edges: ray.data.Dataset) -> pd.Da
     distinct projection (vocabulary-sized) and broadcast as a filter."""
     ref_ids = set(
         r["entity_id"]
-        for r in node_degrees(edges).select_columns(["entity_id"]).take_all()
+        for r in rows_of(node_degrees(edges).select_columns(["entity_id"]))
     )
 
     def keep_isolated(t: pa.Table) -> pa.Table:

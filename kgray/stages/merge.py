@@ -11,20 +11,25 @@ observation date that saw the triple (duplicate dates collapse; see
 PARITY.md §1).
 
 Scale shape: rows are PRE-AGGREGATED inside ``map_batches`` — one partial
-row per triple per block, combined with vectorized pandas C aggregations
-(`first`/`sum`/`min`) plus a chain-concat per list column — then the
-groupby shuffles only vocabulary-sized partials, bucketed so the final
-combine dispatches one UDF per bucket, not per triple.  Output lists are
-canonically ordered (times ascending, provenance lexicographic, ``t_obs``
+row per triple per block — then the groupby shuffles only the collapsed
+partials, bucketed so the final combine dispatches one UDF per bucket, not
+per triple.  Both the partial and the final combine run the same
+zero-copy Arrow kernel: group codes from a dictionary-encode, scalars via
+``np.add.reduceat``, and every list column concatenated by OFFSET
+ARITHMETIC on the flattened values buffer — no per-cell Python list ever
+exists (the pandas/object-list version of this file spent ~80% of merge
+wall time materializing those cells).  Output lists are canonically
+ordered (times ascending, provenance lexicographic, ``t_obs``
 unique-ascending): bit-identical at any parallelism; the reference's list
 order is thread-schedule-dependent, so parity compares multisets.
 """
 
 from __future__ import annotations
 
-from itertools import chain
-
+import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 DEFAULT_NUM_BUCKETS = 64
@@ -38,81 +43,138 @@ _OUT_COLS = [
 ]
 
 
-def _combine_frame(b: pd.DataFrame) -> pd.DataFrame:
-    """Per-group combine without per-group UDF dispatch: rows are stably
-    ordered by group code, scalars reduce with reduceat/boundary takes, and
-    each list column is flattened ONCE with the per-group result sliced out
-    of the flat array — cost is O(rows + list elements), independent of the
-    number of groups (vocabulary-sized batches were quadratic-ish in the
-    per-group-lambda version)."""
-    import numpy as np
-
-    key = b["subj_id"].str.cat([b["pred"], b["obj_id"]], sep="\x1f")
-    codes, _ = pd.factorize(key, sort=False)
-    order = np.argsort(codes, kind="stable")
-    b2 = b.iloc[order]
-    codes_sorted = codes[order]
-    starts = np.flatnonzero(np.diff(codes_sorted, prepend=-1))  # first row of each group
-
-    out = b2.iloc[starts][_GROUP_COLS + _CARRY_COLS].reset_index(drop=True)
-    out["n_obs"] = np.add.reduceat(b2["n_obs"].to_numpy(dtype=np.int64), starts)
-    # per-group min of the (string) first_seen keys
-    fs = b2["first_seen"].to_numpy(dtype=object)
-    out["first_seen"] = [min(fs[a:z]) for a, z in zip(starts, np.append(starts[1:], len(fs)))]
-
-    row_ends = np.append(starts[1:], len(b2))
-    for col in _LIST_COLS:
-        cells = b2[col].to_numpy(dtype=object)
-        lens = np.fromiter((len(c) for c in cells), dtype=np.int64, count=len(cells))
-        elem_bounds = np.concatenate([[0], np.cumsum(lens)])
-        flat = list(chain.from_iterable(cells))
-        out[col] = [
-            flat[elem_bounds[a] : elem_bounds[z]] for a, z in zip(starts, row_ends)
-        ]
-    return out
+def _codes(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    enc = pc.dictionary_encode(arr)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    return enc.indices.to_numpy(zero_copy_only=False)
 
 
-def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-    if "n_obs" not in batch:
-        batch = batch.assign(n_obs=1)
-    if "first_seen" not in batch:
-        batch = batch.assign(first_seen=batch["sort_key"])
-    # one t_obs stamp per (triple, obs_date) within this block; cross-block
-    # duplicates collapse in the final unique pass (equal dates parse to
-    # equal floats)
-    if "obs_date" in batch:
-        keep = ~batch.duplicated(subset=_GROUP_COLS + ["obs_date"])
-        batch = batch.assign(
-            t_obs=[list(v) if k else [] for v, k in zip(batch["t_obs"], keep)]
+_SEP = pa.scalar("\x1f", type=pa.large_string())
+
+
+def _concat_key(t: pa.Table, cols: list[str]) -> pa.ChunkedArray:
+    return pc.binary_join_element_wise(
+        *[pc.cast(t[c], pa.large_string()) for c in cols], _SEP
+    )
+
+
+def _group_concat(t: pa.Table, obs_dedup: bool) -> pa.Table:
+    """One output row per (subj_id, pred, obj_id): scalars reduced, list
+    columns concatenated in stable row order — all via C kernels.
+
+    ``obs_dedup``: keep each row's ``t_obs`` stamp only for the FIRST row
+    of its (triple, obs_date) — the once-per-observation-batch stamping of
+    atom.py:193-194 (cross-block duplicates collapse in the final unique
+    pass, since equal dates parse to equal floats)."""
+    n = len(t)
+    key3 = _concat_key(t, _GROUP_COLS)
+
+    lists: dict[str, pa.Array] = {
+        c: t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]
+        for c in _LIST_COLS
+    }
+    if obs_dedup and "obs_date" in t.column_names:
+        codes4 = _codes(
+            pc.binary_join_element_wise(
+                key3, pc.cast(t["obs_date"], pa.large_string()), _SEP
+            )
         )
-    return _combine_frame(batch)
+        keep = ~pd.Series(codes4).duplicated().to_numpy()
+        la = lists["t_obs"]
+        flat_kept = pc.list_flatten(la.filter(pa.array(keep)))
+        sizes = pc.list_value_length(la).to_numpy(zero_copy_only=False).astype(np.int64) * keep
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        lists["t_obs"] = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), flat_kept
+        )
+
+    codes = _codes(key3)
+    order = np.argsort(codes, kind="stable")
+    codes_sorted = codes[order]
+    starts = np.flatnonzero(np.diff(codes_sorted, prepend=-1))
+    order_pa = pa.array(order)
+    take_firsts = pa.array(order[starts])
+
+    cols: dict[str, pa.Array | list] = {}
+    for c in _GROUP_COLS + _CARRY_COLS:
+        col = t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]
+        cols[c] = col.take(take_firsts)
+
+    for c in _LIST_COLS:
+        la_sorted = lists[c].take(order_pa)
+        flat = pc.list_flatten(la_sorted)
+        sizes = pc.list_value_length(la_sorted).to_numpy(zero_copy_only=False).astype(np.int64)
+        bounds = np.concatenate([[0], np.cumsum(sizes)])
+        group_offs = np.append(bounds[starts], bounds[n])
+        cols[c] = pa.ListArray.from_arrays(pa.array(group_offs, type=pa.int32()), flat)
+
+    if "n_obs" in t.column_names:
+        n_obs = t["n_obs"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        n_obs = np.ones(n, dtype=np.int64)
+    cols["n_obs"] = pa.array(np.add.reduceat(n_obs[order], starts), type=pa.int64())
+
+    fs_col = "first_seen" if "first_seen" in t.column_names else "sort_key"
+    fs = t[fs_col].to_pandas().to_numpy(dtype=object)[order]
+    cols["first_seen"] = pa.array(
+        pd.Series(fs).groupby(codes_sorted, sort=False).min().to_numpy(dtype=object),
+        type=pa.large_string(),
+    )
+    return pa.table({c: cols[c] for c in _OUT_COLS})
 
 
-def _final_bucket(group: pd.DataFrame) -> pd.DataFrame:
-    out = _combine_frame(group.drop(columns=["bucket"]))
-    out["t_obs"] = out["t_obs"].map(lambda v: sorted(set(float(x) for x in v)))
-    out["t_start"] = out["t_start"].map(lambda v: sorted(float(x) for x in v))
-    out["t_end"] = out["t_end"].map(lambda v: sorted(float(x) for x in v))
-    out["atomic_facts"] = out["atomic_facts"].map(lambda v: sorted(str(x) for x in v))
-    out["n_obs"] = out["n_obs"].astype("int64")
-    return out[_OUT_COLS]
+def _partial(t: pa.Table) -> pa.Table:
+    return _group_concat(t, obs_dedup=True)
+
+
+def _sorted_lists(la: pa.Array, unique: bool = False, as_float: bool = False) -> pa.Array:
+    """Sort (optionally dedupe) every list in a ListArray — vectorized:
+    one lexsort of (row, value) over the flattened values buffer."""
+    flat = pc.list_flatten(la)
+    sizes = pc.list_value_length(la).to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(la)
+    if as_float and not pa.types.is_floating(flat.type):
+        flat = pc.cast(flat, pa.float64())
+    row_ids = np.repeat(np.arange(n), sizes)
+    vals = flat.to_numpy(zero_copy_only=False)
+    order = np.lexsort((vals, row_ids))
+    vals_sorted = vals[order]
+    if unique and len(vals_sorted):
+        rows_sorted = row_ids[order]
+        keep = np.ones(len(vals_sorted), dtype=bool)
+        keep[1:] = (vals_sorted[1:] != vals_sorted[:-1]) | (rows_sorted[1:] != rows_sorted[:-1])
+        vals_sorted = vals_sorted[keep]
+        sizes = np.bincount(rows_sorted[keep], minlength=n)
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    return pa.ListArray.from_arrays(
+        pa.array(offs, type=pa.int32()), pa.array(vals_sorted, type=flat.type)
+    )
+
+
+def _final_bucket(group: pa.Table) -> pa.Table:
+    out = _group_concat(group.drop_columns(["bucket"]), obs_dedup=False)
+    cols = {c: out[c] for c in _OUT_COLS}
+    cols["t_obs"] = _sorted_lists(out["t_obs"].combine_chunks(), unique=True, as_float=True)
+    cols["t_start"] = _sorted_lists(out["t_start"].combine_chunks(), as_float=True)
+    cols["t_end"] = _sorted_lists(out["t_end"].combine_chunks(), as_float=True)
+    cols["atomic_facts"] = _sorted_lists(out["atomic_facts"].combine_chunks())
+    return pa.table({c: cols[c] for c in _OUT_COLS})
 
 
 def merge_triples(
     canon: ray.data.Dataset, num_buckets: int = DEFAULT_NUM_BUCKETS
 ) -> ray.data.Dataset:
     """canonical quintuple rows → one edge row per (subj_id, pred, obj_id)."""
-    partials = canon.map_batches(_partial, batch_format="pandas", batch_size=262144)
+    partials = canon.map_batches(_partial, batch_format="pyarrow", batch_size=None)
 
-    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        key = b["subj_id"].str.cat([b["pred"], b["obj_id"]], sep="|")
-        b["bucket"] = (pd.util.hash_array(key.to_numpy(dtype=object)) % num_buckets).astype(
-            "int32"
-        )
-        return b
+    def add_bucket(t: pa.Table) -> pa.Table:
+        key = pd.Series(_concat_key(t, _GROUP_COLS).to_pandas())
+        bucket = (pd.util.hash_array(key.to_numpy(dtype=object)) % num_buckets).astype("int32")
+        return t.append_column("bucket", pa.array(bucket))
 
     return (
-        partials.map_batches(add_bucket, batch_format="pandas")
+        partials.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
         .groupby("bucket")
-        .map_groups(_final_bucket, batch_format="pandas")
+        .map_groups(_final_bucket, batch_format="pyarrow")
     )

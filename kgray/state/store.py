@@ -94,8 +94,10 @@ def save_store(edges: ray.data.Dataset, store_dir: str) -> None:
 
 
 def load_store(store_dir: str) -> KGStore:
-    ents = ray.data.read_parquet(os.path.join(store_dir, "entity_state")).take_all()
-    preds = ray.data.read_parquet(os.path.join(store_dir, "pred_state")).take_all()
+    from kgray.functions.broadcast import rows_of
+
+    ents = rows_of(ray.data.read_parquet(os.path.join(store_dir, "entity_state")))
+    preds = rows_of(ray.data.read_parquet(os.path.join(store_dir, "pred_state")))
     edges = ray.data.read_parquet(os.path.join(store_dir, "edges"))
     return KGStore(
         entities=[(r["name"], r["label"], r["first_seen"]) for r in ents],

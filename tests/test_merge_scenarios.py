@@ -103,7 +103,7 @@ def test_invalid_dates_skipped_without_failure():
         ("c1", 0, "user", "John Doe is a engineer at Google on an-unknown-date.", "", "2021-01-01 10:00"),
     ])
     assert len(edges) == 1
-    assert edges.iloc[0]["t_start"] == []
+    assert len(edges.iloc[0]["t_start"]) == 0
     assert len(edges.iloc[0]["t_obs"]) == 1  # obs date still stamped
 
 
