@@ -120,6 +120,26 @@ def validate_output(payload: Any, schema: Any) -> dict:
         raise MalformedOutputError(str(exc)) from exc
 
 
+def flat_spec(schema: Any) -> dict:
+    """Flatten a schema to ``{field: str|int|float|list}`` for column
+    building: pydantic models via their field annotations (nested models
+    degrade to str), dict specs pass through."""
+    if is_pydantic_schema(schema):
+        from typing import get_origin
+
+        spec: dict = {}
+        for name, field in schema.model_fields.items():
+            ann = field.annotation
+            if ann in (str, int, float):
+                spec[name] = ann
+            elif ann is list or get_origin(ann) is list:
+                spec[name] = list
+            else:
+                spec[name] = str
+        return spec
+    return dict(schema)
+
+
 def schema_arrow_fields(spec: dict) -> list[pa.Field]:
     """Flat dict spec → Arrow fields (list values become list<large_string>),
     so user-schema distilled objects write to typed Parquet columns."""

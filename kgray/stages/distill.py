@@ -61,6 +61,95 @@ def split_factoids(
     )
 
 
+ATOMIC_FACTS_QUERY = (
+    "Decompose the text into a list of atomic, self-contained, "
+    "temporally-grounded factoids: one fact per statement, pronouns "
+    "replaced by full entity names, every relative time reference resolved "
+    "to an absolute date using the observation date, end actions stated "
+    "explicitly with their end time, redundancies removed."
+)  # paraphrase of the reference factoid guidelines, atom/models/schemas.py:46-105
+
+
+class LLMDistiller:
+    """Module-1 LLM distiller with a USER-SUPPLIED structured-output
+    schema (§2.10: documents_distiller.py:20-196 accepts any pydantic
+    model via llm_output_parser_interface.py:54-73).
+
+    ``schema``: a pydantic model class or flat dict spec
+    ``{field: str|int|float|list}``; each document's validated payload
+    lands in typed Arrow columns (``schema_arrow_fields``), ready for the
+    field-wise :func:`distill` reduce.  Client lifecycle, provider
+    batching and retry/backoff are identical to
+    :class:`~kgray.stages.extract.LLMQuintupleExtractor`."""
+
+    STATELESS = False
+
+    def __init__(
+        self,
+        client_factory=None,
+        schema=None,
+        system_query: str = ATOMIC_FACTS_QUERY,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        provider: str = "openai",
+        max_retries: int = 3,
+        base_sleep: float = 2.0,
+        sleep=None,
+    ):
+        if client_factory is None:
+            raise NotImplementedError(
+                "No LLM client available in this environment; pass client_factory "
+                "or use FactoidSplitter."
+            )
+        import time as _time
+
+        from kgray.functions.prompts import PROVIDER_CONFIGS
+        from kgray.functions.retry import RetryPolicy
+        from kgray.functions.schemas import AtomicFactsModel, flat_spec
+
+        self.client = client_factory()
+        self.schema = schema if schema is not None else AtomicFactsModel
+        self.spec = flat_spec(self.schema)
+        self.system_query = system_query
+        self.id_col = id_col
+        self.text_col = text_col
+        cfg = PROVIDER_CONFIGS.get(provider, PROVIDER_CONFIGS["default"])
+        self.max_elements = int(cfg["max_elements"])
+        self.max_tokens = int(cfg["max_tokens"])
+        self.policy = RetryPolicy(
+            max_retries=max_retries,
+            base_sleep=base_sleep,
+            sleep=sleep if sleep is not None else _time.sleep,
+        )
+
+    def __call__(self, batch: dict) -> pa.Table:
+        from kgray.functions.prompts import assemble_prompt, split_request_batches
+        from kgray.functions.retry import MalformedOutputError, with_retries
+        from kgray.functions.schemas import schema_arrow_fields, validate_output
+
+        ids = list(batch[self.id_col])
+        prompts = [
+            assemble_prompt(str(t), self.system_query) for t in batch[self.text_col]
+        ]
+        outputs: list[dict] = []
+        for req in split_request_batches(prompts, self.max_elements, self.max_tokens):
+
+            def request(r=req):
+                payloads = self.client(r)
+                if len(payloads) != len(r):
+                    raise MalformedOutputError(
+                        f"client returned {len(payloads)} payloads for {len(r)} prompts"
+                    )
+                return [validate_output(p, self.schema) for p in payloads]
+
+            outputs.extend(with_retries(request, self.policy))
+
+        cols: dict = {self.id_col: pa.array(ids)}
+        for f in schema_arrow_fields(self.spec):
+            cols[f.name] = pa.array([o.get(f.name) for o in outputs], type=f.type)
+        return pa.table(cols)
+
+
 def combine_distilled(values: list) -> object:
     """Field-wise combiner, replicating documents_distiller.py:96-173:
     lists extend, strings join with ' ', dicts update, numbers keep the

@@ -208,3 +208,56 @@ def test_llm_extractor_retries_through_flaky_client():
 def test_llm_extractor_requires_client():
     with pytest.raises(NotImplementedError):
         LLMQuintupleExtractor()
+
+
+def test_llm_distiller_user_schema():
+    """§2.10: the distiller accepts an arbitrary flat schema (pydantic or
+    dict spec) and lands validated payloads in typed Arrow columns."""
+    import pyarrow as pa
+
+    from kgray.stages.distill import LLMDistiller
+
+    class FakeDistillClient:
+        def __call__(self, prompts):
+            out = []
+            for p in prompts:
+                text = p.split("# Context: ", 1)[1].split("\n\n# Question:", 1)[0]
+                out.append(
+                    {"title": text.split(".")[0], "n_sections": 2,
+                     "facts": [s.strip() for s in text.split(".") if s.strip()]}
+                )
+            return out
+
+    spec = {"title": str, "n_sections": int, "facts": list}
+    d = LLMDistiller(
+        client_factory=FakeDistillClient, schema=spec, sleep=lambda s: None
+    )
+    batch = {
+        "doc_id": np.array([1, 2]),
+        "text": np.array(["alpha beta. gamma delta.", "one two. three four."]),
+    }
+    out = d(batch)
+    assert out.column_names == ["doc_id", "title", "n_sections", "facts"]
+    assert out["title"][0].as_py() == "alpha beta"
+    assert out["facts"][1].as_py() == ["one two", "three four"]
+    assert pa.types.is_int64(out["n_sections"].type)
+
+    # pydantic default schema path
+    from kgray.functions.schemas import AtomicFactsModel, flat_spec
+
+    assert flat_spec(AtomicFactsModel) == {"atomic_facts": list}
+
+    # malformed payload (wrong type) → retried flat, then surfaces
+    class BadClient:
+        def __call__(self, prompts):
+            return [{"title": 7, "n_sections": "x", "facts": []}] * len(prompts)
+
+    import pytest as _pytest
+
+    from kgray.functions.retry import MalformedOutputError
+
+    bad = LLMDistiller(
+        client_factory=BadClient, schema=spec, max_retries=1, sleep=lambda s: None
+    )
+    with _pytest.raises(MalformedOutputError):
+        bad(batch)
