@@ -78,10 +78,16 @@ def extract_features(
     source_col: str = "text",
     dim: int = 16,
     batch_size: int = 64,
-    concurrency: int = 2,
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """documents-with-payload → features.  Small batch_size on purpose:
-    with real image/audio payloads, batch bytes dominate worker memory."""
+    with real image/audio payloads, batch bytes dominate worker memory.
+    ``concurrency`` defaults to an autoscaling pool sized from the cluster
+    (tiny inputs spawn one actor, big inputs use the node)."""
+    if concurrency is None:
+        from kgray.functions.broadcast import auto_concurrency
+
+        concurrency = auto_concurrency()
     with_payload = ds.map_batches(
         lambda t: attach_payload(t, source_col), batch_format="pyarrow"
     )
