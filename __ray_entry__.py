@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(tx.quality_score, batch_format="pandas")
         .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
     )
     q["doc_langid"] = lambda sf: (
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
@@ -479,6 +481,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents
+        """,
+        "doc_quality": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     strlen(text) AS n_chars,
+                     len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     greatest(1, len(regexp_extract_all(text, '\S+'))) AS n_tokens,
+                     len(list_distinct(regexp_extract_all(text, '\S+'))) AS n_unique
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(n_alpha / greatest(1, n_chars), 6) AS alpha_ratio,
+                   round(n_punct / greatest(1, n_chars), 6) AS punct_ratio,
+                   round(n_chars / n_tokens, 6) AS mean_tok_len,
+                   round(1.0 - n_unique / n_tokens, 6) AS rep_ratio,
+                   round(0.3 * (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
+                       + 0.3 * round(n_alpha / greatest(1, n_chars), 6)
+                       + 0.2 * (1.0 - round(n_punct / greatest(1, n_chars), 6))
+                       + 0.2 * (1.0 - round(1.0 - n_unique / n_tokens, 6)), 6) AS quality
+            FROM f
         """,
         "doc_exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_dups

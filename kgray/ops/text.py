@@ -92,6 +92,13 @@ class LangId:
         )
 
 
+def _round6(s):
+    """Round half AWAY from zero at 6 dp (DuckDB round() semantics, so the
+    SQL oracle matches bit-for-bit; numpy/pandas .round is half-even).
+    Valid for the non-negative values produced here."""
+    return np.floor(np.asarray(s, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
 def quality_score(batch: pd.DataFrame) -> pd.DataFrame:
     """Heuristic document-quality features + composite score: length band,
     alpha ratio, punctuation ratio, mean token length, repetition ratio.
@@ -103,17 +110,17 @@ def quality_score(batch: pd.DataFrame) -> pd.DataFrame:
     tokens = text.str.split()
     n_tokens = tokens.map(len).clip(lower=1)
     n_unique = tokens.map(lambda t: len(set(t)))
-    alpha_ratio = (n_alpha / n_chars.clip(lower=1)).round(6)
-    punct_ratio = (n_punct / n_chars.clip(lower=1)).round(6)
-    mean_tok_len = (n_chars / n_tokens).round(6)
-    rep_ratio = (1.0 - n_unique / n_tokens).round(6)
+    alpha_ratio = _round6(n_alpha / n_chars.clip(lower=1))
+    punct_ratio = _round6(n_punct / n_chars.clip(lower=1))
+    mean_tok_len = _round6(n_chars / n_tokens)
+    rep_ratio = _round6(1.0 - n_unique / n_tokens)
     length_ok = ((n_chars >= 100) & (n_chars <= 20000)).astype(float)
-    score = (
+    score = _round6(
         0.3 * length_ok
         + 0.3 * alpha_ratio
         + 0.2 * (1.0 - punct_ratio)
         + 0.2 * (1.0 - rep_ratio)
-    ).round(6)
+    )
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
