@@ -85,7 +85,9 @@ def extract_quintuples(
             fn_constructor_kwargs=extractor_kwargs or {},
             batch_format="numpy",
             batch_size=cfg.extract_batch_size,
-            concurrency=cfg.extract_concurrency or 4,
+            # autoscaling pool: tiny inputs spawn one actor, big inputs
+            # grow to the configured ceiling
+            concurrency=(1, cfg.extract_concurrency or 4),
         )
     normalized = raw.map_batches(normalize_quintuples, batch_format="pyarrow")
     return normalized.map_batches(parse_quintuple_times, batch_format="pyarrow")
