@@ -68,6 +68,15 @@ def _group_concat(t: pa.Table, obs_dedup: bool) -> pa.Table:
     atom.py:193-194 (cross-block duplicates collapse in the final unique
     pass, since equal dates parse to equal floats)."""
     n = len(t)
+    if n == 0:
+        cols0: dict = {}
+        for c in _GROUP_COLS + _CARRY_COLS:
+            cols0[c] = pa.array([], type=pa.large_string())
+        for c in _LIST_COLS:
+            cols0[c] = pa.array([], type=t[c].type if c in t.column_names else pa.list_(pa.float64()))
+        cols0["n_obs"] = pa.array([], type=pa.int64())
+        cols0["first_seen"] = pa.array([], type=pa.large_string())
+        return pa.table({c: cols0[c] for c in _OUT_COLS})
     key3 = _concat_key(t, _GROUP_COLS)
 
     lists: dict[str, pa.Array] = {
