@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- similarity search ----------------------------------------------
     q["knn_bruteforce"] = _q_knn
     q["knn_lsh"] = _q_knn_lsh
+    q["knn_ivf"] = _q_knn_ivf
 
     # --- multimodal plumbing --------------------------------------------
     q["multimodal_payload_stats"] = lambda sf: (
@@ -388,6 +389,12 @@ def _q_knn_lsh(sf_dir: str) -> pd.DataFrame:
     qids, qmat = _query_vectors(sf_dir)
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return sim.knn_lsh(emb, qids, qmat, k=10)
+
+
+def _q_knn_ivf(sf_dir: str) -> pd.DataFrame:
+    qids, qmat = _query_vectors(sf_dir)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return sim.knn_ivf(emb, qids, qmat, k=10)
 
 
 # --------------------------------------------------------------------------

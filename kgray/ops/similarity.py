@@ -103,6 +103,99 @@ def _reduce_topk(
     ).reset_index(drop=True)
 
 
+def train_ivf_centroids(
+    embeddings: ray.data.Dataset,
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 23,
+) -> np.ndarray:
+    """Coarse quantizer for the IVF path: k-means (cosine/spherical) on a
+    deterministic SAMPLE of the corpus — the sample is the only data that
+    reaches the driver; training cost is independent of corpus size."""
+    sample = embeddings.limit(sample_size).to_pandas()
+    mat = _unit(np.stack(sample["embedding"].to_numpy()))
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(mat))
+    cent = mat[rng.choice(len(mat), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    cent[c] = v / norm
+    return cent
+
+
+def knn_ivf(
+    embeddings: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 23,
+) -> pd.DataFrame:
+    """IVF approximate top-k — the second scale path beside :func:`knn_lsh`:
+    a sampled k-means coarse quantizer (broadcast, tiny) assigns every
+    corpus vector to ONE inverted list; each query probes its ``nprobe``
+    nearest centroids; ``groupby(list)`` co-locates; per-list top-k
+    partials reduce driver-side to k × Q × nprobe rows."""
+    cent = train_ivf_centroids(embeddings, n_centroids, seed=seed)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qunit = _unit(query_mat)
+    probes: dict[int, list[int]] = {}
+    order = np.argsort(-(qunit @ cent.T), axis=1)[:, : min(nprobe, len(cent))]
+    for qi in range(len(qids)):
+        for c in order[qi]:
+            probes.setdefault(int(c), []).append(qi)
+    shared = ray.put((qids, qunit, probes))
+    cent_ref = ray.put(cent)
+
+    def assign(batch: dict) -> pd.DataFrame:
+        c = cached_get(cent_ref)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        lists = np.argmax(_unit(mat) @ c.T, axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": np.asarray(batch["vec_id"], dtype=np.int64),
+                "bucket": lists.astype("int64"),
+                "embedding": list(mat),
+            }
+        )
+
+    def list_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qids_, qunit_, probes_ = cached_get(shared)
+        qis = probes_.get(int(g["bucket"].iloc[0]))
+        if not qis:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        ids = g["vec_id"].to_numpy()
+        unit = _unit(np.stack(g["embedding"].to_numpy()))
+        sims = qunit_[qis] @ unit.T
+        kk = min(k + 1, sims.shape[1])
+        top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+        out_q, out_n, out_s = [], [], []
+        for row, qi in enumerate(qis):
+            for j in top[row]:
+                out_q.append(qids_[qi])
+                out_n.append(ids[j])
+                out_s.append(sims[row, j])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
+
+    partials = (
+        embeddings.map_batches(assign, batch_format="numpy")
+        .groupby("bucket")
+        .map_groups(list_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return _reduce_topk(partials, qids, k, exclude_self=True)
+
+
 def knn_lsh(
     embeddings: ray.data.Dataset,
     query_ids: np.ndarray,

@@ -106,6 +106,15 @@ def test_knn_bruteforce_and_lsh_recall():
     )
     assert hits / len(exact) >= 0.5  # multi-probe recall on random data
 
+    from kgray.ops.similarity import knn_ivf
+
+    ivf = knn_ivf(ds, qids, qmat, k=5, n_centroids=8, nprobe=4)
+    ivf_hits = len(
+        set(zip(exact["query_id"], exact["neighbor_id"]))
+        & set(zip(ivf["query_id"], ivf["neighbor_id"]))
+    )
+    assert ivf_hits / len(exact) >= 0.5  # nprobe=half the lists on random data
+
 
 def test_token_stats_and_fingerprint(docs):
     out = docs.map_batches(tx.token_stats, batch_format="pyarrow").to_pandas()
