@@ -124,12 +124,19 @@ def _group_concat(t: pa.Table, obs_dedup: bool) -> pa.Table:
         n_obs = np.ones(n, dtype=np.int64)
     cols["n_obs"] = pa.array(np.add.reduceat(n_obs[order], starts), type=pa.int64())
 
+    # per-group min first_seen via the Arrow hash_min C kernel (a pandas
+    # object-string groupby.min here measured ~48µs/group — 8.8 s/block);
+    # dictionary codes are dense 0..k-1 and codes_sorted[starts] == arange(k),
+    # so scattering by group code aligns with the starts order exactly
     fs_col = "first_seen" if "first_seen" in t.column_names else "sort_key"
-    fs = t[fs_col].to_pandas().to_numpy(dtype=object)[order]
-    cols["first_seen"] = pa.array(
-        pd.Series(fs).groupby(codes_sorted, sort=False).min().to_numpy(dtype=object),
-        type=pa.large_string(),
+    g = (
+        pa.table({"code": pa.array(codes), "fs": pc.cast(t[fs_col], pa.large_string())})
+        .group_by("code")
+        .aggregate([("fs", "min")])
     )
+    mins = np.empty(len(starts), dtype=object)
+    mins[g["code"].to_numpy()] = g["fs_min"].to_pandas().to_numpy(dtype=object)
+    cols["first_seen"] = pa.array(mins, type=pa.large_string())
     return pa.table({c: cols[c] for c in _OUT_COLS})
 
 
