@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _kg_events(sf).nodes.to_pandas().sort_values("entity_id").reset_index(drop=True)
     )
     q["kg_quintuples_closed_world"] = lambda sf: _quintuple_counts(sf)
+    q["kg_triples_events_llm"] = _q_kg_events_llm
     q["legacy_kg_triples_events"] = _q_legacy_kg_events
     q["kg_node_degrees_events"] = _q_node_degrees_events
     q["kg_incremental_closed_world"] = _q_kg_incremental
@@ -298,6 +299,36 @@ def _q_events_sample(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_kg_events_llm(sf_dir: str) -> pd.DataFrame:
+    """Full KG pipeline through the LLM extraction path — actor-pool client
+    lifecycle, ATOM prompt assembly, provider batching, retry machinery and
+    schema validation all live — driven by the deterministic rule-backed
+    structured client (this sandbox has no network), so the result reduces
+    to the same SQL aggregate as ``kg_triples_events``."""
+    from kgray.functions.llm_testing import EventsRuleBackedStructuredClient
+    from kgray.stages.extract import LLMQuintupleExtractor
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    res = build_kg(
+        transcripts_from_events(events),
+        cfg=_CFG,
+        embedder_factory=lambda: HashEmbedder(dim=_CFG.embed_dim),
+        extractor_cls=LLMQuintupleExtractor,
+        extractor_kwargs={
+            "client_factory": EventsRuleBackedStructuredClient,
+            "sleep": _no_sleep,
+        },
+    )
+    return _edges_scalar(res.edges)[
+        ["subj_name", "subj_label", "pred", "obj_name", "obj_label", "n_obs"]
+    ]
+
+
+def _no_sleep(_seconds: float) -> None:
+    """Injected into the fake-client retry policy: module-level so the actor
+    constructor kwargs pickle by reference on workers."""
+
+
 def _q_legacy_kg_events(sf_dir: str) -> pd.DataFrame:
     """Legacy two-step pipeline over events-derived transcripts — exact
     world, so its triples reduce to the same SQL aggregate as the ATOM
@@ -419,6 +450,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_id % 16 = 0
         """,
         "legacy_kg_triples_events": """
+            SELECT 'user ' || CAST(user_id AS VARCHAR) AS subj_name,
+                   'user' AS subj_label,
+                   'did' AS pred,
+                   event_type AS obj_name,
+                   'event_type' AS obj_label,
+                   count(*) AS n_obs
+            FROM events
+            GROUP BY user_id, event_type
+        """,
+        "kg_triples_events_llm": """
             SELECT 'user ' || CAST(user_id AS VARCHAR) AS subj_name,
                    'user' AS subj_label,
                    'did' AS pred,

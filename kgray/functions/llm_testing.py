@@ -9,7 +9,7 @@ actor pool: the constructor argument must resolve on the worker.
 
 from __future__ import annotations
 
-from kgray.stages.extract import RuleExtractor
+from kgray.stages.extract import EventsRuleExtractor, RuleExtractor
 
 
 def context_of(prompt: str) -> str:
@@ -42,3 +42,12 @@ class RuleBackedStructuredClient:
                 ]
             out.append({"relationships": rels})
         return out
+
+
+class EventsRuleBackedStructuredClient(RuleBackedStructuredClient):
+    """Same shape over the events-derived transcript templates
+    ('User N did X event M.') — gives the LLM extraction path a fully
+    SQL-checkable end-to-end driver query."""
+
+    def __init__(self):
+        self._rule = EventsRuleExtractor()
