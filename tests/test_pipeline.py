@@ -183,3 +183,43 @@ def test_write_kg_partitioned_roundtrip(kg_result, tmp_path):
     assert "neo4j_type" in edges_rt.columns
     assert edges_rt["neo4j_type"].str.match(r"^[A-Za-z0-9_]+$").all()
     assert nodes_rt["neo4j_label"].str.len().gt(0).all()
+
+
+def test_facts_free_transcripts_yield_empty_kg():
+    """All-distractor conversations → 0 edges, 0 nodes, no crash (the
+    empty-extraction path end to end, including the empty-block guards in
+    the Arrow merge kernel)."""
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 3 + ["c2"] * 2,
+            "turn_idx": [0, 1, 2, 0, 1],
+            "role": ["user", "assistant", "user", "user", "assistant"],
+            "text": ["hello there", "how can I help", "nothing to extract",
+                     "just chatting", "ok bye"],
+            "tool": [""] * 5,
+            "ts": pd.to_datetime(["2021-01-01"] * 5),
+        }
+    )
+    res = build_kg(ray.data.from_pandas(df), cfg=CFG)
+    assert res.edges.count() == 0
+    assert res.nodes.count() == 0
+
+
+def test_single_fact_conversation():
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c1"],
+            "turn_idx": [0],
+            "role": ["user"],
+            "text": ["alice is a welder at acme corp on March 3, 2021."],
+            "tool": [""],
+            "ts": pd.to_datetime(["2021-03-04"]),
+        }
+    )
+    res = build_kg(ray.data.from_pandas(df), cfg=CFG)
+    edges = res.edges.to_pandas()
+    assert len(edges) == 1
+    e = edges.iloc[0]
+    assert e["pred"] == "works_at"  # normalized predicate surface
+    assert len(e["t_obs"]) == 1 and all(isinstance(x, float) for x in e["t_obs"])
+    assert len(e["t_start"]) == 1  # parsed 'March 3, 2021'
