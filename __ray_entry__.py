@@ -518,7 +518,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": """
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                   CAST(strlen(text) AS BIGINT) AS n_chars
+                   CAST(length(text) AS BIGINT) AS n_chars
             FROM documents
         """,
         "doc_bpe_tokens": r"""
@@ -533,9 +533,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": r"""
             WITH f AS (
               SELECT doc_id,
-                     strlen(text) AS n_chars,
+                     length(text) AS n_chars,
                      len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
-                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS n_punct,
                      greatest(1, len(regexp_extract_all(text, '\S+'))) AS n_tokens,
                      len(list_distinct(regexp_extract_all(text, '\S+'))) AS n_unique
               FROM documents

@@ -103,6 +103,35 @@ def _reduce_topk(
     ).reset_index(drop=True)
 
 
+def _make_bucket_topk(shared_ref, k: int):
+    """Per-bucket top-k partial shared by the LSH and IVF paths: the
+    broadcast (qids, qunit, probe-table) routes queries to buckets; each
+    probed bucket emits k+1 partials per query (headroom for
+    self-exclusion in the driver reduce)."""
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qids_, qunit_, probes_ = cached_get(shared_ref)
+        qis = probes_.get(int(g["bucket"].iloc[0]))
+        if not qis:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        ids = g["vec_id"].to_numpy()
+        unit = _unit(np.stack(g["embedding"].to_numpy()))
+        sims = qunit_[qis] @ unit.T  # (probing queries, bucket size)
+        kk = min(k + 1, sims.shape[1])
+        top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+        out_q, out_n, out_s = [], [], []
+        for row, qi in enumerate(qis):
+            for j in top[row]:
+                out_q.append(qids_[qi])
+                out_n.append(ids[j])
+                out_s.append(sims[row, j])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
+
+    return bucket_topk
+
+
 def train_ivf_centroids(
     embeddings: ray.data.Dataset,
     n_centroids: int = 16,
@@ -167,25 +196,7 @@ def knn_ivf(
             }
         )
 
-    def list_topk(g: pd.DataFrame) -> pd.DataFrame:
-        qids_, qunit_, probes_ = cached_get(shared)
-        qis = probes_.get(int(g["bucket"].iloc[0]))
-        if not qis:
-            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                                 "neighbor_id": pd.Series(dtype="int64"),
-                                 "cosine": pd.Series(dtype="float64")})
-        ids = g["vec_id"].to_numpy()
-        unit = _unit(np.stack(g["embedding"].to_numpy()))
-        sims = qunit_[qis] @ unit.T
-        kk = min(k + 1, sims.shape[1])
-        top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
-        out_q, out_n, out_s = [], [], []
-        for row, qi in enumerate(qis):
-            for j in top[row]:
-                out_q.append(qids_[qi])
-                out_n.append(ids[j])
-                out_s.append(sims[row, j])
-        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
+    list_topk = _make_bucket_topk(shared, k)
 
     partials = (
         embeddings.map_batches(assign, batch_format="numpy")
@@ -238,25 +249,7 @@ def knn_lsh(
             }
         )
 
-    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
-        qids_, qunit_, probes_ = cached_get(shared)
-        qis = probes_.get(int(g["bucket"].iloc[0]))
-        if not qis:
-            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                                 "neighbor_id": pd.Series(dtype="int64"),
-                                 "cosine": pd.Series(dtype="float64")})
-        ids = g["vec_id"].to_numpy()
-        unit = _unit(np.stack(g["embedding"].to_numpy()))
-        sims = qunit_[qis] @ unit.T  # (probing queries, bucket size)
-        kk = min(k + 1, sims.shape[1])  # +1 headroom for self-exclusion
-        top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
-        out_q, out_n, out_s = [], [], []
-        for row, qi in enumerate(qis):
-            for j in top[row]:
-                out_q.append(qids_[qi])
-                out_n.append(ids[j])
-                out_s.append(sims[row, j])
-        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
+    bucket_topk = _make_bucket_topk(shared, k)
 
     partials = (
         embeddings.map_batches(bucketize, batch_format="numpy")

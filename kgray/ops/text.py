@@ -106,7 +106,10 @@ def quality_score(batch: pd.DataFrame) -> pd.DataFrame:
     text = batch["text"].fillna("")
     n_chars = text.str.len()
     n_alpha = text.str.count(r"[A-Za-z]")
-    n_punct = text.str.count(r"[^\w\s]")
+    # explicit ASCII class (not \w): Python's \w is Unicode-aware while the
+    # SQL oracle's RE2 \w is ASCII-only — the explicit class keeps both
+    # engines counting the same punctuation set on non-ASCII text
+    n_punct = text.str.count(r"[^A-Za-z0-9_\s]")
     tokens = text.str.split()
     n_tokens = tokens.map(len).clip(lower=1)
     n_unique = tokens.map(lambda t: len(set(t)))

@@ -99,12 +99,17 @@ def revenue_by_nation(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
 
     def orders_side(b: pd.DataFrame) -> pd.DataFrame:
         lookup = cached_get(lookup_ref)
+        nat = b["o_custkey"].map(lookup)
+        # inner-join semantics: drop orders whose custkey is missing from
+        # the customer dimension (astype(str) would otherwise turn the NaN
+        # into a literal 'nan' nation group)
+        keep = nat.notna()
         return pd.DataFrame(
             {
-                "bucket": (b["o_orderkey"] % num_buckets).astype("int32"),
-                "okey": b["o_orderkey"].astype("int64"),
+                "bucket": (b.loc[keep, "o_orderkey"] % num_buckets).astype("int32"),
+                "okey": b.loc[keep, "o_orderkey"].astype("int64"),
                 "side": np.int8(0),
-                "n_name": b["o_custkey"].map(lookup).astype(str),
+                "n_name": nat[keep].astype(str),
                 "revenue": 0.0,
                 "n_items": np.int64(0),
             }

@@ -36,7 +36,7 @@ import ray
 import ray.data
 
 from kgray.config import PipelineConfig
-from kgray.functions.broadcast import rows_of
+from kgray.functions.broadcast import auto_concurrency, rows_of
 from kgray.functions.normalize import entity_id_py
 from kgray.stages.embed import EntityEmbedderStage
 from kgray.state.unionfind import cluster_representatives
@@ -159,19 +159,37 @@ def distinct_entities(raw: ray.data.Dataset) -> ray.data.Dataset:
         g = ents.group_by(["name", "label"]).aggregate(
             [("sort_key", "min"), ("sort_key", "count")]
         )
-        return g.rename_columns(["name", "label", "first_seen", "n_mentions"])
+        # select by NAME: pyarrow's key-vs-aggregate column ordering has
+        # differed across release lines; positional renames would silently
+        # swap min/count there
+        return pa.table(
+            {
+                "name": g["name"],
+                "label": g["label"],
+                "first_seen": g["sort_key_min"],
+                "n_mentions": g["sort_key_count"],
+            }
+        )
 
     return _bucketed_distinct(partial, ["name", "label"], arrow=True)(raw)
 
 
 def distinct_predicates(raw: ray.data.Dataset) -> ray.data.Dataset:
     def partial(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa  # worker-local
+
         g = (
             t.select(["pred", "sort_key"])
             .group_by(["pred"])
             .aggregate([("sort_key", "min"), ("sort_key", "count")])
         )
-        return g.rename_columns(["pred", "first_seen", "n_mentions"])
+        return pa.table(
+            {
+                "pred": g["pred"],
+                "first_seen": g["sort_key_min"],
+                "n_mentions": g["sort_key_count"],
+            }
+        )
 
     return _bucketed_distinct(partial, ["pred"], arrow=True)(raw)
 
@@ -245,8 +263,7 @@ def _match_edges_broadcast(
 
 
 def _lsh_planes(dim: int, n_bands: int, bits: int) -> list[np.ndarray]:
-    """Deterministic seeded hyperplanes, computed once on the driver and
-    captured by the bucketize closure (tiny: dim x bits x n_bands floats)."""
+    """Deterministic seeded hyperplanes — identical on every worker."""
     import hashlib as _h
 
     planes = []
@@ -256,11 +273,24 @@ def _lsh_planes(dim: int, n_bands: int, bits: int) -> list[np.ndarray]:
     return planes
 
 
+# worker-local plane cache: dim comes from the ACTUAL vectors (an injected
+# embedder may not match cfg.embed_dim), so planes are built lazily on
+# first touch per (dim, bands, bits) and reused across batches
+_PLANES_CACHE: dict = {}
+
+
+def _lsh_planes_cached(dim: int, n_bands: int, bits: int) -> list[np.ndarray]:
+    key = (dim, n_bands, bits)
+    p = _PLANES_CACHE.get(key)
+    if p is None:
+        p = _PLANES_CACHE[key] = _lsh_planes(dim, n_bands, bits)
+    return p
+
+
 def match_edges_lsh_ds(
     distinct_embedded: ray.data.Dataset,
     threshold: float,
     cfg: PipelineConfig,
-    dim: int,
     max_bucket: int = 512,
 ) -> ray.data.Dataset:
     """Scale path: random-hyperplane band LSH bucketing, then within-bucket
@@ -279,12 +309,12 @@ def match_edges_lsh_ds(
     counts are carried in the ``truncated`` column for observability.
     """
     n_bands, bits = cfg.lsh_n_bands, cfg.lsh_band_bits
-    planes = _lsh_planes(dim, n_bands, bits)
     pow2 = 1 << np.arange(bits)
 
     def bucketize(batch: dict) -> pd.DataFrame:
         vecs = np.asarray(batch["vec"], dtype=np.float32)
         n = len(vecs)
+        planes = _lsh_planes_cached(vecs.shape[1], n_bands, bits)
         buckets = np.empty((n_bands, n), dtype=object)
         for band in range(n_bands):
             packed = ((vecs @ planes[band] > 0) * pow2).sum(axis=1)
@@ -327,32 +357,26 @@ def match_edges_lsh_ds(
     )
 
 
-def match_edges_lsh(
-    distinct_embedded: ray.data.Dataset,
-    threshold: float,
-    cfg: PipelineConfig,
-    dim: int,
-    max_bucket: int = 512,
-) -> list[tuple[tuple, tuple]]:
-    """Driver-sized wrapper over :func:`match_edges_lsh_ds`: pulls the
-    (small, <= vocab-sized) pair set and dedupes it for union-find."""
-    pairs = match_edges_lsh_ds(
-        distinct_embedded, threshold, cfg, dim, max_bucket=max_bucket
-    ).to_pandas()
-    if not pairs.empty and int(pairs["truncated"].sum()) > 0:
+def _warn_lsh_truncation(pairs_ds: ray.data.Dataset, max_bucket: int = 512) -> None:
+    """Observability for the skew guard: surface how many candidate rows
+    the per-bucket truncation dropped (a distributed partial sum — the
+    pair set may be large on the label-propagation path)."""
+
+    def partial_sum(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"t": [int(b["truncated"].sum())]})
+
+    total = int(
+        pairs_ds.select_columns(["truncated"])
+        .map_batches(partial_sum, batch_format="pandas")
+        .to_pandas()["t"]
+        .sum()
+    )
+    if total > 0:
         import logging
 
         logging.getLogger(__name__).warning(
-            "LSH buckets truncated %d candidate rows (max_bucket=%d)",
-            int(pairs["truncated"].sum()), max_bucket,
+            "LSH buckets truncated %d candidate rows (max_bucket=%d)", total, max_bucket
         )
-    seen = set()
-    edges = []
-    for a, b in zip(pairs.get("a", []), pairs.get("b", [])):
-        if (a, b) not in seen:
-            seen.add((a, b))
-            edges.append((tuple(a.split("\x1f")), tuple(b.split("\x1f"))))
-    return edges
 
 
 def _match_edges_driver(keys: list[tuple], mat: np.ndarray, threshold: float,
@@ -448,13 +472,6 @@ def _resolve_predicates_driver(
     return {k[0]: rep_map.get(k, k)[0] for k in keys}
 
 
-def _embed_concurrency() -> tuple[int, int]:
-    """Autoscaling actor-pool size from the cluster, with headroom for the
-    upstream feed (a pool that reserves every CPU deadlocks the shuffle)."""
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    return (1, max(2, min(16, cpus - 2)))
-
-
 def _pairs_df_to_edges(pairs: pd.DataFrame) -> list[tuple[tuple, tuple]]:
     seen = set()
     edges = []
@@ -527,7 +544,7 @@ def _resolve_entities_distributed(
         },
         batch_format="numpy",
         batch_size=cfg.embed_batch_size,
-        concurrency=_embed_concurrency(),
+        concurrency=auto_concurrency(),
     ).materialize()
 
     # ranks: names + first-seen sort keys only — never the vectors
@@ -579,9 +596,8 @@ def _resolve_entities_distributed(
         edges = _match_edges_broadcast(embedded, bkeys, mat, cfg.ent_threshold)
         rep_map = cluster_representatives(edges, ranks)
     else:
-        pairs_ds = match_edges_lsh_ds(
-            embedded, cfg.ent_threshold, cfg, dim=cfg.embed_dim
-        ).materialize()
+        pairs_ds = match_edges_lsh_ds(embedded, cfg.ent_threshold, cfg).materialize()
+        _warn_lsh_truncation(pairs_ds)
         if pairs_ds.count() > cfg.driver_edge_max:
             rep_map = _rep_map_label_propagation(embedded, pairs_ds, rank_overrides)
         else:
