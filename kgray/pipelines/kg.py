@@ -182,6 +182,50 @@ def _nodes_from_mapping(ent_map: dict) -> ray.data.Dataset:
     return ray.data.from_pandas(df.reset_index(drop=True))
 
 
+def nodes_from_edges(edges: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
+    """Distributed alternative to :func:`_nodes_from_mapping` for canonical
+    vocabularies beyond driver RAM: the node table is the distinct set of
+    canonical endpoints in the edge stream (in a fresh build every
+    canonical entity appears in ≥1 edge; equivalence pinned by
+    tests/test_pipeline.py::test_nodes_from_edges_matches_mapping).
+
+    Zero-copy Arrow partial per block → bucketed shuffle of the (small)
+    distinct rows → per-bucket dedup — the same pre-aggregated shape as
+    the vocabulary distinct."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        both = pa.concat_tables(
+            [
+                pa.table(
+                    {"entity_id": t["subj_id"], "name": t["subj_name"], "label": t["subj_label"]}
+                ),
+                pa.table(
+                    {"entity_id": t["obj_id"], "name": t["obj_name"], "label": t["obj_label"]}
+                ),
+            ]
+        )
+        return both.group_by(["entity_id", "name", "label"]).aggregate([])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["bucket"] = (
+            pd.util.hash_array(b["entity_id"].to_numpy(dtype=object)) % num_buckets
+        ).astype("int32")
+        return b
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(subset=["entity_id"])[["entity_id", "name", "label"]]
+        lab = nz.sanitize_neo4j_labels(pa.array(out["label"].tolist(), type=pa.string()))
+        out = out.assign(neo4j_label=lab.to_pylist())
+        return out
+
+    return (
+        edges.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 def write_kg(result: KGBuildResult, out_dir: str) -> None:
     """Materialize nodes + edges as Neo4j-compatible partitioned Parquet
     (the engine's equivalent of Neo4jStorage.visualize_graph,

@@ -223,3 +223,17 @@ def test_single_fact_conversation():
     assert e["pred"] == "works_at"  # normalized predicate surface
     assert len(e["t_obs"]) == 1 and all(isinstance(x, float) for x in e["t_obs"])
     assert len(e["t_start"]) == 1  # parsed 'March 3, 2021'
+
+
+def test_nodes_from_edges_matches_mapping(kg_result):
+    """The distributed node builder (scale path for vocabularies beyond
+    driver RAM) produces the same node set as the driver-side mapping
+    builder on a fresh build."""
+    from kgray.pipelines.kg import nodes_from_edges
+
+    result, nodes, edges = kg_result
+    dist = nodes_from_edges(result.edges).to_pandas()
+    cols = ["entity_id", "name", "label", "neo4j_label"]
+    a = nodes[cols].sort_values("entity_id").reset_index(drop=True)
+    b = dist[cols].sort_values("entity_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
