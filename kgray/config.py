@@ -52,6 +52,13 @@ class PipelineConfig:
     # computed by iterative min-label propagation
     # (kgray/state/unionfind.py:46) instead of driver union-find.
     driver_edge_max: int = 2_000_000
+    # vocabularies above this never build a driver-resident identity map:
+    # resolution returns only the NON-identity entries (surfaces that merge
+    # onto another canonical — proportional to the duplicate rate, not the
+    # vocabulary) and the node table is derived from the edge stream
+    # (kgray/pipelines/kg.py::nodes_from_edges).  This is the 10^8-entity
+    # path: driver state stays O(merged), the rest stays a Dataset.
+    identity_map_max_entities: int = 2_000_000
 
     # --- lineage / checkpointing ---
     num_partitions: int = 16

@@ -149,7 +149,14 @@ def build_kg(
         canon = canon.select_columns(_CANON_COLS).union(old_canon.select_columns(_CANON_COLS))
     edges = merge_triples(canon)
 
-    nodes = _nodes_from_mapping(ent_map)
+    if getattr(ent_map, "identity_omitted", False):
+        # compact-map path (vocabulary beyond driver RAM): the node table is
+        # derived from the merged edge stream — materialize edges once so
+        # the merge doesn't execute twice (once per consumer)
+        edges = edges.materialize()
+        nodes = nodes_from_edges(edges)
+    else:
+        nodes = _nodes_from_mapping(ent_map)
     return KGBuildResult(nodes=nodes, edges=edges, ent_map=ent_map, pred_map=pred_map)
 
 

@@ -518,6 +518,84 @@ def _rep_map_label_propagation(
     }
 
 
+class ResolutionMap(dict):
+    """Entity-resolution mapping ``(name,label) → (canon_name, canon_label,
+    entity_id)``.  When ``identity_omitted`` is True the dict holds ONLY the
+    non-identity entries (surfaces that merged onto a different canonical);
+    every absent key resolves to itself, with its id recomputed by the
+    vectorized fallback in :func:`_apply_resolution_table`.  This keeps
+    driver state proportional to the duplicate rate instead of the
+    vocabulary — the compact / 10^8-entity contract."""
+
+    identity_omitted: bool = False
+
+
+def _resolve_entities_compact(
+    distinct: ray.data.Dataset,
+    cfg: PipelineConfig,
+    embedder_factory,
+    existing_ranked: list[tuple[tuple, str]],
+) -> ResolutionMap:
+    """Fully-distributed entity resolution for vocabularies beyond driver
+    RAM: the driver never sees the vocabulary — not its keys, not its ranks,
+    not its vectors.  embed (actor pool) → LSH bucket match → min-label
+    propagation; only the (small) non-identity representative rows return.
+
+    Existing canonicals (incremental runs) are store-sized driver state
+    already, so embedding them driver-side and unioning the rows into the
+    candidate Dataset is sound; duplicate (name,label) rows are absorbed by
+    the min-rank semantics of the label propagation (self match edges are
+    no-ops, the '0|'-prefixed existing rank wins any tie)."""
+    embedded = distinct.map_batches(
+        EntityEmbedderStage,
+        fn_constructor_kwargs={
+            "embedder_factory": embedder_factory,
+            "name_weight": cfg.entity_name_weight,
+            "label_weight": cfg.entity_label_weight,
+        },
+        batch_format="numpy",
+        batch_size=cfg.embed_batch_size,
+        concurrency=auto_concurrency(),
+    ).materialize()
+
+    rank_overrides: dict = {}
+    if existing_ranked:
+        embedder = embedder_factory()
+        from kgray.stages.embed import combine_entity_embeddings
+
+        ks = [k for k, _ in existing_ranked]
+        nv = embedder.embed_texts([k[0] for k in ks])
+        lv = embedder.embed_texts([k[1] for k in ks])
+        mat = combine_entity_embeddings(
+            nv, lv, cfg.entity_name_weight, cfg.entity_label_weight
+        )
+        extra = pd.DataFrame(
+            {
+                "name": [k[0] for k in ks],
+                "label": [k[1] for k in ks],
+                "n_mentions": 0,
+                "first_seen": [rank for _, rank in existing_ranked],
+                "vec": list(mat),
+            }
+        )
+        embedded = embedded.union(ray.data.from_pandas(extra)).materialize()
+        rank_overrides = dict(existing_ranked)
+
+    pairs_ds = match_edges_lsh_ds(embedded, cfg.ent_threshold, cfg).materialize()
+    _warn_lsh_truncation(pairs_ds)
+    rep_map = _rep_map_label_propagation(embedded, pairs_ds, rank_overrides)
+
+    mapping = ResolutionMap()
+    mapping.identity_omitted = True
+    id_cache: dict = {}
+    for k, canon in rep_map.items():
+        cid = id_cache.get(canon)
+        if cid is None:
+            cid = id_cache[canon] = entity_id_py(canon[0], canon[1])
+        mapping[k] = (canon[0], canon[1], cid)
+    return mapping
+
+
 def _resolve_entities_distributed(
     distinct: ray.data.Dataset,
     cfg: PipelineConfig,
@@ -630,19 +708,49 @@ def resolve_vocabulary(
     surfaces ('e') and predicate surfaces ('p') together, so a single small
     groupby collapses the whole vocabulary in one execution.  Falls back to
     the separate distributed ladder when the entity vocabulary exceeds the
-    driver threshold."""
+    driver threshold, and to the fully-compact path (driver never pulls the
+    vocabulary at all; mapping holds non-identity entries only) above
+    ``cfg.identity_map_max_entities``."""
 
-    vocab = rows_of(
-        _bucketed_distinct(_vocab_partial_arrow, ["kind", "name", "label"], arrow=True)(raw)
-    )
+    vocab_ds = _bucketed_distinct(
+        _vocab_partial_arrow, ["kind", "name", "label"], arrow=True
+    )(raw).materialize()
+    existing_ranked = [
+        ((name, label), "0|" + fs) for name, label, fs in (existing_entities or [])
+    ]
+
+    if vocab_ds.count() > cfg.identity_map_max_entities:
+        # compact path: only the (tiny) predicate vocabulary reaches the
+        # driver; the entity vocabulary stays a Dataset end to end
+        def _keep(kind: str):
+            def f(t: "pa.Table") -> "pa.Table":
+                import pyarrow.compute as pc  # noqa: PLC0415 (worker-local)
+
+                return t.filter(pc.equal(t["kind"], kind))
+
+            return f
+
+        pred_rows = [
+            {"pred": r["name"], "first_seen": r["first_seen"]}
+            for r in rows_of(
+                vocab_ds.map_batches(_keep("p"), batch_format="pyarrow").select_columns(
+                    ["name", "first_seen"]
+                )
+            )
+        ]
+        ent_ds = vocab_ds.map_batches(_keep("e"), batch_format="pyarrow").select_columns(
+            ["name", "label", "n_mentions", "first_seen"]
+        )
+        ent_map = _resolve_entities_compact(ent_ds, cfg, embedder_factory, existing_ranked)
+        pred_map = _resolve_predicates_driver(pred_rows, cfg, embedder_factory, existing_predicates)
+        return ent_map, pred_map
+
+    vocab = rows_of(vocab_ds)
     ent_rows = [r for r in vocab if r["kind"] == "e"]
     pred_rows = [
         {"pred": r["name"], "first_seen": r["first_seen"]} for r in vocab if r["kind"] == "p"
     ]
 
-    existing_ranked = [
-        ((name, label), "0|" + fs) for name, label, fs in (existing_entities or [])
-    ]
     if len(ent_rows) > cfg.driver_match_max_entities:
         # distributed matching over the ALREADY-computed vocabulary (no
         # second distinct pass); the helper owns the broadcast/LSH/label-
@@ -683,6 +791,9 @@ def resolve_entities(
         return {}
 
     existing_ranked = [((name, label), "0|" + fs) for name, label, fs in (existing or [])]
+
+    if n > cfg.identity_map_max_entities:
+        return _resolve_entities_compact(distinct, cfg, embedder_factory, existing_ranked)
 
     if n <= cfg.driver_match_max_entities:
         # small vocabulary: embed + match driver-side (no actor pools)
@@ -804,10 +915,23 @@ def _apply_resolution_table(batch: pa.Table, ent_map: dict, pred_map: dict) -> p
         m_id = key.map(cid)
         missing = m_id.isna()
         if missing.any():
-            # unseen surfaces (identity resolution, fresh ids) — rare path
-            for i in np.flatnonzero(missing.to_numpy()):
-                n, l = names.iloc[i], labels.iloc[i]
-                m_n.iloc[i], m_l.iloc[i], m_id.iloc[i] = n, l, entity_id_py(n, l)
+            # keys absent from the map resolve to themselves (identity).
+            # Under a compact map (ResolutionMap.identity_omitted) this is
+            # the COMMON path, so it is vectorized: ids via the Arrow
+            # md5 kernel, names/labels via mask assignment.
+            from kgray.functions.normalize import entity_ids
+
+            mask = missing.to_numpy()
+            m_n = m_n.mask(missing, names)
+            m_l = m_l.mask(missing, labels)
+            # fillna("None") preserves the scalar path's f-string semantics
+            # for (never-expected) null surfaces
+            ids = entity_ids(
+                pa.array(names[mask].fillna("None"), type=pa.string()),
+                pa.array(labels[mask].fillna("None"), type=pa.string()),
+            )
+            m_id = m_id.copy()
+            m_id[mask] = ids.to_numpy(zero_copy_only=False)
         idx_n = batch.schema.get_field_index(f"{side}_name")
         idx_l = batch.schema.get_field_index(f"{side}_label")
         batch = batch.set_column(idx_n, f"{side}_name", pa.array(m_n, type=pa.large_string()))
