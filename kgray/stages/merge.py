@@ -140,7 +140,39 @@ def _group_concat(t: pa.Table, obs_dedup: bool) -> pa.Table:
     return pa.table({c: cols[c] for c in _OUT_COLS})
 
 
-def _partial(t: pa.Table) -> pa.Table:
+def _passthrough(t: pa.Table) -> pa.Table:
+    """Schema-normalizing no-op partial: emitted when a block's collapse
+    ratio is poor (vocab-heavy profiles: ~180k-row blocks over a 290k-triple
+    vocabulary collapse <2x), where the group-concat kernel costs real CPU
+    but barely shrinks the shuffle.  Skipping the within-block
+    (triple, obs_date) stamp dedup is semantics-preserving: equal obs dates
+    parse to equal floats and the final combine's unique pass collapses
+    them (PARITY.md §1)."""
+    n = len(t)
+    cols: dict = {c: t[c] for c in _GROUP_COLS + _CARRY_COLS}
+    for c in _LIST_COLS:
+        # match the group-concat output type exactly (list<value>, int32
+        # offsets) so pass-through and collapsed blocks union cleanly
+        cols[c] = pc.cast(t[c], pa.list_(t[c].type.value_type))
+    if "n_obs" in t.column_names:
+        cols["n_obs"] = pc.cast(t["n_obs"], pa.int64())
+    else:
+        cols["n_obs"] = pa.array(np.ones(n, dtype=np.int64))
+    fs_col = "first_seen" if "first_seen" in t.column_names else "sort_key"
+    cols["first_seen"] = pc.cast(t[fs_col], pa.large_string())
+    return pa.table({c: cols[c] for c in _OUT_COLS})
+
+
+def _partial(t: pa.Table, skip_ratio: float = 0.5) -> pa.Table:
+    """Adaptive per-block pre-aggregation: collapse when it pays, pass
+    through when it doesn't.  The decision costs one dictionary-encode of
+    the group key (needed by the collapse path anyway)."""
+    n = len(t)
+    if n and skip_ratio < 1.0:
+        codes = _codes(_concat_key(t, _GROUP_COLS))
+        n_groups = int(codes.max()) + 1
+        if n_groups > skip_ratio * n:
+            return _passthrough(t)
     return _group_concat(t, obs_dedup=True)
 
 
@@ -179,10 +211,21 @@ def _final_bucket(group: pa.Table) -> pa.Table:
 
 
 def merge_triples(
-    canon: ray.data.Dataset, num_buckets: int = DEFAULT_NUM_BUCKETS
+    canon: ray.data.Dataset,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    partial_skip_ratio: float = 0.5,
 ) -> ray.data.Dataset:
-    """canonical quintuple rows → one edge row per (subj_id, pred, obj_id)."""
-    partials = canon.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    """canonical quintuple rows → one edge row per (subj_id, pred, obj_id).
+
+    ``partial_skip_ratio``: blocks whose distinct-triple count exceeds this
+    fraction of their rows skip the pre-aggregation kernel and ship as-is
+    (0 → never pre-aggregate, >=1 → always; equivalence pinned by
+    tests/test_merge_kernel.py)."""
+
+    def partial_fn(t: pa.Table) -> pa.Table:
+        return _partial(t, skip_ratio=partial_skip_ratio)
+
+    partials = canon.map_batches(partial_fn, batch_format="pyarrow", batch_size=None)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         key = pd.Series(_concat_key(t, _GROUP_COLS).to_pandas())

@@ -137,3 +137,39 @@ def test_sorted_lists_strings(lists):
     la = pa.array(lists, type=pa.list_(pa.large_string()))
     out = _sorted_lists(la)
     assert [list(x) for x in out.to_pylist()] == [sorted(l) for l in lists]
+
+
+def _stamped(rows):
+    """Pipeline invariant for the adaptive-partial equivalence: t_obs is the
+    per-observation-date stamp (one float per row, determined by obs_date),
+    exactly how kgray/stages/merge.py receives it from t_obs stamping."""
+    date_ts = {"2021-01-01": 1.0, "2021-02-02": 2.0, "2021-03-03": 3.0}
+    return [{**r, "t_obs": [date_ts[r["obs_date"]]]} for r in rows]
+
+
+@settings(max_examples=60, deadline=None)
+@given(quintuple_rows())
+def test_partial_passthrough_equivalence(rows):
+    """A pass-through partial (skip_ratio=0) must finalize to the exact
+    same edges as the collapsing partial (skip_ratio=1): the within-block
+    (triple, obs_date) stamp dedup is subsumed by the final unique pass."""
+    from kgray.stages.merge import _final_bucket, _partial
+
+    t = _to_table(_stamped(rows))
+    collapsed = _partial(t, skip_ratio=1.0)
+    passed = _partial(t, skip_ratio=0.0)
+    assert passed.schema == collapsed.schema
+    assert len(passed) == len(t)  # pass-through really passed through
+
+    def finalize(p: pa.Table):
+        if len(p) == 0:
+            return {}
+        withb = p.append_column("bucket", pa.array(np.zeros(len(p), dtype=np.int32)))
+        out = _final_bucket(withb)
+        return {(r["subj_id"], r["pred"], r["obj_id"]): r for r in out.to_pylist()}
+
+    fa, fb = finalize(collapsed), finalize(passed)
+    assert set(fa) == set(fb)
+    for k in fa:
+        for c in _OUT_COLS:
+            assert fa[k][c] == fb[k][c], (k, c)
