@@ -530,6 +530,31 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents
         """,
+        # langid: stopword-hit argmax with first-max-wins tie order
+        # (en, fr, de, es — the dict iteration order in kgray/ops/text.py),
+        # CJK codepoint check on the first 400 chars, 'und' below 1 hit.
+        "doc_langid": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(substr(text, 1, 2000), '[\p{L}]+')) AS t
+                FROM documents
+            ), hits AS (
+                SELECT doc_id,
+                       count(*) FILTER (lower(t) IN ('the','a','of','to','and','in','is','that','it','for','on','with','as','was')) AS en,
+                       count(*) FILTER (lower(t) IN ('le','la','les','de','des','et','un','une','est','que','en','du','dans','pour')) AS fr,
+                       count(*) FILTER (lower(t) IN ('der','die','das','und','ist','ein','eine','zu','den','von','mit','auf','nicht')) AS de,
+                       count(*) FILTER (lower(t) IN ('el','la','los','las','de','y','un','una','es','que','en','del','por','con')) AS es
+                FROM toks GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN regexp_matches(substr(d.text, 1, 400), '[\x{4E00}-\x{9FFF}]') THEN 'zh'
+                        WHEN coalesce(greatest(h.en, h.fr, h.de, h.es), 0) < 1 THEN 'und'
+                        WHEN h.en >= h.fr AND h.en >= h.de AND h.en >= h.es THEN 'en'
+                        WHEN h.fr >= h.de AND h.fr >= h.es THEN 'fr'
+                        WHEN h.de >= h.es THEN 'de'
+                        ELSE 'es' END AS pred_lang
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
         "doc_quality": r"""
             WITH f AS (
               SELECT doc_id,
