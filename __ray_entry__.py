@@ -35,7 +35,11 @@ from kgray.ops import text as tx
 from kgray.ops.multimodal import extract_features
 from kgray.pipelines import relational as rel
 from kgray.pipelines.kg import build_kg, extract_quintuples
-from kgray.sources.events_transcripts import TRANSCRIPTS_FROM_EVENTS_SQL, transcripts_from_events
+from kgray.sources.events_transcripts import (
+    TRANSCRIPTS_FROM_EVENTS_SQL,
+    chunks_from_events,
+    transcripts_from_events,
+)
 from kgray.sources.testdata import embedder_concepts, transcripts_cache_path, world_for
 from kgray.sources.transcripts import read_transcripts
 from kgray.stages.chunk import assemble_chunks
@@ -85,7 +89,7 @@ def _kg_events(sf_dir: str):
     if key not in _BUILD_CACHE:
         events = ray.data.read_parquet(f"{sf_dir}/events.parquet")
         res = build_kg(
-            transcripts_from_events(events),
+            chunks=chunks_from_events(events, _CFG.max_chunk_chars),
             cfg=_CFG,
             embedder_factory=lambda: HashEmbedder(dim=_CFG.embed_dim),
             extractor_cls=EventsRuleExtractor,
@@ -310,7 +314,7 @@ def _q_kg_events_llm(sf_dir: str) -> pd.DataFrame:
 
     events = ray.data.read_parquet(f"{sf_dir}/events.parquet")
     res = build_kg(
-        transcripts_from_events(events),
+        chunks=chunks_from_events(events, _CFG.max_chunk_chars),
         cfg=_CFG,
         embedder_factory=lambda: HashEmbedder(dim=_CFG.embed_dim),
         extractor_cls=LLMQuintupleExtractor,

@@ -57,13 +57,20 @@ class KGBuildResult:
 
 
 def extract_quintuples(
-    transcripts: ray.data.Dataset,
+    transcripts: ray.data.Dataset | None,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     extractor_cls=RuleExtractor,
     extractor_kwargs: dict | None = None,
+    chunks: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
-    """transcripts → normalized, time-parsed quintuple rows."""
-    chunks = assemble_chunks(transcripts, cfg.max_chunk_chars)
+    """transcripts → normalized, time-parsed quintuple rows.
+
+    ``chunks``: pre-assembled (conv_id, chunk_idx, text, obs_ts, obs_date)
+    rows — skips the conversation-assembly shuffle when the source already
+    co-located and chunked conversations (e.g.
+    kgray.sources.events_transcripts.chunks_from_events)."""
+    if chunks is None:
+        chunks = assemble_chunks(transcripts, cfg.max_chunk_chars)
     if getattr(extractor_cls, "STATELESS", False):
         # trivial-state extractor → plain tasks (one cached instance per
         # worker process); no actor pool to spawn or size
@@ -100,12 +107,13 @@ _CANON_COLS = [
 
 
 def build_kg(
-    transcripts: ray.data.Dataset,
+    transcripts: ray.data.Dataset | None = None,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     embedder_factory=None,
     extractor_cls=RuleExtractor,
     extractor_kwargs: dict | None = None,
     existing_store: str | None = None,
+    chunks: ray.data.Dataset | None = None,
 ) -> KGBuildResult:
     """Fresh or incremental KG build.
 
@@ -126,7 +134,7 @@ def build_kg(
 
         store = load_store(existing_store)
 
-    quintuples = extract_quintuples(transcripts, cfg, extractor_cls, extractor_kwargs)
+    quintuples = extract_quintuples(transcripts, cfg, extractor_cls, extractor_kwargs, chunks=chunks)
     # The quintuple stream feeds three consumers (entity resolution,
     # predicate resolution, final rewrite); materialize once — it is the
     # collapsed fact stream, orders of magnitude smaller than the input,

@@ -40,6 +40,33 @@ def _add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
     return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
 
 
+def chunk_frame(b: pd.DataFrame, max_chunk_chars: int) -> pd.DataFrame:
+    """Chunk a frame that holds WHOLE conversations (every turn of each
+    conv_id present) — the vectorized kernel shared by
+    :func:`assemble_chunks` and the fused single-shuffle events path
+    (kgray.sources.events_transcripts.chunks_from_events)."""
+    b = b.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    obs = b.groupby("conv_id", sort=False)["ts"].transform("min")
+    b = b.assign(obs_ts=obs)
+    b = b[b["text"].astype(str) != ""]
+    if b.empty:
+        return pd.DataFrame(
+            {"conv_id": pd.Series(dtype=str), "chunk_idx": pd.Series(dtype="int32"),
+             "text": pd.Series(dtype=str), "obs_ts": pd.Series(dtype="datetime64[us]"),
+             "obs_date": pd.Series(dtype=str)}
+        )
+    lens = b["text"].str.len() + 1
+    cum = lens.groupby(b["conv_id"], sort=False).cumsum() - lens
+    b = b.assign(chunk_idx=(cum // max_chunk_chars).astype("int32"))
+    out = (
+        b.groupby(["conv_id", "chunk_idx"], sort=False)
+        .agg(text=("text", "\n".join), obs_ts=("obs_ts", "first"))
+        .reset_index()
+    )
+    out["obs_date"] = out["obs_ts"].dt.strftime("%Y-%m-%d")
+    return out[["conv_id", "chunk_idx", "text", "obs_ts", "obs_date"]]
+
+
 def assemble_chunks(
     transcripts: ray.data.Dataset,
     max_chunk_chars: int = 1600,
@@ -59,26 +86,7 @@ def assemble_chunks(
     # all-to-all and costs as much as it saves.
 
     def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-        obs = b.groupby("conv_id", sort=False)["ts"].transform("min")
-        b = b.assign(obs_ts=obs)
-        b = b[b["text"].astype(str) != ""]
-        if b.empty:
-            return pd.DataFrame(
-                {"conv_id": pd.Series(dtype=str), "chunk_idx": pd.Series(dtype="int32"),
-                 "text": pd.Series(dtype=str), "obs_ts": pd.Series(dtype="datetime64[us]"),
-                 "obs_date": pd.Series(dtype=str)}
-            )
-        lens = b["text"].str.len() + 1
-        cum = lens.groupby(b["conv_id"], sort=False).cumsum() - lens
-        b = b.assign(chunk_idx=(cum // max_chunk_chars).astype("int32"))
-        out = (
-            b.groupby(["conv_id", "chunk_idx"], sort=False)
-            .agg(text=("text", "\n".join), obs_ts=("obs_ts", "first"))
-            .reset_index()
-        )
-        out["obs_date"] = out["obs_ts"].dt.strftime("%Y-%m-%d")
-        return out[["conv_id", "chunk_idx", "text", "obs_ts", "obs_date"]]
+        return chunk_frame(b, max_chunk_chars)
 
     return (
         transcripts.map_batches(lambda t: _add_bucket(t, num_buckets), batch_format="pyarrow")

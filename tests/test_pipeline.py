@@ -237,3 +237,38 @@ def test_nodes_from_edges_matches_mapping(kg_result):
     a = nodes[cols].sort_values("entity_id").reset_index(drop=True)
     b = dist[cols].sort_values("entity_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_chunks_from_events_fusion():
+    """The fused single-shuffle events→chunks path equals the two-shuffle
+    composition assemble_chunks(transcripts_from_events(events)) row for
+    row, and build_kg over the fused chunks emits the same edges."""
+    import ray.data
+
+    from kgray.sources.events_transcripts import chunks_from_events, transcripts_from_events
+    from kgray.stages.chunk import assemble_chunks
+
+    events = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    fused = chunks_from_events(events, 1600).to_pandas()
+    composed = assemble_chunks(transcripts_from_events(events), 1600).to_pandas()
+    key = ["conv_id", "chunk_idx"]
+    pd.testing.assert_frame_equal(
+        fused.sort_values(key).reset_index(drop=True),
+        composed.sort_values(key).reset_index(drop=True),
+    )
+
+    from kgray.stages.extract import EventsRuleExtractor
+
+    a = build_kg(
+        chunks=chunks_from_events(events, CFG.max_chunk_chars),
+        cfg=CFG, extractor_cls=EventsRuleExtractor,
+    ).edges.to_pandas()
+    b = build_kg(
+        transcripts_from_events(events),
+        cfg=CFG, extractor_cls=EventsRuleExtractor,
+    ).edges.to_pandas()
+    cols = ["subj_name", "pred", "obj_name", "n_obs"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols[:3]).reset_index(drop=True),
+        b[cols].sort_values(cols[:3]).reset_index(drop=True),
+    )
