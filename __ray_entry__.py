@@ -436,6 +436,160 @@ def _q_knn_ivf(sf_dir: str) -> pd.DataFrame:
 # oracles
 # --------------------------------------------------------------------------
 
+_W64 = "18446744073709551616"  # 2**64
+_MERS = "2305843009213693951"  # 2**61 - 1
+
+
+def _wrapmul_sql(x: str, c: int) -> str:
+    """SQL for numpy-uint64 wrap-around multiply ``x * c mod 2**64``.
+    A direct HUGEINT product can reach 2**128 (overflow), so split c into
+    32-bit halves: x*c = x*lo + ((x*hi mod 2**32) << 32)  (mod 2**64)."""
+    lo, hi = c & 0xFFFFFFFF, c >> 32
+    return (
+        f"((({x})::HUGEINT * {lo} + (((({x}) % 4294967296)::HUGEINT * {hi})"
+        f" % 4294967296) * 4294967296) % {_W64})::UBIGINT"
+    )
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB twin of kgray.ops.dedup.minhash_lsh_dedup, stage for stage:
+    3-token shingles → md5-lower-64 shingle hash (== md5_number_lower) →
+    63-perm universal minhash (the seeded permutation constants are read
+    off a MinHasher instance and embedded as a VALUES table) → 21-band
+    splitmix64 bucket ids (wrap-around multiplies emulated in HUGEINT) →
+    per-bucket pair generation with the doc_id-ordered 200 cap →
+    estimated-Jaccard >= 0.5 filter (2*matches >= 63, exact in integers) →
+    connected components via a recursive label-propagation CTE with the
+    min doc_id as canonical representative."""
+    from kgray.ops.dedup import MinHasher
+
+    mh = MinHasher()
+    perms = ",\n".join(
+        f"({p}, {int(a)}::UBIGINT, {int(b)}::UBIGINT)"
+        for p, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    steps: list[str] = []
+
+    def mix_steps() -> None:  # splitmix64 finalizer on running column x
+        steps.append(_wrapmul_sql("xor(x, x >> 33)", 0xFF51AFD7ED558CCD))
+        steps.append(_wrapmul_sql("xor(x, x >> 33)", 0xC4CEB9FE1A85EC53))
+        steps.append("xor(x, x >> 33)")
+
+    mix_steps()
+    steps.append("xor(x, s1v)")
+    mix_steps()
+    steps.append("xor(x, s2v)")
+    mix_steps()
+    chain, prev = "", "b0"
+    for i, e in enumerate(steps):
+        chain += f"b{i + 1} AS (SELECT doc_id, s1v, s2v, {e} AS x FROM {prev}),\n"
+        prev = f"b{i + 1}"
+    return f"""
+WITH RECURSIVE tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(range(1, len(toks) - 1),
+                             i -> array_to_string(toks[i:i+2], ' '))
+         ELSE [array_to_string(toks, ' ')] END)) AS shingle
+  FROM tk
+),
+shh AS (SELECT doc_id, md5_number_lower(shingle) AS h FROM sh),
+perms(p, pa, pb) AS (VALUES {perms}),
+sig AS (
+  SELECT doc_id, p,
+         min(((pa::HUGEINT * h + pb) % {_W64}) % {_MERS})::UBIGINT AS s
+  FROM shh CROSS JOIN perms GROUP BY doc_id, p
+),
+b0 AS (
+  SELECT s0.doc_id, s1.s AS s1v, s2.s AS s2v,
+         xor(bd.band::UBIGINT, s0.s) AS x
+  FROM (SELECT unnest(range(21)) AS band) bd
+  JOIN sig s0 ON s0.p = bd.band * 3
+  JOIN sig s1 ON s1.doc_id = s0.doc_id AND s1.p = bd.band * 3 + 1
+  JOIN sig s2 ON s2.doc_id = s0.doc_id AND s2.p = bd.band * 3 + 2
+),
+{chain}cap AS (
+  SELECT doc_id, x AS bucket FROM {prev}
+  QUALIFY row_number() OVER (PARTITION BY x ORDER BY doc_id) <= 200
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM cap x JOIN cap y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+good AS (
+  SELECT c.a, c.b
+  FROM cand c JOIN sig sa ON sa.doc_id = c.a
+              JOIN sig sb ON sb.doc_id = c.b AND sb.p = sa.p
+  GROUP BY c.a, c.b
+  HAVING 2 * sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) >= 63
+),
+sym AS (SELECT a, b FROM good UNION SELECT b AS a, a AS b FROM good),
+reach AS (
+  SELECT a AS doc_id, b AS r FROM sym
+  UNION
+  SELECT reach.doc_id, sym.b AS r FROM reach JOIN sym ON sym.a = reach.r
+),
+roots AS (SELECT doc_id, least(min(r), doc_id) AS root FROM reach GROUP BY doc_id)
+SELECT d.doc_id, coalesce(r.root, d.doc_id) AS canonical_id
+FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id
+"""
+
+
+def _knn_lsh_oracle_sql(dim: int = 64, n_planes: int = 6, seed: int = 17, k: int = 10) -> str:
+    """DuckDB twin of kgray.ops.similarity.knn_lsh.  The seeded random
+    hyperplanes are embedded as full-precision DOUBLE[] literals (repr is
+    round-trippable), sign-bucketing uses the same strict > 0 test, and the
+    probe set is the exact bucket plus every 1-bit flip.  The per-bucket
+    top-(k+1) partial structure in the Ray path is exact after the global
+    reduce, so the oracle ranks all probe-bucket candidates directly."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    plane_rows = ",\n".join(
+        f"({p}, [{', '.join(repr(float(w)) for w in planes[:, p])}]::DOUBLE[])"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH planes(p, w) AS (VALUES {plane_rows}),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vb AS (
+  SELECT vec_id,
+         sum(CASE WHEN list_dot_product(e, w) > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+  FROM emb CROSS JOIN planes GROUP BY vec_id
+),
+q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 5),
+qb AS (SELECT q.query_id, vb.bucket AS base FROM q JOIN vb ON vb.vec_id = q.query_id),
+probe AS (
+  SELECT query_id, base AS bucket FROM qb
+  UNION
+  SELECT query_id, xor(base, (1::BIGINT << fp.p)) AS bucket
+  FROM qb CROSS JOIN (SELECT unnest(range({n_planes})) AS p) fp
+),
+cand AS (
+  SELECT DISTINCT pr.query_id, v.vec_id AS neighbor_id
+  FROM probe pr JOIN vb v ON v.bucket = pr.bucket
+  WHERE v.vec_id <> pr.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(qe.e, ne.e) AS cos_raw
+  FROM cand c JOIN emb qe ON qe.vec_id = c.query_id
+              JOIN emb ne ON ne.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     transcripts_cte = f"WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
     return {
@@ -583,6 +737,46 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY md5(text)
+        """,
+        "doc_minhash_dedup": _minhash_oracle_sql(),
+        "knn_lsh": _knn_lsh_oracle_sql(),
+        # SimHash is fully SQL-reproducible because SimHasher's token hash
+        # is md5-lower-64 == DuckDB md5_number_lower (kgray/ops/dedup.py).
+        # Pipeline mirrored: distinct tokens → 64-bit bit-vote signature →
+        # 4 x 16-bit band buckets (doc_id-ordered 200 cap) → pairs with
+        # Hamming distance <= 8.
+        "doc_simhash_pairs": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+              FROM documents
+            ),
+            th AS (
+              SELECT doc_id, md5_number_lower(tok) AS h FROM toks WHERE tok <> ''
+            ),
+            bitpos AS (SELECT unnest(range(64)) AS b),
+            votes AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th CROSS JOIN bitpos GROUP BY doc_id, b
+            ),
+            sig AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END)::UBIGINT AS sh
+              FROM votes GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, band, (sh >> (band * 16)) & 65535 AS bval, sh
+              FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) bb
+            ),
+            capped AS (
+              SELECT * FROM bands
+              QUALIFY row_number() OVER (PARTITION BY band, bval ORDER BY doc_id) <= 200
+            )
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                   bit_count(xor(x.sh, y.sh))::BIGINT AS hamming
+            FROM capped x JOIN capped y
+              ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.sh, y.sh)) <= 8
         """,
         "embedding_near_dup": """
             WITH p AS (

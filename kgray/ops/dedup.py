@@ -33,8 +33,18 @@ def _mix64(a: np.ndarray) -> np.ndarray:
     return a ^ (a >> np.uint64(33))
 
 
-def _md5_u64(s: str) -> int:
-    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+def _md5_u64_np(strings) -> np.ndarray:
+    """uint64 string hash equal to DuckDB's ``md5_number_lower(s)``
+    (little-endian of md5 digest bytes 8..16) — chosen over pandas siphash
+    so MinHash/SimHash outputs are value-checkable against a DuckDB SQL
+    oracle.  ~1 µs/string in a plain loop; the cost parallelizes across the
+    hasher actor pool and is dominated by the band shuffle at scale."""
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int.from_bytes(md5(s.encode("utf-8")).digest()[8:], "little") for s in strings),
+        dtype=np.uint64,
+        count=len(strings),
+    )
 
 
 def exact_dedup(docs: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
@@ -97,8 +107,7 @@ class MinHasher:
         return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
     def shingle_hashes(self, text: str) -> np.ndarray:
-        sh = sorted(self._shingles(text))
-        return pd.util.hash_array(np.array(sh, dtype=object)).astype(np.uint64)
+        return _md5_u64_np(sorted(self._shingles(text)))
 
     def signature(self, text: str) -> np.ndarray:
         h = self.shingle_hashes(text)
@@ -107,15 +116,16 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: dict) -> pd.DataFrame:
-        # hash every shingle of the batch in ONE vectorized pass (pandas
-        # siphash — deterministic across processes), then per-doc min-hash
+        # hash every shingle of the batch in one pass (md5-lower-64 —
+        # deterministic across processes AND DuckDB-reproducible), then
+        # per-doc min-hash
         texts = batch["text"].tolist()
         all_shingles: list[str] = []
         offsets = [0]
         for t in texts:
             all_shingles.extend(self._shingles(t))
             offsets.append(len(all_shingles))
-        hashes = pd.util.hash_array(np.array(all_shingles, dtype=object)).astype(np.uint64)
+        hashes = _md5_u64_np(all_shingles)
         sigs = []
         for i in range(len(texts)):
             h = hashes[offsets[i] : offsets[i + 1]]
@@ -276,9 +286,7 @@ class SimHasher:
         self._shifts = np.arange(64, dtype=np.uint64)
 
     def simhash(self, text: str) -> int:
-        return int(self._simhash_from_hashes(
-            pd.util.hash_array(np.array(sorted(set(text.split())), dtype=object)).astype(np.uint64)
-        ))
+        return int(self._simhash_from_hashes(_md5_u64_np(sorted(set(text.split())))))
 
     def _simhash_from_hashes(self, hashes: np.ndarray) -> np.uint64:
         if len(hashes) == 0:
@@ -295,7 +303,7 @@ class SimHasher:
         for t in texts:
             all_toks.extend(set(t.split()))
             offsets.append(len(all_toks))
-        hashes = pd.util.hash_array(np.array(all_toks, dtype=object)).astype(np.uint64)
+        hashes = _md5_u64_np(all_toks)
         out = np.array(
             [
                 self._simhash_from_hashes(hashes[offsets[i] : offsets[i + 1]])
