@@ -539,6 +539,139 @@ FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id
 """
 
 
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _closed_world_oracle_ctes(n_convs: int = 2000) -> str:
+    """Shared CTE prefix for the closed-world KG oracles — a pure-SQL twin
+    of the FULL flagship pipeline: cached transcripts → conversation
+    chunk assignment (exclusive running length // max_chunk_chars) → the
+    RuleExtractor template rules (lazy-regex equivalents of the
+    string-partition fast path, first match in rule order) → name/label/
+    predicate normalization → entity+predicate resolution → canonical
+    rewrite → triple merge.
+
+    Resolution is replicated through the closed world's concept table
+    (embedder_concepts == what the Ray pipeline's HashEmbedder uses):
+    surfaces of one concept embed with cosine ~0.94 >> theta=0.8 and
+    cross-concept pairs ~0.05 << theta by construction, so the union-find
+    merge classes equal concept groups exactly; the representative is the
+    min (first_seen sort_key, key) member, as in
+    kgray.state.unionfind.cluster_representatives.  ``n_convs=2000``
+    pins the driver's sf=0.01 evaluation input (n = max(60, 200000*sf));
+    building the SQL also materializes the transcript cache so the oracle
+    is runnable before the Ray query executes.
+    """
+    from kgray.sources.testdata import embedder_concepts, transcripts_cache_path, world_for
+
+    path = transcripts_cache_path(n_convs)
+    concepts = embedder_concepts(world_for(n_convs))
+    econ, pcon = [], []
+    for surf, c in concepts.items():
+        (pcon if c.startswith("pred:") else econ).append((surf, c))
+    econ_rows = ",\n".join(f"('{_sql_quote(s)}', '{_sql_quote(c)}')" for s, c in econ)
+    pcon_rows = ",\n".join(f"('{_sql_quote(s)}', '{_sql_quote(c)}')" for s, c in pcon)
+    # (order, lazy-regex pattern, normalized pred, subj label, obj label,
+    # temporal slot) — one row per kgray.stages.extract._FAST_RULES entry
+    rules = [
+        (1, r'^(.+?) is no longer a (?:.+?) at (.+?) on (.+?)\.$', 'works_at', 'person', 'organization', 'end'),
+        (2, r'^(.+?) is employed as a (?:.+?) at (.+?) on (.+?)\.$', 'is_employed_at', 'person', 'organization', 'start'),
+        (3, r'^(.+?) is a (?:.+?) at (.+?) on (.+?)\.$', 'works_at', 'person', 'organization', 'start'),
+        (4, r'^(.+?) is the CEO of (.+?) on (.+?)\.$', 'is_ceo_of', 'person', 'organization', 'start'),
+        (5, r'^(.+?) serves as chief executive of (.+?) on (.+?)\.$', 'ceo_of', 'person', 'organization', 'start'),
+        (6, r'^(.+?) acquired (.+?) on (.+?)\.$', 'acquired', 'organization', 'organization', 'start'),
+        (7, r'^(.+?) bought (.+?) on (.+?)\.$', 'bought', 'organization', 'organization', 'start'),
+        (8, r'^(.+?) lives in (.+?)\.$', 'lives_in', 'person', 'city', None),
+        (9, r'^(.+?) resides in (.+?)\.$', 'resides_in', 'person', 'city', None),
+        (10, r'^(.+?) codes in (.+?)\.$', 'codes_in', 'person', 'language', None),
+        (11, r'^(.+?) studies (.+?)\.$', 'studies', 'person', 'animal', None),
+    ]
+    rule_rows = ",\n".join(
+        f"({o}, '{_sql_quote(p)}', '{pr}', '{sl}', '{ol}', "
+        + (f"'{slot}'" if slot else "NULL") + ")"
+        for o, p, pr, sl, ol, slot in rules
+    )
+    return f"""
+t AS (SELECT conv_id, turn_idx, text, ts FROM read_parquet('{path}/*.parquet')),
+conv AS (SELECT conv_id, strftime(min(ts), '%Y-%m-%d') AS obs_date FROM t GROUP BY conv_id),
+lines AS (
+  SELECT t.conv_id, t.turn_idx, t.text, c.obs_date,
+         coalesce(sum(length(t.text) + 1) OVER (PARTITION BY t.conv_id ORDER BY t.turn_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t JOIN conv c USING (conv_id) WHERE t.text <> ''
+),
+chunked AS (SELECT *, CAST(cum // 1600 AS INT) AS chunk_idx FROM lines),
+rules(rule_order, pattern, pred_norm, subj_label, obj_label, slot) AS (VALUES {rule_rows}),
+hits AS (
+  SELECT c.conv_id, c.turn_idx, c.obs_date, c.chunk_idx,
+         r.pred_norm, r.subj_label, r.obj_label, r.slot, r.rule_order,
+         regexp_extract(c.text, r.pattern, 1) AS subj_raw,
+         regexp_extract(c.text, r.pattern, 2) AS obj_raw,
+         regexp_extract(c.text, r.pattern, 3) AS d
+  FROM chunked c JOIN rules r ON regexp_matches(c.text, r.pattern)
+  QUALIFY row_number() OVER (PARTITION BY c.conv_id, c.turn_idx ORDER BY r.rule_order) = 1
+),
+quint AS (
+  SELECT obs_date || '|' || conv_id || '|' || lpad(chunk_idx::VARCHAR, 5, '0') || '|' ||
+         lpad((CAST(row_number() OVER (PARTITION BY conv_id, chunk_idx ORDER BY turn_idx) AS INT) - 1)::VARCHAR, 5, '0') AS sort_key,
+         trim(regexp_replace(lower(subj_raw), '[_"\\-]+', ' ', 'g')) AS subj_name,
+         subj_label,
+         pred_norm AS pred,
+         trim(regexp_replace(lower(obj_raw), '[_"\\-]+', ' ', 'g')) AS obj_name,
+         obj_label, obs_date, slot, d
+  FROM hits
+),
+econ(surface, concept) AS (VALUES {econ_rows}),
+pcon(surface, concept) AS (VALUES {pcon_rows}),
+vocab AS (
+  SELECT name, label, min(sort_key) AS first_seen FROM (
+    SELECT subj_name AS name, subj_label AS label, sort_key FROM quint
+    UNION ALL SELECT obj_name, obj_label, sort_key FROM quint
+  ) GROUP BY name, label
+),
+rep AS (
+  SELECT v.name, v.label,
+         first_value(v.name) OVER w AS canon_name,
+         first_value(v.label) OVER w AS canon_label
+  FROM vocab v LEFT JOIN econ c ON c.surface = v.name
+  WINDOW w AS (PARTITION BY coalesce(c.concept, v.name || chr(31) || v.label)
+               ORDER BY v.first_seen, v.name, v.label)
+),
+canon AS (
+  SELECT name, label, canon_name, canon_label,
+         'e_' || substr(md5(canon_name || '|' || canon_label), 1, 16) AS eid
+  FROM rep
+),
+pvocab AS (SELECT pred, min(sort_key) AS first_seen FROM quint GROUP BY pred),
+prep AS (
+  SELECT p.pred,
+         first_value(p.pred) OVER (PARTITION BY coalesce(c.concept, p.pred)
+                                   ORDER BY p.first_seen, p.pred) AS canon_pred
+  FROM pvocab p LEFT JOIN pcon c ON c.surface = p.pred
+),
+cq AS (
+  SELECT cs.eid AS subj_id, cs.canon_name AS subj_name, cs.canon_label AS subj_label,
+         pr.canon_pred AS pred,
+         co.eid AS obj_id, co.canon_name AS obj_name, co.canon_label AS obj_label,
+         q.obs_date,
+         CASE WHEN q.slot = 'start' AND try_strptime(q.d, '%Y-%m-%d') IS NOT NULL THEN 1 ELSE 0 END AS has_start,
+         CASE WHEN q.slot = 'end' AND try_strptime(q.d, '%Y-%m-%d') IS NOT NULL THEN 1 ELSE 0 END AS has_end
+  FROM quint q
+  JOIN canon cs ON cs.name = q.subj_name AND cs.label = q.subj_label
+  JOIN canon co ON co.name = q.obj_name AND co.label = q.obj_label
+  JOIN prep pr ON pr.pred = q.pred
+),
+merged AS (
+  SELECT subj_name, subj_label, pred, obj_name, obj_label,
+         count(*)::BIGINT AS n_obs,
+         count(DISTINCT obs_date)::BIGINT AS n_dates,
+         sum(has_start)::BIGINT AS n_start,
+         sum(has_end)::BIGINT AS n_end
+  FROM cq GROUP BY subj_id, subj_name, subj_label, pred, obj_id, obj_name, obj_label
+)"""
+
+
 def _knn_lsh_oracle_sql(dim: int = 64, n_planes: int = 6, seed: int = 17, k: int = 10) -> str:
     """DuckDB twin of kgray.ops.similarity.knn_lsh.  The seeded random
     hyperplanes are embedded as full-precision DOUBLE[] literals (repr is
@@ -592,7 +725,29 @@ FROM ranked WHERE rank <= {k}
 
 def oracle_sql() -> dict[str, str]:
     transcripts_cte = f"WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
+    cw = _closed_world_oracle_ctes()
     return {
+        "kg_edges_closed_world": f"""WITH {cw}
+            SELECT subj_name, subj_label, pred, obj_name, obj_label,
+                   n_obs, n_dates, n_start, n_end
+            FROM merged""",
+        "kg_nodes_closed_world": f"""WITH {cw}
+            SELECT DISTINCT eid AS entity_id, canon_name AS name, canon_label AS label,
+                   CASE WHEN regexp_replace(canon_label, '[^A-Za-z0-9_]+', '', 'g') = ''
+                             THEN 'Entity'
+                        WHEN regexp_matches(regexp_replace(canon_label, '[^A-Za-z0-9_]+', '', 'g'), '^[0-9]')
+                             THEN 'L' || regexp_replace(canon_label, '[^A-Za-z0-9_]+', '', 'g')
+                        ELSE regexp_replace(canon_label, '[^A-Za-z0-9_]+', '', 'g')
+                   END AS neo4j_label
+            FROM canon""",
+        "kg_quintuples_closed_world": f"""WITH {cw}
+            SELECT pred, count(*)::BIGINT AS n FROM quint GROUP BY pred""",
+        # incremental(first half) + extend(second half) == one-shot build
+        # (pinned by tests/test_incremental.py), so the one-shot SQL is the
+        # oracle for the incremental query too
+        "kg_incremental_closed_world": f"""WITH {cw}
+            SELECT subj_name, subj_label, pred, obj_name, obj_label, n_dates
+            FROM merged""",
         "kg_triples_events": """
             SELECT 'user ' || CAST(user_id AS VARCHAR) AS subj_name,
                    'user' AS subj_label,
