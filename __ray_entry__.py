@@ -723,6 +723,99 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _knn_ivf_oracle_sql(
+    n_sample: int = 500, n_centroids: int = 16, iters: int = 10,
+    seed: int = 23, nprobe: int = 4, k: int = 10, dim: int = 64,
+) -> str:
+    """DuckDB twin of kgray.ops.similarity.knn_ivf: the sampled spherical
+    k-means quantizer is UNROLLED as ``iters`` chained MATERIALIZED CTE
+    stages (materialization is required — each stage references its
+    predecessor twice, and inlined CTEs would blow up exponentially).
+    Seeded init indices are computed with the same RNG and embedded;
+    assignment ties break by centroid index like np.argmax.  ``n_sample``
+    pins the driver's sf=0.01 corpus (500 rows < the 4096 sample cap, and
+    vec_id equals parquet row order, so the sample filter is vec_id <
+    n_sample).  Per-list candidate ranking is exact after the global
+    reduce, as in the knn_lsh oracle."""
+    rng = np.random.default_rng(seed)
+    init = rng.choice(n_sample, size=n_centroids, replace=False)
+    init_rows = ",".join(f"({cid}, {int(rid)})" for cid, rid in enumerate(init))
+    chain = ""
+    prev = "cent0"
+    for i in range(1, iters + 1):
+        chain += f"""
+asgn{i} AS MATERIALIZED (
+  SELECT rid, u, cid FROM (
+    SELECT s.rid, s.u, c.cid,
+           row_number() OVER (PARTITION BY s.rid
+                              ORDER BY list_dot_product(s.u, c.v) DESC, c.cid) AS rn
+    FROM samp s CROSS JOIN {prev} c) WHERE rn = 1
+),
+sums{i} AS MATERIALIZED (
+  SELECT a.cid, dd.d, sum(a.u[dd.d]) AS sx
+  FROM asgn{i} a CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS d) dd
+  GROUP BY a.cid, dd.d
+),
+newc{i} AS MATERIALIZED (
+  SELECT cid, list(sx ORDER BY d) AS raw FROM sums{i} GROUP BY cid
+),
+cent{i} AS MATERIALIZED (
+  SELECT p.cid,
+         CASE WHEN n.cid IS NOT NULL AND sqrt(list_dot_product(n.raw, n.raw)) > 0
+              THEN list_transform(n.raw, z -> z / sqrt(list_dot_product(n.raw, n.raw)))
+              ELSE p.v END AS v
+  FROM {prev} p LEFT JOIN newc{i} n USING (cid)
+),"""
+        prev = f"cent{i}"
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+unitv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(e, z -> z / (CASE WHEN sqrt(list_dot_product(e, e)) = 0 THEN 1.0
+                                          ELSE sqrt(list_dot_product(e, e)) END)) AS u
+  FROM emb
+),
+samp AS MATERIALIZED (SELECT vec_id AS rid, u FROM unitv WHERE vec_id < {n_sample}),
+init(cid, rid) AS (VALUES {init_rows}),
+cent0 AS MATERIALIZED (SELECT i.cid, s.u AS v FROM init i JOIN samp s USING (rid)),
+{chain}
+vassign AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT uv.vec_id, c.cid,
+           row_number() OVER (PARTITION BY uv.vec_id
+                              ORDER BY list_dot_product(uv.u, c.v) DESC, c.cid) AS rn
+    FROM unitv uv CROSS JOIN {prev} c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 5),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(uq.u, c.v) DESC, c.cid) AS rn
+    FROM q JOIN unitv uq ON uq.vec_id = q.query_id CROSS JOIN {prev} c) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, v.vec_id AS neighbor_id
+  FROM probe p JOIN vassign v ON v.cid = p.cid
+  WHERE v.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(qe.e, ne.e) AS cos_raw
+  FROM cand c JOIN emb qe ON qe.vec_id = c.query_id
+              JOIN emb ne ON ne.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     transcripts_cte = f"WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
     cw = _closed_world_oracle_ctes()
@@ -895,6 +988,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_minhash_dedup": _minhash_oracle_sql(),
         "knn_lsh": _knn_lsh_oracle_sql(),
+        "knn_ivf": _knn_ivf_oracle_sql(),
         # SimHash is fully SQL-reproducible because SimHasher's token hash
         # is md5-lower-64 == DuckDB md5_number_lower (kgray/ops/dedup.py).
         # Pipeline mirrored: distinct tokens → 64-bit bit-vote signature →
