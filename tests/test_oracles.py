@@ -1,0 +1,61 @@
+"""Pin the scale-factor-independent DuckDB SQL oracles against their Ray
+pipelines at sf0.001 (the driver's own gate runs at sf0.01; this keeps the
+oracle SQL honest in CI at the cheap scale).
+
+The closed-world KG oracles are NOT exercised here: their SQL pins the
+driver's sf0.01 transcript cache by construction (see
+__ray_entry__._closed_world_oracle_ctes) — they are covered by
+tools/check_correctness.py and the driver gate.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].astype("float64").round(6)
+        else:
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _compare(query: str):
+    import __ray_entry__ as m
+
+    mine = m.queries()[query](SF)
+    if hasattr(mine, "to_pandas"):
+        mine = mine.to_pandas()
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    oracle = con.sql(m.oracle_sql()[query]).df()
+    pd.testing.assert_frame_equal(_canon(mine), _canon(oracle))
+
+
+# knn_ivf is excluded like the closed-world oracles: its SQL embeds the
+# seeded k-means init indices drawn for the driver's 500-row sf0.01 sample
+@pytest.mark.parametrize("query", ["doc_simhash_pairs", "doc_minhash_dedup", "knn_lsh"])
+def test_sql_oracle_matches_ray(query):
+    _compare(query)
+
+
+def test_md5_u64_matches_duckdb():
+    """The token/shingle hash used by MinHasher and SimHasher equals
+    DuckDB's md5_number_lower — the invariant every dedup oracle rests on."""
+    from kgray.ops.dedup import _md5_u64_np
+
+    strs = ["", "hello", "a b c", "quick brown fox", "ünïcödé"]
+    got = _md5_u64_np(strs)
+    exp = duckdb.sql(
+        "SELECT " + ", ".join(f"md5_number_lower('{s}')" for s in strs)
+    ).fetchone()
+    assert [int(g) for g in got] == [int(e) for e in exp]
