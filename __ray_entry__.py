@@ -184,6 +184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_simhash_pairs"] = lambda sf: dd.simhash_near_dup_pairs(
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     )
+    q["doc_ngram_jaccard"] = lambda sf: dd.ngram_jaccard_pairs(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    )
     q["embedding_near_dup"] = _q_embedding_near_dup
 
     # --- similarity search ----------------------------------------------
@@ -451,16 +454,19 @@ def _wrapmul_sql(x: str, c: int) -> str:
     )
 
 
-def _minhash_oracle_sql() -> str:
-    """DuckDB twin of kgray.ops.dedup.minhash_lsh_dedup, stage for stage:
+def _minhash_ctes(est_having: str) -> str:
+    """DuckDB twin of kgray.ops.dedup._minhash_mapping, stage for stage:
     3-token shingles → md5-lower-64 shingle hash (== md5_number_lower) →
     63-perm universal minhash (the seeded permutation constants are read
     off a MinHasher instance and embedded as a VALUES table) → 21-band
     splitmix64 bucket ids (wrap-around multiplies emulated in HUGEINT) →
     per-bucket pair generation with the doc_id-ordered 200 cap →
-    estimated-Jaccard >= 0.5 filter (2*matches >= 63, exact in integers) →
-    connected components via a recursive label-propagation CTE with the
-    min doc_id as canonical representative."""
+    estimated-Jaccard filter (``est_having`` — integer form of the
+    matching-slots threshold, exact) → connected components via a
+    recursive label-propagation CTE with the min doc_id as canonical
+    representative (CTE ``roots``).  Shared by the doc_minhash_dedup
+    (threshold 0.5) and doc_ngram_jaccard (LSH propose at 0.3, exact
+    shingle-set Jaccard disposes) oracles."""
     from kgray.ops.dedup import MinHasher
 
     mh = MinHasher()
@@ -525,7 +531,7 @@ good AS (
   FROM cand c JOIN sig sa ON sa.doc_id = c.a
               JOIN sig sb ON sb.doc_id = c.b AND sb.p = sa.p
   GROUP BY c.a, c.b
-  HAVING 2 * sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) >= 63
+  HAVING {est_having}
 ),
 sym AS (SELECT a, b FROM good UNION SELECT b AS a, a AS b FROM good),
 reach AS (
@@ -533,10 +539,50 @@ reach AS (
   UNION
   SELECT reach.doc_id, sym.b AS r FROM reach JOIN sym ON sym.a = reach.r
 ),
-roots AS (SELECT doc_id, least(min(r), doc_id) AS root FROM reach GROUP BY doc_id)
+roots AS (SELECT doc_id, least(min(r), doc_id) AS root FROM reach GROUP BY doc_id)"""
+
+
+def _minhash_oracle_sql() -> str:
+    # threshold 0.5: k/63 >= 0.5  <=>  2k >= 63
+    return (
+        _minhash_ctes("2 * sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) >= 63")
+        + """
 SELECT d.doc_id, coalesce(r.root, d.doc_id) AS canonical_id
 FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id
 """
+    )
+
+
+def _ngram_jaccard_oracle_sql() -> str:
+    """DuckDB twin of kgray.ops.dedup.ngram_jaccard_pairs: MinHash-LSH
+    proposes candidate (canonical, member) pairs at estimated threshold 0.3
+    (k/63 >= 0.3 <=> 10k >= 189), exact DISTINCT-shingle-hash Jaccard
+    disposes at >= 0.5 (compared UNROUNDED, like the Python op), output
+    rounded half-away to 6 — matching the op's explicit half-away
+    rounding."""
+    return (
+        _minhash_ctes("10 * sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) >= 189")
+        + """,
+jpairs AS (SELECT root AS a, doc_id AS b FROM roots WHERE root <> doc_id),
+sh_dist AS (SELECT DISTINCT doc_id, h FROM shh),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh_dist GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, count(*) AS ni
+  FROM jpairs p JOIN sh_dist x ON x.doc_id = p.a
+                JOIN sh_dist y ON y.doc_id = p.b AND y.h = x.h
+  GROUP BY p.a, p.b
+),
+jac AS (
+  SELECT p.a, p.b,
+         coalesce(i.ni, 0)::DOUBLE
+           / greatest(1, sa.nsh + sb.nsh - coalesce(i.ni, 0)) AS j
+  FROM jpairs p JOIN sizes sa ON sa.doc_id = p.a
+                JOIN sizes sb ON sb.doc_id = p.b
+  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+)
+SELECT a, b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.5
+"""
+    )
 
 
 def _sql_quote(s: str) -> str:
@@ -987,6 +1033,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "doc_minhash_dedup": _minhash_oracle_sql(),
+        "doc_ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "knn_lsh": _knn_lsh_oracle_sql(),
         "knn_ivf": _knn_ivf_oracle_sql(),
         # SimHash is fully SQL-reproducible because SimHasher's token hash

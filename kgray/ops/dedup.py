@@ -385,7 +385,11 @@ def ngram_jaccard_pairs(
         sa, sb = shingles[int(a)], shingles[int(b)]
         j = len(sa & sb) / max(1, len(sa | sb))
         if j >= threshold:
-            rows.append((min(int(a), int(b)), max(int(a), int(b)), round(j, 6)))
+            # half-AWAY-from-zero rounding so the SQL oracle's round()
+            # agrees bit-for-bit (numpy/python round is half-even; exact
+            # .5 ties arise whenever the union size is a power of two)
+            j6 = np.floor(j * 1e6 + 0.5) / 1e6
+            rows.append((min(int(a), int(b)), max(int(a), int(b)), j6))
     return pd.DataFrame(rows, columns=["a", "b", "jaccard"]).drop_duplicates(["a", "b"]).reset_index(drop=True)
 
 

@@ -43,7 +43,10 @@ def _compare(query: str):
 
 # knn_ivf is excluded like the closed-world oracles: its SQL embeds the
 # seeded k-means init indices drawn for the driver's 500-row sf0.01 sample
-@pytest.mark.parametrize("query", ["doc_simhash_pairs", "doc_minhash_dedup", "knn_lsh"])
+@pytest.mark.parametrize(
+    "query",
+    ["doc_simhash_pairs", "doc_minhash_dedup", "doc_ngram_jaccard", "knn_lsh"],
+)
 def test_sql_oracle_matches_ray(query):
     _compare(query)
 
