@@ -114,6 +114,7 @@ def build_kg(
     extractor_kwargs: dict | None = None,
     existing_store: str | None = None,
     chunks: ray.data.Dataset | None = None,
+    quintuples: ray.data.Dataset | None = None,
 ) -> KGBuildResult:
     """Fresh or incremental KG build.
 
@@ -122,6 +123,10 @@ def build_kg(
     candidate sets (existing canonicals always win, mirroring the
     reference's existing-KG merge, atom.py:196-208) and its edges re-enter
     the triple merge so time/provenance lists extend.
+
+    ``quintuples``: an already-extracted (e.g. checkpointed) normalized
+    quintuple stream — skips extraction entirely; this is the resume path
+    ``python -m kgray --checkpoint-dir`` uses.
     """
     if embedder_factory is None:
         from kgray.stages.embed import HashEmbedder
@@ -134,7 +139,10 @@ def build_kg(
 
         store = load_store(existing_store)
 
-    quintuples = extract_quintuples(transcripts, cfg, extractor_cls, extractor_kwargs, chunks=chunks)
+    if quintuples is None:
+        quintuples = extract_quintuples(
+            transcripts, cfg, extractor_cls, extractor_kwargs, chunks=chunks
+        )
     # The quintuple stream feeds three consumers (entity resolution,
     # predicate resolution, final rewrite); materialize once — it is the
     # collapsed fact stream, orders of magnitude smaller than the input,

@@ -47,8 +47,10 @@ def _load_manifest(work_dir: str) -> dict:
     path = os.path.join(work_dir, MANIFEST)
     if os.path.exists(path):
         with open(path) as f:
-            return json.load(f)
-    return {"input_fingerprint": None, "partitions": {}}
+            m = json.load(f)
+        m.setdefault("runs", [])
+        return m
+    return {"input_fingerprint": None, "partitions": {}, "runs": []}
 
 
 def _save_manifest(work_dir: str, manifest: dict) -> None:
@@ -82,13 +84,16 @@ def extract_with_checkpoints(
     manifest = _load_manifest(work_dir)
     if manifest["input_fingerprint"] != fp:
         # input changed → previous checkpoints are void
-        manifest = {"input_fingerprint": fp, "partitions": {}}
+        manifest = {"input_fingerprint": fp, "partitions": {}, "runs": []}
         shutil.rmtree(out_dir, ignore_errors=True)
 
     done = {int(k) for k in manifest["partitions"]}
     todo = sorted(set(range(num_partitions)) - done)
 
     if todo:
+        import time
+
+        run_t0 = time.perf_counter()
         # wipe partial leftovers of unfinished partitions (idempotent redo)
         for pid in todo:
             shutil.rmtree(os.path.join(out_dir, f"partition_id={pid}"), ignore_errors=True)
@@ -132,6 +137,14 @@ def extract_with_checkpoints(
                 "input_fingerprint": fp,
                 "stage": "extract",
             }
+        # per-run metrics next to the per-partition lineage
+        manifest["runs"].append(
+            {
+                "partitions_completed": todo,
+                "rows": sum(manifest["partitions"][str(p)]["rows"] for p in todo),
+                "wall_sec": round(time.perf_counter() - run_t0, 3),
+            }
+        )
         _save_manifest(work_dir, manifest)
 
     return ray.data.read_parquet(out_dir)
