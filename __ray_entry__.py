@@ -460,7 +460,8 @@ def _minhash_ctes(est_having: str) -> str:
     63-perm universal minhash (the seeded permutation constants are read
     off a MinHasher instance and embedded as a VALUES table) → 21-band
     splitmix64 bucket ids (wrap-around multiplies emulated in HUGEINT) →
-    per-bucket pair generation with the doc_id-ordered 200 cap →
+    per-bucket pair generation (all pairs ≤200 members, star-link to the
+    bucket min above — the skew rule) →
     estimated-Jaccard filter (``est_having`` — integer form of the
     matching-slots threshold, exact) → connected components via a
     recursive label-propagation CTE with the min doc_id as canonical
@@ -518,13 +519,22 @@ b0 AS (
   JOIN sig s1 ON s1.doc_id = s0.doc_id AND s1.p = bd.band * 3 + 1
   JOIN sig s2 ON s2.doc_id = s0.doc_id AND s2.p = bd.band * 3 + 2
 ),
-{chain}cap AS (
-  SELECT doc_id, x AS bucket FROM {prev}
-  QUALIFY row_number() OVER (PARTITION BY x ORDER BY doc_id) <= 200
+{chain}ranked AS (
+  SELECT doc_id, x AS bucket,
+         count(*) OVER (PARTITION BY x) AS cnt,
+         min(doc_id) OVER (PARTITION BY x) AS bmin
+  FROM {prev}
 ),
 cand AS (
+  -- buckets <= 200: all pairs; giant buckets: star-link to the bucket
+  -- min (mirrors pairs_in_super's skew rule — no member dropped)
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM cap x JOIN cap y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+  FROM ranked x JOIN ranked y
+    ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+  WHERE x.cnt <= 200
+  UNION
+  SELECT DISTINCT bmin AS a, doc_id AS b
+  FROM ranked WHERE cnt > 200 AND doc_id <> bmin
 ),
 good AS (
   SELECT c.a, c.b

@@ -199,9 +199,18 @@ def _minhash_mapping(
             return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
         frames = []
         for _, grp in g.groupby("bucket", sort=False):
-            ids = np.sort(grp["doc_id"].to_numpy())[:max_bucket]
-            ai, bi = np.triu_indices(len(ids), k=1)
-            frames.append(pd.DataFrame({"a": ids[ai], "b": ids[bi]}))
+            ids = np.sort(grp["doc_id"].to_numpy())
+            if len(ids) > max_bucket:
+                # giant bucket (pathological duplicate cluster — e.g.
+                # boilerplate repeated millions of times): star-link every
+                # member to the bucket min instead of truncating. O(n)
+                # pairs, identical union-find connectivity, and each pair
+                # still passes the estimated-Jaccard verify — no member is
+                # silently dropped under skew.
+                frames.append(pd.DataFrame({"a": ids[0], "b": ids[1:]}))
+            else:
+                ai, bi = np.triu_indices(len(ids), k=1)
+                frames.append(pd.DataFrame({"a": ids[ai], "b": ids[bi]}))
         return pd.concat(frames, ignore_index=True)
 
     pairs = (
