@@ -208,7 +208,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_daily"] = rel.events_daily
     q["top_parts"] = rel.top_parts
     q["user_sessions"] = rel.user_sessions
+
+    # --- temporal joins / windows (kgray/ops/temporal.py) ----------------
+    q["events_windowed_6h"] = _q_events_windowed
+    q["events_asof_attribution"] = _q_events_asof
+    q["events_error_burst"] = _q_events_burst
     return q
+
+
+def _q_events_windowed(sf_dir: str) -> pd.DataFrame:
+    """Parametric tumbling window (6 h — NOT a calendar unit, so plain
+    date_trunc can't express it): per (event_type, window) count + sum."""
+    from kgray.ops.temporal import windowed_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    return windowed_aggregate(ds, window_seconds=21600)
+
+
+def _events_of_type(sf_dir: str, etype: str, columns: list[str]) -> ray.data.Dataset:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["event_type"], etype)).drop_columns(["event_type"])
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=columns + ["event_type"]
+    ).map_batches(keep, batch_format="pyarrow")
+
+
+def _q_events_asof(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each purchase event picks the user's most recent
+    click at-or-before it (last-touch attribution).  Nulls (no prior
+    click) are sentinel-coded identically on both sides so the value
+    hash is stable."""
+    from kgray.ops.temporal import asof_join
+
+    purchases = _events_of_type(sf_dir, "purchase", ["event_id", "user_id", "ts", "value"])
+    clicks = _events_of_type(sf_dir, "click", ["event_id", "user_id", "ts", "value"])
+    out = asof_join(purchases, clicks).to_pandas().sort_values("event_id")
+    for c in ("ts", "prior_ts"):
+        out[c] = out[c].dt.strftime("%Y-%m-%d %H:%M:%S.%f").fillna("")
+    out["value"] = out["value"].astype(float).round(4)
+    out["prior_value"] = out["prior_value"].astype(float).round(4).fillna(-1.0)
+    return out.reset_index(drop=True)
+
+
+def _q_events_burst(sf_dir: str) -> pd.DataFrame:
+    """Non-equi range join: per signup event, the number of error events
+    in the following hour (no equality key — pure interval predicate)."""
+    from kgray.ops.temporal import range_join_count
+
+    signups = _events_of_type(sf_dir, "signup", ["event_id", "ts"])
+    errors = _events_of_type(sf_dir, "error", ["ts"])
+    return range_join_count(signups, errors, window_seconds=3600, out_col="n_errors")
 
 
 def _q_kg_incremental(sf_dir: str) -> pd.DataFrame:
@@ -1158,5 +1211,43 @@ def oracle_sql() -> dict[str, str]:
                                  OR ts - prev_ts > INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM ordered GROUP BY user_id
+        """,
+        # 6-hour tumbling window: epoch floor-division (make_timestamp keeps
+        # the result a naive TIMESTAMP, matching the parquet column)
+        "events_windowed_6h": """
+            SELECT event_type,
+                   strftime(make_timestamp(
+                       CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 * 1000000),
+                       '%Y-%m-%d %H:%M:%S') AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        # clicks deduped per (user, ts) keeping max value — makes the as-of
+        # pick deterministic under timestamp ties on both backends
+        "events_asof_attribution": """
+            WITH p AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase'
+            ),
+            c AS (
+              SELECT user_id, ts, max(value) AS prior_value FROM events
+              WHERE event_type = 'click' GROUP BY 1, 2
+            )
+            SELECT p.event_id, p.user_id,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   round(p.value, 4) AS value,
+                   coalesce(strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f'), '') AS prior_ts,
+                   coalesce(round(c.prior_value, 4), -1.0) AS prior_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND c.ts <= p.ts
+        """,
+        "events_error_burst": """
+            WITH s AS (SELECT event_id, ts FROM events WHERE event_type = 'signup'),
+                 e AS (SELECT ts FROM events WHERE event_type = 'error')
+            SELECT s.event_id, count(e.ts) AS n_errors
+            FROM s LEFT JOIN e
+              ON e.ts >= s.ts AND e.ts < s.ts + INTERVAL 1 HOUR
+            GROUP BY s.event_id
         """,
     }

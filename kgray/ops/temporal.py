@@ -1,0 +1,230 @@
+"""Temporal operators Ray Data lacks natively: parametric tumbling-window
+aggregation, keyed as-of joins, and non-equi range (interval) joins.
+
+These are the stream-shaped operators a large training-data pipeline needs
+beyond plain groupby/sort (event attribution, burst detection, time-bucket
+rollups).  Each is expressed Ray-Data-first — ``map_batches`` partials plus
+at most one bucketed ``groupby`` shuffle — with its partitioning assumption
+documented on the function.  No stage materializes an input-sized stream on
+the driver: what crosses the wire is per-window partials, per-key bucket
+rows, or per-bin partial counts.
+
+The reference engine has no temporal-join layer (its only temporal work is
+per-fact date parsing, itext2kg/atom/models/schemas.py); these operators
+extend the engine the same way ops/dedup.py extends it past the
+reference's exact-match canonicalization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_US = 1_000_000
+
+
+def windowed_aggregate(
+    ds: ray.data.Dataset,
+    window_seconds: int,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> pd.DataFrame:
+    """Tumbling-window aggregate: per (keys…, window_start) row count and
+    value sum, for an arbitrary window width (not just calendar units).
+
+    Scale shape: the window id is int64 floor-division on the raw
+    timestamp storage (no Python datetime objects), the per-batch partial
+    is an Arrow ``group_by`` (zero-copy from the object store), and only
+    the tiny (keys × windows) partial stream reaches the driver combine —
+    the input never shuffles.  Assumes timestamps ≥ epoch (integer
+    division == floor for non-negative values).
+    """
+    w_us = int(window_seconds) * _US
+    keys = list(key_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        # normalize the storage unit before viewing as int64 (parquet is
+        # timestamp[us]; in-memory pandas blocks arrive as timestamp[ns])
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        win = pc.multiply(pc.divide(us, pa.scalar(w_us, pa.int64())), pa.scalar(w_us, pa.int64()))
+        cols = {k: t[k] for k in keys}
+        cols["win_us"] = win
+        cols[value_col] = t[value_col]
+        return (
+            pa.table(cols)
+            .group_by(keys + ["win_us"])
+            .aggregate([(value_col, "sum"), (value_col, "count")])
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        partials.groupby(keys + ["win_us"], sort=False)[[f"{value_col}_sum", f"{value_col}_count"]]
+        .sum()
+        .reset_index()
+    )
+    out["window_start"] = pd.to_datetime(out["win_us"], unit="us").dt.strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    out = out.rename(columns={f"{value_col}_sum": "sum_value", f"{value_col}_count": "n_events"})
+    out["sum_value"] = out["sum_value"].astype(float).round(4)
+    out["n_events"] = out["n_events"].astype("int64")
+    return (
+        out[keys + ["window_start", "n_events", "sum_value"]]
+        .sort_values(keys + ["window_start"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    left_id: str = "event_id",
+    value_col: str = "value",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Keyed as-of join: each left row picks the most recent right row of
+    the same ``by`` key with ``right.ts <= left.ts`` (backward direction,
+    exact matches allowed), yielding ``prior_ts`` / ``prior_value``
+    columns; lefts with no prior right keep nulls.
+
+    Scale shape: both sides are tagged and hash-bucketed on ``by`` inside
+    ``map_batches``; ONE ``groupby(bucket)`` shuffle co-locates every
+    key's rows; each bucket runs a single vectorized
+    ``pandas.merge_asof`` over its sorted rows.  Partitioning assumption:
+    one key's rows land in one group — per-key volume is the skew bound,
+    inherent to any keyed as-of join (raise ``num_buckets`` to spread
+    distinct keys, not a hot key).  Right rows are deduped per (key, ts)
+    keeping the max value so timestamp ties resolve deterministically on
+    every backend.
+    """
+
+    def tag(side: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "bucket": (b[by] % num_buckets).astype("int32"),
+                    by: b[by].astype("int64"),
+                    ts_col: b[ts_col],
+                    "side": np.int8(side),
+                    left_id: (b[left_id] if side == 0 else 0 * b[by]).astype("int64"),
+                    value_col: b[value_col].astype(float),
+                }
+            )
+
+        return f
+
+    tagged = left.map_batches(tag(0), batch_format="pandas").union(
+        right.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0].sort_values(ts_col, kind="mergesort")
+        r = (
+            g[g["side"] == 1]
+            .groupby([by, ts_col], sort=False)[value_col]
+            .max()
+            .reset_index()
+        )
+        r["prior_ts"] = r[ts_col]
+        r = r.rename(columns={value_col: "prior_value"}).sort_values(ts_col, kind="mergesort")
+        m = pd.merge_asof(
+            l[[left_id, by, ts_col, value_col]],
+            r,
+            on=ts_col,
+            by=by,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return m[[left_id, by, ts_col, value_col, "prior_ts", "prior_value"]]
+
+    return tagged.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def range_join_count(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    window_seconds: int,
+    left_id: str = "event_id",
+    ts_col: str = "ts",
+    out_col: str = "n_matches",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Non-equi range join (count flavor): for every left row, the number
+    of right rows with ``ts`` in ``[left.ts, left.ts + window)``.  Lefts
+    with zero matches are kept (left-join semantics).
+
+    There is no equality key, so the all-to-all is bounded by BINNING
+    time into window-sized buckets: a right row lands in exactly one bin,
+    a left interval overlaps exactly two adjacent bins, and matching runs
+    inside ``groupby(bin)`` as a sorted ``searchsorted`` — O(n log n) per
+    bin, never a cross product.  Per-bin partial counts (≤ 2 rows per
+    left) combine in a second bucketed groupby on the left id.
+    Partitioning assumption: event time is roughly uniform at bin
+    granularity; a bin holding a pathological share of the stream
+    concentrates in one group (subdivide bins / salt if that arises).
+    """
+    w_us = int(window_seconds) * _US
+
+    def left_bins(t: pa.Table) -> pa.Table:
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = t[left_id].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b0 = us // w_us
+        return pa.table(
+            {
+                "bin": np.concatenate([b0, b0 + 1]),
+                left_id: np.concatenate([ids, ids]),
+                "start_us": np.concatenate([us, us]),
+                "side": np.zeros(2 * len(us), dtype=np.int8),
+            }
+        )
+
+    def right_bins(t: pa.Table) -> pa.Table:
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bin": us // w_us,
+                left_id: np.zeros(len(us), dtype=np.int64),
+                "start_us": us,
+                "side": np.ones(len(us), dtype=np.int8),
+            }
+        )
+
+    tagged = left.map_batches(left_bins, batch_format="pyarrow").union(
+        right.map_batches(right_bins, batch_format="pyarrow")
+    )
+
+    def per_bin(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0]
+        rs = np.sort(g.loc[g["side"] == 1, "start_us"].to_numpy())
+        starts = l["start_us"].to_numpy()
+        cnt = np.searchsorted(rs, starts + w_us, side="left") - np.searchsorted(
+            rs, starts, side="left"
+        )
+        return pd.DataFrame(
+            {
+                "ebucket": (l[left_id] % num_buckets).astype("int32"),
+                left_id: l[left_id].astype("int64"),
+                out_col: cnt.astype("int64"),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(left_id, sort=False)[out_col].sum().reset_index()
+        out[out_col] = out[out_col].astype("int64")
+        return out
+
+    return (
+        tagged.groupby("bin")
+        .map_groups(per_bin, batch_format="pandas")
+        .groupby("ebucket")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+        .sort_values(left_id, kind="mergesort")
+        .reset_index(drop=True)
+    )

@@ -35,7 +35,7 @@ def _compare(query: str):
     if hasattr(mine, "to_pandas"):
         mine = mine.to_pandas()
     con = duckdb.connect()
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "events"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     oracle = con.sql(m.oracle_sql()[query]).df()
     pd.testing.assert_frame_equal(_canon(mine), _canon(oracle))
@@ -45,7 +45,15 @@ def _compare(query: str):
 # seeded k-means init indices drawn for the driver's 500-row sf0.01 sample
 @pytest.mark.parametrize(
     "query",
-    ["doc_simhash_pairs", "doc_minhash_dedup", "doc_ngram_jaccard", "knn_lsh"],
+    [
+        "doc_simhash_pairs",
+        "doc_minhash_dedup",
+        "doc_ngram_jaccard",
+        "knn_lsh",
+        "events_windowed_6h",
+        "events_asof_attribution",
+        "events_error_burst",
+    ],
 )
 def test_sql_oracle_matches_ray(query):
     _compare(query)

@@ -1,0 +1,123 @@
+"""Edge-case semantics of the temporal operators (kgray/ops/temporal.py):
+window boundary exclusivity, as-of tie handling and missing-prior rows,
+zero-match lefts under left-join semantics. The full value check against
+DuckDB (ASOF JOIN / interval join / epoch windows) lives in
+tests/test_oracles.py."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from kgray.ops.temporal import asof_join, range_join_count, windowed_aggregate
+
+
+def _ts(*specs):
+    return pd.to_datetime(list(specs), format="ISO8601")
+
+
+def test_windowed_aggregate_boundaries(ray_session):
+    # window = 60 s; an event exactly on the boundary opens the next window
+    df = pd.DataFrame(
+        {
+            "event_type": ["a", "a", "a", "b"],
+            "ts": _ts(
+                "2024-01-01 00:00:30",
+                "2024-01-01 00:00:59.999999",
+                "2024-01-01 00:01:00",
+                "2024-01-01 00:00:10",
+            ),
+            "value": [1.0, 2.0, 4.0, 8.0],
+        }
+    )
+    out = windowed_aggregate(ray.data.from_pandas(df), window_seconds=60)
+    got = {
+        (r.event_type, r.window_start): (r.n_events, r.sum_value)
+        for r in out.itertuples()
+    }
+    assert got[("a", "2024-01-01 00:00:00")] == (2, 3.0)
+    assert got[("a", "2024-01-01 00:01:00")] == (1, 4.0)
+    assert got[("b", "2024-01-01 00:00:00")] == (1, 8.0)
+
+
+def test_asof_join_semantics(ray_session):
+    left = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [7, 7, 9],
+            "ts": _ts("2024-01-01 10:00", "2024-01-01 08:00", "2024-01-01 10:00"),
+            "value": [10.0, 20.0, 30.0],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "event_id": [0, 0, 0, 0],
+            "user_id": [7, 7, 7, 8],
+            # two clicks at the SAME (user, ts): max value (5.0) must win
+            "ts": _ts(
+                "2024-01-01 09:00", "2024-01-01 09:00", "2024-01-01 09:30", "2024-01-01 09:45"
+            ),
+            "value": [3.0, 5.0, 4.0, 99.0],
+        }
+    )
+    out = (
+        asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right))
+        .to_pandas()
+        .set_index("event_id")
+    )
+    # event 1: latest prior click for user 7 is 09:30 → 4.0
+    assert out.loc[1, "prior_value"] == 4.0
+    assert out.loc[1, "prior_ts"] == pd.Timestamp("2024-01-01 09:30")
+    # event 2: 08:00 precedes every click → nulls
+    assert pd.isna(out.loc[2, "prior_value"]) and pd.isna(out.loc[2, "prior_ts"])
+    # event 3: user 9 never clicked (user 8's click must not leak across keys)
+    assert pd.isna(out.loc[3, "prior_value"])
+
+
+def test_asof_join_exact_tie_prefers_max_value(ray_session):
+    left = pd.DataFrame(
+        {"event_id": [1], "user_id": [5], "ts": _ts("2024-01-01 12:00"), "value": [1.0]}
+    )
+    right = pd.DataFrame(
+        {
+            "event_id": [0, 0],
+            "user_id": [5, 5],
+            "ts": _ts("2024-01-01 12:00", "2024-01-01 12:00"),  # exact match allowed
+            "value": [2.0, 6.0],
+        }
+    )
+    out = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right)).to_pandas()
+    assert out.loc[0, "prior_value"] == 6.0
+
+
+def test_range_join_count_window_exclusive(ray_session):
+    left = pd.DataFrame(
+        {"event_id": [1, 2], "ts": _ts("2024-01-01 00:00:00", "2024-01-05 00:00:00")}
+    )
+    right = pd.DataFrame(
+        {
+            "ts": _ts(
+                "2024-01-01 00:00:00",  # inclusive start
+                "2024-01-01 00:59:59",  # inside
+                "2024-01-01 01:00:00",  # exclusive end — NOT counted
+                "2023-12-31 23:59:59",  # before — not counted
+            )
+        }
+    )
+    out = range_join_count(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), window_seconds=3600
+    ).set_index("event_id")
+    assert out.loc[1, "n_matches"] == 2
+    # left-join semantics: a left with zero matches is kept at 0
+    assert out.loc[2, "n_matches"] == 0
+
+
+def test_range_join_counts_across_bin_boundary(ray_session):
+    # left interval straddles two hour bins; rights in BOTH bins count once
+    left = pd.DataFrame({"event_id": [1], "ts": _ts("2024-01-01 00:30:00")})
+    right = pd.DataFrame(
+        {"ts": _ts("2024-01-01 00:45:00", "2024-01-01 01:15:00", "2024-01-01 01:45:00")}
+    )
+    out = range_join_count(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), window_seconds=3600
+    )
+    assert out.loc[0, "n_matches"] == 2  # 00:45 and 01:15; 01:45 is past 01:30
