@@ -213,7 +213,102 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_windowed_6h"] = _q_events_windowed
     q["events_asof_attribution"] = _q_events_asof
     q["events_error_burst"] = _q_events_burst
+
+    # --- window functions (kgray/ops/window.py) --------------------------
+    q["events_user_running"] = _q_events_user_running
+    q["top_docs_per_lang"] = _q_top_docs_per_lang
+
+    # --- corpus curation (kgray/ops/curation.py) -------------------------
+    q["doc_contamination"] = _q_doc_contamination
+    q["doc_stratified_sample"] = _q_doc_stratified_sample
+    q["doc_repetition"] = _q_doc_repetition
     return q
+
+
+def _q_events_user_running(sf_dir: str) -> pd.DataFrame:
+    """Per-user ordered window functions (row_number / lag / running sum)
+    — Ray Data has no window API; kgray.ops.window.keyed_window pays one
+    key shuffle then runs vectorized per-bucket kernels.  Values are
+    integer cents so the running sum is exact on both engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kgray.ops.window import keyed_window
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64())
+        return pa.table(
+            {"event_id": t["event_id"], "user_id": t["user_id"], "ts": t["ts"], "cents": c}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).map_batches(cents, batch_format="pyarrow")
+    out = keyed_window(ds, key="user_id", order_cols=("ts", "event_id"), value_col="cents")
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    df["prev_cents"] = df["prev_cents"].fillna(-1).astype("int64")
+    df["run_cents"] = df["run_cents"].astype("int64")
+    return df[["event_id", "user_id", "rn", "prev_cents", "run_cents"]]
+
+
+def _q_top_docs_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Top-3 longest documents per language (partial top-k combiner before
+    the shuffle — row_number() OVER (PARTITION BY ...) <= k without a
+    window engine).  Reads only the 3 needed columns."""
+    from kgray.ops.window import top_k_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return top_k_per_group(ds, key="lang", value_col="n_chars", id_col="doc_id", k=3)
+
+
+def _q_doc_contamination(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: docs with doc_id % 97 == 0 play the
+    held-out benchmark; every other doc reports its distinct-5-gram
+    overlap with that set (broadcast join — the corpus never shuffles)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kgray.ops.curation import benchmark_gram_set, ngram_contamination
+
+    def side(is_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            # numpy modulo: pyarrow.compute has no mod kernel in this version
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+            return t.filter(pa.array(m if is_bench else ~m))
+
+        return f
+
+    read = lambda: ray.data.read_parquet(  # noqa: E731
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    bench_ref = benchmark_gram_set(read().map_batches(side(True), batch_format="pyarrow"), n=5)
+    out = ngram_contamination(
+        read().map_batches(side(False), batch_format="pyarrow"), bench_ref, n=5
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sample: per-language keep rates on a
+    content hash (md5-lower-64 == DuckDB md5_number_lower), no shuffle,
+    reproducible across runs and cluster sizes."""
+    from kgray.ops.curation import stratified_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    out = stratified_sample(ds, rates={"en": 50, "zh": 25, "es": 40}, default_pct=10)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition features: per document, total bigrams, the
+    top bigram's count, and its share — all offset-arithmetic Arrow/numpy,
+    no Python loop over rows."""
+    from kgray.ops.curation import repetition_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_stats(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_events_windowed(sf_dir: str) -> pd.DataFrame:
@@ -1249,5 +1344,60 @@ def oracle_sql() -> dict[str, str]:
             FROM s LEFT JOIN e
               ON e.ts >= s.ts AND e.ts < s.ts + INTERVAL 1 HOUR
             GROUP BY s.event_id
+        """,
+        # integer cents make the running sum exact on both engines; the
+        # (ts, event_id) order key is unique so every window is deterministic
+        "events_user_running": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   row_number() OVER w AS rn,
+                   coalesce(lag(cents) OVER w, -1) AS prev_cents,
+                   CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "top_docs_per_lang": """
+            SELECT doc_id, lang, n_chars, "rank" FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS "rank"
+              FROM documents)
+            WHERE "rank" <= 3
+        """,
+        # token 5-grams via list slicing: i runs to len(t)-4 so t[i:i+4]
+        # (1-based inclusive slice = 5 tokens) never crosses the doc end
+        "doc_contamination": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks),
+            grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g FROM pos),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            corpus AS (SELECT * FROM grams WHERE doc_id % 97 <> 0)
+            SELECT c.doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                   bool_or(b.g IS NOT NULL) AS contaminated
+            FROM corpus c LEFT JOIN bench b USING (g)
+            GROUP BY c.doc_id
+        """,
+        "doc_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 <
+                  CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 25
+                            WHEN 'es' THEN 40 ELSE 10 END
+        """,
+        "doc_repetition": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            pos AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+            grams AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g FROM pos),
+            cnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   CAST(max(c) AS BIGINT) AS max_bigram,
+                   round(max(c) * 1.0 / sum(c), 6) AS top_bigram_share
+            FROM cnt GROUP BY doc_id
         """,
     }

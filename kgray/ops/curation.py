@@ -1,0 +1,195 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination (n-gram overlap), deterministic stratified sampling, and
+Gopher-style repetition statistics.
+
+Scale shapes
+------------
+* ``ngram_contamination`` is a BROADCAST join: the benchmark side (eval
+  sets — MBs) is reduced to a sorted uint64 gram-hash array, ``ray.put``
+  once, and probed per corpus batch with ``searchsorted``; the corpus (the
+  TB side) streams through ``map_batches`` untouched by any shuffle.
+* ``stratified_sample`` is embarrassingly parallel — a pure per-batch
+  filter on a deterministic content hash, so the sample is reproducible
+  across runs/cluster sizes and needs no coordination or shuffle.
+* ``repetition_stats`` is per-document local math: Arrow ``split_pattern``
+  flatten + offset arithmetic builds every bigram without a Python loop
+  over rows; counting is one lexsort + run-length encode per batch.
+
+The reference engine has no curation layer (SURVEY.md §2.8 is scalar
+string work only); these run over the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from kgray.functions.broadcast import cached_get
+from kgray.ops.dedup import _md5_u64_np
+
+
+def _flat_grams(texts: pa.ChunkedArray | pa.Array, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_index, gram_hash) for every token n-gram of every document —
+    zero Python loops over rows.  Tokens come from one Arrow
+    ``split_pattern`` flatten; grams are built by joining ``n`` shifted
+    slices of the flat token array (``binary_join_element_wise`` needs
+    all-large_string inputs, including the separator); starts that would
+    cross a document boundary are masked out with offset arithmetic.
+    Hashes are vectorized siphash (engine-internal only — the SQL oracle
+    compares gram STRINGS; a 64-bit collision is the documented epsilon)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern(pc.cast(texts, pa.large_string()), " ")
+    offsets = toks.offsets.to_numpy()           # int64, len = ndocs+1
+    flat = toks.flatten()
+    total = len(flat)
+    n_starts = total - n + 1
+    if n_starts <= 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    lens = np.diff(offsets)
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)[:n_starts]
+    # a start at position p is valid iff p+n-1 stays inside p's document
+    valid = (np.arange(n_starts, dtype=np.int64) + n) <= offsets[doc_of + 1]
+    parts = []
+    for j in range(n):
+        parts.append(flat.slice(j, n_starts))
+    grams = pc.binary_join_element_wise(*parts, pa.scalar(" ", pa.large_string()))
+    h = pd.util.hash_array(np.asarray(grams.to_pandas(), dtype=object))
+    return doc_of[valid], h[valid]
+
+
+def _per_doc_distinct(doc_of: np.ndarray, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    order = np.lexsort((h, doc_of))
+    d, g = doc_of[order], h[order]
+    keep = np.empty(len(d), dtype=bool)
+    if len(d):
+        keep[0] = True
+        keep[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+    return d[keep], g[keep]
+
+
+def benchmark_gram_set(
+    benchmark: ray.data.Dataset, n: int = 5, text_col: str = "text"
+) -> "ray.ObjectRef":
+    """Distill the benchmark side to a sorted uint64 gram-hash array and
+    ``ray.put`` it once.  Per-batch ``np.unique`` pre-shrinks before the
+    driver union, so the driver sees deduped hashes, not raw grams; the
+    result is benchmark-sized (small by assumption), never corpus-sized."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, h = _flat_grams(t[text_col], n)
+        return pa.table({"g": np.unique(h)})
+
+    hashes = (
+        benchmark.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()["g"]
+        .to_numpy(dtype=np.uint64)
+    )
+    return ray.put(np.unique(hashes))
+
+
+def ngram_contamination(
+    corpus: ray.data.Dataset,
+    bench_ref: "ray.ObjectRef",
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per corpus document: distinct token n-grams, how many also occur in
+    the benchmark set, and a contaminated flag (≥1 hit) — the standard
+    eval-decontamination primitive.  Documents shorter than ``n`` tokens
+    have no grams and emit no row (matching the SQL formulation)."""
+
+    def score(t: pa.Table) -> pa.Table:
+        bench = cached_get(bench_ref)
+        doc_of, h = _per_doc_distinct(*_flat_grams(t[text_col], n))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ndocs = len(ids)
+        n_grams = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+        if len(bench):
+            pos = np.searchsorted(bench, h)
+            hit = (pos < len(bench)) & (bench[np.minimum(pos, len(bench) - 1)] == h)
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+        n_hit = np.bincount(doc_of, weights=hit, minlength=ndocs).astype(np.int64)
+        mask = n_grams > 0
+        return pa.table(
+            {
+                id_col: ids[mask],
+                "n_grams": n_grams[mask],
+                "n_hit": n_hit[mask],
+                "contaminated": n_hit[mask] > 0,
+            }
+        )
+
+    return corpus.map_batches(score, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    rates: dict[str, int],
+    default_pct: int = 10,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic per-stratum downsampling: keep a row iff
+    ``md5_u64(str(id)) % 100 < rates[stratum]`` — reproducible across runs
+    and cluster sizes, no shuffle, no RNG state.  The md5-lower-64 hash
+    equals DuckDB's ``md5_number_lower`` so the sample is SQL-verifiable
+    (kgray/ops/dedup.py:36); the per-row md5 cost parallelizes with the
+    stream like the minhash/simhash stages."""
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_u64_np([str(x) for x in b[id_col]]) % 100
+        pct = (
+            b[strata_col].map(lambda s: rates.get(s, default_pct)).to_numpy(dtype=np.uint64)
+        )
+        return b[h < pct]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def repetition_stats(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Gopher-style repetition features per document: total bigrams, the
+    most frequent bigram's count, and its share of all bigrams (high share
+    = degenerate repeated text).  Documents with <2 tokens emit no row.
+    Rounding is half-away-from-zero to match DuckDB ``round()``."""
+
+    def score(t: pa.Table) -> pa.Table:
+        doc_of, h = _flat_grams(t[text_col], 2)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ndocs = len(ids)
+        order = np.lexsort((h, doc_of))
+        d, g = doc_of[order], h[order]
+        # run-length encode (doc, gram) pairs → per-pair counts
+        if len(d):
+            new = np.empty(len(d), dtype=bool)
+            new[0] = True
+            new[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+            starts = np.flatnonzero(new)
+            counts = np.diff(np.append(starts, len(d)))
+            pair_doc = d[starts]
+            n_bigrams = np.bincount(pair_doc, weights=counts, minlength=ndocs).astype(np.int64)
+            max_bigram = np.zeros(ndocs, dtype=np.int64)
+            np.maximum.at(max_bigram, pair_doc, counts)
+        else:
+            n_bigrams = np.zeros(ndocs, dtype=np.int64)
+            max_bigram = np.zeros(ndocs, dtype=np.int64)
+        mask = n_bigrams > 0
+        share = np.floor(max_bigram[mask] / n_bigrams[mask] * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                id_col: ids[mask],
+                "n_bigrams": n_bigrams[mask],
+                "max_bigram": max_bigram[mask],
+                "top_bigram_share": share,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

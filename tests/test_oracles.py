@@ -53,6 +53,11 @@ def _compare(query: str):
         "events_windowed_6h",
         "events_asof_attribution",
         "events_error_burst",
+        "events_user_running",
+        "top_docs_per_lang",
+        "doc_contamination",
+        "doc_stratified_sample",
+        "doc_repetition",
     ],
 )
 def test_sql_oracle_matches_ray(query):
