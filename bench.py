@@ -104,6 +104,9 @@ def run_bench() -> dict:
     timed("knn_bruteforce", lambda: size(entry.queries()["knn_bruteforce"](sf_dir)))
     timed("pricing_summary", lambda: size(entry.queries()["pricing_summary"](sf_dir)))
     timed("doc_token_stats", lambda: size(entry.queries()["doc_token_stats"](sf_dir)))
+    timed("events_user_running", lambda: size(entry.queries()["events_user_running"](sf_dir)))
+    timed("events_asof_attribution", lambda: size(entry.queries()["events_asof_attribution"](sf_dir)))
+    timed("doc_contamination", lambda: size(entry.queries()["doc_contamination"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {
