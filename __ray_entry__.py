@@ -222,7 +222,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_contamination"] = _q_doc_contamination
     q["doc_stratified_sample"] = _q_doc_stratified_sample
     q["doc_repetition"] = _q_doc_repetition
+
+    # --- distributed statistics (kgray/ops/stats.py) ---------------------
+    q["events_value_deciles"] = _q_events_value_deciles
+    q["doc_top_tokens"] = _q_doc_top_tokens
     return q
+
+
+def _q_events_value_deciles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-event-type value deciles via the histogram method: values
+    quantized to cents so the shuffle moves (group, cents, count)
+    histograms, never rows; decile indices in integer arithmetic match
+    DuckDB quantile_disc's decimal-exact fractions."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kgray.ops.stats import grouped_quantiles
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64())
+        return pa.table({"event_type": t["event_type"], "cents": c})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(cents, batch_format="pyarrow")
+    return grouped_quantiles(ds, group_col="event_type", value_col="cents")
+
+
+def _q_doc_top_tokens(sf_dir: str) -> pd.DataFrame:
+    """Global top-30 token frequencies (tokenizer-vocab induction):
+    per-batch Arrow pre-count, per-bucket top-n partials, buckets×n
+    driver merge."""
+    from kgray.ops.stats import token_frequencies
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return token_frequencies(ds, top_n=30)
 
 
 def _q_events_user_running(sf_dir: str) -> pd.DataFrame:
@@ -1388,6 +1422,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 <
                   CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 25
                             WHEN 'es' THEN 40 ELSE 10 END
+        """,
+        # decimal-literal fractions keep quantile_disc's index exact
+        # (ceil(q*n)-1) — the Ray side uses the same formula in integers
+        "events_value_deciles": """
+            WITH e AS (
+              SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   quantile_disc(cents, 0.1) AS p10, quantile_disc(cents, 0.2) AS p20,
+                   quantile_disc(cents, 0.3) AS p30, quantile_disc(cents, 0.4) AS p40,
+                   quantile_disc(cents, 0.5) AS p50, quantile_disc(cents, 0.6) AS p60,
+                   quantile_disc(cents, 0.7) AS p70, quantile_disc(cents, 0.8) AS p80,
+                   quantile_disc(cents, 0.9) AS p90
+            FROM e GROUP BY event_type
+        """,
+        "doc_top_tokens": """
+            WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+            c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
+            SELECT token, CAST(cnt AS BIGINT) AS cnt
+            FROM c ORDER BY cnt DESC, token LIMIT 30
         """,
         "doc_repetition": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

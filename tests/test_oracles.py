@@ -58,6 +58,8 @@ def _compare(query: str):
         "doc_contamination",
         "doc_stratified_sample",
         "doc_repetition",
+        "events_value_deciles",
+        "doc_top_tokens",
     ],
 )
 def test_sql_oracle_matches_ray(query):

@@ -1,0 +1,53 @@
+"""Edge-case semantics of the distributed statistics ops
+(kgray/ops/stats.py): the discrete-quantile index formula (ceil(q*n)-1,
+integer arithmetic), per-group isolation, and top-n ordering/tie-breaks
+across multiple blocks.  Full value checks vs DuckDB (quantile_disc /
+unnest counting) live in tests/test_oracles.py."""
+
+import pandas as pd
+import ray.data
+
+from kgray.ops.stats import grouped_quantiles, token_frequencies
+
+
+def test_grouped_quantiles_index_formula(ray_session):
+    # group a: sorted values 10,20,30,40 (n=4) — quantile_disc picks
+    # index ceil(q*n)-1: p50 → idx 1 → 20; p60 → idx ceil(2.4)-1=2 → 30
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * 4 + ["b"] * 5,
+            "cents": [40, 10, 30, 20, 5, 4, 3, 2, 1],
+        }
+    )
+    out = grouped_quantiles(
+        ray.data.from_pandas([df.iloc[:3], df.iloc[3:]]),
+        group_col="event_type",
+        value_col="cents",
+        quantiles=((5, 10), (6, 10), (1, 10), (10, 10)),
+    ).set_index("event_type")
+    assert out.loc["a", "n"] == 4
+    assert out.loc["a", "p50"] == 20 and out.loc["a", "p60"] == 30
+    assert out.loc["a", "p10"] == 10 and out.loc["a", "p100"] == 40
+    # group b: 1..5 (n=5) — p50 → idx ceil(2.5)-1=2 → 3
+    assert out.loc["b", "p50"] == 3
+
+
+def test_grouped_quantiles_duplicate_values(ray_session):
+    # histogram path: duplicates collapse to counts but ranks still count
+    # every occurrence (7,7,7,9 → p50 = 7, p100 = 9)
+    df = pd.DataFrame({"event_type": ["x"] * 4, "cents": [7, 7, 9, 7]})
+    out = grouped_quantiles(
+        ray.data.from_pandas(df), quantiles=((5, 10), (10, 10))
+    ).set_index("event_type")
+    assert out.loc["x", "p50"] == 7 and out.loc["x", "p100"] == 9
+
+
+def test_token_frequencies_order_and_ties(ray_session):
+    # counts: b=3, a=3, c=2 — ties break by token asc; two blocks so the
+    # per-batch pre-count really merges across blocks
+    df = pd.DataFrame({"text": ["a b c", "b a c", "b a"]})
+    out = token_frequencies(
+        ray.data.from_pandas([df.iloc[:1], df.iloc[1:]]), top_n=2
+    )
+    assert list(out["token"]) == ["a", "b"]
+    assert list(out["cnt"]) == [3, 3]
