@@ -226,7 +226,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- distributed statistics (kgray/ops/stats.py) ---------------------
     q["events_value_deciles"] = _q_events_value_deciles
     q["doc_top_tokens"] = _q_doc_top_tokens
+
+    # --- semi-structured extraction (kgray/ops/nested.py) ----------------
+    q["events_props_rollup"] = _q_events_props_rollup
     return q
+
+
+def _q_events_props_rollup(sf_dir: str) -> pd.DataFrame:
+    """JSON property extraction + grouped rollup: vectorized polars JSON
+    kernel inside map_batches, per-batch partial aggregate, tiny driver
+    combine (no row-loop JSON parsing, no shuffle)."""
+    from kgray.ops.nested import json_field_rollup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    return json_field_rollup(ds, group_col="event_type", json_col="props", path="$.k")
 
 
 def _q_events_value_deciles(sf_dir: str) -> pd.DataFrame:
@@ -1438,6 +1451,12 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(cents, 0.7) AS p70, quantile_disc(cents, 0.8) AS p80,
                    quantile_disc(cents, 0.9) AS p90
             FROM e GROUP BY event_type
+        """,
+        "events_props_rollup": """
+            SELECT event_type,
+                   CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type
         """,
         "doc_top_tokens": """
             WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),

@@ -60,6 +60,7 @@ def _compare(query: str):
         "doc_repetition",
         "events_value_deciles",
         "doc_top_tokens",
+        "events_props_rollup",
     ],
 )
 def test_sql_oracle_matches_ray(query):

@@ -51,3 +51,18 @@ def test_token_frequencies_order_and_ties(ray_session):
     )
     assert list(out["token"]) == ["a", "b"]
     assert list(out["cnt"]) == [3, 3]
+
+
+def test_json_field_rollup_null_semantics(ray_session):
+    from kgray.ops.nested import json_field_rollup
+
+    df = pd.DataFrame(
+        {
+            "event_type": ["a", "a", "a", "b", "b"],
+            "props": ['{"k": 5}', '{"x": 1}', "not json", '{"k": 7}', None],
+        }
+    )
+    out = json_field_rollup(ray.data.from_pandas(df)).set_index("event_type")
+    # missing field / malformed / null rows don't count and don't crash
+    assert out.loc["a", "n_k"] == 1 and out.loc["a", "sum_k"] == 5
+    assert out.loc["b", "n_k"] == 1 and out.loc["b", "sum_k"] == 7
