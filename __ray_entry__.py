@@ -229,7 +229,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- semi-structured extraction (kgray/ops/nested.py) ----------------
     q["events_props_rollup"] = _q_events_props_rollup
+
+    q["doc_pii_scrub"] = _q_doc_pii_scrub
     return q
+
+
+def _q_doc_pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """PII redaction over the corpus (RE2 kernels on both engines; the
+    synthetic corpus is PII-free so the value check pins the no-op — the
+    behavioral pin on real PII is tests/test_window_curation.py)."""
+    from kgray.ops.curation import scrub_pii
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return scrub_pii(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_events_props_rollup(sf_dir: str) -> pd.DataFrame:
@@ -1451,6 +1463,20 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(cents, 0.7) AS p70, quantile_disc(cents, 0.8) AS p80,
                    quantile_disc(cents, 0.9) AS p90
             FROM e GROUP BY event_type
+        """,
+        "doc_pii_scrub": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}', '<PHONE>', 'g')
+                     AS text_scrubbed,
+                   CAST(len(regexp_extract_all(regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}', '<PHONE>', 'g'),
+                     '<EMAIL>|<IP>|<PHONE>')) AS BIGINT) AS n_pii
+            FROM documents
         """,
         "events_props_rollup": """
             SELECT event_type,

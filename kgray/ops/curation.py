@@ -153,6 +153,38 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pandas")
 
 
+_PII_PATTERNS = (
+    # applied in order on the progressively scrubbed text; both engines
+    # (pyarrow and DuckDB) run RE2, so behavior is identical by construction
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """PII redaction: emails, IPv4 addresses and phone numbers replaced by
+    typed tokens, plus a per-document redaction count.  Stateless
+    zero-copy Arrow RE2 kernels — the corpus streams, nothing shuffles."""
+
+    def scrub(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        for pat, token in _PII_PATTERNS:
+            text = pc.replace_substring_regex(text, pat, token)
+        n = pc.count_substring_regex(text, "<EMAIL>|<IP>|<PHONE>")
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "text_scrubbed": text,
+                "n_pii": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
 def repetition_stats(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
 ) -> ray.data.Dataset:

@@ -61,6 +61,7 @@ def _compare(query: str):
         "events_value_deciles",
         "doc_top_tokens",
         "events_props_rollup",
+        "doc_pii_scrub",
     ],
 )
 def test_sql_oracle_matches_ray(query):

@@ -111,3 +111,27 @@ def test_repetition_stats_math(ray_session):
     assert out.loc[1, "max_bigram"] == 2
     assert out.loc[1, "top_bigram_share"] == 0.5
     assert 2 not in out.index  # single token → no bigrams → no row
+
+
+def test_scrub_pii_redacts_and_counts(ray_session):
+    from kgray.ops.curation import scrub_pii
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "mail me at jane.doe+x@example.co.uk or call +1 (415) 555-0100",
+                "server at 192.0.2.7 responded",
+                "nothing sensitive here",
+            ],
+        }
+    )
+    out = scrub_pii(ray.data.from_pandas(df)).to_pandas().set_index("doc_id")
+    assert "<EMAIL>" in out.loc[1, "text_scrubbed"]
+    assert "<PHONE>" in out.loc[1, "text_scrubbed"]
+    assert "jane" not in out.loc[1, "text_scrubbed"]
+    assert out.loc[1, "n_pii"] == 2
+    assert out.loc[2, "text_scrubbed"] == "server at <IP> responded"
+    assert out.loc[2, "n_pii"] == 1
+    assert out.loc[3, "text_scrubbed"] == "nothing sensitive here"
+    assert out.loc[3, "n_pii"] == 0
