@@ -231,7 +231,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_props_rollup"] = _q_events_props_rollup
 
     q["doc_pii_scrub"] = _q_doc_pii_scrub
+
+    # --- lexical retrieval (kgray/ops/ranking.py) ------------------------
+    q["doc_bm25_rank"] = _q_doc_bm25_rank
+    q["doc_inverted_index"] = _q_doc_inverted_index
     return q
+
+
+BM25_QUERY_TERMS = ("hash", "join", "merge")
+
+
+def _q_doc_bm25_rank(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-20 for a fixed bag-of-words query: one-row-per-batch
+    corpus-stats partials, then vectorized scoring with per-batch top-k
+    partials (driver merges blocks x k candidate rows)."""
+    from kgray.ops.ranking import bm25_rank
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_rank(ds, BM25_QUERY_TERMS, top_k=20)
+
+
+def _q_doc_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index build: distinct (token, doc, tf) pairs per batch,
+    token-hash bucket shuffle, postings capped at 20 ids (df/cnt exact)."""
+    from kgray.ops.ranking import inverted_index
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = inverted_index(ds, max_postings=20).to_pandas()
+    return out.sort_values("token").reset_index(drop=True)
 
 
 def _q_doc_pii_scrub(sf_dir: str) -> pd.DataFrame:
@@ -1477,6 +1504,59 @@ def oracle_sql() -> dict[str, str]:
                      '\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}', '<PHONE>', 'g'),
                      '<EMAIL>|<IP>|<PHONE>')) AS BIGINT) AS n_pii
             FROM documents
+        """,
+        "doc_bm25_rank": f"""
+            WITH tok AS MATERIALIZED (
+              SELECT doc_id, t AS token
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''
+            ),
+            dl AS MATERIALIZED (
+              SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS DOUBLE) AS dl
+              FROM documents d
+              LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+            ),
+            corpus AS MATERIALIZED (
+              SELECT CAST(count(*) AS BIGINT) AS n, sum(dl) AS sum_dl FROM dl
+            ),
+            df AS MATERIALIZED (
+              SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM tok WHERE token IN {BM25_QUERY_TERMS!r} GROUP BY token
+            ),
+            tf AS MATERIALIZED (
+              SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+              FROM tok WHERE token IN {BM25_QUERY_TERMS!r} GROUP BY doc_id, token
+            ),
+            scores AS (
+              SELECT dl.doc_id,
+                     COALESCE(sum(
+                       ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (corpus.sum_dl / corpus.n)))
+                     ), 0.0) AS score
+              FROM dl CROSS JOIN corpus
+              LEFT JOIN tf ON tf.doc_id = dl.doc_id
+              LEFT JOIN df ON df.token = tf.token
+              GROUP BY dl.doc_id
+            )
+            SELECT doc_id, round(score, 6) AS score
+            FROM scores ORDER BY round(score, 6) DESC, doc_id LIMIT 20
+        """,
+        "doc_inverted_index": """
+            WITH tok AS MATERIALIZED (
+              SELECT doc_id, t AS token
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''
+            ),
+            pairs AS MATERIALIZED (
+              SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+              FROM tok GROUP BY token, doc_id
+            )
+            SELECT token,
+                   CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(c) AS BIGINT) AS cnt,
+                   array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 20), ',') AS postings
+            FROM pairs GROUP BY token
         """,
         "events_props_rollup": """
             SELECT event_type,

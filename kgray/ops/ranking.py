@@ -1,0 +1,161 @@
+"""Lexical retrieval over the corpus: BM25 ranking and inverted-index
+construction.
+
+Scale shapes
+------------
+* ``bm25_rank`` is two streaming passes. Pass 1 collapses every batch to a
+  ONE-ROW partial (doc count, total token count, per-query-term document
+  frequency) — the driver reduces ``num_blocks`` rows, never the corpus.
+  Pass 2 scores each batch vectorized (numpy ``bincount`` over the
+  flattened token stream) and keeps a per-batch top-k partial, so the
+  driver merges only ``num_blocks × k`` candidate rows — the same shape as
+  ``knn_bruteforce``.
+* ``inverted_index`` emits distinct ``(token, doc_id, tf)`` pairs per
+  batch (each document lives in exactly one batch, so pairs are globally
+  distinct by construction), hash-buckets on token, and builds postings
+  per bucket.  Stopword tokens make postings unbounded at corpus scale —
+  ``max_postings`` caps the materialized list (df/cnt stay exact), which
+  is the knob a 100-TB build must set.
+
+The reference engine has no retrieval layer; these run over ``documents``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _flat_tokens(texts) -> tuple[np.ndarray, np.ndarray, int]:
+    """Whitespace-tokenize a string column; returns (flat_tokens, parent
+    row index per token, n_rows) with empty tokens dropped."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lst = pc.split_pattern(pc.cast(texts, pa.large_string()), " ")
+    flat = pc.list_flatten(lst)
+    lens = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(len(lens)), lens)
+    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return (
+        np.asarray(flat.to_pandas(), dtype=object)[mask],
+        parent[mask],
+        len(lens),
+    )
+
+
+def _round6(x: np.ndarray) -> np.ndarray:
+    # half-AWAY-from-zero to match DuckDB round(); numpy .round is half-even
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def bm25_rank(
+    ds: ray.data.Dataset,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Top-k documents for a bag-of-words query under BM25
+    (Robertson/Sparck-Jones idf ``ln((N - df + 0.5)/(df + 0.5) + 1)``).
+    Returns (doc_id, score) with score rounded half-away to 1e-6 and ties
+    broken by doc_id."""
+    terms = list(dict.fromkeys(query_terms))
+    t_index = {t: i for i, t in enumerate(terms)}
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        flat, parent, n = _flat_tokens(t[text_col])
+        dl = np.bincount(parent, minlength=n)
+        cols: dict = {"n_docs": [n], "sum_dl": [int(dl.sum())]}
+        for term in terms:
+            has = np.bincount(parent[flat == term], minlength=n) > 0
+            cols[f"df_{t_index[term]}"] = [int(has.sum())]
+        return pa.table(cols)
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum(axis=0)
+    )
+    n_docs = int(stats["n_docs"])
+    if n_docs == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+    avgdl = float(stats["sum_dl"]) / n_docs
+    idf = np.array(
+        [
+            np.log((n_docs - stats[f"df_{i}"] + 0.5) / (stats[f"df_{i}"] + 0.5) + 1.0)
+            for i in range(len(terms))
+        ]
+    )
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        flat, parent, n = _flat_tokens(t[text_col])
+        dl = np.bincount(parent, minlength=n).astype(np.float64)
+        score = np.zeros(n)
+        denom_dl = k1 * (1.0 - b + b * dl / avgdl)
+        for term, i in t_index.items():
+            tf = np.bincount(parent[flat == term], minlength=n).astype(np.float64)
+            score += idf[i] * tf * (k1 + 1.0) / (tf + denom_dl)
+        score = _round6(score)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        # per-batch top-k partial: rank by (-score, doc_id)
+        order = np.lexsort((ids, -score))[:top_k]
+        return pa.table({id_col: ids[order], "score": score[order]})
+
+    cand = ds.map_batches(score_partial, batch_format="pyarrow").to_pandas()
+    out = cand.sort_values(["score", id_col], ascending=[False, True], kind="mergesort")
+    return out.head(top_k).reset_index(drop=True)
+
+
+def inverted_index(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+    max_postings: int | None = None,
+) -> ray.data.Dataset:
+    """token → (df, total count, comma-joined sorted posting list).  df
+    and cnt are always exact; ``max_postings`` truncates the materialized
+    posting string to the first K doc ids (ascending) so stopword rows
+    stay bounded at corpus scale."""
+
+    def pairs_partial(t: pa.Table) -> pa.Table:
+        flat, parent, _ = _flat_tokens(t[text_col])
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)[parent]
+        counted = (
+            pa.table({"token": pa.array(flat, type=pa.large_string()), id_col: ids})
+            .group_by(["token", id_col])
+            .aggregate([([], "count_all")])
+        )
+        bucket = pd.util.hash_array(
+            np.asarray(counted["token"].to_pandas(), dtype=object)
+        ) % num_buckets
+        return counted.append_column("bucket", pa.array(bucket.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", id_col], kind="mergesort")
+        agg = g.groupby("token", sort=False).agg(
+            df=(id_col, "size"), cnt=("count_all", "sum")
+        )
+        ids_str = g[id_col].astype(str)
+        if max_postings is None:
+            postings = ids_str.groupby(g["token"].values, sort=False).agg(",".join)
+        else:
+            postings = (
+                ids_str.groupby(g["token"].values, sort=False)
+                .agg(lambda s: ",".join(s.iloc[:max_postings]))
+            )
+        agg["postings"] = postings
+        agg["df"] = agg["df"].astype("int64")
+        agg["cnt"] = agg["cnt"].astype("int64")
+        return agg.reset_index()
+
+    return (
+        ds.map_batches(pairs_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -62,6 +62,8 @@ def _compare(query: str):
         "doc_top_tokens",
         "events_props_rollup",
         "doc_pii_scrub",
+        "doc_bm25_rank",
+        "doc_inverted_index",
     ],
 )
 def test_sql_oracle_matches_ray(query):

@@ -1,0 +1,67 @@
+"""Lexical retrieval ops: BM25 scoring math and inverted-index postings,
+pinned against hand-computed values on a tiny corpus."""
+
+import math
+
+import pandas as pd
+import ray.data
+
+from kgray.ops.ranking import bm25_rank, inverted_index
+
+DOCS = pd.DataFrame(
+    {
+        "doc_id": [1, 2, 3],
+        "text": [
+            "hash join hash",          # dl 3, tf(hash)=2
+            "merge sort run",          # dl 3
+            "join ",                   # trailing space -> empty token dropped, dl 1
+        ],
+    }
+)
+
+
+def test_bm25_matches_hand_formula(ray_session):
+    out = bm25_rank(ray.data.from_pandas(DOCS), ("hash", "join"), top_k=3)
+    n, avgdl, k1, b = 3, 7 / 3, 1.2, 0.75
+
+    def idf(df):
+        return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+    def w(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp1 = idf(1) * w(2, 3) + idf(2) * w(1, 3)  # doc 1: hash x2, join x1
+    exp3 = idf(2) * w(1, 1)  # doc 3: join x1
+    got = out.set_index("doc_id")["score"]
+    assert got.loc[1] == round(exp1, 6)
+    assert got.loc[3] == round(exp3, 6)
+    assert got.loc[2] == 0.0
+    # ranking: doc1 > doc3 > doc2
+    assert list(out["doc_id"]) == [1, 3, 2]
+
+
+def test_inverted_index_postings(ray_session):
+    out = (
+        inverted_index(ray.data.from_pandas(DOCS))
+        .to_pandas()
+        .set_index("token")
+        .sort_index()
+    )
+    assert out.loc["hash", "df"] == 1
+    assert out.loc["hash", "cnt"] == 2
+    assert out.loc["hash", "postings"] == "1"
+    assert out.loc["join", "df"] == 2
+    assert out.loc["join", "cnt"] == 2
+    assert out.loc["join", "postings"] == "1,3"
+    assert "" not in out.index  # empty token from trailing space dropped
+
+
+def test_inverted_index_max_postings(ray_session):
+    df = pd.DataFrame({"doc_id": list(range(10)), "text": ["the"] * 10})
+    out = (
+        inverted_index(ray.data.from_pandas(df), max_postings=3)
+        .to_pandas()
+        .set_index("token")
+    )
+    assert out.loc["the", "df"] == 10  # df stays exact past the cap
+    assert out.loc["the", "postings"] == "0,1,2"
