@@ -235,7 +235,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- lexical retrieval (kgray/ops/ranking.py) ------------------------
     q["doc_bm25_rank"] = _q_doc_bm25_rank
     q["doc_inverted_index"] = _q_doc_inverted_index
+
+    # --- multimodal frame sampling (kgray/ops/multimodal.py) -------------
+    q["multimodal_frame_sample"] = _q_multimodal_frame_sample
     return q
+
+
+def _q_multimodal_frame_sample(sf_dir: str) -> pd.DataFrame:
+    """Video-style payload → frame rows (1→N actor-pool expansion with the
+    deterministic byte-slice fake decoder); frame bytes are dropped from
+    the driver-facing result, metadata + content digest remain."""
+    from kgray.ops.multimodal import sample_frames
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = sample_frames(ds, frame_size=64).drop_columns(["frame"]).to_pandas()
+    return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
 
 
 BM25_QUERY_TERMS = ("hash", "join", "merge")
@@ -1557,6 +1571,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(c) AS BIGINT) AS cnt,
                    array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 20), ',') AS postings
             FROM pairs GROUP BY token
+        """,
+        "multimodal_frame_sample": """
+            -- corpus is pure ASCII (pinned by tests), so char ops == byte ops
+            SELECT d.doc_id, t.i AS frame_idx,
+                   CAST(least(64, length(d.text) - t.i * 64) AS BIGINT) AS frame_len,
+                   md5(substr(d.text, CAST(t.i * 64 + 1 AS BIGINT), 64)) AS frame_md5
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
+            WHERE t.i * 64 < length(d.text)
         """,
         "events_props_rollup": """
             SELECT event_type,

@@ -15,6 +15,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 try:  # the real decoders would land here (PIL / torchaudio / pyav)
@@ -28,10 +29,11 @@ except ImportError:
 def attach_payload(batch: pa.Table, source_col: str = "text") -> pa.Table:
     """Demo payload builder: treat a text column's UTF-8 bytes as an opaque
     binary payload (stands in for image/audio bytes read via
-    ``read_binary_files``)."""
-    payload = pa.array(
-        [t.encode("utf-8") for t in batch[source_col].to_pylist()], type=pa.large_binary()
-    )
+    ``read_binary_files``).  Zero-copy Arrow cast, no Python loop."""
+    col = batch[source_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    payload = pc.cast(pc.cast(col, pa.large_string()), pa.large_binary())
     return batch.append_column("payload", payload)
 
 
@@ -94,6 +96,85 @@ def extract_features(
     return with_payload.map_batches(
         FeatureExtractor,
         fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class FrameSampler:
+    """Actor-pool video-frame sampling stage: one payload row expands to
+    ``ceil(len / frame_size)`` frame rows.
+
+    Real video decode (pyav keyframe extraction) is not available in this
+    container, so the "decoder" is a deterministic fake — fixed-size byte
+    slices stand in for frames — but the Ray plumbing is the real thing: a
+    1→N row expansion inside ``map_batches`` on an actor pool, small
+    ``batch_size`` because payload bytes dominate worker memory, frame
+    payloads emitted as ``large_binary`` plus scalar metadata (index,
+    length, content digest) so a downstream embedding stage can stream
+    them without re-decoding.
+    """
+
+    def __init__(self, frame_size: int = 256, max_frames: int | None = None,
+                 use_real_decoder: bool = False):
+        if use_real_decoder:
+            raise NotImplementedError(
+                "No video decode libraries in this environment; "
+                "run with use_real_decoder=False for the byte-slice fake."
+            )
+        self.frame_size = frame_size
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fs = self.frame_size
+        ids, idxs, frames, lens, digests = [], [], [], [], []
+        id_col = batch.column_names[0]
+        for rid, payload in zip(
+            batch[id_col].to_pylist(), batch["payload"].to_pylist()
+        ):
+            n = -(-len(payload) // fs)  # ceil
+            if self.max_frames is not None:
+                n = min(n, self.max_frames)
+            for i in range(n):
+                chunk = payload[i * fs : (i + 1) * fs]
+                ids.append(rid)
+                idxs.append(i)
+                frames.append(chunk)
+                lens.append(len(chunk))
+                digests.append(hashlib.md5(chunk).hexdigest())
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "frame_idx": pa.array(idxs, type=pa.int64()),
+                "frame": pa.array(frames, type=pa.large_binary()),
+                "frame_len": pa.array(lens, type=pa.int64()),
+                "frame_md5": pa.array(digests, type=pa.large_string()),
+            }
+        )
+
+
+def sample_frames(
+    ds: ray.data.Dataset,
+    source_col: str = "text",
+    frame_size: int = 256,
+    max_frames: int | None = None,
+    batch_size: int = 64,
+    concurrency: int | tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """payload rows → frame rows (1→N expansion).  Output block sizes grow
+    by the expansion factor, so ``batch_size`` must shrink as frame counts
+    grow; ``max_frames`` bounds worst-case expansion for long videos."""
+    if concurrency is None:
+        from kgray.functions.broadcast import auto_concurrency
+
+        concurrency = auto_concurrency()
+    with_payload = ds.map_batches(
+        lambda t: attach_payload(t, source_col), batch_format="pyarrow"
+    )
+    return with_payload.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"frame_size": frame_size, "max_frames": max_frames},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -165,3 +165,30 @@ def test_multimodal_plumbing(docs):
 
     with pytest.raises(NotImplementedError):
         FeatureExtractor(use_real_decoder=True)
+
+
+def test_frame_sampling(ray_session):
+    import hashlib
+
+    from kgray.ops.multimodal import FrameSampler, sample_frames
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a" * 600, "xy"]})
+    out = (
+        sample_frames(ray.data.from_pandas(df), frame_size=256)
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    # doc 1: 600 bytes -> frames of 256, 256, 88; doc 2: one 2-byte frame
+    assert out["frame_len"].tolist() == [256, 256, 88, 2]
+    assert out["frame_idx"].tolist() == [0, 1, 2, 0]
+    assert bytes(out.loc[3, "frame"]) == b"xy"
+    assert out.loc[3, "frame_md5"] == hashlib.md5(b"xy").hexdigest()
+
+    capped = sample_frames(
+        ray.data.from_pandas(df), frame_size=256, max_frames=2
+    ).to_pandas()
+    assert len(capped[capped["doc_id"] == 1]) == 2
+
+    with pytest.raises(NotImplementedError):
+        FrameSampler(use_real_decoder=True)

@@ -64,6 +64,7 @@ def _compare(query: str):
         "doc_pii_scrub",
         "doc_bm25_rank",
         "doc_inverted_index",
+        "multimodal_frame_sample",
     ],
 )
 def test_sql_oracle_matches_ray(query):
