@@ -238,7 +238,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- multimodal frame sampling (kgray/ops/multimodal.py) -------------
     q["multimodal_frame_sample"] = _q_multimodal_frame_sample
+
+    # --- graph analytics (kgray/functions/graph.py) ----------------------
+    q["kg_pagerank_events"] = _q_kg_pagerank_events
     return q
+
+
+def _q_kg_pagerank_events(sf_dir: str) -> pd.DataFrame:
+    """Weighted PageRank over the events KG (user → event_type edges,
+    n_obs weights): iterative edge re-streaming with broadcast ranks;
+    every event_type node is dangling, so the uniform-redistribution path
+    is exercised on real data."""
+    from kgray.functions.graph import pagerank
+
+    out = pagerank(_kg_events(sf_dir).edges)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _pagerank_oracle_sql(iterations: int = 10, damping: float = 0.85) -> str:
+    """PageRank unrolled as chained MATERIALIZED CTEs (plain CTEs inline
+    exponentially; same trick as the knn_ivf k-means oracle)."""
+    parts = [
+        """edges AS MATERIALIZED (
+            SELECT 'user ' || CAST(user_id AS VARCHAR) AS src,
+                   event_type AS dst,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM events GROUP BY user_id, event_type)""",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "outw AS MATERIALIZED (SELECT src, sum(w) AS sw FROM edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(iterations):
+        parts.append(
+            f"""dang{k} AS MATERIALIZED (
+                SELECT COALESCE(sum(r.r), 0.0) AS mass FROM r{k} r
+                WHERE r.node NOT IN (SELECT src FROM outw)),
+            r{k + 1} AS MATERIALIZED (
+                SELECT n.node,
+                       (1.0 - {damping}) / nn.n
+                       + {damping} * (COALESCE(s.inflow, 0.0) + dang{k}.mass / nn.n) AS r
+                FROM nodes n CROSS JOIN nn CROSS JOIN dang{k}
+                LEFT JOIN (SELECT e.dst AS node, sum(r.r * e.w / o.sw) AS inflow
+                           FROM edges e
+                           JOIN r{k} r ON r.node = e.src
+                           JOIN outw o ON o.src = e.src
+                           GROUP BY e.dst) s ON s.node = n.node)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT node, round(r, 6) AS pr FROM r{iterations}"
+    )
 
 
 def _q_multimodal_frame_sample(sf_dir: str) -> pd.DataFrame:
@@ -1572,6 +1621,7 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 20), ',') AS postings
             FROM pairs GROUP BY token
         """,
+        "kg_pagerank_events": _pagerank_oracle_sql(),
         "multimodal_frame_sample": """
             -- corpus is pure ASCII (pinned by tests), so char ops == byte ops
             SELECT d.doc_id, t.i AS frame_idx,

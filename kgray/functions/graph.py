@@ -73,3 +73,110 @@ def isolated_entities(nodes: ray.data.Dataset, edges: ray.data.Dataset) -> pd.Da
         return t.filter(mask)
 
     return nodes.map_batches(keep_isolated, batch_format="pyarrow").to_pandas()
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    src_col: str = "subj_name",
+    dst_col: str = "obj_name",
+    weight_col: str | None = "n_obs",
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> pd.DataFrame:
+    """Weighted PageRank with uniform dangling-mass redistribution.
+
+    Scale shape: the EDGE stream never leaves the cluster — it is
+    integer-encoded once (node → dense index via a broadcast vocabulary)
+    and re-streamed per iteration; each batch collapses to a sparse
+    (node_idx, inflow) partial via ``np.bincount``, so the driver reduces
+    ``blocks × nodes_touched`` rows per iteration and holds only the
+    node-sized rank/out-weight vectors (the same driver-state budget as
+    the entity-resolution vocabulary; a bucketed-join variant is the
+    upgrade path past ~10^8 nodes).
+
+    Float evaluation order mirrors the SQL oracle exactly:
+    ``(r[src] * w) / out_w[src]`` per edge, ``damping * (inflow +
+    dangling_mass / N)`` per node.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from kgray.functions.broadcast import cached_get
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        w = (
+            t[weight_col].cast(pa.float64())
+            if weight_col is not None
+            else pa.array(np.ones(len(t)), type=pa.float64())
+        )
+        srcs = (
+            pa.table({"node": t[src_col], "out_w": w})
+            .group_by("node")
+            .aggregate([("out_w", "sum")])
+        )
+        dsts = pa.table({"node": t[dst_col]}).group_by("node").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [srcs["node"].combine_chunks().cast(pa.large_string()),
+                     dsts["node"].combine_chunks().cast(pa.large_string())]
+                ),
+                "out_w": pa.concat_arrays(
+                    [srcs["out_w_sum"].combine_chunks(),
+                     pa.array(np.zeros(len(dsts)), type=pa.float64())]
+                ),
+            }
+        )
+
+    vocab = edges.map_batches(vocab_partial, batch_format="pyarrow").to_pandas()
+    if "node" in vocab.columns:
+        nodes_df = vocab.groupby("node", sort=True)["out_w"].sum()
+    else:  # zero-row input: partials never materialized a schema
+        nodes_df = pd.Series(dtype="float64")
+    n = len(nodes_df)
+    if n == 0:
+        return pd.DataFrame({"node": pd.Series(dtype=object), "pr": pd.Series(dtype="float64")})
+    node_names = nodes_df.index.to_numpy(dtype=object)
+    sw_vec = nodes_df.to_numpy(dtype=np.float64)
+    idx_ref = ray.put({name: i for i, name in enumerate(node_names)})
+    sw_ref = ray.put(sw_vec)
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        idx = cached_get(idx_ref)
+        sw = cached_get(sw_ref)
+        si = b[src_col].map(idx).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "si": si,
+                "di": b[dst_col].map(idx).to_numpy(dtype=np.int64),
+                "w": (
+                    b[weight_col].to_numpy(dtype=np.float64)
+                    if weight_col is not None
+                    else np.ones(len(b))
+                ),
+                "sw": sw[si],
+            }
+        )
+
+    encoded = edges.map_batches(encode, batch_format="pandas").materialize()
+
+    dangling = sw_vec == 0.0
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        r_ref = ray.put(r)
+
+        def contrib(b: pd.DataFrame, r_ref=r_ref) -> pd.DataFrame:
+            rv = cached_get(r_ref)
+            flow = (rv[b["si"].to_numpy()] * b["w"].to_numpy()) / b["sw"].to_numpy()
+            dense = np.bincount(b["di"].to_numpy(), weights=flow, minlength=n)
+            nz = np.nonzero(dense)[0]
+            return pd.DataFrame({"di": nz, "inflow": dense[nz]})
+
+        partials = encoded.map_batches(contrib, batch_format="pandas").to_pandas()
+        inflow = np.zeros(n)
+        np.add.at(inflow, partials["di"].to_numpy(), partials["inflow"].to_numpy())
+        mass = r[dangling].sum()
+        r = (1.0 - damping) / n + damping * (inflow + mass / n)
+
+    pr = np.floor(r * 1e6 + 0.5) / 1e6  # half-away, matches DuckDB round()
+    return pd.DataFrame({"node": node_names, "pr": pr})

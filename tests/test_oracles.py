@@ -65,6 +65,7 @@ def _compare(query: str):
         "doc_bm25_rank",
         "doc_inverted_index",
         "multimodal_frame_sample",
+        "kg_pagerank_events",
     ],
 )
 def test_sql_oracle_matches_ray(query):

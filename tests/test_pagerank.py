@@ -1,0 +1,59 @@
+"""PageRank pinned against a dense power-iteration reference and basic
+invariants (mass conservation, dangling redistribution)."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from kgray.functions.graph import pagerank
+
+
+def _dense_reference(edges: pd.DataFrame, d=0.85, iters=10):
+    nodes = sorted(set(edges["subj_name"]) | set(edges["obj_name"]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for _, e in edges.iterrows():
+        w[idx[e["subj_name"]], idx[e["obj_name"]]] += e["n_obs"]
+    sw = w.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        inflow = np.zeros(n)
+        for i in range(n):
+            if sw[i] > 0:
+                inflow += r[i] * w[i] / sw[i]
+        mass = r[sw == 0].sum()
+        r = (1 - d) / n + d * (inflow + mass / n)
+    return pd.Series(r, index=nodes)
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    rng = np.random.default_rng(11)
+    edges = pd.DataFrame(
+        {
+            "subj_name": [f"n{i}" for i in rng.integers(0, 12, 60)],
+            "obj_name": [f"n{i}" for i in rng.integers(0, 15, 60)],
+            "n_obs": rng.integers(1, 5, 60),
+        }
+    )
+    out = pagerank(ray.data.from_pandas(edges)).set_index("node")["pr"]
+    ref = _dense_reference(edges)
+    assert np.allclose(out.sort_index(), ref.sort_index(), atol=2e-6)
+    assert abs(out.sum() - 1.0) < 1e-3  # mass conserved
+
+
+def test_pagerank_all_dangling_sinks(ray_session):
+    # bipartite a,b -> x: x is dangling; its mass must recirculate
+    edges = pd.DataFrame(
+        {"subj_name": ["a", "b"], "obj_name": ["x", "x"], "n_obs": [1, 1]}
+    )
+    out = pagerank(ray.data.from_pandas(edges)).set_index("node")["pr"]
+    assert out.loc["x"] > out.loc["a"]
+    assert out.loc["a"] == out.loc["b"]
+    assert abs(out.sum() - 1.0) < 1e-3
+
+
+def test_pagerank_empty(ray_session):
+    edges = pd.DataFrame({"subj_name": [], "obj_name": [], "n_obs": []})
+    out = pagerank(ray.data.from_pandas(edges))
+    assert len(out) == 0
