@@ -241,7 +241,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- graph analytics (kgray/functions/graph.py) ----------------------
     q["kg_pagerank_events"] = _q_kg_pagerank_events
+
+    # --- sketches (kgray/ops/stats.py) -----------------------------------
+    q["doc_hll_distinct"] = _q_doc_hll_distinct
+
+    q["doc_normalize"] = _q_doc_normalize
     return q
+
+
+def _q_doc_normalize(sf_dir: str) -> pd.DataFrame:
+    """Canonical text cleanup (lowercase / whitespace collapse / trim) —
+    stateless Arrow RE2 kernels, stream-only."""
+    from kgray.ops.curation import normalize_text
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return normalize_text(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_hll_distinct(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog distinct-token estimate (256 registers, md5-lower-64
+    hashing) next to the exact count: per-batch register partials merge as
+    a 256-row groupby-max, register-for-register reproducible in SQL."""
+    from kgray.ops.stats import hll_distinct_tokens
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return hll_distinct_tokens(ds)
 
 
 def _q_kg_pagerank_events(sf_dir: str) -> pd.DataFrame:
@@ -1622,6 +1646,40 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY token
         """,
         "kg_pagerank_events": _pagerank_oracle_sql(),
+        "doc_normalize": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_clean,
+                   CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT)
+                     AS n_chars_clean
+            FROM documents
+        """,
+        "doc_hll_distinct": """
+            -- identical-math HLL twin: md5-lower-64 hash, bucket = top 8
+            -- bits, rho = 33 - bit_length(low 32 bits); registers match
+            -- the Ray sketch value for value
+            WITH tok AS MATERIALIZED (
+              SELECT DISTINCT t AS token
+              FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''
+            ),
+            h AS MATERIALIZED (SELECT md5_number_lower(token) AS h FROM tok),
+            reg AS MATERIALIZED (
+              SELECT CAST(h >> 56 AS BIGINT) AS bucket,
+                     max(CASE WHEN (h & 4294967295) = 0 THEN 33
+                         ELSE 33 - length(bin(h & 4294967295)) END) AS rho
+              FROM h GROUP BY 1
+            ),
+            est AS (
+              SELECT (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                       / (sum(power(2.0, -rho)) + (256 - count(*))) AS e,
+                     256 - count(*) AS v
+              FROM reg
+            )
+            SELECT round(CASE WHEN e <= 2.5 * 256 AND v > 0
+                              THEN 256.0 * ln(256.0 / v) ELSE e END, 6) AS est_distinct,
+                   (SELECT CAST(count(DISTINCT h) AS BIGINT) FROM h) AS n_exact
+            FROM est
+        """,
         "multimodal_frame_sample": """
             -- corpus is pure ASCII (pinned by tests), so char ops == byte ops
             SELECT d.doc_id, t.i AS frame_idx,

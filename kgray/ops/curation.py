@@ -225,3 +225,25 @@ def repetition_stats(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def normalize_text(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Canonical text cleanup for training corpora: lowercase, collapse
+    whitespace runs, strip edges.  Stateless zero-copy Arrow kernels (RE2
+    on both engines); the corpus streams, nothing shuffles."""
+
+    def clean(t: pa.Table) -> pa.Table:
+        text = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(t[text_col]), r"\s+", " ")
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "text_clean": text,
+                "n_chars_clean": pc.cast(pc.utf8_length(text), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow")

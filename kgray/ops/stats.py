@@ -115,3 +115,78 @@ def token_frequencies(
     out = candidates.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
     out["cnt"] = out["cnt"].astype("int64")
     return out.head(top_n).reset_index(drop=True)
+
+
+HLL_B = 8  # 2^8 = 256 registers
+
+
+def hll_distinct_tokens(
+    ds: ray.data.Dataset, text_col: str = "text", num_buckets: int = 64
+) -> pd.DataFrame:
+    """Approximate distinct-token count via a mergeable HyperLogLog sketch
+    (m=256 registers), plus the exact count for calibration.
+
+    Scale shape: every batch collapses to ≤256 (bucket, max-rho) register
+    rows — the sketch merge is a 256-row groupby-max no matter how many
+    tokens stream through, which is the whole point of HLL at 100 TB.  The
+    exact twin is a distinct-per-batch partial + hash-bucket shuffle whose
+    cost is bounded by vocabulary, not corpus.
+
+    Hashing is md5-lower-64 (== DuckDB ``md5_number_lower``) so the
+    register contents — not just the estimate — are reproducible in SQL:
+    bucket = top 8 bits, rho = 33 − bit_length(low 32 bits) (33 when 0).
+    """
+    from kgray.ops.dedup import _md5_u64_np
+    from kgray.ops.ranking import _flat_tokens
+
+    m = 1 << HLL_B
+
+    def registers(t: pa.Table) -> pa.Table:
+        flat, _, _ = _flat_tokens(t[text_col])
+        uniq = pd.unique(flat)
+        h = _md5_u64_np(uniq)
+        bucket = (h >> np.uint64(64 - HLL_B)).astype(np.int64)
+        w = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+        bl = np.zeros(len(w), dtype=np.int64)
+        nz = w > 0
+        bl[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
+        rho = 33 - bl
+        reg = np.zeros(m, dtype=np.int64)
+        np.maximum.at(reg, bucket, rho)
+        hit = np.nonzero(reg)[0]
+        exact_bucket = (h % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "kind": np.concatenate(
+                    [np.zeros(len(hit), dtype=np.int64), np.ones(len(uniq), dtype=np.int64)]
+                ),
+                "bucket": np.concatenate([hit, exact_bucket]),
+                "val": np.concatenate([reg[hit], h.astype(np.int64)]),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        if g["kind"].iloc[0] == 0:  # HLL registers: max-merge
+            out = g.groupby("bucket", sort=True)["val"].max().reset_index()
+            out["kind"] = 0
+            return out[["kind", "bucket", "val"]]
+        # exact: count distinct token hashes in this bucket
+        return pd.DataFrame({"kind": [1], "bucket": [g["bucket"].iloc[0]], "val": [g["val"].nunique()]})
+
+    parts = (
+        ds.map_batches(registers, batch_format="pyarrow")
+        .groupby(["kind", "bucket"])
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    regs = parts[parts["kind"] == 0].set_index("bucket")["val"]
+    n_exact = int(parts[parts["kind"] == 1]["val"].sum())
+    reg_vec = np.zeros(m)
+    reg_vec[regs.index.to_numpy()] = regs.to_numpy(dtype=np.float64)
+    s = np.power(2.0, -reg_vec).sum()
+    v = int((reg_vec == 0).sum())
+    est = (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / s
+    if est <= 2.5 * 256 and v > 0:
+        est = 256.0 * np.log(256.0 / v)  # linear-counting small-range correction
+    est = float(np.floor(est * 1e6 + 0.5) / 1e6)  # half-away == DuckDB round()
+    return pd.DataFrame({"est_distinct": [est], "n_exact": [n_exact]})

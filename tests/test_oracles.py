@@ -66,6 +66,8 @@ def _compare(query: str):
         "doc_inverted_index",
         "multimodal_frame_sample",
         "kg_pagerank_events",
+        "doc_hll_distinct",
+        "doc_normalize",
     ],
 )
 def test_sql_oracle_matches_ray(query):

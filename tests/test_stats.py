@@ -4,6 +4,7 @@ integer arithmetic), per-group isolation, and top-n ordering/tie-breaks
 across multiple blocks.  Full value checks vs DuckDB (quantile_disc /
 unnest counting) live in tests/test_oracles.py."""
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -66,3 +67,28 @@ def test_json_field_rollup_null_semantics(ray_session):
     # missing field / malformed / null rows don't count and don't crash
     assert out.loc["a", "n_k"] == 1 and out.loc["a", "sum_k"] == 5
     assert out.loc["b", "n_k"] == 1 and out.loc["b", "sum_k"] == 7
+
+
+def test_hll_accuracy_and_partition_invariance(ray_session):
+    from kgray.ops.stats import hll_distinct_tokens
+
+    rng = np.random.default_rng(3)
+    # ~4000 distinct tokens spread over 300 docs, heavy repetition
+    vocab = [f"tok{i}" for i in range(4000)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(300),
+            "text": [
+                " ".join(rng.choice(vocab, size=200)) for _ in range(300)
+            ],
+        }
+    )
+    exact = len(set(" ".join(docs["text"]).split()))
+    out1 = hll_distinct_tokens(ray.data.from_pandas(docs))
+    assert out1.loc[0, "n_exact"] == exact
+    # m=256 -> ~6.5% standard error; 3 sigma bound
+    assert abs(out1.loc[0, "est_distinct"] - exact) / exact < 0.2
+    # sketch is mergeable: block layout must not change the estimate
+    out2 = hll_distinct_tokens(ray.data.from_pandas(docs).repartition(7))
+    assert out1.loc[0, "est_distinct"] == out2.loc[0, "est_distinct"]
+    assert out1.loc[0, "n_exact"] == out2.loc[0, "n_exact"]

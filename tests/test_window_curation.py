@@ -135,3 +135,15 @@ def test_scrub_pii_redacts_and_counts(ray_session):
     assert out.loc[2, "n_pii"] == 1
     assert out.loc[3, "text_scrubbed"] == "nothing sensitive here"
     assert out.loc[3, "n_pii"] == 0
+
+
+def test_normalize_text(ray_session):
+    from kgray.ops.curation import normalize_text
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["  Hello\t\tWORLD \n", "ok"]}
+    )
+    out = normalize_text(ray.data.from_pandas(df)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "text_clean"] == "hello world"
+    assert out.loc[1, "n_chars_clean"] == 11
+    assert out.loc[2, "text_clean"] == "ok"
