@@ -107,6 +107,10 @@ def run_bench() -> dict:
     timed("events_user_running", lambda: size(entry.queries()["events_user_running"](sf_dir)))
     timed("events_asof_attribution", lambda: size(entry.queries()["events_asof_attribution"](sf_dir)))
     timed("doc_contamination", lambda: size(entry.queries()["doc_contamination"](sf_dir)))
+    timed("doc_bm25_rank", lambda: size(entry.queries()["doc_bm25_rank"](sf_dir)))
+    timed("doc_inverted_index", lambda: size(entry.queries()["doc_inverted_index"](sf_dir)))
+    timed("doc_hll_distinct", lambda: size(entry.queries()["doc_hll_distinct"](sf_dir)))
+    timed("kg_pagerank_events", lambda: size(entry.queries()["kg_pagerank_events"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

@@ -82,6 +82,7 @@ def pagerank(
     weight_col: str | None = "n_obs",
     damping: float = 0.85,
     iterations: int = 10,
+    driver_edge_max: int = 200_000,
 ) -> pd.DataFrame:
     """Weighted PageRank with uniform dangling-mass redistribution.
 
@@ -159,24 +160,41 @@ def pagerank(
         )
 
     encoded = edges.map_batches(encode, batch_format="pandas").materialize()
+    n_edges = encoded.count()
 
     dangling = sw_vec == 0.0
     r = np.full(n, 1.0 / n)
-    for _ in range(iterations):
-        r_ref = ray.put(r)
+    if n_edges <= driver_edge_max:
+        # tiny aggregated graph: ten distributed rounds would be pure
+        # per-iteration Dataset overhead — same ladder rule as entity
+        # resolution (driver below the threshold, cluster above); math is
+        # identical to the distributed branch
+        e = encoded.to_pandas()
+        si = e["si"].to_numpy()
+        di = e["di"].to_numpy()
+        w = e["w"].to_numpy()
+        sw = e["sw"].to_numpy()
+        for _ in range(iterations):
+            flow = (r[si] * w) / sw
+            inflow = np.bincount(di, weights=flow, minlength=n)
+            mass = r[dangling].sum()
+            r = (1.0 - damping) / n + damping * (inflow + mass / n)
+    else:
+        for _ in range(iterations):
+            r_ref = ray.put(r)
 
-        def contrib(b: pd.DataFrame, r_ref=r_ref) -> pd.DataFrame:
-            rv = cached_get(r_ref)
-            flow = (rv[b["si"].to_numpy()] * b["w"].to_numpy()) / b["sw"].to_numpy()
-            dense = np.bincount(b["di"].to_numpy(), weights=flow, minlength=n)
-            nz = np.nonzero(dense)[0]
-            return pd.DataFrame({"di": nz, "inflow": dense[nz]})
+            def contrib(b: pd.DataFrame, r_ref=r_ref) -> pd.DataFrame:
+                rv = cached_get(r_ref)
+                flow = (rv[b["si"].to_numpy()] * b["w"].to_numpy()) / b["sw"].to_numpy()
+                dense = np.bincount(b["di"].to_numpy(), weights=flow, minlength=n)
+                nz = np.nonzero(dense)[0]
+                return pd.DataFrame({"di": nz, "inflow": dense[nz]})
 
-        partials = encoded.map_batches(contrib, batch_format="pandas").to_pandas()
-        inflow = np.zeros(n)
-        np.add.at(inflow, partials["di"].to_numpy(), partials["inflow"].to_numpy())
-        mass = r[dangling].sum()
-        r = (1.0 - damping) / n + damping * (inflow + mass / n)
+            partials = encoded.map_batches(contrib, batch_format="pandas").to_pandas()
+            inflow = np.zeros(n)
+            np.add.at(inflow, partials["di"].to_numpy(), partials["inflow"].to_numpy())
+            mass = r[dangling].sum()
+            r = (1.0 - damping) / n + damping * (inflow + mass / n)
 
     pr = np.floor(r * 1e6 + 0.5) / 1e6  # half-away, matches DuckDB round()
     return pd.DataFrame({"node": node_names, "pr": pr})

@@ -36,10 +36,14 @@ def test_pagerank_matches_dense_reference(ray_session):
             "n_obs": rng.integers(1, 5, 60),
         }
     )
-    out = pagerank(ray.data.from_pandas(edges)).set_index("node")["pr"]
+    ds = ray.data.from_pandas(edges)
+    out = pagerank(ds).set_index("node")["pr"]
     ref = _dense_reference(edges)
     assert np.allclose(out.sort_index(), ref.sort_index(), atol=2e-6)
     assert abs(out.sum() - 1.0) < 1e-3  # mass conserved
+    # distributed branch (driver_edge_max=0) agrees with the driver branch
+    dist = pagerank(ds, driver_edge_max=0).set_index("node")["pr"]
+    assert np.allclose(out.sort_index(), dist.sort_index(), atol=2e-6)
 
 
 def test_pagerank_all_dangling_sinks(ray_session):
