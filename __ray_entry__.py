@@ -246,7 +246,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_hll_distinct"] = _q_doc_hll_distinct
 
     q["doc_normalize"] = _q_doc_normalize
+    q["doc_cooccur_pmi"] = _q_doc_cooccur_pmi
+
+    # --- event analytics (kgray/ops/temporal.py) -------------------------
+    q["events_funnel"] = _q_events_funnel
+    q["events_cohort"] = _q_events_cohort
     return q
+
+
+FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+def _q_events_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered funnel signup → view → purchase (earliest-completion
+    greedy, strict ordering): one user-hash bucket shuffle, buckets×steps
+    partial counts."""
+    from kgray.ops.temporal import funnel_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return funnel_counts(ds, FUNNEL_STEPS)
+
+
+def _q_events_cohort(sf_dir: str) -> pd.DataFrame:
+    """Cohort-retention matrix (first-seen day × age in days): one
+    user-hash bucket shuffle, days×ages driver merge."""
+    from kgray.ops.temporal import cohort_retention
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return cohort_retention(ds)
+
+
+def _q_doc_cooccur_pmi(sf_dir: str) -> pd.DataFrame:
+    """Token co-occurrence graph with PMI over document frequencies:
+    batch-local pair partials (docs never straddle batches), pair-hash
+    bucket shuffle, broadcast df table."""
+    from kgray.ops.ranking import token_cooccurrence_pmi
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = token_cooccurrence_pmi(ds, min_count=2).to_pandas()
+    return out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
 
 
 def _q_doc_normalize(sf_dir: str) -> pd.DataFrame:
@@ -1646,6 +1686,62 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY token
         """,
         "kg_pagerank_events": _pagerank_oracle_sql(),
+        "events_funnel": f"""
+            WITH t0 AS MATERIALIZED (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+            ),
+            t1 AS MATERIALIZED (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN t0 ON t0.user_id = e.user_id AND e.ts > t0.t
+              WHERE e.event_type = '{FUNNEL_STEPS[1]}' GROUP BY e.user_id
+            ),
+            t2 AS MATERIALIZED (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.t
+              WHERE e.event_type = '{FUNNEL_STEPS[2]}' GROUP BY e.user_id
+            )
+            SELECT CAST(0 AS BIGINT) AS step_idx, '{FUNNEL_STEPS[0]}' AS step,
+                   CAST(count(*) AS BIGINT) AS n_users FROM t0
+            UNION ALL SELECT 1, '{FUNNEL_STEPS[1]}', count(*) FROM t1
+            UNION ALL SELECT 2, '{FUNNEL_STEPS[2]}', count(*) FROM t2
+        """,
+        "events_cohort": """
+            WITH fc AS MATERIALIZED (
+              SELECT user_id, date_trunc('day', min(ts)) AS cohort
+              FROM events GROUP BY user_id
+            ),
+            act AS MATERIALIZED (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+            )
+            SELECT strftime(fc.cohort, '%Y-%m-%d') AS cohort_day,
+                   CAST(date_diff('day', fc.cohort, a.day) AS BIGINT) AS age_days,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM act a JOIN fc ON fc.user_id = a.user_id
+            GROUP BY 1, 2
+        """,
+        "doc_cooccur_pmi": """
+            WITH dt AS MATERIALIZED (
+              SELECT DISTINCT doc_id, t AS token
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''
+            ),
+            nd AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            df AS MATERIALIZED (
+              SELECT token, CAST(count(*) AS DOUBLE) AS n FROM dt GROUP BY token
+            ),
+            pairs AS MATERIALIZED (
+              SELECT a.token AS tok_a, b.token AS tok_b, CAST(count(*) AS BIGINT) AS n_ab
+              FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+              GROUP BY a.token, b.token
+              HAVING count(*) >= 2
+            )
+            SELECT p.tok_a, p.tok_b, p.n_ab,
+                   round(ln(nd.n * p.n_ab / (da.n * db.n)), 6) AS pmi
+            FROM pairs p CROSS JOIN nd
+            JOIN df da ON da.token = p.tok_a
+            JOIN df db ON db.token = p.tok_b
+        """,
         "doc_normalize": r"""
             SELECT doc_id,
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_clean,

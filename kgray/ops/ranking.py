@@ -159,3 +159,92 @@ def inverted_index(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def token_cooccurrence_pmi(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Document-level token co-occurrence graph with pointwise mutual
+    information: for every unordered token pair (a < b) appearing together
+    in ≥ ``min_count`` documents, emit (tok_a, tok_b, n_ab, pmi) where
+    ``pmi = ln(N · n_ab / (n_a · n_b))`` over document frequencies.
+
+    Scale shape: pairs are generated per batch by a vectorized self-merge
+    of the batch's distinct (doc, token) pairs (a document lives in
+    exactly one batch, so batch-local pair counts are globally correct
+    partials), pre-counted before the pair-hash bucket shuffle, and the
+    vocabulary-sized document-frequency table rides along as a broadcast.
+    The t·(t−1)/2 blowup is bounded by distinct tokens per document — cap
+    upstream (e.g. top-k TF tokens per doc) for pathological documents;
+    ``min_count`` prunes the long tail after the count.
+    """
+    from kgray.functions.broadcast import cached_get
+    from kgray.ops.dedup import _md5_u64_np
+
+    # pass 1: document frequency per token + N docs (vocab-sized driver
+    # reduce, broadcast back)
+    def df_partial(t: pa.Table) -> pa.Table:
+        flat, parent, n = _flat_tokens(t[text_col])
+        dt = pd.DataFrame({"token": flat, "d": parent}).drop_duplicates()
+        c = dt.groupby("token", sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "token": pd.concat([pd.Series(["\x00docs"]), c["token"]]).to_numpy(dtype=object),
+                "n": np.concatenate([[n], c["n"].to_numpy()]).astype(np.int64),
+            }
+        )
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("token")["n"]
+        .sum()
+    )
+    n_docs = int(df_tbl.pop("\x00docs"))
+    df_ref = ray.put(df_tbl.to_dict())
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        flat, parent, _ = _flat_tokens(t[text_col])
+        dt = pd.DataFrame({"d": parent, "token": flat}).drop_duplicates()
+        m = dt.merge(dt, on="d")
+        m = m[m["token_x"] < m["token_y"]]
+        c = m.groupby(["token_x", "token_y"], sort=False).size().reset_index(name="n_ab")
+        bucket = (
+            (_md5_u64_np(c["token_x"].to_numpy(dtype=object))
+             ^ _md5_u64_np(c["token_y"].to_numpy(dtype=object)))
+            % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "tok_a": c["token_x"].to_numpy(dtype=object),
+                "tok_b": c["token_y"].to_numpy(dtype=object),
+                "n_ab": c["n_ab"].to_numpy(dtype=np.int64),
+                "bucket": bucket,
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df_map = cached_get(df_ref)
+        c = g.groupby(["tok_a", "tok_b"], sort=False)["n_ab"].sum().reset_index()
+        c = c[c["n_ab"] >= min_count]
+        if len(c) == 0:
+            return pd.DataFrame(
+                {"tok_a": pd.Series(dtype=object), "tok_b": pd.Series(dtype=object),
+                 "n_ab": pd.Series(dtype="int64"), "pmi": pd.Series(dtype="float64")}
+            )
+        n_a = c["tok_a"].map(df_map).to_numpy(dtype=np.float64)
+        n_b = c["tok_b"].map(df_map).to_numpy(dtype=np.float64)
+        pmi = np.log(n_docs * c["n_ab"].to_numpy(dtype=np.float64) / (n_a * n_b))
+        c["pmi"] = np.floor(pmi * 1e6 + 0.5) / 1e6  # half-away == DuckDB round()
+        c["n_ab"] = c["n_ab"].astype("int64")
+        return c
+
+    return (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

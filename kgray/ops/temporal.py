@@ -228,3 +228,120 @@ def range_join_count(
         .sort_values(left_id, kind="mergesort")
         .reset_index(drop=True)
     )
+
+
+def funnel_counts(
+    events: ray.data.Dataset,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Ordered-funnel analysis: for each prefix of ``steps``, how many
+    users completed it in order (each step strictly AFTER the previous
+    one's earliest completion — the standard earliest-completion greedy,
+    which is optimal for funnels).
+
+    Scale shape: rows are filtered to the step event types at the source,
+    ONE user-hash bucket shuffle co-locates each user's events, each
+    bucket resolves its users' funnels vectorized (one filter +
+    groupby-min per step), and only ``buckets × len(steps)`` count rows
+    reach the driver.
+    """
+    step_set = list(steps)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[type_col].isin(step_set)]
+        return pd.DataFrame(
+            {
+                "bucket": (b[user_col] % num_buckets).astype("int32"),
+                user_col: b[user_col].to_numpy(),
+                type_col: b[type_col].to_numpy(),
+                ts_col: b[ts_col].to_numpy(),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # step 0: earliest occurrence per user; step i: earliest strictly
+        # after the user's step-(i-1) time
+        reach = g[g[type_col] == step_set[0]].groupby(user_col)[ts_col].min()
+        counts = [len(reach)]
+        for s in step_set[1:]:
+            ev = g[g[type_col] == s]
+            prev = ev[user_col].map(reach)
+            ev = ev[ev[ts_col] > prev]  # NaT prev -> comparison False -> dropped
+            reach = ev.groupby(user_col)[ts_col].min()
+            counts.append(len(reach))
+        return pd.DataFrame(
+            {"step_idx": np.arange(len(step_set), dtype=np.int64),
+             "step": step_set, "n_users": np.asarray(counts, dtype=np.int64)}
+        )
+
+    parts = (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby(["step_idx", "step"], sort=True)["n_users"]
+        .sum()
+        .reset_index()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("step_idx").reset_index(drop=True)
+
+
+def cohort_retention(
+    events: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Cohort-retention matrix: users grouped by first-seen day; for each
+    (cohort_day, age_days) cell, how many of that cohort were active
+    ``age_days`` days after their first day.
+
+    Scale shape: ONE user-hash bucket shuffle (pruned to two columns);
+    each bucket derives its users' cohort day and distinct activity days
+    in a single pass, emitting (cohort_day, age_days, n) partials; the
+    driver merge is bounded by days × ages, not users.
+    """
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": (b[user_col] % num_buckets).astype("int32"),
+                user_col: b[user_col].to_numpy(),
+                "day": b[ts_col].dt.floor("D"),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cohort = g.groupby(user_col)["day"].min()
+        act = g[[user_col, "day"]].drop_duplicates()
+        age = (act["day"] - act[user_col].map(cohort)).dt.days
+        cell = pd.DataFrame(
+            {
+                "cohort_day": act[user_col].map(cohort).dt.strftime("%Y-%m-%d"),
+                "age_days": age.astype("int64"),
+            }
+        )
+        out = cell.groupby(["cohort_day", "age_days"], sort=False).size().reset_index(name="n_users")
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    parts = (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby(["cohort_day", "age_days"], sort=True)["n_users"]
+        .sum()
+        .reset_index()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out

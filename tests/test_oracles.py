@@ -68,6 +68,9 @@ def _compare(query: str):
         "kg_pagerank_events",
         "doc_hll_distinct",
         "doc_normalize",
+        "doc_cooccur_pmi",
+        "events_funnel",
+        "events_cohort",
     ],
 )
 def test_sql_oracle_matches_ray(query):

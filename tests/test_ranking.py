@@ -65,3 +65,33 @@ def test_inverted_index_max_postings(ray_session):
     )
     assert out.loc["the", "df"] == 10  # df stays exact past the cap
     assert out.loc["the", "postings"] == "0,1,2"
+
+
+def test_cooccurrence_pmi_math(ray_session):
+    import math
+
+    from kgray.ops.ranking import token_cooccurrence_pmi
+
+    # 4 docs: (a,b) together in 3, (a,c) in 1 (pruned by min_count=2)
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b", "a b x", "b a", "a c"],
+        }
+    )
+    out = (
+        token_cooccurrence_pmi(ray.data.from_pandas(df), min_count=2)
+        .to_pandas()
+        .set_index(["tok_a", "tok_b"])
+    )
+    assert ("a", "c") not in out.index
+    assert out.loc[("a", "b"), "n_ab"] == 3
+    # df(a)=4, df(b)=3, N=4 -> pmi = ln(4*3/(4*3)) = 0
+    assert out.loc[("a", "b"), "pmi"] == round(math.log(4 * 3 / (4.0 * 3.0)), 6)
+    # partition invariance: same result with many blocks
+    out2 = (
+        token_cooccurrence_pmi(ray.data.from_pandas(df).repartition(4), min_count=2)
+        .to_pandas()
+        .set_index(["tok_a", "tok_b"])
+    )
+    assert out.sort_index()["n_ab"].equals(out2.sort_index()["n_ab"])

@@ -121,3 +121,68 @@ def test_range_join_counts_across_bin_boundary(ray_session):
         ray.data.from_pandas(left), ray.data.from_pandas(right), window_seconds=3600
     )
     assert out.loc[0, "n_matches"] == 2  # 00:45 and 01:15; 01:45 is past 01:30
+
+
+def test_funnel_strict_ordering(ray_session):
+    from kgray.ops.temporal import funnel_counts
+
+    ts = pd.to_datetime
+    # u1 completes in order; u2 purchases BEFORE viewing (not counted at
+    # step 2); u3 only signs up; u4 never signs up (invisible)
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 2, 3, 4],
+            "event_type": [
+                "signup", "view", "purchase",
+                "signup", "purchase", "view",
+                "signup", "purchase",
+            ],
+            "ts": [
+                ts("2024-01-01"), ts("2024-01-02"), ts("2024-01-03"),
+                ts("2024-01-01"), ts("2024-01-02"), ts("2024-01-03"),
+                ts("2024-01-01"), ts("2024-01-01"),
+            ],
+        }
+    )
+    out = funnel_counts(
+        ray.data.from_pandas(ev), ("signup", "view", "purchase")
+    ).set_index("step")
+    assert out.loc["signup", "n_users"] == 3
+    assert out.loc["view", "n_users"] == 2
+    assert out.loc["purchase", "n_users"] == 1
+
+
+def test_funnel_equal_timestamps_not_counted(ray_session):
+    from kgray.ops.temporal import funnel_counts
+
+    ts = pd.to_datetime("2024-01-01")
+    ev = pd.DataFrame(
+        {"user_id": [1, 1], "event_type": ["signup", "view"], "ts": [ts, ts]}
+    )
+    out = funnel_counts(ray.data.from_pandas(ev), ("signup", "view")).set_index("step")
+    assert out.loc["signup", "n_users"] == 1
+    assert out.loc["view", "n_users"] == 0  # strict > on equal ts
+
+
+def test_cohort_retention_cells(ray_session):
+    from kgray.ops.temporal import cohort_retention
+
+    ts = pd.to_datetime
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": [
+                ts("2024-01-01 08:00"), ts("2024-01-01 22:00"),  # same day
+                ts("2024-01-03 05:00"),
+                ts("2024-01-02 01:00"), ts("2024-01-03 01:00"),
+            ],
+        }
+    )
+    out = cohort_retention(ray.data.from_pandas(ev)).set_index(
+        ["cohort_day", "age_days"]
+    )
+    assert out.loc[("2024-01-01", 0), "n_users"] == 1
+    assert out.loc[("2024-01-01", 2), "n_users"] == 1
+    assert out.loc[("2024-01-02", 0), "n_users"] == 1
+    assert out.loc[("2024-01-02", 1), "n_users"] == 1
+    assert ("2024-01-01", 1) not in out.index  # u1 inactive on day 2
