@@ -111,6 +111,8 @@ def run_bench() -> dict:
     timed("doc_inverted_index", lambda: size(entry.queries()["doc_inverted_index"](sf_dir)))
     timed("doc_hll_distinct", lambda: size(entry.queries()["doc_hll_distinct"](sf_dir)))
     timed("kg_pagerank_events", lambda: size(entry.queries()["kg_pagerank_events"](sf_dir)))
+    timed("doc_cooccur_pmi", lambda: size(entry.queries()["doc_cooccur_pmi"](sf_dir)))
+    timed("events_funnel", lambda: size(entry.queries()["events_funnel"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {
