@@ -251,7 +251,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- event analytics (kgray/ops/temporal.py) -------------------------
     q["events_funnel"] = _q_events_funnel
     q["events_cohort"] = _q_events_cohort
+
+    # --- chunking / corpus filters (kgray/ops/text.py) -------------------
+    q["doc_split_overlap"] = _q_doc_split_overlap
+    q["doc_length_filter"] = _q_doc_length_filter
     return q
+
+
+def _q_doc_split_overlap(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window pre-LLM chunker (64-char windows, 16 overlap):
+    stream-only 1→N expansion."""
+    out = (
+        tx.split_documents(
+            ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+            chunk_chars=64,
+            overlap=16,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def _q_doc_length_filter(sf_dir: str) -> pd.DataFrame:
+    """Keep documents at or above the corpus p25 length: histogram-partial
+    quantile (quantile_disc semantics), broadcast threshold, Arrow filter."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    out = tx.filter_by_length_quantile(ds, q=(1, 4)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 FUNNEL_STEPS = ("signup", "view", "purchase")
@@ -1686,6 +1714,21 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY token
         """,
         "kg_pagerank_events": _pagerank_oracle_sql(),
+        "doc_split_overlap": """
+            -- 64-char windows advancing by 48; emit window i while window
+            -- i-1 hasn't reached the end (corpus is ASCII: char == byte)
+            SELECT d.doc_id, t.i AS chunk_idx,
+                   substr(d.text, CAST(t.i * 48 + 1 AS BIGINT), 64) AS chunk_text,
+                   CAST(length(substr(d.text, CAST(t.i * 48 + 1 AS BIGINT), 64)) AS BIGINT)
+                     AS n_chars
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
+            WHERE t.i = 0 OR (t.i - 1) * 48 + 64 < length(d.text)
+        """,
+        "doc_length_filter": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.25) FROM documents)
+        """,
         "events_funnel": f"""
             WITH t0 AS MATERIALIZED (
               SELECT user_id, min(ts) AS t FROM events

@@ -159,3 +159,89 @@ def rolling_fingerprint(batch: pd.DataFrame, window: int = 64, base: int = 257, 
                 mn = h
         out.append(mn)
     return pd.DataFrame({"doc_id": batch["doc_id"], "rolling_fp": np.array(out, dtype="uint64")})
+
+
+def split_documents(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> ray.data.Dataset:
+    """Sliding-window document splitter (the LangChain-style pre-LLM
+    chunker): fixed-width windows advancing by ``chunk_chars − overlap``,
+    stopping with the first window that reaches the end of the document.
+
+    1→N row expansion inside ``map_batches`` — same scale shape as frame
+    sampling: output block size grows by the expansion factor, so batch
+    sizes must shrink as documents grow; the stream never shuffles.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+
+    def split(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        lens = np.fromiter((len(s) for s in texts), dtype=np.int64, count=len(texts))
+        # windows: emit i while the PREVIOUS window hasn't reached the end
+        # -> n = 1 + ceil(max(len - chunk_chars, 0) / step)
+        extra = np.maximum(lens - chunk_chars, 0)
+        n = 1 + -(-extra // step)
+        doc_idx = np.repeat(np.arange(len(texts)), n)
+        chunk_idx = np.arange(len(doc_idx)) - np.repeat(np.cumsum(n) - n, n)
+        chunks = [
+            texts[d][i * step : i * step + chunk_chars]
+            for d, i in zip(doc_idx, chunk_idx)
+        ]
+        return pa.table(
+            {
+                id_col: pa.array(ids[doc_idx], type=pa.int64()),
+                "chunk_idx": pa.array(chunk_idx, type=pa.int64()),
+                "chunk_text": pa.array(chunks, type=pa.large_string()),
+                "n_chars": pa.array([len(c) for c in chunks], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+def filter_by_length_quantile(
+    ds: ray.data.Dataset,
+    value_col: str = "n_chars",
+    q: tuple[int, int] = (1, 4),
+) -> ray.data.Dataset:
+    """Corpus-derived threshold filter: keep rows whose ``value_col`` is at
+    least the corpus q-quantile (discrete quantile, ``ceil(q·n)−1`` index —
+    DuckDB ``quantile_disc`` semantics).
+
+    Two streaming passes: pass 1 collapses each batch to a (value, count)
+    histogram partial (bounded by the value domain, never the row count);
+    the driver reduces the histogram, derives the threshold and broadcasts
+    it into a stateless pass-2 Arrow filter.
+    """
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({value_col: t[value_col]})
+            .group_by(value_col)
+            .aggregate([([], "count_all")])
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(value_col, sort=True)["count_all"]
+        .sum()
+    )
+    counts = hist.to_numpy(dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    num, den = q
+    idx = max(0, -(-(num * n) // den) - 1)  # ceil(num*n/den) - 1
+    threshold = hist.index.to_numpy()[np.searchsorted(cum, idx + 1)]
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t[value_col], int(threshold)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

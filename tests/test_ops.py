@@ -192,3 +192,41 @@ def test_frame_sampling(ray_session):
 
     with pytest.raises(NotImplementedError):
         FrameSampler(use_real_decoder=True)
+
+
+def test_split_documents_windows(ray_session):
+    from kgray.ops.text import split_documents
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["abcdefghij", "abc", "abcdefgh"],  # chunk 6, overlap 2
+        }
+    )
+    out = (
+        split_documents(ray.data.from_pandas(df), chunk_chars=6, overlap=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out["doc_id"] == 1]
+    # step 4: windows [0:6]="abcdef", [4:10]="efghij" (reaches end -> stop)
+    assert d1["chunk_text"].tolist() == ["abcdef", "efghij"]
+    assert out[out["doc_id"] == 2]["chunk_text"].tolist() == ["abc"]
+    # len 8: [0:6]="abcdef" doesn't reach end, [4:8]="efgh" does
+    assert out[out["doc_id"] == 3]["chunk_text"].tolist() == ["abcdef", "efgh"]
+    with pytest.raises(ValueError):
+        split_documents(ray.data.from_pandas(df), chunk_chars=4, overlap=4)
+
+
+def test_filter_by_length_quantile(ray_session):
+    from kgray.ops.text import filter_by_length_quantile
+
+    df = pd.DataFrame({"doc_id": range(8), "n_chars": [1, 2, 3, 4, 5, 6, 7, 8]})
+    # p25 of 8 values -> index ceil(0.25*8)-1 = 1 -> threshold 2
+    out = (
+        filter_by_length_quantile(ray.data.from_pandas(df).repartition(3), q=(1, 4))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["n_chars"].tolist() == [2, 3, 4, 5, 6, 7, 8]

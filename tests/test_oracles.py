@@ -71,6 +71,8 @@ def _compare(query: str):
         "doc_cooccur_pmi",
         "events_funnel",
         "events_cohort",
+        "doc_split_overlap",
+        "doc_length_filter",
     ],
 )
 def test_sql_oracle_matches_ray(query):
