@@ -255,7 +255,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- chunking / corpus filters (kgray/ops/text.py) -------------------
     q["doc_split_overlap"] = _q_doc_split_overlap
     q["doc_length_filter"] = _q_doc_length_filter
+
+    # --- composed curation pipeline (kgray/pipelines/curation.py) --------
+    q["corpus_curation"] = _q_corpus_curation
     return q
+
+
+def _q_corpus_curation(sf_dir: str) -> pd.DataFrame:
+    """The full training-corpus chain composed end-to-end (normalize →
+    p25 length filter → exact dedup → 5-gram decontamination vs the
+    doc_id%97 held-out set → 64/16 sliding-window split), streaming
+    throughout — one content-hash shuffle total."""
+    import pyarrow as pa
+
+    from kgray.pipelines.curation import curate_corpus
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _mod_split(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            is_bench = t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+            return t.filter(pa.array(is_bench if keep_bench else ~is_bench))
+
+        return f
+
+    corpus = docs.map_batches(_mod_split(False), batch_format="pyarrow")
+    benchmark = docs.map_batches(_mod_split(True), batch_format="pyarrow")
+    out = (
+        curate_corpus(corpus, benchmark, chunk_chars=64, overlap=16)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    return out
 
 
 def _q_doc_split_overlap(sf_dir: str) -> pd.DataFrame:
@@ -1714,6 +1746,50 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY token
         """,
         "kg_pagerank_events": _pagerank_oracle_sql(),
+        "corpus_curation": r"""
+            -- SQL twin of the WHOLE curation chain, stage for stage
+            WITH clean AS MATERIALIZED (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS tc
+              FROM documents WHERE doc_id % 97 <> 0
+            ),
+            c2 AS MATERIALIZED (
+              SELECT doc_id, tc, CAST(length(tc) AS BIGINT) AS n FROM clean
+            ),
+            filt AS MATERIALIZED (
+              SELECT * FROM c2 WHERE n >= (SELECT quantile_disc(n, 0.25) FROM c2)
+            ),
+            ded AS MATERIALIZED (
+              SELECT f.doc_id, f.tc FROM filt f
+              JOIN (SELECT tc, min(doc_id) AS keep FROM filt GROUP BY tc) k
+                ON k.tc = f.tc AND k.keep = f.doc_id
+            ),
+            -- benchmark grams from RAW text of doc_id%97=0 (the held-out
+            -- set is external to the cleaning chain), corpus grams from tc
+            btoks AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 97 = 0),
+            bench AS MATERIALIZED (
+              SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS g
+              FROM (SELECT t, unnest(range(1, len(t) - 3)) AS i FROM btoks)
+            ),
+            ctoks AS (SELECT doc_id, string_split(tc, ' ') AS t FROM ded),
+            cgrams AS MATERIALIZED (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+              FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM ctoks)
+            ),
+            survive AS MATERIALIZED (
+              SELECT d.doc_id, d.tc FROM ded d
+              WHERE NOT EXISTS (
+                SELECT 1 FROM cgrams g JOIN bench b ON b.g = g.g
+                WHERE g.doc_id = d.doc_id
+              )
+            )
+            SELECT s.doc_id, t.i AS chunk_idx,
+                   substr(s.tc, CAST(t.i * 48 + 1 AS BIGINT), 64) AS chunk_text,
+                   CAST(length(substr(s.tc, CAST(t.i * 48 + 1 AS BIGINT), 64)) AS BIGINT)
+                     AS n_chars
+            FROM survive s
+            CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
+            WHERE t.i = 0 OR (t.i - 1) * 48 + 64 < length(s.tc)
+        """,
         "doc_split_overlap": """
             -- 64-char windows advancing by 48; emit window i while window
             -- i-1 hasn't reached the end (corpus is ASCII: char == byte)

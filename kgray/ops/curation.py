@@ -247,3 +247,31 @@ def normalize_text(
         )
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def decontaminate(
+    corpus: ray.data.Dataset,
+    bench_ref: "ray.ObjectRef",
+    n: int = 5,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """In-stream decontamination filter: drop every document sharing ≥1
+    distinct token n-gram with the broadcast benchmark set; documents
+    shorter than ``n`` tokens have no grams and are kept.  All columns
+    pass through; the corpus never shuffles (same broadcast shape as
+    :func:`ngram_contamination`, but as a filter for pipeline
+    composition)."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        bench = cached_get(bench_ref)
+        doc_of, h = _flat_grams(t[text_col], n)
+        ndocs = len(t)
+        if len(bench) and len(h):
+            pos = np.searchsorted(bench, h)
+            hit = (pos < len(bench)) & (bench[np.minimum(pos, len(bench) - 1)] == h)
+            n_hit = np.bincount(doc_of, weights=hit, minlength=ndocs)
+        else:
+            n_hit = np.zeros(ndocs)
+        return t.filter(pa.array(n_hit == 0))
+
+    return corpus.map_batches(keep, batch_format="pyarrow")

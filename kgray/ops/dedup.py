@@ -433,3 +433,33 @@ def embedding_near_dup_pairs(
         )
 
     return embeddings.groupby(block_col).map_groups(pairs, batch_format="pandas")
+
+
+def dedup_keep_first(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Row-preserving exact dedup: keep the minimum-``id_col`` row of each
+    identical ``text_col`` group, all other columns intact — the in-stream
+    form of :func:`exact_dedup` for pipeline composition.  ONE
+    content-hash bucket shuffle; rows (not just ids) ride the shuffle
+    because the survivors continue downstream."""
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_bucket"] = (
+            _md5_u64_np(b[text_col].to_numpy(dtype=object)) % np.uint64(num_buckets)
+        ).astype("int32")
+        return b
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.loc[g.groupby(text_col, sort=False)[id_col].idxmin()]
+        return keep.drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -1,0 +1,51 @@
+"""End-to-end corpus-curation pipeline — the training-data preparation
+chain composed from the individual curation operators, all streaming:
+
+    normalize → length filter → exact dedup → decontaminate → split
+
+No stage materializes the corpus on the driver: the quantile filter's
+driver state is a value-domain histogram, the dedup is one content-hash
+bucket shuffle, decontamination is a broadcast filter, and the splitter is
+a stream-only 1→N expansion.  The only corpus-wide shuffle in the whole
+chain is the dedup — everything else pipelines block by block, so the
+streaming executor overlaps all five stages.
+
+The reference engine curates nothing (it ingests pre-cleaned facts); this
+is the corpus-side feeder a 100-TB KG build needs in front of it.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from kgray.ops.curation import benchmark_gram_set, decontaminate
+from kgray.ops.dedup import dedup_keep_first
+from kgray.ops.text import filter_by_length_quantile, split_documents
+
+
+def curate_corpus(
+    docs: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length_quantile: tuple[int, int] = (1, 4),
+    ngram_n: int = 5,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> ray.data.Dataset:
+    """documents → curated training chunks.  ``benchmark`` is the held-out
+    eval set to decontaminate against (its gram hashes are broadcast once,
+    benchmark-sized by assumption)."""
+    from kgray.ops.curation import normalize_text
+
+    clean = normalize_text(docs, id_col=id_col, text_col=text_col)
+    kept = filter_by_length_quantile(clean, value_col="n_chars_clean", q=length_quantile)
+    deduped = dedup_keep_first(kept, text_col="text_clean", id_col=id_col)
+    bench_ref = benchmark_gram_set(benchmark, n=ngram_n, text_col=text_col)
+    safe = decontaminate(deduped, bench_ref, n=ngram_n, text_col="text_clean")
+    return split_documents(
+        safe, id_col=id_col, text_col="text_clean",
+        chunk_chars=chunk_chars, overlap=overlap,
+    )

@@ -1,0 +1,48 @@
+"""The composed curation chain: every stage must provably fire on a
+corpus crafted so each one has work to do."""
+
+import pandas as pd
+import ray.data
+
+from kgray.pipelines.curation import curate_corpus
+
+
+def test_each_stage_fires(ray_session):
+    long_a = " ".join(["alpha beta gamma delta epsilon zeta"] * 3)  # 107 chars
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "  " + long_a.upper() + "  ",       # normalized, split into 3 chunks
+                long_a,                              # duplicate of 1 after cleaning
+                "tiny",                              # below p25 length -> filtered
+                "the BENCH gram one two three four", # shares a 5-gram with benchmark
+                "totally different words here with enough length to survive the cut",
+            ],
+        }
+    )
+    bench = pd.DataFrame(
+        {"doc_id": [99], "text": ["x bench gram one two three y"]}
+    )
+    out = (
+        curate_corpus(
+            ray.data.from_pandas(docs),
+            ray.data.from_pandas(bench),
+            chunk_chars=48,
+            overlap=8,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    survivors = set(out["doc_id"])
+    assert 1 in survivors          # kept (min doc_id of the dup pair)
+    assert 2 not in survivors      # exact dup of 1 after normalization
+    assert 3 not in survivors      # too short
+    assert 4 not in survivors      # contaminated ("bench gram one two three")
+    assert 5 in survivors
+    d1 = out[out["doc_id"] == 1]
+    assert len(d1) >= 2            # long doc split into several windows
+    assert d1["chunk_text"].iloc[0].startswith("alpha beta")  # lowercased+trimmed
+    assert (d1["n_chars"] <= 48).all()
+    # overlap: consecutive windows share the trailing 8 chars
+    assert d1["chunk_text"].iloc[0][-8:] == d1["chunk_text"].iloc[1][:8]

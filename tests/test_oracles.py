@@ -73,6 +73,7 @@ def _compare(query: str):
         "events_cohort",
         "doc_split_overlap",
         "doc_length_filter",
+        "corpus_curation",
     ],
 )
 def test_sql_oracle_matches_ray(query):
