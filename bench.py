@@ -113,6 +113,7 @@ def run_bench() -> dict:
     timed("kg_pagerank_events", lambda: size(entry.queries()["kg_pagerank_events"](sf_dir)))
     timed("doc_cooccur_pmi", lambda: size(entry.queries()["doc_cooccur_pmi"](sf_dir)))
     timed("events_funnel", lambda: size(entry.queries()["events_funnel"](sf_dir)))
+    timed("corpus_curation", lambda: size(entry.queries()["corpus_curation"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {
