@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- multimodal frame sampling (kgray/ops/multimodal.py) -------------
     q["multimodal_frame_sample"] = _q_multimodal_frame_sample
+    q["multimodal_resize"] = _q_multimodal_resize
 
     # --- graph analytics (kgray/functions/graph.py) ----------------------
     q["kg_pagerank_events"] = _q_kg_pagerank_events
@@ -423,6 +424,21 @@ def _q_multimodal_frame_sample(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = sample_frames(ds, frame_size=64).drop_columns(["frame"]).to_pandas()
     return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
+def _q_multimodal_resize(sf_dir: str) -> pd.DataFrame:
+    """Image-style payload → fixed-size resized payload (actor pool;
+    decode stubbed as a deterministic byte truncation).  Payload bytes are
+    dropped from the driver-facing result; dims + size + digest remain."""
+    from kgray.ops.multimodal import resize_images
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = (
+        resize_images(ds, width=32, height=32)
+        .drop_columns(["text", "resized"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 BM25_QUERY_TERMS = ("hash", "join", "merge")
@@ -1903,6 +1919,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
             WHERE t.i * 64 < length(d.text)
+        """,
+        "multimodal_resize": """
+            -- corpus is pure ASCII (pinned by tests), so char ops == byte ops
+            SELECT doc_id,
+                   CAST(32 AS BIGINT) AS width,
+                   CAST(32 AS BIGINT) AS height,
+                   CAST(least(1024, length(text)) AS BIGINT) AS n_bytes,
+                   md5(substr(text, 1, 1024)) AS content_md5
+            FROM documents
         """,
         "events_props_rollup": """
             SELECT event_type,

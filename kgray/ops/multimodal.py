@@ -179,3 +179,69 @@ def sample_frames(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ImageResizer:
+    """Actor-pool image-resize stage.  Real decode/resize (PIL) is gated —
+    absent in this container — so the "resize" is a deterministic fake
+    (truncate the payload to width×height bytes, standing in for the
+    resampled pixel buffer); the Ray plumbing is real: actor pool, small
+    payload-dominated batches, binary out-column + (width, height, bytes,
+    digest) metadata for the downstream embedding stage."""
+
+    def __init__(self, width: int = 32, height: int = 32, use_real_decoder: bool = False):
+        if use_real_decoder and not _HAVE_IMAGE_LIBS:
+            raise NotImplementedError(
+                "No image decode libraries in this environment; "
+                "run with use_real_decoder=False for the deterministic fake."
+            )
+        self.width = width
+        self.height = height
+        self.use_real_decoder = use_real_decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.use_real_decoder:
+            raise NotImplementedError("real resize path requires PIL")
+        cap = self.width * self.height
+        payloads = [p[:cap] for p in batch["payload"].to_pylist()]
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("resized", pa.array(payloads, type=pa.large_binary()))
+        out = out.append_column(
+            "width", pa.array([self.width] * len(payloads), type=pa.int64())
+        )
+        out = out.append_column(
+            "height", pa.array([self.height] * len(payloads), type=pa.int64())
+        )
+        out = out.append_column(
+            "n_bytes", pa.array([len(p) for p in payloads], type=pa.int64())
+        )
+        return out.append_column(
+            "content_md5",
+            pa.array([hashlib.md5(p).hexdigest() for p in payloads], type=pa.large_string()),
+        )
+
+
+def resize_images(
+    ds: ray.data.Dataset,
+    source_col: str = "text",
+    width: int = 32,
+    height: int = 32,
+    batch_size: int = 64,
+    concurrency: int | tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """payload rows → fixed-size "resized" payloads + metadata (actor
+    pool; decode stubbed, plumbing real)."""
+    if concurrency is None:
+        from kgray.functions.broadcast import auto_concurrency
+
+        concurrency = auto_concurrency()
+    with_payload = ds.map_batches(
+        lambda t: attach_payload(t, source_col), batch_format="pyarrow"
+    )
+    return with_payload.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"width": width, "height": height},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -194,6 +194,28 @@ def test_frame_sampling(ray_session):
         FrameSampler(use_real_decoder=True)
 
 
+def test_image_resize(ray_session):
+    import hashlib
+
+    from kgray.ops.multimodal import ImageResizer, resize_images
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a" * 2000, "xy"]})
+    out = (
+        resize_images(ray.data.from_pandas(df), width=32, height=32)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 1: 2000 bytes truncated to 32*32=1024; doc 2: short payload kept
+    assert out["n_bytes"].tolist() == [1024, 2]
+    assert out["width"].tolist() == [32, 32] and out["height"].tolist() == [32, 32]
+    assert bytes(out.loc[0, "resized"]) == b"a" * 1024
+    assert out.loc[1, "content_md5"] == hashlib.md5(b"xy").hexdigest()
+
+    with pytest.raises(NotImplementedError):
+        ImageResizer(use_real_decoder=True)
+
+
 def test_split_documents_windows(ray_session):
     from kgray.ops.text import split_documents
 

@@ -65,6 +65,7 @@ def _compare(query: str):
         "doc_bm25_rank",
         "doc_inverted_index",
         "multimodal_frame_sample",
+        "multimodal_resize",
         "kg_pagerank_events",
         "doc_hll_distinct",
         "doc_normalize",
