@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_ngram_jaccard"] = lambda sf: dd.ngram_jaccard_pairs(
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     )
+    q["doc_simhash_components"] = _q_doc_simhash_components
     q["embedding_near_dup"] = _q_embedding_near_dup
 
     # --- similarity search ----------------------------------------------
@@ -207,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["revenue_by_nation"] = rel.revenue_by_nation
     q["events_daily"] = rel.events_daily
     q["top_parts"] = rel.top_parts
+    q["shipping_priority"] = rel.shipping_priority
     q["user_sessions"] = rel.user_sessions
 
     # --- temporal joins / windows (kgray/ops/temporal.py) ----------------
@@ -247,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_hll_distinct"] = _q_doc_hll_distinct
 
     q["doc_normalize"] = _q_doc_normalize
+    q["doc_unigram_lm"] = _q_doc_unigram_lm
     q["doc_cooccur_pmi"] = _q_doc_cooccur_pmi
 
     # --- event analytics (kgray/ops/temporal.py) -------------------------
@@ -348,6 +351,41 @@ def _q_doc_cooccur_pmi(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = token_cooccurrence_pmi(ds, min_count=2).to_pandas()
     return out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
+def _q_doc_simhash_components(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the SimHash
+    pair graph (pairs chain transitively — a~b~c lands one cluster even
+    when a!~c).  The component op re-streams only the pair-graph edges;
+    its node vocabulary is the dup universe, not the corpus."""
+    from kgray.functions.graph import connected_components
+
+    pairs = dd.simhash_near_dup_pairs(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+    if not len(pairs):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "component": pd.Series(dtype="int64"),
+                "n_members": pd.Series(dtype="int64"),
+            }
+        )
+    comp = connected_components(ray.data.from_pandas(pairs[["a", "b"]]))
+    comp["n_members"] = comp.groupby("component")["component"].transform("size").astype("int64")
+    out = comp.rename(columns={"node": "doc_id"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_unigram_lm(sf_dir: str) -> pd.DataFrame:
+    """Corpus-self-trained unigram-LM cross-entropy per doc (CCNet-style
+    perplexity filter): vocab-bucketed count partials, broadcast log-prob
+    table, vectorized reduceat scoring."""
+    from kgray.ops.text import unigram_lm_score
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = unigram_lm_score(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_doc_normalize(sf_dir: str) -> pd.DataFrame:
@@ -1000,6 +1038,47 @@ FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id
     )
 
 
+def _simhash_ctes() -> str:
+    """Shared DuckDB twin of kgray.ops.dedup.simhash_near_dup_pairs — the
+    CTE chain ends at ``spairs`` (a, b, hamming) so both the pair oracle
+    and the connected-components oracle build on the identical graph.
+    ``WITH RECURSIVE`` so callers may append recursive CTEs."""
+    return """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+              FROM documents
+            ),
+            th AS (
+              SELECT doc_id, md5_number_lower(tok) AS h FROM toks WHERE tok <> ''
+            ),
+            bitpos AS (SELECT unnest(range(64)) AS b),
+            votes AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th CROSS JOIN bitpos GROUP BY doc_id, b
+            ),
+            sig AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END)::UBIGINT AS sh
+              FROM votes GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, band, (sh >> (band * 16)) & 65535 AS bval, sh
+              FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) bb
+            ),
+            capped AS (
+              SELECT * FROM bands
+              QUALIFY row_number() OVER (PARTITION BY band, bval ORDER BY doc_id) <= 200
+            ),
+            spairs AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                     bit_count(xor(x.sh, y.sh))::BIGINT AS hamming
+              FROM capped x JOIN capped y
+                ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+              WHERE bit_count(xor(x.sh, y.sh)) <= 8
+            )"""
+
+
 def _ngram_jaccard_oracle_sql() -> str:
     """DuckDB twin of kgray.ops.dedup.ngram_jaccard_pairs: MinHash-LSH
     proposes candidate (canonical, member) pairs at estimated threshold 0.3
@@ -1488,38 +1567,20 @@ def oracle_sql() -> dict[str, str]:
         # Pipeline mirrored: distinct tokens → 64-bit bit-vote signature →
         # 4 x 16-bit band buckets (doc_id-ordered 200 cap) → pairs with
         # Hamming distance <= 8.
-        "doc_simhash_pairs": """
-            WITH toks AS (
-              SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-              FROM documents
+        "doc_simhash_pairs": _simhash_ctes()
+        + "\nSELECT a, b, hamming FROM spairs",
+        "doc_simhash_components": _simhash_ctes()
+        + """,
+            sym AS (SELECT a, b FROM spairs UNION SELECT b AS a, a AS b FROM spairs),
+            reach AS (
+              SELECT a AS node, b AS r FROM sym
+              UNION
+              SELECT reach.node, sym.b AS r FROM reach JOIN sym ON sym.a = reach.r
             ),
-            th AS (
-              SELECT doc_id, md5_number_lower(tok) AS h FROM toks WHERE tok <> ''
-            ),
-            bitpos AS (SELECT unnest(range(64)) AS b),
-            votes AS (
-              SELECT doc_id, b,
-                     sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-              FROM th CROSS JOIN bitpos GROUP BY doc_id, b
-            ),
-            sig AS (
-              SELECT doc_id,
-                     sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END)::UBIGINT AS sh
-              FROM votes GROUP BY doc_id
-            ),
-            bands AS (
-              SELECT doc_id, band, (sh >> (band * 16)) & 65535 AS bval, sh
-              FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) bb
-            ),
-            capped AS (
-              SELECT * FROM bands
-              QUALIFY row_number() OVER (PARTITION BY band, bval ORDER BY doc_id) <= 200
-            )
-            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-                   bit_count(xor(x.sh, y.sh))::BIGINT AS hamming
-            FROM capped x JOIN capped y
-              ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
-            WHERE bit_count(xor(x.sh, y.sh)) <= 8
+            comp AS (SELECT node, least(min(r), node) AS component FROM reach GROUP BY node),
+            csize AS (SELECT component, count(*) AS n_members FROM comp GROUP BY component)
+            SELECT c.node AS doc_id, c.component, CAST(s.n_members AS BIGINT) AS n_members
+            FROM comp c JOIN csize s USING (component)
         """,
         "embedding_near_dup": """
             WITH p AS (
@@ -1919,6 +1980,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
             WHERE t.i * 64 < length(d.text)
+        """,
+        "doc_unigram_lm": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+            ),
+            tot AS (SELECT count(*) AS n FROM toks),
+            freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   floor((-sum(log2(f.c * 1.0 / (SELECT n FROM tot))) / count(*))
+                         * 1e6 + 0.5) / 1e6 AS bits_per_token
+            FROM toks t JOIN freq f ON t.tok = f.tok
+            GROUP BY t.doc_id
+        """,
+        "shipping_priority": """
+            SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, o.o_orderdate, o.o_orderkey
+            LIMIT 10
         """,
         "multimodal_resize": """
             -- corpus is pure ASCII (pinned by tests), so char ops == byte ops

@@ -198,3 +198,112 @@ def pagerank(
 
     pr = np.floor(r * 1e6 + 0.5) / 1e6  # half-away, matches DuckDB round()
     return pd.DataFrame({"node": node_names, "pr": pr})
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    src_col: str = "a",
+    dst_col: str = "b",
+    driver_edge_max: int = 200_000,
+    max_rounds: int = 64,
+) -> pd.DataFrame:
+    """Connected components over an undirected integer-keyed edge stream;
+    returns (node, component) with component = the minimum node id of the
+    component (reference counterpart: the transitive merge closure the
+    matcher's union-find computes, itext2kg/atom/graph_matching).
+
+    Scale shape (the pagerank ladder): the node VOCABULARY is collected
+    once (bounded by nodes touched by edges — for dedup graphs that is the
+    duplicate-pair universe, not the corpus) and sorted so dense index
+    order == node-id order; edges integer-encode once and are re-streamed
+    per round.  Below ``driver_edge_max`` a driver min-label loop finishes
+    in microseconds; above it each round is one ``map_batches`` pass whose
+    per-batch partial is a ``np.minimum``-reduced sparse update — the
+    driver holds only the node-sized label vector and applies pointer
+    jumping (``labels[labels]``) between rounds, so rounds needed is
+    O(log diameter), not O(diameter).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kgray.functions.broadcast import cached_get
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays(
+            [
+                t[src_col].combine_chunks().cast(pa.int64()),
+                t[dst_col].combine_chunks().cast(pa.int64()),
+            ]
+        )
+        return pa.table({"node": pc.unique(nodes)})
+
+    vocab = edges.map_batches(vocab_partial, batch_format="pyarrow").to_pandas()
+    if "node" not in vocab.columns or not len(vocab):
+        return pd.DataFrame(
+            {"node": pd.Series(dtype="int64"), "component": pd.Series(dtype="int64")}
+        )
+    node_ids = np.unique(vocab["node"].to_numpy(dtype=np.int64))  # sorted
+    n = len(node_ids)
+    idx_of = {int(v): i for i, v in enumerate(node_ids)}
+    idx_ref = ray.put(idx_of)
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        idx = cached_get(idx_ref)
+        return pd.DataFrame(
+            {
+                "si": b[src_col].map(idx).to_numpy(dtype=np.int64),
+                "di": b[dst_col].map(idx).to_numpy(dtype=np.int64),
+            }
+        )
+
+    encoded = edges.map_batches(encode, batch_format="pandas").materialize()
+    labels = np.arange(n, dtype=np.int64)
+
+    if encoded.count() <= driver_edge_max:
+        e = encoded.to_pandas()
+        si = e["si"].to_numpy()
+        di = e["di"].to_numpy()
+        for _ in range(max_rounds):
+            m = np.minimum(labels[si], labels[di])
+            before = labels.copy()
+            np.minimum.at(labels, si, m)
+            np.minimum.at(labels, di, m)
+            while True:  # pointer jumping to the fixpoint
+                nxt = labels[labels]
+                if np.array_equal(nxt, labels):
+                    break
+                labels = nxt
+            if np.array_equal(before, labels):
+                break
+    else:
+        for _ in range(max_rounds):
+            l_ref = ray.put(labels)
+
+            def upd(b: pd.DataFrame, l_ref=l_ref) -> pd.DataFrame:
+                lv = cached_get(l_ref)
+                si = b["si"].to_numpy()
+                di = b["di"].to_numpy()
+                m = np.minimum(lv[si], lv[di])
+                dense = np.full(len(lv), np.iinfo(np.int64).max)
+                np.minimum.at(dense, si, m)
+                np.minimum.at(dense, di, m)
+                nz = np.nonzero(dense < lv)[0]
+                return pd.DataFrame({"i": nz, "l": dense[nz]})
+
+            partials = encoded.map_batches(upd, batch_format="pandas").to_pandas()
+            if not len(partials):
+                break
+            before = labels.copy()
+            np.minimum.at(labels, partials["i"].to_numpy(), partials["l"].to_numpy())
+            while True:
+                nxt = labels[labels]
+                if np.array_equal(nxt, labels):
+                    break
+                labels = nxt
+            if np.array_equal(before, labels):
+                break
+
+    return pd.DataFrame(
+        {"node": node_ids, "component": node_ids[labels].astype(np.int64)}
+    )

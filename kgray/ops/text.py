@@ -245,3 +245,73 @@ def filter_by_length_quantile(
         return t.filter(pc.greater_equal(t[value_col], int(threshold)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def unigram_lm_score(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """CCNet-style language-model quality score: per-document cross-entropy
+    (bits/token) under the corpus's own unigram distribution — low bits ==
+    repetitive/templated text, high bits == rare-token noise; the standard
+    perplexity-bucket filter for web-scale corpora (Wenzek et al. 2020).
+
+    Pass 1 builds global unigram counts with per-batch Arrow ``group_by``
+    partials summed in token-hash buckets — the driver sees only the
+    collapsed vocabulary (bounded by distinct tokens, NOT corpus rows; the
+    same accepted vocab-sized broadcast used by tokenizer induction).  The
+    log-probability table broadcasts once via ``ray.put``; pass 2 scores
+    each doc vectorized — flattened token gather + ``np.add.reduceat`` over
+    list offsets, no per-row Python loop.
+    """
+    from kgray.functions.broadcast import cached_get
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern(pc.cast(texts, pa.large_string()), " ").flatten()
+        counted = pa.table({"token": toks}).group_by("token").aggregate([([], "count_all")])
+        bucket = pd.util.hash_array(
+            np.asarray(counted["token"].to_pandas(), dtype=object)
+        ) % num_buckets
+        return counted.append_column("bucket", pa.array(bucket.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", sort=False)["count_all"].sum().reset_index(name="cnt")
+
+    freq = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    total = int(freq["cnt"].sum())
+    logp = pd.Series(
+        np.log2(freq["cnt"].to_numpy(dtype=np.float64) / total),
+        index=freq["token"],
+    )
+    logp_ref = ray.put(logp)
+
+    def score(t: pa.Table) -> pa.Table:
+        lp = cached_get(logp_ref)
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(pc.cast(texts, pa.large_string()), " ")
+        lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
+        flat = lists.flatten().to_pandas()
+        tok_lp = flat.map(lp).to_numpy(dtype=np.float64)
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        sums = np.add.reduceat(tok_lp, offsets) if len(tok_lp) else np.zeros(0)
+        bits = _round6(-sums / lens)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(lens, type=pa.int64()),
+                "bits_per_token": pa.array(bits, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -163,6 +163,93 @@ def revenue_by_nation(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """TPC-H Q3-shaped top-k join: unshipped-revenue per order for one
+    market segment (reference relational surface; ref has no native Q3 —
+    this is the canonical selective fact⋈fact join for the inventory).
+
+    Scale shape mirrors ``revenue_by_nation``: the segment's custkeys are
+    a SMALL set broadcast once via ``ray.put``; orders filter at the batch
+    against it; lineitem pre-aggregates revenue per orderkey inside
+    ``map_batches``; both partial streams meet in orderkey hash buckets.
+    Because an orderkey lives wholly inside one bucket, a per-bucket top-k
+    is an exact partial — the driver reduces only buckets × k rows.
+    """
+    from kgray.functions.broadcast import cached_get
+
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = customer.loc[customer["c_mktsegment"] == segment, "c_custkey"].to_numpy()
+    keys_ref = ray.put(frozenset(int(x) for x in keys))
+    cut = pd.Timestamp(cutoff)
+
+    def orders_side(b: pd.DataFrame) -> pd.DataFrame:
+        custkeys = cached_get(keys_ref)
+        m = (b["o_orderdate"] < cut) & b["o_custkey"].isin(custkeys)
+        b = b.loc[m]
+        return pd.DataFrame(
+            {
+                "bucket": (b["o_orderkey"] % num_buckets).astype("int32"),
+                "okey": b["o_orderkey"].astype("int64"),
+                "side": np.int8(0),
+                "o_orderdate": b["o_orderdate"],
+                "revenue": 0.0,
+            }
+        )
+
+    def lineitem_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["l_shipdate"] > cut].copy()
+        b["revenue"] = b["l_extendedprice"] * (1.0 - b["l_discount"])
+        out = b.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "bucket": (out["l_orderkey"] % num_buckets).astype("int32"),
+                "okey": out["l_orderkey"].astype("int64"),
+                "side": np.int8(1),
+                "o_orderdate": pd.NaT,
+                "revenue": out["revenue"].astype(float),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_side, batch_format="pandas", batch_size=262144
+    )
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(lineitem_side, batch_format="pandas", batch_size=262144)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0][["okey", "o_orderdate"]]
+        l = g[g["side"] == 1].groupby("okey", sort=False)["revenue"].sum().reset_index()
+        m = l.merge(o, on="okey")
+        m["revenue"] = m["revenue"].round(4)
+        m = m.sort_values(
+            ["revenue", "o_orderdate", "okey"], ascending=[False, True, True]
+        ).head(k)
+        return m[["okey", "o_orderdate", "revenue"]]
+
+    cands = (
+        orders.union(line)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ buckets × k rows
+    )
+    out = (
+        cands.sort_values(["revenue", "o_orderdate", "okey"], ascending=[False, True, True])
+        .head(k)
+        .reset_index(drop=True)
+        .rename(columns={"okey": "o_orderkey"})
+    )
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["o_orderdate"] = out["o_orderdate"].dt.strftime("%Y-%m-%d")
+    return out[["o_orderkey", "o_orderdate", "revenue"]]
+
+
 def events_daily(sf_dir: str) -> pd.DataFrame:
     """Per (event_type, day) count + value sum — the tumbling-window shape."""
 

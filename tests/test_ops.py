@@ -194,6 +194,36 @@ def test_frame_sampling(ray_session):
         FrameSampler(use_real_decoder=True)
 
 
+def test_unigram_lm_score(ray_session):
+    from kgray.ops.text import unigram_lm_score
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "spam spam spam spam spam spam spam spam",
+                "quick brown fox jumps over lazy dog spam",
+                "spam spam spam spam quick brown fox dog",
+            ],
+        }
+    )
+    out = (
+        unigram_lm_score(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out["n_tokens"].tolist() == [8, 8, 8]
+    # all-repetition doc carries the fewest bits/token; the all-distinct
+    # doc (of corpus-rare tokens) the most
+    assert out.loc[1, "bits_per_token"] < out.loc[3, "bits_per_token"]
+    assert out.loc[3, "bits_per_token"] < out.loc[2, "bits_per_token"]
+    # exact value: p(spam)=13/24 for doc 1
+    import math
+
+    assert out.loc[1, "bits_per_token"] == pytest.approx(-math.log2(13 / 24), abs=1e-6)
+
+
 def test_image_resize(ray_session):
     import hashlib
 

@@ -35,7 +35,18 @@ def _compare(query: str):
     if hasattr(mine, "to_pandas"):
         mine = mine.to_pandas()
     con = duckdb.connect()
-    for t in ("documents", "embeddings", "events"):
+    for t in (
+        "documents",
+        "embeddings",
+        "events",
+        "customer",
+        "orders",
+        "lineitem",
+        "nation",
+        "region",
+        "part",
+        "supplier",
+    ):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     oracle = con.sql(m.oracle_sql()[query]).df()
     pd.testing.assert_frame_equal(_canon(mine), _canon(oracle))
@@ -47,6 +58,7 @@ def _compare(query: str):
     "query",
     [
         "doc_simhash_pairs",
+        "doc_simhash_components",
         "doc_minhash_dedup",
         "doc_ngram_jaccard",
         "knn_lsh",
@@ -66,6 +78,8 @@ def _compare(query: str):
         "doc_inverted_index",
         "multimodal_frame_sample",
         "multimodal_resize",
+        "shipping_priority",
+        "doc_unigram_lm",
         "kg_pagerank_events",
         "doc_hll_distinct",
         "doc_normalize",

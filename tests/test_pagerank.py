@@ -61,3 +61,37 @@ def test_pagerank_empty(ray_session):
     edges = pd.DataFrame({"subj_name": [], "obj_name": [], "n_obs": []})
     out = pagerank(ray.data.from_pandas(edges))
     assert len(out) == 0
+
+
+def test_connected_components_chain_and_singleton_free(ray_session):
+    from kgray.functions.graph import connected_components
+
+    # 10-20-30-40 is a chain (no direct 10-40 edge); 7-8 separate; 99-99 self
+    pairs = pd.DataFrame(
+        {"a": [20, 10, 30, 7, 99], "b": [30, 20, 40, 8, 99]}
+    )
+    out = (
+        connected_components(ray.data.from_pandas(pairs))
+        .set_index("node")["component"]
+    )
+    assert out.loc[10] == out.loc[20] == out.loc[30] == out.loc[40] == 10
+    assert out.loc[7] == out.loc[8] == 7
+    assert out.loc[99] == 99
+    assert len(out) == 7  # only nodes touched by edges appear
+
+    # distributed rung (driver_edge_max=0) lands the identical labelling
+    dist = (
+        connected_components(ray.data.from_pandas(pairs), driver_edge_max=0)
+        .set_index("node")["component"]
+    )
+    pd.testing.assert_series_equal(out.sort_index(), dist.sort_index())
+
+
+def test_connected_components_empty(ray_session):
+    from kgray.functions.graph import connected_components
+
+    out = connected_components(
+        ray.data.from_pandas(pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                           "b": pd.Series(dtype="int64")}))
+    )
+    assert len(out) == 0 and list(out.columns) == ["node", "component"]
