@@ -195,6 +195,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["knn_lsh"] = _q_knn_lsh
     q["knn_ivf"] = _q_knn_ivf
 
+    # --- embedding clustering / semantic dedup (kgray/ops/similarity.py) -
+    q["embedding_kmeans"] = _q_embedding_kmeans
+    q["embedding_semdedup"] = _q_embedding_semdedup
+
     # --- multimodal plumbing --------------------------------------------
     q["multimodal_payload_stats"] = lambda sf: (
         extract_features(
@@ -910,6 +914,21 @@ def _q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     return sim.knn_ivf(emb, qids, qmat, k=10)
 
 
+def _q_embedding_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Spherical k-means cluster assignment (sampled quantizer broadcast,
+    one streaming matmul per batch) — the curation clustering primitive."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = sim.kmeans_assign(emb).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _q_embedding_semdedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup: within-k-means-cluster cosine near-dup sets, min vec_id
+    canonical — quadratic work bounded by the largest cluster."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return sim.semantic_dedup(emb)
+
+
 # --------------------------------------------------------------------------
 # oracles
 # --------------------------------------------------------------------------
@@ -1295,20 +1314,21 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def _knn_ivf_oracle_sql(
+def _kmeans_ctes(
     n_sample: int = 500, n_centroids: int = 16, iters: int = 10,
-    seed: int = 23, nprobe: int = 4, k: int = 10, dim: int = 64,
-) -> str:
-    """DuckDB twin of kgray.ops.similarity.knn_ivf: the sampled spherical
-    k-means quantizer is UNROLLED as ``iters`` chained MATERIALIZED CTE
-    stages (materialization is required — each stage references its
+    seed: int = 23, dim: int = 64, recursive: bool = False,
+) -> tuple[str, str]:
+    """Sampled spherical k-means UNROLLED as ``iters`` chained MATERIALIZED
+    CTE stages (materialization is required — each stage references its
     predecessor twice, and inlined CTEs would blow up exponentially).
-    Seeded init indices are computed with the same RNG and embedded;
-    assignment ties break by centroid index like np.argmax.  ``n_sample``
-    pins the driver's sf=0.01 corpus (500 rows < the 4096 sample cap, and
-    vec_id equals parquet row order, so the sample filter is vec_id <
-    n_sample).  Per-list candidate ranking is exact after the global
-    reduce, as in the knn_lsh oracle."""
+    Seeded init indices are computed with the same RNG as
+    kgray.ops.similarity.train_ivf_centroids and embedded; assignment ties
+    break by centroid index like np.argmax.  ``n_sample`` pins the
+    driver's sf=0.01 corpus (500 rows < the 4096 sample cap, and vec_id
+    equals parquet row order, so the sample filter is vec_id < n_sample).
+    Ends at ``vassign`` (vec_id, cid, dot) — the full-corpus assignment —
+    and returns (sql, last_centroid_cte_name).  Shared by the knn_ivf,
+    embedding_kmeans and embedding_semdedup oracles."""
     rng = np.random.default_rng(seed)
     init = rng.choice(n_sample, size=n_centroids, replace=False)
     init_rows = ",".join(f"({cid}, {int(rid)})" for cid, rid in enumerate(init))
@@ -1340,7 +1360,7 @@ cent{i} AS MATERIALIZED (
 ),"""
         prev = f"cent{i}"
     return f"""
-WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH {"RECURSIVE " if recursive else ""}emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 unitv AS MATERIALIZED (
   SELECT vec_id,
          list_transform(e, z -> z / (CASE WHEN sqrt(list_dot_product(e, e)) = 0 THEN 1.0
@@ -1352,12 +1372,21 @@ init(cid, rid) AS (VALUES {init_rows}),
 cent0 AS MATERIALIZED (SELECT i.cid, s.u AS v FROM init i JOIN samp s USING (rid)),
 {chain}
 vassign AS MATERIALIZED (
-  SELECT vec_id, cid FROM (
-    SELECT uv.vec_id, c.cid,
+  SELECT vec_id, cid, dot FROM (
+    SELECT uv.vec_id, c.cid, list_dot_product(uv.u, c.v) AS dot,
            row_number() OVER (PARTITION BY uv.vec_id
                               ORDER BY list_dot_product(uv.u, c.v) DESC, c.cid) AS rn
     FROM unitv uv CROSS JOIN {prev} c) WHERE rn = 1
-),
+)""", prev
+
+
+def _knn_ivf_oracle_sql(nprobe: int = 4, k: int = 10) -> str:
+    """DuckDB twin of kgray.ops.similarity.knn_ivf — k-means chain from
+    :func:`_kmeans_ctes`, then nprobe inverted-list probing; per-list
+    candidate ranking is exact after the global reduce, as in the knn_lsh
+    oracle."""
+    prefix, prev = _kmeans_ctes()
+    return f"""{prefix},
 q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 5),
 probe AS (
   SELECT query_id, cid FROM (
@@ -1385,6 +1414,38 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _embedding_kmeans_oracle_sql() -> str:
+    prefix, _ = _kmeans_ctes()
+    return (
+        prefix
+        + "\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster, round(dot, 6) AS cos_centroid FROM vassign"
+    )
+
+
+def _embedding_semdedup_oracle_sql(threshold: float = 0.35) -> str:
+    """k-means chain + within-cluster rounded-cosine pairs + recursive
+    reachability; canonical = min vec_id of the near-dup set."""
+    prefix, _ = _kmeans_ctes(recursive=True)
+    return f"""{prefix},
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM vassign x JOIN vassign y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  JOIN emb ea ON ea.vec_id = x.vec_id
+  JOIN emb eb ON eb.vec_id = y.vec_id
+  WHERE round(list_cosine_similarity(ea.e, eb.e), 6) >= {threshold}
+),
+sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach AS (
+  SELECT a AS node, b AS r FROM sym
+  UNION
+  SELECT reach.node, sym.b AS r FROM reach JOIN sym ON sym.a = reach.r
+),
+roots AS (SELECT node, least(min(r), node) AS root FROM reach GROUP BY node)
+SELECT e.vec_id, coalesce(r.root, e.vec_id) AS canonical_id
+FROM emb e LEFT JOIN roots r ON r.node = e.vec_id
 """
 
 
@@ -1562,6 +1623,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "knn_lsh": _knn_lsh_oracle_sql(),
         "knn_ivf": _knn_ivf_oracle_sql(),
+        "embedding_kmeans": _embedding_kmeans_oracle_sql(),
+        "embedding_semdedup": _embedding_semdedup_oracle_sql(),
         # SimHash is fully SQL-reproducible because SimHasher's token hash
         # is md5-lower-64 == DuckDB md5_number_lower (kgray/ops/dedup.py).
         # Pipeline mirrored: distinct tokens → 64-bit bit-vote signature →

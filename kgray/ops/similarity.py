@@ -258,3 +258,92 @@ def knn_lsh(
         .to_pandas()
     )
     return _reduce_topk(partials, qids, k, exclude_self=True)
+
+
+def kmeans_assign(
+    embeddings: ray.data.Dataset,
+    n_centroids: int = 16,
+    seed: int = 23,
+    with_embedding: bool = False,
+) -> ray.data.Dataset:
+    """Spherical k-means cluster assignment over the embedding column —
+    the curation building block (data maps, SemDeDup, domain balancing).
+
+    The quantizer trains on a bounded driver-side sample
+    (:func:`train_ivf_centroids` — cost independent of corpus size), the
+    centroid matrix broadcasts once via ``ray.put``, and assignment is one
+    streaming float64 matmul per batch.  Output: (vec_id, cluster,
+    cos_centroid) — plus the embedding when the caller pipelines into a
+    per-cluster stage."""
+    cent = train_ivf_centroids(embeddings, n_centroids, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: dict) -> pd.DataFrame:
+        c = cached_get(cent_ref)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        sims = _unit(mat) @ c.T
+        cid = np.argmax(sims, axis=1)
+        out = pd.DataFrame(
+            {
+                "vec_id": np.asarray(batch["vec_id"], dtype=np.int64),
+                "cluster": cid.astype("int64"),
+                "cos_centroid": np.round(sims[np.arange(len(cid)), cid], 6),
+            }
+        )
+        if with_embedding:
+            out["embedding"] = list(mat)
+        return out
+
+    return embeddings.map_batches(assign, batch_format="numpy")
+
+
+def semantic_dedup(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    seed: int = 23,
+) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means partitions the corpus into
+    clusters, pairwise cosine runs ONLY within a cluster (the cluster
+    groupby bounds the quadratic term by the largest cluster, never the
+    corpus), and each near-duplicate set keeps its minimum vec_id as
+    canonical.  Production embeddings use thresholds ~0.95; the default
+    here sits where the synthetic test embeddings actually have near-dups.
+
+    Returns (vec_id, canonical_id) for every input row (identity rows
+    included), like exact/minhash dedup."""
+    assigned = kmeans_assign(
+        embeddings, n_centroids=n_centroids, seed=seed, with_embedding=True
+    )
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        unit = _unit(np.stack(g["embedding"].to_numpy()))
+        sims = unit @ unit.T
+        ai, bi = np.triu_indices(len(ids), k=1)
+        # threshold on the ROUNDED value so the SQL oracle's inclusion set
+        # matches bit-for-bit (same convention as embedding_near_dup_pairs)
+        keep = np.round(sims[ai, bi], 6) >= threshold
+        parent = np.arange(len(ids))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ai[keep], bi[keep]):
+            ra, rb = find(a), find(b)
+            if ra != rb:  # ids are sorted, so min index == min vec_id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        canon = ids[[find(i) for i in range(len(ids))]]
+        return pd.DataFrame({"vec_id": ids, "canonical_id": canon.astype("int64")})
+
+    out = (
+        assigned.groupby("cluster")
+        .map_groups(per_cluster, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -194,6 +194,40 @@ def test_frame_sampling(ray_session):
         FrameSampler(use_real_decoder=True)
 
 
+def test_kmeans_assign_and_semdedup(ray_session):
+    from kgray.ops.similarity import kmeans_assign, semantic_dedup
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((4, 16))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(10):  # 10 tight copies per seed vector
+            rows.append((vid, b + rng.standard_normal(16) * 0.01))
+            vid += 1
+    df = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    ds = ray.data.from_pandas(df)
+
+    out = kmeans_assign(ds, n_centroids=4).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == 40
+    assert out["cluster"].between(0, 3).all()
+    assert (out["cos_centroid"] <= 1.0 + 1e-9).all()
+    # random init may split or merge tight groups across centroids, but a
+    # group's members always co-locate with SOME of their own group (no
+    # member strays to a cluster with none of its siblings)
+    out["g"] = out["vec_id"] // 10
+    assert (out.groupby(["g", "cluster"]).size() >= 2).all()
+
+    # within a cluster, same-group pairs have cos ~0.9998 (dups) while
+    # cross-group pairs are near-orthogonal — so the canonical classes are
+    # exactly the (cluster, group) cells, each keeping its min vec_id
+    dedup = semantic_dedup(ds, threshold=0.99, n_centroids=4)
+    assert len(dedup) == 40
+    canon = dedup.set_index("vec_id")["canonical_id"]
+    cell_min = out.groupby(["cluster", "g"])["vec_id"].transform("min").to_numpy()
+    assert (canon.loc[out["vec_id"]].to_numpy() == cell_min).all()
+
+
 def test_unigram_lm_score(ray_session):
     from kgray.ops.text import unigram_lm_score
 

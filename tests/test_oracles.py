@@ -52,11 +52,15 @@ def _compare(query: str):
     pd.testing.assert_frame_equal(_canon(mine), _canon(oracle))
 
 
-# knn_ivf is excluded like the closed-world oracles: its SQL embeds the
-# seeded k-means init indices drawn for the driver's 500-row sf0.01 sample
+# knn_ivf & friends work here too: the embeddings table is 500 rows at
+# every scale factor, so the k-means oracle's embedded 500-row seeded
+# init indices pin sf0.001 exactly as they pin the driver's sf0.01
 @pytest.mark.parametrize(
     "query",
     [
+        "knn_ivf",
+        "embedding_kmeans",
+        "embedding_semdedup",
         "doc_simhash_pairs",
         "doc_simhash_components",
         "doc_minhash_dedup",
