@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_daily"] = rel.events_daily
     q["top_parts"] = rel.top_parts
     q["shipping_priority"] = rel.shipping_priority
+    q["returned_items"] = rel.returned_items
     q["user_sessions"] = rel.user_sessions
 
     # --- temporal joins / windows (kgray/ops/temporal.py) ----------------
@@ -251,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- sketches (kgray/ops/stats.py) -----------------------------------
     q["doc_hll_distinct"] = _q_doc_hll_distinct
+    q["doc_cms_counts"] = _q_doc_cms_counts
 
     q["doc_normalize"] = _q_doc_normalize
     q["doc_unigram_lm"] = _q_doc_unigram_lm
@@ -355,6 +357,18 @@ def _q_doc_cooccur_pmi(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = token_cooccurrence_pmi(ds, min_count=2).to_pandas()
     return out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
+CMS_QUERY_TOKENS = ("hash", "join", "merge", "the", "data", "zzz-never-seen")
+
+
+def _q_doc_cms_counts(sf_dir: str) -> pd.DataFrame:
+    """Count-Min-Sketch frequency estimates for a fixed token set: every
+    batch folds into one d×w sketch row, driver merge is vector addition."""
+    from kgray.ops.stats import cms_token_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return cms_token_counts(ds, CMS_QUERY_TOKENS)
 
 
 def _q_doc_simhash_components(sf_dir: str) -> pd.DataFrame:
@@ -2056,6 +2070,37 @@ def oracle_sql() -> dict[str, str]:
                          * 1e6 + 0.5) / 1e6 AS bits_per_token
             FROM toks t JOIN freq f ON t.tok = f.tok
             GROUP BY t.doc_id
+        """,
+        "doc_cms_counts": f"""
+            WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+            qt(token) AS (VALUES {", ".join(f"('{t}')" for t in CMS_QUERY_TOKENS)}),
+            rws AS (SELECT unnest(range(4)) AS i),
+            cells AS (
+              SELECT r.i AS i,
+                     md5_number_lower(CAST(r.i AS VARCHAR) || ':' || t.tok) % 1024 AS j,
+                     count(*) AS c
+              FROM toks t CROSS JOIN rws r GROUP BY 1, 2
+            )
+            SELECT q.token, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est_cnt
+            FROM qt q CROSS JOIN rws r
+            LEFT JOIN cells c
+              ON c.i = r.i
+             AND c.j = md5_number_lower(CAST(r.i AS VARCHAR) || ':' || q.token) % 1024
+            GROUP BY q.token
+        """,
+        "returned_items": """
+            SELECT c.c_custkey, c.c_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+                   c.c_acctbal
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-04-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal
+            ORDER BY revenue DESC, c.c_custkey
+            LIMIT 20
         """,
         "shipping_priority": """
             SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,

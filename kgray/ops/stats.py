@@ -190,3 +190,57 @@ def hll_distinct_tokens(
         est = 256.0 * np.log(256.0 / v)  # linear-counting small-range correction
     est = float(np.floor(est * 1e6 + 0.5) / 1e6)  # half-away == DuckDB round()
     return pd.DataFrame({"est_distinct": [est], "n_exact": [n_exact]})
+
+
+CMS_D, CMS_W = 4, 1024
+
+
+def cms_token_counts(
+    ds: ray.data.Dataset,
+    query_tokens: tuple[str, ...],
+    text_col: str = "text",
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> pd.DataFrame:
+    """Count-Min-Sketch token-frequency estimates for a fixed query set —
+    the mergeable frequency sketch for heavy-hitter detection at corpus
+    scale (Cormode & Muthukrishnan 2005).
+
+    Scale shape mirrors :func:`hll_distinct_tokens`: each batch collapses
+    to ONE d×w integer sketch row (32 KB at the defaults) regardless of
+    how many tokens stream through, the driver folds block sketches by
+    plain addition, and point queries read d cells.  Hashing is
+    md5-lower-64 of ``"{row}:{token}"`` (== DuckDB ``md5_number_lower``)
+    so the full register table — not just the estimates — has an exact
+    SQL twin.  Estimates overestimate (never underestimate) by design.
+    """
+    from kgray.ops.dedup import _md5_u64_np
+    from kgray.ops.ranking import _flat_tokens
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _, _ = _flat_tokens(t[text_col])
+        uniq, cnt = np.unique(flat, return_counts=True)
+        sk = np.zeros(d * w, dtype=np.int64)
+        for i in range(d):
+            idx = (_md5_u64_np([f"{i}:{s}" for s in uniq]) % np.uint64(w)).astype(np.int64)
+            np.add.at(sk, i * w + idx, cnt)
+        return pa.table({"sketch": pa.array([sk.tolist()], type=pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts):
+        sketch = np.sum(np.stack(parts["sketch"].to_numpy()), axis=0).astype(np.int64)
+    else:
+        sketch = np.zeros(d * w, dtype=np.int64)
+    rows = []
+    for tok in query_tokens:
+        cells = [
+            int(sketch[i * w + int(_md5_u64_np([f"{i}:{tok}"])[0] % np.uint64(w))])
+            for i in range(d)
+        ]
+        rows.append((tok, min(cells)))
+    return (
+        pd.DataFrame(rows, columns=["token", "est_cnt"])
+        .astype({"est_cnt": "int64"})
+        .sort_values("token")
+        .reset_index(drop=True)
+    )

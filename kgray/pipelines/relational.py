@@ -250,6 +250,79 @@ def shipping_priority(
     return out[["o_orderkey", "o_orderdate", "revenue"]]
 
 
+def returned_items(
+    sf_dir: str,
+    date_from: str = "1998-01-01",
+    date_to: str = "1998-04-01",
+    k: int = 20,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """TPC-H Q10-shaped report: per-customer revenue of returned items in
+    a 3-month order window, top-k by revenue.
+
+    Same join ladder as :func:`shipping_priority`: orders filter at the
+    batch, lineitem pre-aggregates returned revenue per orderkey, the two
+    partial streams meet in orderkey buckets; each bucket emits per-custkey
+    partials (bounded by custkeys touched, not rows) and the driver's final
+    combine is customer-dimension-sized — the accepted dimension budget
+    (``revenue_by_nation`` holds the same customer-keyed broadcast).
+    """
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    def orders_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
+        return pd.DataFrame(
+            {
+                "bucket": (b["o_orderkey"] % num_buckets).astype("int32"),
+                "okey": b["o_orderkey"].astype("int64"),
+                "side": np.int8(0),
+                "custkey": b["o_custkey"].astype("int64"),
+                "revenue": 0.0,
+            }
+        )
+
+    def lineitem_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["l_returnflag"] == "R"].copy()
+        b["revenue"] = b["l_extendedprice"] * (1.0 - b["l_discount"])
+        out = b.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "bucket": (out["l_orderkey"] % num_buckets).astype("int32"),
+                "okey": out["l_orderkey"].astype("int64"),
+                "side": np.int8(1),
+                "custkey": np.int64(-1),
+                "revenue": out["revenue"].astype(float),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_side, batch_format="pandas", batch_size=262144
+    )
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+    ).map_batches(lineitem_side, batch_format="pandas", batch_size=262144)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0][["okey", "custkey"]]
+        l = g[g["side"] == 1].groupby("okey", sort=False)["revenue"].sum().reset_index()
+        m = l.merge(o, on="okey")
+        return m.groupby("custkey", sort=False)["revenue"].sum().reset_index()
+
+    partials = (
+        orders.union(line)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ custkeys-touched rows per bucket
+    )
+    per_cust = partials.groupby("custkey", sort=False)["revenue"].sum().reset_index()
+    per_cust["revenue"] = per_cust["revenue"].round(4)
+    dims = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]).to_pandas()
+    out = per_cust.merge(dims, left_on="custkey", right_on="c_custkey")
+    out = out.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(k)
+    out["revenue"] = out["revenue"].astype(float)
+    return out[["c_custkey", "c_name", "revenue", "c_acctbal"]].reset_index(drop=True)
+
+
 def events_daily(sf_dir: str) -> pd.DataFrame:
     """Per (event_type, day) count + value sum — the tumbling-window shape."""
 

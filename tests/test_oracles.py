@@ -83,6 +83,8 @@ def _compare(query: str):
         "multimodal_frame_sample",
         "multimodal_resize",
         "shipping_priority",
+        "returned_items",
+        "doc_cms_counts",
         "doc_unigram_lm",
         "kg_pagerank_events",
         "doc_hll_distinct",

@@ -92,3 +92,33 @@ def test_hll_accuracy_and_partition_invariance(ray_session):
     out2 = hll_distinct_tokens(ray.data.from_pandas(docs).repartition(7))
     assert out1.loc[0, "est_distinct"] == out2.loc[0, "est_distinct"]
     assert out1.loc[0, "n_exact"] == out2.loc[0, "n_exact"]
+
+
+def test_cms_overestimates_never_under(ray_session):
+    from kgray.ops.stats import cms_token_counts
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": [
+                "apple apple apple banana",
+                "apple cherry cherry",
+                "banana apple",
+                "durian",
+            ],
+        }
+    )
+    truth = {"apple": 5, "banana": 2, "cherry": 2, "durian": 1, "absent": 0}
+    out = cms_token_counts(
+        ray.data.from_pandas(df), tuple(truth), d=4, w=1024
+    ).set_index("token")["est_cnt"]
+    for tok, exact in truth.items():
+        assert out[tok] >= exact  # CMS never underestimates
+    # tiny vocab in a wide sketch: collisions are virtually impossible
+    assert out["apple"] == 5 and out["absent"] == 0
+
+    # partition invariance: 4 single-row blocks merge to the same sketch
+    out4 = cms_token_counts(
+        ray.data.from_pandas(df).repartition(4), tuple(truth), d=4, w=1024
+    ).set_index("token")["est_cnt"]
+    pd.testing.assert_series_equal(out.sort_index(), out4.sort_index())
