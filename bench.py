@@ -114,6 +114,9 @@ def run_bench() -> dict:
     timed("doc_cooccur_pmi", lambda: size(entry.queries()["doc_cooccur_pmi"](sf_dir)))
     timed("events_funnel", lambda: size(entry.queries()["events_funnel"](sf_dir)))
     timed("corpus_curation", lambda: size(entry.queries()["corpus_curation"](sf_dir)))
+    timed("shipping_priority", lambda: size(entry.queries()["shipping_priority"](sf_dir)))
+    timed("doc_cms_counts", lambda: size(entry.queries()["doc_cms_counts"](sf_dir)))
+    timed("doc_unigram_lm", lambda: size(entry.queries()["doc_unigram_lm"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

@@ -250,17 +250,18 @@ def filter_by_length_quantile(
 def unigram_lm_score(
     ds: ray.data.Dataset,
     text_col: str = "text",
-    num_buckets: int = 16,
 ) -> ray.data.Dataset:
     """CCNet-style language-model quality score: per-document cross-entropy
     (bits/token) under the corpus's own unigram distribution — low bits ==
     repetitive/templated text, high bits == rare-token noise; the standard
     perplexity-bucket filter for web-scale corpora (Wenzek et al. 2020).
 
-    Pass 1 builds global unigram counts with per-batch Arrow ``group_by``
-    partials summed in token-hash buckets — the driver sees only the
-    collapsed vocabulary (bounded by distinct tokens, NOT corpus rows; the
-    same accepted vocab-sized broadcast used by tokenizer induction).  The
+    Pass 1 builds global unigram counts from per-batch Arrow ``group_by``
+    partials combined on the driver — driver traffic is blocks × vocab
+    PARTIAL rows, never the corpus token stream (the pagerank-partial
+    budget; past ~10^6-token vocabularies, swap in the token-hash bucket
+    shuffle :func:`kgray.ops.stats.token_frequencies` uses — at bench
+    scale that all-to-all costs more than the whole score pass).  The
     log-probability table broadcasts once via ``ray.put``; pass 2 scores
     each doc vectorized — flattened token gather + ``np.add.reduceat`` over
     list offsets, no per-row Python loop.
@@ -272,25 +273,13 @@ def unigram_lm_score(
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         toks = pc.split_pattern(pc.cast(texts, pa.large_string()), " ").flatten()
-        counted = pa.table({"token": toks}).group_by("token").aggregate([([], "count_all")])
-        bucket = pd.util.hash_array(
-            np.asarray(counted["token"].to_pandas(), dtype=object)
-        ) % num_buckets
-        return counted.append_column("bucket", pa.array(bucket.astype(np.int32)))
+        return pa.table({"token": toks}).group_by("token").aggregate([([], "count_all")])
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("token", sort=False)["count_all"].sum().reset_index(name="cnt")
-
-    freq = (
-        ds.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-        .to_pandas()
-    )
-    total = int(freq["cnt"].sum())
+    parts = ds.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    freq = parts.groupby("token", sort=False)["count_all"].sum()
+    total = int(freq.sum())
     logp = pd.Series(
-        np.log2(freq["cnt"].to_numpy(dtype=np.float64) / total),
-        index=freq["token"],
+        np.log2(freq.to_numpy(dtype=np.float64) / total), index=freq.index
     )
     logp_ref = ray.put(logp)
 
