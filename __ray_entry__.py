@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- distributed statistics (kgray/ops/stats.py) ---------------------
     q["events_value_deciles"] = _q_events_value_deciles
+    q["events_zscore_outliers"] = _q_events_zscore_outliers
     q["doc_top_tokens"] = _q_doc_top_tokens
 
     # --- semi-structured extraction (kgray/ops/nested.py) ----------------
@@ -357,6 +358,18 @@ def _q_doc_cooccur_pmi(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = token_cooccurrence_pmi(ds, min_count=2).to_pandas()
     return out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
+def _q_events_zscore_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type z-score outliers: moment partials → broadcast
+    stats → stateless vectorized filter."""
+    from kgray.ops.stats import zscore_outliers
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    out = zscore_outliers(ds).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
 
 
 CMS_QUERY_TOKENS = ("hash", "join", "merge", "the", "data", "zzz-never-seen")
@@ -2070,6 +2083,22 @@ def oracle_sql() -> dict[str, str]:
                          * 1e6 + 0.5) / 1e6 AS bits_per_token
             FROM toks t JOIN freq f ON t.tok = f.tok
             GROUP BY t.doc_id
+        """,
+        "events_zscore_outliers": """
+            WITH s AS (
+              SELECT event_type, count(*) AS n, sum(value) AS sv,
+                     sum(value * value) AS svv
+              FROM events GROUP BY event_type
+            ),
+            st AS (
+              SELECT event_type, sv / n AS mu,
+                     sqrt(greatest(svv / n - (sv / n) * (sv / n), 0)) AS sd
+              FROM s
+            )
+            SELECT e.event_id, e.event_type,
+                   round((e.value - st.mu) / st.sd, 6) AS z
+            FROM events e JOIN st USING (event_type)
+            WHERE st.sd > 0 AND abs(round((e.value - st.mu) / st.sd, 6)) > 3
         """,
         "doc_cms_counts": f"""
             WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

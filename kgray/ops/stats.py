@@ -244,3 +244,57 @@ def cms_token_counts(
         .sort_values("token")
         .reset_index(drop=True)
     )
+
+
+def zscore_outliers(
+    ds: ray.data.Dataset,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    z: float = 3.0,
+) -> ray.data.Dataset:
+    """Per-group z-score outlier flagging — the streaming anomaly filter.
+
+    Pass 1 collapses each batch to (group, n, sum, sumsq) moment partials
+    (rows bounded by groups × blocks, never events); the driver derives
+    population mean/std and broadcasts the tiny per-group table; pass 2 is
+    a stateless vectorized filter.  The inclusion test runs on the ROUNDED
+    z so the SQL oracle's boundary set matches bit-for-bit."""
+    from kgray.functions.broadcast import cached_get
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(group_col, sort=False)[value_col]
+        out = g.agg(n="size", s="sum")
+        out["ss"] = g.apply(lambda v: float(np.square(v.to_numpy(dtype=np.float64)).sum()))
+        return out.reset_index()
+
+    parts = ds.map_batches(moments, batch_format="pandas").to_pandas()
+    agg = parts.groupby(group_col, sort=False)[["n", "s", "ss"]].sum()
+    mu = agg["s"] / agg["n"]
+    var = agg["ss"] / agg["n"] - mu * mu
+    sd = np.sqrt(np.maximum(var.to_numpy(dtype=np.float64), 0.0))
+    stats_ref = ray.put(
+        {
+            k: (float(m), float(s))
+            for k, m, s in zip(agg.index, mu.to_numpy(dtype=np.float64), sd)
+        }
+    )
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        st = cached_get(stats_ref)
+        ms = b[group_col].map(st)
+        mu_v = np.array([x[0] for x in ms], dtype=np.float64)
+        sd_v = np.array([x[1] for x in ms], dtype=np.float64)
+        sd_v[sd_v == 0] = np.inf  # constant group: nothing is an outlier
+        zs = (b[value_col].to_numpy(dtype=np.float64) - mu_v) / sd_v
+        z6 = np.floor(np.abs(zs) * 1e6 + 0.5) / 1e6 * np.sign(zs)
+        keep = np.abs(z6) > z
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy()[keep],
+                group_col: b[group_col].to_numpy()[keep],
+                "z": z6[keep],
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pandas")

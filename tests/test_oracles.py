@@ -75,6 +75,7 @@ def _compare(query: str):
         "doc_stratified_sample",
         "doc_repetition",
         "events_value_deciles",
+        "events_zscore_outliers",
         "doc_top_tokens",
         "events_props_rollup",
         "doc_pii_scrub",

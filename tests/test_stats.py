@@ -122,3 +122,21 @@ def test_cms_overestimates_never_under(ray_session):
         ray.data.from_pandas(df).repartition(4), tuple(truth), d=4, w=1024
     ).set_index("token")["est_cnt"]
     pd.testing.assert_series_equal(out.sort_index(), out4.sort_index())
+
+
+def test_zscore_outliers(ray_session):
+    from kgray.ops.stats import zscore_outliers
+
+    vals = [10.0] * 20 + [10.5] * 20 + [1000.0]  # one wild outlier in group a
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(vals) + 3),
+            "event_type": ["a"] * len(vals) + ["b"] * 3,
+            "value": vals + [5.0, 5.0, 5.0],  # group b constant: sd == 0
+        }
+    )
+    out = zscore_outliers(ray.data.from_pandas(df)).to_pandas()
+    assert out["event_id"].tolist() == [len(vals) - 1]
+    assert out["z"].iloc[0] > 6
+    # constant group never flags (sd=0 guarded, no division blowup)
+    assert not (out["event_type"] == "b").any()
