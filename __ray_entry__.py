@@ -953,7 +953,8 @@ def _q_embedding_semdedup(sf_dir: str) -> pd.DataFrame:
     """SemDeDup: within-k-means-cluster cosine near-dup sets, min vec_id
     canonical — quadratic work bounded by the largest cluster."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return sim.semantic_dedup(emb)
+    out = sim.semantic_dedup(emb).to_pandas()  # small at test scale; streams at 100 TB
+    return out.sort_values("vec_id").reset_index(drop=True)
 
 
 # --------------------------------------------------------------------------

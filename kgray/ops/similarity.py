@@ -302,7 +302,7 @@ def semantic_dedup(
     threshold: float = 0.35,
     n_centroids: int = 16,
     seed: int = 23,
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """SemDeDup (Abbas et al. 2023): k-means partitions the corpus into
     clusters, pairwise cosine runs ONLY within a cluster (the cluster
     groupby bounds the quadratic term by the largest cluster, never the
@@ -310,8 +310,8 @@ def semantic_dedup(
     canonical.  Production embeddings use thresholds ~0.95; the default
     here sits where the synthetic test embeddings actually have near-dups.
 
-    Returns (vec_id, canonical_id) for every input row (identity rows
-    included), like exact/minhash dedup."""
+    Returns a Dataset of (vec_id, canonical_id) for every input row
+    (identity rows included), like exact/minhash dedup."""
     assigned = kmeans_assign(
         embeddings, n_centroids=n_centroids, seed=seed, with_embedding=True
     )
@@ -341,9 +341,6 @@ def semantic_dedup(
         canon = ids[[find(i) for i in range(len(ids))]]
         return pd.DataFrame({"vec_id": ids, "canonical_id": canon.astype("int64")})
 
-    out = (
-        assigned.groupby("cluster")
-        .map_groups(per_cluster, batch_format="pandas")
-        .to_pandas()
-    )
-    return out.sort_values("vec_id").reset_index(drop=True)
+    # stays a Dataset: the mapping is corpus-row-sized, so it streams to
+    # the next stage / sink instead of collecting on the driver
+    return assigned.groupby("cluster").map_groups(per_cluster, batch_format="pandas")

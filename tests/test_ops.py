@@ -221,7 +221,7 @@ def test_kmeans_assign_and_semdedup(ray_session):
     # within a cluster, same-group pairs have cos ~0.9998 (dups) while
     # cross-group pairs are near-orthogonal — so the canonical classes are
     # exactly the (cluster, group) cells, each keeping its min vec_id
-    dedup = semantic_dedup(ds, threshold=0.99, n_centroids=4)
+    dedup = semantic_dedup(ds, threshold=0.99, n_centroids=4).to_pandas()
     assert len(dedup) == 40
     canon = dedup.set_index("vec_id")["canonical_id"]
     cell_min = out.groupby(["cluster", "g"])["vec_id"].transform("min").to_numpy()
