@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- multimodal frame sampling (kgray/ops/multimodal.py) -------------
     q["multimodal_frame_sample"] = _q_multimodal_frame_sample
     q["multimodal_resize"] = _q_multimodal_resize
+    q["multimodal_audio_windows"] = _q_multimodal_audio_windows
 
     # --- graph analytics (kgray/functions/graph.py) ----------------------
     q["kg_pagerank_events"] = _q_kg_pagerank_events
@@ -493,6 +494,16 @@ def _q_multimodal_frame_sample(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = sample_frames(ds, frame_size=64).drop_columns(["frame"]).to_pandas()
     return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
+def _q_multimodal_audio_windows(sf_dir: str) -> pd.DataFrame:
+    """Audio-style payload → overlapping 256/128 windows (1→N actor-pool
+    expansion, byte-slice fake decoder); window bytes dropped driver-side."""
+    from kgray.ops.multimodal import window_audio
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = window_audio(ds).drop_columns(["window"]).to_pandas()
+    return out.sort_values(["doc_id", "win_idx"]).reset_index(drop=True)
 
 
 def _q_multimodal_resize(sf_dir: str) -> pd.DataFrame:
@@ -2144,6 +2155,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderkey, o.o_orderdate
             ORDER BY revenue DESC, o.o_orderdate, o.o_orderkey
             LIMIT 10
+        """,
+        "multimodal_audio_windows": """
+            -- corpus is pure ASCII (pinned by tests), so char ops == byte ops
+            SELECT d.doc_id, t.i AS win_idx,
+                   CAST(least(256, length(d.text) - t.i * 128) AS BIGINT) AS win_len,
+                   md5(substr(d.text, CAST(t.i * 128 + 1 AS BIGINT), 256)) AS win_md5
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
+            WHERE t.i * 128 < length(d.text)
         """,
         "multimodal_resize": """
             -- corpus is pure ASCII (pinned by tests), so char ops == byte ops

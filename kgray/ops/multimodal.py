@@ -245,3 +245,78 @@ def resize_images(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class AudioWindower:
+    """Actor-pool audio-windowing stage: one payload row expands to
+    overlapping ``window``-byte slices every ``hop`` bytes — the standard
+    STFT-style framing a wav2vec/whisper front-end consumes.
+
+    Real audio decode (torchaudio/soundfile) is not available in this
+    container, so the "decoder" is the deterministic byte-slice fake; the
+    Ray plumbing is real: 1→N overlapping expansion on an actor pool
+    (output bytes grow by window/hop ×, so batches stay small), window
+    payloads as ``large_binary`` + (index, length, digest) metadata."""
+
+    def __init__(self, window: int = 256, hop: int = 128,
+                 max_windows: int | None = None, use_real_decoder: bool = False):
+        if use_real_decoder:
+            raise NotImplementedError(
+                "No audio decode libraries in this environment; "
+                "run with use_real_decoder=False for the byte-slice fake."
+            )
+        self.window = window
+        self.hop = hop
+        self.max_windows = max_windows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w, h = self.window, self.hop
+        ids, idxs, wins, lens, digests = [], [], [], [], []
+        id_col = batch.column_names[0]
+        for rid, payload in zip(batch[id_col].to_pylist(), batch["payload"].to_pylist()):
+            n = -(-len(payload) // h)  # windows start at 0, h, 2h, ... < len
+            if self.max_windows is not None:
+                n = min(n, self.max_windows)
+            for i in range(n):
+                chunk = payload[i * h : i * h + w]
+                ids.append(rid)
+                idxs.append(i)
+                wins.append(chunk)
+                lens.append(len(chunk))
+                digests.append(hashlib.md5(chunk).hexdigest())
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "win_idx": pa.array(idxs, type=pa.int64()),
+                "window": pa.array(wins, type=pa.large_binary()),
+                "win_len": pa.array(lens, type=pa.int64()),
+                "win_md5": pa.array(digests, type=pa.large_string()),
+            }
+        )
+
+
+def window_audio(
+    ds: ray.data.Dataset,
+    source_col: str = "text",
+    window: int = 256,
+    hop: int = 128,
+    max_windows: int | None = None,
+    batch_size: int = 64,
+    concurrency: int | tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """payload rows → overlapping window rows (1→N expansion with
+    window/hop byte inflation; decode stubbed, plumbing real)."""
+    if concurrency is None:
+        from kgray.functions.broadcast import auto_concurrency
+
+        concurrency = auto_concurrency()
+    with_payload = ds.map_batches(
+        lambda t: attach_payload(t, source_col), batch_format="pyarrow"
+    )
+    return with_payload.map_batches(
+        AudioWindower,
+        fn_constructor_kwargs={"window": window, "hop": hop, "max_windows": max_windows},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

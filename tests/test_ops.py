@@ -280,6 +280,34 @@ def test_image_resize(ray_session):
         ImageResizer(use_real_decoder=True)
 
 
+def test_audio_windowing(ray_session):
+    import hashlib
+
+    from kgray.ops.multimodal import AudioWindower, window_audio
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a" * 300, "xy"]})
+    out = (
+        window_audio(ray.data.from_pandas(df), window=256, hop=128)
+        .to_pandas()
+        .sort_values(["doc_id", "win_idx"])
+        .reset_index(drop=True)
+    )
+    # doc 1 (300 bytes): starts 0/128/256 → lens 256, 172, 44; doc 2: one 2-byte window
+    assert out["win_len"].tolist() == [256, 172, 44, 2]
+    assert out["win_idx"].tolist() == [0, 1, 2, 0]
+    # overlap: window 1 starts at byte 128 while window 0 runs to 255
+    assert bytes(out.loc[1, "window"]) == b"a" * 172
+    assert out.loc[3, "win_md5"] == hashlib.md5(b"xy").hexdigest()
+
+    capped = window_audio(
+        ray.data.from_pandas(df), window=256, hop=128, max_windows=2
+    ).to_pandas()
+    assert len(capped[capped["doc_id"] == 1]) == 2
+
+    with pytest.raises(NotImplementedError):
+        AudioWindower(use_real_decoder=True)
+
+
 def test_split_documents_windows(ray_session):
     from kgray.ops.text import split_documents
 

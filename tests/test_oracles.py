@@ -83,6 +83,7 @@ def _compare(query: str):
         "doc_inverted_index",
         "multimodal_frame_sample",
         "multimodal_resize",
+        "multimodal_audio_windows",
         "shipping_priority",
         "returned_items",
         "doc_cms_counts",
