@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     )
     q["doc_simhash_components"] = _q_doc_simhash_components
+    q["doc_simhash_triangles"] = _q_doc_simhash_triangles
     q["embedding_near_dup"] = _q_embedding_near_dup
 
     # --- similarity search ----------------------------------------------
@@ -406,6 +407,23 @@ def _q_doc_simhash_components(sf_dir: str) -> pd.DataFrame:
     comp = connected_components(ray.data.from_pandas(pairs[["a", "b"]]))
     comp["n_members"] = comp.groupby("component")["component"].transform("size").astype("int64")
     out = comp.rename(columns={"node": "doc_id"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_simhash_triangles(sf_dir: str) -> pd.DataFrame:
+    """Per-node triangle counts over the SimHash near-dup graph —
+    dup-cluster density (a chain of pairwise dups ≠ a clique of them)."""
+    from kgray.functions.graph import triangle_counts
+
+    pairs = dd.simhash_near_dup_pairs(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+    if not len(pairs):
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "n_tri": pd.Series(dtype="int64")}
+        )
+    out = triangle_counts(ray.data.from_pandas(pairs[["a", "b"]]))
+    out = out.rename(columns={"node": "doc_id"})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1671,6 +1689,19 @@ def oracle_sql() -> dict[str, str]:
         # Hamming distance <= 8.
         "doc_simhash_pairs": _simhash_ctes()
         + "\nSELECT a, b, hamming FROM spairs",
+        "doc_simhash_triangles": _simhash_ctes()
+        + """,
+            sym AS (SELECT a, b FROM spairs UNION SELECT b AS a, a AS b FROM spairs),
+            tric AS (
+              SELECT s1.a AS node, count(*) AS c2
+              FROM sym s1 JOIN sym s2 ON s2.a = s1.b
+                          JOIN sym s3 ON s3.a = s2.b AND s3.b = s1.a
+              GROUP BY s1.a
+            ),
+            gnodes AS (SELECT DISTINCT a AS node FROM sym)
+            SELECT n.node AS doc_id, CAST(coalesce(t.c2, 0) // 2 AS BIGINT) AS n_tri
+            FROM gnodes n LEFT JOIN tric t USING (node)
+        """,
         "doc_simhash_components": _simhash_ctes()
         + """,
             sym AS (SELECT a, b FROM spairs UNION SELECT b AS a, a AS b FROM spairs),

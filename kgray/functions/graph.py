@@ -307,3 +307,58 @@ def connected_components(
     return pd.DataFrame(
         {"node": node_ids, "component": node_ids[labels].astype(np.int64)}
     )
+
+
+def triangle_counts(
+    edges: ray.data.Dataset,
+    src_col: str = "a",
+    dst_col: str = "b",
+) -> pd.DataFrame:
+    """Per-node triangle counts over an undirected edge stream — the
+    clustering-coefficient numerator (dup-graph density diagnostics).
+
+    Scale shape: adjacency is built over the nodes TOUCHED BY EDGES (the
+    dup universe, not the corpus — the connected_components budget) and
+    broadcast once via ``ray.put``; the edge stream is processed in
+    ``map_batches``, each edge contributing one sorted-array intersection
+    (``np.intersect1d`` on the two neighbor lists); per-batch (node,
+    count) partials reduce driver-side.  tri(v) = Σ_incident-edge
+    |N(a)∩N(b)| / 2 — each triangle reaches v through exactly two of its
+    incident edges."""
+    import numpy as np
+
+    from kgray.functions.broadcast import cached_get
+
+    e = edges.select_columns([src_col, dst_col]).to_pandas()
+    # the edge list itself is dup-universe-sized (see connected_components);
+    # adjacency build is a driver-side sort over it
+    a = e[src_col].to_numpy(dtype=np.int64)
+    b = e[dst_col].to_numpy(dtype=np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    adj: dict[int, np.ndarray] = {}
+    both = pd.DataFrame(
+        {"u": np.concatenate([a, b]), "v": np.concatenate([b, a])}
+    ).drop_duplicates()
+    for u, grp in both.groupby("u")["v"]:
+        adj[int(u)] = np.sort(grp.to_numpy(dtype=np.int64))
+    adj_ref = ray.put(adj)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ad = cached_get(adj_ref)
+        cnt: dict[int, int] = {}
+        for u, v in zip(batch[src_col].to_numpy(), batch[dst_col].to_numpy()):
+            n = len(np.intersect1d(ad[int(u)], ad[int(v)], assume_unique=True))
+            if n:
+                cnt[int(u)] = cnt.get(int(u), 0) + n
+                cnt[int(v)] = cnt.get(int(v), 0) + n
+        return pd.DataFrame({"node": list(cnt), "c": list(cnt.values())})
+
+    parts = edges.map_batches(partial, batch_format="pandas").to_pandas()
+    total = (
+        parts.groupby("node")["c"].sum() // 2
+        if len(parts)
+        else pd.Series(dtype="int64")
+    )
+    out = pd.DataFrame({"node": nodes})
+    out["n_tri"] = out["node"].map(total).fillna(0).astype("int64")
+    return out

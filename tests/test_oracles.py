@@ -63,6 +63,7 @@ def _compare(query: str):
         "embedding_semdedup",
         "doc_simhash_pairs",
         "doc_simhash_components",
+        "doc_simhash_triangles",
         "doc_minhash_dedup",
         "doc_ngram_jaccard",
         "knn_lsh",

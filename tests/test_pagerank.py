@@ -95,3 +95,20 @@ def test_connected_components_empty(ray_session):
                                            "b": pd.Series(dtype="int64")}))
     )
     assert len(out) == 0 and list(out.columns) == ["node", "component"]
+
+
+def test_triangle_counts(ray_session):
+    from kgray.functions.graph import triangle_counts
+
+    # triangle 1-2-3, plus a pendant 3-4, plus an isolated edge 7-8
+    pairs = pd.DataFrame({"a": [1, 2, 1, 3, 7], "b": [2, 3, 3, 4, 8]})
+    out = triangle_counts(ray.data.from_pandas(pairs)).set_index("node")["n_tri"]
+    assert out.loc[1] == 1 and out.loc[2] == 1 and out.loc[3] == 1
+    assert out.loc[4] == 0 and out.loc[7] == 0 and out.loc[8] == 0
+
+    # K4: every node sits on C(3,2) = 3 triangles
+    k4 = pd.DataFrame(
+        {"a": [1, 1, 1, 2, 2, 3], "b": [2, 3, 4, 3, 4, 4]}
+    )
+    out4 = triangle_counts(ray.data.from_pandas(k4)).set_index("node")["n_tri"]
+    assert (out4 == 3).all()
