@@ -329,16 +329,25 @@ def triangle_counts(
 
     from kgray.functions.broadcast import cached_get
 
-    e = edges.select_columns([src_col, dst_col]).to_pandas()
+    raw = edges.select_columns([src_col, dst_col]).to_pandas()
     # the edge list itself is dup-universe-sized (see connected_components);
-    # adjacency build is a driver-side sort over it
+    # adjacency build is a driver-side sort over it.  Canonicalize a<b and
+    # dedupe so reversed/repeated stream rows can't double-count, and drop
+    # self-loops (a triangle needs three distinct nodes).
+    nodes = np.unique(
+        np.concatenate(
+            [raw[src_col].to_numpy(dtype=np.int64), raw[dst_col].to_numpy(dtype=np.int64)]
+        )
+    )
+    lo = raw[[src_col, dst_col]].min(axis=1).to_numpy(dtype=np.int64)
+    hi = raw[[src_col, dst_col]].max(axis=1).to_numpy(dtype=np.int64)
+    e = pd.DataFrame({src_col: lo, dst_col: hi})[lo != hi].drop_duplicates()
+    if not len(e):
+        return pd.DataFrame({"node": nodes, "n_tri": np.zeros(len(nodes), dtype=np.int64)})
     a = e[src_col].to_numpy(dtype=np.int64)
     b = e[dst_col].to_numpy(dtype=np.int64)
-    nodes = np.unique(np.concatenate([a, b]))
     adj: dict[int, np.ndarray] = {}
-    both = pd.DataFrame(
-        {"u": np.concatenate([a, b]), "v": np.concatenate([b, a])}
-    ).drop_duplicates()
+    both = pd.DataFrame({"u": np.concatenate([a, b]), "v": np.concatenate([b, a])})
     for u, grp in both.groupby("u")["v"]:
         adj[int(u)] = np.sort(grp.to_numpy(dtype=np.int64))
     adj_ref = ray.put(adj)
@@ -353,7 +362,7 @@ def triangle_counts(
                 cnt[int(v)] = cnt.get(int(v), 0) + n
         return pd.DataFrame({"node": list(cnt), "c": list(cnt.values())})
 
-    parts = edges.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = ray.data.from_pandas(e).map_batches(partial, batch_format="pandas").to_pandas()
     total = (
         parts.groupby("node")["c"].sum() // 2
         if len(parts)

@@ -112,3 +112,62 @@ def test_triangle_counts(ray_session):
     )
     out4 = triangle_counts(ray.data.from_pandas(k4)).set_index("node")["n_tri"]
     assert (out4 == 3).all()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _edges_strategy():
+    return st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=60,
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(_edges_strategy())
+def test_connected_components_matches_unionfind(pairs):
+    from kgray.functions.graph import connected_components
+    from kgray.state.unionfind import UnionFind
+
+    df = pd.DataFrame(pairs, columns=["a", "b"])
+    got = (
+        connected_components(ray.data.from_pandas(df))
+        .set_index("node")["component"]
+        .to_dict()
+    )
+    uf = UnionFind()
+    for a, b in pairs:
+        uf.union(a, b)
+    # same partition, canonical = min node id of each class
+    nodes = sorted({x for p in pairs for x in p})
+    roots = {}
+    for v in nodes:
+        roots.setdefault(uf.find(v), []).append(v)
+    expect = {v: min(members) for members in roots.values() for v in members}
+    assert got == expect
+
+
+@settings(max_examples=30, deadline=None)
+@given(_edges_strategy())
+def test_triangle_counts_match_bruteforce(pairs):
+    from itertools import combinations
+
+    from kgray.functions.graph import triangle_counts
+
+    pairs = [(a, b) for a, b in pairs if a != b]
+    if not pairs:
+        return
+    df = pd.DataFrame(pairs, columns=["a", "b"])
+    got = triangle_counts(ray.data.from_pandas(df)).set_index("node")["n_tri"].to_dict()
+    edges = {frozenset(p) for p in pairs}
+    nodes = sorted({x for p in pairs for x in p})
+    expect = {v: 0 for v in nodes}
+    for u, v, w in combinations(nodes, 3):
+        if {u, v} in edges and {v, w} in edges and {u, w} in edges:
+            expect[u] += 1
+            expect[v] += 1
+            expect[w] += 1
+    assert got == expect
