@@ -33,6 +33,7 @@ from kgray.ops import dedup as dd
 from kgray.ops import similarity as sim
 from kgray.ops import text as tx
 from kgray.ops.multimodal import extract_features
+from kgray.ops.packing import pack_sequences
 from kgray.pipelines import relational as rel
 from kgray.pipelines.kg import build_kg, extract_quintuples
 from kgray.sources.events_transcripts import (
@@ -271,6 +272,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- composed curation pipeline (kgray/pipelines/curation.py) --------
     q["corpus_curation"] = _q_corpus_curation
+
+    # --- sequence packing (kgray/ops/packing.py) -------------------------
+    q["doc_pack_sequences"] = lambda sf: pack_sequences(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    )
     return q
 
 
@@ -2010,6 +2016,42 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
             WHERE t.i = 0 OR (t.i - 1) * 48 + 64 < length(d.text)
+        """,
+        "doc_pack_sequences": """
+            -- greedy next-fit sequence packing replayed as a recursive CTE:
+            -- each iteration advances every bucket by one doc in doc_id
+            -- order, carrying (bin_id, fill) exactly like the engine's
+            -- searchsorted next-fit (kgray/ops/packing.py)
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 16 AS INTEGER)
+                       AS bucket,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            ordered AS (
+              SELECT doc_id, bucket, n_tokens,
+                     row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+              FROM toks
+            ),
+            packed AS (
+              SELECT doc_id, bucket, n_tokens, rn,
+                     CAST(0 AS BIGINT) AS bin_id,
+                     CAST(0 AS BIGINT) AS offset_tokens,
+                     n_tokens AS fill
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT o.doc_id, o.bucket, o.n_tokens, o.rn,
+                     CASE WHEN p.fill + o.n_tokens <= 256
+                          THEN p.bin_id ELSE p.bin_id + 1 END,
+                     CASE WHEN p.fill + o.n_tokens <= 256
+                          THEN p.fill ELSE CAST(0 AS BIGINT) END,
+                     CASE WHEN p.fill + o.n_tokens <= 256
+                          THEN p.fill + o.n_tokens ELSE o.n_tokens END
+              FROM packed p
+              JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+            )
+            SELECT doc_id, bucket, bin_id, offset_tokens, n_tokens FROM packed
         """,
         "doc_length_filter": """
             SELECT doc_id, n_chars FROM documents

@@ -98,6 +98,7 @@ def _compare(query: str):
         "doc_split_overlap",
         "doc_length_filter",
         "corpus_curation",
+        "doc_pack_sequences",
     ],
 )
 def test_sql_oracle_matches_ray(query):
