@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_ngram_jaccard"] = lambda sf: dd.ngram_jaccard_pairs(
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     )
+    q["doc_segment_dedup"] = lambda sf: dd.segment_dedup(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    )
     q["doc_simhash_components"] = _q_doc_simhash_components
     q["doc_simhash_triangles"] = _q_doc_simhash_triangles
     q["embedding_near_dup"] = _q_embedding_near_dup
@@ -2016,6 +2019,43 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
             WHERE t.i = 0 OR (t.i - 1) * 48 + 64 < length(d.text)
+        """,
+        "doc_segment_dedup": """
+            -- CCNet-style sub-document dedup: 3-token segments occurring in
+            -- >= 2 distinct docs are dropped everywhere; docs re-joined from
+            -- surviving segments in order (kgray/ops/dedup.py segment_dedup)
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            pos AS MATERIALIZED (
+              SELECT doc_id, t, unnest(range(len(t))) AS i FROM toks
+            ),
+            segs AS MATERIALIZED (
+              SELECT doc_id, i // 3 AS seg_idx,
+                     string_agg(t[i + 1], ' ' ORDER BY i) AS seg
+              FROM pos GROUP BY doc_id, i // 3
+            ),
+            common AS MATERIALIZED (
+              SELECT seg FROM segs GROUP BY seg
+              HAVING count(DISTINCT doc_id) >= 2
+            ),
+            kept AS MATERIALIZED (
+              SELECT s.doc_id, s.seg_idx, s.seg FROM segs s
+              WHERE s.seg NOT IN (SELECT seg FROM common)
+            ),
+            rebuilt AS (
+              SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            ),
+            stats AS (
+              SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   coalesce(r.text_dedup, '') AS text_dedup,
+                   CAST(s.n_segments AS BIGINT) AS n_segments,
+                   CAST(s.n_segments - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+            FROM stats s LEFT JOIN rebuilt r USING (doc_id)
         """,
         "doc_pack_sequences": """
             -- greedy next-fit sequence packing replayed as a recursive CTE:

@@ -463,3 +463,124 @@ def dedup_keep_first(
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def _segments(texts, seg_tokens: int):
+    """Vectorized fixed-width token segmentation: every doc becomes
+    ``ceil(n_tokens / seg_tokens)`` segment strings (last one partial).
+    Returns (doc_of_seg, seg_strings LargeStringArray, nseg per doc) —
+    built from ONE Arrow split + offset arithmetic + ``binary_join`` over a
+    re-offsetted LargeListArray; no Python loop over rows or tokens."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern(pc.cast(texts, pa.large_string()), " ")
+    off = toks.offsets.to_numpy()
+    flat = toks.flatten()
+    lens = np.diff(off)
+    nseg = -(-lens // seg_tokens)
+    doc_of_seg = np.repeat(np.arange(len(lens), dtype=np.int64), nseg)
+    seg_rank = np.arange(len(doc_of_seg), dtype=np.int64) - np.repeat(
+        np.cumsum(nseg) - nseg, nseg
+    )
+    starts = off[doc_of_seg] + seg_rank * seg_tokens
+    # consecutive segment starts tile the flat token array exactly (a doc's
+    # last segment ends where the next doc starts), so starts+[total] IS a
+    # valid monotone offsets vector
+    seg_offsets = np.append(starts, off[-1])
+    seg_list = pa.LargeListArray.from_arrays(pa.array(seg_offsets, pa.int64()), flat)
+    segs = pc.binary_join(seg_list, pa.scalar(" ", pa.large_string()))
+    return doc_of_seg, segs, nseg
+
+
+def segment_dedup(
+    docs: ray.data.Dataset,
+    seg_tokens: int = 3,
+    min_docs: int = 2,
+    num_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """CCNet-style sub-document dedup: drop every fixed-width token segment
+    whose text occurs in ≥ ``min_docs`` DISTINCT documents corpus-wide (on
+    real corpora the segmenter is the paragraph/line split; this synthetic
+    corpus is single-line, so segments are ``seg_tokens``-token windows).
+
+    Two passes, ONE metadata shuffle:
+      1. count — each batch folds to distinct (segment-hash, n_docs)
+         PARTIALS (never the segment stream), a hash-bucket groupby sums
+         them, and only the ≥ ``min_docs`` survivors (the common set,
+         small by Zipf) reach the driver and broadcast via ``ray.put``;
+      2. scrub — stateless vectorized pass: membership via
+         ``searchsorted``, kept segments re-joined per doc with one Arrow
+         ``binary_join`` (no Python row loop).
+
+    Segment hashing is md5-lower-64 == DuckDB ``md5_number_lower``; the
+    64-bit collision epsilon is the same documented trade the MinHash /
+    SimHash oracles make.  Returns (doc_id, text_dedup, n_segments,
+    n_removed); a fully-removed doc keeps an empty ``text_dedup``.
+    """
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        doc_of, segs, _ = _segments(t[text_col], seg_tokens)
+        h = _md5_u64_np(segs.to_pylist())
+        pair = np.unique(np.stack([h, doc_of.astype(np.uint64)], axis=1), axis=0)
+        hh, nd = np.unique(pair[:, 0], return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(hh, pa.uint64()),
+                "nd": pa.array(nd.astype(np.int64), pa.int64()),
+                "bucket": pa.array((hh % num_buckets).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def common_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("h", sort=False)["nd"].sum()
+        return pd.DataFrame({"h": nd[nd >= min_docs].index.to_numpy(dtype=np.uint64)})
+
+    common_df = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(common_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    common = (
+        common_df["h"].to_numpy(dtype=np.uint64)
+        if "h" in common_df.columns
+        else np.empty(0, dtype=np.uint64)
+    )
+    common_ref = ray.put(np.sort(common))
+
+    def scrub(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cm = cached_get(common_ref)
+        doc_of, segs, nseg = _segments(t[text_col], seg_tokens)
+        h = _md5_u64_np(segs.to_pylist())
+        if len(cm) and len(h):
+            pos = np.searchsorted(cm, h)
+            hit = (pos < len(cm)) & (cm[np.minimum(pos, len(cm) - 1)] == h)
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+        ndocs = len(t)
+        n_removed = np.bincount(doc_of, weights=hit, minlength=ndocs).astype(np.int64)
+        kept = segs.filter(pa.array(~hit))
+        kept_per_doc = nseg - n_removed
+        kept_offsets = np.append(
+            np.cumsum(kept_per_doc) - kept_per_doc, len(kept)
+        ).astype(np.int64)
+        kept_list = pa.LargeListArray.from_arrays(
+            pa.array(kept_offsets, pa.int64()), kept
+        )
+        text_dedup = pc.binary_join(kept_list, pa.scalar(" ", pa.large_string()))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "text_dedup": text_dedup,
+                "n_segments": pa.array(nseg, pa.int64()),
+                "n_removed": pa.array(n_removed, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(scrub, batch_format="pyarrow")

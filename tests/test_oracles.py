@@ -99,6 +99,7 @@ def _compare(query: str):
         "doc_length_filter",
         "corpus_curation",
         "doc_pack_sequences",
+        "doc_segment_dedup",
     ],
 )
 def test_sql_oracle_matches_ray(query):
