@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- lexical retrieval (kgray/ops/ranking.py) ------------------------
     q["doc_bm25_rank"] = _q_doc_bm25_rank
+    q["doc_classifier_score"] = _q_doc_classifier_score
     q["doc_inverted_index"] = _q_doc_inverted_index
 
     # --- multimodal frame sampling (kgray/ops/multimodal.py) -------------
@@ -559,6 +560,20 @@ def _q_doc_bm25_rank(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return bm25_rank(ds, BM25_QUERY_TERMS, top_k=20)
+
+
+def _q_doc_classifier_score(sf_dir: str) -> Any:
+    """Hashed-linear quality classifier (fasttext shape): weight table
+    built once per actor, all-integer milli-weight scoring."""
+    from kgray.ops.ranking import HashedLinearClassifier
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        HashedLinearClassifier,
+        batch_format="pyarrow",
+        concurrency=auto_concurrency(),
+    )
 
 
 def _q_doc_inverted_index(sf_dir: str) -> pd.DataFrame:
@@ -2019,6 +2034,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
             WHERE t.i = 0 OR (t.i - 1) * 48 + 64 < length(d.text)
+        """,
+        "doc_classifier_score": """
+            -- hashed-linear classifier twin: same md5-derived integer
+            -- milli-weights, same feature hashing (md5 % 256), so the
+            -- int64 score matches the engine exactly (no float epsilon)
+            SELECT doc_id,
+                   CAST(sum(wt) AS BIGINT) AS score_milli,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   sum(wt) > 0 AS keep
+            FROM (
+              SELECT doc_id,
+                     CAST(md5_number_lower(
+                            'w:' || CAST(md5_number_lower(t) % 256 AS VARCHAR)
+                          ) % 2001 AS BIGINT) - 1000 AS wt
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM documents)
+              WHERE t <> ''
+            )
+            GROUP BY doc_id
         """,
         "doc_segment_dedup": """
             -- CCNet-style sub-document dedup: 3-token segments occurring in

@@ -248,3 +248,48 @@ def token_cooccurrence_pmi(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+class HashedLinearClassifier:
+    """Actor-pool quality classifier: a fasttext-shaped linear model over
+    hashed bag-of-tokens features.  The weight table (``n_features``
+    integer milli-weights derived from md5 so the SQL oracle rebuilds them
+    bit-for-bit) is built ONCE per actor in ``__init__`` — the stateful
+    model-inference pattern every learned quality filter (fasttext, KenLM,
+    a distilled scorer) plugs into; swap ``self.w`` for real trained
+    weights and nothing else changes.
+
+    Scoring is all-integer (milli-weight sums in int64), so results are
+    exactly reproducible across batch splits, cluster sizes and the DuckDB
+    twin — no float-order epsilon.  Per batch: distinct-first token
+    hashing (``np.unique`` inverse gather) + one ``bincount`` per doc sum;
+    no Python loop over tokens beyond the md5 of the batch's VOCABULARY.
+    """
+
+    N_FEATURES = 256
+
+    def __init__(self) -> None:
+        from kgray.ops.dedup import _md5_u64_np
+
+        self._md5 = _md5_u64_np
+        self.w = (
+            _md5_u64_np([f"w:{j}" for j in range(self.N_FEATURES)]) % 2001
+        ).astype(np.int64) - 1000
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        toks, parent, n_rows = _flat_tokens(t["text"])
+        vocab, inv = np.unique(toks, return_inverse=True)
+        idx = (self._md5(list(vocab)) % self.N_FEATURES).astype(np.int64)
+        tok_w = self.w[idx[inv]]
+        score_milli = np.bincount(parent, weights=tok_w, minlength=n_rows).astype(
+            np.int64
+        )
+        n_tokens = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "score_milli": pa.array(score_milli, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "keep": pa.array(score_milli > 0, pa.bool_()),
+            }
+        )

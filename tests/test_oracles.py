@@ -100,6 +100,7 @@ def _compare(query: str):
         "corpus_curation",
         "doc_pack_sequences",
         "doc_segment_dedup",
+        "doc_classifier_score",
     ],
 )
 def test_sql_oracle_matches_ray(query):
