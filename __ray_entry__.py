@@ -203,6 +203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- embedding clustering / semantic dedup (kgray/ops/similarity.py) -
     q["embedding_kmeans"] = _q_embedding_kmeans
     q["embedding_semdedup"] = _q_embedding_semdedup
+    q["embedding_pca"] = lambda sf: sim.pca_project(
+        ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    )
 
     # --- multimodal plumbing --------------------------------------------
     q["multimodal_payload_stats"] = lambda sf: (
@@ -1530,6 +1533,85 @@ FROM emb e LEFT JOIN roots r ON r.node = e.vec_id
 """
 
 
+def _pca_oracle_sql(dim: int = 64, iterations: int = 20) -> str:
+    """SQL twin of kgray/ops/similarity.py pca_project: covariance from
+    uncentered moments, then power iteration + deflation UNROLLED as
+    MATERIALIZED CTEs (plain CTEs referenced twice inline exponentially —
+    the knn_ivf lesson), identical arithmetic step for step."""
+    ctes = [
+        f"dims AS MATERIALIZED (SELECT unnest(range(1, {dim + 1})) AS i)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings)",
+        """mu AS MATERIALIZED (
+             SELECT d.i AS i,
+                    sum(CAST(e.embedding[d.i] AS DOUBLE)) / (SELECT n FROM nn) AS m
+             FROM embeddings e CROSS JOIN dims d GROUP BY d.i)""",
+        """cov1 AS MATERIALIZED (
+             SELECT di.i AS i, dj.i AS j,
+                    sum(CAST(e.embedding[di.i] AS DOUBLE)
+                        * CAST(e.embedding[dj.i] AS DOUBLE)) / (SELECT n FROM nn)
+                    - any_value(mi.m) * any_value(mj.m) AS c
+             FROM embeddings e
+             CROSS JOIN dims di CROSS JOIN dims dj
+             JOIN mu mi ON mi.i = di.i
+             JOIN mu mj ON mj.i = dj.i
+             GROUP BY di.i, dj.i)""",
+    ]
+    for comp in (1, 2):
+        ctes.append(
+            f"""v{comp}_0 AS MATERIALIZED (
+              SELECT i, CAST(i AS DOUBLE)
+                        / (SELECT sqrt(sum(CAST(i AS DOUBLE) * CAST(i AS DOUBLE)))
+                           FROM dims) AS x
+              FROM dims)"""
+        )
+        for t in range(1, iterations + 1):
+            ctes.append(
+                f"""w{comp}_{t} AS MATERIALIZED (
+                  SELECT cv.i AS i, sum(cv.c * v.x) AS x
+                  FROM cov{comp} cv JOIN v{comp}_{t - 1} v ON v.i = cv.j
+                  GROUP BY cv.i)"""
+            )
+            ctes.append(
+                f"""v{comp}_{t} AS MATERIALIZED (
+                  SELECT i, x / (SELECT sqrt(sum(x * x)) FROM w{comp}_{t}) AS x
+                  FROM w{comp}_{t})"""
+            )
+        ctes.append(
+            f"""mv{comp} AS MATERIALIZED (
+              SELECT cv.i AS i, sum(cv.c * v.x) AS x
+              FROM cov{comp} cv JOIN v{comp}_{iterations} v ON v.i = cv.j
+              GROUP BY cv.i)"""
+        )
+        ctes.append(
+            f"""lam{comp} AS MATERIALIZED (
+              SELECT sum(v.x * m.x) AS l
+              FROM v{comp}_{iterations} v JOIN mv{comp} m ON m.i = v.i)"""
+        )
+        if comp == 1:
+            ctes.append(
+                f"""cov2 AS MATERIALIZED (
+                  SELECT c0.i, c0.j,
+                         c0.c - (SELECT l FROM lam1) * vi.x * vj.x AS c
+                  FROM cov1 c0
+                  JOIN v1_{iterations} vi ON vi.i = c0.i
+                  JOIN v1_{iterations} vj ON vj.i = c0.j)"""
+            )
+    return f"""WITH {', '.join(ctes)},
+        proj AS (
+          SELECT e.vec_id,
+                 sum((CAST(e.embedding[d.i] AS DOUBLE) - m.m) * v1.x) AS p1,
+                 sum((CAST(e.embedding[d.i] AS DOUBLE) - m.m) * v2.x) AS p2
+          FROM embeddings e CROSS JOIN dims d
+          JOIN mu m ON m.i = d.i
+          JOIN v1_{iterations} v1 ON v1.i = d.i
+          JOIN v2_{iterations} v2 ON v2.i = d.i
+          GROUP BY e.vec_id)
+        SELECT vec_id,
+               floor(p1 * 1e6 + 0.5) / 1e6 AS pc1,
+               floor(p2 * 1e6 + 0.5) / 1e6 AS pc2
+        FROM proj"""
+
+
 def oracle_sql() -> dict[str, str]:
     transcripts_cte = f"WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
     cw = _closed_world_oracle_ctes()
@@ -2035,6 +2117,7 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
             WHERE t.i = 0 OR (t.i - 1) * 48 + 64 < length(d.text)
         """,
+        "embedding_pca": _pca_oracle_sql(),
         "doc_classifier_score": """
             -- hashed-linear classifier twin: same md5-derived integer
             -- milli-weights, same feature hashing (md5 % 256), so the

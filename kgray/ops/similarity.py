@@ -344,3 +344,70 @@ def semantic_dedup(
     # stays a Dataset: the mapping is corpus-row-sized, so it streams to
     # the next stage / sink instead of collecting on the driver
     return assigned.groupby("cluster").map_groups(per_cluster, batch_format="pandas")
+
+
+def pca_project(
+    embeddings: ray.data.Dataset,
+    n_components: int = 2,
+    iterations: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Streaming PCA projection: top-``n_components`` principal directions
+    via deterministic power iteration, then a broadcast per-batch
+    projection — the embedding-analytics primitive under semantic
+    visualization / whitening / IVF-dimension-reduction.
+
+    Scale shape: pass 1 folds every batch to ONE moment-partial row (count,
+    Σx, Σxxᵀ — d + d² doubles, independent of row count), so the driver
+    reduces blocks × O(d²) numbers, never the corpus; the d×d eigensolve
+    is driver-local (d is the embedding width, 64 here); pass 2 is a
+    stateless matmul against the ``ray.put``-broadcast (μ, V).
+
+    Deterministic by construction (fixed ramp init 1..d, fixed iteration
+    count, no RNG), so the SQL oracle replays the identical arithmetic and
+    matches at 6 dp.  Power iteration + deflation, the textbook method —
+    self-correcting, so cross-engine float drift stays O(ε).
+    """
+
+    def partial(batch: dict) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+        return pd.DataFrame(
+            {
+                "n": [mat.shape[0]],
+                "sx": [mat.sum(axis=0)],
+                "sxx": [(mat.T @ mat).ravel()],
+            }
+        )
+
+    parts = embeddings.map_batches(partial, batch_format="numpy").to_pandas()
+    n = float(parts["n"].sum())
+    sx = np.stack(parts["sx"].to_numpy()).sum(axis=0)
+    sxx = np.stack(parts["sxx"].to_numpy()).sum(axis=0)
+    d = len(sx)
+    mu = sx / n
+    cov = sxx.reshape(d, d) / n - np.outer(mu, mu)
+
+    comps = []
+    for _ in range(n_components):
+        v = np.arange(1, d + 1, dtype=np.float64)
+        v = v / np.sqrt((v * v).sum())
+        for _ in range(iterations):
+            w = cov @ v
+            v = w / np.sqrt((w * w).sum())
+        lam = float(v @ (cov @ v))
+        comps.append(v)
+        cov = cov - lam * np.outer(v, v)
+
+    ref = ray.put((mu, np.stack(comps)))
+
+    def project(batch: dict) -> pd.DataFrame:
+        mu_, V = cached_get(ref)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+        proj = (mat - mu_) @ V.T
+        out = {id_col: np.asarray(batch[id_col], dtype=np.int64)}
+        for c in range(V.shape[0]):
+            out[f"pc{c + 1}"] = np.floor(proj[:, c] * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(out)
+
+    return embeddings.map_batches(project, batch_format="numpy")

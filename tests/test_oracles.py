@@ -101,6 +101,7 @@ def _compare(query: str):
         "doc_pack_sequences",
         "doc_segment_dedup",
         "doc_classifier_score",
+        "embedding_pca",
     ],
 )
 def test_sql_oracle_matches_ray(query):
