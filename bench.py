@@ -117,6 +117,10 @@ def run_bench() -> dict:
     timed("shipping_priority", lambda: size(entry.queries()["shipping_priority"](sf_dir)))
     timed("doc_cms_counts", lambda: size(entry.queries()["doc_cms_counts"](sf_dir)))
     timed("doc_unigram_lm", lambda: size(entry.queries()["doc_unigram_lm"](sf_dir)))
+    timed("doc_pack_sequences", lambda: size(entry.queries()["doc_pack_sequences"](sf_dir)))
+    timed("doc_segment_dedup", lambda: size(entry.queries()["doc_segment_dedup"](sf_dir)))
+    timed("doc_classifier_score", lambda: size(entry.queries()["doc_classifier_score"](sf_dir)))
+    timed("embedding_pca", lambda: size(entry.queries()["embedding_pca"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {
