@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- corpus curation (kgray/ops/curation.py) -------------------------
     q["doc_contamination"] = _q_doc_contamination
+    q["doc_novelty"] = _q_doc_novelty
     q["doc_stratified_sample"] = _q_doc_stratified_sample
     q["doc_repetition"] = _q_doc_repetition
 
@@ -267,6 +268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["doc_normalize"] = _q_doc_normalize
     q["doc_unigram_lm"] = _q_doc_unigram_lm
+    q["doc_bigram_lm"] = lambda sf: tx.bigram_lm_score(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    )
     q["doc_cooccur_pmi"] = _q_doc_cooccur_pmi
 
     # --- event analytics (kgray/ops/temporal.py) -------------------------
@@ -702,6 +706,16 @@ def _q_doc_contamination(sf_dir: str) -> pd.DataFrame:
         read().map_batches(side(False), batch_format="pyarrow"), bench_ref, n=5
     )
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_novelty(sf_dir: str) -> Any:
+    """Inter-document duplication score: distinct 4-grams occurring in
+    >= 2 distinct docs (count partials -> bucket sum -> broadcast set)."""
+    from kgray.ops.curation import novelty_stats
+
+    return novelty_stats(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
 
 
 def _q_doc_stratified_sample(sf_dir: str) -> pd.DataFrame:
@@ -2118,6 +2132,71 @@ def oracle_sql() -> dict[str, str]:
             WHERE t.i = 0 OR (t.i - 1) * 48 + 64 < length(d.text)
         """,
         "embedding_pca": _pca_oracle_sql(),
+        "doc_bigram_lm": """
+            -- interpolated bigram LM twin; 0.30000000000000004 is the
+            -- float64 value of (1.0 - 0.7), matching the engine's
+            -- (1 - alpha) arithmetic bit-for-bit
+            WITH tokl AS MATERIALIZED (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            pos AS MATERIALIZED (
+              SELECT doc_id, t[i] AS w, i
+              FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tokl)
+            ),
+            uni AS MATERIALIZED (
+              SELECT w, CAST(count(*) AS DOUBLE) AS c FROM pos GROUP BY w
+            ),
+            tot AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM pos),
+            big AS MATERIALIZED (
+              SELECT a.w AS v, b.w AS w, CAST(count(*) AS DOUBLE) AS c
+              FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+              GROUP BY a.w, b.w
+            ),
+            contrib AS (
+              SELECT p.doc_id,
+                     CASE WHEN p.i = 1
+                          THEN log2(u.c / (SELECT n FROM tot))
+                          ELSE log2(0.7 * coalesce(bg.c, 0) / uv.c
+                                    + 0.30000000000000004 * u.c / (SELECT n FROM tot))
+                     END AS lp
+              FROM pos p
+              JOIN uni u ON u.w = p.w
+              LEFT JOIN pos prev ON prev.doc_id = p.doc_id AND prev.i = p.i - 1
+              LEFT JOIN uni uv ON uv.w = prev.w
+              LEFT JOIN big bg ON bg.v = prev.w AND bg.w = p.w
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   floor(-sum(lp) / count(*) * 1e6 + 0.5) / 1e6 AS bits_per_token
+            FROM contrib GROUP BY doc_id
+        """,
+        "doc_novelty": """
+            -- inter-document duplication: fraction of a doc's distinct
+            -- 4-grams occurring in >= 2 distinct docs corpus-wide
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            g AS MATERIALIZED (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]
+                       AS gram
+              FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i FROM toks)
+            ),
+            common AS MATERIALIZED (
+              SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+            ),
+            per_doc AS (
+              SELECT g.doc_id, count(*) AS n_grams, count(c.gram) AS n_dup
+              FROM g LEFT JOIN common c ON c.gram = g.gram
+              GROUP BY g.doc_id
+            )
+            SELECT doc_id,
+                   CAST(n_grams AS BIGINT) AS n_grams,
+                   CAST(n_dup AS BIGINT) AS n_dup,
+                   floor(CAST(n_dup AS DOUBLE) / n_grams * 1e6 + 0.5) / 1e6
+                     AS dup_frac
+            FROM per_doc
+        """,
         "doc_classifier_score": """
             -- hashed-linear classifier twin: same md5-derived integer
             -- milli-weights, same feature hashing (md5 % 256), so the

@@ -275,3 +275,80 @@ def decontaminate(
         return t.filter(pa.array(n_hit == 0))
 
     return corpus.map_batches(keep, batch_format="pyarrow")
+
+
+def novelty_stats(
+    corpus: ray.data.Dataset,
+    n: int = 4,
+    min_docs: int = 2,
+    num_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Inter-document duplication score (the memorization-risk proxy of
+    exact-substring dedup, Lee et al. 2022): per document, the fraction of
+    its DISTINCT token ``n``-grams that also occur in ≥ ``min_docs``
+    distinct documents corpus-wide.  ``dup_frac`` ≈ 0 means novel text;
+    ≈ 1 means boilerplate shared across the corpus.  Complements
+    ``repetition_stats`` (intra-doc) and ``ngram_contamination`` (vs a
+    broadcast benchmark): this one measures the corpus against itself.
+
+    Same two-pass shape as ``segment_dedup``: batch-distinct (gram-hash,
+    n_docs) partials → one hash-bucket groupby → the small ≥ ``min_docs``
+    common set broadcasts via ``ray.put`` → stateless scoring pass.
+    Gram hashing is vectorized siphash (collisions are the documented
+    64-bit epsilon; the SQL oracle compares gram strings).  Documents
+    shorter than ``n`` tokens emit no row."""
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        doc_of, h = _per_doc_distinct(*_flat_grams(t[text_col], n))
+        hh, nd = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(hh, pa.uint64()),
+                "nd": pa.array(nd.astype(np.int64), pa.int64()),
+                "bucket": pa.array((hh % num_buckets).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def common_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("h", sort=False)["nd"].sum()
+        return pd.DataFrame({"h": nd[nd >= min_docs].index.to_numpy(dtype=np.uint64)})
+
+    common_df = (
+        corpus.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(common_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    common = (
+        common_df["h"].to_numpy(dtype=np.uint64)
+        if "h" in common_df.columns
+        else np.empty(0, dtype=np.uint64)
+    )
+    common_ref = ray.put(np.sort(common))
+
+    def score(t: pa.Table) -> pa.Table:
+        cm = cached_get(common_ref)
+        doc_of, h = _per_doc_distinct(*_flat_grams(t[text_col], n))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ndocs = len(ids)
+        n_grams = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+        if len(cm) and len(h):
+            pos = np.searchsorted(cm, h)
+            hit = (pos < len(cm)) & (cm[np.minimum(pos, len(cm) - 1)] == h)
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+        n_dup = np.bincount(doc_of, weights=hit, minlength=ndocs).astype(np.int64)
+        mask = n_grams > 0
+        frac = np.floor(n_dup[mask] / n_grams[mask] * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                id_col: ids[mask],
+                "n_grams": n_grams[mask],
+                "n_dup": n_dup[mask],
+                "dup_frac": frac,
+            }
+        )
+
+    return corpus.map_batches(score, batch_format="pyarrow")

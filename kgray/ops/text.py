@@ -304,3 +304,123 @@ def unigram_lm_score(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_lm_score(
+    ds: ray.data.Dataset,
+    alpha: float = 0.7,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """KenLM-shaped quality score: per-document cross-entropy (bits/token)
+    under an interpolated bigram model trained on the corpus itself —
+    ``p(w|v) = α·c(v,w)/c(v) + (1−α)·c(w)/total`` with the first token
+    scored by the unigram term alone.  The bigram refinement separates
+    scrambled-but-common-vocabulary text from fluent text, which the
+    unigram score (:func:`unigram_lm_score`) cannot.
+
+    Same two-pass, driver-reduced shape as ``unigram_lm_score``: pass 1
+    emits per-batch Arrow ``group_by`` count partials for unigrams AND
+    bigrams in one mixed stream (driver traffic is blocks × model-size
+    rows, bounded by the bigram vocabulary, never the corpus); the count
+    tables broadcast once via ``ray.put``; pass 2 scores vectorized —
+    shifted-slice bigram join, pandas table gathers, one ``reduceat`` per
+    batch.  Past ~10^6-entry models, swap pass 1 for the token-hash
+    bucket shuffle (the documented ``token_frequencies`` rung).
+    """
+    import ray as _ray
+
+    from kgray.functions.broadcast import cached_get
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(pc.cast(texts, pa.large_string()), " ")
+        off = lists.offsets.to_numpy()
+        flat = lists.flatten()
+        total = len(flat)
+        uni = (
+            pa.table({"key": flat})
+            .group_by("key")
+            .aggregate([([], "count_all")])
+        )
+        parts = [
+            pa.table(
+                {
+                    "key": uni["key"],
+                    "is_bigram": pa.array(
+                        np.zeros(len(uni), dtype=bool), pa.bool_()
+                    ),
+                    "cnt": pc.cast(uni["count_all"], pa.int64()),
+                }
+            )
+        ]
+        if total >= 2:
+            lens = np.diff(off)
+            doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            valid = doc_of[:-1] == doc_of[1:]
+            bigs = pc.binary_join_element_wise(
+                flat.slice(0, total - 1),
+                flat.slice(1, total - 1),
+                pa.scalar(" ", pa.large_string()),
+            ).filter(pa.array(valid))
+            bg = (
+                pa.table({"key": bigs})
+                .group_by("key")
+                .aggregate([([], "count_all")])
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "key": bg["key"],
+                        "is_bigram": pa.array(
+                            np.ones(len(bg), dtype=bool), pa.bool_()
+                        ),
+                        "cnt": pc.cast(bg["count_all"], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    counts = ds.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    agg = counts.groupby(["is_bigram", "key"], sort=False)["cnt"].sum()
+    uni_c = agg.loc[False].astype(np.float64)
+    big_c = agg.loc[True].astype(np.float64) if True in agg.index.get_level_values(0) else pd.Series(dtype=np.float64)
+    total = float(uni_c.sum())
+    model_ref = _ray.put((uni_c, big_c, total))
+
+    def score(t: pa.Table) -> pa.Table:
+        uc, bc, tot = cached_get(model_ref)
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(pc.cast(texts, pa.large_string()), " ")
+        off = lists.offsets.to_numpy()
+        flat = lists.flatten().to_pandas()
+        lens = np.diff(off)
+        n = len(flat)
+        c_w = flat.map(uc).to_numpy(dtype=np.float64)
+        contrib = np.empty(n, dtype=np.float64)
+        starts = off[:-1]
+        contrib[starts] = np.log2(c_w[starts] / tot)
+        if n >= 2:
+            doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            valid = doc_of[:-1] == doc_of[1:]
+            prev = pd.Series(flat.to_numpy()[:-1])
+            cur = pd.Series(flat.to_numpy()[1:])
+            c_vw = (prev + " " + cur).map(bc).fillna(0.0).to_numpy(dtype=np.float64)
+            c_v = c_w[:-1]
+            p_bi = alpha * c_vw / c_v + (1.0 - alpha) * c_w[1:] / tot
+            idx = np.flatnonzero(valid) + 1
+            contrib[idx] = np.log2(p_bi[valid])
+        sums = np.add.reduceat(contrib, starts) if n else np.zeros(0)
+        bits = _round6(-sums / lens)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(lens, pa.int64()),
+                "bits_per_token": pa.array(bits, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

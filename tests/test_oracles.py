@@ -102,6 +102,8 @@ def _compare(query: str):
         "doc_segment_dedup",
         "doc_classifier_score",
         "embedding_pca",
+        "doc_novelty",
+        "doc_bigram_lm",
     ],
 )
 def test_sql_oracle_matches_ray(query):
