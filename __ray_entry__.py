@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- corpus curation (kgray/ops/curation.py) -------------------------
     q["doc_contamination"] = _q_doc_contamination
     q["doc_novelty"] = _q_doc_novelty
+    q["doc_mixture"] = _q_doc_mixture
     q["doc_stratified_sample"] = _q_doc_stratified_sample
     q["doc_repetition"] = _q_doc_repetition
 
@@ -706,6 +707,21 @@ def _q_doc_contamination(sf_dir: str) -> pd.DataFrame:
         read().map_batches(side(False), batch_format="pyarrow"), bench_ref, n=5
     )
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+MIXTURE_WEIGHTS = {"src0": 5, "src1": 3, "src2": 2, "src3": 1}
+
+
+def _q_doc_mixture(sf_dir: str) -> Any:
+    """Exact data mixing to 5:3:2:1 source proportions — per-source k-th
+    order statistic over the md5 hash space found by histogram selection
+    (no global sort), then a stateless broadcast filter."""
+    from kgray.ops.curation import mix_to_proportions
+
+    return mix_to_proportions(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]),
+        weights=MIXTURE_WEIGHTS,
+    )
 
 
 def _q_doc_novelty(sf_dir: str) -> Any:
@@ -2132,6 +2148,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE t.i = 0 OR (t.i - 1) * 48 + 64 < length(d.text)
         """,
         "embedding_pca": _pca_oracle_sql(),
+        "doc_mixture": """
+            -- exact 5:3:2:1 mixing twin: the engine's histogram selection
+            -- == the rank filter row_number() over (hash, doc_id)
+            WITH w(source, wt) AS (
+              VALUES ('src0', 5), ('src1', 3), ('src2', 2), ('src3', 1)
+            ),
+            counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+            unit AS (
+              SELECT min(c.n // w.wt) AS u
+              FROM counts c JOIN w ON w.source = c.source
+            ),
+            need AS (SELECT w.source, w.wt * (SELECT u FROM unit) AS k FROM w),
+            ranked AS (
+              SELECT d.doc_id, d.source,
+                     row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY md5_number_lower(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                     ) AS rn
+              FROM documents d JOIN w ON w.source = d.source
+            )
+            SELECT r.doc_id, r.source
+            FROM ranked r JOIN need nd ON nd.source = r.source
+            WHERE r.rn <= nd.k
+        """,
         "doc_bigram_lm": """
             -- interpolated bigram LM twin; 0.30000000000000004 is the
             -- float64 value of (1.0 - 0.7), matching the engine's

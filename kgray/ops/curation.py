@@ -352,3 +352,135 @@ def novelty_stats(
         )
 
     return corpus.map_batches(score, batch_format="pyarrow")
+
+
+def mix_to_proportions(
+    ds: ray.data.Dataset,
+    weights: dict[str, int],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    hist_bits: int = 16,
+) -> ray.data.Dataset:
+    """Deterministic EXACT data mixing: keep the largest corpus whose
+    per-source row counts sit in the integer ratio ``weights`` (the
+    training-mixture primitive — e.g. web:code:books = 5:3:1).  With
+    ``unit = min_s(count_s // w_s)``, exactly ``unit·w_s`` rows survive
+    per source: the ones with the smallest ``(md5(id), id)`` — a
+    reproducible, order-free sample (same rows on any cluster size), and
+    SQL-verifiable since the hash is DuckDB's ``md5_number_lower``.
+
+    The per-source k-th order statistic over the hash space is found
+    WITHOUT a global sort (selection, not sorting):
+      A. per-source count partials → driver (dimension-sized);
+      B. per-source histogram over the hash's top ``hist_bits`` bits —
+         partials bounded by sources × 2^hist_bits, never rows;
+      C. enumerate ONLY each source's boundary bin (≈ rows/2^hist_bits)
+         to pin the exact threshold pair;
+      D. stateless broadcast filter ``(hash, id) <= threshold``.
+    Sources missing from ``weights`` are dropped.  All four passes stream;
+    driver traffic is bounded by sources × bins + boundary bins.
+    """
+    shift = np.uint64(64 - hist_bits)
+    srcs = sorted(weights)
+
+    def hashes(b: pd.DataFrame) -> np.ndarray:
+        return _md5_u64_np([str(x) for x in b[id_col]])
+
+    # --- A: per-source counts ------------------------------------------
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(strata_col, sort=False).size().reset_index(name="n")
+        return out
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(strata_col)["n"]
+        .sum()
+    )
+    missing = [s for s in srcs if s not in counts.index]
+    unit = 0 if missing else min(int(counts[s]) // weights[s] for s in srcs)
+    need = {s: unit * weights[s] for s in srcs}
+
+    # --- B: per-source histogram over hash top bits ---------------------
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[strata_col].isin(srcs)]
+        if not len(b):
+            return pd.DataFrame({strata_col: [], "bin": [], "n": []})
+        h = hashes(b) >> shift
+        out = (
+            pd.DataFrame({strata_col: b[strata_col].to_numpy(), "bin": h.astype(np.int64)})
+            .groupby([strata_col, "bin"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return out
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby([strata_col, "bin"])["n"]
+        .sum()
+    )
+
+    # boundary bin + within-bin rank per source
+    boundary: dict[str, tuple[int, int]] = {}
+    for s in srcs:
+        k = need[s]
+        if k <= 0:
+            continue
+        if k >= int(counts[s]):
+            boundary[s] = (-1, 0)  # keep everything from this source
+            continue
+        bins = hist.loc[s].sort_index()
+        cum = bins.cumsum()
+        b_star = int(cum.index[np.searchsorted(cum.to_numpy(), k)])
+        before = int(cum.loc[:b_star].iloc[-2]) if np.searchsorted(cum.to_numpy(), k) > 0 else 0
+        boundary[s] = (b_star, k - before)
+
+    # --- C: enumerate boundary bins to pin exact thresholds -------------
+    probe = {s: bb for s, (bb, _) in boundary.items() if bb >= 0}
+
+    probe_s = pd.Series(probe, dtype=np.int64)
+
+    def in_boundary(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[strata_col].isin(probe)]
+        if not len(b):
+            return pd.DataFrame({strata_col: [], "h": [], id_col: []})
+        h = hashes(b)
+        bb = b[strata_col].map(probe_s).to_numpy(dtype=np.int64)
+        mask = (h >> shift).astype(np.int64) == bb
+        return pd.DataFrame(
+            {strata_col: b[strata_col].to_numpy()[mask], "h": h[mask], id_col: b[id_col].to_numpy()[mask]}
+        )
+
+    thresholds: dict[str, tuple[int, int]] = {}
+    if probe:
+        bnd = ds.map_batches(in_boundary, batch_format="pandas").to_pandas()
+        for s, (bb, rank) in boundary.items():
+            if bb < 0:
+                thresholds[s] = (int(np.iinfo(np.uint64).max), np.iinfo(np.int64).max)
+                continue
+            g = bnd[bnd[strata_col] == s].sort_values(["h", id_col], kind="mergesort")
+            row = g.iloc[rank - 1]
+            thresholds[s] = (int(row["h"]), int(row[id_col]))
+    else:
+        for s, (bb, _) in boundary.items():
+            thresholds[s] = (int(np.iinfo(np.uint64).max), np.iinfo(np.int64).max)
+    thr_ref = ray.put(thresholds)
+
+    # --- D: stateless broadcast filter ----------------------------------
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        thr = cached_get(thr_ref)
+        known = b[strata_col].isin(thr).to_numpy()
+        if not known.any():
+            return b.iloc[0:0]
+        b = b[known]
+        h = hashes(b)
+        th_s = pd.Series({s: v[0] for s, v in thr.items()}, dtype=np.uint64)
+        td_s = pd.Series({s: v[1] for s, v in thr.items()}, dtype=np.int64)
+        th = b[strata_col].map(th_s).to_numpy(dtype=np.uint64)
+        td = b[strata_col].map(td_s).to_numpy(dtype=np.int64)
+        ids = b[id_col].to_numpy(dtype=np.int64)
+        return b[(h < th) | ((h == th) & (ids <= td))]
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -104,6 +104,7 @@ def _compare(query: str):
         "embedding_pca",
         "doc_novelty",
         "doc_bigram_lm",
+        "doc_mixture",
     ],
 )
 def test_sql_oracle_matches_ray(query):
