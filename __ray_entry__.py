@@ -289,7 +289,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_pack_sequences"] = lambda sf: pack_sequences(
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     )
+    q["doc_packed_shards"] = _q_doc_packed_shards
     return q
+
+
+def _q_doc_packed_shards(sf_dir: str) -> pd.DataFrame:
+    """Packed-corpus SINK driven end-to-end: write bucket-partitioned
+    training shards to a fresh tmp dir, return the per-bucket summary
+    (which the SQL twin recomputes from the packing rule)."""
+    import shutil
+    import tempfile
+
+    from kgray.ops.packing import write_packed_corpus
+
+    out = tempfile.mkdtemp(prefix="kgray_shards_", dir="/tmp")
+    try:
+        return write_packed_corpus(
+            ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+            out,
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def _q_corpus_curation(sf_dir: str) -> pd.DataFrame:
@@ -2328,6 +2348,40 @@ def oracle_sql() -> dict[str, str]:
               JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1
             )
             SELECT doc_id, bucket, bin_id, offset_tokens, n_tokens FROM packed
+        """,
+        "doc_packed_shards": """
+            -- per-bucket summary of the packed-shard sink: same next-fit
+            -- recursion as doc_pack_sequences, aggregated per bucket
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 16 AS INTEGER)
+                       AS bucket,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            ordered AS (
+              SELECT doc_id, bucket, n_tokens,
+                     row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+              FROM toks
+            ),
+            packed AS (
+              SELECT doc_id, bucket, n_tokens, rn,
+                     CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT o.doc_id, o.bucket, o.n_tokens, o.rn,
+                     CASE WHEN p.fill + o.n_tokens <= 256
+                          THEN p.bin_id ELSE p.bin_id + 1 END,
+                     CASE WHEN p.fill + o.n_tokens <= 256
+                          THEN p.fill + o.n_tokens ELSE o.n_tokens END
+              FROM packed p
+              JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(max(bin_id) + 1 AS BIGINT) AS n_bins,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM packed GROUP BY bucket
         """,
         "doc_length_filter": """
             SELECT doc_id, n_chars FROM documents

@@ -93,3 +93,98 @@ def pack_sequences(
         .groupby("bucket")
         .map_groups(pack_bucket, batch_format="pandas")
     )
+
+
+def write_packed_corpus(
+    docs: ray.data.Dataset,
+    out_dir: str,
+    budget: int = 256,
+    num_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Materialize training shards: pack every document and WRITE each
+    bucket as its own Parquet partition ``out_dir/bucket=<k>/data.parquet``
+    (rows carry bin_id / offset_tokens so a trainer can reassemble dense
+    ``budget``-token sequences by concatenating texts within a bin).
+
+    Resumable at partition granularity: a bucket that finished earlier
+    (its ``_DONE`` marker exists, written atomically AFTER the shard) is
+    filtered out BEFORE the shuffle on re-runs — a crashed run redoes only
+    its unfinished buckets, and the payload for finished buckets never
+    crosses the wire again.  This is the ONE corpus-payload shuffle of the
+    packing path (the assignment-only :func:`pack_sequences` shuffles
+    metadata; a sink must move the text).  Single-node path writes to a
+    local dir; on a cluster point ``out_dir`` at shared/object storage.
+
+    Returns a per-bucket summary (bucket, n_docs, n_bins, n_tokens) —
+    fresh buckets from this run plus previously-finished ones from their
+    markers, so the summary is total regardless of resume history.
+    """
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def marker(k: int) -> str:
+        return os.path.join(out_dir, f"bucket={k}", "_DONE")
+
+    done = {k for k in range(num_buckets) if os.path.exists(marker(k))}
+
+    def tag(t: pa.Table) -> pa.Table:
+        n_tokens = pc.cast(pc.add(pc.count_substring(t[text_col], " "), 1), pa.int64())
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        bucket = (_md5_u64_np([str(x) for x in ids]) % num_buckets).astype(np.int32)
+        out = pa.table(
+            {
+                id_col: t[id_col],
+                "bucket": pa.array(bucket, type=pa.int32()),
+                "n_tokens": n_tokens,
+                text_col: t[text_col],
+            }
+        )
+        if done:
+            out = out.filter(pa.array(~np.isin(bucket, list(done))))
+        return out
+
+    def pack_and_write(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        bins, offs = _next_fit(g["n_tokens"].to_numpy(dtype=np.int64), budget)
+        g["bin_id"] = bins
+        g["offset_tokens"] = offs
+        k = int(g["bucket"].iloc[0])
+        part_dir = os.path.join(out_dir, f"bucket={k}")
+        os.makedirs(part_dir, exist_ok=True)
+        shard = g[[id_col, "bin_id", "offset_tokens", "n_tokens", text_col]]
+        tmp = os.path.join(part_dir, ".data.parquet.tmp")
+        shard.to_parquet(tmp, index=False)
+        os.replace(tmp, os.path.join(part_dir, "data.parquet"))
+        stats = {
+            "bucket": k,
+            "n_docs": int(len(g)),
+            "n_bins": int(bins[-1]) + 1 if len(bins) else 0,
+            "n_tokens": int(g["n_tokens"].sum()),
+        }
+        with open(marker(k) + ".tmp", "w") as f:
+            json.dump(stats, f)
+        os.replace(marker(k) + ".tmp", marker(k))
+        return pd.DataFrame([stats])
+
+    fresh = (
+        docs.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pack_and_write, batch_format="pandas")
+        .to_pandas()
+    )
+    rows = [] if fresh.empty else [fresh]
+    for k in sorted(done):
+        with open(marker(k)) as f:
+            rows.append(pd.DataFrame([json.load(f)]))
+    if not rows:
+        return pd.DataFrame(columns=["bucket", "n_docs", "n_bins", "n_tokens"])
+    return (
+        pd.concat(rows, ignore_index=True)
+        .astype({"bucket": "int64", "n_docs": "int64", "n_bins": "int64", "n_tokens": "int64"})
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )

@@ -105,6 +105,7 @@ def _compare(query: str):
         "doc_novelty",
         "doc_bigram_lm",
         "doc_mixture",
+        "doc_packed_shards",
     ],
 )
 def test_sql_oracle_matches_ray(query):
