@@ -121,6 +121,10 @@ def run_bench() -> dict:
     timed("doc_segment_dedup", lambda: size(entry.queries()["doc_segment_dedup"](sf_dir)))
     timed("doc_classifier_score", lambda: size(entry.queries()["doc_classifier_score"](sf_dir)))
     timed("embedding_pca", lambda: size(entry.queries()["embedding_pca"](sf_dir)))
+    timed("doc_novelty", lambda: size(entry.queries()["doc_novelty"](sf_dir)))
+    timed("doc_bigram_lm", lambda: size(entry.queries()["doc_bigram_lm"](sf_dir)))
+    timed("doc_mixture", lambda: size(entry.queries()["doc_mixture"](sf_dir)))
+    timed("doc_packed_shards", lambda: size(entry.queries()["doc_packed_shards"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

@@ -405,7 +405,13 @@ def mix_to_proportions(
     def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b[strata_col].isin(srcs)]
         if not len(b):
-            return pd.DataFrame({strata_col: [], "bin": [], "n": []})
+            return pd.DataFrame(
+                {
+                    strata_col: pd.Series(dtype=object),
+                    "bin": pd.Series(dtype=np.int64),
+                    "n": pd.Series(dtype=np.int64),
+                }
+            )
         h = hashes(b) >> shift
         out = (
             pd.DataFrame({strata_col: b[strata_col].to_numpy(), "bin": h.astype(np.int64)})
@@ -445,7 +451,13 @@ def mix_to_proportions(
     def in_boundary(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b[strata_col].isin(probe)]
         if not len(b):
-            return pd.DataFrame({strata_col: [], "h": [], id_col: []})
+            return pd.DataFrame(
+                {
+                    strata_col: pd.Series(dtype=object),
+                    "h": pd.Series(dtype=np.uint64),
+                    id_col: pd.Series(dtype=np.int64),
+                }
+            )
         h = hashes(b)
         bb = b[strata_col].map(probe_s).to_numpy(dtype=np.int64)
         mask = (h >> shift).astype(np.int64) == bb
