@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- graph analytics (kgray/functions/graph.py) ----------------------
     q["kg_pagerank_events"] = _q_kg_pagerank_events
+    q["kg_khop_events"] = _q_kg_khop_events
 
     # --- sketches (kgray/ops/stats.py) -----------------------------------
     q["doc_hll_distinct"] = _q_doc_hll_distinct
@@ -539,6 +540,18 @@ def _pagerank_oracle_sql(iterations: int = 10, damping: float = 0.85) -> str:
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT node, round(r, 6) AS pr FROM r{iterations}"
     )
+
+
+KHOP_SEEDS = ["user 1", "user 7"]
+
+
+def _q_kg_khop_events(sf_dir: str) -> pd.DataFrame:
+    """2-hop undirected neighborhood of two seed users over the events KG
+    (broadcast-frontier BFS, one streaming pass per hop)."""
+    from kgray.functions.graph import k_hop_neighborhood
+
+    kg = _kg_events(sf_dir)
+    return k_hop_neighborhood(kg.edges, seeds=KHOP_SEEDS, hops=2)
 
 
 def _q_multimodal_frame_sample(sf_dir: str) -> pd.DataFrame:
@@ -2168,6 +2181,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE t.i = 0 OR (t.i - 1) * 48 + 64 < length(d.text)
         """,
         "embedding_pca": _pca_oracle_sql(),
+        "kg_khop_events": """
+            -- 2-hop undirected BFS twin over the events KG triple set
+            WITH tr AS MATERIALIZED (
+              SELECT DISTINCT 'user ' || CAST(user_id AS VARCHAR) AS s,
+                     event_type AS o
+              FROM events
+            ),
+            und AS MATERIALIZED (
+              SELECT s, o FROM tr UNION SELECT o AS s, s AS o FROM tr
+            ),
+            h0(name) AS (VALUES ('user 1'), ('user 7')),
+            h1 AS MATERIALIZED (
+              SELECT DISTINCT u.o AS name FROM und u JOIN h0 ON h0.name = u.s
+              WHERE u.o NOT IN (SELECT name FROM h0)
+            ),
+            h2 AS MATERIALIZED (
+              SELECT DISTINCT u.o AS name FROM und u JOIN h1 ON h1.name = u.s
+              WHERE u.o NOT IN (SELECT name FROM h0)
+                AND u.o NOT IN (SELECT name FROM h1)
+            )
+            SELECT name, CAST(0 AS BIGINT) AS hop FROM h0
+            UNION ALL SELECT name, CAST(1 AS BIGINT) FROM h1
+            UNION ALL SELECT name, CAST(2 AS BIGINT) FROM h2
+        """,
         "doc_mixture": """
             -- exact 5:3:2:1 mixing twin: the engine's histogram selection
             -- == the rank filter row_number() over (hash, doc_id)

@@ -125,6 +125,7 @@ def run_bench() -> dict:
     timed("doc_bigram_lm", lambda: size(entry.queries()["doc_bigram_lm"](sf_dir)))
     timed("doc_mixture", lambda: size(entry.queries()["doc_mixture"](sf_dir)))
     timed("doc_packed_shards", lambda: size(entry.queries()["doc_packed_shards"](sf_dir)))
+    timed("kg_khop_events", lambda: size(entry.queries()["kg_khop_events"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

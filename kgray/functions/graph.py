@@ -8,6 +8,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -371,3 +372,56 @@ def triangle_counts(
     out = pd.DataFrame({"node": nodes})
     out["n_tri"] = out["node"].map(total).fillna(0).astype("int64")
     return out
+
+
+def k_hop_neighborhood(
+    edges: ray.data.Dataset,
+    seeds: list[str],
+    hops: int = 2,
+    directed: bool = False,
+    src_col: str = "subj_name",
+    dst_col: str = "obj_name",
+) -> pd.DataFrame:
+    """BFS subgraph extraction (the GraphRAG retrieval primitive): every
+    node within ``hops`` of the seed set, labeled with its first-reach
+    hop.  Seeds are hop 0 whether or not they appear in the graph.
+
+    One streaming broadcast-frontier pass per hop: the frontier ships via
+    ``ray.put`` (never per batch), each edge block emits its batch-distinct
+    matches, and the driver merges per-hop node sets.  Driver state is
+    bounded by the REACHED node set — the same driver rung pagerank and
+    connected_components use below ~200k nodes (kgray/functions/graph.py
+    ladder); above that, swap the frontier set for a hash-bucketed
+    Dataset join, hop by hop.  The reference has no graph-query layer;
+    this extends the engine's analytics the way pagerank does.
+    """
+    visited: dict[str, int] = {s: 0 for s in seeds}
+    frontier = sorted(visited)
+    for h in range(1, hops + 1):
+        f_ref = ray.put(np.array(frontier, dtype=object))
+
+        def expand(b: pd.DataFrame, f_ref=f_ref) -> pd.DataFrame:
+            from kgray.functions.broadcast import cached_get
+
+            fr = cached_get(f_ref)
+            s = b[src_col].to_numpy(dtype=object)
+            o = b[dst_col].to_numpy(dtype=object)
+            found = [o[np.isin(s, fr)]]
+            if not directed:
+                found.append(s[np.isin(o, fr)])
+            u = np.unique(np.concatenate(found)) if found else np.empty(0, object)
+            return pd.DataFrame({"name": u})
+
+        out = edges.map_batches(expand, batch_format="pandas").to_pandas()
+        neigh = out["name"].unique() if "name" in out.columns else []
+        new = sorted(n for n in neigh if n not in visited)
+        if not new:
+            break
+        for n in new:
+            visited[n] = h
+        frontier = new
+    return (
+        pd.DataFrame({"name": list(visited), "hop": np.array(list(visited.values()), dtype=np.int64)})
+        .sort_values(["hop", "name"], kind="mergesort")
+        .reset_index(drop=True)
+    )

@@ -106,6 +106,7 @@ def _compare(query: str):
         "doc_bigram_lm",
         "doc_mixture",
         "doc_packed_shards",
+        "kg_khop_events",
     ],
 )
 def test_sql_oracle_matches_ray(query):
