@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _kg_events(sf).nodes.to_pandas().sort_values("entity_id").reset_index(drop=True)
     )
     q["kg_quintuples_closed_world"] = lambda sf: _quintuple_counts(sf)
+    q["kg_snapshot_closed_world"] = _q_kg_snapshot
     q["kg_triples_events_llm"] = _q_kg_events_llm
     q["legacy_kg_triples_events"] = _q_legacy_kg_events
     q["kg_node_degrees_events"] = _q_node_degrees_events
@@ -912,6 +913,29 @@ def _q_kg_incremental(sf_dir: str) -> pd.DataFrame:
         ]
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+SNAPSHOT_DATE = "2020-06-01"
+
+
+def _q_kg_snapshot(sf_dir: str) -> pd.DataFrame:
+    """Temporal-KG snapshot: observations valid on SNAPSHOT_DATE, counted
+    per predicate (stateless valid_at filter on the quintuple stream)."""
+    from kgray.functions.timeparse import parse_timestamp
+    from kgray.ops.temporal import valid_at
+    from ray.data.aggregate import Count
+
+    transcripts, _ = _world_transcripts(sf_dir)
+    quintuples = extract_quintuples(transcripts, _CFG)
+    at = parse_timestamp(SNAPSHOT_DATE)
+    return (
+        valid_at(quintuples, at)
+        .groupby("pred")
+        .aggregate(Count(alias_name="n_valid"))
+        .to_pandas()
+        .sort_values("pred")
+        .reset_index(drop=True)
+    )
 
 
 def _q_events_sample(sf_dir: str) -> pd.DataFrame:
@@ -1694,6 +1718,18 @@ def oracle_sql() -> dict[str, str]:
             FROM canon""",
         "kg_quintuples_closed_world": f"""WITH {cw}
             SELECT pred, count(*)::BIGINT AS n FROM quint GROUP BY pred""",
+        # snapshot: a 'start' boundary after the date or an 'end' boundary
+        # before it invalidates the observation; missing/unparseable
+        # boundaries are open (atemporal facts valid at every instant)
+        "kg_snapshot_closed_world": f"""WITH {cw}
+            SELECT pred, count(*)::BIGINT AS n_valid FROM quint
+            WHERE NOT (coalesce(slot, '') = 'start'
+                       AND try_strptime(d, '%Y-%m-%d') IS NOT NULL
+                       AND d > '{SNAPSHOT_DATE}')
+              AND NOT (coalesce(slot, '') = 'end'
+                       AND try_strptime(d, '%Y-%m-%d') IS NOT NULL
+                       AND d < '{SNAPSHOT_DATE}')
+            GROUP BY pred""",
         # incremental(first half) + extend(second half) == one-shot build
         # (pinned by tests/test_incremental.py), so the one-shot SQL is the
         # oracle for the incremental query too

@@ -345,3 +345,47 @@ def cohort_retention(
     )
     out["n_users"] = out["n_users"].astype("int64")
     return out
+
+
+def valid_at(
+    quintuples: "ray.data.Dataset",
+    at: float,
+    start_col: str = "t_start",
+    end_col: str = "t_end",
+) -> "ray.data.Dataset":
+    """Temporal-KG snapshot filter: keep observations whose validity
+    interval covers epoch-seconds ``at``.  ATOM quintuples carry at most
+    one boundary per observation (a 'start' or 'end' date, reference
+    prompts.py temporal slots); a missing/unparseable boundary is open —
+    atemporal facts are valid at every ``at``.  Stateless vectorized
+    filter; composes with extract_quintuples BEFORE the merge (the merged
+    edge sorts its date lists and loses start/end pairing by design —
+    PARITY.md; snapshots therefore run on the observation stream)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.types as pt
+
+    def boundary(col) -> np.ndarray:
+        """First element of a 0/1-element list column (NaN when empty), or
+        the scalar column itself — quintuple rows carry their boundary as
+        a list (the reference's quintuple shape, PARITY.md §2)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pt.is_list(col.type) or pt.is_large_list(col.type):
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            off = col.offsets.to_numpy()[: len(lens)]
+            out = np.full(len(lens), np.nan)
+            nz = lens > 0
+            out[nz] = flat[off[nz]]
+            return out
+        return col.to_numpy(zero_copy_only=False).astype(np.float64)
+
+    def keep(t: pa.Table) -> pa.Table:
+        s = boundary(t[start_col])
+        e = boundary(t[end_col])
+        ok = (np.isnan(s) | (s <= at)) & (np.isnan(e) | (e >= at))
+        return t.filter(pa.array(ok))
+
+    return quintuples.map_batches(keep, batch_format="pyarrow")
