@@ -274,6 +274,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_bigram_lm"] = lambda sf: tx.bigram_lm_score(
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     )
+    q["doc_hash_embed"] = lambda sf: (
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(
+            tx.HashedDocEmbedder,
+            batch_format="pyarrow",
+            concurrency=auto_concurrency(),
+        )
+    )
     q["doc_cooccur_pmi"] = _q_doc_cooccur_pmi
 
     # --- event analytics (kgray/ops/temporal.py) -------------------------
@@ -2217,6 +2225,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE t.i = 0 OR (t.i - 1) * 48 + 64 < length(d.text)
         """,
         "embedding_pca": _pca_oracle_sql(),
+        "doc_hash_embed": """
+            -- hashed doc-embedding twin: md5-derived integer milli-weight
+            -- token vectors, mean then L2-normalize; floor-rounding formula
+            -- mirrors the engine's half-away _round6 on signed values
+            WITH tok AS MATERIALIZED (
+              SELECT doc_id, t
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM documents)
+              WHERE t <> ''
+            ),
+            comp AS MATERIALIZED (
+              SELECT doc_id, d.d,
+                     sum(CAST(md5_number_lower(
+                           'e:' || t || ':' || CAST(d.d AS VARCHAR)
+                         ) % 2001 AS BIGINT) - 1000) AS s,
+                     count(*) AS n
+              FROM tok CROSS JOIN (SELECT unnest(range(16)) AS d) d
+              GROUP BY doc_id, d.d
+            ),
+            val AS MATERIALIZED (
+              SELECT doc_id, d, s / 1000.0 / n AS v FROM comp
+            ),
+            nrm AS MATERIALIZED (
+              SELECT doc_id, sqrt(sum(v * v)) AS nm FROM val GROUP BY doc_id
+            )
+            SELECT v.doc_id, CAST(v.d AS BIGINT) AS dim,
+                   floor((CASE WHEN n.nm = 0 THEN 0 ELSE v.v / n.nm END)
+                         * 1e6 + 0.5) / 1e6 AS val
+            FROM val v JOIN nrm n USING (doc_id)
+        """,
         "kg_khop_events": """
             -- 2-hop undirected BFS twin over the events KG triple set
             WITH tr AS MATERIALIZED (

@@ -126,6 +126,8 @@ def run_bench() -> dict:
     timed("doc_mixture", lambda: size(entry.queries()["doc_mixture"](sf_dir)))
     timed("doc_packed_shards", lambda: size(entry.queries()["doc_packed_shards"](sf_dir)))
     timed("kg_khop_events", lambda: size(entry.queries()["kg_khop_events"](sf_dir)))
+    timed("kg_snapshot_closed_world", lambda: size(entry.queries()["kg_snapshot_closed_world"](sf_dir)))
+    timed("doc_hash_embed", lambda: size(entry.queries()["doc_hash_embed"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

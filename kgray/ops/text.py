@@ -424,3 +424,68 @@ def bigram_lm_score(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+class HashedDocEmbedder:
+    """Actor-pool document embedder (the HashingVectorizer bridge from the
+    text world to the engine's vector ops — knn / kmeans / semdedup run
+    unchanged on its output).  Each token's ``DIM`` integer milli-weights
+    derive from md5, so the SQL twin rebuilds them exactly; a per-ACTOR
+    token→vector cache makes the md5 cost amortize across batches — the
+    canonical stateful-embedding-client shape (swap ``_vec`` for a real
+    model call and nothing else changes).
+
+    Doc vector = mean of token vectors (integer sums, exact), then
+    L2-normalized; output is long-format (doc_id, dim, val) rounded at
+    6 dp so values hash-compare across engines.
+    """
+
+    DIM = 16
+
+    def __init__(self) -> None:
+        from kgray.ops.dedup import _md5_u64_np
+
+        self._md5 = _md5_u64_np
+        self._cache: dict[str, np.ndarray] = {}
+
+    def _vec(self, tok: str) -> np.ndarray:
+        v = self._cache.get(tok)
+        if v is None:
+            v = (
+                self._md5([f"e:{tok}:{d}" for d in range(self.DIM)]) % 2001
+            ).astype(np.int64) - 1000
+            self._cache[tok] = v
+        return v
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from kgray.ops.ranking import _flat_tokens
+
+        toks, parent, n_rows = _flat_tokens(t["text"])
+        vocab, inv = np.unique(toks, return_inverse=True)
+        if len(vocab):
+            mat = np.stack([self._vec(x) for x in vocab])[inv]
+        else:
+            mat = np.zeros((0, self.DIM), dtype=np.int64)
+        sums = np.vstack(
+            [
+                np.bincount(parent, weights=mat[:, d], minlength=n_rows)
+                for d in range(self.DIM)
+            ]
+        ).T
+        cnt = np.bincount(parent, minlength=n_rows).astype(np.float64)
+        cnt_safe = np.where(cnt == 0, 1.0, cnt)
+        val = sums / 1000.0 / cnt_safe[:, None]
+        norm = np.sqrt((val * val).sum(axis=1))
+        unit = np.where(norm[:, None] == 0, 0.0, val / np.where(norm == 0, 1.0, norm)[:, None])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = cnt > 0
+        doc_idx = np.repeat(np.arange(n_rows)[keep], self.DIM)
+        dims = np.tile(np.arange(self.DIM, dtype=np.int64), int(keep.sum()))
+        vals = _round6(unit[keep].ravel())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_idx], pa.int64()),
+                "dim": pa.array(dims, pa.int64()),
+                "val": pa.array(vals, pa.float64()),
+            }
+        )

@@ -107,6 +107,7 @@ def _compare(query: str):
         "doc_mixture",
         "doc_packed_shards",
         "kg_khop_events",
+        "doc_hash_embed",
     ],
 )
 def test_sql_oracle_matches_ray(query):
