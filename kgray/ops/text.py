@@ -441,6 +441,10 @@ class HashedDocEmbedder:
     """
 
     DIM = 16
+    # cap the per-actor cache so a web-scale vocabulary cannot grow an
+    # actor's heap unboundedly; eviction is wholesale (the cache is a pure
+    # memo — correctness never depends on it)
+    CACHE_MAX = 1_000_000
 
     def __init__(self) -> None:
         from kgray.ops.dedup import _md5_u64_np
@@ -451,6 +455,8 @@ class HashedDocEmbedder:
     def _vec(self, tok: str) -> np.ndarray:
         v = self._cache.get(tok)
         if v is None:
+            if len(self._cache) >= self.CACHE_MAX:
+                self._cache.clear()
             v = (
                 self._md5([f"e:{tok}:{d}" for d in range(self.DIM)]) % 2001
             ).astype(np.int64) - 1000
