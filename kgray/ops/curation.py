@@ -391,11 +391,11 @@ def mix_to_proportions(
         out = b.groupby(strata_col, sort=False).size().reset_index(name="n")
         return out
 
+    counts_df = ds.map_batches(count_partial, batch_format="pandas").to_pandas()
     counts = (
-        ds.map_batches(count_partial, batch_format="pandas")
-        .to_pandas()
-        .groupby(strata_col)["n"]
-        .sum()
+        counts_df.groupby(strata_col)["n"].sum()
+        if strata_col in counts_df.columns and len(counts_df)
+        else pd.Series(dtype=np.int64)
     )
     missing = [s for s in srcs if s not in counts.index]
     unit = 0 if missing else min(int(counts[s]) // weights[s] for s in srcs)
@@ -421,11 +421,14 @@ def mix_to_proportions(
         )
         return out
 
+    if any(need[s] > 0 for s in srcs):
+        hist_df = ds.map_batches(hist_partial, batch_format="pandas").to_pandas()
+    else:  # nothing to select (empty corpus or a missing weighted source)
+        hist_df = pd.DataFrame({strata_col: [], "bin": [], "n": []})
     hist = (
-        ds.map_batches(hist_partial, batch_format="pandas")
-        .to_pandas()
-        .groupby([strata_col, "bin"])["n"]
-        .sum()
+        hist_df.groupby([strata_col, "bin"])["n"].sum()
+        if strata_col in hist_df.columns and len(hist_df)
+        else pd.Series(dtype=np.int64)
     )
 
     # boundary bin + within-bin rank per source

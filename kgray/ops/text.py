@@ -276,10 +276,16 @@ def unigram_lm_score(
         return pa.table({"token": toks}).group_by("token").aggregate([([], "count_all")])
 
     parts = ds.map_batches(count_partial, batch_format="pyarrow").to_pandas()
-    freq = parts.groupby("token", sort=False)["count_all"].sum()
+    # an empty corpus produces a column-less frame; the model is empty
+    freq = (
+        parts.groupby("token", sort=False)["count_all"].sum()
+        if "token" in parts.columns
+        else pd.Series(dtype=np.int64)
+    )
     total = int(freq.sum())
     logp = pd.Series(
-        np.log2(freq.to_numpy(dtype=np.float64) / total), index=freq.index
+        np.log2(freq.to_numpy(dtype=np.float64) / total) if total else [],
+        index=freq.index,
     )
     logp_ref = ray.put(logp)
 
@@ -383,9 +389,17 @@ def bigram_lm_score(
         return pa.concat_tables(parts)
 
     counts = ds.map_batches(count_partial, batch_format="pyarrow").to_pandas()
-    agg = counts.groupby(["is_bigram", "key"], sort=False)["cnt"].sum()
-    uni_c = agg.loc[False].astype(np.float64)
-    big_c = agg.loc[True].astype(np.float64) if True in agg.index.get_level_values(0) else pd.Series(dtype=np.float64)
+    if "key" in counts.columns and len(counts):
+        agg = counts.groupby(["is_bigram", "key"], sort=False)["cnt"].sum()
+        uni_c = agg.loc[False].astype(np.float64)
+        big_c = (
+            agg.loc[True].astype(np.float64)
+            if True in agg.index.get_level_values(0)
+            else pd.Series(dtype=np.float64)
+        )
+    else:  # empty corpus: empty model
+        uni_c = pd.Series(dtype=np.float64)
+        big_c = pd.Series(dtype=np.float64)
     total = float(uni_c.sum())
     model_ref = _ray.put((uni_c, big_c, total))
 
