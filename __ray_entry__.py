@@ -274,6 +274,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_bigram_lm"] = lambda sf: tx.bigram_lm_score(
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     )
+    q["doc_ppl_buckets"] = lambda sf: tx.perplexity_buckets(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    )
     q["doc_hash_embed"] = lambda sf: (
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(
@@ -2609,6 +2612,35 @@ def oracle_sql() -> dict[str, str]:
                          * 1e6 + 0.5) / 1e6 AS bits_per_token
             FROM toks t JOIN freq f ON t.tok = f.tok
             GROUP BY t.doc_id
+        """,
+        "doc_ppl_buckets": """
+            -- CCNet head/middle/tail split: corpus terciles of the
+            -- unigram-LM bits (quantile_disc == the engine's ceil(qn)-1
+            -- histogram index)
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ),
+            tot AS (SELECT count(*) AS n FROM toks),
+            freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            scored AS MATERIALIZED (
+              SELECT t.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     floor((-sum(log2(f.c * 1.0 / (SELECT n FROM tot)))
+                            / count(*)) * 1e6 + 0.5) / 1e6 AS bits_per_token
+              FROM toks t JOIN freq f ON t.tok = f.tok
+              GROUP BY t.doc_id
+            ),
+            thr AS (
+              SELECT quantile_disc(bits_per_token, 1.0 / 3) AS t1,
+                     quantile_disc(bits_per_token, 2.0 / 3) AS t2
+              FROM scored
+            )
+            SELECT s.doc_id, s.n_tokens, s.bits_per_token,
+                   CASE WHEN s.bits_per_token <= thr.t1 THEN 'head'
+                        WHEN s.bits_per_token <= thr.t2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM scored s, thr
         """,
         "events_zscore_outliers": """
             WITH s AS (

@@ -509,3 +509,50 @@ class HashedDocEmbedder:
                 "val": pa.array(vals, pa.float64()),
             }
         )
+
+
+def perplexity_buckets(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """CCNet's head/middle/tail split: bucket documents by corpus-wide
+    TERCILES of the unigram-LM cross-entropy (Wenzek et al. 2020 — 'head'
+    = lowest perplexity third, the cleanest text; 'tail' = the noisiest).
+
+    Composition over :func:`unigram_lm_score`; the scored stream is
+    materialized ONCE (three narrow columns per doc — doc_id, n_tokens,
+    bits — not the corpus text) so the tercile histogram and the final
+    bucket pass don't re-run the two LM passes.  Thresholds come from a
+    (value, count) histogram partial — driver traffic bounded by distinct
+    6-dp score values — using the same ``ceil(q·n)−1`` discrete-quantile
+    index as ops/stats.py, so DuckDB ``quantile_disc`` reproduces them.
+    """
+    scored = unigram_lm_score(ds, text_col=text_col).materialize()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"bits_per_token": t["bits_per_token"]})
+            .group_by("bits_per_token")
+            .aggregate([([], "count_all")])
+        )
+
+    hist_df = scored.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    if "bits_per_token" not in hist_df.columns or not len(hist_df):
+        return scored  # empty corpus: nothing to bucket
+    hist = hist_df.groupby("bits_per_token", sort=True)["count_all"].sum()
+    values = hist.index.to_numpy(dtype=np.float64)
+    cum = np.cumsum(hist.to_numpy(dtype=np.int64))
+    n = int(cum[-1])
+
+    def thr(num: int, den: int) -> float:
+        idx = max(0, -(-(num * n) // den) - 1)  # ceil(num*n/den) - 1
+        return float(values[np.searchsorted(cum, idx + 1)])
+
+    t1, t2 = thr(1, 3), thr(2, 3)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        bits = t["bits_per_token"].to_numpy(zero_copy_only=False)
+        bucket = np.where(bits <= t1, "head", np.where(bits <= t2, "middle", "tail"))
+        return t.append_column("ppl_bucket", pa.array(bucket, pa.string()))
+
+    return scored.map_batches(bucketize, batch_format="pyarrow")

@@ -108,6 +108,7 @@ def _compare(query: str):
         "doc_packed_shards",
         "kg_khop_events",
         "doc_hash_embed",
+        "doc_ppl_buckets",
     ],
 )
 def test_sql_oracle_matches_ray(query):
