@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_segment_dedup"] = lambda sf: dd.segment_dedup(
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     )
+    q["doc_incremental_dedup"] = _q_doc_incremental_dedup
     q["doc_simhash_components"] = _q_doc_simhash_components
     q["doc_simhash_triangles"] = _q_doc_simhash_triangles
     q["embedding_near_dup"] = _q_embedding_near_dup
@@ -767,6 +768,45 @@ def _q_doc_mixture(sf_dir: str) -> Any:
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]),
         weights=MIXTURE_WEIGHTS,
     )
+
+
+def _q_doc_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental dedup vs a persisted hash store (ST4 corpus twin):
+    ingest the even-doc_id half to seed the store, then dedup the odd
+    half against it — survivors are odd docs whose text never appeared."""
+    import shutil
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.compute as pc
+
+    from kgray.ops.dedup import dedup_against_store
+
+    def half(rem: int):
+        def f(t):
+            ids = t["doc_id"]
+            return t.filter(
+                pc.equal(pc.cast(pc.bit_wise_and(ids, 1), _pa.int64()), rem)
+            )
+
+        return f
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    store = tempfile.mkdtemp(prefix="kgray_hashstore_", dir="/tmp")
+    try:
+        dedup_against_store(
+            docs.map_batches(half(0), batch_format="pyarrow"), store
+        ).materialize()  # seed run: consume so the store writes happen
+        return (
+            dedup_against_store(
+                docs.map_batches(half(1), batch_format="pyarrow"), store
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
 
 
 def _q_doc_novelty(sf_dir: str) -> Any:
@@ -2612,6 +2652,19 @@ def oracle_sql() -> dict[str, str]:
                          * 1e6 + 0.5) / 1e6 AS bits_per_token
             FROM toks t JOIN freq f ON t.tok = f.tok
             GROUP BY t.doc_id
+        """,
+        "doc_incremental_dedup": """
+            -- incremental-dedup twin: odd-half docs whose md5(text) is
+            -- absent from the even-half store, keep-first within the batch
+            WITH a AS (
+              SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+            ),
+            b AS (
+              SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+            )
+            SELECT doc_id, h AS content_hash FROM b
+            WHERE h NOT IN (SELECT h FROM a)
+            QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
         """,
         "doc_ppl_buckets": """
             -- CCNet head/middle/tail split: corpus terciles of the

@@ -129,6 +129,7 @@ def run_bench() -> dict:
     timed("kg_snapshot_closed_world", lambda: size(entry.queries()["kg_snapshot_closed_world"](sf_dir)))
     timed("doc_hash_embed", lambda: size(entry.queries()["doc_hash_embed"](sf_dir)))
     timed("doc_ppl_buckets", lambda: size(entry.queries()["doc_ppl_buckets"](sf_dir)))
+    timed("doc_incremental_dedup", lambda: size(entry.queries()["doc_incremental_dedup"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

@@ -584,3 +584,85 @@ def segment_dedup(
         )
 
     return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+def dedup_against_store(
+    docs: ray.data.Dataset,
+    store_dir: str,
+    num_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Incremental exact dedup against a PERSISTED content-hash store —
+    the corpus-side twin of the evolving KG store (ST4): each ingest batch
+    drops documents whose md5(text) was seen in ANY earlier run, keeps the
+    min-``id_col`` row per new hash, and appends the new hashes to the
+    store so the next run sees them.
+
+    One bucketed shuffle co-locates store hashes with candidate rows (both
+    sides bucket on the hash, so only the matching store shard meets each
+    candidate group); the store stays hash-partitioned Parquet on shared
+    storage — corpus-scale but narrow (one hash column), never read to the
+    driver.  Returns the surviving (id, content_hash) rows.
+    """
+    import glob as _glob
+    import os
+    import uuid
+
+    os.makedirs(store_dir, exist_ok=True)
+    store_files = sorted(_glob.glob(os.path.join(store_dir, "*.parquet")))
+
+    def tag_new(b: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in b[text_col]]
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(dtype=np.int64),
+                "content_hash": h,
+                "bucket": (_md5_u64_np(h) % num_buckets).astype(np.int32),
+                "is_new": True,
+            }
+        )
+
+    candidates = docs.map_batches(tag_new, batch_format="pandas")
+    if store_files:
+
+        def tag_store(b: pd.DataFrame) -> pd.DataFrame:
+            h = b["content_hash"].tolist()
+            return pd.DataFrame(
+                {
+                    id_col: np.full(len(b), -1, dtype=np.int64),
+                    "content_hash": h,
+                    "bucket": (_md5_u64_np(h) % num_buckets).astype(np.int32),
+                    "is_new": False,
+                }
+            )
+
+        candidates = candidates.union(
+            ray.data.read_parquet(store_files).map_batches(
+                tag_store, batch_format="pandas"
+            )
+        )
+
+    run_id = uuid.uuid4().hex[:12]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        seen = set(g.loc[~g["is_new"], "content_hash"])
+        new = g[g["is_new"] & ~g["content_hash"].isin(seen)]
+        if not len(new):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype=np.int64),
+                    "content_hash": pd.Series(dtype=object),
+                }
+            )
+        keep = new.loc[new.groupby("content_hash", sort=False)[id_col].idxmin()]
+        k = int(g["bucket"].iloc[0])
+        out = keep[[id_col, "content_hash"]].reset_index(drop=True)
+        path = os.path.join(store_dir, f"b{k}-{run_id}.parquet")
+        pd.DataFrame({"content_hash": out["content_hash"]}).to_parquet(
+            path + ".tmp", index=False
+        )
+        os.replace(path + ".tmp", path)
+        return out
+
+    return candidates.groupby("bucket").map_groups(per_bucket, batch_format="pandas")

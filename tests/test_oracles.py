@@ -109,6 +109,7 @@ def _compare(query: str):
         "kg_khop_events",
         "doc_hash_embed",
         "doc_ppl_buckets",
+        "doc_incremental_dedup",
     ],
 )
 def test_sql_oracle_matches_ray(query):
