@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- distributed statistics (kgray/ops/stats.py) ---------------------
     q["events_value_deciles"] = _q_events_value_deciles
+    q["events_value_percentile"] = _q_events_value_percentile
     q["events_zscore_outliers"] = _q_events_zscore_outliers
     q["doc_top_tokens"] = _q_doc_top_tokens
 
@@ -412,6 +413,16 @@ def _q_doc_cooccur_pmi(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = token_cooccurrence_pmi(ds, min_count=2).to_pandas()
     return out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
+def _q_events_value_percentile(sf_dir: str) -> Any:
+    """Global rank/CDF normalization: value-domain histogram partials,
+    broadcast CDF table, vectorized searchsorted gather (no shuffle)."""
+    from kgray.ops.stats import percentile_transform
+
+    return percentile_transform(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    )
 
 
 def _q_events_zscore_outliers(sf_dir: str) -> pd.DataFrame:
@@ -2652,6 +2663,14 @@ def oracle_sql() -> dict[str, str]:
                          * 1e6 + 0.5) / 1e6 AS bits_per_token
             FROM toks t JOIN freq f ON t.tok = f.tok
             GROUP BY t.doc_id
+        """,
+        "events_value_percentile": """
+            -- global rank/CDF transform twin: cume_dist over the
+            -- cent-quantized value == the engine's cumcount/n gather
+            SELECT event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   cume_dist() OVER (ORDER BY floor(value * 100 + 0.5)) AS pct
+            FROM events
         """,
         "doc_incremental_dedup": """
             -- incremental-dedup twin: odd-half docs whose md5(text) is

@@ -130,6 +130,7 @@ def run_bench() -> dict:
     timed("doc_hash_embed", lambda: size(entry.queries()["doc_hash_embed"](sf_dir)))
     timed("doc_ppl_buckets", lambda: size(entry.queries()["doc_ppl_buckets"](sf_dir)))
     timed("doc_incremental_dedup", lambda: size(entry.queries()["doc_incremental_dedup"](sf_dir)))
+    timed("events_value_percentile", lambda: size(entry.queries()["events_value_percentile"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

@@ -298,3 +298,71 @@ def zscore_outliers(
         )
 
     return ds.map_batches(flag, batch_format="pandas")
+
+
+def percentile_transform(
+    events: ray.data.Dataset,
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Global rank/CDF normalization (the quantile-transform feature prep):
+    every row gets ``pct = P(X <= x)`` under the corpus's own empirical
+    distribution of the CENT-quantized value — scale-free scores for
+    downstream thresholds that must be stable across data drift.
+
+    Two streaming passes, no shuffle: pass 1 folds each batch to a
+    (cents, count) histogram partial — driver traffic bounded by the VALUE
+    DOMAIN (quantization is what bounds it; a raw continuous double would
+    make the histogram row-sized), the same premise as
+    :func:`grouped_quantiles`.  The sorted (values, cumcounts) table
+    broadcasts once; pass 2 is a vectorized ``searchsorted`` gather.
+    ``pct`` equals DuckDB ``cume_dist()`` over the quantized value exactly
+    (same integer division) — no rounding epsilon.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kgray.functions.broadcast import cached_get
+
+    def cents_of(col) -> np.ndarray:
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"cents": pa.array(cents_of(t[value_col]), pa.int64())})
+            .group_by("cents")
+            .aggregate([([], "count_all")])
+        )
+
+    hist_df = events.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    if "cents" not in hist_df.columns or not len(hist_df):
+        return events.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                    "pct": pa.array([], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    hist = hist_df.groupby("cents", sort=True)["count_all"].sum()
+    values = hist.index.to_numpy(dtype=np.int64)
+    cum = np.cumsum(hist.to_numpy(dtype=np.int64))
+    n = int(cum[-1])
+    table_ref = ray.put((values, cum, n))
+
+    def attach(t: pa.Table) -> pa.Table:
+        vals, cm, total = cached_get(table_ref)
+        c = cents_of(t[value_col])
+        pct = cm[np.searchsorted(vals, c)] / total
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "cents": pa.array(c, pa.int64()),
+                "pct": pa.array(pct, pa.float64()),
+            }
+        )
+
+    return events.map_batches(attach, batch_format="pyarrow")

@@ -110,6 +110,7 @@ def _compare(query: str):
         "doc_hash_embed",
         "doc_ppl_buckets",
         "doc_incremental_dedup",
+        "events_value_percentile",
     ],
 )
 def test_sql_oracle_matches_ray(query):
