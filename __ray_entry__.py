@@ -245,6 +245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- distributed statistics (kgray/ops/stats.py) ---------------------
     q["events_value_deciles"] = _q_events_value_deciles
     q["events_value_percentile"] = _q_events_value_percentile
+    q["events_dau"] = _q_events_dau
+    q["events_transitions"] = _q_events_transitions
     q["events_zscore_outliers"] = _q_events_zscore_outliers
     q["doc_top_tokens"] = _q_doc_top_tokens
 
@@ -413,6 +415,42 @@ def _q_doc_cooccur_pmi(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = token_cooccurrence_pmi(ds, min_count=2).to_pandas()
     return out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
+def _q_events_dau(sf_dir: str) -> Any:
+    """Exact daily active users: batch-distinct (day, user) pre-shrink →
+    one day-hash bucket shuffle → exact distinct count (the precise twin
+    of the HLL sketch)."""
+    import pyarrow as _pa
+    import pyarrow.compute as pc
+
+    from kgray.ops.stats import exact_distinct_per_group
+
+    def derive(t):
+        return _pa.table(
+            {
+                "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                "user_id": t["user_id"],
+            }
+        )
+
+    days = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    ).map_batches(derive, batch_format="pyarrow")
+    return exact_distinct_per_group(days, group_col="day", unit_col="user_id")
+
+
+def _q_events_transitions(sf_dir: str) -> pd.DataFrame:
+    """Event-type transition counts per user in (ts, event_id) order —
+    sequence mining over one user-bucket shuffle with per-bucket partials."""
+    from kgray.ops.temporal import event_transitions
+
+    return event_transitions(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+    )
 
 
 def _q_events_value_percentile(sf_dir: str) -> Any:
@@ -2663,6 +2701,24 @@ def oracle_sql() -> dict[str, str]:
                          * 1e6 + 0.5) / 1e6 AS bits_per_token
             FROM toks t JOIN freq f ON t.tok = f.tok
             GROUP BY t.doc_id
+        """,
+        "events_dau": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY 1
+        """,
+        "events_transitions": """
+            WITH seq AS (
+              SELECT event_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS nxt
+              FROM events
+            )
+            SELECT event_type AS prev_type, nxt AS next_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE nxt IS NOT NULL
+            GROUP BY 1, 2
         """,
         "events_value_percentile": """
             -- global rank/CDF transform twin: cume_dist over the

@@ -131,6 +131,8 @@ def run_bench() -> dict:
     timed("doc_ppl_buckets", lambda: size(entry.queries()["doc_ppl_buckets"](sf_dir)))
     timed("doc_incremental_dedup", lambda: size(entry.queries()["doc_incremental_dedup"](sf_dir)))
     timed("events_value_percentile", lambda: size(entry.queries()["events_value_percentile"](sf_dir)))
+    timed("events_dau", lambda: size(entry.queries()["events_dau"](sf_dir)))
+    timed("events_transitions", lambda: size(entry.queries()["events_transitions"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

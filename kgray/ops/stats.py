@@ -366,3 +366,45 @@ def percentile_transform(
         )
 
     return events.map_batches(attach, batch_format="pyarrow")
+
+
+def exact_distinct_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    unit_col: str,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Exact COUNT(DISTINCT unit) per group — the precise twin of the
+    :func:`hll_distinct_tokens` sketch (use this when exactness matters
+    and the distinct domain fits a shuffle; the sketch when it doesn't).
+
+    Per-batch distinct (group, unit) pre-shrink BEFORE the one group-hash
+    bucket shuffle — only batch-distinct pairs cross the wire, the wire
+    cost exact distinct counting fundamentally requires; the final
+    distinct + count runs per bucket.  Returns (group_col, n_distinct).
+    """
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[group_col, unit_col]].drop_duplicates()
+        out = out.copy()
+        out["bucket"] = (
+            pd.util.hash_array(out[group_col].to_numpy(dtype=object)) % num_buckets
+        ).astype("int32")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        n = (
+            g[[group_col, unit_col]]
+            .drop_duplicates()
+            .groupby(group_col, sort=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {group_col: n.index, "n_distinct": n.to_numpy(dtype=np.int64)}
+        )
+
+    return (
+        ds.map_batches(pair_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -389,3 +389,59 @@ def valid_at(
         return t.filter(pa.array(ok))
 
     return quintuples.map_batches(keep, batch_format="pyarrow")
+
+
+def event_transitions(
+    events: "ray.data.Dataset",
+    num_buckets: int = 64,
+) -> "pd.DataFrame":
+    """Sequence mining: counts of consecutive event-type transitions per
+    user (the Markov-chain / next-event-prediction feature).  Ordering is
+    (ts, event_id) within each user — deterministic under timestamp ties.
+
+    ONE user-hash bucket shuffle co-locates each user's history (the
+    keyed_window partitioning assumption); per bucket the transition pairs
+    collapse to (prev, next, count) PARTIALS, so the driver merges only
+    buckets × |event_type|² rows, never the event stream.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def add_bucket(b: "pd.DataFrame") -> "pd.DataFrame":
+        b = b.copy()
+        b["bucket"] = (b["user_id"] % num_buckets).astype("int32")
+        return b
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same_user = g["user_id"].to_numpy()[:-1] == g["user_id"].to_numpy()[1:]
+        et = g["event_type"].to_numpy()
+        pairs = pd.DataFrame(
+            {"prev_type": et[:-1][same_user], "next_type": et[1:][same_user]}
+        )
+        out = pairs.groupby(["prev_type", "next_type"], sort=False).size()
+        return out.rename("n").reset_index()
+
+    partials = (
+        events.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "prev_type" not in partials.columns or not len(partials):
+        return pd.DataFrame(
+            {
+                "prev_type": pd.Series(dtype=object),
+                "next_type": pd.Series(dtype=object),
+                "n": pd.Series(dtype=np.int64),
+            }
+        )
+    out = (
+        partials.groupby(["prev_type", "next_type"], sort=False)["n"]
+        .sum()
+        .astype("int64")
+        .reset_index()
+        .sort_values(["prev_type", "next_type"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out

@@ -111,6 +111,8 @@ def _compare(query: str):
         "doc_ppl_buckets",
         "doc_incremental_dedup",
         "events_value_percentile",
+        "events_dau",
+        "events_transitions",
     ],
 )
 def test_sql_oracle_matches_ray(query):
