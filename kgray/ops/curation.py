@@ -371,14 +371,15 @@ def mix_to_proportions(
 
     The per-source k-th order statistic over the hash space is found
     WITHOUT a global sort (selection, not sorting):
-      A. per-source count partials → driver (dimension-sized);
-      B. per-source histogram over the hash's top ``hist_bits`` bits —
-         partials bounded by sources × 2^hist_bits, never rows;
-      C. enumerate ONLY each source's boundary bin (≈ rows/2^hist_bits)
+      A. ONE pass builds the per-source histogram over the hash's top
+         ``hist_bits`` bits — partials bounded by sources × 2^hist_bits,
+         never rows; per-source COUNTS are its bin marginals (no separate
+         counting pass);
+      B. enumerate ONLY each source's boundary bin (≈ rows/2^hist_bits)
          to pin the exact threshold pair;
-      D. stateless broadcast filter ``(hash, id) <= threshold``.
-    Sources missing from ``weights`` are dropped.  All four passes stream;
-    driver traffic is bounded by sources × bins + boundary bins.
+      C. stateless broadcast filter ``(hash, id) <= threshold``.
+    Sources missing from ``weights`` are dropped.  All three passes
+    stream; driver traffic is bounded by sources × bins + boundary bins.
     """
     shift = np.uint64(64 - hist_bits)
     srcs = sorted(weights)
@@ -386,22 +387,7 @@ def mix_to_proportions(
     def hashes(b: pd.DataFrame) -> np.ndarray:
         return _md5_u64_np([str(x) for x in b[id_col]])
 
-    # --- A: per-source counts ------------------------------------------
-    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.groupby(strata_col, sort=False).size().reset_index(name="n")
-        return out
-
-    counts_df = ds.map_batches(count_partial, batch_format="pandas").to_pandas()
-    counts = (
-        counts_df.groupby(strata_col)["n"].sum()
-        if strata_col in counts_df.columns and len(counts_df)
-        else pd.Series(dtype=np.int64)
-    )
-    missing = [s for s in srcs if s not in counts.index]
-    unit = 0 if missing else min(int(counts[s]) // weights[s] for s in srcs)
-    need = {s: unit * weights[s] for s in srcs}
-
-    # --- B: per-source histogram over hash top bits ---------------------
+    # --- A: per-source histogram over hash top bits; counts = marginals -
     def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b[strata_col].isin(srcs)]
         if not len(b):
@@ -421,15 +407,18 @@ def mix_to_proportions(
         )
         return out
 
-    if any(need[s] > 0 for s in srcs):
-        hist_df = ds.map_batches(hist_partial, batch_format="pandas").to_pandas()
-    else:  # nothing to select (empty corpus or a missing weighted source)
-        hist_df = pd.DataFrame({strata_col: [], "bin": [], "n": []})
+    hist_df = ds.map_batches(hist_partial, batch_format="pandas").to_pandas()
     hist = (
         hist_df.groupby([strata_col, "bin"])["n"].sum()
         if strata_col in hist_df.columns and len(hist_df)
         else pd.Series(dtype=np.int64)
     )
+    counts = (
+        hist.groupby(level=0).sum() if len(hist) else pd.Series(dtype=np.int64)
+    )
+    missing = [s for s in srcs if s not in counts.index]
+    unit = 0 if missing else min(int(counts[s]) // weights[s] for s in srcs)
+    need = {s: unit * weights[s] for s in srcs}
 
     # boundary bin + within-bin rank per source
     boundary: dict[str, tuple[int, int]] = {}
