@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- composed curation pipeline (kgray/pipelines/curation.py) --------
     q["corpus_curation"] = _q_corpus_curation
+    q["curated_packed"] = _q_curated_packed
 
     # --- sequence packing (kgray/ops/packing.py) -------------------------
     q["doc_pack_sequences"] = lambda sf: pack_sequences(
@@ -327,6 +328,54 @@ def _q_doc_packed_shards(sf_dir: str) -> pd.DataFrame:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def _q_curated_packed(sf_dir: str) -> Any:
+    """Capstone composition: the curated chunk stream flows straight into
+    next-fit sequence packing (64-token bins) — curation and batch
+    assembly as ONE lazy pipeline, no intermediate materialization."""
+    import pyarrow as _pa
+
+    chunks = _curation_chunks(sf_dir)
+
+    def to_packable(t):
+        cid = (
+            t["doc_id"].to_numpy(zero_copy_only=False) * 1000
+            + t["chunk_idx"].to_numpy(zero_copy_only=False)
+        )
+        return _pa.table(
+            {
+                "chunk_id": _pa.array(cid, _pa.int64()),
+                "text": t["chunk_text"],
+            }
+        )
+
+    return pack_sequences(
+        chunks.map_batches(to_packable, batch_format="pyarrow"),
+        budget=64,
+        id_col="chunk_id",
+    )
+
+
+def _curation_chunks(sf_dir: str):
+    """The curation chain as a lazy Dataset (shared by the corpus_curation
+    and curated_packed queries)."""
+    import pyarrow as pa
+
+    from kgray.pipelines.curation import curate_corpus
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _mod_split(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            is_bench = t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+            return t.filter(pa.array(is_bench if keep_bench else ~is_bench))
+
+        return f
+
+    corpus = docs.map_batches(_mod_split(False), batch_format="pyarrow")
+    benchmark = docs.map_batches(_mod_split(True), batch_format="pyarrow")
+    return curate_corpus(corpus, benchmark, chunk_chars=64, overlap=16)
 
 
 def _q_corpus_curation(sf_dir: str) -> pd.DataFrame:
@@ -1799,6 +1848,51 @@ def _pca_oracle_sql(dim: int = 64, iterations: int = 20) -> str:
         FROM proj"""
 
 
+_CURATION_CTES = r"""clean AS MATERIALIZED (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS tc
+              FROM documents WHERE doc_id % 97 <> 0
+            ),
+            c2 AS MATERIALIZED (
+              SELECT doc_id, tc, CAST(length(tc) AS BIGINT) AS n FROM clean
+            ),
+            filt AS MATERIALIZED (
+              SELECT * FROM c2 WHERE n >= (SELECT quantile_disc(n, 0.25) FROM c2)
+            ),
+            ded AS MATERIALIZED (
+              SELECT f.doc_id, f.tc FROM filt f
+              JOIN (SELECT tc, min(doc_id) AS keep FROM filt GROUP BY tc) k
+                ON k.tc = f.tc AND k.keep = f.doc_id
+            ),
+            -- benchmark grams from RAW text of doc_id%97=0 (the held-out
+            -- set is external to the cleaning chain), corpus grams from tc
+            btoks AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 97 = 0),
+            bench AS MATERIALIZED (
+              SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS g
+              FROM (SELECT t, unnest(range(1, len(t) - 3)) AS i FROM btoks)
+            ),
+            ctoks AS (SELECT doc_id, string_split(tc, ' ') AS t FROM ded),
+            cgrams AS MATERIALIZED (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+              FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM ctoks)
+            ),
+            survive AS MATERIALIZED (
+              SELECT d.doc_id, d.tc FROM ded d
+              WHERE NOT EXISTS (
+                SELECT 1 FROM cgrams g JOIN bench b ON b.g = g.g
+                WHERE g.doc_id = d.doc_id
+              )
+            ),
+            chunkout AS MATERIALIZED (
+              SELECT s.doc_id, t.i AS chunk_idx,
+                     substr(s.tc, CAST(t.i * 48 + 1 AS BIGINT), 64) AS chunk_text,
+                     CAST(length(substr(s.tc, CAST(t.i * 48 + 1 AS BIGINT), 64)) AS BIGINT)
+                       AS n_chars
+              FROM survive s
+              CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
+              WHERE t.i = 0 OR (t.i - 1) * 48 + 64 < length(s.tc)
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     transcripts_cte = f"WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
     cw = _closed_world_oracle_ctes()
@@ -2263,47 +2357,48 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_events": _pagerank_oracle_sql(),
         "corpus_curation": r"""
             -- SQL twin of the WHOLE curation chain, stage for stage
-            WITH clean AS MATERIALIZED (
-              SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS tc
-              FROM documents WHERE doc_id % 97 <> 0
+            WITH """ + _CURATION_CTES + r"""
+            SELECT * FROM chunkout
+        """,
+        "curated_packed": r"""
+            -- capstone twin: the curation chain's chunk stream packed
+            -- into 64-token training bins (same next-fit recursion as
+            -- doc_pack_sequences, chunk_id = doc_id*1000 + chunk_idx)
+            WITH RECURSIVE """ + _CURATION_CTES + r""",
+            ptoks AS (
+              SELECT doc_id * 1000 + chunk_idx AS chunk_id,
+                     CAST(md5_number_lower(
+                            CAST(doc_id * 1000 + chunk_idx AS VARCHAR)
+                          ) % 16 AS INTEGER) AS bucket,
+                     CAST(len(string_split(chunk_text, ' ')) AS BIGINT)
+                       AS n_tokens
+              FROM chunkout
             ),
-            c2 AS MATERIALIZED (
-              SELECT doc_id, tc, CAST(length(tc) AS BIGINT) AS n FROM clean
+            ordered AS (
+              SELECT chunk_id, bucket, n_tokens,
+                     row_number() OVER (PARTITION BY bucket ORDER BY chunk_id)
+                       AS rn
+              FROM ptoks
             ),
-            filt AS MATERIALIZED (
-              SELECT * FROM c2 WHERE n >= (SELECT quantile_disc(n, 0.25) FROM c2)
-            ),
-            ded AS MATERIALIZED (
-              SELECT f.doc_id, f.tc FROM filt f
-              JOIN (SELECT tc, min(doc_id) AS keep FROM filt GROUP BY tc) k
-                ON k.tc = f.tc AND k.keep = f.doc_id
-            ),
-            -- benchmark grams from RAW text of doc_id%97=0 (the held-out
-            -- set is external to the cleaning chain), corpus grams from tc
-            btoks AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 97 = 0),
-            bench AS MATERIALIZED (
-              SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS g
-              FROM (SELECT t, unnest(range(1, len(t) - 3)) AS i FROM btoks)
-            ),
-            ctoks AS (SELECT doc_id, string_split(tc, ' ') AS t FROM ded),
-            cgrams AS MATERIALIZED (
-              SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
-              FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM ctoks)
-            ),
-            survive AS MATERIALIZED (
-              SELECT d.doc_id, d.tc FROM ded d
-              WHERE NOT EXISTS (
-                SELECT 1 FROM cgrams g JOIN bench b ON b.g = g.g
-                WHERE g.doc_id = d.doc_id
-              )
+            packed AS (
+              SELECT chunk_id, bucket, n_tokens, rn,
+                     CAST(0 AS BIGINT) AS bin_id,
+                     CAST(0 AS BIGINT) AS offset_tokens,
+                     n_tokens AS fill
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT o.chunk_id, o.bucket, o.n_tokens, o.rn,
+                     CASE WHEN p.fill + o.n_tokens <= 64
+                          THEN p.bin_id ELSE p.bin_id + 1 END,
+                     CASE WHEN p.fill + o.n_tokens <= 64
+                          THEN p.fill ELSE CAST(0 AS BIGINT) END,
+                     CASE WHEN p.fill + o.n_tokens <= 64
+                          THEN p.fill + o.n_tokens ELSE o.n_tokens END
+              FROM packed p
+              JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1
             )
-            SELECT s.doc_id, t.i AS chunk_idx,
-                   substr(s.tc, CAST(t.i * 48 + 1 AS BIGINT), 64) AS chunk_text,
-                   CAST(length(substr(s.tc, CAST(t.i * 48 + 1 AS BIGINT), 64)) AS BIGINT)
-                     AS n_chars
-            FROM survive s
-            CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
-            WHERE t.i = 0 OR (t.i - 1) * 48 + 64 < length(s.tc)
+            SELECT chunk_id, bucket, bin_id, offset_tokens, n_tokens
+            FROM packed
         """,
         "doc_split_overlap": """
             -- 64-char windows advancing by 48; emit window i while window

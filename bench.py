@@ -133,6 +133,7 @@ def run_bench() -> dict:
     timed("events_value_percentile", lambda: size(entry.queries()["events_value_percentile"](sf_dir)))
     timed("events_dau", lambda: size(entry.queries()["events_dau"](sf_dir)))
     timed("events_transitions", lambda: size(entry.queries()["events_transitions"](sf_dir)))
+    timed("curated_packed", lambda: size(entry.queries()["curated_packed"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

@@ -113,6 +113,7 @@ def _compare(query: str):
         "events_value_percentile",
         "events_dau",
         "events_transitions",
+        "curated_packed",
     ],
 )
 def test_sql_oracle_matches_ray(query):
