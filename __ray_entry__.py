@@ -545,8 +545,9 @@ def _q_doc_simhash_components(sf_dir: str) -> pd.DataFrame:
 
     pairs = dd.simhash_near_dup_pairs(
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    )
-    if not len(pairs):
+    ).materialize()  # dup-universe-sized edge set, consumed twice below
+    comp = connected_components(pairs)
+    if not len(comp):
         return pd.DataFrame(
             {
                 "doc_id": pd.Series(dtype="int64"),
@@ -554,7 +555,6 @@ def _q_doc_simhash_components(sf_dir: str) -> pd.DataFrame:
                 "n_members": pd.Series(dtype="int64"),
             }
         )
-    comp = connected_components(ray.data.from_pandas(pairs[["a", "b"]]))
     comp["n_members"] = comp.groupby("component")["component"].transform("size").astype("int64")
     out = comp.rename(columns={"node": "doc_id"})
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -568,11 +568,11 @@ def _q_doc_simhash_triangles(sf_dir: str) -> pd.DataFrame:
     pairs = dd.simhash_near_dup_pairs(
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     )
-    if not len(pairs):
+    out = triangle_counts(pairs)
+    if not len(out):
         return pd.DataFrame(
             {"doc_id": pd.Series(dtype="int64"), "n_tri": pd.Series(dtype="int64")}
         )
-    out = triangle_counts(ray.data.from_pandas(pairs[["a", "b"]]))
     out = out.rename(columns={"node": "doc_id"})
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -1405,16 +1405,33 @@ def _simhash_ctes() -> str:
               SELECT doc_id, band, (sh >> (band * 16)) & 65535 AS bval, sh
               FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) bb
             ),
-            capped AS (
-              SELECT * FROM bands
-              QUALIFY row_number() OVER (PARTITION BY band, bval ORDER BY doc_id) <= 200
+            bcnt AS (
+              SELECT band, bval, count(*) AS n, min(doc_id) AS mn
+              FROM bands GROUP BY band, bval
+            ),
+            -- buckets <= 200: all pairs; buckets > 200: star-link every
+            -- member to the bucket min (skew guard — no silent truncation)
+            rawp AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, x.sh AS xs, y.sh AS ys,
+                     0 AS st
+              FROM bands x JOIN bands y
+                ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+              JOIN bcnt c ON c.band = x.band AND c.bval = x.bval AND c.n <= 200
+              UNION ALL
+              SELECT c.mn AS a, y.doc_id AS b, m.sh AS xs, y.sh AS ys,
+                     1 AS st
+              FROM bcnt c
+              JOIN bands y ON y.band = c.band AND y.bval = c.bval AND y.doc_id > c.mn
+              JOIN sig m ON m.doc_id = c.mn
+              WHERE c.n > 200
             ),
             spairs AS (
-              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-                     bit_count(xor(x.sh, y.sh))::BIGINT AS hamming
-              FROM capped x JOIN capped y
-                ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
-              WHERE bit_count(xor(x.sh, y.sh)) <= 8
+              SELECT a, b,
+                     CAST(min(bit_count(xor(xs, ys))) AS BIGINT) AS hamming,
+                     CAST(min(st) AS BIGINT) AS starred
+              FROM rawp
+              WHERE bit_count(xor(xs, ys)) <= 8
+              GROUP BY a, b
             )"""
 
 
@@ -2084,10 +2101,10 @@ def oracle_sql() -> dict[str, str]:
         # SimHash is fully SQL-reproducible because SimHasher's token hash
         # is md5-lower-64 == DuckDB md5_number_lower (kgray/ops/dedup.py).
         # Pipeline mirrored: distinct tokens → 64-bit bit-vote signature →
-        # 4 x 16-bit band buckets (doc_id-ordered 200 cap) → pairs with
-        # Hamming distance <= 8.
+        # 4 x 16-bit band buckets (>200-member buckets star-link to the
+        # bucket min, starred=1) → pairs with Hamming distance <= 8.
         "doc_simhash_pairs": _simhash_ctes()
-        + "\nSELECT a, b, hamming FROM spairs",
+        + "\nSELECT a, b, hamming, starred FROM spairs",
         "doc_simhash_triangles": _simhash_ctes()
         + """,
             sym AS (SELECT a, b FROM spairs UNION SELECT b AS a, a AS b FROM spairs),

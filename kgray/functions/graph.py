@@ -331,6 +331,11 @@ def triangle_counts(
     from kgray.functions.broadcast import cached_get
 
     raw = edges.select_columns([src_col, dst_col]).to_pandas()
+    if src_col not in raw.columns or not len(raw):
+        # all-empty blocks lose their schema on to_pandas (column-less frame)
+        return pd.DataFrame(
+            {"node": pd.Series(dtype="int64"), "n_tri": pd.Series(dtype="int64")}
+        )
     # the edge list itself is dup-universe-sized (see connected_components);
     # adjacency build is a driver-side sort over it.  Canonicalize a<b and
     # dedupe so reversed/repeated stream rows can't double-count, and drop

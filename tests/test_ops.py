@@ -49,11 +49,41 @@ def test_minhash_lsh_dedup(docs):
 
 
 def test_simhash_pairs(docs):
-    out = dd.simhash_near_dup_pairs(docs, max_hamming=8)
+    out = dd.simhash_near_dup_pairs(docs, max_hamming=8).to_pandas()
     pairs = set(zip(out["a"], out["b"]))
     assert (0, 1) in pairs  # exact dup → hamming 0
     assert out[(out.a == 0) & (out.b == 1)]["hamming"].iloc[0] == 0
+    assert (out["starred"] == 0).all()  # no bucket exceeded max_bucket
     assert (3, 5) not in pairs and (2, 5) not in pairs
+
+
+def test_simhash_giant_bucket_star_links_no_member_lost():
+    """A 500-member exact-duplicate bucket (mass boilerplate) must keep
+    every member reachable from the representative — star-linked, never
+    silently truncated (VERDICT r2 #1)."""
+    n = 500
+    df = pd.DataFrame({"doc_id": np.arange(n), "text": ["copy paste boilerplate"] * n})
+    ds = ray.data.from_pandas(df)
+    out = dd.simhash_near_dup_pairs(ds, max_hamming=8, max_bucket=200).to_pandas()
+    # every non-min doc is linked to doc 0 (identical signature → one
+    # bucket per band, all four over-sized → starred everywhere)
+    assert set(out["a"]) == {0}
+    assert set(out["b"]) == set(range(1, n))
+    assert (out["hamming"] == 0).all()
+    assert (out["starred"] == 1).all()
+    # and the components built on the pairs recover the full cluster
+    from kgray.functions.graph import connected_components
+
+    comp = connected_components(ray.data.from_pandas(out[["a", "b"]]))
+    assert len(comp) == n and (comp["component"] == 0).all()
+
+
+def test_simhash_pairs_empty_corpus_keeps_schema():
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta", "zz qq ww ee rr tt yy uu"]})
+    )
+    out = dd.simhash_near_dup_pairs(ds).to_pandas()
+    assert len(out) == 0 or set(out.columns) >= {"a", "b", "hamming", "starred"}
 
 
 def test_ngram_jaccard(docs):
