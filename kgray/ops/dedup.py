@@ -141,6 +141,8 @@ def _minhash_mapping(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 200,
+    driver_pair_max: int = 2_000_000,
+    driver_edge_max: int = 200_000,
 ) -> dict[int, int]:
     """MinHash + banded LSH candidate generation → non-identity
     ``doc_id → canonical_id`` mapping (driver-small: merged docs only).
@@ -213,46 +215,152 @@ def _minhash_mapping(
                 frames.append(pd.DataFrame({"a": ids[ai], "b": ids[bi]}))
         return pd.concat(frames, ignore_index=True)
 
-    pairs = (
+    pairs_ds = (
         sigs.map_batches(explode, batch_format="pandas")
         .map_batches(add_super, batch_format="pandas")
         .groupby("sb")
         .map_groups(pairs_in_super, batch_format="pandas")
-        .to_pandas()  # candidate pairs only — small relative to the corpus
-        .drop_duplicates(subset=["a", "b"])
+        .materialize()
     )
-    if pairs.empty:
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         return {}
 
-    # 3. fetch signatures for candidate docs only (broadcast id-set filter)
-    cand_ids = set(pairs["a"].tolist()) | set(pairs["b"].tolist())
-    ids_ref = ray.put(cand_ids)
+    if n_pairs <= driver_pair_max:
+        # 3a. small candidate universe: fetch signatures for candidate docs
+        # only (broadcast id-set filter) and verify on the driver
+        pairs = pairs_ds.to_pandas().drop_duplicates(subset=["a", "b"])
+        cand_ids = set(pairs["a"].tolist()) | set(pairs["b"].tolist())
+        ids_ref = ray.put(cand_ids)
 
-    def filt(b: pd.DataFrame) -> pd.DataFrame:
-        return b[b["doc_id"].isin(cached_get(ids_ref))]
+        def filt(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["doc_id"].isin(cached_get(ids_ref))]
 
-    cand = sigs.map_batches(filt, batch_format="pandas").to_pandas()
-    sig_of = dict(zip(cand["doc_id"].astype(int), cand["sig"]))
-    sa = np.stack([np.asarray(sig_of[int(a)], dtype=np.uint64) for a in pairs["a"]])
-    sb = np.stack([np.asarray(sig_of[int(b)], dtype=np.uint64) for b in pairs["b"]])
-    est = (sa == sb).mean(axis=1)
-    pairs = pairs[est >= threshold]
+        cand = sigs.map_batches(filt, batch_format="pandas").to_pandas()
+        sig_of = dict(zip(cand["doc_id"].astype(int), cand["sig"]))
+        sa = np.stack([np.asarray(sig_of[int(a)], dtype=np.uint64) for a in pairs["a"]])
+        sb = np.stack([np.asarray(sig_of[int(b)], dtype=np.uint64) for b in pairs["b"]])
+        est = (sa == sb).mean(axis=1)
+        pairs = pairs[est >= threshold]
+        if not len(pairs):
+            return {}
+        if len(pairs) <= driver_edge_max:
+            # 4a. union-find over the surviving (tiny) pair set
+            uf = UnionFind()
+            for a, b in zip(pairs["a"], pairs["b"]):
+                uf.union(int(a), int(b))
+            comp = uf.components()
+            roots: dict[int, list[int]] = {}
+            for k, r in comp.items():
+                roots.setdefault(r, []).append(k)
+            mapping: dict[int, int] = {}
+            for members in roots.values():
+                rep = min(members)
+                for m in members:
+                    if m != rep:
+                        mapping[m] = rep
+            return mapping
+        verified = ray.data.from_pandas(pairs[["a", "b"]].reset_index(drop=True))
+    else:
+        # 3b. corpus-proportional candidate universe (mass boilerplate):
+        # verify distributed — a reduce-side double attach ships each
+        # pair through two doc-hash bucket shuffles alongside the
+        # signature stream, never landing pairs on the driver
+        verified = _verify_pairs_distributed(pairs_ds, sigs, threshold)
 
-    # 4. union-find over the surviving (tiny) pair set
-    uf = UnionFind()
-    for a, b in zip(pairs["a"], pairs["b"]):
-        uf.union(int(a), int(b))
-    comp = uf.components()
-    roots: dict[int, list[int]] = {}
-    for k, r in comp.items():
-        roots.setdefault(r, []).append(k)
-    mapping: dict[int, int] = {}
-    for members in roots.values():
-        rep = min(members)
-        for m in members:
-            if m != rep:
-                mapping[m] = rep
-    return mapping
+    # 4b. distributed clustering rung shared by all pair-graph dedup
+    from kgray.functions.graph import pair_clusters_min_rep
+
+    return pair_clusters_min_rep(verified, driver_edge_max=driver_edge_max)
+
+
+def _verify_pairs_distributed(
+    pairs: ray.data.Dataset,
+    sigs: ray.data.Dataset,
+    threshold: float,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Estimated-Jaccard verification of LSH candidate pairs WITHOUT a
+    driver-resident pair set: two reduce-side attach rounds.  Round 1
+    co-locates pairs with the signature of endpoint ``a`` (both sides
+    bucket on ``hash(a)``); round 2 re-buckets on ``hash(b)``, attaches
+    the second signature, and filters ``est >= threshold``.  Signatures
+    ride as fixed-width byte payloads (num_perm x 8 bytes); each round is
+    one all-to-all of pairs + the narrow signature stream."""
+
+    def sig_rows(b: pd.DataFrame) -> pd.DataFrame:
+        doc = b["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "bucket": (_mix64(doc.astype(np.uint64)) % np.uint64(num_buckets)).astype("int32"),
+                "kind": np.zeros(len(b), dtype=np.int8),
+                "a": doc,
+                "b": np.full(len(b), -1, dtype=np.int64),
+                "payload": [np.asarray(s, dtype=np.uint64).tobytes() for s in b["sig"]],
+            }
+        )
+
+    def pair_rows(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "bucket": (_mix64(a.astype(np.uint64)) % np.uint64(num_buckets)).astype("int32"),
+                "kind": np.ones(len(b), dtype=np.int8),
+                "a": a,
+                "b": b["b"].to_numpy(dtype=np.int64),
+                "payload": [b""] * len(b),
+            }
+        )
+
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        sig_of = dict(zip(g.loc[g["kind"] == 0, "a"], g.loc[g["kind"] == 0, "payload"]))
+        p = g[g["kind"] == 1]
+        if not len(p):
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series(dtype="int32"),
+                    "kind": pd.Series(dtype="int8"),
+                    "a": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
+                    "payload": pd.Series(dtype=object),
+                }
+            )
+        bb = p["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "bucket": (_mix64(bb.astype(np.uint64)) % np.uint64(num_buckets)).astype("int32"),
+                "kind": np.ones(len(p), dtype=np.int8),
+                "a": p["a"].to_numpy(dtype=np.int64),
+                "b": bb,
+                "payload": [sig_of[int(x)] for x in p["a"]],
+            }
+        )
+
+    def verify_b(g: pd.DataFrame) -> pd.DataFrame:
+        sig_of = dict(zip(g.loc[g["kind"] == 0, "a"], g.loc[g["kind"] == 0, "payload"]))
+        p = g[g["kind"] == 1]
+        if not len(p):
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        sa = np.stack([np.frombuffer(x, dtype=np.uint64) for x in p["payload"]])
+        sb = np.stack([np.frombuffer(sig_of[int(x)], dtype=np.uint64) for x in p["b"]])
+        est = (sa == sb).mean(axis=1)
+        keep = p[est >= threshold]
+        out = pd.DataFrame(
+            {"a": keep["a"].to_numpy(dtype=np.int64), "b": keep["b"].to_numpy(dtype=np.int64)}
+        )
+        return out.drop_duplicates()
+
+    sig_stream = sigs.map_batches(sig_rows, batch_format="pandas")
+    round1 = (
+        sig_stream.union(pairs.map_batches(pair_rows, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(attach_a, batch_format="pandas")
+    )
+    return (
+        sig_stream.union(round1)
+        .groupby("bucket")
+        .map_groups(verify_b, batch_format="pandas")
+    )
 
 
 def minhash_lsh_dedup(
@@ -261,6 +369,8 @@ def minhash_lsh_dedup(
     n_bands: int = 21,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    driver_pair_max: int = 2_000_000,
+    driver_edge_max: int = 200_000,
 ) -> ray.data.Dataset:
     """MinHash + banded LSH near-dedup.
 
@@ -272,8 +382,20 @@ def minhash_lsh_dedup(
     Returns a Dataset (doc_id, canonical_id): the (tiny) non-identity
     mapping is broadcast via ``ray.put`` and attached inside
     ``map_batches`` — no driver materialization of the corpus ids
-    (VERDICT r1 #3)."""
-    mapping = _minhash_mapping(docs, num_perm, n_bands, shingle_n, threshold)
+    (VERDICT r1 #3).  ``driver_pair_max`` / ``driver_edge_max`` pick the
+    verification and clustering rungs: above them candidate pairs stream
+    through a distributed reduce-side verify and the shared
+    label-propagation clustering (VERDICT r2 #3); force them to 0 to run
+    fully distributed."""
+    mapping = _minhash_mapping(
+        docs,
+        num_perm,
+        n_bands,
+        shingle_n,
+        threshold,
+        driver_pair_max=driver_pair_max,
+        driver_edge_max=driver_edge_max,
+    )
     map_ref = ray.put(mapping)
 
     def attach(b: pd.DataFrame) -> pd.DataFrame:

@@ -302,6 +302,7 @@ def semantic_dedup(
     threshold: float = 0.35,
     n_centroids: int = 16,
     seed: int = 23,
+    driver_edge_max: int = 200_000,
 ) -> ray.data.Dataset:
     """SemDeDup (Abbas et al. 2023): k-means partitions the corpus into
     clusters, pairwise cosine runs ONLY within a cluster (the cluster
@@ -310,13 +311,25 @@ def semantic_dedup(
     canonical.  Production embeddings use thresholds ~0.95; the default
     here sits where the synthetic test embeddings actually have near-dups.
 
+    Clustering shape (VERDICT r2 #3): per-cluster workers emit near-dup
+    PAIRS as a Dataset; the transitive closure runs through the shared
+    :func:`kgray.functions.graph.pair_clusters_min_rep` rung — driver
+    min-label loop below ``driver_edge_max`` edges, distributed label
+    propagation above (near-dup sets cannot straddle k-means cells, so
+    the global closure over within-cluster pairs equals per-cluster
+    union-find).  Only the non-identity mapping (merged rows) is
+    broadcast back.
+
     Returns a Dataset of (vec_id, canonical_id) for every input row
     (identity rows included), like exact/minhash dedup."""
+    from kgray.functions.broadcast import cached_get
+    from kgray.functions.graph import pair_clusters_min_rep
+
     assigned = kmeans_assign(
         embeddings, n_centroids=n_centroids, seed=seed, with_embedding=True
-    )
+    ).materialize()  # consumed twice: pair emission + mapping attach
 
-    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+    def cluster_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id")
         ids = g["vec_id"].to_numpy(dtype=np.int64)
         unit = _unit(np.stack(g["embedding"].to_numpy()))
@@ -325,25 +338,24 @@ def semantic_dedup(
         # threshold on the ROUNDED value so the SQL oracle's inclusion set
         # matches bit-for-bit (same convention as embedding_near_dup_pairs)
         keep = np.round(sims[ai, bi], 6) >= threshold
-        parent = np.arange(len(ids))
+        return pd.DataFrame(
+            {"a": ids[ai[keep]].astype("int64"), "b": ids[bi[keep]].astype("int64")}
+        )
 
-        def find(x: int) -> int:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
+    pairs = assigned.groupby("cluster").map_groups(cluster_pairs, batch_format="pandas")
+    mapping = pair_clusters_min_rep(pairs, driver_edge_max=driver_edge_max)
+    map_ref = ray.put(mapping)
 
-        for a, b in zip(ai[keep], bi[keep]):
-            ra, rb = find(a), find(b)
-            if ra != rb:  # ids are sorted, so min index == min vec_id
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        canon = ids[[find(i) for i in range(len(ids))]]
-        return pd.DataFrame({"vec_id": ids, "canonical_id": canon.astype("int64")})
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        m = cached_get(map_ref)
+        ids = b["vec_id"].astype("int64")
+        return pd.DataFrame(
+            {"vec_id": ids, "canonical_id": ids.map(m).fillna(ids).astype("int64")}
+        )
 
     # stays a Dataset: the mapping is corpus-row-sized, so it streams to
     # the next stage / sink instead of collecting on the driver
-    return assigned.groupby("cluster").map_groups(per_cluster, batch_format="pandas")
+    return assigned.select_columns(["vec_id"]).map_batches(attach, batch_format="pandas")
 
 
 def pca_project(

@@ -43,3 +43,65 @@ def test_minhash_small_buckets_unchanged(ray_session):
     out = minhash_lsh_dedup(ray.data.from_pandas(df)).to_pandas()
     canon = dict(zip(out["doc_id"], out["canonical_id"]))
     assert canon[1] == 1 and canon[4] == 1 and canon[3] == 3
+
+def test_minhash_fully_distributed_matches_driver_rungs(ray_session):
+    """VERDICT r2 #3: with driver_pair_max=0 AND driver_edge_max=0 the
+    candidate pairs are verified by the distributed reduce-side attach and
+    clustered by the distributed label rung — the result must equal the
+    default driver-verify + union-find path exactly."""
+    dup_text = "the same boilerplate footer text repeated on every page of the site"
+    near = dup_text + " with one extra tail clause"
+    distinct = [f"unique document number {i} about topic {i * 7} " * 3 for i in range(30)]
+    df = pd.DataFrame(
+        {
+            "doc_id": list(range(300)) + [500] + list(range(1000, 1030)),
+            "text": [dup_text] * 300 + [near] + distinct,
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    default = (
+        minhash_lsh_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    distributed = (
+        minhash_lsh_dedup(ds, driver_pair_max=0, driver_edge_max=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(default, distributed)
+    assert (default[default["doc_id"] < 300]["canonical_id"] == 0).all()
+
+
+def test_semdedup_distributed_clustering_matches_driver(ray_session):
+    """SemDeDup routes within-cluster pairs through the shared
+    pair_clusters_min_rep rung; forcing driver_edge_max=0 (distributed
+    label propagation) must not change the mapping."""
+    import numpy as np
+
+    from kgray.ops.similarity import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((6, 8))
+    rows = []
+    vid = 0
+    for i in range(6):
+        for _ in range(3):  # three near-copies of each base vector
+            rows.append((vid, list(base[i] + 1e-4 * rng.standard_normal(8))))
+            vid += 1
+    df = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    ds = ray.data.from_pandas(df)
+    default = (
+        semantic_dedup(ds, threshold=0.99, n_centroids=3)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    distributed = (
+        semantic_dedup(ds, threshold=0.99, n_centroids=3, driver_edge_max=0)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(default, distributed)
+    # near-copy triplets actually merged
+    assert (default["canonical_id"] != default["vec_id"]).any()
