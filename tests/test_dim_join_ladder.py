@@ -1,0 +1,27 @@
+"""VERDICT r2 #2: the sf-proportional customer dimension must have a
+bucketed-join rung — forcing broadcast_dim_max=0 routes customer through
+custkey hash-bucket partial joins and must reproduce the broadcast-rung
+result exactly."""
+
+import pandas as pd
+import pytest
+
+from kgray.pipelines.relational import (
+    returned_items,
+    revenue_by_nation,
+    shipping_priority,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize(
+    "fn", [revenue_by_nation, shipping_priority, returned_items]
+)
+def test_bucketed_dim_rung_matches_broadcast(ray_session, fn):
+    broadcast = fn(SF)
+    bucketed = fn(SF, broadcast_dim_max=0)
+    pd.testing.assert_frame_equal(
+        broadcast.reset_index(drop=True), bucketed.reset_index(drop=True)
+    )
+    assert len(broadcast) > 0
