@@ -994,63 +994,52 @@ def _q_kg_incremental(sf_dir: str) -> pd.DataFrame:
     import shutil
     import tempfile
 
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     from kgray.pipelines.kg import save_kg_store
+
+    from kgray.functions.broadcast import cached_get
 
     transcripts, concepts = _world_transcripts(sf_dir)
 
-    # distributed temporal split (VERDICT r1 #5 — no transcripts.to_pandas()):
-    # 1. per-conversation min-ts partials → bucketed combine → the (tiny)
-    #    distinct observation-date set → driver cutoff;
-    # 2. rows re-bucketed by conv_id so each group holds whole
-    #    conversations; a vectorized transform tags each row's half.
-    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        b["bucket"] = (
-            pd.util.hash_array(b["conv_id"].to_numpy(dtype=object)) % 64
-        ).astype("int32")
-        return b
-
+    # distributed temporal split (VERDICT r1 #5, tightened per r2 #4 — no
+    # transcripts.to_pandas() AND no full-stream materialize):
+    # 1. per-conversation min-ts partials → bucketed combine → the
+    #    (conversation-count-sized, turn-stream-free) conv→obs_date map →
+    #    driver cutoff + first-half conv set, broadcast via ray.put;
+    # 2. each half is a stateless broadcast-set filter over a RE-READ of
+    #    the lazy transcript source — the tagged corpus never sits in the
+    #    object store twice.
     def partial_obs(b: pd.DataFrame) -> pd.DataFrame:
         out = b.groupby("conv_id", sort=False)["ts"].min().reset_index()
-        return add_bucket(out)
+        out["bucket"] = (
+            pd.util.hash_array(out["conv_id"].to_numpy(dtype=object)) % 64
+        ).astype("int32")
+        return out
 
-    def distinct_dates(g: pd.DataFrame) -> pd.DataFrame:
+    def conv_obs(g: pd.DataFrame) -> pd.DataFrame:
         obs = g.groupby("conv_id", sort=False)["ts"].min().dt.strftime("%Y-%m-%d")
-        return pd.DataFrame({"obs_date": obs.unique()})
+        return pd.DataFrame({"conv_id": obs.index.to_numpy(), "obs_date": obs.to_numpy()})
 
-    dates = (
+    conv_dates = (
         transcripts.map_batches(partial_obs, batch_format="pandas")
         .groupby("bucket")
-        .map_groups(distinct_dates, batch_format="pandas")
-        .to_pandas()["obs_date"]
+        .map_groups(conv_obs, batch_format="pandas")
+        .to_pandas()
     )
-    uniq = sorted(dates.unique())
+    uniq = sorted(conv_dates["obs_date"].unique())
     cutoff = uniq[len(uniq) // 2]
-
-    def tag(g: pd.DataFrame) -> pd.DataFrame:
-        obs = g.groupby("conv_id")["ts"].transform("min").dt.strftime("%Y-%m-%d")
-        g["first_half"] = (obs < cutoff).to_numpy()
-        return g
-
-    tagged = (
-        transcripts.map_batches(add_bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(tag, batch_format="pandas")
-        .materialize()
+    first_ref = ray.put(
+        frozenset(conv_dates.loc[conv_dates["obs_date"] < cutoff, "conv_id"])
     )
 
     def half(flag: bool):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.filter(pc.equal(t["first_half"], flag)).drop_columns(
-                ["first_half", "bucket"]
-            )
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            m = b["conv_id"].isin(cached_get(first_ref))
+            return b[m if flag else ~m]
 
         return fn
 
-    a = tagged.map_batches(half(True), batch_format="pyarrow")
-    b = tagged.map_batches(half(False), batch_format="pyarrow")
+    a = transcripts.map_batches(half(True), batch_format="pandas")
+    b = transcripts.map_batches(half(False), batch_format="pandas")
     emb = lambda: HashEmbedder(dim=_CFG.embed_dim, concepts=concepts)
     store = tempfile.mkdtemp(prefix="kgray_inc_")
     try:
