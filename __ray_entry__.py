@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     )
     q["doc_incremental_dedup"] = _q_doc_incremental_dedup
+    q["doc_minhash_incremental"] = _q_doc_minhash_incremental
     q["doc_simhash_components"] = _q_doc_simhash_components
     q["doc_simhash_triangles"] = _q_doc_simhash_triangles
     q["embedding_near_dup"] = _q_embedding_near_dup
@@ -907,6 +908,47 @@ def _q_doc_incremental_dedup(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(store, ignore_errors=True)
 
 
+def _q_doc_minhash_incremental(sf_dir: str) -> pd.DataFrame:
+    """Incremental NEAR-dup dedup vs a persisted MinHash signature store
+    (VERDICT r2 #5): ingest the even-doc_id half (seeding the band-key +
+    signature store with its survivors), then run the odd half — odd docs
+    cluster among themselves AND attach to matching stored survivors.
+    Output is both runs' (doc_id, canonical_id) rows concatenated."""
+    import shutil
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.compute as pc
+
+    from kgray.ops.dedup import minhash_dedup_against_store
+
+    def half(rem: int):
+        def f(t):
+            ids = t["doc_id"]
+            return t.filter(
+                pc.equal(pc.cast(pc.bit_wise_and(ids, 1), _pa.int64()), rem)
+            )
+
+        return f
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    store = tempfile.mkdtemp(prefix="kgray_mhstore_", dir="/tmp")
+    try:
+        run1 = minhash_dedup_against_store(
+            docs.map_batches(half(0), batch_format="pyarrow"), store
+        ).to_pandas()
+        run2 = minhash_dedup_against_store(
+            docs.map_batches(half(1), batch_format="pyarrow"), store
+        ).to_pandas()
+        return (
+            pd.concat([run1, run2], ignore_index=True)
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def _q_doc_novelty(sf_dir: str) -> Any:
     """Inter-document duplication score: distinct 4-grams occurring in
     >= 2 distinct docs (count partials -> bucket sum -> broadcast set)."""
@@ -1257,20 +1299,14 @@ def _wrapmul_sql(x: str, c: int) -> str:
     )
 
 
-def _minhash_ctes(est_having: str) -> str:
-    """DuckDB twin of kgray.ops.dedup._minhash_mapping, stage for stage:
-    3-token shingles → md5-lower-64 shingle hash (== md5_number_lower) →
-    63-perm universal minhash (the seeded permutation constants are read
-    off a MinHasher instance and embedded as a VALUES table) → 21-band
-    splitmix64 bucket ids (wrap-around multiplies emulated in HUGEINT) →
-    per-bucket pair generation (all pairs ≤200 members, star-link to the
-    bucket min above — the skew rule) →
-    estimated-Jaccard filter (``est_having`` — integer form of the
-    matching-slots threshold, exact) → connected components via a
-    recursive label-propagation CTE with the min doc_id as canonical
-    representative (CTE ``roots``).  Shared by the doc_minhash_dedup
-    (threshold 0.5) and doc_ngram_jaccard (LSH propose at 0.3, exact
-    shingle-set Jaccard disposes) oracles."""
+def _minhash_sig_prefix() -> tuple[str, str]:
+    """Shared DuckDB prefix for every MinHash oracle: 3-token shingles →
+    md5-lower-64 shingle hash (== md5_number_lower) → 63-perm universal
+    minhash (the seeded permutation constants are read off a MinHasher
+    instance and embedded as a VALUES table) → 21-band splitmix64 bucket
+    ids (wrap-around multiplies emulated in HUGEINT).  Returns
+    (cte_block, band_cte_name); callers prepend ``WITH RECURSIVE`` and
+    append their pair/clustering CTEs."""
     from kgray.ops.dedup import MinHasher
 
     mh = MinHasher()
@@ -1294,8 +1330,7 @@ def _minhash_ctes(est_having: str) -> str:
     for i, e in enumerate(steps):
         chain += f"b{i + 1} AS (SELECT doc_id, s1v, s2v, {e} AS x FROM {prev}),\n"
         prev = f"b{i + 1}"
-    return f"""
-WITH RECURSIVE tk AS (
+    block = f"""tk AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
   FROM documents
 ),
@@ -1309,7 +1344,7 @@ sh AS (
 ),
 shh AS (SELECT doc_id, md5_number_lower(shingle) AS h FROM sh),
 perms(p, pa, pb) AS (VALUES {perms}),
-sig AS (
+sig AS MATERIALIZED (
   SELECT doc_id, p,
          min(((pa::HUGEINT * h + pb) % {_W64}) % {_MERS})::UBIGINT AS s
   FROM shh CROSS JOIN perms GROUP BY doc_id, p
@@ -1322,7 +1357,24 @@ b0 AS (
   JOIN sig s1 ON s1.doc_id = s0.doc_id AND s1.p = bd.band * 3 + 1
   JOIN sig s2 ON s2.doc_id = s0.doc_id AND s2.p = bd.band * 3 + 2
 ),
-{chain}ranked AS (
+{chain}"""
+    return block, prev
+
+
+def _minhash_ctes(est_having: str) -> str:
+    """DuckDB twin of kgray.ops.dedup._minhash_mapping, stage for stage:
+    the :func:`_minhash_sig_prefix` signature/band chain →
+    per-bucket pair generation (all pairs ≤200 members, star-link to the
+    bucket min above — the skew rule) →
+    estimated-Jaccard filter (``est_having`` — integer form of the
+    matching-slots threshold, exact) → connected components via a
+    recursive label-propagation CTE with the min doc_id as canonical
+    representative (CTE ``roots``).  Shared by the doc_minhash_dedup
+    (threshold 0.5) and doc_ngram_jaccard (LSH propose at 0.3, exact
+    shingle-set Jaccard disposes) oracles."""
+    block, prev = _minhash_sig_prefix()
+    return f"""
+WITH RECURSIVE {block}ranked AS (
   SELECT doc_id, x AS bucket,
          count(*) OVER (PARTITION BY x) AS cnt,
          min(doc_id) OVER (PARTITION BY x) AS bmin
@@ -1364,6 +1416,107 @@ SELECT d.doc_id, coalesce(r.root, d.doc_id) AS canonical_id
 FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id
 """
     )
+
+
+def _minhash_incremental_oracle_sql() -> str:
+    """DuckDB twin of the doc_minhash_incremental driver query
+    (kgray.ops.dedup.minhash_dedup_against_store run twice over an
+    even/odd doc_id split with a shared store):
+
+    - run 1 (even doc_ids): plain banded-LSH clustering — pairs within
+      even-only band buckets (≤200 all-pairs / star-link skew rule),
+      estimated-Jaccard ≥ 0.5, recursive label propagation → roots1;
+      survivors = even docs whose root is themselves;
+    - run 2 (odd doc_ids): odd docs cluster among themselves the same way
+      (roots2); separately each odd doc band-key-joins the SURVIVORS'
+      band table and verifies est-Jaccard against the stored signature
+      (``sgood``); every odd cluster then adopts
+      least(min matched survivor over its members, cluster root) — the
+      reference's evolving-state rule (attach to the best existing
+      canonical, never merge two existing canonicals).
+    """
+    est = "2 * sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) >= 63"
+    block, prev = _minhash_sig_prefix()
+
+    def half_cluster(tag: str, parity: int) -> str:
+        return f"""ranked{tag} AS (
+  SELECT doc_id, x AS bucket,
+         count(*) OVER (PARTITION BY x) AS cnt,
+         min(doc_id) OVER (PARTITION BY x) AS bmin
+  FROM {prev} WHERE doc_id % 2 = {parity}
+),
+cand{tag} AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM ranked{tag} x JOIN ranked{tag} y
+    ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+  WHERE x.cnt <= 200
+  UNION
+  SELECT DISTINCT bmin AS a, doc_id AS b
+  FROM ranked{tag} WHERE cnt > 200 AND doc_id <> bmin
+),
+good{tag} AS (
+  SELECT c.a, c.b
+  FROM cand{tag} c JOIN sig sa ON sa.doc_id = c.a
+                   JOIN sig sb ON sb.doc_id = c.b AND sb.p = sa.p
+  GROUP BY c.a, c.b
+  HAVING {est}
+),
+sym{tag} AS (SELECT a, b FROM good{tag} UNION SELECT b AS a, a AS b FROM good{tag}),
+reach{tag} AS (
+  SELECT a AS doc_id, b AS r FROM sym{tag}
+  UNION
+  SELECT reach{tag}.doc_id, sym{tag}.b AS r
+  FROM reach{tag} JOIN sym{tag} ON sym{tag}.a = reach{tag}.r
+),
+roots{tag} AS (SELECT doc_id, least(min(r), doc_id) AS root FROM reach{tag} GROUP BY doc_id)"""
+
+    return f"""
+WITH RECURSIVE {block}{half_cluster("1", 0)},
+{half_cluster("2", 1)},
+surv1 AS (
+  SELECT d.doc_id FROM documents d
+  WHERE d.doc_id % 2 = 0
+    AND NOT EXISTS (SELECT 1 FROM roots1 r
+                    WHERE r.doc_id = d.doc_id AND r.root <> d.doc_id)
+),
+sbands AS (SELECT b.doc_id, b.x AS bucket FROM {prev} b JOIN surv1 s USING (doc_id)),
+nbands AS (SELECT doc_id, x AS bucket FROM {prev} WHERE doc_id % 2 = 1),
+scand AS (
+  SELECT DISTINCT n.doc_id AS o, s.doc_id AS s
+  FROM nbands n JOIN sbands s ON n.bucket = s.bucket
+),
+sgood AS (
+  SELECT c.o, c.s
+  FROM scand c JOIN sig sa ON sa.doc_id = c.o
+               JOIN sig sb ON sb.doc_id = c.s AND sb.p = sa.p
+  GROUP BY c.o, c.s
+  HAVING {est}
+),
+clus2 AS (
+  SELECT d.doc_id, coalesce(r.root, d.doc_id) AS root
+  FROM documents d LEFT JOIN roots2 r USING (doc_id)
+  WHERE d.doc_id % 2 = 1
+),
+cmatch AS (
+  SELECT c.root, min(g.s) AS sm
+  FROM clus2 c JOIN sgood g ON g.o = c.doc_id
+  GROUP BY c.root
+),
+final2 AS (
+  SELECT c.doc_id,
+         CASE WHEN m.sm IS NOT NULL THEN least(m.sm, c.root) ELSE c.root END
+           AS canonical_id
+  FROM clus2 c LEFT JOIN cmatch m ON m.root = c.root
+),
+final1 AS (
+  SELECT d.doc_id, coalesce(r.root, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN roots1 r USING (doc_id)
+  WHERE d.doc_id % 2 = 0
+)
+SELECT doc_id, canonical_id FROM final1
+UNION ALL
+SELECT doc_id, canonical_id FROM final2
+"""
 
 
 def _simhash_ctes() -> str:
@@ -2082,6 +2235,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "doc_minhash_dedup": _minhash_oracle_sql(),
+        "doc_minhash_incremental": _minhash_incremental_oracle_sql(),
         "doc_ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "knn_lsh": _knn_lsh_oracle_sql(),
         "knn_ivf": _knn_ivf_oracle_sql(),

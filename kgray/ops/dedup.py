@@ -134,6 +134,31 @@ class MinHasher:
         return pd.DataFrame({"doc_id": batch["doc_id"], "sig": sigs})
 
 
+def _band_explode_fn(n_bands: int, rows_per_band: int):
+    """Per-batch band explode: (doc_id, band_bucket) rows only — the band
+    bucket is a 64-bit splitmix64 mix of the band's signature slots, so the
+    all-to-all bucket shuffle moves ~16 bytes per band row instead of the
+    full signature."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        sig_mat = np.stack(batch["sig"].to_numpy()).astype(np.uint64)  # (B, num_perm)
+        n = len(batch)
+        buckets = np.empty((n_bands, n), dtype=np.uint64)
+        for band in range(n_bands):
+            h = np.full(n, np.uint64(band), dtype=np.uint64)
+            for r in range(rows_per_band):
+                h = _mix64(h ^ sig_mat[:, band * rows_per_band + r])
+            buckets[band] = h
+        return pd.DataFrame(
+            {
+                "doc_id": np.tile(batch["doc_id"].to_numpy(), n_bands),
+                "bucket": buckets.reshape(-1),
+            }
+        )
+
+    return explode
+
+
 def _minhash_mapping(
     docs: ray.data.Dataset,
     num_perm: int = 63,
@@ -160,8 +185,6 @@ def _minhash_mapping(
     candidates with >97% probability; the estimated-Jaccard filter then
     enforces ``threshold`` exactly.
     """
-    rows_per_band = num_perm // n_bands
-
     sigs = docs.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_n": shingle_n},
@@ -169,23 +192,31 @@ def _minhash_mapping(
         batch_size=1024,
         concurrency=auto_concurrency(),
     ).materialize()  # consumed twice: band explode + candidate-sig fetch
+    return _mapping_from_sigs(
+        sigs,
+        num_perm=num_perm,
+        n_bands=n_bands,
+        threshold=threshold,
+        max_bucket=max_bucket,
+        driver_pair_max=driver_pair_max,
+        driver_edge_max=driver_edge_max,
+    )
 
-    # 1. band rows: (doc_id, band_bucket) only — no signature payload
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        sig_mat = np.stack(batch["sig"].to_numpy()).astype(np.uint64)  # (B, num_perm)
-        n = len(batch)
-        buckets = np.empty((n_bands, n), dtype=np.uint64)
-        for band in range(n_bands):
-            h = np.full(n, np.uint64(band), dtype=np.uint64)
-            for r in range(rows_per_band):
-                h = _mix64(h ^ sig_mat[:, band * rows_per_band + r])
-            buckets[band] = h
-        return pd.DataFrame(
-            {
-                "doc_id": np.tile(batch["doc_id"].to_numpy(), n_bands),
-                "bucket": buckets.reshape(-1),
-            }
-        )
+
+def _mapping_from_sigs(
+    sigs: ray.data.Dataset,
+    num_perm: int = 63,
+    n_bands: int = 21,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+    driver_pair_max: int = 2_000_000,
+    driver_edge_max: int = 200_000,
+) -> dict[int, int]:
+    """Banded-LSH candidate generation + verify + clustering over an
+    already-materialized (doc_id, sig) stream — shared by the one-shot
+    and the store-incremental MinHash paths."""
+    rows_per_band = num_perm // n_bands
+    explode = _band_explode_fn(n_bands, rows_per_band)
 
     # 2. LSH buckets are numerous and tiny (mostly singletons); shuffle into
     # a bounded number of SUPER-buckets and pair-generate inside each — one
@@ -771,6 +802,207 @@ def segment_dedup(
         )
 
     return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+def minhash_dedup_against_store(
+    docs: ray.data.Dataset,
+    store_dir: str,
+    num_perm: int = 63,
+    n_bands: int = 21,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    num_buckets: int = 64,
+    driver_pair_max: int = 2_000_000,
+    driver_edge_max: int = 200_000,
+) -> ray.data.Dataset:
+    """Incremental NEAR-dup dedup against a PERSISTED MinHash signature
+    store — fuzzy dedup across ingest runs, the ST4 evolving-state
+    semantics (itext2kg/atom/atom.py:196-208) applied to the corpus ops:
+    each run near-dedups its new documents internally AND against every
+    earlier run's surviving documents, then appends the new survivors'
+    band keys + signatures so the next run sees them.
+
+    Matching semantics mirror the reference's evolving-KG rule (a new
+    item attaches to the best EXISTING canonical; it never merges two
+    existing canonicals, matcher.py:84-91): a new doc that shares a band
+    bucket with a stored survivor and passes the estimated-Jaccard verify
+    joins that survivor's cluster; new-vs-new near-dups cluster among
+    themselves first, and each new cluster adopts
+    ``min(matched survivors ∪ {cluster rep})`` as canonical.
+
+    Scale shape: the store is band-hash-keyed Parquet (16-byte rows) plus
+    a narrow signature table, both written per run and never read to the
+    driver; store↔new candidate generation is one band-hash bucket
+    shuffle; signatures are fetched for the (near-dup-universe-sized)
+    candidate set only.  Store band buckets hold mutually-distinct
+    survivors (duplicates collapsed at ingest), so the cross join inside
+    a bucket is survivor-bounded.
+
+    Returns (doc_id, canonical_id) for every input row; canonical ids may
+    point at earlier-run documents.
+    """
+    import glob as _glob
+    import os
+    import uuid
+
+    bands_dir = os.path.join(store_dir, "bands")
+    sigs_dir = os.path.join(store_dir, "sigs")
+    os.makedirs(bands_dir, exist_ok=True)
+    os.makedirs(sigs_dir, exist_ok=True)
+    band_files = sorted(_glob.glob(os.path.join(bands_dir, "*", "*.parquet")))
+    sig_files = sorted(_glob.glob(os.path.join(sigs_dir, "*", "*.parquet")))
+
+    rows_per_band = num_perm // n_bands
+    sigs_new = docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_n": shingle_n},
+        batch_format="numpy",
+        batch_size=1024,
+        concurrency=auto_concurrency(),
+    ).materialize()
+    explode = _band_explode_fn(n_bands, rows_per_band)
+
+    # 1. new-vs-new clustering (shared rungs: star-link, Dataset pairs,
+    # driver/distributed verify + clustering ladders)
+    m2 = _mapping_from_sigs(
+        sigs_new,
+        num_perm=num_perm,
+        n_bands=n_bands,
+        threshold=threshold,
+        driver_pair_max=driver_pair_max,
+        driver_edge_max=driver_edge_max,
+    )
+
+    # 2. new-vs-store candidates: both band streams meet in band-hash
+    # buckets; exact-bucket cross join inside the group
+    store_map: dict[int, int] = {}
+    if band_files:
+
+        def tag_new_bands(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "sb": (b["bucket"].to_numpy(dtype=np.uint64) % np.uint64(num_buckets)).astype("int32"),
+                    "bucket": b["bucket"].to_numpy(dtype=np.uint64),
+                    "doc_id": b["doc_id"].to_numpy(dtype=np.int64),
+                    "is_store": False,
+                }
+            )
+
+        def tag_store_bands(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "sb": (b["bucket"].to_numpy(dtype=np.uint64) % np.uint64(num_buckets)).astype("int32"),
+                    "bucket": b["bucket"].to_numpy(dtype=np.uint64),
+                    "doc_id": b["doc_id"].to_numpy(dtype=np.int64),
+                    "is_store": True,
+                }
+            )
+
+        def cross_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            new = g[~g["is_store"]]
+            old = g[g["is_store"]]
+            if not len(new) or not len(old):
+                return pd.DataFrame(
+                    {"o": pd.Series(dtype="int64"), "s": pd.Series(dtype="int64")}
+                )
+            m = new.merge(old, on="bucket", suffixes=("_n", "_s"))
+            out = pd.DataFrame(
+                {"o": m["doc_id_n"].astype("int64"), "s": m["doc_id_s"].astype("int64")}
+            )
+            return out.drop_duplicates()
+
+        cand = (
+            sigs_new.map_batches(explode, batch_format="pandas")
+            .map_batches(tag_new_bands, batch_format="pandas")
+            .union(
+                ray.data.read_parquet(band_files).map_batches(
+                    tag_store_bands, batch_format="pandas"
+                )
+            )
+            .groupby("sb")
+            .map_groups(cross_in_bucket, batch_format="pandas")
+            .to_pandas()  # near-dup-universe-sized candidate pairs
+        )
+        if "o" in cand.columns and len(cand):
+            cand = cand.drop_duplicates()
+            # 3. verify on candidate-only signatures (broadcast id filters)
+            new_ids_ref = ray.put(set(cand["o"].tolist()))
+            old_ids_ref = ray.put(set(cand["s"].tolist()))
+
+            def filt_new(b: pd.DataFrame) -> pd.DataFrame:
+                return b[b["doc_id"].isin(cached_get(new_ids_ref))]
+
+            def filt_old(b: pd.DataFrame) -> pd.DataFrame:
+                return b[b["doc_id"].isin(cached_get(old_ids_ref))]
+
+            cn = sigs_new.map_batches(filt_new, batch_format="pandas").to_pandas()
+            co = (
+                ray.data.read_parquet(sig_files)
+                .map_batches(filt_old, batch_format="pandas")
+                .to_pandas()
+            )
+            sig_of_new = dict(zip(cn["doc_id"].astype(int), cn["sig"]))
+            sig_of_old = dict(zip(co["doc_id"].astype(int), co["sig"]))
+            sa = np.stack([np.asarray(sig_of_new[int(o)], dtype=np.uint64) for o in cand["o"]])
+            sb_ = np.stack([np.asarray(sig_of_old[int(s)], dtype=np.uint64) for s in cand["s"]])
+            est = (sa == sb_).mean(axis=1)
+            good = cand[est >= threshold]
+            if len(good):
+                store_map = good.groupby("o")["s"].min().astype(int).to_dict()
+
+    # 4. combine: every new cluster adopts min(matched survivors ∪ {rep})
+    members: dict[int, list[int]] = {}
+    for m, r in m2.items():
+        members.setdefault(r, []).append(m)
+    mapping: dict[int, int] = {}
+    clustered = set(m2) | set(m2.values())
+    for rep, mems in members.items():
+        group = [rep] + mems
+        sm = min((store_map[d] for d in group if d in store_map), default=None)
+        canon = min(sm, rep) if sm is not None else rep
+        for d in group:
+            if d != canon:
+                mapping[d] = canon
+    for d, s in store_map.items():
+        if d not in clustered and min(s, d) != d:
+            mapping[d] = s
+
+    # 5. append the new survivors' bands + signatures to the store
+    run_id = uuid.uuid4().hex[:12]
+    dropped_ref = ray.put(set(mapping))
+
+    def survivors_only(b: pd.DataFrame) -> pd.DataFrame:
+        return b[~b["doc_id"].isin(cached_get(dropped_ref))]
+
+    surv_sigs = sigs_new.map_batches(survivors_only, batch_format="pandas")
+
+    def sig_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "sig": [np.asarray(s, dtype=np.uint64) for s in b["sig"]],
+            }
+        )
+
+    surv_sigs.map_batches(sig_rows, batch_format="pandas").write_parquet(
+        os.path.join(sigs_dir, run_id)
+    )
+    surv_sigs.map_batches(explode, batch_format="pandas").write_parquet(
+        os.path.join(bands_dir, run_id)
+    )
+
+    # 6. stream the per-row mapping (identity filled) — broadcast of the
+    # (merged-docs-only) non-identity map
+    map_ref = ray.put(mapping)
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        m = cached_get(map_ref)
+        ids = b["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {"doc_id": ids, "canonical_id": ids.map(m).fillna(ids).astype("int64")}
+        )
+
+    return docs.select_columns(["doc_id"]).map_batches(attach, batch_format="pandas")
 
 
 def dedup_against_store(
