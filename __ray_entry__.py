@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["knn_bruteforce"] = _q_knn
     q["knn_lsh"] = _q_knn_lsh
     q["knn_ivf"] = _q_knn_ivf
+    q["knn_join_self"] = _q_knn_join_self
 
     # --- embedding clustering / semantic dedup (kgray/ops/similarity.py) -
     q["embedding_kmeans"] = _q_embedding_kmeans
@@ -906,6 +907,22 @@ def _q_doc_incremental_dedup(sf_dir: str) -> pd.DataFrame:
         )
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+def _q_knn_join_self(sf_dir: str) -> pd.DataFrame:
+    """All-docs retrieval join (VERDICT r2 #6): EVERY embedding row is a
+    query — both sides are Datasets riding the same hyperplane-bucket
+    shuffle (kgray.ops.similarity.knn_join), so no driver query matrix."""
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    queries = emb.rename_columns({"vec_id": "query_id"})
+    return (
+        sim.knn_join(queries, emb, k=5)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
 
 
 def _q_doc_minhash_incremental(sf_dir: str) -> pd.DataFrame:
@@ -1793,6 +1810,55 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _knn_join_oracle_sql(dim: int = 64, n_planes: int = 6, seed: int = 17, k: int = 5) -> str:
+    """DuckDB twin of kgray.ops.similarity.knn_join with every embedding
+    as a query (the knn_join_self driver query).  Identical hyperplane
+    literals / sign test / 1-bit-flip probe set as the knn_lsh oracle; the
+    Ray side's per-bucket top-(k+1) partials with neighbor_id tie-breaks
+    are exact after the distributed reduce, so the oracle ranks all
+    probe-bucket candidates directly."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    plane_rows = ",\n".join(
+        f"({p}, [{', '.join(repr(float(w)) for w in planes[:, p])}]::DOUBLE[])"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH planes(p, w) AS (VALUES {plane_rows}),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vb AS MATERIALIZED (
+  SELECT vec_id,
+         sum(CASE WHEN list_dot_product(e, w) > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+  FROM emb CROSS JOIN planes GROUP BY vec_id
+),
+probe AS (
+  SELECT vec_id AS query_id, bucket FROM vb
+  UNION
+  SELECT vec_id AS query_id, xor(bucket, (1::BIGINT << fp.p)) AS bucket
+  FROM vb CROSS JOIN (SELECT unnest(range({n_planes})) AS p) fp
+),
+cand AS (
+  SELECT DISTINCT pr.query_id, v.vec_id AS neighbor_id
+  FROM probe pr JOIN vb v ON v.bucket = pr.bucket
+  WHERE v.vec_id <> pr.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(qe.e, ne.e) AS cos_raw
+  FROM cand c JOIN emb qe ON qe.vec_id = c.query_id
+              JOIN emb ne ON ne.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _kmeans_ctes(
     n_sample: int = 500, n_centroids: int = 16, iters: int = 10,
     seed: int = 23, dim: int = 64, recursive: bool = False,
@@ -2238,6 +2304,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_incremental": _minhash_incremental_oracle_sql(),
         "doc_ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "knn_lsh": _knn_lsh_oracle_sql(),
+        "knn_join_self": _knn_join_oracle_sql(),
         "knn_ivf": _knn_ivf_oracle_sql(),
         "embedding_kmeans": _embedding_kmeans_oracle_sql(),
         "embedding_semdedup": _embedding_semdedup_oracle_sql(),

@@ -358,6 +358,141 @@ def semantic_dedup(
     return assigned.select_columns(["vec_id"]).map_batches(attach, batch_format="pandas")
 
 
+def knn_join(
+    queries: ray.data.Dataset,
+    corpus: ray.data.Dataset,
+    k: int = 10,
+    n_planes: int = 6,
+    seed: int = 17,
+    num_reduce_buckets: int = 64,
+    exclude_self: bool = True,
+) -> ray.data.Dataset:
+    """Corpus-sized-query ANN join (VERDICT r2 #6): both sides are
+    Datasets, so an all-docs retrieval join (every document retrieving its
+    top-k neighbours) never builds a driver-resident query matrix — the
+    fix for :func:`knn_lsh`'s probe-set assumption.
+
+    Shape: corpus rows sign-bucket into exactly ONE hyperplane bucket;
+    each query row explodes to its n_planes+1 probe buckets (exact + every
+    1-bit flip — a bounded ~7x replication of the query stream, the
+    standard multiprobe trade); ONE bucket groupby co-locates both sides;
+    each bucket emits per-query top-(k+1) partials (headroom for
+    self-exclusion, making the global reduce exact over the candidate
+    set); a second groupby on query_id hash finishes rank/top-k fully
+    distributed — no stage lands on the driver.
+
+    ``queries``: (query_id, embedding); ``corpus``: (vec_id, embedding).
+    Returns a Dataset (query_id, neighbor_id, cosine, rank), cosine
+    rounded to 6 dp, ties broken by neighbor_id (matches the SQL oracle's
+    ORDER BY cosine DESC, neighbor_id).
+    """
+    dim = len(np.asarray(queries.take(1)[0]["embedding"]))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    pow2 = 1 << np.arange(n_planes)
+    planes_ref = ray.put(planes)
+
+    def corpus_rows(batch: dict) -> pd.DataFrame:
+        pl = cached_get(planes_ref)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        bucket = ((mat @ pl > 0) * pow2).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "bucket": bucket.astype("int64"),
+                "kind": np.zeros(len(mat), dtype=np.int8),
+                "rid": np.asarray(batch["vec_id"], dtype=np.int64),
+                "embedding": list(mat),
+            }
+        )
+
+    def query_rows(batch: dict) -> pd.DataFrame:
+        pl = cached_get(planes_ref)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        base = (((mat @ pl > 0) * pow2).sum(axis=1)).astype(np.int64)
+        n = len(mat)
+        # probe 0 = exact bucket, probes 1..n_planes = 1-bit flips
+        flips = np.concatenate([[0], 1 << np.arange(n_planes)]).astype(np.int64)
+        buckets = (base[:, None] ^ flips[None, :]).reshape(-1)
+        rep = np.repeat(np.arange(n), n_planes + 1)
+        return pd.DataFrame(
+            {
+                "bucket": buckets,
+                "kind": np.ones(len(rep), dtype=np.int8),
+                "rid": np.asarray(batch["query_id"], dtype=np.int64)[rep],
+                "embedding": [mat[i] for i in rep],
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        q = g[g["kind"] == 1]
+        c = g[g["kind"] == 0]
+        if not len(q) or not len(c):
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        # a query may probe the same bucket twice only if two flip targets
+        # collide — impossible for distinct 1-bit flips — but it can arrive
+        # duplicated across input blocks of the same group; dedupe by rid
+        q = q.drop_duplicates("rid")
+        qids = q["rid"].to_numpy()
+        cids = c["rid"].to_numpy()
+        qunit = _unit(np.stack(q["embedding"].to_numpy()))
+        cunit = _unit(np.stack(c["embedding"].to_numpy()))
+        sims = qunit @ cunit.T
+        kk = min(k + 1, sims.shape[1])
+        # deterministic boundary: cosine ties broken by neighbor_id, so a
+        # tied candidate at the k+1 cut can never differ from the oracle's
+        # ORDER BY cosine DESC, neighbor_id pick
+        sel = np.empty((len(qids), kk), dtype=np.int64)
+        for i in range(len(qids)):
+            sel[i] = np.lexsort((cids, -sims[i]))[:kk]
+        rows_q = np.repeat(qids, kk)
+        rows_n = cids[sel.reshape(-1)]
+        rows_s = np.take_along_axis(sims, sel, axis=1).reshape(-1)
+        return pd.DataFrame(
+            {
+                "query_id": rows_q.astype("int64"),
+                "neighbor_id": rows_n.astype("int64"),
+                "cosine": rows_s.astype("float64"),
+            }
+        )
+
+    def tag_q(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b.assign(qb=pd.Series(dtype="int32"))
+        return b.assign(qb=(b["query_id"] % num_reduce_buckets).astype("int32"))
+
+    def reduce_q(g: pd.DataFrame) -> pd.DataFrame:
+        # the same (query, neighbor) pair may arrive from several probe
+        # buckets — cosine is recomputed identically, so plain dedup
+        g = g.drop_duplicates(["query_id", "neighbor_id"])
+        if exclude_self:
+            g = g[g["query_id"] != g["neighbor_id"]]
+        g = g.sort_values(
+            ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+        )
+        g = g.groupby("query_id", sort=False).head(k).copy()
+        g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
+        g["cosine"] = g["cosine"].round(6)
+        return g[["query_id", "neighbor_id", "cosine", "rank"]]
+
+    partials = (
+        corpus.map_batches(corpus_rows, batch_format="numpy")
+        .union(queries.map_batches(query_rows, batch_format="numpy"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return (
+        partials.map_batches(tag_q, batch_format="pandas")
+        .groupby("qb")
+        .map_groups(reduce_q, batch_format="pandas")
+    )
+
+
 def pca_project(
     embeddings: ray.data.Dataset,
     n_components: int = 2,

@@ -374,3 +374,32 @@ def test_filter_by_length_quantile(ray_session):
         .sort_values("doc_id")
     )
     assert out["n_chars"].tolist() == [2, 3, 4, 5, 6, 7, 8]
+
+
+def test_knn_join_matches_bruteforce_candidates_and_recall():
+    """knn_join (both sides Datasets) must equal knn_bruteforce restricted
+    to its probe-bucket candidate set, and hold reasonable recall."""
+    from kgray.ops.similarity import knn_bruteforce, knn_join
+
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((400, 16))
+    corpus = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(400), "embedding": list(mat)})
+    )
+    queries = ray.data.from_pandas(
+        pd.DataFrame({"query_id": np.arange(400), "embedding": list(mat)})
+    )
+    joined = knn_join(queries, corpus, k=5, n_planes=4).to_pandas()
+    assert set(joined["query_id"]) == set(range(400))  # every query answered
+    assert (joined.groupby("query_id")["rank"].max() <= 5).all()
+    # recall@5 vs exact brute force
+    exact = knn_bruteforce(corpus, np.arange(400), mat, k=5)
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    j = set(zip(joined["query_id"], joined["neighbor_id"]))
+    recall = len(e & j) / len(e)
+    assert recall >= 0.5, recall
+    # within the candidate set the ranking is exact: top-1 cosine of the
+    # join never exceeds the exact top-1
+    top_j = joined[joined["rank"] == 1].set_index("query_id")["cosine"]
+    top_e = exact[exact["rank"] == 1].set_index("query_id")["cosine"]
+    assert (top_j <= top_e.loc[top_j.index] + 1e-9).all()
