@@ -31,10 +31,52 @@ except ImportError:
 
 
 PROVIDER_CONFIGS = {
-    # mirrors langchain_output_parser.py:38-71
-    "openai": {"max_elements": 40, "max_tokens": 8000, "sleep_time": 2},
+    # mirrors langchain_output_parser.py:38-71 (batch caps + inter-batch
+    # sleep per provider; "default" is the reference's UNKNOWN profile)
+    "openai": {"max_elements": 40, "max_tokens": 8000, "sleep_time": 2.0},
+    "mistral": {"max_elements": 1, "max_tokens": 10000, "sleep_time": 0.2},
+    "claude": {"max_elements": 50, "max_tokens": 8000, "sleep_time": 1.2},
     "default": {"max_elements": 20, "max_tokens": 4000, "sleep_time": 2},
 }
+
+
+def detect_provider(model) -> str:
+    """Infer the provider profile from a model object OR a plain model
+    string — the reference's autodetection
+    (langchain_output_parser.py:114-155): class name, then module, then
+    the ``model_name`` attribute / string, checked for openai → mistral →
+    claude indicators in that order; anything unrecognized falls back to
+    the conservative ``default`` profile."""
+    if isinstance(model, str):
+        class_name, module, model_name = "", "", model.lower()
+    else:
+        class_name = type(model).__name__.lower()
+        module = type(model).__module__.lower()
+        model_name = str(getattr(model, "model_name", "")).lower()
+
+    for needle in ("openai", "chatgpt", "gpt"):
+        if needle in class_name:
+            return "openai"
+    if "openai" in module:
+        return "openai"
+    for needle in ("mistral", "chatmistral"):
+        if needle in class_name:
+            return "mistral"
+    if "mistral" in module:
+        return "mistral"
+    for needle in ("claude", "anthropic"):
+        if needle in class_name:
+            return "claude"
+    if "anthropic" in module or "claude" in module:
+        return "claude"
+    if model_name:
+        if "gpt" in model_name or "openai" in model_name:
+            return "openai"
+        if "mistral" in model_name:
+            return "mistral"
+        if "claude" in model_name or "anthropic" in model_name:
+            return "claude"
+    return "default"
 
 
 def assemble_prompt(context: str, system_query: str) -> str:

@@ -91,7 +91,8 @@ class LLMDistiller:
         system_query: str = ATOMIC_FACTS_QUERY,
         id_col: str = "doc_id",
         text_col: str = "text",
-        provider: str = "openai",
+        provider: str | None = None,
+        model: str | object | None = None,
         max_retries: int = 3,
         base_sleep: float = 2.0,
         sleep=None,
@@ -103,7 +104,7 @@ class LLMDistiller:
             )
         import time as _time
 
-        from kgray.functions.prompts import PROVIDER_CONFIGS
+        from kgray.functions.prompts import PROVIDER_CONFIGS, detect_provider
         from kgray.functions.retry import RetryPolicy
         from kgray.functions.schemas import AtomicFactsModel, flat_spec
 
@@ -113,6 +114,14 @@ class LLMDistiller:
         self.system_query = system_query
         self.id_col = id_col
         self.text_col = text_col
+        # provider autodetection — explicit provider= wins (see
+        # LLMQuintupleExtractor for the detection ladder)
+        if provider is None:
+            probe = model if model is not None else self.client
+            provider = detect_provider(probe)
+            if provider == "default" and model is None:
+                provider = "openai"
+        self.provider = provider
         cfg = PROVIDER_CONFIGS.get(provider, PROVIDER_CONFIGS["default"])
         self.max_elements = int(cfg["max_elements"])
         self.max_tokens = int(cfg["max_tokens"])

@@ -242,7 +242,8 @@ class LLMQuintupleExtractor:
     def __init__(
         self,
         client_factory=None,
-        provider: str = "openai",
+        provider: str | None = None,
+        model: str | object | None = None,
         max_retries: int = 3,
         base_sleep: float = 2.0,
         sleep=None,
@@ -255,11 +256,21 @@ class LLMQuintupleExtractor:
             )
         import time as _time
 
-        from kgray.functions.prompts import PROVIDER_CONFIGS
+        from kgray.functions.prompts import PROVIDER_CONFIGS, detect_provider
         from kgray.functions.retry import RetryPolicy
         from kgray.functions.schemas import RelationshipsExtractorModel
 
         self.client = client_factory()
+        # provider autodetection (langchain_output_parser.py:114-155):
+        # explicit provider= wins; else infer from model (object or model
+        # string, falling back to the constructed client); else openai —
+        # the reference's primary provider
+        if provider is None:
+            probe = model if model is not None else self.client
+            provider = detect_provider(probe)
+            if provider == "default" and model is None:
+                provider = "openai"
+        self.provider = provider
         cfg = PROVIDER_CONFIGS.get(provider, PROVIDER_CONFIGS["default"])
         self.max_elements = int(cfg["max_elements"])
         self.max_tokens = int(cfg["max_tokens"])

@@ -261,3 +261,65 @@ def test_llm_distiller_user_schema():
     )
     with _pytest.raises(MalformedOutputError):
         bad(batch)
+
+
+def test_detect_provider_strings_and_objects():
+    """Reference autodetection ladder (langchain_output_parser.py:114-155):
+    class name → module → model_name attr / plain string; openai checked
+    before mistral before claude; unknown → conservative default."""
+    from kgray.functions.prompts import PROVIDER_CONFIGS, detect_provider
+
+    # plain model strings
+    assert detect_provider("gpt-4o-mini") == "openai"
+    assert detect_provider("mistral-large-latest") == "mistral"
+    assert detect_provider("claude-sonnet-4") == "claude"
+    assert detect_provider("llama-3-70b") == "default"
+
+    # class-name indicators
+    class ChatOpenAI:  # noqa: N801 — mirrors the provider SDK class name
+        pass
+
+    class ChatMistralAI:  # noqa: N801
+        pass
+
+    class ChatAnthropic:  # noqa: N801
+        pass
+
+    class SomethingElse:
+        model_name = "mistral-small"
+
+    assert detect_provider(ChatOpenAI()) == "openai"
+    assert detect_provider(ChatMistralAI()) == "mistral"
+    assert detect_provider(ChatAnthropic()) == "claude"
+    # falls through to the model_name attribute
+    assert detect_provider(SomethingElse()) == "default" or True
+    # ^ class/module carry no indicator here; attribute check:
+    assert detect_provider(SomethingElse()) == "mistral"
+
+    # every detected profile exists
+    for prov in ("openai", "mistral", "claude", "default"):
+        cfg = PROVIDER_CONFIGS[prov]
+        assert cfg["max_elements"] >= 1 and cfg["max_tokens"] > 0
+
+
+def test_extractor_autodetects_provider_profile(ray_session):
+    """provider=None infers the profile from model=; explicit provider=
+    still wins."""
+    from kgray.functions.llm_testing import RuleBackedStructuredClient
+    from kgray.stages.extract import LLMQuintupleExtractor
+
+    ex = LLMQuintupleExtractor(
+        client_factory=RuleBackedStructuredClient, model="mistral-large-latest"
+    )
+    assert ex.provider == "mistral" and ex.max_elements == 1
+
+    ex2 = LLMQuintupleExtractor(
+        client_factory=RuleBackedStructuredClient,
+        model="mistral-large-latest",
+        provider="openai",
+    )
+    assert ex2.provider == "openai" and ex2.max_elements == 40
+
+    # no model, fake client carries no indicator -> reference-primary openai
+    ex3 = LLMQuintupleExtractor(client_factory=RuleBackedStructuredClient)
+    assert ex3.provider == "openai"
