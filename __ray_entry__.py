@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["returned_items"] = rel.returned_items
     q["user_sessions"] = rel.user_sessions
 
+    q["doc_dsir_weights"] = _q_doc_dsir_weights
+
     # --- temporal joins / windows (kgray/ops/temporal.py) ----------------
     q["events_windowed_6h"] = _q_events_windowed
     q["events_asof_attribution"] = _q_events_asof
@@ -269,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- graph analytics (kgray/functions/graph.py) ----------------------
     q["kg_pagerank_events"] = _q_kg_pagerank_events
+    q["kg_kcore_events"] = _q_kg_kcore_events
     q["kg_khop_events"] = _q_kg_khop_events
 
     # --- sketches (kgray/ops/stats.py) -----------------------------------
@@ -655,6 +658,48 @@ def _pagerank_oracle_sql(iterations: int = 10, damping: float = 0.85) -> str:
     )
 
 
+def _q_kg_kcore_events(sf_dir: str) -> pd.DataFrame:
+    """2-core of the events KG (synchronized peeling to fixpoint) — the
+    graph-cleanup primitive that strips leaf chains before centrality /
+    community analytics; kgray.functions.graph.kcore ladder (driver numpy
+    below driver_edge_max, broadcast-mask distributed rounds above)."""
+    from kgray.functions.graph import kcore
+
+    out = kcore(_kg_events(sf_dir).edges, k=2, src_col="subj_name", dst_col="obj_name")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 16) -> str:
+    """Synchronized k-core peeling unrolled as MATERIALIZED CTE rounds
+    (peeling is order-independent, so a fixed unroll that reaches the
+    fixpoint equals kgray.functions.graph.kcore exactly; extra rounds
+    past the fixpoint are no-ops)."""
+    parts = [
+        """e0 AS MATERIALIZED (
+            SELECT DISTINCT 'user ' || CAST(user_id AS VARCHAR) AS a,
+                   event_type AS b
+            FROM events)""",
+        "a0 AS MATERIALIZED (SELECT a AS node FROM e0 UNION SELECT b FROM e0)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+              SELECT node, count(*) AS d FROM (
+                SELECT e.a AS node FROM e0 e
+                JOIN a{r} x ON x.node = e.a JOIN a{r} y ON y.node = e.b
+                UNION ALL
+                SELECT e.b AS node FROM e0 e
+                JOIN a{r} x ON x.node = e.a JOIN a{r} y ON y.node = e.b
+              ) GROUP BY node),
+            a{r + 1} AS MATERIALIZED (SELECT node FROM d{r} WHERE d >= {k})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, CAST(d AS BIGINT) AS core_degree FROM d{rounds - 1} WHERE d >= {k}"
+    )
+
+
 KHOP_SEEDS = ["user 1", "user 7"]
 
 
@@ -964,6 +1009,22 @@ def _q_doc_minhash_incremental(sf_dir: str) -> pd.DataFrame:
         )
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+def _q_doc_dsir_weights(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance weights vs a deterministic exemplar subset
+    (kgray.ops.curation.dsir_weights) — domain-bounded count partials,
+    broadcast log-ratio table, exact integer-micro summation."""
+    from kgray.ops.curation import dsir_weights
+
+    return (
+        dsir_weights(
+            ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
 
 
 def _q_doc_novelty(sf_dir: str) -> Any:
@@ -2302,6 +2363,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_minhash_dedup": _minhash_oracle_sql(),
         "doc_minhash_incremental": _minhash_incremental_oracle_sql(),
+        "kg_kcore_events": _kcore_oracle_sql(),
+        # DSIR: hashed-unigram LM ratio, ln arithmetic mirrored
+        # left-associatively then quantized to integer micro-units both
+        # sides, so the per-doc sums are exact integers
+        "doc_dsir_weights": """
+            WITH tk AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+            ),
+            th AS (
+              SELECT doc_id, CAST(md5_number_lower(tok) % 4096 AS BIGINT) AS h FROM tk
+            ),
+            rawc AS (SELECT h, count(*)::BIGINT AS c FROM th GROUP BY h),
+            tgtc AS (
+              SELECT h, count(*)::BIGINT AS c FROM th WHERE doc_id % 5 = 0 GROUP BY h
+            ),
+            tot AS (
+              SELECT (SELECT count(*) FROM th) AS nr,
+                     (SELECT count(*) FROM th WHERE doc_id % 5 = 0) AS nt
+            ),
+            lr AS (
+              SELECT r.h,
+                     CAST(floor(
+                       (ln(coalesce(g.c, 0) + 1.0)
+                        - ln(CAST(t.nt + 4096 AS DOUBLE))
+                        - ln(r.c + 1.0)
+                        + ln(CAST(t.nr + 4096 AS DOUBLE))) * 1000000 + 0.5
+                     ) AS BIGINT) AS m
+              FROM rawc r CROSS JOIN tot t LEFT JOIN tgtc g ON g.h = r.h
+            ),
+            w AS (
+              SELECT th.doc_id, sum(lr.m)::BIGINT AS ms, count(*)::BIGINT AS n_tokens
+              FROM th JOIN lr ON lr.h = th.h GROUP BY th.doc_id
+            )
+            SELECT d.doc_id, coalesce(w.n_tokens, 0) AS n_tokens,
+                   coalesce(w.ms, 0) / 1000000.0 AS dsir_weight
+            FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+        """,
         "doc_ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "knn_lsh": _knn_lsh_oracle_sql(),
         "knn_join_self": _knn_join_oracle_sql(),

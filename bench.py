@@ -134,6 +134,8 @@ def run_bench() -> dict:
     timed("events_dau", lambda: size(entry.queries()["events_dau"](sf_dir)))
     timed("events_transitions", lambda: size(entry.queries()["events_transitions"](sf_dir)))
     timed("curated_packed", lambda: size(entry.queries()["curated_packed"](sf_dir)))
+    timed("knn_join_self", lambda: size(entry.queries()["knn_join_self"](sf_dir)))
+    timed("doc_minhash_incremental", lambda: size(entry.queries()["doc_minhash_incremental"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

@@ -456,3 +456,112 @@ def k_hop_neighborhood(
         .sort_values(["hop", "name"], kind="mergesort")
         .reset_index(drop=True)
     )
+
+
+def kcore(
+    edges: ray.data.Dataset,
+    k: int = 2,
+    src_col: str = "a",
+    dst_col: str = "b",
+    driver_edge_max: int = 200_000,
+    max_rounds: int = 64,
+) -> pd.DataFrame:
+    """k-core decomposition membership: synchronized peeling — each round
+    simultaneously removes every node whose degree in the surviving
+    subgraph is < ``k`` — until a fixed point; returns the surviving
+    (node, core_degree) rows.  The standard graph-cleanup primitive before
+    community/centrality analytics (peels leaf chains and stragglers).
+
+    Scale shape (the pagerank/components ladder): the node vocabulary is
+    collected once (bounded by edge-touched nodes), edges integer-encode
+    once and re-stream per round; below ``driver_edge_max`` the peel loop
+    is driver numpy, above it each round is one ``map_batches`` pass whose
+    per-batch partial is a degree ``bincount`` over the broadcast alive
+    mask — driver state stays one bool + one int vector per node.
+
+    Synchronized peeling is order-independent, so the result is exactly
+    the k-core (and the SQL oracle can unroll the same rounds verbatim).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kgray.functions.broadcast import cached_get
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays(
+            [
+                t[src_col].combine_chunks().cast(pa.large_string()),
+                t[dst_col].combine_chunks().cast(pa.large_string()),
+            ]
+        )
+        return pa.table({"node": pc.unique(nodes)})
+
+    vocab = edges.map_batches(vocab_partial, batch_format="pyarrow").to_pandas()
+    if "node" not in vocab.columns or not len(vocab):
+        return pd.DataFrame(
+            {"node": pd.Series(dtype=object), "core_degree": pd.Series(dtype="int64")}
+        )
+    node_ids = np.unique(vocab["node"].to_numpy())  # sorted
+    n = len(node_ids)
+    idx_of = {v: i for i, v in enumerate(node_ids)}
+    idx_ref = ray.put(idx_of)
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        idx = cached_get(idx_ref)
+        si = b[src_col].map(idx).to_numpy(dtype=np.int64)
+        di = b[dst_col].map(idx).to_numpy(dtype=np.int64)
+        keep = si != di  # self-loops don't count toward core degree
+        return pd.DataFrame({"si": si[keep], "di": di[keep]}).drop_duplicates()
+
+    encoded = edges.map_batches(encode, batch_format="pandas").materialize()
+    alive = np.ones(n, dtype=bool)
+
+    def dedup_driver(e: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        lo = np.minimum(e["si"].to_numpy(), e["di"].to_numpy())
+        hi = np.maximum(e["si"].to_numpy(), e["di"].to_numpy())
+        uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return uniq[:, 0], uniq[:, 1]
+
+    if encoded.count() <= driver_edge_max:
+        si, di = dedup_driver(encoded.to_pandas())
+        deg = np.zeros(n, dtype=np.int64)
+        for _ in range(max_rounds):
+            live = alive[si] & alive[di]
+            deg = (
+                np.bincount(si[live], minlength=n) + np.bincount(di[live], minlength=n)
+            ).astype(np.int64)
+            drop = alive & (deg < k)
+            if not drop.any():
+                break
+            alive &= ~drop
+    else:
+        # distributed rounds: per-batch degree partials over the broadcast
+        # alive mask (edges pre-canonicalized a<b per batch would not dedup
+        # across batches, so the vocabulary-sized driver dedup degree uses
+        # batch-distinct partials + a driver np.add over (node, count))
+        for _ in range(max_rounds):
+            a_ref = ray.put(alive)
+
+            def degp(b: pd.DataFrame, a_ref=a_ref) -> pd.DataFrame:
+                av = cached_get(a_ref)
+                si_, di_ = dedup_driver(b)
+                live = av[si_] & av[di_]
+                d = np.bincount(si_[live], minlength=len(av)) + np.bincount(
+                    di_[live], minlength=len(av)
+                )
+                nz = np.nonzero(d)[0]
+                return pd.DataFrame({"i": nz, "d": d[nz].astype(np.int64)})
+
+            parts = encoded.map_batches(degp, batch_format="pandas").to_pandas()
+            deg = np.zeros(n, dtype=np.int64)
+            if len(parts):
+                np.add.at(deg, parts["i"].to_numpy(), parts["d"].to_numpy())
+            drop = alive & (deg < k)
+            if not drop.any():
+                break
+            alive &= ~drop
+
+    keep = alive & (deg >= k)
+    return pd.DataFrame(
+        {"node": node_ids[keep], "core_degree": deg[keep].astype(np.int64)}
+    )

@@ -488,3 +488,87 @@ def mix_to_proportions(
         return b[(h < th) | ((h == th) & (ids <= td))]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def dsir_weights(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_mod: int = 5,
+    n_buckets: int = 4096,
+) -> ray.data.Dataset:
+    """DSIR-style importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): per-document log-likelihood ratio between a
+    hashed-unigram LM of a TARGET exemplar subset and one of the raw
+    corpus, the standard "select web data that looks like the target"
+    primitive.  Target here is the deterministic ``doc_id % target_mod ==
+    0`` subset (a stand-in for "looks like Wikipedia"); swap the predicate
+    in a real pipeline.
+
+    Scale shape: pass 1 folds every batch to ONE row carrying two
+    ``n_buckets``-sized hashed count vectors (domain-bounded, never token
+    rows — the CMS/HLL partial budget); the driver sums blocks × 2·4096
+    ints and broadcasts the per-bucket log-ratio table; pass 2 scores each
+    doc as a flattened hash-gather + ``reduceat``.  Per-token ratios are
+    quantized to integer MICRO-units before summing (floor(x·1e6 + 0.5),
+    mirrored in the SQL twin), so per-doc sums are exact integers —
+    distributed summation order cannot flip the value hash.
+
+    Returns (doc_id, n_tokens, dsir_weight) with weight = micro-sum/1e6.
+    """
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(pc.cast(texts, pa.large_string()), " ")
+        lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
+        flat = lists.flatten().to_pylist()
+        h = (_md5_u64_np(flat) % np.uint64(n_buckets)).astype(np.int64)
+        ids = t[id_col].to_numpy()
+        tok_tgt = np.repeat(ids % target_mod == 0, lens)
+        raw_cnt = np.bincount(h, minlength=n_buckets).astype(np.int64)
+        tgt_cnt = np.bincount(h[tok_tgt], minlength=n_buckets).astype(np.int64)
+        return pa.table({"raw": [raw_cnt], "tgt": [tgt_cnt]})
+
+    parts = ds.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    if not len(parts) or "raw" not in parts.columns:
+        raw = np.zeros(n_buckets, dtype=np.int64)
+        tgt = np.zeros(n_buckets, dtype=np.int64)
+    else:
+        raw = np.sum(np.stack(parts["raw"].to_numpy()), axis=0).astype(np.int64)
+        tgt = np.sum(np.stack(parts["tgt"].to_numpy()), axis=0).astype(np.int64)
+    nr, nt = int(raw.sum()), int(tgt.sum())
+    # left-associative a - b - c + d, mirrored verbatim in the SQL twin so
+    # the doubles are bit-identical before quantization
+    lr = (
+        np.log(tgt.astype(np.float64) + 1.0)
+        - np.log(float(nt + n_buckets))
+        - np.log(raw.astype(np.float64) + 1.0)
+        + np.log(float(nr + n_buckets))
+    )
+    lr_micro = np.floor(lr * 1e6 + 0.5).astype(np.int64)
+    lr_ref = ray.put(lr_micro)
+
+    def score(t: pa.Table) -> pa.Table:
+        lrm = cached_get(lr_ref)
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(pc.cast(texts, pa.large_string()), " ")
+        lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
+        flat = lists.flatten().to_pylist()
+        h = (_md5_u64_np(flat) % np.uint64(n_buckets)).astype(np.int64)
+        tok_w = lrm[h]
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        sums = np.add.reduceat(tok_w, offsets) if len(tok_w) else np.zeros(0, dtype=np.int64)
+        sums = np.where(lens > 0, sums, 0)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(lens, type=pa.int64()),
+                "dsir_weight": pa.array(sums.astype(np.float64) / 1e6, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -114,6 +114,10 @@ def _compare(query: str):
         "events_dau",
         "events_transitions",
         "curated_packed",
+        "doc_minhash_incremental",
+        "knn_join_self",
+        "doc_dsir_weights",
+        "kg_kcore_events",
     ],
 )
 def test_sql_oracle_matches_ray(query):

@@ -171,3 +171,31 @@ def test_triangle_counts_match_bruteforce(pairs):
             expect[v] += 1
             expect[w] += 1
     assert got == expect
+
+
+def test_kcore_peels_leaf_chain(ray_session):
+    """A chain hanging off a clique peels entirely; the clique survives
+    with full internal degrees — and the distributed rung (driver_edge_max
+    forced to 0) matches the driver loop exactly."""
+    import pandas as pd
+    import ray.data
+
+    from kgray.functions.graph import kcore
+
+    # triangle a-b-c (2-core) + chain c-d-e (peels: e deg1 -> d deg1 -> gone)
+    edges = pd.DataFrame(
+        {
+            "a": ["a", "b", "c", "c", "d"],
+            "b": ["b", "c", "a", "d", "e"],
+        }
+    )
+    ds = ray.data.from_pandas(edges)
+    out = kcore(ds, k=2).sort_values("node").reset_index(drop=True)
+    assert out["node"].tolist() == ["a", "b", "c"]
+    assert out["core_degree"].tolist() == [2, 2, 2]
+
+    dist = kcore(ds, k=2, driver_edge_max=0).sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, dist)
+
+    # k=3 on a triangle: everything peels
+    assert len(kcore(ds, k=3)) == 0

@@ -147,3 +147,28 @@ def test_normalize_text(ray_session):
     assert out.loc[1, "text_clean"] == "hello world"
     assert out.loc[1, "n_chars_clean"] == 11
     assert out.loc[2, "text_clean"] == "ok"
+
+
+def test_dsir_weights_prefer_target_like_docs(ray_session):
+    """Docs sharing the target subset's vocabulary must score higher than
+    vocabulary-disjoint docs (the DSIR selection property)."""
+    import numpy as np
+    import ray.data
+
+    from kgray.ops.curation import dsir_weights
+
+    # target = doc_id % 5 == 0 -> ids 0,5 are targets with vocab A;
+    # ids 1,6 share vocab A (should score high); ids 2,3 use vocab B
+    rows = {
+        0: "alpha beta gamma delta " * 5,
+        5: "alpha beta gamma epsilon " * 5,
+        1: "alpha beta gamma delta epsilon " * 4,
+        6: "beta gamma delta alpha " * 5,
+        2: "zebra yak xylophone walrus " * 5,
+        3: "quokka puffin otter narwhal " * 5,
+    }
+    df = pd.DataFrame({"doc_id": list(rows), "text": list(rows.values())})
+    out = dsir_weights(ray.data.from_pandas(df)).to_pandas().set_index("doc_id")
+    w = out["dsir_weight"]
+    assert min(w[0], w[5], w[1], w[6]) > max(w[2], w[3])
+    assert (out["n_tokens"] > 0).all()
