@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_incremental_dedup"] = _q_doc_incremental_dedup
     q["doc_minhash_incremental"] = _q_doc_minhash_incremental
     q["doc_simhash_components"] = _q_doc_simhash_components
+    q["doc_simhash_dedup"] = _q_doc_simhash_dedup
     q["doc_simhash_triangles"] = _q_doc_simhash_triangles
     q["embedding_near_dup"] = _q_embedding_near_dup
 
@@ -229,6 +230,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["user_sessions"] = rel.user_sessions
 
     q["doc_dsir_weights"] = _q_doc_dsir_weights
+    q["doc_token_entropy"] = lambda sf: (
+        tx.token_entropy(
+            ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
 
     # --- temporal joins / windows (kgray/ops/temporal.py) ----------------
     q["events_windowed_6h"] = _q_events_windowed
@@ -563,6 +572,35 @@ def _q_doc_simhash_components(sf_dir: str) -> pd.DataFrame:
     comp["n_members"] = comp.groupby("component")["component"].transform("size").astype("int64")
     out = comp.rename(columns={"node": "doc_id"})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_simhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dedup as a (doc_id, canonical_id) mapping — the
+    minhash_lsh_dedup contract over the Hamming pair graph: pairs stream
+    (star-linked skew guard), connected components pick the min doc_id,
+    the non-identity map broadcasts back over the corpus ids."""
+    from kgray.functions.broadcast import cached_get
+    from kgray.functions.graph import pair_clusters_min_rep
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = dd.simhash_near_dup_pairs(docs).materialize()
+    mapping = pair_clusters_min_rep(pairs)
+    map_ref = ray.put(mapping)
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        m = cached_get(map_ref)
+        ids = b["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {"doc_id": ids, "canonical_id": ids.map(m).fillna(ids).astype("int64")}
+        )
+
+    return (
+        docs.select_columns(["doc_id"])
+        .map_batches(attach, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
 
 
 def _q_doc_simhash_triangles(sf_dir: str) -> pd.DataFrame:
@@ -2364,6 +2402,29 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dedup": _minhash_oracle_sql(),
         "doc_minhash_incremental": _minhash_incremental_oracle_sql(),
         "kg_kcore_events": _kcore_oracle_sql(),
+        # per-term micro-quantization mirrored: -( (c/n) * log2(c/n) )
+        "doc_token_entropy": """
+            WITH tk AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+            ),
+            dn AS (SELECT doc_id, count(*)::BIGINT AS n FROM tk GROUP BY doc_id),
+            cnt AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM tk GROUP BY doc_id, tok),
+            term AS (
+              SELECT c.doc_id,
+                     CAST(floor(
+                       (-( (c.c / CAST(d.n AS DOUBLE)) * log2(c.c / CAST(d.n AS DOUBLE)) ))
+                       * 1000000 + 0.5
+                     ) AS BIGINT) AS m
+              FROM cnt c JOIN dn d USING (doc_id)
+            ),
+            w AS (
+              SELECT doc_id, sum(m)::BIGINT AS ms, count(*)::BIGINT AS n_distinct
+              FROM term GROUP BY doc_id
+            )
+            SELECT d.doc_id, dn.n AS n_tokens, w.n_distinct,
+                   w.ms / 1000000.0 AS entropy
+            FROM documents d JOIN dn USING (doc_id) JOIN w USING (doc_id)
+        """,
         # DSIR: hashed-unigram LM ratio, ln arithmetic mirrored
         # left-associatively then quantized to integer micro-units both
         # sides, so the per-doc sums are exact integers
@@ -2425,6 +2486,18 @@ def oracle_sql() -> dict[str, str]:
             gnodes AS (SELECT DISTINCT a AS node FROM sym)
             SELECT n.node AS doc_id, CAST(coalesce(t.c2, 0) // 2 AS BIGINT) AS n_tri
             FROM gnodes n LEFT JOIN tric t USING (node)
+        """,
+        "doc_simhash_dedup": _simhash_ctes()
+        + """,
+            sym AS (SELECT a, b FROM spairs UNION SELECT b AS a, a AS b FROM spairs),
+            reach AS (
+              SELECT a AS doc_id, b AS r FROM sym
+              UNION
+              SELECT reach.doc_id, sym.b AS r FROM reach JOIN sym ON sym.a = reach.r
+            ),
+            roots AS (SELECT doc_id, least(min(r), doc_id) AS root FROM reach GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(r.root, d.doc_id) AS canonical_id
+            FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id
         """,
         "doc_simhash_components": _simhash_ctes()
         + """,

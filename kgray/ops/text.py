@@ -556,3 +556,51 @@ def perplexity_buckets(
         return t.append_column("ppl_bucket", pa.array(bucket, pa.string()))
 
     return scored.map_batches(bucketize, batch_format="pyarrow")
+
+
+def token_entropy(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Per-document token-distribution Shannon entropy (bits) — the
+    quality signal that separates natural prose (high entropy) from
+    templated/repeated boilerplate (low): H = -Σ p(tok)·log2 p(tok) over
+    the doc's own token frequencies.
+
+    Stateless single pass, no shuffle (each doc is self-contained):
+    flattened Arrow token split, per-(doc, token) counts via one pandas
+    groupby per batch, vectorized term computation.  Per-term values
+    quantize to integer micro-units (floor(x·1e6 + 0.5), mirrored in the
+    SQL twin) before the per-doc sum, so summation order cannot flip the
+    value hash.  Returns (doc_id, n_tokens, n_distinct, entropy).
+    """
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(pc.cast(texts, pa.large_string()), " ")
+        lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
+        flat = lists.flatten().to_pandas()
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        cnt = (
+            pd.DataFrame({"d": doc_of, "tok": flat.to_numpy()})
+            .groupby(["d", "tok"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        d = cnt["d"].to_numpy(dtype=np.int64)
+        c = cnt["c"].to_numpy(dtype=np.float64)
+        n = lens[d].astype(np.float64)
+        p = c / n
+        term = -(p * np.log2(p))
+        micro = np.floor(term * 1e6 + 0.5).astype(np.int64)
+        ent_micro = np.bincount(d, weights=micro, minlength=len(lens)).astype(np.int64)
+        n_distinct = np.bincount(d, minlength=len(lens)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(lens, type=pa.int64()),
+                "n_distinct": pa.array(n_distinct, type=pa.int64()),
+                "entropy": pa.array(ent_micro.astype(np.float64) / 1e6, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -403,3 +403,22 @@ def test_knn_join_matches_bruteforce_candidates_and_recall():
     top_j = joined[joined["rank"] == 1].set_index("query_id")["cosine"]
     top_e = exact[exact["rank"] == 1].set_index("query_id")["cosine"]
     assert (top_j <= top_e.loc[top_j.index] + 1e-9).all()
+
+
+def test_token_entropy_orders_boilerplate_below_prose():
+    from kgray.ops.text import token_entropy
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "spam spam spam spam spam spam spam spam",
+                "the quick brown fox jumps over the lazy dog",
+                "aa bb aa bb aa bb aa bb",
+            ],
+        }
+    )
+    out = token_entropy(ray.data.from_pandas(df)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "entropy"] == 0.0 and out.loc[0, "n_distinct"] == 1
+    assert out.loc[2, "entropy"] == 1.0  # two equiprobable tokens = 1 bit
+    assert out.loc[1, "entropy"] > out.loc[2, "entropy"] > out.loc[0, "entropy"]

@@ -118,6 +118,8 @@ def _compare(query: str):
         "knn_join_self",
         "doc_dsir_weights",
         "kg_kcore_events",
+        "doc_simhash_dedup",
+        "doc_token_entropy",
     ],
 )
 def test_sql_oracle_matches_ray(query):
