@@ -211,10 +211,13 @@ def _mapping_from_sigs(
     max_bucket: int = 200,
     driver_pair_max: int = 2_000_000,
     driver_edge_max: int = 200_000,
+    bands: ray.data.Dataset | None = None,
 ) -> dict[int, int]:
     """Banded-LSH candidate generation + verify + clustering over an
     already-materialized (doc_id, sig) stream — shared by the one-shot
-    and the store-incremental MinHash paths."""
+    and the store-incremental MinHash paths.  Pass ``bands`` (a
+    pre-exploded (doc_id, bucket) stream) to skip the band explode when
+    the caller already materialized one."""
     rows_per_band = num_perm // n_bands
     explode = _band_explode_fn(n_bands, rows_per_band)
 
@@ -246,9 +249,11 @@ def _mapping_from_sigs(
                 frames.append(pd.DataFrame({"a": ids[ai], "b": ids[bi]}))
         return pd.concat(frames, ignore_index=True)
 
+    band_src = (
+        bands if bands is not None else sigs.map_batches(explode, batch_format="pandas")
+    )
     pairs_ds = (
-        sigs.map_batches(explode, batch_format="pandas")
-        .map_batches(add_super, batch_format="pandas")
+        band_src.map_batches(add_super, batch_format="pandas")
         .groupby("sb")
         .map_groups(pairs_in_super, batch_format="pandas")
         .materialize()
@@ -861,6 +866,9 @@ def minhash_dedup_against_store(
         concurrency=auto_concurrency(),
     ).materialize()
     explode = _band_explode_fn(n_bands, rows_per_band)
+    # band rows are consumed three times (internal clustering, store
+    # matching, survivor append) — explode once and materialize
+    bands_new = sigs_new.map_batches(explode, batch_format="pandas").materialize()
 
     # 1. new-vs-new clustering (shared rungs: star-link, Dataset pairs,
     # driver/distributed verify + clustering ladders)
@@ -871,6 +879,7 @@ def minhash_dedup_against_store(
         threshold=threshold,
         driver_pair_max=driver_pair_max,
         driver_edge_max=driver_edge_max,
+        bands=bands_new,
     )
 
     # 2. new-vs-store candidates: both band streams meet in band-hash
@@ -912,8 +921,7 @@ def minhash_dedup_against_store(
             return out.drop_duplicates()
 
         cand = (
-            sigs_new.map_batches(explode, batch_format="pandas")
-            .map_batches(tag_new_bands, batch_format="pandas")
+            bands_new.map_batches(tag_new_bands, batch_format="pandas")
             .union(
                 ray.data.read_parquet(band_files).map_batches(
                     tag_store_bands, batch_format="pandas"
@@ -987,7 +995,7 @@ def minhash_dedup_against_store(
     surv_sigs.map_batches(sig_rows, batch_format="pandas").write_parquet(
         os.path.join(sigs_dir, run_id)
     )
-    surv_sigs.map_batches(explode, batch_format="pandas").write_parquet(
+    bands_new.map_batches(survivors_only, batch_format="pandas").write_parquet(
         os.path.join(bands_dir, run_id)
     )
 
