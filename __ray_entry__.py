@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["user_sessions"] = rel.user_sessions
 
     q["doc_dsir_weights"] = _q_doc_dsir_weights
+    q["doc_bloom_contamination"] = _q_doc_bloom_contamination
     q["doc_token_entropy"] = lambda sf: (
         tx.token_entropy(
             ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
@@ -934,6 +935,32 @@ def _q_doc_contamination(sf_dir: str) -> pd.DataFrame:
     bench_ref = benchmark_gram_set(read().map_batches(side(True), batch_format="pyarrow"), n=5)
     out = ngram_contamination(
         read().map_batches(side(False), batch_format="pyarrow"), bench_ref, n=5
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_bloom_contamination(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter decontamination (the scale path of doc_contamination:
+    the probe broadcast is m/8 bytes regardless of benchmark size; every
+    true benchmark gram still hits — one-sided error).  Same benchmark
+    split (doc_id % 97) and output contract as the exact op."""
+    import pyarrow as pa
+
+    from kgray.ops.curation import bloom_bits, bloom_contamination
+
+    def side(is_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+            return t.filter(pa.array(m if is_bench else ~m))
+
+        return f
+
+    read = lambda: ray.data.read_parquet(  # noqa: E731
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    bits_ref = bloom_bits(read().map_batches(side(True), batch_format="pyarrow"), n=5)
+    out = bloom_contamination(
+        read().map_batches(side(False), batch_format="pyarrow"), bits_ref, n=5
     )
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
@@ -2662,6 +2689,34 @@ def oracle_sql() -> dict[str, str]:
                    bool_or(b.g IS NOT NULL) AS contaminated
             FROM corpus c LEFT JOIN bench b USING (g)
             GROUP BY c.doc_id
+        """,
+        # Bloom twin: identical md5 gram hash, double-hashed bit positions
+        # ((h % m) + i·((h >> 32) | 1)) % m, hit = all k positions set
+        "doc_bloom_contamination": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks),
+            grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g FROM pos),
+            ghd AS (SELECT DISTINCT doc_id, md5_number_lower(g) AS h FROM grams),
+            ii AS (SELECT unnest(range(3)) AS i),
+            bpos AS (
+              SELECT DISTINCT
+                ((b.h % 1048576) + CAST(ii.i AS UBIGINT) * ((b.h >> 32) | 1)) % 1048576 AS p
+              FROM (SELECT DISTINCT h FROM ghd WHERE doc_id % 97 = 0) b CROSS JOIN ii
+            ),
+            corpus AS (SELECT * FROM ghd WHERE doc_id % 97 <> 0),
+            cpos AS (
+              SELECT c.doc_id, c.h, ii.i,
+                ((c.h % 1048576) + CAST(ii.i AS UBIGINT) * ((c.h >> 32) | 1)) % 1048576 AS p
+              FROM corpus c CROSS JOIN ii
+            ),
+            gram_hit AS (
+              SELECT doc_id, h, bool_and(p IN (SELECT p FROM bpos)) AS hit
+              FROM cpos GROUP BY doc_id, h
+            )
+            SELECT doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                   bool_or(hit) AS contaminated
+            FROM gram_hit GROUP BY doc_id
         """,
         "doc_stratified_sample": """
             SELECT doc_id, lang FROM documents

@@ -572,3 +572,116 @@ def dsir_weights(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _flat_gram_strings(
+    texts: pa.ChunkedArray | pa.Array, n: int
+) -> tuple[np.ndarray, pa.Array]:
+    """(doc_index, gram_string) for every token n-gram — the string-level
+    sibling of :func:`_flat_grams` for ops whose hash must be
+    SQL-reproducible (md5) rather than engine-internal (siphash)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern(pc.cast(texts, pa.large_string()), " ")
+    offsets = toks.offsets.to_numpy()
+    flat = toks.flatten()
+    total = len(flat)
+    n_starts = total - n + 1
+    if n_starts <= 0:
+        return np.empty(0, np.int64), pa.array([], pa.large_string())
+    lens = np.diff(offsets)
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)[:n_starts]
+    valid = (np.arange(n_starts, dtype=np.int64) + n) <= offsets[doc_of + 1]
+    parts = [flat.slice(j, n_starts) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, pa.scalar(" ", pa.large_string()))
+    return doc_of[valid], grams.filter(pa.array(valid))
+
+
+def _bloom_positions(g: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(k, len(g)) bit positions via double hashing from the md5-lower-64
+    gram hash: pos_i = (g % m + i·((g >> 32) | 1)) % m — pure uint64
+    arithmetic reproducible in SQL."""
+    h1 = g % np.uint64(m)
+    h2 = (g >> np.uint64(32)) | np.uint64(1)
+    return np.stack([(h1 + np.uint64(i) * h2) % np.uint64(m) for i in range(k)])
+
+
+def bloom_bits(
+    benchmark: ray.data.Dataset,
+    n: int = 5,
+    m: int = 1 << 20,
+    k: int = 3,
+    text_col: str = "text",
+) -> "ray.ObjectRef":
+    """Build a Bloom filter over the benchmark's token n-grams — the
+    memory-bounded scale path for decontamination when the exact gram set
+    (:func:`benchmark_gram_set`) outgrows a broadcast: the probe side
+    ships m/8 bytes (128 KiB at the default 2^20 bits) regardless of
+    benchmark size.  Per-batch partials are already m/8-byte bit arrays;
+    the driver reduce is a vector OR.  Gram hashing is md5-lower-64, so
+    the SQL oracle rebuilds the identical bit set."""
+    nbytes = m // 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, grams = _flat_gram_strings(t[text_col], n)
+        g = np.unique(_md5_u64_np(grams.to_pylist()))
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        if len(g):
+            pos = _bloom_positions(g, m, k).reshape(-1)
+            np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                             (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)))
+        return pa.table({"bits": [bits]})
+
+    parts = benchmark.map_batches(partial, batch_format="pyarrow").to_pandas()
+    bits = np.zeros(nbytes, dtype=np.uint8)
+    if len(parts) and "bits" in parts.columns:
+        for b in parts["bits"]:
+            bits |= np.asarray(b, dtype=np.uint8)
+    return ray.put(bits)
+
+
+def bloom_contamination(
+    corpus: ray.data.Dataset,
+    bits_ref: "ray.ObjectRef",
+    n: int = 5,
+    m: int = 1 << 20,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Approximate decontamination probe against a broadcast Bloom filter:
+    a gram counts as a hit iff ALL k of its bit positions are set (one-
+    sided error — every true benchmark gram hits; false-positive rate
+    ≈ (set_bits/m)^k).  Same output contract as
+    :func:`ngram_contamination` (doc_id, n_grams, n_hit, contaminated);
+    documents shorter than ``n`` tokens emit no row."""
+
+    def score(t: pa.Table) -> pa.Table:
+        bits = cached_get(bits_ref)
+        doc_of_all, grams = _flat_gram_strings(t[text_col], n)
+        h_all = _md5_u64_np(grams.to_pylist())
+        doc_of, h = _per_doc_distinct(doc_of_all, h_all)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ndocs = len(ids)
+        n_grams = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+        if len(h):
+            pos = _bloom_positions(h, m, k)
+            set_ = (
+                bits[(pos >> np.uint64(3)).astype(np.int64)]
+                & (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+            ) != 0
+            hit = set_.all(axis=0)
+        else:
+            hit = np.zeros(0, dtype=bool)
+        n_hit = np.bincount(doc_of, weights=hit, minlength=ndocs).astype(np.int64)
+        mask = n_grams > 0
+        return pa.table(
+            {
+                id_col: ids[mask],
+                "n_grams": n_grams[mask],
+                "n_hit": n_hit[mask],
+                "contaminated": n_hit[mask] > 0,
+            }
+        )
+
+    return corpus.map_batches(score, batch_format="pyarrow")

@@ -120,6 +120,7 @@ def _compare(query: str):
         "kg_kcore_events",
         "doc_simhash_dedup",
         "doc_token_entropy",
+        "doc_bloom_contamination",
     ],
 )
 def test_sql_oracle_matches_ray(query):

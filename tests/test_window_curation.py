@@ -172,3 +172,47 @@ def test_dsir_weights_prefer_target_like_docs(ray_session):
     w = out["dsir_weight"]
     assert min(w[0], w[5], w[1], w[6]) > max(w[2], w[3])
     assert (out["n_tokens"] > 0).all()
+
+
+def test_bloom_contamination_one_sided_vs_exact(ray_session):
+    """Every exact hit is a bloom hit (no false negatives); false
+    positives bounded; counts match the exact op on clean data."""
+    import numpy as np
+    import ray.data
+
+    from kgray.ops.curation import (
+        benchmark_gram_set,
+        bloom_bits,
+        bloom_contamination,
+        ngram_contamination,
+    )
+
+    bench_txt = ["the secret benchmark question about ancient rome history"]
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "prefix text the secret benchmark question about ancient rome history suffix",
+                "completely unrelated words about gardening and cooking recipes here",
+                "another clean document describing mountains rivers and weather patterns",
+            ],
+        }
+    )
+    bench = ray.data.from_pandas(pd.DataFrame({"doc_id": [0], "text": bench_txt}))
+    corp = ray.data.from_pandas(corpus)
+    exact = (
+        ngram_contamination(corp, benchmark_gram_set(bench, n=5), n=5)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    bloom = (
+        bloom_contamination(corp, bloom_bits(bench, n=5), n=5)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # one-sided: bloom hits >= exact hits, per doc
+    assert (bloom["n_hit"] >= exact["n_hit"]).all()
+    assert bool(bloom.loc[1, "contaminated"])
+    # at 2^20 bits with a ~dozen benchmark grams, FP probability is ~0
+    assert not bloom.loc[2, "contaminated"] and not bloom.loc[3, "contaminated"]
+    assert (bloom["n_grams"] == exact["n_grams"]).all()
