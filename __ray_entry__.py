@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- composed curation pipeline (kgray/pipelines/curation.py) --------
     q["corpus_curation"] = _q_corpus_curation
+    q["corpus_curation_fuzzy"] = _q_corpus_curation_fuzzy
     q["curated_packed"] = _q_curated_packed
 
     # --- sequence packing (kgray/ops/packing.py) -------------------------
@@ -391,6 +392,33 @@ def _curation_chunks(sf_dir: str):
     corpus = docs.map_batches(_mod_split(False), batch_format="pyarrow")
     benchmark = docs.map_batches(_mod_split(True), batch_format="pyarrow")
     return curate_corpus(corpus, benchmark, chunk_chars=64, overlap=16)
+
+
+def _q_corpus_curation_fuzzy(sf_dir: str) -> pd.DataFrame:
+    """The curation chain with MinHash NEAR-dup removal in the dedup slot
+    (kgray.pipelines.curation.curate_corpus_fuzzy) — boilerplate with one
+    edit collapses where the exact chain keeps both copies."""
+    import pyarrow as pa
+
+    from kgray.pipelines.curation import curate_corpus_fuzzy
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _mod_split(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            is_bench = t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+            return t.filter(pa.array(is_bench if keep_bench else ~is_bench))
+
+        return f
+
+    corpus = docs.map_batches(_mod_split(False), batch_format="pyarrow")
+    benchmark = docs.map_batches(_mod_split(True), batch_format="pyarrow")
+    return (
+        curate_corpus_fuzzy(corpus, benchmark, chunk_chars=64, overlap=16)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
 
 
 def _q_corpus_curation(sf_dir: str) -> pd.DataFrame:
@@ -1442,12 +1470,13 @@ def _wrapmul_sql(x: str, c: int) -> str:
     )
 
 
-def _minhash_sig_prefix() -> tuple[str, str]:
+def _minhash_sig_prefix(src: str = "documents", text_col: str = "text") -> tuple[str, str]:
     """Shared DuckDB prefix for every MinHash oracle: 3-token shingles →
     md5-lower-64 shingle hash (== md5_number_lower) → 63-perm universal
     minhash (the seeded permutation constants are read off a MinHasher
     instance and embedded as a VALUES table) → 21-band splitmix64 bucket
-    ids (wrap-around multiplies emulated in HUGEINT).  Returns
+    ids (wrap-around multiplies emulated in HUGEINT).  ``src``/``text_col``
+    point the chain at any (doc_id, text) CTE.  Returns
     (cte_block, band_cte_name); callers prepend ``WITH RECURSIVE`` and
     append their pair/clustering CTEs."""
     from kgray.ops.dedup import MinHasher
@@ -1474,8 +1503,8 @@ def _minhash_sig_prefix() -> tuple[str, str]:
         chain += f"b{i + 1} AS (SELECT doc_id, s1v, s2v, {e} AS x FROM {prev}),\n"
         prev = f"b{i + 1}"
     block = f"""tk AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
-  FROM documents
+  SELECT doc_id, list_filter(string_split({text_col}, ' '), t -> t <> '') AS toks
+  FROM {src}
 ),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
@@ -2244,6 +2273,91 @@ _CURATION_CTES = r"""clean AS MATERIALIZED (
             )"""
 
 
+def _curation_fuzzy_oracle_sql() -> str:
+    """Twin of curate_corpus_fuzzy: the _CURATION_CTES chain with the
+    exact keep-first dedup replaced by the MinHash clustering CTEs
+    (signature prefix pointed at the filtered/cleaned stream)."""
+    block, prev = _minhash_sig_prefix(src="filt", text_col="tc")
+    est = "2 * sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) >= 63"
+    return (
+        r"""
+WITH RECURSIVE clean AS MATERIALIZED (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS tc
+  FROM documents WHERE doc_id % 97 <> 0
+),
+c2 AS MATERIALIZED (
+  SELECT doc_id, tc, CAST(length(tc) AS BIGINT) AS n FROM clean
+),
+filt AS MATERIALIZED (
+  SELECT * FROM c2 WHERE n >= (SELECT quantile_disc(n, 0.25) FROM c2)
+),
+"""
+        + block
+        + f"""ranked AS (
+  SELECT doc_id, x AS bucket,
+         count(*) OVER (PARTITION BY x) AS cnt,
+         min(doc_id) OVER (PARTITION BY x) AS bmin
+  FROM {prev}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM ranked x JOIN ranked y
+    ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+  WHERE x.cnt <= 200
+  UNION
+  SELECT DISTINCT bmin AS a, doc_id AS b
+  FROM ranked WHERE cnt > 200 AND doc_id <> bmin
+),
+good AS (
+  SELECT c.a, c.b
+  FROM cand c JOIN sig sa ON sa.doc_id = c.a
+              JOIN sig sb ON sb.doc_id = c.b AND sb.p = sa.p
+  GROUP BY c.a, c.b
+  HAVING {est}
+),
+sym AS (SELECT a, b FROM good UNION SELECT b AS a, a AS b FROM good),
+reach AS (
+  SELECT a AS doc_id, b AS r FROM sym
+  UNION
+  SELECT reach.doc_id, sym.b AS r FROM reach JOIN sym ON sym.a = reach.r
+),
+roots AS (SELECT doc_id, least(min(r), doc_id) AS root FROM reach GROUP BY doc_id),
+fded AS MATERIALIZED (
+  SELECT f.doc_id, f.tc FROM filt f
+  LEFT JOIN roots r ON r.doc_id = f.doc_id
+  WHERE coalesce(r.root, f.doc_id) = f.doc_id
+),
+btoks AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 97 = 0),
+bench AS MATERIALIZED (
+  SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS g
+  FROM (SELECT t, unnest(range(1, len(t) - 3)) AS i FROM btoks)
+),
+ctoks AS (SELECT doc_id, string_split(tc, ' ') AS t FROM fded),
+cgrams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM ctoks)
+),
+survive AS MATERIALIZED (
+  SELECT d.doc_id, d.tc FROM fded d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cgrams g JOIN bench b ON b.g = g.g
+    WHERE g.doc_id = d.doc_id
+  )
+),
+chunkout AS MATERIALIZED (
+  SELECT s.doc_id, t.i AS chunk_idx,
+         substr(s.tc, CAST(t.i * 48 + 1 AS BIGINT), 64) AS chunk_text,
+         CAST(length(substr(s.tc, CAST(t.i * 48 + 1 AS BIGINT), 64)) AS BIGINT)
+           AS n_chars
+  FROM survive s
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
+  WHERE t.i = 0 OR (t.i - 1) * 48 + 64 < length(s.tc)
+)
+SELECT * FROM chunkout
+"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     transcripts_cte = f"WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
     cw = _closed_world_oracle_ctes()
@@ -2813,6 +2927,7 @@ def oracle_sql() -> dict[str, str]:
             WITH """ + _CURATION_CTES + r"""
             SELECT * FROM chunkout
         """,
+        "corpus_curation_fuzzy": _curation_fuzzy_oracle_sql(),
         "curated_packed": r"""
             -- capstone twin: the curation chain's chunk stream packed
             -- into 64-token training bins (same next-fit recursion as

@@ -809,6 +809,41 @@ def segment_dedup(
     return docs.map_batches(scrub, batch_format="pyarrow")
 
 
+def minhash_keep_canonical(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    driver_pair_max: int = 2_000_000,
+    driver_edge_max: int = 200_000,
+) -> ray.data.Dataset:
+    """Row-preserving FUZZY dedup for pipeline composition — the MinHash
+    sibling of :func:`dedup_keep_first`: cluster near-duplicates (shared
+    star-link / Dataset-pairs / clustering ladders) and keep only rows
+    whose cluster canonical is themselves, all other columns intact.
+
+    Consumes ``ds`` twice (signature pass + broadcast-set filter pass);
+    upstream stages re-execute rather than materialize — the same
+    two-re-reads trade the incremental temporal split makes."""
+    from kgray.functions.broadcast import cached_get
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b[id_col], "text": b[text_col]})
+
+    mapping = _minhash_mapping(
+        ds.map_batches(project, batch_format="pandas"),
+        threshold=threshold,
+        driver_pair_max=driver_pair_max,
+        driver_edge_max=driver_edge_max,
+    )
+    dropped_ref = ray.put(set(mapping))
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        return b[~b[id_col].isin(cached_get(dropped_ref))]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def minhash_dedup_against_store(
     docs: ray.data.Dataset,
     store_dir: str,

@@ -49,3 +49,37 @@ def curate_corpus(
         safe, id_col=id_col, text_col="text_clean",
         chunk_chars=chunk_chars, overlap=overlap,
     )
+
+
+def curate_corpus_fuzzy(
+    docs: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length_quantile: tuple[int, int] = (1, 4),
+    ngram_n: int = 5,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """:func:`curate_corpus` with NEAR-duplicate removal in the dedup
+    slot: MinHash-LSH clustering (star-linked skew guard, shared
+    verify/clustering ladders) keeps each near-dup cluster's min-id row —
+    the fuzzy chain a web-scale corpus actually needs (exact dedup misses
+    boilerplate-with-one-edit).  Same streaming shape; the fuzzy stage
+    adds the band shuffle and re-executes the cheap normalize+filter
+    prefix for its filter pass instead of materializing it."""
+    from kgray.ops.curation import normalize_text
+    from kgray.ops.dedup import minhash_keep_canonical
+
+    clean = normalize_text(docs, id_col=id_col, text_col=text_col)
+    kept = filter_by_length_quantile(clean, value_col="n_chars_clean", q=length_quantile)
+    deduped = minhash_keep_canonical(
+        kept, text_col="text_clean", id_col=id_col, threshold=threshold
+    )
+    bench_ref = benchmark_gram_set(benchmark, n=ngram_n, text_col=text_col)
+    safe = decontaminate(deduped, bench_ref, n=ngram_n, text_col="text_clean")
+    return split_documents(
+        safe, id_col=id_col, text_col="text_clean",
+        chunk_chars=chunk_chars, overlap=overlap,
+    )

@@ -46,3 +46,28 @@ def test_each_stage_fires(ray_session):
     assert (d1["n_chars"] <= 48).all()
     # overlap: consecutive windows share the trailing 8 chars
     assert d1["chunk_text"].iloc[0][-8:] == d1["chunk_text"].iloc[1][:8]
+
+
+def test_fuzzy_chain_collapses_near_dups_exact_chain_keeps(ray_session):
+    """Boilerplate with a one-word edit survives the exact chain but
+    collapses in the fuzzy chain (minhash_keep_canonical slot)."""
+    import ray.data
+
+    from kgray.pipelines.curation import curate_corpus, curate_corpus_fuzzy
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank " * 4
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [base, base.replace("river", "creek"), "totally different words " * 16],
+            }
+        )
+    )
+    bench = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [0], "text": ["held out benchmark sentence entirely distinct"]})
+    )
+    exact = curate_corpus(docs, bench, chunk_chars=64, overlap=16).to_pandas()
+    fuzzy = curate_corpus_fuzzy(docs, bench, chunk_chars=64, overlap=16).to_pandas()
+    assert set(exact["doc_id"]) == {1, 2, 3}  # one-word edit beats exact dedup
+    assert set(fuzzy["doc_id"]) == {1, 3}  # near-dup 2 collapsed onto 1

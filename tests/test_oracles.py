@@ -121,6 +121,7 @@ def _compare(query: str):
         "doc_simhash_dedup",
         "doc_token_entropy",
         "doc_bloom_contamination",
+        "corpus_curation_fuzzy",
     ],
 )
 def test_sql_oracle_matches_ray(query):
