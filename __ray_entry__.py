@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["doc_normalize"] = _q_doc_normalize
     q["doc_unigram_lm"] = _q_doc_unigram_lm
+    q["doc_unigram_lm_by_lang"] = _q_doc_unigram_lm_by_lang
     q["doc_bigram_lm"] = lambda sf: tx.bigram_lm_score(
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     )
@@ -658,6 +659,22 @@ def _q_doc_unigram_lm(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = unigram_lm_score(ds).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_unigram_lm_by_lang(sf_dir: str) -> pd.DataFrame:
+    """CCNet-faithful per-LANGUAGE unigram LM: every doc scored under its
+    own language's distribution (kgray.ops.text.unigram_lm_score_grouped)."""
+    from kgray.ops.text import unigram_lm_score_grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    return (
+        unigram_lm_score_grouped(ds, group_col="lang")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
 
 
 def _q_doc_normalize(sf_dir: str) -> pd.DataFrame:
@@ -3364,6 +3381,21 @@ def oracle_sql() -> dict[str, str]:
                          * 1e6 + 0.5) / 1e6 AS bits_per_token
             FROM toks t JOIN freq f ON t.tok = f.tok
             GROUP BY t.doc_id
+        """,
+        "doc_unigram_lm_by_lang": """
+            WITH toks AS (
+                SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ),
+            tot AS (SELECT lang, count(*) AS n FROM toks GROUP BY lang),
+            freq AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok)
+            SELECT t.doc_id, t.lang,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   floor((-sum(log2(f.c * 1.0 / tt.n)) / count(*))
+                         * 1e6 + 0.5) / 1e6 AS bits_per_token
+            FROM toks t JOIN freq f ON f.lang = t.lang AND f.tok = t.tok
+                        JOIN tot tt ON tt.lang = t.lang
+            GROUP BY t.doc_id, t.lang
         """,
         "events_dau": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,

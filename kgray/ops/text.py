@@ -604,3 +604,75 @@ def token_entropy(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def unigram_lm_score_grouped(
+    ds: ray.data.Dataset,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-GROUP unigram-LM cross-entropy — the faithful CCNet setup
+    (Wenzek et al. 2020 train one LM per language): each document is
+    scored under the model of ITS OWN group, so "rare for English" and
+    "rare for French" use different distributions.
+
+    Same two-pass driver-partial shape as :func:`unigram_lm_score`; the
+    count partials carry (group, token) keys, the broadcast table is one
+    log-prob Series keyed group\\x1ftoken, scoring stays a flattened
+    gather + ``reduceat``.  Returns (doc_id, group, n_tokens,
+    bits_per_token)."""
+    from kgray.functions.broadcast import cached_get
+
+    SEP = "\x1f"
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(pc.cast(texts, pa.large_string()), " ")
+        lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
+        flat = lists.flatten().to_pandas().astype(str)
+        grp = pd.Series(t[group_col].to_pylist()).astype(str)
+        key = pd.Series(np.repeat(grp.to_numpy(dtype=object), lens)).str.cat(flat, sep=SEP)
+        cnt = key.value_counts()
+        return pa.table(
+            {"key": cnt.index.to_numpy(dtype=object), "c": cnt.to_numpy(np.int64)}
+        )
+
+    parts = ds.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    if "key" in parts.columns and len(parts):
+        freq = parts.groupby("key", sort=False)["c"].sum()
+        grp_of = freq.index.to_series().str.split(SEP, n=1).str[0]
+        totals = freq.groupby(grp_of.to_numpy()).transform("sum")
+        logp = pd.Series(
+            np.log2(freq.to_numpy(dtype=np.float64) / totals.to_numpy(dtype=np.float64)),
+            index=freq.index,
+        )
+    else:
+        logp = pd.Series(dtype=np.float64)
+    logp_ref = ray.put(logp)
+
+    def score(t: pa.Table) -> pa.Table:
+        lp = cached_get(logp_ref)
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(pc.cast(texts, pa.large_string()), " ")
+        lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
+        flat = lists.flatten().to_pandas().astype(str)
+        grp = pd.Series(t[group_col].to_pylist()).astype(str)
+        key = pd.Series(np.repeat(grp.to_numpy(dtype=object), lens)).str.cat(flat, sep=SEP)
+        tok_lp = key.map(lp).to_numpy(dtype=np.float64)
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        sums = np.add.reduceat(tok_lp, offsets) if len(tok_lp) else np.zeros(0)
+        bits = _round6(-sums / lens)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                group_col: t[group_col],
+                "n_tokens": pa.array(lens, type=pa.int64()),
+                "bits_per_token": pa.array(bits, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -122,6 +122,7 @@ def _compare(query: str):
         "doc_token_entropy",
         "doc_bloom_contamination",
         "corpus_curation_fuzzy",
+        "doc_unigram_lm_by_lang",
     ],
 )
 def test_sql_oracle_matches_ray(query):

@@ -41,3 +41,37 @@ def test_partition_invariance(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_grouped_lm_scores_under_own_group_model(ray_session):
+    """A token common in group A but absent from group B must cost more
+    bits for a B doc than an A doc — per-group models, not one global."""
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.text import unigram_lm_score_grouped
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "lang": ["en", "en", "fr", "fr"],
+            "text": [
+                "hello world hello world",
+                "hello hello hello hello",
+                "bonjour monde bonjour monde",
+                "bonjour bonjour bonjour bonjour",
+            ],
+        }
+    )
+    out = (
+        unigram_lm_score_grouped(ray.data.from_pandas(df), group_col="lang")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # within each group: the all-same-token doc is cheaper than the mixed one
+    assert out.loc[1, "bits_per_token"] < out.loc[0, "bits_per_token"]
+    assert out.loc[3, "bits_per_token"] < out.loc[2, "bits_per_token"]
+    # the en model never saw french tokens and vice versa — symmetric
+    # corpora give identical bit costs across groups
+    assert out.loc[0, "bits_per_token"] == out.loc[2, "bits_per_token"]
+    assert (out["lang"] == df.set_index("doc_id")["lang"]).all()
