@@ -136,6 +136,13 @@ def run_bench() -> dict:
     timed("curated_packed", lambda: size(entry.queries()["curated_packed"](sf_dir)))
     timed("knn_join_self", lambda: size(entry.queries()["knn_join_self"](sf_dir)))
     timed("doc_minhash_incremental", lambda: size(entry.queries()["doc_minhash_incremental"](sf_dir)))
+    timed("doc_dsir_weights", lambda: size(entry.queries()["doc_dsir_weights"](sf_dir)))
+    timed("kg_kcore_events", lambda: size(entry.queries()["kg_kcore_events"](sf_dir)))
+    timed("doc_simhash_dedup", lambda: size(entry.queries()["doc_simhash_dedup"](sf_dir)))
+    timed("doc_token_entropy", lambda: size(entry.queries()["doc_token_entropy"](sf_dir)))
+    timed("doc_bloom_contamination", lambda: size(entry.queries()["doc_bloom_contamination"](sf_dir)))
+    timed("corpus_curation_fuzzy", lambda: size(entry.queries()["corpus_curation_fuzzy"](sf_dir)))
+    timed("doc_unigram_lm_by_lang", lambda: size(entry.queries()["doc_unigram_lm_by_lang"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {
