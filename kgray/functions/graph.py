@@ -511,16 +511,31 @@ def kcore(
         si = b[src_col].map(idx).to_numpy(dtype=np.int64)
         di = b[dst_col].map(idx).to_numpy(dtype=np.int64)
         keep = si != di  # self-loops don't count toward core degree
-        return pd.DataFrame({"si": si[keep], "di": di[keep]}).drop_duplicates()
+        # canonicalize a<b and pre-dedup per batch; the bucket groupby
+        # below finishes the GLOBAL dedup (an edge duplicated across
+        # batches must not double-count toward core degree — both rungs
+        # see the same deduped edge set)
+        lo = np.minimum(si[keep], di[keep])
+        hi = np.maximum(si[keep], di[keep])
+        out = pd.DataFrame({"si": lo, "di": hi}).drop_duplicates()
+        out["eb"] = ((out["si"] * 1315423911 + out["di"]) % 64).astype("int32")
+        return out
 
-    encoded = edges.map_batches(encode, batch_format="pandas").materialize()
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["si", "di"])[["si", "di"]]
+
+    encoded = (
+        edges.map_batches(encode, batch_format="pandas")
+        .groupby("eb")
+        .map_groups(dedup_bucket, batch_format="pandas")
+        .materialize()
+    )
     alive = np.ones(n, dtype=bool)
 
     def dedup_driver(e: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
-        lo = np.minimum(e["si"].to_numpy(), e["di"].to_numpy())
-        hi = np.maximum(e["si"].to_numpy(), e["di"].to_numpy())
-        uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
-        return uniq[:, 0], uniq[:, 1]
+        if not len(e) or "si" not in e.columns:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return e["si"].to_numpy(dtype=np.int64), e["di"].to_numpy(dtype=np.int64)
 
     if encoded.count() <= driver_edge_max:
         si, di = dedup_driver(encoded.to_pandas())

@@ -199,3 +199,25 @@ def test_kcore_peels_leaf_chain(ray_session):
 
     # k=3 on a triangle: everything peels
     assert len(kcore(ds, k=3)) == 0
+
+
+def test_kcore_dedups_edges_across_batches(ray_session):
+    """The same edge arriving in two different input blocks must count
+    once toward core degree in BOTH rungs (global bucket dedup)."""
+    import pandas as pd
+    import ray.data
+
+    from kgray.functions.graph import kcore
+
+    # path a-b-c: every node has degree <= 1 except b (2) -> 2-core empty.
+    # Without global dedup, the duplicated a-b edge would give a and b
+    # degree 2 and fake a surviving core.
+    b1 = pd.DataFrame({"a": ["a", "b"], "b": ["b", "c"]})
+    b2 = pd.DataFrame({"a": ["a"], "b": ["b"]})  # duplicate of edge a-b
+    ds = ray.data.from_pandas([b1, b2])
+    assert len(kcore(ds, k=2)) == 0
+    assert len(kcore(ds, k=2, driver_edge_max=0)) == 0
+    # and reversed duplicates (b-a vs a-b) also collapse
+    b3 = pd.DataFrame({"a": ["b"], "b": ["a"]})
+    ds2 = ray.data.from_pandas([b1, b3])
+    assert len(kcore(ds2, k=2)) == 0
