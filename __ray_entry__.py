@@ -1619,10 +1619,11 @@ def _minhash_incremental_oracle_sql() -> str:
     - run 2 (odd doc_ids): odd docs cluster among themselves the same way
       (roots2); separately each odd doc band-key-joins the SURVIVORS'
       band table and verifies est-Jaccard against the stored signature
-      (``sgood``); every odd cluster then adopts
-      least(min matched survivor over its members, cluster root) — the
-      reference's evolving-state rule (attach to the best existing
-      canonical, never merge two existing canonicals).
+      (``sgood``); every odd cluster that matched a survivor then adopts
+      the min-id MATCHED SURVIVOR as canonical (even when an odd member's
+      id is smaller) — the reference's evolving-state rule: attach to the
+      best existing canonical, never supersede or merge existing
+      canonicals (ADVICE r3 alignment).
     """
     est = "2 * sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) >= 63"
     block, prev = _minhash_sig_prefix()
@@ -1693,7 +1694,7 @@ cmatch AS (
 ),
 final2 AS (
   SELECT c.doc_id,
-         CASE WHEN m.sm IS NOT NULL THEN least(m.sm, c.root) ELSE c.root END
+         CASE WHEN m.sm IS NOT NULL THEN m.sm ELSE c.root END
            AS canonical_id
   FROM clus2 c LEFT JOIN cmatch m ON m.root = c.root
 ),
