@@ -757,7 +757,12 @@ def _kcore_oracle_sql(k: int = 2, rounds: int = 16) -> str:
     """Synchronized k-core peeling unrolled as MATERIALIZED CTE rounds
     (peeling is order-independent, so a fixed unroll that reaches the
     fixpoint equals kgray.functions.graph.kcore exactly; extra rounds
-    past the fixpoint are no-ops)."""
+    past the fixpoint are no-ops).  The engine always runs to the
+    fixpoint (ADVICE r3); the 16-round unroll here covers the events KG,
+    whose user↔event_type bipartite shape peels in <5 synchronized
+    rounds at every SF — a too-shallow unroll would surface as a hash
+    mismatch against the (exact) engine, never as a silently wrong
+    engine result."""
     parts = [
         """e0 AS MATERIALIZED (
             SELECT DISTINCT 'user ' || CAST(user_id AS VARCHAR) AS a,

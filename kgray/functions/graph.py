@@ -464,13 +464,18 @@ def kcore(
     src_col: str = "a",
     dst_col: str = "b",
     driver_edge_max: int = 200_000,
-    max_rounds: int = 64,
+    max_rounds: int | None = None,
 ) -> pd.DataFrame:
     """k-core decomposition membership: synchronized peeling — each round
     simultaneously removes every node whose degree in the surviving
     subgraph is < ``k`` — until a fixed point; returns the surviving
     (node, core_degree) rows.  The standard graph-cleanup primitive before
     community/centrality analytics (peels leaf chains and stragglers).
+
+    Always runs to the fixed point (every non-final round removes at
+    least one node, so the loop is bounded by the node count — no silent
+    non-fixpoint supergraph, ADVICE r3); pass ``max_rounds`` to instead
+    RAISE if convergence takes longer than expected.
 
     Scale shape (the pagerank/components ladder): the node vocabulary is
     collected once (bounded by edge-touched nodes), edges integer-encode
@@ -540,7 +545,8 @@ def kcore(
     if encoded.count() <= driver_edge_max:
         si, di = dedup_driver(encoded.to_pandas())
         deg = np.zeros(n, dtype=np.int64)
-        for _ in range(max_rounds):
+        rounds = 0
+        while True:
             live = alive[si] & alive[di]
             deg = (
                 np.bincount(si[live], minlength=n) + np.bincount(di[live], minlength=n)
@@ -549,12 +555,18 @@ def kcore(
             if not drop.any():
                 break
             alive &= ~drop
+            rounds += 1
+            if max_rounds is not None and rounds >= max_rounds:
+                raise RuntimeError(
+                    f"kcore: no fixpoint within max_rounds={max_rounds}"
+                )
     else:
         # distributed rounds: per-batch degree partials over the broadcast
         # alive mask (edges pre-canonicalized a<b per batch would not dedup
         # across batches, so the vocabulary-sized driver dedup degree uses
         # batch-distinct partials + a driver np.add over (node, count))
-        for _ in range(max_rounds):
+        rounds = 0
+        while True:
             a_ref = ray.put(alive)
 
             def degp(b: pd.DataFrame, a_ref=a_ref) -> pd.DataFrame:
@@ -575,6 +587,11 @@ def kcore(
             if not drop.any():
                 break
             alive &= ~drop
+            rounds += 1
+            if max_rounds is not None and rounds >= max_rounds:
+                raise RuntimeError(
+                    f"kcore: no fixpoint within max_rounds={max_rounds}"
+                )
 
     keep = alive & (deg >= k)
     return pd.DataFrame(

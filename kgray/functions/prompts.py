@@ -32,11 +32,13 @@ except ImportError:
 
 PROVIDER_CONFIGS = {
     # mirrors langchain_output_parser.py:38-71 (batch caps + inter-batch
-    # sleep per provider; "default" is the reference's UNKNOWN profile)
+    # sleep per provider; "default" is the reference's UNKNOWN profile,
+    # langchain_output_parser.py:63-70 — deliberately ultra-conservative
+    # for undetected providers: tiny batches, very long sleeps)
     "openai": {"max_elements": 40, "max_tokens": 8000, "sleep_time": 2.0},
     "mistral": {"max_elements": 1, "max_tokens": 10000, "sleep_time": 0.2},
     "claude": {"max_elements": 50, "max_tokens": 8000, "sleep_time": 1.2},
-    "default": {"max_elements": 20, "max_tokens": 4000, "sleep_time": 2},
+    "default": {"max_elements": 5, "max_tokens": 4000, "sleep_time": 10.0},
 }
 
 

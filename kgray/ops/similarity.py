@@ -386,7 +386,25 @@ def knn_join(
     rounded to 6 dp, ties broken by neighbor_id (matches the SQL oracle's
     ORDER BY cosine DESC, neighbor_id).
     """
-    dim = len(np.asarray(queries.take(1)[0]["embedding"]))
+    first = queries.take(1)
+    if not first:
+        # empty query side: return an empty result with the output schema
+        # (ADVICE r3 — the other ops' empty-input paths do the same).
+        # Arrow block, not pandas: zero-row pandas blocks drop their
+        # schema on to_pandas
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    dim = len(np.asarray(first[0]["embedding"]))
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))
     pow2 = 1 << np.arange(n_planes)
@@ -446,10 +464,19 @@ def knn_join(
         kk = min(k + 1, sims.shape[1])
         # deterministic boundary: cosine ties broken by neighbor_id, so a
         # tied candidate at the k+1 cut can never differ from the oracle's
-        # ORDER BY cosine DESC, neighbor_id pick
-        sel = np.empty((len(qids), kk), dtype=np.int64)
-        for i in range(len(qids)):
-            sel[i] = np.lexsort((cids, -sims[i]))[:kk]
+        # ORDER BY cosine DESC, neighbor_id pick.  ONE flattened lexsort
+        # over (query_row, -sim, neighbor_id) instead of a numpy call per
+        # query row (VERDICT r3 #3) — identical ordering, no Python loop
+        # in the dense-bucket hot path
+        nq, nc = sims.shape
+        order = np.lexsort(
+            (
+                np.tile(cids, nq),
+                -sims.ravel(),
+                np.repeat(np.arange(nq, dtype=np.int64), nc),
+            )
+        )
+        sel = order.reshape(nq, nc)[:, :kk] - (np.arange(nq, dtype=np.int64) * nc)[:, None]
         rows_q = np.repeat(qids, kk)
         rows_n = cids[sel.reshape(-1)]
         rows_s = np.take_along_axis(sims, sel, axis=1).reshape(-1)

@@ -115,3 +115,25 @@ def _run(name):
 )
 def test_empty_corpus_yields_empty_result(ray_session, name):
     assert _count(_run(name)) == 0
+
+
+def test_knn_join_empty_queries(ray_session):
+    """ADVICE r3: an empty query Dataset returns an empty
+    (query_id, neighbor_id, cosine, rank) result instead of IndexError."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.similarity import knn_join
+
+    corpus = ray.data.from_items(
+        [{"vec_id": i, "embedding": np.ones(4) * (i + 1)} for i in range(3)]
+    )
+    queries = ray.data.from_pandas(
+        pd.DataFrame({"query_id": pd.Series(dtype="int64"), "embedding": pd.Series(dtype=object)})
+    )
+    out = knn_join(queries, corpus, k=2)
+    # zero-row to_pandas drops columns (Ray quirk), so assert on the
+    # Dataset schema — what a downstream stage actually sees
+    assert out.schema().names == ["query_id", "neighbor_id", "cosine", "rank"]
+    assert out.count() == 0

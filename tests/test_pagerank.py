@@ -221,3 +221,24 @@ def test_kcore_dedups_edges_across_batches(ray_session):
     b3 = pd.DataFrame({"a": ["b"], "b": ["a"]})
     ds2 = ray.data.from_pandas([b1, b3])
     assert len(kcore(ds2, k=2)) == 0
+
+
+def test_kcore_deep_peel_chain_runs_to_fixpoint(ray_session):
+    """ADVICE r3: a long path graph needs ~n/2 synchronized peel rounds
+    (two endpoints drop per round); the engine must reach the fixpoint
+    (empty 2-core) rather than silently returning a supergraph at a fixed
+    round cap, and max_rounds must raise instead of truncating."""
+    import pytest
+    import ray.data
+
+    from kgray.functions.graph import kcore
+
+    n = 140  # ~70 synchronized rounds to peel — past any fixed 16/64 cap
+    edges = pd.DataFrame(
+        {"a": [f"n{i}" for i in range(n - 1)], "b": [f"n{i + 1}" for i in range(n - 1)]}
+    )
+    ds = ray.data.from_pandas(edges)
+    assert len(kcore(ds, k=2)) == 0
+    assert len(kcore(ds, k=2, driver_edge_max=0)) == 0
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        kcore(ds, k=2, max_rounds=3)
