@@ -84,21 +84,29 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     driver_edge_max: int = 200_000,
+    driver_node_max: int = 10_000_000,
+    num_buckets: int = 64,
 ) -> pd.DataFrame:
     """Weighted PageRank with uniform dangling-mass redistribution.
 
-    Scale shape: the EDGE stream never leaves the cluster — it is
-    integer-encoded once (node → dense index via a broadcast vocabulary)
-    and re-streamed per iteration; each batch collapses to a sparse
-    (node_idx, inflow) partial via ``np.bincount``, so the driver reduces
-    ``blocks × nodes_touched`` rows per iteration and holds only the
-    node-sized rank/out-weight vectors (the same driver-state budget as
-    the entity-resolution vocabulary; a bucketed-join variant is the
-    upgrade path past ~10^8 nodes).
+    Scale ladder (VERDICT r3 #6): the EDGE stream never leaves the
+    cluster on any rung.  Below ``driver_edge_max`` edges a driver numpy
+    loop finishes instantly; between that and ``driver_node_max`` nodes
+    the edge stream is integer-encoded once (node → dense index via a
+    broadcast vocabulary) and re-streamed per iteration with sparse
+    ``np.bincount`` partials — driver holds the node-sized rank vector;
+    past ``driver_node_max`` (or with the knob forced to 0) NO node-sized
+    driver state exists: ranks live as a hash-bucketed (node, out_w, r)
+    Dataset and each iteration is two reduce-side joins (rank→edge-src
+    co-location emits per-dst flow partials; flow→node co-location sums
+    inflow and rewrites ranks), with only scalar dangling-mass reductions
+    on the driver (see :func:`_pagerank_bucketed`).
 
     Float evaluation order mirrors the SQL oracle exactly:
     ``(r[src] * w) / out_w[src]`` per edge, ``damping * (inflow +
-    dangling_mass / N)`` per node.
+    dangling_mass / N)`` per node (distributed rungs sum inflow partials
+    in shuffle order — agreement with the oracle is at the output's 1e-6
+    rounding, same as the encoded rung).
     """
     import numpy as np
     import pyarrow as pa
@@ -130,7 +138,21 @@ def pagerank(
             }
         )
 
-    vocab = edges.map_batches(vocab_partial, batch_format="pyarrow").to_pandas()
+    vp = edges.map_batches(vocab_partial, batch_format="pyarrow").materialize()
+    # rung pick WITHOUT collecting the vocabulary: per-block partial rows
+    # upper-bound the distinct node count
+    if driver_node_max <= 0 or vp.count() > driver_node_max:
+        return _pagerank_bucketed(
+            edges,
+            vp,
+            src_col=src_col,
+            dst_col=dst_col,
+            weight_col=weight_col,
+            damping=damping,
+            iterations=iterations,
+            num_buckets=num_buckets,
+        )
+    vocab = vp.to_pandas()
     if "node" in vocab.columns:
         nodes_df = vocab.groupby("node", sort=True)["out_w"].sum()
     else:  # zero-row input: partials never materialized a schema
@@ -199,6 +221,199 @@ def pagerank(
 
     pr = np.floor(r * 1e6 + 0.5) / 1e6  # half-away, matches DuckDB round()
     return pd.DataFrame({"node": node_names, "pr": pr})
+
+
+def _pagerank_bucketed(
+    edges: ray.data.Dataset,
+    vp: ray.data.Dataset,
+    *,
+    src_col: str,
+    dst_col: str,
+    weight_col: str | None,
+    damping: float,
+    iterations: int,
+    num_buckets: int,
+) -> pd.DataFrame:
+    """PageRank rung with NO node-sized driver state (VERDICT r3 #6 —
+    the upgrade path past the broadcast-vocabulary ceiling): ranks live
+    as a hash-bucketed (node, out_w, r) Dataset keyed by the node NAME
+    (no integer encoding — an encoding dict would itself be node-sized
+    driver state).
+
+    Per iteration: (1) a scalar dangling-mass reduction; (2) rank rows
+    and edge rows co-locate in hash(src) buckets and each bucket emits
+    per-dst flow partials, pre-summed within the bucket; (3) flow
+    partials and the rank base co-locate in hash(node) buckets and each
+    bucket rewrites its ranks.  Driver traffic is one float per
+    iteration; everything else is two bounded all-to-alls over the edge
+    stream + the (node-count-sized, bucketed) rank state.
+
+    ``vp``: the per-block (node, out_w) vocabulary partials, reused so
+    the edge stream isn't re-scanned for the node table.
+    """
+    import numpy as np
+
+    B = num_buckets
+
+    def _nb(names) -> np.ndarray:
+        return (
+            pd.util.hash_array(np.asarray(names, dtype=object)) % np.uint64(B)
+        ).astype("int32")
+
+    def tag_nodes(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "nb": _nb(b["node"]),
+                "node": b["node"].astype(object),
+                "out_w": b["out_w"].astype(np.float64),
+            }
+        )
+
+    def combine_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", sort=False)["out_w"].sum().reset_index()
+        out.insert(0, "nb", _nb(out["node"]))
+        return out
+
+    nodes = (
+        vp.map_batches(tag_nodes, batch_format="pandas")
+        .groupby("nb")
+        .map_groups(combine_nodes, batch_format="pandas")
+        .materialize()
+    )
+    n = nodes.count()
+    if n == 0:
+        return pd.DataFrame(
+            {"node": pd.Series(dtype=object), "pr": pd.Series(dtype="float64")}
+        )
+
+    # shared wide schema for every unioned stream (pandas-block unions
+    # need identical schemas): kind 0 = rank row (w=out_w, r=rank),
+    # kind 1 = edge row (node=src, dst, w=weight), kind 2 = flow partial
+    # (node=dst, r=partial inflow)
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bkt": pd.Series(dtype="int32"),
+                "kind": pd.Series(dtype="int8"),
+                "node": pd.Series(dtype=object),
+                "dst": pd.Series(dtype=object),
+                "w": pd.Series(dtype="float64"),
+                "r": pd.Series(dtype="float64"),
+            }
+        )
+
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        w = (
+            b[weight_col].to_numpy(dtype=np.float64)
+            if weight_col is not None
+            else np.ones(len(b))
+        )
+        return pd.DataFrame(
+            {
+                "bkt": _nb(b[src_col]),
+                "kind": np.ones(len(b), dtype=np.int8),
+                "node": b[src_col].astype(object),
+                "dst": b[dst_col].astype(object),
+                "w": w,
+                "r": np.zeros(len(b)),
+            }
+        )
+
+    edges_b = edges.map_batches(edge_rows, batch_format="pandas").materialize()
+
+    def init_rank(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bkt": b["nb"].astype("int32"),
+                "kind": np.zeros(len(b), dtype=np.int8),
+                "node": b["node"].astype(object),
+                "dst": np.full(len(b), "", dtype=object),
+                "w": b["out_w"].to_numpy(dtype=np.float64),
+                "r": np.full(len(b), 1.0 / n),
+            }
+        )
+
+    rank = nodes.map_batches(init_rank, batch_format="pandas").materialize()
+
+    def flow_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rk = g[g["kind"] == 0]
+        e = g[g["kind"] == 1]
+        if not len(e) or not len(rk):
+            return _empty()
+        m = e.merge(
+            rk[["node", "w", "r"]].rename(columns={"w": "ow", "r": "rr"}), on="node"
+        )
+        flow = m["rr"].to_numpy() * m["w"].to_numpy() / m["ow"].to_numpy()
+        out = (
+            pd.DataFrame({"node": m["dst"].to_numpy(dtype=object), "f": flow})
+            .groupby("node", sort=False)["f"]
+            .sum()
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "bkt": _nb(out["node"]),
+                "kind": np.full(len(out), 2, dtype=np.int8),
+                "node": out["node"].astype(object),
+                "dst": np.full(len(out), "", dtype=object),
+                "w": np.zeros(len(out)),
+                "r": out["f"].to_numpy(dtype=np.float64),
+            }
+        )
+
+    def mass_partial(b: pd.DataFrame) -> pd.DataFrame:
+        z = b[(b["kind"] == 0) & (b["w"] == 0.0)]
+        return pd.DataFrame({"m": [float(z["r"].sum())]})
+
+    for _ in range(iterations):
+        mass = float(
+            rank.map_batches(mass_partial, batch_format="pandas").to_pandas()["m"].sum()
+        )
+
+        def update_in_bucket(
+            g: pd.DataFrame, mass=mass, n=n, damping=damping
+        ) -> pd.DataFrame:
+            base = g[g["kind"] == 0]
+            if not len(base):
+                return _empty()
+            fl = g[g["kind"] == 2]
+            inflow = (
+                fl.groupby("node", sort=False)["r"].sum()
+                if len(fl)
+                else pd.Series(dtype="float64")
+            )
+            iv = base["node"].map(inflow).fillna(0.0).to_numpy(dtype=np.float64)
+            r_new = (1.0 - damping) / n + damping * (iv + mass / n)
+            return pd.DataFrame(
+                {
+                    "bkt": base["bkt"].astype("int32"),
+                    "kind": np.zeros(len(base), dtype=np.int8),
+                    "node": base["node"].astype(object),
+                    "dst": np.full(len(base), "", dtype=object),
+                    "w": base["w"].to_numpy(dtype=np.float64),
+                    "r": r_new,
+                }
+            )
+
+        flows = (
+            rank.union(edges_b)
+            .groupby("bkt")
+            .map_groups(flow_in_bucket, batch_format="pandas")
+        )
+        rank = (
+            rank.union(flows)
+            .groupby("bkt")
+            .map_groups(update_in_bucket, batch_format="pandas")
+            .materialize()
+        )
+
+    out = rank.to_pandas()
+    pr = np.floor(out["r"].to_numpy(dtype=np.float64) * 1e6 + 0.5) / 1e6
+    return (
+        pd.DataFrame({"node": out["node"].astype(object), "pr": pr})
+        .sort_values("node", kind="mergesort")
+        .reset_index(drop=True)
+    )
 
 
 def connected_components(
@@ -412,23 +627,38 @@ def k_hop_neighborhood(
     directed: bool = False,
     src_col: str = "subj_name",
     dst_col: str = "obj_name",
+    frontier_broadcast_max: int = 1_000_000,
 ) -> pd.DataFrame:
     """BFS subgraph extraction (the GraphRAG retrieval primitive): every
     node within ``hops`` of the seed set, labeled with its first-reach
     hop.  Seeds are hop 0 whether or not they appear in the graph.
 
-    One streaming broadcast-frontier pass per hop: the frontier ships via
-    ``ray.put`` (never per batch), each edge block emits its batch-distinct
-    matches, and the driver merges per-hop node sets.  Driver state is
-    bounded by the REACHED node set — the same driver rung pagerank and
-    connected_components use below ~200k nodes (kgray/functions/graph.py
-    ladder); above that, swap the frontier set for a hash-bucketed
-    Dataset join, hop by hop.  The reference has no graph-query layer;
-    this extends the engine's analytics the way pagerank does.
+    Ladder (VERDICT r3 #6): while the frontier fits
+    ``frontier_broadcast_max`` it ships via ``ray.put`` (never per batch)
+    and each edge block emits its batch-distinct matches — driver state
+    bounded by the reached set.  The moment a frontier outgrows the knob
+    (or with the knob forced to 0), the remaining hops run as
+    hash-bucketed Dataset joins: frontier rows co-locate with edge rows
+    in hash(endpoint) buckets to emit neighbors, neighbors co-locate with
+    visited rows in hash(node) buckets for the anti-join, and only the
+    final result (inherently reached-set-sized — it IS the return value)
+    is collected.  The reference has no graph-query layer; this extends
+    the engine's analytics the way pagerank does.
     """
     visited: dict[str, int] = {s: 0 for s in seeds}
     frontier = sorted(visited)
     for h in range(1, hops + 1):
+        if len(frontier) > frontier_broadcast_max or frontier_broadcast_max <= 0:
+            return _k_hop_bucketed(
+                edges,
+                visited,
+                frontier,
+                start_hop=h,
+                hops=hops,
+                directed=directed,
+                src_col=src_col,
+                dst_col=dst_col,
+            )
         f_ref = ray.put(np.array(frontier, dtype=object))
 
         def expand(b: pd.DataFrame, f_ref=f_ref) -> pd.DataFrame:
@@ -453,6 +683,125 @@ def k_hop_neighborhood(
         frontier = new
     return (
         pd.DataFrame({"name": list(visited), "hop": np.array(list(visited.values()), dtype=np.int64)})
+        .sort_values(["hop", "name"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def _k_hop_bucketed(
+    edges: ray.data.Dataset,
+    visited: dict[str, int],
+    frontier: list[str],
+    *,
+    start_hop: int,
+    hops: int,
+    directed: bool,
+    src_col: str,
+    dst_col: str,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Dataset-join BFS rung for frontiers past the broadcast knob: the
+    frontier and visited sets live as hash-bucketed Datasets; each hop is
+    two reduce-side co-locations (frontier×edges → neighbors, neighbors×
+    visited → anti-join) and ships one COUNT to the driver.  Entered
+    mid-BFS with whatever broadcast hops already reached."""
+
+    def _nb(names) -> np.ndarray:
+        return (
+            pd.util.hash_array(np.asarray(names, dtype=object)) % np.uint64(num_buckets)
+        ).astype("int32")
+
+    def _rows(names, hops_v, kind: int) -> pd.DataFrame:
+        names = np.asarray(names, dtype=object)
+        return pd.DataFrame(
+            {
+                "nb": _nb(names),
+                "kind": np.full(len(names), kind, dtype=np.int8),
+                "node": names,
+                "dst": np.full(len(names), "", dtype=object),
+                "hop": np.asarray(hops_v, dtype=np.int64),
+            }
+        )
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "nb": pd.Series(dtype="int32"),
+                "kind": pd.Series(dtype="int8"),
+                "node": pd.Series(dtype=object),
+                "dst": pd.Series(dtype=object),
+                "hop": pd.Series(dtype="int64"),
+            }
+        )
+
+    # edge stream bucketed ONCE by hash(walk source); undirected graphs
+    # double the stream with the reversed orientation so both directions
+    # co-locate with the frontier
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[src_col].to_numpy(dtype=object)
+        o = b[dst_col].to_numpy(dtype=object)
+        if not directed:
+            s, o = np.concatenate([s, o]), np.concatenate([o, s])
+        out = pd.DataFrame(
+            {
+                "nb": _nb(s),
+                "kind": np.ones(len(s), dtype=np.int8),
+                "node": s,
+                "dst": o,
+                "hop": np.zeros(len(s), dtype=np.int64),
+            }
+        )
+        return out.drop_duplicates(["node", "dst"])
+
+    edges_b = edges.map_batches(edge_rows, batch_format="pandas").materialize()
+    visited_ds = ray.data.from_pandas(
+        _rows(list(visited), list(visited.values()), kind=0)
+    ).materialize()
+    frontier_ds = ray.data.from_pandas(
+        _rows(frontier, [visited[f] for f in frontier], kind=2)
+    ).materialize()
+
+    def neighbors_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        fr = g.loc[g["kind"] == 2, "node"]
+        e = g[g["kind"] == 1]
+        if not len(fr) or not len(e):
+            return _empty()
+        hit = e.loc[e["node"].isin(set(fr)), "dst"].unique()
+        return _rows(hit, np.zeros(len(hit)), kind=3)
+
+    for h in range(start_hop, hops + 1):
+
+        def anti_join(g: pd.DataFrame, h=h) -> pd.DataFrame:
+            seen = set(g.loc[g["kind"] == 0, "node"])
+            cand = g.loc[g["kind"] == 3, "node"].unique()
+            new = np.array([c for c in cand if c not in seen], dtype=object)
+            return _rows(new, np.full(len(new), h), kind=0)
+
+        neigh = (
+            frontier_ds.union(edges_b)
+            .groupby("nb")
+            .map_groups(neighbors_in_bucket, batch_format="pandas")
+        )
+        new_vis = (
+            visited_ds.union(neigh)
+            .groupby("nb")
+            .map_groups(anti_join, batch_format="pandas")
+            .materialize()
+        )
+        if new_vis.count() == 0:
+            break
+        visited_ds = visited_ds.union(new_vis).materialize()
+
+        def as_frontier(b: pd.DataFrame) -> pd.DataFrame:
+            out = b.copy()
+            out["kind"] = np.full(len(b), 2, dtype=np.int8)
+            return out
+
+        frontier_ds = new_vis.map_batches(as_frontier, batch_format="pandas")
+
+    out = visited_ds.to_pandas()
+    return (
+        pd.DataFrame({"name": out["node"].astype(object), "hop": out["hop"].astype("int64")})
         .sort_values(["hop", "name"], kind="mergesort")
         .reset_index(drop=True)
     )

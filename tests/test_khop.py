@@ -45,3 +45,34 @@ def test_partition_invariance(ray_session):
     a = k_hop_neighborhood(_edges(pairs), seeds=["n0"], hops=4)
     b = k_hop_neighborhood(_edges(pairs).repartition(7), seeds=["n0"], hops=4)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bucketed_frontier_matches_broadcast_rung(ray_session):
+    """VERDICT r3 #6: frontier_broadcast_max=0 forces the hash-bucketed
+    Dataset-join BFS (frontier x edges co-location + visited anti-join);
+    result must match the broadcast rung exactly, directed and not."""
+    pairs = [(f"n{i}", f"n{i + 1}") for i in range(12)] + [
+        ("n3", "side1"), ("side1", "side2"), ("n5", "n2"), ("x", "y"),
+    ]
+    a = k_hop_neighborhood(_edges(pairs), seeds=["n0", "side2"], hops=2)
+    b = k_hop_neighborhood(
+        _edges(pairs), seeds=["n0", "side2"], hops=2, frontier_broadcast_max=0
+    )
+    pd.testing.assert_frame_equal(a, b)
+    ad = k_hop_neighborhood(_edges(pairs), seeds=["n1"], hops=2, directed=True)
+    bd = k_hop_neighborhood(
+        _edges(pairs), seeds=["n1"], hops=2, directed=True, frontier_broadcast_max=0
+    )
+    pd.testing.assert_frame_equal(ad, bd)
+
+
+def test_bucketed_frontier_mid_bfs_switch(ray_session):
+    """A frontier outgrowing the knob mid-BFS switches to the Dataset rung
+    for the REMAINING hops and still matches the pure-broadcast result."""
+    # star fan-out: hop-1 frontier = 12 nodes > knob 4
+    pairs = [("hub", f"leaf{i}") for i in range(12)] + [
+        (f"leaf{i}", f"deep{i}") for i in range(12)
+    ]
+    a = k_hop_neighborhood(_edges(pairs), seeds=["hub"], hops=2)
+    b = k_hop_neighborhood(_edges(pairs), seeds=["hub"], hops=2, frontier_broadcast_max=4)
+    pd.testing.assert_frame_equal(a, b)

