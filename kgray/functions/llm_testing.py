@@ -51,3 +51,37 @@ class EventsRuleBackedStructuredClient(RuleBackedStructuredClient):
 
     def __init__(self):
         self._rule = EventsRuleExtractor()
+
+
+class FaultInjectingEventsClient(EventsRuleBackedStructuredClient):
+    """Events rule-backed client that injects faults MID-STREAM on a
+    deterministic per-actor schedule: the 2nd request of each actor's
+    client raises a rate-limit error, the 4th returns a schema-invalid
+    payload, and every 9th request thereafter alternates the two — so a
+    live ``map_batches`` run exercises both retry paths (exponential for
+    rate limits, flat re-request for malformed output) inside every actor
+    while still converging to the exact rule-backed result.  No two fault
+    indices are adjacent, so a single retry always lands on a clean
+    request."""
+
+    def __init__(self):
+        super().__init__()
+        self._count = 0
+
+    def __call__(self, prompts):
+        from kgray.functions.retry import RateLimitError
+
+        self._count += 1
+        c = self._count
+        fault = None
+        if c == 2:
+            fault = "rate"
+        elif c == 4:
+            fault = "malformed"
+        elif c > 4 and c % 9 == 0:
+            fault = "rate" if (c // 9) % 2 else "malformed"
+        if fault == "rate":
+            raise RateLimitError("429 too many requests (injected)")
+        if fault == "malformed":
+            return [{"not_relationships": []} for _ in prompts]
+        return super().__call__(prompts)

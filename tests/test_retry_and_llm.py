@@ -323,3 +323,43 @@ def test_extractor_autodetects_provider_profile(ray_session):
     # no model, fake client carries no indicator -> reference-primary openai
     ex3 = LLMQuintupleExtractor(client_factory=RuleBackedStructuredClient)
     assert ex3.provider == "openai"
+
+
+def test_llm_extraction_e2e_under_injected_faults(ray_session):
+    """VERDICT r3 #7: the full events KG pipeline through the LLM path with
+    a client that rate-limits and returns schema-invalid payloads
+    MID-STREAM inside the live map_batches actors (deterministic per-actor
+    schedule, kgray.functions.llm_testing.FaultInjectingEventsClient) must
+    produce exactly the clean-client result — both retry paths absorbed in
+    flight, no rows lost or duplicated."""
+    from kgray.config import PipelineConfig as _PC
+    from kgray.functions.llm_testing import (
+        EventsRuleBackedStructuredClient,
+        FaultInjectingEventsClient,
+    )
+    from kgray.pipelines.kg import build_kg
+    from kgray.sources.events_transcripts import chunks_from_events
+    from kgray.stages.embed import HashEmbedder
+
+    cfg = _PC(extract_concurrency=2)
+    events = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+
+    def run(factory):
+        res = build_kg(
+            chunks=chunks_from_events(events, cfg.max_chunk_chars),
+            cfg=cfg,
+            embedder_factory=lambda: HashEmbedder(dim=cfg.embed_dim),
+            extractor_cls=LLMQuintupleExtractor,
+            extractor_kwargs={"client_factory": factory, "sleep": lambda s: None},
+        )
+        df = res.edges.to_pandas()
+        return (
+            df[["subj_name", "pred", "obj_name", "n_obs"]]
+            .sort_values(["subj_name", "pred", "obj_name"])
+            .reset_index(drop=True)
+        )
+
+    clean = run(EventsRuleBackedStructuredClient)
+    faulty = run(FaultInjectingEventsClient)
+    assert len(clean) > 0
+    pd.testing.assert_frame_equal(clean, faulty)
