@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["legacy_kg_triples_events"] = _q_legacy_kg_events
     q["kg_node_degrees_events"] = _q_node_degrees_events
     q["kg_incremental_closed_world"] = _q_kg_incremental
+    q["kg_incremental_events"] = _q_kg_incremental_events
     q["events_sample"] = _q_events_sample
 
     # --- conversation assembly (oracle-checked) --------------------------
@@ -1288,6 +1289,63 @@ def _q_kg_incremental(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(store, ignore_errors=True)
 
 
+def _q_kg_incremental_events(sf_dir: str) -> pd.DataFrame:
+    """Two-run incremental EVENTS KG through the persisted entity store
+    (VERDICT r3 #8 — the bench-scale twin of kg_incremental_closed_world):
+    even-user events build and persist the first KG; odd-user events
+    extend it.  Conversations are 1:1 with users, so each run ingests
+    whole conversations, while the shared event-type entities recur
+    across runs and must resolve to the STORED canonicals (the ST4
+    evolving-state rule, atom.py:196-208).  The merged edge aggregate
+    equals the one-shot build, so kg_triples_events' SQL is the oracle."""
+    import shutil
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.compute as pc
+
+    from kgray.pipelines.kg import save_kg_store
+
+    def half(rem: int):
+        def f(t):
+            ids = t["user_id"]
+            return t.filter(
+                pc.equal(pc.cast(pc.bit_wise_and(ids, 1), _pa.int64()), rem)
+            )
+
+        return f
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    emb = lambda: HashEmbedder(dim=_CFG.embed_dim)
+    store = tempfile.mkdtemp(prefix="kgray_incev_", dir="/tmp")
+    try:
+        run_a = build_kg(
+            chunks=chunks_from_events(
+                events.map_batches(half(0), batch_format="pyarrow"),
+                _CFG.max_chunk_chars,
+            ),
+            cfg=_CFG,
+            embedder_factory=emb,
+            extractor_cls=EventsRuleExtractor,
+        )
+        save_kg_store(run_a, store)
+        run_b = build_kg(
+            chunks=chunks_from_events(
+                events.map_batches(half(1), batch_format="pyarrow"),
+                _CFG.max_chunk_chars,
+            ),
+            cfg=_CFG,
+            embedder_factory=emb,
+            extractor_cls=EventsRuleExtractor,
+            existing_store=store,
+        )
+        return _edges_scalar(run_b.edges)[
+            ["subj_name", "subj_label", "pred", "obj_name", "obj_label", "n_obs"]
+        ]
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 SNAPSHOT_DATE = "2020-06-01"
 
 
@@ -2418,6 +2476,19 @@ def oracle_sql() -> dict[str, str]:
         "kg_incremental_closed_world": f"""WITH {cw}
             SELECT subj_name, subj_label, pred, obj_name, obj_label, n_dates
             FROM merged""",
+        # two-run store build == one-shot build (whole conversations per
+        # run, entity reuse via the persisted store), so the one-shot
+        # events aggregate is the oracle
+        "kg_incremental_events": """
+            SELECT 'user ' || CAST(user_id AS VARCHAR) AS subj_name,
+                   'user' AS subj_label,
+                   'did' AS pred,
+                   event_type AS obj_name,
+                   'event_type' AS obj_label,
+                   count(*) AS n_obs
+            FROM events
+            GROUP BY user_id, event_type
+        """,
         "kg_triples_events": """
             SELECT 'user ' || CAST(user_id AS VARCHAR) AS subj_name,
                    'user' AS subj_label,

@@ -143,6 +143,7 @@ def run_bench() -> dict:
     timed("doc_bloom_contamination", lambda: size(entry.queries()["doc_bloom_contamination"](sf_dir)))
     timed("corpus_curation_fuzzy", lambda: size(entry.queries()["corpus_curation_fuzzy"](sf_dir)))
     timed("doc_unigram_lm_by_lang", lambda: size(entry.queries()["doc_unigram_lm_by_lang"](sf_dir)))
+    timed("kg_incremental_events", lambda: size(entry.queries()["kg_incremental_events"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

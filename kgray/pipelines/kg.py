@@ -159,10 +159,26 @@ def build_kg(
 
     canon = apply_resolution(quintuples, ent_map, pred_map)
     if store is not None and store.edges is not None:
+        import numpy as np
+
         from kgray.state.store import edges_as_canon_rows
 
         old_canon = apply_resolution(edges_as_canon_rows(store.edges), ent_map, pred_map)
-        canon = canon.select_columns(_CANON_COLS).union(old_canon.select_columns(_CANON_COLS))
+
+        # fresh quintuples carry one observation each; stored edges carry
+        # their accumulated n_obs — the merge sums the column, so counts
+        # survive the store round-trip instead of resetting to 1
+        def one_obs(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "n_obs", pa.array(np.ones(len(t), dtype=np.int64))
+            )
+
+        cols = _CANON_COLS + ["n_obs"]
+        canon = (
+            canon.map_batches(one_obs, batch_format="pyarrow")
+            .select_columns(cols)
+            .union(old_canon.select_columns(cols))
+        )
     edges = merge_triples(canon)
 
     if getattr(ent_map, "identity_omitted", False):

@@ -128,13 +128,16 @@ def edges_as_canon_rows(edges: ray.data.Dataset) -> ray.data.Dataset:
     )
 
     def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         n = len(t)
         # parquet round-trips strings as string/list<string>; cast back to
         # the live stream's large_string layout so union block concat works
         out = t.select(target.names).cast(target)
         out = out.append_column("obs_date", pa.array([""] * n, type=pa.large_string()))
-        return out.append_column(
-            "sort_key", t["first_seen"].cast(pa.large_string())
-        )
+        out = out.append_column("sort_key", t["first_seen"].cast(pa.large_string()))
+        # observation counts are evolving state: without this the merge
+        # would reset every stored triple to n_obs=1 on re-entry
+        return out.append_column("n_obs", pc.cast(t["n_obs"], pa.int64()))
 
     return edges.map_batches(prep, batch_format="pyarrow")
