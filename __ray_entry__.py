@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_value_percentile"] = _q_events_value_percentile
     q["events_dau"] = _q_events_dau
     q["events_transitions"] = _q_events_transitions
+    q["events_sessions"] = _q_events_sessions
     q["events_zscore_outliers"] = _q_events_zscore_outliers
     q["doc_top_tokens"] = _q_doc_top_tokens
 
@@ -543,6 +544,19 @@ def _q_events_transitions(sf_dir: str) -> pd.DataFrame:
         ray.data.read_parquet(
             f"{sf_dir}/events.parquet",
             columns=["user_id", "ts", "event_id", "event_type"],
+        )
+    )
+
+
+def _q_events_sessions(sf_dir: str) -> Any:
+    """Gap-based sessionization (30-min gap): one user-bucket shuffle,
+    vectorized boundary diff + per-session aggregate inside the bucket;
+    output stays a session-count-sized Dataset."""
+    from kgray.ops.temporal import sessionize
+
+    return sessionize(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
         )
     )
 
@@ -3491,6 +3505,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM seq WHERE nxt IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) - 1 AS session_idx
+              FROM o
+            )
+            SELECT user_id,
+                   CAST(session_idx AS BIGINT) AS session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(floor(min(epoch(ts))) AS BIGINT) AS start_s,
+                   CAST(floor(max(epoch(ts))) AS BIGINT) AS end_s
+            FROM s GROUP BY user_id, session_idx
         """,
         "events_value_percentile": """
             -- global rank/CDF transform twin: cume_dist over the

@@ -144,6 +144,7 @@ def run_bench() -> dict:
     timed("corpus_curation_fuzzy", lambda: size(entry.queries()["corpus_curation_fuzzy"](sf_dir)))
     timed("doc_unigram_lm_by_lang", lambda: size(entry.queries()["doc_unigram_lm_by_lang"](sf_dir)))
     timed("kg_incremental_events", lambda: size(entry.queries()["kg_incremental_events"](sf_dir)))
+    timed("events_sessions", lambda: size(entry.queries()["events_sessions"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

@@ -445,3 +445,76 @@ def event_transitions(
         .reset_index(drop=True)
     )
     return out
+
+
+def sessionize(
+    events: "ray.data.Dataset",
+    gap_s: int = 1800,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Gap-based sessionization: split each user's event stream into
+    sessions wherever consecutive events are more than ``gap_s`` seconds
+    apart — the standard clickstream/agent-trace grouping primitive.
+    Returns one row per session: (user_id, session_idx, n_events,
+    start_s, end_s), timestamps as epoch seconds.
+
+    Scale shape: ONE user-hash bucket shuffle co-locates each user's
+    history (the keyed_window partitioning assumption); inside a bucket
+    the session boundaries are a vectorized diff + cumsum and the
+    per-session aggregate is final — the output stays a Dataset
+    (session-count-sized, corpus-proportional) and never lands on the
+    driver.  Ordering is (ts, event_id) within user — deterministic under
+    timestamp ties, mirroring the SQL window twin.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def add_bucket(b: "pd.DataFrame") -> "pd.DataFrame":
+        b = b.copy()
+        b["bucket"] = (b["user_id"] % num_buckets).astype("int32")
+        return b
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "session_idx": pd.Series(dtype="int64"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "start_s": pd.Series(dtype="int64"),
+                    "end_s": pd.Series(dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        # Arrow timestamps land in pandas as datetime64[us]; normalize to
+        # ns before the int view or the gap threshold is off by 1000x.
+        tns = g["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        t = tns // 10**9  # gaps compare at full precision; bounds floor to secs
+        new_s = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            same = u[1:] == u[:-1]
+            within = (tns[1:] - tns[:-1]) <= gap_s * 10**9
+            new_s[1:] = ~(same & within)
+        sid = np.cumsum(new_s) - 1  # unique per session within the bucket
+        df = pd.DataFrame({"user_id": u, "t": t, "sid": sid})
+        agg = (
+            df.groupby("sid", sort=True)
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("t", "size"),
+                start_s=("t", "min"),
+                end_s=("t", "max"),
+            )
+            .reset_index(drop=True)
+        )
+        agg["session_idx"] = agg.groupby("user_id", sort=False).cumcount()
+        return agg[["user_id", "session_idx", "n_events", "start_s", "end_s"]].astype(
+            "int64"
+        )
+
+    return (
+        events.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

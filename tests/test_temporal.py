@@ -186,3 +186,44 @@ def test_cohort_retention_cells(ray_session):
     assert out.loc[("2024-01-02", 0), "n_users"] == 1
     assert out.loc[("2024-01-02", 1), "n_users"] == 1
     assert ("2024-01-01", 1) not in out.index  # u1 inactive on day 2
+
+
+def test_sessionize_gap_boundaries(ray_session):
+    """Sessions split strictly when the gap EXCEEDS gap_s; ties in ts order
+    by event_id; per-user session_idx restarts at 0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.temporal import sessionize
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # user 1: 3 events within gaps, then a 31-min gap -> 2 sessions
+        (1, base, 10),
+        (1, base + pd.Timedelta(minutes=10), 11),
+        (1, base + pd.Timedelta(minutes=40), 12),  # exactly 1800s gap: SAME session
+        (1, base + pd.Timedelta(minutes=71, seconds=1), 13),  # >1800s: new session
+        # user 2: single event
+        (2, base, 20),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+    out = (
+        sessionize(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out["user_id"], out["session_idx"], out["n_events"]))
+    assert got == [(1, 0, 3), (1, 1, 1), (2, 0, 1)]
+    s0 = out.iloc[0]
+    assert s0["end_s"] - s0["start_s"] == 40 * 60
+
+    # partition invariance: the user-bucket shuffle rebuilds full histories
+    out7 = (
+        sessionize(ray.data.from_pandas(df).repartition(4))
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out7)
