@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["shipping_priority"] = rel.shipping_priority
     q["returned_items"] = rel.returned_items
     q["user_sessions"] = rel.user_sessions
+    q["dormant_customers"] = rel.dormant_customers
 
     q["doc_dsir_weights"] = _q_doc_dsir_weights
     q["doc_bloom_contamination"] = _q_doc_bloom_contamination
@@ -2835,6 +2836,18 @@ def oracle_sql() -> dict[str, str]:
                                  OR ts - prev_ts > INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM ordered GROUP BY user_id
+        """,
+        # Q22-shaped anti-join: dormant high-balance customers per nation
+        "dormant_customers": """
+            SELECT c_nationkey,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   round(sum(c_acctbal), 4) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0.0)
+              AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderdate >= DATE '2000-01-01')
+            GROUP BY c_nationkey
         """,
         # 6-hour tumbling window: epoch floor-division (make_timestamp keeps
         # the result a naive TIMESTAMP, matching the parquet column)

@@ -560,3 +560,136 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64) -> 
         .sort_values("user_id")
         .reset_index(drop=True)
     )
+
+
+def dormant_customers(
+    sf_dir: str,
+    since: str = "2000-01-01",
+    num_buckets: int = 64,
+    broadcast_keys_max: int = 5_000_000,
+) -> pd.DataFrame:
+    """TPC-H Q22-shaped ANTI-JOIN report: per-nation count + total balance
+    of customers whose account balance exceeds the global positive-balance
+    average and who placed NO order on/after ``since`` (dormant
+    high-balance accounts).
+
+    This is the one relational shape the other reports don't cover — a
+    fact-table NOT-EXISTS.  Scale ladder:
+
+    - the global average is two scalar passes over the (pruned, 3-column)
+      customer stream: per-batch (sum, count) partials, driver divide —
+      no shuffle;
+    - the orders side pre-shrinks to DISTINCT recent custkeys inside
+      ``map_batches`` (the anti-join only needs key existence, so the
+      combiner drops the fact stream to ≤ |customers| keys before any
+      exchange);
+    - below ``broadcast_keys_max`` order rows the distinct-key set
+      broadcasts once via ``ray.put`` and eligibility is a vectorized
+      ``np.isin`` filter per customer batch (no shuffle at all);
+    - above it — or with the knob forced to 0 — the key partials and the
+      eligible-customer stream meet in CUSTKEY hash buckets and each
+      bucket emits per-nation (count, balance) partials; the driver
+      reduces ≤ buckets x nations rows.
+    """
+    from kgray.functions.broadcast import cached_get
+
+    cutoff = pd.Timestamp(since)
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def avg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        pos = b.loc[b["c_acctbal"] > 0.0, "c_acctbal"]
+        return pd.DataFrame({"s": [pos.sum()], "n": [len(pos)]})
+
+    parts = cust_ds.map_batches(avg_partial, batch_format="pandas", batch_size=262144).to_pandas()
+    n_pos = int(parts["n"].sum())
+    if not n_pos:
+        return pd.DataFrame(
+            {
+                "c_nationkey": pd.Series(dtype="int64"),
+                "numcust": pd.Series(dtype="int64"),
+                "totacctbal": pd.Series(dtype="float64"),
+            }
+        )
+    threshold = float(parts["s"].sum()) / n_pos
+
+    orders_ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def recent_keys(b: pd.DataFrame) -> pd.DataFrame:
+        keys = np.unique(b.loc[b["o_orderdate"] >= cutoff, "o_custkey"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"ckey": keys})
+
+    keys_ds = orders_ds.map_batches(recent_keys, batch_format="pandas", batch_size=262144)
+
+    def finish(per_cust: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            per_cust.groupby("c_nationkey", sort=True)
+            .agg(numcust=("numcust", "sum"), totacctbal=("totacctbal", "sum"))
+            .reset_index()
+        )
+        out["c_nationkey"] = out["c_nationkey"].astype("int64")
+        out["numcust"] = out["numcust"].astype("int64")
+        out["totacctbal"] = out["totacctbal"].astype(float).round(4)
+        return out
+
+    if orders_ds.count() <= broadcast_keys_max:
+        keys = np.unique(keys_ds.to_pandas()["ckey"].to_numpy(dtype=np.int64))
+        keys_ref = ray.put(keys)
+
+        def anti(b: pd.DataFrame) -> pd.DataFrame:
+            k = cached_get(keys_ref)
+            b = b.loc[b["c_acctbal"] > threshold]
+            b = b.loc[~np.isin(b["c_custkey"].to_numpy(dtype=np.int64), k, assume_unique=False)]
+            return (
+                b.groupby("c_nationkey", sort=False)
+                .agg(numcust=("c_custkey", "size"), totacctbal=("c_acctbal", "sum"))
+                .reset_index()
+            )
+
+        return finish(
+            cust_ds.map_batches(anti, batch_format="pandas", batch_size=262144).to_pandas()
+        )
+
+    def cust_rows(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["c_acctbal"] > threshold]
+        return pd.DataFrame(
+            {
+                "bucket": (b["c_custkey"] % num_buckets).astype("int32"),
+                "ckey": b["c_custkey"].astype("int64"),
+                "side": np.int8(0),
+                "nation": b["c_nationkey"].astype("int64"),
+                "acctbal": b["c_acctbal"].astype(float),
+            }
+        )
+
+    def key_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": (b["ckey"] % num_buckets).astype("int32"),
+                "ckey": b["ckey"].astype("int64"),
+                "side": np.int8(1),
+                "nation": np.int64(-1),
+                "acctbal": 0.0,
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ordered = g.loc[g["side"] == 1, "ckey"].unique()
+        c = g[g["side"] == 0]
+        c = c.loc[~np.isin(c["ckey"].to_numpy(dtype=np.int64), ordered)]
+        return (
+            c.groupby("nation", sort=False)
+            .agg(numcust=("ckey", "size"), totacctbal=("acctbal", "sum"))
+            .reset_index()
+            .rename(columns={"nation": "c_nationkey"})
+        )
+
+    per_cust = (
+        cust_ds.map_batches(cust_rows, batch_format="pandas", batch_size=262144)
+        .union(keys_ds.map_batches(key_rows, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ buckets x nations rows
+    )
+    if "c_nationkey" not in per_cust.columns:  # all-empty blocks lose schema
+        return finish(pd.DataFrame({"c_nationkey": [], "numcust": [], "totacctbal": []}))
+    return finish(per_cust)

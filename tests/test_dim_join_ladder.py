@@ -25,3 +25,18 @@ def test_bucketed_dim_rung_matches_broadcast(ray_session, fn):
         broadcast.reset_index(drop=True), bucketed.reset_index(drop=True)
     )
     assert len(broadcast) > 0
+
+
+def test_anti_join_bucketed_rung_matches_broadcast(ray_session):
+    """The Q22-shaped NOT-EXISTS: forcing broadcast_keys_max=0 routes the
+    recent-order key set through custkey hash-bucket anti-joins and must
+    reproduce the broadcast-rung result exactly."""
+    from kgray.pipelines.relational import dormant_customers
+
+    broadcast = dormant_customers(SF)
+    bucketed = dormant_customers(SF, broadcast_keys_max=0)
+    pd.testing.assert_frame_equal(
+        broadcast.reset_index(drop=True), bucketed.reset_index(drop=True)
+    )
+    assert len(broadcast) > 0
+    assert broadcast["numcust"].sum() > 0
