@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- graph analytics (kgray/functions/graph.py) ----------------------
     q["kg_pagerank_events"] = _q_kg_pagerank_events
     q["kg_kcore_events"] = _q_kg_kcore_events
+    q["kg_link_prediction_events"] = _q_kg_link_prediction_events
     q["kg_khop_events"] = _q_kg_khop_events
 
     # --- sketches (kgray/ops/stats.py) -----------------------------------
@@ -767,6 +768,21 @@ def _q_kg_kcore_events(sf_dir: str) -> pd.DataFrame:
 
     out = kcore(_kg_events(sf_dir).edges, k=2, src_col="subj_name", dst_col="obj_name")
     return out.sort_values("node").reset_index(drop=True)
+
+
+def _q_kg_link_prediction_events(sf_dir: str) -> pd.DataFrame:
+    """Adamic-Adar link prediction over the events KG: non-adjacent node
+    pairs scored by shared neighbors (hub centers above 64 neighbors cut
+    identically on both sides).  The wedge blowup — the quadratic part —
+    is distributed: center-bucket shuffle, per-center triu emission,
+    pair-bucket reduce; only the edge-membership set broadcasts (the
+    documented connected_components budget)."""
+    from kgray.functions.graph import adamic_adar
+
+    out = adamic_adar(
+        _kg_events(sf_dir).edges, src_col="subj_name", dst_col="obj_name"
+    ).to_pandas()
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
 
 
 def _kcore_oracle_sql(k: int = 2, rounds: int = 16) -> str:
@@ -2652,6 +2668,33 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dedup": _minhash_oracle_sql(),
         "doc_minhash_incremental": _minhash_incremental_oracle_sql(),
         "kg_kcore_events": _kcore_oracle_sql(),
+        # Adamic-Adar link prediction: wedges through ≤64-degree centers,
+        # existing edges excluded — identical hub cut on both sides
+        "kg_link_prediction_events": """
+            WITH base AS (
+              SELECT DISTINCT 'user ' || CAST(user_id AS VARCHAR) AS s,
+                     event_type AS d
+              FROM events
+            ),
+            und AS (SELECT s AS z, d AS nbr FROM base
+                    UNION SELECT d, s FROM base),
+            deg AS (SELECT z, count(*) AS dg FROM und GROUP BY z),
+            wedge AS (
+              SELECT a.nbr AS u, b.nbr AS v, g.dg
+              FROM und a JOIN und b ON a.z = b.z AND a.nbr < b.nbr
+              JOIN deg g ON g.z = a.z
+              WHERE g.dg BETWEEN 2 AND 64
+            ),
+            agg AS (
+              SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+                     round(sum(1.0 / ln(CAST(dg AS DOUBLE))), 6) AS adamic_adar
+              FROM wedge GROUP BY u, v
+            )
+            SELECT u, v, common_neighbors, adamic_adar FROM agg
+            WHERE common_neighbors >= 1
+              AND NOT EXISTS (SELECT 1 FROM und e
+                              WHERE e.z = agg.u AND e.nbr = agg.v)
+        """,
         # per-term micro-quantization mirrored: -( (c/n) * log2(c/n) )
         "doc_token_entropy": """
             WITH tk AS (

@@ -946,3 +946,151 @@ def kcore(
     return pd.DataFrame(
         {"node": node_ids[keep], "core_degree": deg[keep].astype(np.int64)}
     )
+
+
+def adamic_adar(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_center_degree: int = 64,
+    min_common: int = 1,
+    num_buckets: int = 64,
+    exclude_existing: bool = True,
+) -> ray.data.Dataset:
+    """Link-prediction candidate scoring: for every non-adjacent node pair
+    sharing at least ``min_common`` neighbors, the common-neighbor count
+    and the Adamic-Adar score sum(1/ln(deg(z))) over shared neighbors z.
+
+    Scale shape — the quadratic part is fully distributed:
+    - the undirected adjacency never exists in one place: both edge
+      directions stream into hash(center) buckets (ONE shuffle), and each
+      bucket dedupes its centers' neighbor lists vectorized, then emits
+      wedge pairs per center via ``np.triu_indices`` — O(deg^2) work
+      happens where the center's rows already live;
+    - centers with more than ``max_center_degree`` neighbors are SKIPPED
+      (the standard hub cut: a hub's 1/ln(deg) weight is negligible while
+      its deg^2 wedge blowup is what kills all-pairs jobs; the SQL twin
+      applies the identical cut so the result is still oracle-exact);
+    - wedge partials pre-aggregate per (u, v) inside their bucket, then
+      meet once more in hash(u,v) pair buckets (second shuffle) for the
+      final sum — the driver never sees pairs;
+    - ``exclude_existing`` drops pairs that are already edges (prediction
+      targets must be NEW links).  The membership set is edge-universe-
+      sized and broadcasts via ``ray.put`` — the same documented budget as
+      ``connected_components``/``triangle_counts``; filtering happens on
+      the AGGREGATED pair stream, not per wedge.
+
+    Returns a Dataset (u, v, common_neighbors, adamic_adar) with u < v.
+    """
+    import ray
+
+    from kgray.functions.broadcast import cached_get
+
+    sep = "\x1f"
+
+    if exclude_existing:
+        raw = edges.select_columns([src_col, dst_col]).to_pandas()
+        if src_col in raw.columns and len(raw):
+            a = raw[src_col].astype(str)
+            b = raw[dst_col].astype(str)
+            lo = a.where(a <= b, b)
+            hi = b.where(a <= b, a)
+            edge_keys = set(lo + sep + hi)
+        else:
+            edge_keys = set()
+        edge_ref = ray.put(edge_keys)
+    else:
+        edge_ref = None
+
+    def und_rows(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[src_col].astype(str).to_numpy(dtype=object)
+        d = b[dst_col].astype(str).to_numpy(dtype=object)
+        z = np.concatenate([s, d])
+        nbr = np.concatenate([d, s])
+        out = pd.DataFrame({"z": z, "nbr": nbr})
+        out = out[out["z"] != out["nbr"]]
+        out["bucket"] = (
+            pd.util.hash_array(out["z"].to_numpy(dtype=object)) % num_buckets
+        ).astype("int32")
+        return out
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "u": pd.Series(dtype=object),
+                "v": pd.Series(dtype=object),
+                "common": pd.Series(dtype="int64"),
+                "aa": pd.Series(dtype="float64"),
+            }
+        )
+        if not len(g):
+            return empty
+        g = g[["z", "nbr"]].drop_duplicates()
+        g = g.sort_values(["z", "nbr"], kind="mergesort")
+        z = g["z"].to_numpy(dtype=object)
+        nbr = g["nbr"].to_numpy(dtype=object)
+        starts = np.flatnonzero(np.r_[True, z[1:] != z[:-1]])
+        ends = np.r_[starts[1:], len(z)]
+        us: list = []
+        vs: list = []
+        ws: list = []
+        for s, e in zip(starts, ends):
+            d = e - s
+            if d < 2 or d > max_center_degree:
+                continue
+            block = nbr[s:e]  # sorted unique neighbor list of this center
+            iu, iv = np.triu_indices(d, k=1)
+            us.append(block[iu])
+            vs.append(block[iv])
+            ws.append(np.full(len(iu), 1.0 / np.log(d)))
+        if not us:
+            return empty
+        out = pd.DataFrame(
+            {
+                "u": np.concatenate(us),
+                "v": np.concatenate(vs),
+                "w": np.concatenate(ws),
+            }
+        )
+        # pre-aggregate within the bucket: many centers here can share a pair
+        out = (
+            out.groupby(["u", "v"], sort=False)
+            .agg(common=("w", "size"), aa=("w", "sum"))
+            .reset_index()
+        )
+        out["common"] = out["common"].astype("int64")
+        return out
+
+    def add_pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            b = b.copy()
+            b["pbucket"] = pd.Series(dtype="int32")
+            return b
+        key = (b["u"].astype(str) + sep + b["v"].astype(str)).to_numpy(dtype=object)
+        b = b.copy()
+        b["pbucket"] = (pd.util.hash_array(key) % num_buckets).astype("int32")
+        return b
+
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["u", "v"], sort=False)
+            .agg(common_neighbors=("common", "sum"), adamic_adar=("aa", "sum"))
+            .reset_index()
+        )
+        out = out[out["common_neighbors"] >= min_common]
+        if edge_ref is not None and len(out):
+            keys = cached_get(edge_ref)
+            pair = out["u"].astype(str) + sep + out["v"].astype(str)
+            out = out[~pair.isin(keys)]
+        out["common_neighbors"] = out["common_neighbors"].astype("int64")
+        out["adamic_adar"] = out["adamic_adar"].astype(float).round(6)
+        return out
+
+    return (
+        edges.map_batches(und_rows, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(wedges, batch_format="pandas")
+        .map_batches(add_pair_bucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(reduce_pairs, batch_format="pandas")
+    )
