@@ -190,6 +190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_ngram_jaccard"] = lambda sf: dd.ngram_jaccard_pairs(
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     )
+    q["doc_dup_ngram_fraction"] = lambda sf: dd.dup_ngram_fraction(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    )
     q["doc_segment_dedup"] = lambda sf: dd.segment_dedup(
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     )
@@ -2755,6 +2758,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
         """,
         "doc_ngram_jaccard": _ngram_jaccard_oracle_sql(),
+        # duplicated-shingle fraction: same tk/sh/shh tokenization as the
+        # MinHash oracles (3-token shingles, md5-lower-64, per-doc distinct)
+        "doc_dup_ngram_fraction": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(toks) >= 3
+                     THEN list_transform(range(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i:i+2], ' '))
+                     ELSE [array_to_string(toks, ' ')] END)) AS shingle
+              FROM tk
+            ),
+            shh AS (SELECT doc_id, md5_number_lower(shingle) AS h FROM sh),
+            nd AS (SELECT h, count(DISTINCT doc_id) AS docs FROM shh GROUP BY h)
+            SELECT s.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(count(*) FILTER (n.docs > 1) AS BIGINT) AS n_shared,
+                   round(count(*) FILTER (n.docs > 1) * 1.0 / count(*), 6)
+                     AS dup_fraction
+            FROM shh s JOIN nd n USING (h)
+            GROUP BY s.doc_id
+        """,
         "knn_lsh": _knn_lsh_oracle_sql(),
         "knn_join_self": _knn_join_oracle_sql(),
         "knn_ivf": _knn_ivf_oracle_sql(),

@@ -1271,3 +1271,86 @@ def dedup_against_store(
         return out
 
     return candidates.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def dup_ngram_fraction(
+    docs: ray.data.Dataset,
+    shingle_n: int = 3,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-document duplicated-n-gram fraction — the exact-substring
+    dedup SCORE (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): for each doc, the share of its distinct word
+    shingles that also occur in at least one OTHER document.  Mass
+    boilerplate (headers, licence blocks, templated pages) surfaces as a
+    high fraction even when no whole-document pair is near-identical —
+    the regime MinHash misses.
+
+    Tokenization/hashing is bit-identical to :class:`MinHasher`
+    (3-token shingles, md5-lower-64) so the DuckDB twin shares the same
+    CTE prefix.
+
+    Scale shape: two bounded shuffles, nothing driver-resident —
+    (1) per-doc DISTINCT shingle hashes stream as (h, doc_id) pairs into
+    hash(h) buckets, where a vectorized transform marks shingles whose
+    bucket-group spans >1 doc (a shingle hash lives wholly in one
+    bucket, so the mark is globally exact) and collapses to per-doc
+    (n_shingles, n_shared) partials — output is docs x buckets bounded;
+    (2) partials meet in hash(doc_id) buckets for the final sum.
+    Returns a Dataset (doc_id, n_shingles, n_shared, dup_fraction).
+    """
+    hasher = MinHasher(shingle_n=shingle_n)
+
+    def emit_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        hs: list[np.ndarray] = []
+        ids: list[np.ndarray] = []
+        for doc_id, text in zip(b["doc_id"].to_numpy(), b["text"].to_numpy()):
+            h = hasher.shingle_hashes(text)  # distinct per doc by set semantics
+            hs.append(h)
+            ids.append(np.full(len(h), doc_id, dtype=np.int64))
+        h = np.concatenate(hs) if hs else np.array([], dtype=np.uint64)
+        out = pd.DataFrame(
+            {"h": h, "doc_id": np.concatenate(ids) if ids else np.array([], dtype=np.int64)}
+        )
+        out["bucket"] = (h % np.uint64(num_buckets)).astype("int32")
+        return out
+
+    def mark_and_collapse(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_shingles": pd.Series(dtype="int64"),
+                    "n_shared": pd.Series(dtype="int64"),
+                }
+            )
+        nd = g.groupby("h")["doc_id"].transform("size")  # pairs are per-doc distinct
+        out = (
+            g.assign(shared=(nd > 1))
+            .groupby("doc_id", sort=False)
+            .agg(n_shingles=("h", "size"), n_shared=("shared", "sum"))
+            .reset_index()
+        )
+        out["n_shingles"] = out["n_shingles"].astype("int64")
+        out["n_shared"] = out["n_shared"].astype("int64")
+        out["dbucket"] = (out["doc_id"] % num_buckets).astype("int32")
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("doc_id", sort=False)
+            .agg(n_shingles=("n_shingles", "sum"), n_shared=("n_shared", "sum"))
+            .reset_index()
+        )
+        out["n_shingles"] = out["n_shingles"].astype("int64")
+        out["n_shared"] = out["n_shared"].astype("int64")
+        out["dup_fraction"] = (out["n_shared"] / out["n_shingles"]).round(6)
+        return out
+
+    return (
+        docs.map_batches(emit_pairs, batch_format="pandas", batch_size=4096)
+        .groupby("bucket")
+        .map_groups(mark_and_collapse, batch_format="pandas")
+        .groupby("dbucket")
+        .map_groups(combine, batch_format="pandas")
+    )
