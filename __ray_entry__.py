@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- conversation assembly (oracle-checked) --------------------------
     q["transcripts_from_events"] = _q_transcripts_from_events
+    q["transcript_stats"] = _q_transcript_stats
     q["conversation_concat_events"] = _q_conversation_concat
 
     # --- text analysis ---------------------------------------------------
@@ -1503,6 +1504,17 @@ def _q_transcripts_from_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_transcript_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-conversation role mix / tool-call rate / size / wall-clock
+    span — the agent-trace curation rollup; batch partials + one
+    conv-bucket combine (kgray/ops/transcripts.py)."""
+    from kgray.ops.transcripts import conversation_stats
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    out = conversation_stats(transcripts_from_events(events)).to_pandas()
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
 def _q_conversation_concat(sf_dir: str) -> pd.DataFrame:
     events = ray.data.read_parquet(f"{sf_dir}/events.parquet")
     transcripts = transcripts_from_events(events)
@@ -2594,6 +2606,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool,
                    CAST(epoch_us(ts) AS BIGINT) AS ts_us
             FROM transcripts
+        """,
+        "transcript_stats": f"""
+            {transcripts_cte}
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(*) FILTER (role = 'user') AS BIGINT) AS n_user,
+                   CAST(count(*) FILTER (role = 'assistant') AS BIGINT) AS n_assistant,
+                   CAST(count(*) FILTER (role = 'tool') AS BIGINT) AS n_tool,
+                   CAST(count(*) FILTER (tool <> '') AS BIGINT) AS n_tool_calls,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                     AS duration_us
+            FROM transcripts GROUP BY conv_id
         """,
         "conversation_concat_events": f"""
             {transcripts_cte}
