@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_value_deciles"] = _q_events_value_deciles
     q["events_value_percentile"] = _q_events_value_percentile
     q["events_dau"] = _q_events_dau
+    q["events_rolling_wau"] = _q_events_rolling_wau
     q["events_transitions"] = _q_events_transitions
     q["events_sessions"] = _q_events_sessions
     q["events_zscore_outliers"] = _q_events_zscore_outliers
@@ -516,6 +517,30 @@ def _q_doc_cooccur_pmi(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = token_cooccurrence_pmi(ds, min_count=2).to_pandas()
     return out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
+def _q_events_rolling_wau(sf_dir: str) -> Any:
+    """Rolling 7-day active users per observed day: the sliding-window
+    distinct shape (windows overlap).  One unit-bucket shuffle with
+    bounded x7 explode inside the bucket (kgray/ops/stats.py
+    rolling_distinct_per_day)."""
+    import pyarrow as _pa
+    import pyarrow.compute as pc
+
+    from kgray.ops.stats import rolling_distinct_per_day
+
+    def derive(t):
+        return _pa.table(
+            {
+                "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                "user_id": t["user_id"],
+            }
+        )
+
+    days = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    ).map_batches(derive, batch_format="pyarrow")
+    return rolling_distinct_per_day(days, day_col="day", unit_col="user_id")
 
 
 def _q_events_dau(sf_dir: str) -> Any:
@@ -3602,6 +3627,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events GROUP BY 1
+        """,
+        # sliding 7-day window: user active on day d counts toward every
+        # observed day in [d, d+6]
+        "events_rolling_wau": """
+            WITH ud AS (
+              SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+              FROM events
+            ),
+            days AS (SELECT DISTINCT d FROM ud)
+            SELECT strftime(dd.d, '%Y-%m-%d') AS day,
+                   CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_rolling
+            FROM days dd JOIN ud u ON u.d BETWEEN dd.d - 6 AND dd.d
+            GROUP BY dd.d
         """,
         "events_transitions": """
             WITH seq AS (

@@ -408,3 +408,80 @@ def exact_distinct_per_group(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def rolling_distinct_per_day(
+    ds: ray.data.Dataset,
+    day_col: str = "day",
+    unit_col: str = "user_id",
+    window_days: int = 7,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Exact SLIDING-window distinct count: for every observed day d, the
+    number of distinct units active in the trailing ``window_days`` window
+    [d-window+1, d] — rolling weekly active users and friends.  The shape
+    tumbling-window DAU can't express: windows overlap, so a naive
+    per-window recount re-reads every event window_days times.
+
+    Scale shape: ONE unit-hash bucket shuffle.  Batches pre-shrink to
+    distinct (unit, day) pairs; each bucket (owning its units wholly)
+    explodes every pair to the ≤window_days target days it contributes
+    to, dedupes (unit, target-day) vectorized, and emits per-day COUNT
+    partials plus its locally-observed day set — bucket-local distinct
+    counts sum exactly because a unit never spans buckets.  The final
+    combine is days x buckets sized (tiny); target days never observed in
+    the data are dropped there (the `observed` flag partial, no extra
+    pass over the stream).  Returns (day_col, n_rolling).
+    """
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[unit_col, day_col]].drop_duplicates().copy()
+        out["bucket"] = (
+            pd.util.hash_array(out[unit_col].to_numpy()) % num_buckets
+        ).astype("int32")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[[unit_col, day_col]].drop_duplicates()
+        d = g[day_col].to_numpy(dtype="datetime64[D]").astype("int64")
+        u = g[unit_col].to_numpy()
+        k = window_days
+        wd = np.repeat(d, k) + np.tile(np.arange(k, dtype=np.int64), len(d))
+        uu = np.repeat(u, k)
+        pairs = pd.DataFrame({"u": uu, "wd": wd}).drop_duplicates()
+        cnt = pairs.groupby("wd", sort=False).size()
+        out = pd.DataFrame(
+            {
+                "wd": np.concatenate([cnt.index.to_numpy(), np.unique(d)]),
+                "n": np.concatenate(
+                    [cnt.to_numpy(dtype=np.int64), np.zeros(len(np.unique(d)), dtype=np.int64)]
+                ),
+                "observed": np.concatenate(
+                    [np.zeros(len(cnt), dtype=np.int8), np.ones(len(np.unique(d)), dtype=np.int8)]
+                ),
+            }
+        )
+        out["dbucket"] = (out["wd"] % num_buckets).astype("int32")
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("wd", sort=False)
+            .agg(n=("n", "sum"), observed=("observed", "max"))
+            .reset_index()
+        )
+        out = out[out["observed"] > 0]
+        return pd.DataFrame(
+            {
+                day_col: out["wd"].to_numpy(dtype="datetime64[D]").astype(str),
+                "n_rolling": out["n"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(pair_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("dbucket")
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -140,3 +140,42 @@ def test_zscore_outliers(ray_session):
     assert out["z"].iloc[0] > 6
     # constant group never flags (sd=0 guarded, no division blowup)
     assert not (out["event_type"] == "b").any()
+
+
+def test_rolling_distinct_per_day(ray_session):
+    """Sliding 7-day distinct: a user active on several window days counts
+    once; target days with no events at all are dropped; boundaries are
+    inclusive-trailing [d-6, d]."""
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.stats import rolling_distinct_per_day
+
+    df = pd.DataFrame(
+        {
+            "day": [
+                "2024-01-01", "2024-01-01",  # u1, u2
+                "2024-01-03",                # u1 again (same window as Jan 1)
+                "2024-01-10",                # u3 far away
+            ],
+            "user_id": [1, 2, 1, 3],
+        }
+    )
+    out = (
+        rolling_distinct_per_day(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("day")["n_rolling"]
+    )
+    # observed days only: Jan 1, 3, 10
+    assert set(out.index) == {"2024-01-01", "2024-01-03", "2024-01-10"}
+    assert out["2024-01-01"] == 2            # u1, u2 on the day itself
+    assert out["2024-01-03"] == 2            # u1 counted ONCE, u2 trailing
+    assert out["2024-01-10"] == 1            # Jan 3 is 7 days back -> outside
+
+    # partition invariance (unit-bucket shuffle rebuilds full per-user sets)
+    out7 = (
+        rolling_distinct_per_day(ray.data.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index("day")["n_rolling"]
+    )
+    assert out7.sort_index().equals(out.sort_index())
