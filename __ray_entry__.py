@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["returned_items"] = rel.returned_items
     q["user_sessions"] = rel.user_sessions
     q["dormant_customers"] = rel.dormant_customers
+    q["doc_embedding_join"] = _q_doc_embedding_join
 
     q["doc_dsir_weights"] = _q_doc_dsir_weights
     q["doc_bloom_contamination"] = _q_doc_bloom_contamination
@@ -1527,6 +1528,37 @@ def _q_transcripts_from_events(sf_dir: str) -> pd.DataFrame:
         .sort_values(["conv_id", "turn_idx"])
         .reset_index(drop=True)
     )
+
+
+def _q_doc_embedding_join(sf_dir: str) -> pd.DataFrame:
+    """Big x big reduce-side hash join (kgray/ops/join.py): documents ⋈
+    embeddings with neither side broadcast — both streams bucket once by
+    key hash; the norm is computed on the joined stream."""
+    from kgray.ops.join import hash_join
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    j = hash_join(docs, embs, "doc_id", "vec_id")
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        arr = (
+            np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            if len(b)
+            else np.zeros((0, 1))
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "lang": b["lang"],
+                "label": b["label"].astype("int64"),
+                "l2norm": np.sqrt((arr**2).sum(axis=1)).round(6),
+            }
+        )
+
+    out = j.map_batches(norm, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_transcript_stats(sf_dir: str) -> pd.DataFrame:
@@ -2958,6 +2990,13 @@ def oracle_sql() -> dict[str, str]:
                                  OR ts - prev_ts > INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM ordered GROUP BY user_id
+        """,
+        # big x big hash join: documents ⋈ embeddings, norm on the joined rows
+        "doc_embedding_join": """
+            SELECT d.doc_id, d.lang, e.label,
+                   round(sqrt(list_sum(list_transform(
+                       e.embedding, x -> CAST(x AS DOUBLE) * x))), 6) AS l2norm
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         """,
         # Q22-shaped anti-join: dormant high-balance customers per nation
         "dormant_customers": """
