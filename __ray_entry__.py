@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["knn_lsh"] = _q_knn_lsh
     q["knn_ivf"] = _q_knn_ivf
     q["knn_join_self"] = _q_knn_join_self
+    q["knn_store_incremental"] = _q_knn_store_incremental
 
     # --- embedding clustering / semantic dedup (kgray/ops/similarity.py) -
     q["embedding_kmeans"] = _q_embedding_kmeans
@@ -1145,6 +1146,33 @@ def _q_knn_join_self(sf_dir: str) -> pd.DataFrame:
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
     )
+
+
+def _q_knn_store_incremental(sf_dir: str) -> pd.DataFrame:
+    """Incremental similarity search vs a PERSISTED vector store (the
+    embedding twin of the MinHash signature store): the even-vec_id half
+    seeds the store, then every odd vector retrieves its top-5 from the
+    store (kgray.ops.similarity.knn_against_store — byte-sized store
+    read, knn_join bucketed search, streaming append)."""
+    import tempfile
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    import pyarrow.compute as pc
+
+    def half(rem: int):
+        def fn(t):
+            return t.filter(pc.equal(pc.bit_wise_and(t["vec_id"], 1), rem))
+
+        return fn
+
+    evens = emb.map_batches(half(0), batch_format="pyarrow")
+    odds = emb.map_batches(half(1), batch_format="pyarrow")
+    store = tempfile.mkdtemp(prefix="kgray-vecstore-")
+    sim.vector_store_append(evens, store)
+    out = sim.knn_against_store(odds, store, k=5)
+    return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
 def _q_doc_minhash_incremental(sf_dir: str) -> pd.DataFrame:
@@ -2198,6 +2226,54 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _knn_store_oracle_sql(dim: int = 64, n_planes: int = 6, seed: int = 17, k: int = 5) -> str:
+    """DuckDB twin of the knn_store_incremental query: odd vec_ids probe,
+    even vec_ids are the store — same hyperplane literals / sign test /
+    1-bit-flip probe set as the knn_join oracle."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    plane_rows = ",\n".join(
+        f"({p}, [{', '.join(repr(float(w)) for w in planes[:, p])}]::DOUBLE[])"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH planes(p, w) AS (VALUES {plane_rows}),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vb AS MATERIALIZED (
+  SELECT vec_id,
+         sum(CASE WHEN list_dot_product(e, w) > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+  FROM emb CROSS JOIN planes GROUP BY vec_id
+),
+vbq AS (SELECT * FROM vb WHERE vec_id % 2 = 1),
+vbc AS (SELECT * FROM vb WHERE vec_id % 2 = 0),
+probe AS (
+  SELECT vec_id AS query_id, bucket FROM vbq
+  UNION
+  SELECT vec_id AS query_id, xor(bucket, (1::BIGINT << fp.p)) AS bucket
+  FROM vbq CROSS JOIN (SELECT unnest(range({n_planes})) AS p) fp
+),
+cand AS (
+  SELECT DISTINCT pr.query_id, v.vec_id AS neighbor_id
+  FROM probe pr JOIN vbc v ON v.bucket = pr.bucket
+  WHERE v.vec_id <> pr.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(qe.e, ne.e) AS cos_raw
+  FROM cand c JOIN emb qe ON qe.vec_id = c.query_id
+              JOIN emb ne ON ne.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _kmeans_ctes(
     n_sample: int = 500, n_centroids: int = 16, iters: int = 10,
     seed: int = 23, dim: int = 64, recursive: bool = False,
@@ -2868,6 +2944,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_lsh": _knn_lsh_oracle_sql(),
         "knn_join_self": _knn_join_oracle_sql(),
+        "knn_store_incremental": _knn_store_oracle_sql(),
         "knn_ivf": _knn_ivf_oracle_sql(),
         "embedding_kmeans": _embedding_kmeans_oracle_sql(),
         "embedding_semdedup": _embedding_semdedup_oracle_sql(),

@@ -585,3 +585,79 @@ def pca_project(
         return pd.DataFrame(out)
 
     return embeddings.map_batches(project, batch_format="numpy")
+
+
+def vector_store_append(vectors: ray.data.Dataset, store_dir: str) -> None:
+    """Append (vec_id, embedding) rows to a persisted vector store —
+    plain Parquet under ``store_dir``, the similarity twin of the MinHash
+    signature store.  Ray's task-unique output filenames make repeated
+    appends collision-free; the stream is written as-is (never collected
+    to the driver)."""
+    import os
+
+    os.makedirs(store_dir, exist_ok=True)
+    vectors.write_parquet(store_dir)
+
+
+def knn_against_store(
+    queries: ray.data.Dataset,
+    store_dir: str,
+    k: int = 10,
+    append: bool = True,
+    n_planes: int = 6,
+    seed: int = 17,
+) -> ray.data.Dataset:
+    """Incremental similarity search: each new vector retrieves its top-k
+    cosine neighbours from the PERSISTED store (every earlier run's
+    vectors), then — with ``append`` — joins the store itself so later
+    runs see it.  The evolving-state pattern (KG store / exact-hash store
+    / MinHash store) applied to embeddings: dedup-by-meaning, citation
+    attribution, or retrieval freshness over a growing corpus.
+
+    Scale shape: the store reads with byte-proportional block counts
+    (small stores stay one block, big stores stay parallel) and the
+    search is :func:`knn_join` — both sides bucket once, nothing
+    driver-resident; the append is a streaming Parquet write.  Returns
+    (query_id, neighbor_id, cosine, rank) against the store AS OF the
+    call (an empty store yields an empty typed result).
+    """
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+
+    from kgray.ops.dedup import _read_store_parquet
+
+    os.makedirs(store_dir, exist_ok=True)
+    files = sorted(_glob.glob(os.path.join(store_dir, "*.parquet")))
+
+    def as_query(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"query_id": b["vec_id"].to_numpy(dtype=np.int64), "embedding": b["embedding"]}
+        )
+
+    if files:
+        out = knn_join(
+            queries.map_batches(as_query, batch_format="pandas"),
+            _read_store_parquet(files),
+            k=k,
+            n_planes=n_planes,
+            seed=seed,
+        )
+    else:
+        out = ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    if append:
+        # materialize the result BEFORE the append mutates the store the
+        # lazy search would otherwise re-read (results must be as-of)
+        out = out.materialize()
+        vector_store_append(queries, store_dir)
+    return out
