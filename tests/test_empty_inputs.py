@@ -137,3 +137,76 @@ def test_knn_join_empty_queries(ray_session):
     # Dataset schema — what a downstream stage actually sees
     assert out.schema().names == ["query_id", "neighbor_id", "cosine", "rank"]
     assert out.count() == 0
+
+
+def test_round4_ops_empty_inputs(ray_session):
+    """Round-4 ops on zero-row (typed) inputs: stream through, no crash."""
+    import numpy as np
+
+    from kgray.functions.graph import adamic_adar
+    from kgray.ops.dedup import dup_ngram_fraction
+    from kgray.ops.stats import rolling_distinct_per_day
+    from kgray.ops.temporal import sessionize
+    from kgray.ops.transcripts import conversation_stats
+
+    docs = _empty_docs()
+    assert _count(dup_ngram_fraction(docs)) == 0
+
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "event_id": pa.array([], pa.int64()),
+            }
+        )
+    )
+    assert _count(sessionize(events)) == 0
+
+    days = ray.data.from_arrow(
+        pa.table(
+            {"day": pa.array([], pa.string()), "user_id": pa.array([], pa.int64())}
+        )
+    )
+    assert _count(rolling_distinct_per_day(days)) == 0
+
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+    )
+    assert _count(adamic_adar(edges)) == 0
+
+    transcripts = ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "role": pa.array([], pa.string()),
+                "text": pa.array([], pa.string()),
+                "tool": pa.array([], pa.string()),
+                "ts": pa.array([], pa.timestamp("us")),
+            }
+        )
+    )
+    assert _count(conversation_stats(transcripts)) == 0
+
+
+def test_hash_join_empty_sides(ray_session):
+    """hash_join streams zero-row typed sides (parquet-backed empties are
+    routine at scale); an empty PANDAS-block side without Arrow schema is
+    the documented unsupported case and raises."""
+    from kgray.ops.join import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "lv": pa.array([], pa.string())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([], pa.int64()), "rv": pa.array([], pa.float64())})
+    )
+    assert _count(hash_join(left, right, "k", "rk")) == 0
+
+    nonempty = ray.data.from_pandas(pd.DataFrame({"rk": [1], "rv": [2.0]}))
+    assert _count(hash_join(left, nonempty, "k", "rk")) == 0
+
+    empty_pandas = ray.data.from_pandas(pd.DataFrame({"k": [], "lv": []}))
+    with pytest.raises(ValueError, match="empty non-Arrow"):
+        hash_join(empty_pandas, nonempty, "k", "rk")
