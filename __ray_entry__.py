@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_dup_ngram_fraction"] = lambda sf: dd.dup_ngram_fraction(
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     )
+    q["doc_token_budget_sample"] = _q_doc_token_budget_sample
     q["doc_segment_dedup"] = lambda sf: dd.segment_dedup(
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     )
@@ -1230,6 +1231,20 @@ def _q_doc_dsir_weights(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def _q_doc_token_budget_sample(sf_dir: str) -> pd.DataFrame:
+    """Exact 15k-token reproducible slice in (md5(id), id) hash order —
+    order-statistic selection with weighted bin marginals
+    (kgray/ops/curation.py sample_to_token_budget); driver sees ~65k bins
+    + one boundary bin, never the corpus."""
+    from kgray.ops.curation import sample_to_token_budget
+
+    out = sample_to_token_budget(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        budget_tokens=15_000,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_doc_novelty(sf_dir: str) -> Any:
@@ -2916,6 +2931,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
         """,
         "doc_ngram_jaccard": _ngram_jaccard_oracle_sql(),
+        # token-budget slice: running sum in (md5(id), id) hash order
+        "doc_token_budget_sample": """
+            WITH t AS (
+              SELECT doc_id,
+                     md5_number_lower(CAST(doc_id AS VARCHAR)) AS h,
+                     len(string_split(text, ' ')) AS tok
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, tok,
+                     sum(tok) OVER (ORDER BY h, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS running
+              FROM t
+            )
+            SELECT doc_id, CAST(tok AS BIGINT) AS n_tokens
+            FROM r WHERE running <= 15000
+        """,
         # duplicated-shingle fraction: same tk/sh/shh tokenization as the
         # MinHash oracles (3-token shingles, md5-lower-64, per-doc distinct)
         "doc_dup_ngram_fraction": """

@@ -685,3 +685,113 @@ def bloom_contamination(
         )
 
     return corpus.map_batches(score, batch_format="pyarrow")
+
+
+def sample_to_token_budget(
+    ds: ray.data.Dataset,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hist_bits: int = 16,
+) -> ray.data.Dataset:
+    """Deterministic EXACT token-budget sampling: keep the maximal set of
+    documents whose total whitespace-token count fits ``budget_tokens``,
+    taking documents in ``(md5(id), id)`` hash order — the dataset-sizing
+    primitive ("give me a reproducible ~10B-token slice of this corpus").
+    Order-free and cluster-size-independent like :func:`mix_to_proportions`;
+    token counts use ``count(' ')+1`` (DuckDB ``len(string_split(text,' '))``
+    semantics) so the running-sum SQL twin matches exactly.
+
+    Same selection-not-sorting shape as mix_to_proportions, with WEIGHTED
+    bin marginals:
+      A. ONE pass histograms token counts over the hash's top
+         ``hist_bits`` bits (per-bin token sums — partials bounded by
+         2^hist_bits, never rows); the driver prefix-sums ~65k bins to
+         find the boundary bin and the budget remaining at its start;
+      B. ONLY the boundary bin's rows (≈ rows/2^hist_bits) stream to the
+         driver to pin the exact (hash, id) threshold;
+      C. stateless broadcast filter keeps rows strictly below the
+         boundary bin plus the boundary rows under the threshold.
+    Returns (id_col, n_tokens) of the kept rows.
+    """
+    shift = np.uint64(64 - hist_bits)
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_u64_np([str(x) for x in b[id_col]])
+        tok = np.fromiter(
+            (t.count(" ") + 1 for t in b[text_col]), dtype=np.int64, count=len(b)
+        )
+        return pd.DataFrame({id_col: b[id_col].to_numpy(), "h": h, "tok": tok})
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = derive(b)
+        g = d.assign(bin=(d["h"] >> shift).astype(np.int64)).groupby("bin", sort=False)[
+            "tok"
+        ].sum()
+        return pd.DataFrame({"bin": g.index.to_numpy(), "tok": g.to_numpy()})
+
+    bins = (
+        ds.map_batches(hist_partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()  # <= 2^hist_bits rows per block partial
+        .groupby("bin", sort=True)["tok"]
+        .sum()
+    )
+    if not len(bins):
+        return ray.data.from_arrow(
+            pa.table(
+                {id_col: pa.array([], pa.int64()), "n_tokens": pa.array([], pa.int64())}
+            )
+        )
+    cum = bins.cumsum()
+    if int(cum.iloc[-1]) <= budget_tokens:
+        bound_bin, remaining = None, 0  # everything fits
+    else:
+        pos = int(np.searchsorted(cum.to_numpy(), budget_tokens, side="right"))
+        bound_bin = int(cum.index[pos])
+        before = int(cum.iloc[pos - 1]) if pos else 0
+        remaining = budget_tokens - before
+
+    if bound_bin is None:
+        thresh = (np.uint64(0xFFFFFFFFFFFFFFFF), None)  # keep all
+    else:
+        def boundary_rows(b: pd.DataFrame) -> pd.DataFrame:
+            d = derive(b)
+            return d[(d["h"] >> shift).astype(np.int64) == bound_bin]
+
+        brows = (
+            ds.map_batches(boundary_rows, batch_format="pandas", batch_size=65536)
+            .to_pandas()  # ~rows / 2^hist_bits — the documented budget
+            .sort_values(["h", id_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        run = brows["tok"].cumsum()
+        kept = brows[run <= remaining]
+        if len(kept):
+            thresh = (np.uint64(kept["h"].iloc[-1]), int(kept[id_col].iloc[-1]))
+        else:
+            # nothing in the boundary bin fits: threshold is the bin floor
+            thresh = (np.uint64(bound_bin) << shift, -1)
+
+    t_h, t_id = thresh
+    bb = bound_bin
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        d = derive(b)
+        if bb is None:
+            m = np.ones(len(d), dtype=bool)
+        else:
+            below = (d["h"] >> shift).astype(np.int64) < bb
+            ids = d[id_col].to_numpy()
+            at = ((d["h"] >> shift).astype(np.int64) == bb) & (
+                (d["h"] < t_h) | ((d["h"] == t_h) & (ids <= (t_id if t_id is not None else -1)))
+            )
+            m = (below | at).to_numpy()
+        out = d[m]
+        return pd.DataFrame(
+            {
+                id_col: out[id_col].to_numpy(dtype=np.int64),
+                "n_tokens": out["tok"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pandas", batch_size=65536)
