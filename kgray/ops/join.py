@@ -22,8 +22,16 @@ def hash_join(
     left_on: str,
     right_on: str,
     num_buckets: int = 64,
+    how: str = "inner",
 ) -> ray.data.Dataset:
-    """Inner equi-join ``left ⋈ right`` on ``left_on == right_on``.
+    """Equi-join ``left ⋈ right`` on ``left_on == right_on``.
+
+    ``how``: "inner" (both sides' columns, right keys fan out), "semi"
+    (left rows WITH a match — left columns only, no fan-out), or "anti"
+    (left rows WITHOUT a match — the distributed NOT-EXISTS, the shape
+    ``dormant_customers`` specializes).  "left"-outer is deliberately
+    unsupported: pandas would NaN-corrupt int columns on the unmatched
+    rows; use semi+anti and union if you need both halves.
 
     Non-key column names must be disjoint between the two sides (no
     silent suffixing — rename upstream; the oracle-checked column
@@ -39,6 +47,9 @@ def hash_join(
     Skewed keys concentrate in their bucket; salt upstream if one key
     dominates.
     """
+    if how not in ("inner", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r} (inner | semi | anti)")
+
     def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
         # parquet-backed datasets expose their Arrow schema as metadata;
         # pandas-block datasets (tests, from_pandas) need a 1-row probe
@@ -58,6 +69,8 @@ def hash_join(
         raise ValueError(f"non-key columns collide: {sorted(overlap)} — rename upstream")
     key_field = l_schema.field(left_on)
 
+    if how != "inner":
+        r_cols = []  # semi/anti need key EXISTENCE only — don't ship payload
     l_types = {n: l_schema.field(n).type for n in l_cols}
     r_types = {n: r_schema.field(n).type for n in r_cols}
     unified = pa.schema(
@@ -69,8 +82,10 @@ def hash_join(
 
     def to_unified(side: int, key_col: str, own: list[str]):
         def fn(t: pa.Table) -> pa.Table:
-            n = len(t)
             key = t[key_col].cast(key_field.type)  # right key may be narrower
+            if side == 1 and how != "inner":
+                key = key.unique()  # existence combiner: batch-distinct keys
+            n = len(key)
             bucket = pa.array(
                 (pd.util.hash_array(np.asarray(key)) % num_buckets).astype(np.int32)
             )
@@ -94,8 +109,13 @@ def hash_join(
         lt = t.filter(pc.equal(t["__side"], 0)).select(["__key"] + l_cols)
         rt = t.filter(pc.equal(t["__side"], 1)).select(["__key"] + r_cols)
         lf = lt.to_pandas()
-        rf = rt.to_pandas()
-        out = lf.merge(rf, on="__key", how="inner")
+        if how == "inner":
+            rf = rt.to_pandas()
+            out = lf.merge(rf, on="__key", how="inner")
+        else:
+            keys = rt["__key"].unique().to_pandas()
+            hit = lf["__key"].isin(keys)
+            out = lf[hit] if how == "semi" else lf[~hit]
         return out.rename(columns={"__key": left_on})
 
     lu = left.map_batches(to_unified(0, left_on, l_cols), batch_format="pyarrow")

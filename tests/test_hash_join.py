@@ -64,3 +64,22 @@ def test_hash_join_rejects_column_collision(ray_session):
     b = ray.data.from_pandas(pd.DataFrame({"j": [1], "x": [2]}))
     with pytest.raises(ValueError, match="collide"):
         hash_join(a, b, "k", "j")
+
+
+def test_hash_join_semi_and_anti(ray_session):
+    left = pd.DataFrame({"k": [1, 2, 3, 5, 5], "lval": ["a", "b", "c", "e", "f"]})
+    right = pd.DataFrame({"rk": [2, 2, 3, 9], "rval": [0, 1, 2, 3]})
+    l = ray.data.from_pandas(left).repartition(3)
+    r = ray.data.from_pandas(right).repartition(2)
+
+    semi = hash_join(l, r, "k", "rk", how="semi").to_pandas().sort_values("k")
+    # matched left rows, NO fan-out on duplicate right keys, left cols only
+    assert list(semi["k"]) == [2, 3]
+    assert list(semi.columns) == ["k", "lval"]
+
+    anti = hash_join(l, r, "k", "rk", how="anti").to_pandas().sort_values(["k", "lval"])
+    assert list(zip(anti["k"], anti["lval"])) == [(1, "a"), (5, "e"), (5, "f")]
+    assert anti["k"].dtype == np.int64
+
+    with pytest.raises(ValueError, match="unsupported how"):
+        hash_join(l, r, "k", "rk", how="left")
