@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["knn_ivf"] = _q_knn_ivf
     q["knn_join_self"] = _q_knn_join_self
     q["knn_store_incremental"] = _q_knn_store_incremental
+    q["embedding_quantize"] = _q_embedding_quantize
 
     # --- embedding clustering / semantic dedup (kgray/ops/similarity.py) -
     q["embedding_kmeans"] = _q_embedding_kmeans
@@ -1174,6 +1175,17 @@ def _q_knn_store_incremental(sf_dir: str) -> pd.DataFrame:
     sim.vector_store_append(evens, store)
     out = sim.knn_against_store(odds, store, k=5)
     return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _q_embedding_quantize(sf_dir: str) -> pd.DataFrame:
+    """Affine per-dim int8 quantization diagnostics (4x ANN-shuffle
+    shrink): one (min, max) partial pass + broadcast-params encode
+    (kgray/ops/similarity.py quantize_embeddings); half-UP rounding on
+    both engines."""
+    out = sim.quantize_embeddings(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
 
 
 def _q_doc_minhash_incremental(sf_dir: str) -> pd.DataFrame:
@@ -2977,6 +2989,30 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": _knn_lsh_oracle_sql(),
         "knn_join_self": _knn_join_oracle_sql(),
         "knn_store_incremental": _knn_store_oracle_sql(),
+        # affine per-dim int8 quantization: same half-UP floor(x+0.5)
+        # rounding as the engine; constant dims dequantize to their min
+        "embedding_quantize": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            dd AS (SELECT unnest(range(1, 65)) AS d),
+            x AS (SELECT e.vec_id, dd.d, e.v[dd.d] AS val FROM e CROSS JOIN dd),
+            mm AS (SELECT d, min(val) AS lo, max(val) AS hi FROM x GROUP BY d),
+            dq AS (
+              SELECT x.vec_id, x.val,
+                     CASE WHEN mm.hi = mm.lo THEN mm.lo
+                          ELSE mm.lo + least(greatest(
+                                 floor((x.val - mm.lo) / ((mm.hi - mm.lo) / 255.0)
+                                       + 0.5), 0), 255)
+                               * ((mm.hi - mm.lo) / 255.0)
+                     END AS deq
+              FROM x JOIN mm USING (d)
+            )
+            SELECT vec_id,
+                   round(sqrt(sum(deq * deq)), 4) AS qnorm,
+                   round(max(abs(val - deq)), 6) AS max_abs_err,
+                   round(avg(abs(val - deq)), 6) AS mean_abs_err
+            FROM dq GROUP BY vec_id
+        """,
         "knn_ivf": _knn_ivf_oracle_sql(),
         "embedding_kmeans": _embedding_kmeans_oracle_sql(),
         "embedding_semdedup": _embedding_semdedup_oracle_sql(),

@@ -81,3 +81,34 @@ def test_store_empty_init(ray_session, tmp_path):
         assert set(again["neighbor_id"]) <= {7, 9}
     else:
         assert len(again) == 0
+
+
+def test_quantize_embeddings_bounds(ray_session):
+    """Reconstruction error is bounded by scale/2 per dim; constant dims
+    reconstruct exactly; partition invariance holds (global min/max)."""
+    from kgray.ops.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(12)
+    mat = rng.standard_normal((80, 8))
+    mat[:, 3] = 2.5  # constant dim
+    df = pd.DataFrame(
+        {"vec_id": range(80), "embedding": [r.astype(np.float32) for r in mat]}
+    )
+    out = (
+        quantize_embeddings(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    spans = mat.astype(np.float64).max(0) - mat.astype(np.float64).min(0)
+    max_half_step = (spans / 255.0).max() / 2
+    assert (out["max_abs_err"] <= max_half_step + 1e-9).all()
+    assert (out["mean_abs_err"] <= out["max_abs_err"]).all()
+
+    out7 = (
+        quantize_embeddings(ray.data.from_pandas(df).repartition(7))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out7)
