@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- composed curation pipeline (kgray/pipelines/curation.py) --------
     q["corpus_curation"] = _q_corpus_curation
+    q["corpus_curation_budget"] = _q_corpus_curation_budget
     q["corpus_curation_fuzzy"] = _q_corpus_curation_fuzzy
     q["curated_packed"] = _q_curated_packed
 
@@ -462,6 +463,30 @@ def _q_corpus_curation(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out
+
+
+def _q_corpus_curation_budget(sf_dir: str) -> pd.DataFrame:
+    """Curation chain capped to an exact 8k-token reproducible slice
+    (kgray/pipelines/curation.py curate_corpus_budget): the cleaning
+    prefix of corpus_curation with the splitter replaced by the
+    weighted order-statistic budget selection."""
+    import pyarrow as pa
+
+    from kgray.pipelines.curation import curate_corpus_budget
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _mod_split(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            is_bench = t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+            return t.filter(pa.array(is_bench if keep_bench else ~is_bench))
+
+        return f
+
+    corpus = docs.map_batches(_mod_split(False), batch_format="pyarrow")
+    benchmark = docs.map_batches(_mod_split(True), batch_format="pyarrow")
+    out = curate_corpus_budget(corpus, benchmark, budget_tokens=8_000).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_doc_split_overlap(sf_dir: str) -> pd.DataFrame:
@@ -3355,6 +3380,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM chunkout
         """,
         "corpus_curation_fuzzy": _curation_fuzzy_oracle_sql(),
+        # capstone twin: the cleaning chain's survivors capped to an
+        # exact 8k-token slice in (md5(id), id) hash order
+        "corpus_curation_budget": r"""
+            WITH """ + _CURATION_CTES + r""",
+            tb AS (
+              SELECT doc_id,
+                     md5_number_lower(CAST(doc_id AS VARCHAR)) AS h,
+                     len(string_split(tc, ' ')) AS tok
+              FROM survive
+            ),
+            rb AS (
+              SELECT doc_id, tok,
+                     sum(tok) OVER (ORDER BY h, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS running
+              FROM tb
+            )
+            SELECT doc_id, CAST(tok AS BIGINT) AS n_tokens
+            FROM rb WHERE running <= 8000
+        """,
         "curated_packed": r"""
             -- capstone twin: the curation chain's chunk stream packed
             -- into 64-token training bins (same next-fit recursion as

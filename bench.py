@@ -145,6 +145,15 @@ def run_bench() -> dict:
     timed("doc_unigram_lm_by_lang", lambda: size(entry.queries()["doc_unigram_lm_by_lang"](sf_dir)))
     timed("kg_incremental_events", lambda: size(entry.queries()["kg_incremental_events"](sf_dir)))
     timed("events_sessions", lambda: size(entry.queries()["events_sessions"](sf_dir)))
+    timed("dormant_customers", lambda: size(entry.queries()["dormant_customers"](sf_dir)))
+    timed("kg_link_prediction_events", lambda: size(entry.queries()["kg_link_prediction_events"](sf_dir)))
+    timed("doc_dup_ngram_fraction", lambda: size(entry.queries()["doc_dup_ngram_fraction"](sf_dir)))
+    timed("transcript_stats", lambda: size(entry.queries()["transcript_stats"](sf_dir)))
+    timed("events_rolling_wau", lambda: size(entry.queries()["events_rolling_wau"](sf_dir)))
+    timed("doc_embedding_join", lambda: size(entry.queries()["doc_embedding_join"](sf_dir)))
+    timed("knn_store_incremental", lambda: size(entry.queries()["knn_store_incremental"](sf_dir)))
+    timed("doc_token_budget_sample", lambda: size(entry.queries()["doc_token_budget_sample"](sf_dir)))
+    timed("embedding_quantize", lambda: size(entry.queries()["embedding_quantize"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

@@ -83,3 +83,31 @@ def curate_corpus_fuzzy(
         safe, id_col=id_col, text_col="text_clean",
         chunk_chars=chunk_chars, overlap=overlap,
     )
+
+
+def curate_corpus_budget(
+    docs: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length_quantile: tuple[int, int] = (1, 4),
+    ngram_n: int = 5,
+) -> ray.data.Dataset:
+    """:func:`curate_corpus`'s cleaning chain capped to an exact token
+    budget: normalize → length filter → exact dedup → decontaminate →
+    :func:`~kgray.ops.curation.sample_to_token_budget` — "clean the
+    corpus, then give me a reproducible N-token training slice".  The
+    budget stage adds one histogram pass + a boundary-bin resolution; the
+    chain stays streaming (the one corpus shuffle is still the dedup).
+    Returns (id_col, n_tokens) of the selected documents."""
+    from kgray.ops.curation import normalize_text, sample_to_token_budget
+
+    clean = normalize_text(docs, id_col=id_col, text_col=text_col)
+    kept = filter_by_length_quantile(clean, value_col="n_chars_clean", q=length_quantile)
+    deduped = dedup_keep_first(kept, text_col="text_clean", id_col=id_col)
+    bench_ref = benchmark_gram_set(benchmark, n=ngram_n, text_col=text_col)
+    safe = decontaminate(deduped, bench_ref, n=ngram_n, text_col="text_clean")
+    return sample_to_token_budget(
+        safe, budget_tokens=budget_tokens, id_col=id_col, text_col="text_clean"
+    )
