@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_pagerank_events"] = _q_kg_pagerank_events
     q["kg_kcore_events"] = _q_kg_kcore_events
     q["kg_link_prediction_events"] = _q_kg_link_prediction_events
+    q["kg_ppr_events"] = _q_kg_ppr_events
     q["kg_khop_events"] = _q_kg_khop_events
 
     # --- sketches (kgray/ops/stats.py) -----------------------------------
@@ -817,6 +818,20 @@ def _pagerank_oracle_sql(iterations: int = 10, damping: float = 0.85) -> str:
     )
 
 
+def _q_kg_ppr_events(sf_dir: str) -> pd.DataFrame:
+    """Personalized PageRank from a small user seed set (user_id % 7 == 0):
+    teleport and dangling mass land on the seeds — the graph-retrieval
+    variant; same rung ladder as kg_pagerank_events."""
+    from kgray.functions.graph import pagerank
+
+    users = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).unique("user_id")
+    seeds = [f"user {u}" for u in users if int(u) % 7 == 0]
+    out = pagerank(_kg_events(sf_dir).edges, teleport_nodes=seeds)
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def _q_kg_kcore_events(sf_dir: str) -> pd.DataFrame:
     """2-core of the events KG (synchronized peeling to fixpoint) — the
     graph-cleanup primitive that strips leaf chains before centrality /
@@ -841,6 +856,50 @@ def _q_kg_link_prediction_events(sf_dir: str) -> pd.DataFrame:
         _kg_events(sf_dir).edges, src_col="subj_name", dst_col="obj_name"
     ).to_pandas()
     return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+def _ppr_oracle_sql(iterations: int = 10, damping: float = 0.85, seed_mod: int = 7) -> str:
+    """Personalized-PageRank twin: teleport (and dangling mass) goes
+    uniformly to the SEED set (users with user_id % seed_mod == 0) —
+    same unrolled-CTE machinery as the uniform oracle, with r0 = t and
+    (1-d)*t + d*(inflow + mass*t) per round."""
+    parts = [
+        """edges AS MATERIALIZED (
+            SELECT 'user ' || CAST(user_id AS VARCHAR) AS src,
+                   event_type AS dst,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM events GROUP BY user_id, event_type)""",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"""seeds AS MATERIALIZED (
+            SELECT DISTINCT 'user ' || CAST(user_id AS VARCHAR) AS node
+            FROM events WHERE user_id % {seed_mod} = 0)""",
+        "ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds)",
+        """tv AS MATERIALIZED (
+            SELECT n.node,
+                   CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS t
+            FROM nodes n CROSS JOIN ns LEFT JOIN seeds s ON s.node = n.node)""",
+        "outw AS MATERIALIZED (SELECT src, sum(w) AS sw FROM edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT node, t AS r FROM tv)",
+    ]
+    for k in range(iterations):
+        parts.append(
+            f"""dang{k} AS MATERIALIZED (
+                SELECT COALESCE(sum(r.r), 0.0) AS mass FROM r{k} r
+                WHERE r.node NOT IN (SELECT src FROM outw)),
+            r{k + 1} AS MATERIALIZED (
+                SELECT n.node,
+                       (1.0 - {damping}) * n.t
+                       + {damping} * (COALESCE(s.inflow, 0.0) + dang{k}.mass * n.t) AS r
+                FROM tv n CROSS JOIN dang{k}
+                LEFT JOIN (SELECT e.dst AS node, sum(r.r * e.w / o.sw) AS inflow
+                           FROM edges e
+                           JOIN r{k} r ON r.node = e.src
+                           JOIN outw o ON o.src = e.src
+                           GROUP BY e.dst) s ON s.node = n.node)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT node, round(r, 6) AS pr FROM r{iterations}"
+    )
 
 
 def _kcore_oracle_sql(k: int = 2, rounds: int = 16) -> str:
@@ -3374,6 +3433,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY token
         """,
         "kg_pagerank_events": _pagerank_oracle_sql(),
+        "kg_ppr_events": _ppr_oracle_sql(),
         "corpus_curation": r"""
             -- SQL twin of the WHOLE curation chain, stage for stage
             WITH """ + _CURATION_CTES + r"""

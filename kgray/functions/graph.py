@@ -86,8 +86,17 @@ def pagerank(
     driver_edge_max: int = 200_000,
     driver_node_max: int = 10_000_000,
     num_buckets: int = 64,
+    teleport_nodes=None,
 ) -> pd.DataFrame:
     """Weighted PageRank with uniform dangling-mass redistribution.
+
+    ``teleport_nodes``: optional seed set for PERSONALIZED PageRank —
+    teleport (and dangling mass) goes uniformly to the seeds instead of
+    all nodes, ranking the graph "from the seeds' point of view"
+    (graph-based retrieval / related-entity expansion).  The seed set is
+    small by definition and broadcasts; seeds absent from the graph are
+    ignored, an empty intersection raises.  ``None`` keeps the classic
+    uniform behavior on the byte-identical code path.
 
     Scale ladder (VERDICT r3 #6): the EDGE stream never leaves the
     cluster on any rung.  Below ``driver_edge_max`` edges a driver numpy
@@ -151,6 +160,7 @@ def pagerank(
             damping=damping,
             iterations=iterations,
             num_buckets=num_buckets,
+            teleport_nodes=teleport_nodes,
         )
     vocab = vp.to_pandas()
     if "node" in vocab.columns:
@@ -186,7 +196,16 @@ def pagerank(
     n_edges = encoded.count()
 
     dangling = sw_vec == 0.0
-    r = np.full(n, 1.0 / n)
+    if teleport_nodes is not None:
+        tmask = np.isin(node_names, list(teleport_nodes))
+        ns = int(tmask.sum())
+        if ns == 0:
+            raise ValueError("no teleport node present in the graph")
+        t = np.where(tmask, 1.0 / ns, 0.0)
+        r = t.copy()
+    else:
+        t = None
+        r = np.full(n, 1.0 / n)
     if n_edges <= driver_edge_max:
         # tiny aggregated graph: ten distributed rounds would be pure
         # per-iteration Dataset overhead — same ladder rule as entity
@@ -201,7 +220,10 @@ def pagerank(
             flow = (r[si] * w) / sw
             inflow = np.bincount(di, weights=flow, minlength=n)
             mass = r[dangling].sum()
-            r = (1.0 - damping) / n + damping * (inflow + mass / n)
+            if t is None:
+                r = (1.0 - damping) / n + damping * (inflow + mass / n)
+            else:
+                r = (1.0 - damping) * t + damping * (inflow + mass * t)
     else:
         for _ in range(iterations):
             r_ref = ray.put(r)
@@ -217,7 +239,10 @@ def pagerank(
             inflow = np.zeros(n)
             np.add.at(inflow, partials["di"].to_numpy(), partials["inflow"].to_numpy())
             mass = r[dangling].sum()
-            r = (1.0 - damping) / n + damping * (inflow + mass / n)
+            if t is None:
+                r = (1.0 - damping) / n + damping * (inflow + mass / n)
+            else:
+                r = (1.0 - damping) * t + damping * (inflow + mass * t)
 
     pr = np.floor(r * 1e6 + 0.5) / 1e6  # half-away, matches DuckDB round()
     return pd.DataFrame({"node": node_names, "pr": pr})
@@ -233,6 +258,7 @@ def _pagerank_bucketed(
     damping: float,
     iterations: int,
     num_buckets: int,
+    teleport_nodes=None,
 ) -> pd.DataFrame:
     """PageRank rung with NO node-sized driver state (VERDICT r3 #6 —
     the upgrade path past the broadcast-vocabulary ceiling): ranks live
@@ -286,6 +312,29 @@ def _pagerank_bucketed(
             {"node": pd.Series(dtype=object), "pr": pd.Series(dtype="float64")}
         )
 
+    # personalized teleport: the seed set is small by definition and
+    # broadcasts; the seed count present in the graph is one tiny reduce
+    if teleport_nodes is not None:
+        from kgray.functions.broadcast import cached_get as _cg
+
+        seed_ref = ray.put(frozenset(teleport_nodes))
+
+        def seed_hits(b: pd.DataFrame) -> pd.DataFrame:
+            sset = _cg(seed_ref)
+            return pd.DataFrame({"c": [int(b["node"].isin(sset).sum())]})
+
+        ns = int(
+            nodes.map_batches(seed_hits, batch_format="pandas").to_pandas()["c"].sum()
+        )
+        if ns == 0:
+            raise ValueError("no teleport node present in the graph")
+
+        def _tvals(names: pd.Series) -> np.ndarray:
+            sset = _cg(seed_ref)
+            return np.where(names.isin(sset), 1.0 / ns, 0.0)
+    else:
+        _tvals = None
+
     # shared wide schema for every unioned stream (pandas-block unions
     # need identical schemas): kind 0 = rank row (w=out_w, r=rank),
     # kind 1 = edge row (node=src, dst, w=weight), kind 2 = flow partial
@@ -329,7 +378,11 @@ def _pagerank_bucketed(
                 "node": b["node"].astype(object),
                 "dst": np.full(len(b), "", dtype=object),
                 "w": b["out_w"].to_numpy(dtype=np.float64),
-                "r": np.full(len(b), 1.0 / n),
+                "r": (
+                    np.full(len(b), 1.0 / n)
+                    if _tvals is None
+                    else _tvals(b["node"])
+                ),
             }
         )
 
@@ -383,7 +436,11 @@ def _pagerank_bucketed(
                 else pd.Series(dtype="float64")
             )
             iv = base["node"].map(inflow).fillna(0.0).to_numpy(dtype=np.float64)
-            r_new = (1.0 - damping) / n + damping * (iv + mass / n)
+            if _tvals is None:
+                r_new = (1.0 - damping) / n + damping * (iv + mass / n)
+            else:
+                tv = _tvals(base["node"])
+                r_new = (1.0 - damping) * tv + damping * (iv + mass * tv)
             return pd.DataFrame(
                 {
                     "bkt": base["bkt"].astype("int32"),

@@ -273,3 +273,66 @@ def test_pagerank_bucketed_rung_matches_driver(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(drv, bkt, atol=1.5e-6, rtol=0)
+
+
+def test_ppr_seeds_all_rungs_agree(ray_session):
+    """Personalized teleport: dense reference == driver rung == encoded
+    rung == bucketed rung; mass conserved; seeds outrank comparable
+    non-seeds; absent seeds raise."""
+    import pytest
+
+    rng = np.random.default_rng(23)
+    edges = pd.DataFrame(
+        {
+            "subj_name": [f"n{i}" for i in rng.integers(0, 12, 60)],
+            "obj_name": [f"n{i}" for i in rng.integers(0, 15, 60)],
+            "n_obs": rng.integers(1, 5, 60),
+        }
+    )
+    seeds = ["n1", "n3"]
+    ds = ray.data.from_pandas(edges)
+
+    # dense reference with seeded teleport
+    nodes = sorted(set(edges["subj_name"]) | set(edges["obj_name"]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for _, e in edges.iterrows():
+        w[idx[e["subj_name"]], idx[e["obj_name"]]] += e["n_obs"]
+    sw = w.sum(axis=1)
+    t = np.zeros(n)
+    for s in seeds:
+        t[idx[s]] = 1.0 / len(seeds)
+    r = t.copy()
+    for _ in range(10):
+        inflow = np.zeros(n)
+        for i in range(n):
+            if sw[i] > 0:
+                inflow += r[i] * w[i] / sw[i]
+        mass = r[sw == 0].sum()
+        r = 0.15 * t + 0.85 * (inflow + mass * t)
+    ref = pd.Series(r, index=nodes).sort_index()
+
+    driver = pagerank(ds, teleport_nodes=seeds).set_index("node")["pr"].sort_index()
+    assert np.allclose(driver, ref, atol=2e-6)
+    assert abs(driver.sum() - 1.0) < 1e-3
+    # non-seed teleport share is zero: an in-link-free non-seed ranks 0
+    dangling_only = set(nodes) - set(edges["obj_name"]) - set(seeds)
+    for node in dangling_only:
+        assert driver.loc[node] == 0.0
+
+    encoded = (
+        pagerank(ds, teleport_nodes=seeds, driver_edge_max=0)
+        .set_index("node")["pr"].sort_index()
+    )
+    assert np.allclose(driver, encoded, atol=2e-6)
+
+    bucketed = (
+        pagerank(ds, teleport_nodes=seeds, driver_node_max=0, iterations=3)
+        .set_index("node")["pr"].sort_index()
+    )
+    short = pagerank(ds, teleport_nodes=seeds, iterations=3).set_index("node")["pr"].sort_index()
+    assert np.allclose(bucketed, short, atol=2e-6)
+
+    with pytest.raises(ValueError, match="no teleport node"):
+        pagerank(ds, teleport_nodes=["not-a-node"])
