@@ -191,6 +191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_ngram_jaccard"] = lambda sf: dd.ngram_jaccard_pairs(
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     )
+    q["doc_ngram_containment"] = lambda sf: dd.ngram_containment_pairs(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    )
     q["doc_dup_ngram_fraction"] = lambda sf: dd.dup_ngram_fraction(
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     )
@@ -2104,6 +2107,34 @@ SELECT a, b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.5
     )
 
 
+def _ngram_containment_oracle_sql() -> str:
+    """Containment twin of _ngram_jaccard_oracle_sql: same MinHash-LSH
+    candidate CTEs, score = |A∩B| / min(|A|, |B|)."""
+    return (
+        _minhash_ctes("10 * sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) >= 189")
+        + """,
+jpairs AS (SELECT root AS a, doc_id AS b FROM roots WHERE root <> doc_id),
+sh_dist AS (SELECT DISTINCT doc_id, h FROM shh),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh_dist GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, count(*) AS ni
+  FROM jpairs p JOIN sh_dist x ON x.doc_id = p.a
+                JOIN sh_dist y ON y.doc_id = p.b AND y.h = x.h
+  GROUP BY p.a, p.b
+),
+cont AS (
+  SELECT p.a, p.b,
+         coalesce(i.ni, 0)::DOUBLE
+           / greatest(1, least(sa.nsh, sb.nsh)) AS c
+  FROM jpairs p JOIN sizes sa ON sa.doc_id = p.a
+                JOIN sizes sb ON sb.doc_id = p.b
+  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+)
+SELECT a, b, round(c, 6) AS containment FROM cont WHERE c >= 0.5
+"""
+    )
+
+
 def _sql_quote(s: str) -> str:
     return s.replace("'", "''")
 
@@ -3027,6 +3058,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
         """,
         "doc_ngram_jaccard": _ngram_jaccard_oracle_sql(),
+        "doc_ngram_containment": _ngram_containment_oracle_sql(),
         # token-budget slice: running sum in (md5(id), id) hash order
         "doc_token_budget_sample": """
             WITH t AS (

@@ -659,12 +659,21 @@ def simhash_near_dup_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: ray.data.Dataset, shingle_n: int = 3, threshold: float = 0.5
+    docs: ray.data.Dataset, shingle_n: int = 3, threshold: float = 0.5,
+    score: str = "jaccard",
 ) -> pd.DataFrame:
-    """Exact n-gram Jaccard verification over MinHash-LSH candidates:
-    LSH proposes, exact shingle-set Jaccard disposes.  The exact pass joins
-    candidate doc_ids back to their texts via a broadcast of only the
-    candidate texts (candidates << corpus)."""
+    """Exact n-gram similarity verification over MinHash-LSH candidates:
+    LSH proposes, the exact shingle-set score disposes.  The exact pass
+    joins candidate doc_ids back to their texts via a broadcast of only
+    the candidate texts (candidates << corpus).
+
+    ``score``: "jaccard" = |A∩B|/|A∪B| (symmetric) or "containment" =
+    |A∩B|/min(|A|,|B|) — the ASYMMETRIC overlap that flags a small doc
+    embedded inside a big one, which symmetric Jaccard scores low.
+    CAVEAT shared with the SQL twin: candidates still come from
+    MinHash-Jaccard bands, so containment pairs whose Jaccard is too low
+    to band-collide are out of recall (a containment-native sketch is the
+    documented upgrade); within the candidate set the score is exact."""
     mapping = _minhash_mapping(docs, shingle_n=shingle_n, threshold=0.3)
     cand = pd.DataFrame(
         {"doc_id": list(mapping.keys()), "canonical_id": list(mapping.values())}
@@ -682,17 +691,33 @@ def ngram_jaccard_pairs(
     )
     mh = MinHasher(shingle_n=shingle_n)
     shingles = {d: set(mh.shingle_hashes(texts[d]).tolist()) for d in texts.index}
+    if score not in ("jaccard", "containment"):
+        raise ValueError(f"unknown score {score!r}")
     rows = []
     for a, b in zip(cand["doc_id"], cand["canonical_id"]):
         sa, sb = shingles[int(a)], shingles[int(b)]
-        j = len(sa & sb) / max(1, len(sa | sb))
+        inter = len(sa & sb)
+        if score == "jaccard":
+            j = inter / max(1, len(sa | sb))
+        else:
+            j = inter / max(1, min(len(sa), len(sb)))
         if j >= threshold:
             # half-AWAY-from-zero rounding so the SQL oracle's round()
             # agrees bit-for-bit (numpy/python round is half-even; exact
             # .5 ties arise whenever the union size is a power of two)
             j6 = np.floor(j * 1e6 + 0.5) / 1e6
             rows.append((min(int(a), int(b)), max(int(a), int(b)), j6))
-    return pd.DataFrame(rows, columns=["a", "b", "jaccard"]).drop_duplicates(["a", "b"]).reset_index(drop=True)
+    col = "jaccard" if score == "jaccard" else "containment"
+    return pd.DataFrame(rows, columns=["a", "b", col]).drop_duplicates(["a", "b"]).reset_index(drop=True)
+
+
+def ngram_containment_pairs(
+    docs: ray.data.Dataset, shingle_n: int = 3, threshold: float = 0.5
+) -> pd.DataFrame:
+    """:func:`ngram_jaccard_pairs` with the asymmetric containment score."""
+    return ngram_jaccard_pairs(
+        docs, shingle_n=shingle_n, threshold=threshold, score="containment"
+    )
 
 
 def embedding_near_dup_pairs(

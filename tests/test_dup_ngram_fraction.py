@@ -74,3 +74,22 @@ def test_dup_ngram_fraction_partition_invariance(ray_session):
     )
     pd.testing.assert_frame_equal(one, many)
     assert (one["n_shared"] > 0).any()
+
+
+def test_ngram_containment_vs_jaccard(ray_session):
+    """A small doc fully embedded in a big one: containment = 1.0 while
+    symmetric Jaccard sits below the 0.5 cut — the asymmetric score is
+    the one that flags it."""
+    from kgray.ops.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+
+    words = [f"tok{i}" for i in range(22)]
+    big = " ".join(words)              # 20 3-shingles
+    small = " ".join(words[:11])       # 9 3-shingles, all inside big
+    docs = pd.DataFrame({"doc_id": [1, 2, 3], "text": [big, small, "zzz yyy xxx www"]})
+    ds = ray.data.from_pandas(docs)
+
+    cont = ngram_containment_pairs(ds)
+    jac = ngram_jaccard_pairs(ds)
+    got = {(r.a, r.b): r.containment for r in cont.itertuples()}
+    assert got.get((1, 2)) == 1.0          # small ⊂ big
+    assert (1, 2) not in {(r.a, r.b) for r in jac.itertuples()}  # J = 9/20 < 0.5
