@@ -83,3 +83,24 @@ def test_hash_join_semi_and_anti(ray_session):
 
     with pytest.raises(ValueError, match="unsupported how"):
         hash_join(l, r, "k", "rk", how="left")
+
+
+def test_hash_join_hot_key_skew(ray_session):
+    """A key carrying half of each side concentrates in one bucket: the
+    join must still be exact (and the fan-out product correct)."""
+    left = pd.DataFrame(
+        {"k": [7] * 50 + list(range(100, 150)), "lval": [f"l{i}" for i in range(100)]}
+    )
+    right = pd.DataFrame(
+        {"rk": [7] * 20 + list(range(100, 130)), "rval": range(50)}
+    )
+    out = hash_join(
+        ray.data.from_pandas(left).repartition(6),
+        ray.data.from_pandas(right).repartition(4),
+        "k",
+        "rk",
+    ).to_pandas()
+    assert (out["k"] == 7).sum() == 50 * 20          # hot-key product
+    assert (out["k"] != 7).sum() == 30               # 100..129 one-to-one
+    want = left.merge(right, left_on="k", right_on="rk")
+    assert len(out) == len(want)
