@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_kcore_events"] = _q_kg_kcore_events
     q["kg_link_prediction_events"] = _q_kg_link_prediction_events
     q["kg_ppr_events"] = _q_kg_ppr_events
+    q["kg_hits_events"] = _q_kg_hits_events
     q["kg_khop_events"] = _q_kg_khop_events
 
     # --- sketches (kgray/ops/stats.py) -----------------------------------
@@ -835,6 +836,16 @@ def _q_kg_ppr_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
+def _q_kg_hits_events(sf_dir: str) -> pd.DataFrame:
+    """Weighted HITS over the bipartite events KG: users score as hubs,
+    event types as authorities (kgray.functions.graph.hits — pagerank's
+    first two rungs, identical half-step order to the unrolled-CTE twin)."""
+    from kgray.functions.graph import hits
+
+    out = hits(_kg_events(sf_dir).edges)
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def _q_kg_kcore_events(sf_dir: str) -> pd.DataFrame:
     """2-core of the events KG (synchronized peeling to fixpoint) — the
     graph-cleanup primitive that strips leaf chains before centrality /
@@ -859,6 +870,51 @@ def _q_kg_link_prediction_events(sf_dir: str) -> pd.DataFrame:
         _kg_events(sf_dir).edges, src_col="subj_name", dst_col="obj_name"
     ).to_pandas()
     return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+def _hits_oracle_sql(iterations: int = 10) -> str:
+    """HITS twin: (authority, L2-normalize, hub, L2-normalize) per round,
+    unrolled as MATERIALIZED CTEs — identical half-step order to
+    kgray.functions.graph.hits."""
+    parts = [
+        """edges AS MATERIALIZED (
+            SELECT 'user ' || CAST(user_id AS VARCHAR) AS src,
+                   event_type AS dst,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM events GROUP BY user_id, event_type)""",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "h0 AS MATERIALIZED (SELECT node, 1.0 / sqrt(nn.n) AS v FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(iterations):
+        parts.append(
+            f"""ar{k} AS MATERIALIZED (
+                SELECT n.node, COALESCE(s.x, 0.0) AS v FROM nodes n
+                LEFT JOIN (SELECT e.dst AS node, sum(h.v * e.w) AS x
+                           FROM edges e JOIN h{k} h ON h.node = e.src
+                           GROUP BY e.dst) s ON s.node = n.node),
+            az{k} AS MATERIALIZED (SELECT sqrt(sum(v * v)) AS z FROM ar{k}),
+            a{k + 1} AS MATERIALIZED (
+                SELECT node, CASE WHEN az{k}.z > 0 THEN v / az{k}.z ELSE v END AS v
+                FROM ar{k} CROSS JOIN az{k}),
+            hr{k} AS MATERIALIZED (
+                SELECT n.node, COALESCE(s.x, 0.0) AS v FROM nodes n
+                LEFT JOIN (SELECT e.src AS node, sum(a.v * e.w) AS x
+                           FROM edges e JOIN a{k + 1} a ON a.node = e.dst
+                           GROUP BY e.src) s ON s.node = n.node),
+            hz{k} AS MATERIALIZED (SELECT sqrt(sum(v * v)) AS z FROM hr{k}),
+            h{k + 1} AS MATERIALIZED (
+                SELECT node, CASE WHEN hz{k}.z > 0 THEN v / hz{k}.z ELSE v END AS v
+                FROM hr{k} CROSS JOIN hz{k})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT n.node, round(h.v, 6) AS hub, round(a.v, 6) AS authority
+FROM nodes n JOIN h{iterations} h ON h.node = n.node
+             JOIN a{iterations} a ON a.node = n.node"""
+    )
 
 
 def _ppr_oracle_sql(iterations: int = 10, damping: float = 0.85, seed_mod: int = 7) -> str:
@@ -3466,6 +3522,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_pagerank_events": _pagerank_oracle_sql(),
         "kg_ppr_events": _ppr_oracle_sql(),
+        "kg_hits_events": _hits_oracle_sql(),
         "corpus_curation": r"""
             -- SQL twin of the WHOLE curation chain, stage for stage
             WITH """ + _CURATION_CTES + r"""

@@ -1151,3 +1151,116 @@ def adamic_adar(
         .groupby("pbucket")
         .map_groups(reduce_pairs, batch_format="pandas")
     )
+
+
+def hits(
+    edges: ray.data.Dataset,
+    src_col: str = "subj_name",
+    dst_col: str = "obj_name",
+    weight_col: str | None = "n_obs",
+    iterations: int = 10,
+    driver_edge_max: int = 200_000,
+) -> pd.DataFrame:
+    """Weighted HITS: hub/authority scores (the principal singular pair of
+    the weighted adjacency) — on the bipartite user↔event_type KG, hubs
+    rank users by breadth of participation and authorities rank event
+    types by who reaches them.  L2-normalized after each half-step; both
+    engines run the identical (authority, normalize, hub, normalize)
+    order so the SQL twin matches at 1e-6.
+
+    Scale ladder mirrors :func:`pagerank`'s first two rungs: below
+    ``driver_edge_max`` edges a driver numpy loop; above it the
+    integer-encoded edge stream re-streams per half-step with sparse
+    ``np.bincount`` partials and only the node-sized score vectors live
+    on the driver (the same documented vocabulary budget).  Past the
+    ~10^8-node ceiling the rank-as-bucketed-Dataset rung proven in
+    :func:`_pagerank_bucketed` is the stated upgrade path (two
+    co-locations per half-step plus a scalar norm reduce).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from kgray.functions.broadcast import cached_get
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        pa.compute.unique(t[src_col].combine_chunks()).cast(pa.large_string()),
+                        pa.compute.unique(t[dst_col].combine_chunks()).cast(pa.large_string()),
+                    ]
+                )
+            }
+        )
+
+    vp = edges.map_batches(vocab_partial, batch_format="pyarrow").to_pandas()
+    if "node" not in vp.columns or not len(vp):
+        return pd.DataFrame(
+            {
+                "node": pd.Series(dtype=object),
+                "hub": pd.Series(dtype="float64"),
+                "authority": pd.Series(dtype="float64"),
+            }
+        )
+    node_names = np.sort(vp["node"].unique().astype(object))
+    n = len(node_names)
+    idx_ref = ray.put({name: i for i, name in enumerate(node_names)})
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        idx = cached_get(idx_ref)
+        return pd.DataFrame(
+            {
+                "si": b[src_col].map(idx).to_numpy(dtype=np.int64),
+                "di": b[dst_col].map(idx).to_numpy(dtype=np.int64),
+                "w": (
+                    b[weight_col].to_numpy(dtype=np.float64)
+                    if weight_col is not None
+                    else np.ones(len(b))
+                ),
+            }
+        )
+
+    encoded = edges.map_batches(encode, batch_format="pandas").materialize()
+
+    def _norm(v: np.ndarray) -> np.ndarray:
+        z = np.sqrt((v * v).sum())
+        return v / z if z > 0 else v
+
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = np.zeros(n)
+    if encoded.count() <= driver_edge_max:
+        e = encoded.to_pandas()
+        si = e["si"].to_numpy()
+        di = e["di"].to_numpy()
+        w = e["w"].to_numpy()
+        for _ in range(iterations):
+            a = _norm(np.bincount(di, weights=h[si] * w, minlength=n))
+            h = _norm(np.bincount(si, weights=a[di] * w, minlength=n))
+    else:
+        def half_step(vec: np.ndarray, from_col: str, to_col: str) -> np.ndarray:
+            v_ref = ray.put(vec)
+
+            def contrib(b: pd.DataFrame, v_ref=v_ref) -> pd.DataFrame:
+                vv = cached_get(v_ref)
+                flow = vv[b[from_col].to_numpy()] * b["w"].to_numpy()
+                dense = np.bincount(b[to_col].to_numpy(), weights=flow, minlength=n)
+                nz = np.nonzero(dense)[0]
+                return pd.DataFrame({"i": nz, "x": dense[nz]})
+
+            parts = encoded.map_batches(contrib, batch_format="pandas").to_pandas()
+            out = np.zeros(n)
+            np.add.at(out, parts["i"].to_numpy(), parts["x"].to_numpy())
+            return _norm(out)
+
+        for _ in range(iterations):
+            a = half_step(h, "si", "di")
+            h = half_step(a, "di", "si")
+
+    return pd.DataFrame(
+        {
+            "node": node_names,
+            "hub": np.floor(h * 1e6 + 0.5) / 1e6,
+            "authority": np.floor(a * 1e6 + 0.5) / 1e6,
+        }
+    )

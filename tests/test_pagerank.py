@@ -336,3 +336,53 @@ def test_ppr_seeds_all_rungs_agree(ray_session):
 
     with pytest.raises(ValueError, match="no teleport node"):
         pagerank(ds, teleport_nodes=["not-a-node"])
+
+
+def test_hits_bipartite_and_rung_parity(ray_session):
+    """On a bipartite src→dst graph: sources carry hub mass only and
+    sinks authority only; both vectors are unit-L2; the encoded
+    distributed rung equals the driver rung."""
+    from kgray.functions.graph import hits
+
+    rng = np.random.default_rng(31)
+    edges = pd.DataFrame(
+        {
+            "subj_name": [f"u{i}" for i in rng.integers(0, 8, 40)],
+            "obj_name": [f"t{i}" for i in rng.integers(0, 4, 40)],
+            "n_obs": rng.integers(1, 6, 40),
+        }
+    )
+    ds = ray.data.from_pandas(edges)
+    out = hits(ds).set_index("node")
+    us = out[out.index.str.startswith("u")]
+    ts = out[out.index.str.startswith("t")]
+    assert (us["authority"] == 0.0).all() and (ts["hub"] == 0.0).all()
+    assert abs((out["hub"] ** 2).sum() - 1.0) < 1e-3
+    assert abs((out["authority"] ** 2).sum() - 1.0) < 1e-3
+    # the busiest event type is the top authority
+    top = edges.groupby("obj_name")["n_obs"].sum().idxmax()
+    assert ts["authority"].idxmax() == top
+
+    dist = hits(ds, driver_edge_max=0).set_index("node")
+    pd.testing.assert_frame_equal(
+        out.sort_index(), dist.sort_index(), atol=2e-6, rtol=0
+    )
+
+
+def test_hits_empty(ray_session):
+    from kgray.functions.graph import hits
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "subj_name": pa.array([], pa.string()),
+                "obj_name": pa.array([], pa.string()),
+                "n_obs": pa.array([], pa.int64()),
+            }
+        )
+    )
+    out = hits(empty)
+    assert len(out) == 0 and list(out.columns) == ["node", "hub", "authority"]
