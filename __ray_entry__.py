@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_simhash_components"] = _q_doc_simhash_components
     q["doc_simhash_dedup"] = _q_doc_simhash_dedup
     q["doc_simhash_triangles"] = _q_doc_simhash_triangles
+    q["doc_simhash_clustering"] = _q_doc_simhash_clustering
     q["embedding_near_dup"] = _q_embedding_near_dup
 
     # --- similarity search ----------------------------------------------
@@ -727,6 +728,48 @@ def _q_doc_simhash_triangles(sf_dir: str) -> pd.DataFrame:
             {"doc_id": pd.Series(dtype="int64"), "n_tri": pd.Series(dtype="int64")}
         )
     out = out.rename(columns={"node": "doc_id"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_simhash_clustering(sf_dir: str) -> pd.DataFrame:
+    """Per-node clustering coefficient of the SimHash near-dup graph
+    (2*tri / deg*(deg-1)) — distinguishes dup CLIQUES (true duplicate
+    groups, c≈1) from dup CHAINS (transitive false positives, c≈0);
+    triangles via the broadcast-adjacency kernel, degrees from the same
+    deduped pair set."""
+    import numpy as np
+
+    from kgray.functions.graph import triangle_counts
+
+    pairs_ds = dd.simhash_near_dup_pairs(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+    tri = triangle_counts(pairs_ds)
+    if not len(tri):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "n_tri": pd.Series(dtype="int64"),
+                "degree": pd.Series(dtype="int64"),
+                "clustering": pd.Series(dtype="float64"),
+            }
+        )
+    pairs = pairs_ds.select_columns(["a", "b"]).to_pandas()
+    lo = pairs.min(axis=1).to_numpy(dtype=np.int64)
+    hi = pairs.max(axis=1).to_numpy(dtype=np.int64)
+    e = pd.DataFrame({"lo": lo, "hi": hi})[lo != hi].drop_duplicates()
+    deg = (
+        pd.concat([e["lo"], e["hi"]]).value_counts().rename("degree").astype("int64")
+    )
+    out = tri.rename(columns={"node": "doc_id"}).merge(
+        deg, left_on="doc_id", right_index=True, how="left"
+    )
+    out["degree"] = out["degree"].fillna(0).astype("int64")
+    d = out["degree"].to_numpy(dtype=np.float64)
+    t = out["n_tri"].to_numpy(dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c = np.where(d >= 2, t * 2.0 / (d * (d - 1.0)), 0.0)
+    out["clustering"] = np.round(c, 6)
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -3207,6 +3250,25 @@ def oracle_sql() -> dict[str, str]:
             gnodes AS (SELECT DISTINCT a AS node FROM sym)
             SELECT n.node AS doc_id, CAST(coalesce(t.c2, 0) // 2 AS BIGINT) AS n_tri
             FROM gnodes n LEFT JOIN tric t USING (node)
+        """,
+        "doc_simhash_clustering": _simhash_ctes()
+        + """,
+            sym AS (SELECT a, b FROM spairs UNION SELECT b AS a, a AS b FROM spairs),
+            tric AS (
+              SELECT s1.a AS node, count(*) AS c2
+              FROM sym s1 JOIN sym s2 ON s2.a = s1.b
+                          JOIN sym s3 ON s3.a = s2.b AND s3.b = s1.a
+              GROUP BY s1.a
+            ),
+            deg AS (SELECT a AS node, count(DISTINCT b) AS d FROM sym GROUP BY a),
+            gnodes AS (SELECT DISTINCT a AS node FROM sym)
+            SELECT n.node AS doc_id,
+                   CAST(coalesce(t.c2, 0) // 2 AS BIGINT) AS n_tri,
+                   CAST(g.d AS BIGINT) AS degree,
+                   round(CASE WHEN g.d >= 2
+                              THEN (coalesce(t.c2, 0) // 2) * 2.0 / (g.d * (g.d - 1.0))
+                              ELSE 0.0 END, 6) AS clustering
+            FROM gnodes n JOIN deg g USING (node) LEFT JOIN tric t USING (node)
         """,
         "doc_simhash_dedup": _simhash_ctes()
         + """,
