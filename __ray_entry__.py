@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_rolling_wau"] = _q_events_rolling_wau
     q["events_transitions"] = _q_events_transitions
     q["events_sessions"] = _q_events_sessions
+    q["events_motifs"] = _q_events_motifs
     q["events_zscore_outliers"] = _q_events_zscore_outliers
     q["doc_top_tokens"] = _q_doc_top_tokens
 
@@ -623,6 +624,20 @@ def _q_events_sessions(sf_dir: str) -> Any:
     return sessionize(
         ray.data.read_parquet(
             f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+        )
+    )
+
+
+def _q_events_motifs(sf_dir: str) -> pd.DataFrame:
+    """Top-20 consecutive event-type trigrams within per-user streams
+    (funnel discovery; kgray/ops/temporal.py event_motifs) — one
+    user-bucket shuffle, per-bucket partials bounded by |types|^3."""
+    from kgray.ops.temporal import event_motifs
+
+    return event_motifs(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
         )
     )
 
@@ -4092,6 +4107,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM seq WHERE nxt IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "events_motifs": """
+            WITH seq AS (
+              SELECT event_type AS e1,
+                     lead(event_type, 1) OVER w AS e2,
+                     lead(event_type, 2) OVER w AS e3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE e3 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n DESC, e1, e2, e3
+            LIMIT 20
         """,
         "events_sessions": """
             WITH o AS (

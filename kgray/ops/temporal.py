@@ -518,3 +518,76 @@ def sessionize(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def event_motifs(
+    events: "ray.data.Dataset",
+    k: int = 20,
+    num_buckets: int = 64,
+) -> "pd.DataFrame":
+    """Top-k behavioral motifs: the most frequent CONSECUTIVE event-type
+    trigrams within per-user streams (sequence mining lite — funnel
+    discovery without pre-declaring the funnel).
+
+    Scale shape: the same ONE user-bucket shuffle as :func:`sessionize`;
+    inside a bucket the trigram extraction is three shifted array views
+    and the counts collapse to per-bucket (e1, e2, e3, n) partials —
+    bounded by the event-type-vocabulary cube, not by rows; the driver
+    reduce sums partials and keeps the top-k (count desc, then
+    lexicographic — the SQL twin's ORDER BY).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def add_bucket(b: "pd.DataFrame") -> "pd.DataFrame":
+        b = b.copy()
+        b["bucket"] = (b["user_id"] % num_buckets).astype("int32")
+        return b
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "e1": pd.Series(dtype=object),
+                "e2": pd.Series(dtype=object),
+                "e3": pd.Series(dtype=object),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+        if len(g) < 3:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy(dtype=object)
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        if not same.any():
+            return empty
+        df = pd.DataFrame(
+            {"e1": t[:-2][same], "e2": t[1:-1][same], "e3": t[2:][same]}
+        )
+        out = df.groupby(["e1", "e2", "e3"], sort=False).size().rename("n").reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = (
+        events.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # <= buckets x |types|^3 partial rows
+    )
+    if "e1" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                "e1": pd.Series(dtype=object),
+                "e2": pd.Series(dtype=object),
+                "e3": pd.Series(dtype=object),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+    out = parts.groupby(["e1", "e2", "e3"], sort=False)["n"].sum().reset_index()
+    out["n"] = out["n"].astype("int64")
+    return (
+        out.sort_values(["n", "e1", "e2", "e3"], ascending=[False, True, True, True],
+                        kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )

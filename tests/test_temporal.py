@@ -227,3 +227,29 @@ def test_sessionize_gap_boundaries(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, out7)
+
+
+def test_event_motifs_user_boundaries(ray_session):
+    """Trigrams never span users; ordering is (ts, event_id); top-k ties
+    break lexicographically."""
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.temporal import event_motifs
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: a b c a b c  -> abc x2, bca, cab
+    for i, et in enumerate(["a", "b", "c", "a", "b", "c"]):
+        rows.append((1, base + pd.Timedelta(seconds=i), i, et))
+    # user 2: c a b — contributes ONE trigram (cab), no cross-user span
+    for i, et in enumerate(["c", "a", "b"]):
+        rows.append((2, base + pd.Timedelta(seconds=i), 100 + i, et))
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "event_type"])
+    out = event_motifs(ray.data.from_pandas(df).repartition(3))
+    got = list(zip(out["e1"], out["e2"], out["e3"], out["n"]))
+    assert got[0] == ("a", "b", "c", 2)
+    assert ("c", "a", "b", 2) in got       # once from each user
+    assert ("b", "c", "a", 1) in got
+    # total trigrams = 4 (user1) + 1 (user2) across 3 distinct patterns
+    assert out["n"].sum() == 5 and len(out) == 3
