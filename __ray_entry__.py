@@ -303,6 +303,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_ppr_events"] = _q_kg_ppr_events
     q["kg_hits_events"] = _q_kg_hits_events
     q["kg_khop_events"] = _q_kg_khop_events
+    q["ref_components"] = _q_ref_components
+    q["kg_shortest_path_events"] = _q_kg_shortest_path_events
+    q["kg_lpa_events"] = _q_kg_lpa_events
 
     # --- sketches (kgray/ops/stats.py) -----------------------------------
     q["doc_hll_distinct"] = _q_doc_hll_distinct
@@ -1055,6 +1058,111 @@ def _kcore_oracle_sql(k: int = 2, rounds: int = 16) -> str:
     )
 
 
+def _sssp_oracle_sql(seeds: list[str], hops: int) -> str:
+    """Bellman-Ford twin: the undirected 1/w cost stream, then ``hops``
+    unrolled LEAST(previous, min incoming candidate) rounds — min() is
+    order-independent and every candidate is the identical dist + cost
+    float, so agreement is exact before the 1e-6 rounding.  Unreached
+    stays at the 1e18 sentinel (1e18 + c == 1e18 in float64, the same
+    saturation the engine's np.minimum sees)."""
+    seed_list = ", ".join(f"'{s}'" for s in seeds)
+    parts = [
+        """edges AS MATERIALIZED (
+            SELECT 'user ' || CAST(user_id AS VARCHAR) AS src,
+                   event_type AS dst,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM events GROUP BY user_id, event_type)""",
+        """ue AS MATERIALIZED (
+            SELECT src AS a, dst AS b, 1.0 / w AS c FROM edges
+            UNION ALL
+            SELECT dst, src, 1.0 / w FROM edges)""",
+        "nodes AS MATERIALIZED (SELECT a AS node FROM ue UNION SELECT b FROM ue)",
+        f"""d0 AS MATERIALIZED (
+            SELECT node,
+                   CASE WHEN node IN ({seed_list}) THEN 0.0 ELSE 1e18 END AS d
+            FROM nodes)""",
+    ]
+    for k in range(hops):
+        parts.append(
+            f"""d{k + 1} AS MATERIALIZED (
+                SELECT n.node, LEAST(n.d, COALESCE(m.md, 1e18)) AS d
+                FROM d{k} n
+                LEFT JOIN (SELECT e.b AS node, min(d.d + e.c) AS md
+                           FROM ue e JOIN d{k} d ON d.node = e.a
+                           GROUP BY e.b) m ON m.node = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, round(d, 6) AS dist FROM d{hops} WHERE d < 1e17"
+    )
+
+
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    """Synchronous LPA twin: distinct undirected edges, then per round a
+    (node, neighbour-label) vote count, argmax via row_number ordered
+    (count DESC, label ASC) — the engine's integer argmin tie-break on
+    the SORTED vocabulary is the same min(label), see
+    kgray.functions.graph.label_propagation."""
+    parts = [
+        """e0 AS MATERIALIZED (
+            SELECT DISTINCT 'user ' || CAST(user_id AS VARCHAR) AS a,
+                   event_type AS b
+            FROM events)""",
+        """ue AS MATERIALIZED (
+            SELECT a, b FROM e0 WHERE a <> b
+            UNION
+            SELECT b, a FROM e0 WHERE a <> b)""",
+        "nodes AS MATERIALIZED (SELECT a AS node FROM ue UNION SELECT b FROM ue)",
+        "l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""c{k} AS MATERIALIZED (
+                SELECT e.a AS node, l.lbl, count(*) AS c
+                FROM ue e JOIN l{k} l ON l.node = e.b
+                GROUP BY e.a, l.lbl),
+            b{k} AS MATERIALIZED (
+                SELECT node, lbl FROM (
+                    SELECT node, lbl,
+                           row_number() OVER (PARTITION BY node
+                                              ORDER BY c DESC, lbl ASC) AS rn
+                    FROM c{k}) WHERE rn = 1),
+            l{k + 1} AS MATERIALIZED (
+                SELECT n.node, COALESCE(b.lbl, n.lbl) AS lbl
+                FROM l{k} n LEFT JOIN b{k} b ON b.node = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, lbl AS community FROM l{rounds}"
+    )
+
+
+_REF_COMPONENTS_ORACLE = """
+WITH RECURSIVE
+ed AS MATERIALIZED (
+    SELECT 'customer ' || CAST(c_custkey AS VARCHAR) AS src,
+           'nation ' || n_name AS dst
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    UNION ALL
+    SELECT 'supplier ' || CAST(s_suppkey AS VARCHAR),
+           'nation ' || n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    UNION ALL
+    SELECT 'nation ' || n_name, 'region ' || r_name
+    FROM nation JOIN region ON r_regionkey = n_regionkey),
+ue AS MATERIALIZED (
+    SELECT src AS a, dst AS b FROM ed UNION SELECT dst, src FROM ed),
+nodes AS MATERIALIZED (SELECT a AS node FROM ue UNION SELECT b FROM ue),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT u.a, rc.r FROM ue u JOIN reach rc ON rc.node = u.b)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+
+
 KHOP_SEEDS = ["user 1", "user 7"]
 
 
@@ -1065,6 +1173,86 @@ def _q_kg_khop_events(sf_dir: str) -> pd.DataFrame:
 
     kg = _kg_events(sf_dir)
     return k_hop_neighborhood(kg.edges, seeds=KHOP_SEEDS, hops=2)
+
+
+def _q_ref_components(sf_dir: str) -> pd.DataFrame:
+    """Connected components over the reference-data hierarchy graph
+    (customer→nation, supplier→nation, nation→region edges): exactly one
+    component per region at every SF, labelled by its lexicographically
+    smallest member.  Exercises multi-table graph construction (two
+    broadcast dim joins) + the string-keyed min-label component ladder
+    (kgray.functions.graph.connected_components_named); the twin is a
+    recursive-CTE transitive closure taking min(reachable name)."""
+    from kgray.functions.broadcast import cached_get
+    from kgray.functions.graph import connected_components_named
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    n_name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    nat_ref = ray.put(n_name)
+
+    def cust_edges(b: pd.DataFrame) -> pd.DataFrame:
+        nm = cached_get(nat_ref)
+        return pd.DataFrame(
+            {
+                "src": "customer " + b["c_custkey"].astype(str),
+                "dst": b["c_nationkey"].astype(int).map(nm).radd("nation "),
+            }
+        )
+
+    def supp_edges(b: pd.DataFrame) -> pd.DataFrame:
+        nm = cached_get(nat_ref)
+        return pd.DataFrame(
+            {
+                "src": "supplier " + b["s_suppkey"].astype(str),
+                "dst": b["s_nationkey"].astype(int).map(nm).radd("nation "),
+            }
+        )
+
+    ce = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_edges, batch_format="pandas")
+    se = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(supp_edges, batch_format="pandas")
+    r_name = dict(zip(region["r_regionkey"].astype(int), region["r_name"]))
+    ne = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "src": "nation " + nation["n_name"],
+                "dst": nation["n_regionkey"].astype(int).map(r_name).radd("region "),
+            }
+        )
+    )
+    out = connected_components_named(ce.union(se).union(ne), src_col="src", dst_col="dst")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SSSP_SEEDS = ["user 1", "user 7"]
+SSSP_HOPS = 4
+
+
+def _q_kg_shortest_path_events(sf_dir: str) -> pd.DataFrame:
+    """Hop-bounded weighted shortest distances from two seed users over
+    the events KG — multi-seed Bellman-Ford with edge cost 1/n_obs
+    (strong ties are short), exactly SSSP_HOPS synchronized relaxation
+    rounds on both engine and twin
+    (kgray.functions.graph.shortest_paths — the pagerank ladder)."""
+    from kgray.functions.graph import shortest_paths
+
+    out = shortest_paths(_kg_events(sf_dir).edges, seeds=SSSP_SEEDS, hops=SSSP_HOPS)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _q_kg_lpa_events(sf_dir: str) -> pd.DataFrame:
+    """Synchronous label-propagation communities over the events KG
+    (4 fixed rounds, most-frequent neighbour label, ties → smallest):
+    kgray.functions.graph.label_propagation; deterministic by fixed
+    unroll — the twin runs the identical rounds."""
+    from kgray.functions.graph import label_propagation
+
+    out = label_propagation(_kg_events(sf_dir).edges, rounds=4)
+    return out.sort_values("node").reset_index(drop=True)
 
 
 def _q_multimodal_frame_sample(sf_dir: str) -> pd.DataFrame:
@@ -3600,6 +3788,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_events": _pagerank_oracle_sql(),
         "kg_ppr_events": _ppr_oracle_sql(),
         "kg_hits_events": _hits_oracle_sql(),
+        "ref_components": _REF_COMPONENTS_ORACLE,
+        "kg_shortest_path_events": _sssp_oracle_sql(SSSP_SEEDS, SSSP_HOPS),
+        "kg_lpa_events": _lpa_oracle_sql(rounds=4),
         "corpus_curation": r"""
             -- SQL twin of the WHOLE curation chain, stage for stage
             WITH """ + _CURATION_CTES + r"""

@@ -582,6 +582,317 @@ def connected_components(
     )
 
 
+def connected_components_named(
+    edges: ray.data.Dataset,
+    src_col: str = "subj_name",
+    dst_col: str = "obj_name",
+    driver_edge_max: int = 200_000,
+) -> pd.DataFrame:
+    """Connected components over a STRING-keyed undirected edge stream;
+    returns (node, component) with component = the lexicographically
+    smallest member name.
+
+    Thin encoding rung over :func:`connected_components`: the node
+    vocabulary is collected once (edge-touched nodes only — the same
+    documented budget as pagerank/kcore), SORTED so dense-index order ==
+    lexicographic name order (min index ↔ min name, which is what the
+    SQL twin's transitive-closure ``min(name)`` computes), the edge
+    stream integer-encodes once, and the min-label ladder runs on the
+    encoded stream (driver numpy below ``driver_edge_max``, distributed
+    sparse-update rounds with pointer jumping above)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kgray.functions.broadcast import cached_get
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays(
+            [
+                t[src_col].combine_chunks().cast(pa.large_string()),
+                t[dst_col].combine_chunks().cast(pa.large_string()),
+            ]
+        )
+        return pa.table({"node": pc.unique(nodes)})
+
+    vocab = edges.map_batches(vocab_partial, batch_format="pyarrow").to_pandas()
+    if "node" not in vocab.columns or not len(vocab):
+        return pd.DataFrame(
+            {"node": pd.Series(dtype=object), "component": pd.Series(dtype=object)}
+        )
+    node_names = np.unique(vocab["node"].to_numpy())  # sorted
+    idx_ref = ray.put({v: i for i, v in enumerate(node_names)})
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        idx = cached_get(idx_ref)
+        return pd.DataFrame(
+            {
+                "a": b[src_col].map(idx).to_numpy(dtype=np.int64),
+                "b": b[dst_col].map(idx).to_numpy(dtype=np.int64),
+            }
+        )
+
+    comp = connected_components(
+        edges.map_batches(encode, batch_format="pandas"),
+        src_col="a",
+        dst_col="b",
+        driver_edge_max=driver_edge_max,
+    )
+    return pd.DataFrame(
+        {
+            "node": node_names[comp["node"].to_numpy(dtype=np.int64)],
+            "component": node_names[comp["component"].to_numpy(dtype=np.int64)],
+        }
+    )
+
+
+def shortest_paths(
+    edges: ray.data.Dataset,
+    seeds: list[str],
+    hops: int = 4,
+    src_col: str = "subj_name",
+    dst_col: str = "obj_name",
+    weight_col: str | None = "n_obs",
+    directed: bool = False,
+    driver_edge_max: int = 200_000,
+) -> pd.DataFrame:
+    """Hop-bounded weighted single-source shortest distances (multi-seed
+    Bellman-Ford): for every node reachable from the seed set within
+    ``hops`` relaxation rounds, the minimum path cost, where edge cost =
+    ``1 / weight`` (strong ties are short — the KG-proximity convention;
+    ``weight_col=None`` degrades to hop counting).  A bounded unroll, not
+    a fixpoint: both the engine and the SQL twin run EXACTLY ``hops``
+    synchronized rounds, so they agree even on graphs whose true shortest
+    paths need more hops.
+
+    Scale ladder mirrors :func:`pagerank`'s first two rungs: sorted node
+    vocabulary collected once, edges integer-encode once; below
+    ``driver_edge_max`` the relaxation loop is driver numpy, above it
+    each round re-streams the encoded edges with per-batch
+    ``np.minimum``-reduced sparse partials over the broadcast distance
+    vector — driver state is one float per node.  min() is
+    order-independent and each candidate is the identical ``dist + 1/w``
+    float, so the twin matches bit-for-bit before the 1e-6 rounding.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kgray.functions.broadcast import cached_get
+
+    INF = np.float64(1e18)
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays(
+            [
+                t[src_col].combine_chunks().cast(pa.large_string()),
+                t[dst_col].combine_chunks().cast(pa.large_string()),
+            ]
+        )
+        return pa.table({"node": pc.unique(nodes)})
+
+    vocab = edges.map_batches(vocab_partial, batch_format="pyarrow").to_pandas()
+    if "node" not in vocab.columns or not len(vocab):
+        return pd.DataFrame(
+            {"node": pd.Series(dtype=object), "dist": pd.Series(dtype="float64")}
+        )
+    node_names = np.unique(vocab["node"].to_numpy())  # sorted
+    n = len(node_names)
+    idx_of = {v: i for i, v in enumerate(node_names)}
+    idx_ref = ray.put(idx_of)
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        idx = cached_get(idx_ref)
+        si = b[src_col].map(idx).to_numpy(dtype=np.int64)
+        di = b[dst_col].map(idx).to_numpy(dtype=np.int64)
+        w = (
+            b[weight_col].to_numpy(dtype=np.float64)
+            if weight_col is not None
+            else np.ones(len(b))
+        )
+        c = 1.0 / w
+        if not directed:
+            si, di, c = (
+                np.concatenate([si, di]),
+                np.concatenate([di, si]),
+                np.concatenate([c, c]),
+            )
+        # parallel edges keep only the cheapest per (si, di) — min() later
+        # makes extras harmless, this just trims the re-streamed volume
+        out = pd.DataFrame({"si": si, "di": di, "c": c})
+        return out.groupby(["si", "di"], sort=False, as_index=False)["c"].min()
+
+    encoded = edges.map_batches(encode, batch_format="pandas").materialize()
+    dist = np.full(n, INF)
+    seed_idx = [idx_of[s] for s in seeds if s in idx_of]
+    if not seed_idx:
+        raise ValueError("no seed present in the graph")
+    dist[seed_idx] = 0.0
+
+    if encoded.count() <= driver_edge_max:
+        e = encoded.to_pandas()
+        si = e["si"].to_numpy()
+        di = e["di"].to_numpy()
+        c = e["c"].to_numpy()
+        for _ in range(hops):
+            cand = dist[si] + c
+            nxt = dist.copy()
+            np.minimum.at(nxt, di, cand)
+            if np.array_equal(nxt, dist):
+                break
+            dist = nxt
+    else:
+        for _ in range(hops):
+            d_ref = ray.put(dist)
+
+            def relax(b: pd.DataFrame, d_ref=d_ref) -> pd.DataFrame:
+                dv = cached_get(d_ref)
+                cand = dv[b["si"].to_numpy()] + b["c"].to_numpy()
+                dense = np.full(len(dv), INF)
+                np.minimum.at(dense, b["di"].to_numpy(), cand)
+                nz = np.nonzero(dense < dv)[0]
+                return pd.DataFrame({"i": nz, "d": dense[nz]})
+
+            parts = encoded.map_batches(relax, batch_format="pandas").to_pandas()
+            if not len(parts):
+                break
+            np.minimum.at(dist, parts["i"].to_numpy(), parts["d"].to_numpy())
+
+    reached = dist < INF
+    d = np.floor(dist[reached] * 1e6 + 0.5) / 1e6  # half-away, = DuckDB round()
+    return pd.DataFrame({"node": node_names[reached], "dist": d})
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    rounds: int = 4,
+    src_col: str = "subj_name",
+    dst_col: str = "obj_name",
+    driver_edge_max: int = 200_000,
+) -> pd.DataFrame:
+    """Synchronous label-propagation community detection over the
+    undirected DISTINCT edge set: every node starts labelled with its own
+    name; each round every node simultaneously adopts the most frequent
+    label among its neighbours (ties → lexicographically smallest label;
+    isolated nodes keep their label).  A FIXED unroll of ``rounds``
+    synchronized rounds — sync LPA can oscillate on bipartite graphs, so
+    determinism comes from both the engine and the SQL twin running the
+    identical round count, not from a fixpoint claim.
+
+    Scale shape (the pagerank ladder): sorted vocabulary collected once
+    (dense-index order == lexicographic label order, so integer argmin
+    tie-breaks == the twin's ``min(label)``), distinct undirected edges
+    integer-encode once; below ``driver_edge_max`` the rounds are driver
+    numpy (bincount over (dst, label) pairs + lexsort argmax), above it
+    per-batch (dst, label, count) partials pre-aggregate in
+    ``map_batches`` and the driver combines label votes — driver state is
+    one int per node plus the (node, label) vote stream, bounded by the
+    distinct edge count."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kgray.functions.broadcast import cached_get
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays(
+            [
+                t[src_col].combine_chunks().cast(pa.large_string()),
+                t[dst_col].combine_chunks().cast(pa.large_string()),
+            ]
+        )
+        return pa.table({"node": pc.unique(nodes)})
+
+    vocab = edges.map_batches(vocab_partial, batch_format="pyarrow").to_pandas()
+    if "node" not in vocab.columns or not len(vocab):
+        return pd.DataFrame(
+            {"node": pd.Series(dtype=object), "community": pd.Series(dtype=object)}
+        )
+    node_names = np.unique(vocab["node"].to_numpy())  # sorted
+    n = len(node_names)
+    idx_ref = ray.put({v: i for i, v in enumerate(node_names)})
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        idx = cached_get(idx_ref)
+        si = b[src_col].map(idx).to_numpy(dtype=np.int64)
+        di = b[dst_col].map(idx).to_numpy(dtype=np.int64)
+        keep = si != di  # self-loops don't vote
+        lo = np.minimum(si[keep], di[keep])
+        hi = np.maximum(si[keep], di[keep])
+        out = pd.DataFrame({"si": lo, "di": hi}).drop_duplicates()
+        out["eb"] = ((out["si"] * 1315423911 + out["di"]) % 64).astype("int32")
+        return out
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["si", "di"])[["si", "di"]]
+
+    # global dedup (an edge seen in two batches must not double-vote):
+    # per-batch dedup + one bucketed groupby, same shape as kcore's
+    encoded = (
+        edges.map_batches(encode, batch_format="pandas")
+        .groupby("eb")
+        .map_groups(dedup_bucket, batch_format="pandas")
+        .materialize()
+    )
+    labels = np.arange(n, dtype=np.int64)
+
+    def argmax_votes(
+        v: np.ndarray, lbl: np.ndarray, w: np.ndarray | None = None
+    ) -> np.ndarray:
+        """labels' next value from (node, label[, count]) vote rows: most
+        votes, tie → smallest label index; nodes with no votes keep their
+        own.  ``w=None`` means each row is one vote."""
+        if not len(v):
+            return labels
+        key = v * np.int64(n) + lbl
+        if w is None:
+            uk, cnt = np.unique(key, return_counts=True)
+        else:  # pre-aggregated (node, label, count) partials
+            uk, inv = np.unique(key, return_inverse=True)
+            cnt = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(cnt, inv, w)
+        uv = uk // n
+        ul = uk % n
+        # per node: max count, tie min label — lexsort puts the winner last
+        order = np.lexsort((-ul, cnt, uv))
+        uv, ul, cnt = uv[order], ul[order], cnt[order]
+        last = np.flatnonzero(np.r_[uv[1:] != uv[:-1], True])
+        nxt = labels.copy()
+        nxt[uv[last]] = ul[last]
+        return nxt
+
+    if encoded.count() <= driver_edge_max:
+        e = encoded.to_pandas()
+        if not len(e) or "si" not in e.columns:
+            return pd.DataFrame({"node": node_names, "community": node_names})
+        si = e["si"].to_numpy()
+        di = e["di"].to_numpy()
+        for _ in range(rounds):
+            v = np.concatenate([di, si])  # undirected: both endpoints vote
+            lbl = np.concatenate([labels[si], labels[di]])
+            labels = argmax_votes(v, lbl)
+    else:
+        for _ in range(rounds):
+            l_ref = ray.put(labels)
+
+            def votes(b: pd.DataFrame, l_ref=l_ref) -> pd.DataFrame:
+                lv = cached_get(l_ref)
+                si = b["si"].to_numpy()
+                di = b["di"].to_numpy()
+                v = np.concatenate([di, si])
+                lbl = np.concatenate([lv[si], lv[di]])
+                out = pd.DataFrame({"v": v, "l": lbl})
+                return out.groupby(["v", "l"], sort=False).size().rename("c").reset_index()
+
+            parts = encoded.map_batches(votes, batch_format="pandas").to_pandas()
+            if not len(parts):
+                break
+            labels = argmax_votes(
+                parts["v"].to_numpy(np.int64),
+                parts["l"].to_numpy(np.int64),
+                parts["c"].to_numpy(np.int64),
+            )
+
+    return pd.DataFrame({"node": node_names, "community": node_names[labels]})
+
+
 def pair_clusters_min_rep(
     pairs: ray.data.Dataset,
     src_col: str = "a",
