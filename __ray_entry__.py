@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_hits_events"] = _q_kg_hits_events
     q["kg_khop_events"] = _q_kg_khop_events
     q["ref_components"] = _q_ref_components
+    q["customer_name_linkage"] = _q_customer_name_linkage
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -1226,6 +1227,22 @@ def _q_ref_components(sf_dir: str) -> pd.DataFrame:
     )
     out = connected_components_named(ce.union(se).union(ne), src_col="src", dst_col="dst")
     return out.sort_values("node").reset_index(drop=True)
+
+
+def _q_customer_name_linkage(sf_dir: str) -> pd.DataFrame:
+    """Blocked fuzzy record linkage: customer pairs in the same nation
+    whose names are within 2 edits (kgray.ops.linkage — one shuffle into
+    nation blocks, batched numpy Levenshtein DP inside each block; the
+    twin is a blocked self-join on DuckDB's levenshtein())."""
+    from kgray.ops.linkage import blocked_name_linkage
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    out = blocked_name_linkage(
+        ds, key_col="c_custkey", name_col="c_name", block_col="c_nationkey", max_dist=2
+    ).to_pandas()
+    return out.sort_values(["a_c_custkey", "b_c_custkey"]).reset_index(drop=True)
 
 
 SSSP_SEEDS = ["user 1", "user 7"]
@@ -3789,6 +3806,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr_events": _ppr_oracle_sql(),
         "kg_hits_events": _hits_oracle_sql(),
         "ref_components": _REF_COMPONENTS_ORACLE,
+        "customer_name_linkage": """
+            SELECT a.c_custkey AS a_c_custkey,
+                   b.c_custkey AS b_c_custkey,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+            FROM customer a JOIN customer b
+              ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 2
+        """,
         "kg_shortest_path_events": _sssp_oracle_sql(SSSP_SEEDS, SSSP_HOPS),
         "kg_lpa_events": _lpa_oracle_sql(rounds=4),
         "corpus_curation": r"""

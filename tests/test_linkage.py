@@ -1,0 +1,68 @@
+"""Blocked fuzzy record linkage (kgray/ops/linkage.py): batched
+Levenshtein DP vs a scalar reference, and the one-shuffle blocked pair
+op's semantics (within-block only, a<b ordering, threshold filter)."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from kgray.ops.linkage import blocked_name_linkage, levenshtein_pairs
+
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_levenshtein_matches_scalar_reference():
+    rng = np.random.default_rng(7)
+    alpha = list("abcde#01")
+    pairs = [
+        (
+            "".join(rng.choice(alpha, rng.integers(0, 12))),
+            "".join(rng.choice(alpha, rng.integers(0, 12))),
+        )
+        for _ in range(300)
+    ]
+    got = levenshtein_pairs([a for a, _ in pairs], [b for _, b in pairs])
+    want = np.array([_lev_ref(a, b) for a, b in pairs])
+    assert np.array_equal(got, want)
+
+
+def test_levenshtein_empty_and_unequal_lengths():
+    got = levenshtein_pairs(["", "abc", "", "kitten"], ["xyz", "", "", "sitting"])
+    assert got.tolist() == [3, 3, 0, 3]
+
+
+def test_blocked_linkage_within_block_only():
+    df = pd.DataFrame(
+        {
+            "k": [1, 2, 3, 4],
+            "name": ["aaaa", "aaab", "aaaa", "zzzz"],
+            "blk": [0, 0, 1, 1],
+        }
+    )
+    out = (
+        blocked_name_linkage(
+            ray.data.from_pandas(df), key_col="k", name_col="name", block_col="blk", max_dist=2
+        )
+        .to_pandas()
+        .sort_values(["a_k", "b_k"])
+        .reset_index(drop=True)
+    )
+    # (1,2) dist 1 in block 0; (3,4) dist 4 fails threshold; cross-block
+    # (1,3) identical names NOT emitted — blocking is the documented contract
+    assert out.to_dict("list") == {"a_k": [1], "b_k": [2], "dist": [1]}
+
+
+def test_blocked_linkage_singleton_and_empty_blocks():
+    df = pd.DataFrame({"k": [9], "name": ["solo"], "blk": [5]})
+    out = blocked_name_linkage(
+        ray.data.from_pandas(df), key_col="k", name_col="name", block_col="blk"
+    ).to_pandas()
+    assert len(out) == 0
