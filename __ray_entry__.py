@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_khop_events"] = _q_kg_khop_events
     q["ref_components"] = _q_ref_components
     q["customer_name_linkage"] = _q_customer_name_linkage
+    q["events_late_arrivals"] = _q_events_late_arrivals
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -1243,6 +1244,24 @@ def _q_customer_name_linkage(sf_dir: str) -> pd.DataFrame:
         ds, key_col="c_custkey", name_col="c_name", block_col="c_nationkey", max_dist=2
     ).to_pandas()
     return out.sort_values(["a_c_custkey", "b_c_custkey"]).reset_index(drop=True)
+
+
+def _q_events_late_arrivals(sf_dir: str) -> pd.DataFrame:
+    """Watermark late-data detection (kgray.ops.temporal.late_events):
+    arrival = event time + deterministic per-event delay, watermark =
+    running max of event time over arrival order, late iff more than
+    300 s behind.  Global running max WITHOUT a global sort — arrival
+    range-buckets + driver-side exclusive prefix max + in-bucket cummax;
+    the twin is one SQL window (max OVER arrival order, 1 PRECEDING)."""
+    from kgray.ops.temporal import late_events
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    out = late_events(ds).to_pandas()
+    if "event_id" not in out.columns:  # all-empty blocks lose the schema
+        out = pd.DataFrame(
+            {"event_id": pd.Series(dtype="int64"), "late_by_us": pd.Series(dtype="int64")}
+        )
+    return out.sort_values("event_id").reset_index(drop=True)
 
 
 SSSP_SEEDS = ["user 1", "user 7"]
@@ -3806,6 +3825,20 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr_events": _ppr_oracle_sql(),
         "kg_hits_events": _hits_oracle_sql(),
         "ref_components": _REF_COMPONENTS_ORACLE,
+        "events_late_arrivals": """
+            WITH x AS (
+              SELECT event_id, ts,
+                     ts + to_microseconds(((event_id * 40503) % 3601) * 1000000) AS ats
+              FROM events),
+            w AS (
+              SELECT event_id, ts,
+                     max(ts) OVER (ORDER BY ats, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+              FROM x)
+            SELECT event_id,
+                   epoch_us(wm) - epoch_us(ts) - 300000000 AS late_by_us
+            FROM w WHERE ts < wm - INTERVAL 300 SECOND
+        """,
         "customer_name_linkage": """
             SELECT a.c_custkey AS a_c_custkey,
                    b.c_custkey AS b_c_custkey,

@@ -591,3 +591,102 @@ def event_motifs(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def late_events(
+    events: "ray.data.Dataset",
+    jitter_mod: int = 3601,
+    allowed_lateness_s: int = 300,
+    bucket_seconds: int = 86_400,
+) -> "ray.data.Dataset":
+    """Watermark-based late-data detection — the streaming-ingest
+    primitive: events arrive out of event-time order (arrival time =
+    event time + a deterministic per-event network delay of
+    ``event_id * 40503 mod jitter_mod`` seconds), the watermark is the
+    running max of EVENT time over arrival order, and an event is late
+    iff its event time is more than ``allowed_lateness_s`` behind the
+    watermark at its arrival.  Returns the late events only:
+    (event_id, late_by_us) with late_by_us = watermark − event_time −
+    allowance in integer microseconds (exact — no float epoch math).
+
+    Scale shape: the global running max never sorts the stream globally.
+    Arrival time range-partitions into ``bucket_seconds`` buckets; one
+    tiny partial pass collects each bucket's max event time and the
+    driver computes the EXCLUSIVE prefix max per bucket (bucket-count
+    rows); the bucketed groupby then resolves within-bucket order
+    (arrival, event_id ties) with a vectorized cummax, seeding each
+    bucket from the broadcast prefix.  Exact because bucket boundaries
+    respect arrival order."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from kgray.functions.broadcast import cached_get
+
+    bucket_us = int(bucket_seconds) * _US
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        eid = t["event_id"].cast(pa.int64()).to_numpy()
+        ats_us = ts_us + (eid * 40503 % jitter_mod) * _US
+        return pa.table(
+            {
+                "event_id": eid,
+                "ts_us": ts_us,
+                "ats_us": ats_us,
+                "bucket": ats_us // bucket_us,
+            }
+        )
+
+    derived = events.map_batches(derive, batch_format="pyarrow").materialize()
+
+    def bucket_max(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"bucket": t["bucket"], "m": t["ts_us"]})
+            .group_by("bucket")
+            .aggregate([("m", "max")])
+        )
+
+    bm = derived.map_batches(bucket_max, batch_format="pyarrow").to_pandas()
+    prefix: dict[int, int] = {}
+    if "bucket" in bm.columns and len(bm):
+        agg = bm.groupby("bucket", sort=True)["m_max"].max()
+        run = np.maximum.accumulate(agg.to_numpy())
+        # EXCLUSIVE prefix: bucket k sees the max of buckets < k
+        prefix = dict(zip(agg.index[1:].astype(int), run[:-1].astype(int)))
+    p_ref = ray.put(prefix)
+    allow_us = int(allowed_lateness_s) * _US
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "late_by_us": pd.Series(dtype="int64"),
+            }
+        )
+        if not len(g):
+            return empty
+        g = g.sort_values(["ats_us", "event_id"], kind="mergesort")
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        seed = cached_get(p_ref).get(int(g["bucket"].iloc[0]), None)
+        cm = np.maximum.accumulate(ts)
+        wm = np.empty_like(ts)
+        wm[1:] = cm[:-1]
+        if seed is None:
+            wm[0] = -(2**62)  # "no watermark yet"; far below any ts but
+            # safe from int64 underflow when allow_us is subtracted
+        else:
+            wm[0] = seed
+            np.maximum(wm, seed, out=wm)
+        late = ts < wm - allow_us
+        if not late.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(dtype=np.int64)[late],
+                "late_by_us": (wm[late] - ts[late] - allow_us).astype(np.int64),
+            }
+        )
+
+    return derived.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
