@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ref_components"] = _q_ref_components
     q["customer_name_linkage"] = _q_customer_name_linkage
     q["events_late_arrivals"] = _q_events_late_arrivals
+    q["doc_jaccard_join_exact"] = _q_doc_jaccard_join_exact
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -1262,6 +1263,21 @@ def _q_events_late_arrivals(sf_dir: str) -> pd.DataFrame:
             {"event_id": pd.Series(dtype="int64"), "late_by_us": pd.Series(dtype="int64")}
         )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_doc_jaccard_join_exact(sf_dir: str) -> pd.DataFrame:
+    """EXACT all-pairs shingle-Jaccard join at 0.5 (kgray.ops.setsim) —
+    the full-recall counterpart of doc_minhash_dedup's banded LSH:
+    prefix-filter candidate generation (Bayardo et al. AllPairs lemma,
+    hash-order prefixes, no global state), then exact sorted-array
+    intersection, distributed past driver_pair_max via the double-attach
+    rounds.  The twin is the plain Σ df² shingle self-join — tractable in
+    SQL exactly because shingle df is near 1, which is also why the
+    engine's prefix filter needs no rarity ordering."""
+    from kgray.ops.setsim import set_similarity_join
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return set_similarity_join(ds, threshold=0.5)
 
 
 SSSP_SEEDS = ["user 1", "user 7"]
@@ -3825,6 +3841,32 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr_events": _ppr_oracle_sql(),
         "kg_hits_events": _hits_oracle_sql(),
         "ref_components": _REF_COMPONENTS_ORACLE,
+        "doc_jaccard_join_exact": """
+            WITH tk AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(toks) >= 3
+                     THEN list_transform(range(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i:i+2], ' '))
+                     ELSE [array_to_string(toks, ' ')] END)) AS shingle
+              FROM tk
+            ),
+            shh AS (SELECT doc_id, md5_number_lower(shingle) AS h FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS nsh FROM shh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
+              FROM shh x JOIN shh y ON y.h = x.h AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.a, i.b,
+                   round(i.ni::DOUBLE / (sa.nsh + sb.nsh - i.ni), 6) AS jaccard
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+                         JOIN sizes sb ON sb.doc_id = i.b
+            WHERE i.ni::DOUBLE / (sa.nsh + sb.nsh - i.ni) >= 0.5
+        """,
         "events_late_arrivals": """
             WITH x AS (
               SELECT event_id, ts,
