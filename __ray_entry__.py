@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["returned_items"] = rel.returned_items
     q["user_sessions"] = rel.user_sessions
     q["dormant_customers"] = rel.dormant_customers
+    q["order_priority_returns"] = rel.order_priority_returns
+    q["priority_shipmonths"] = rel.priority_shipmonths
     q["doc_embedding_join"] = _q_doc_embedding_join
 
     q["doc_dsir_weights"] = _q_doc_dsir_weights
@@ -3633,6 +3635,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         """,
         # Q22-shaped anti-join: dormant high-balance customers per nation
+        "order_priority_returns": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "priority_shipmonths": """
+            SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY 1
+        """,
         "dormant_customers": """
             SELECT c_nationkey,
                    CAST(count(*) AS BIGINT) AS numcust,

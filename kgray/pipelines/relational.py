@@ -693,3 +693,115 @@ def dormant_customers(
     if "c_nationkey" not in per_cust.columns:  # all-empty blocks lose schema
         return finish(pd.DataFrame({"c_nationkey": [], "numcust": [], "totacctbal": []}))
     return finish(per_cust)
+
+
+def order_priority_returns(
+    sf_dir: str,
+    num_buckets: int = 64,
+    broadcast_keys_max: int = 5_000_000,
+) -> pd.DataFrame:
+    """TPC-H Q4-shaped EXISTS report: per-priority count of orders with at
+    least one RETURNED lineitem — the semi-join mirror of
+    :func:`dormant_customers`'s anti-join.
+
+    Scale ladder: the lineitem side pre-shrinks to DISTINCT returned
+    orderkeys inside ``map_batches`` (existence needs keys only); below
+    ``broadcast_keys_max`` lineitem rows the key set broadcasts via
+    ``ray.put`` and eligibility is a vectorized ``np.isin`` per order
+    batch; above it the generic reduce-side ``hash_join(how='semi')``
+    co-locates keys and orders in orderkey hash buckets.  Either way the
+    driver reduces only (priority, count) partials."""
+    from kgray.functions.broadcast import cached_get
+    from kgray.ops.join import hash_join
+
+    orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li_ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def ret_keys(b: pd.DataFrame) -> pd.DataFrame:
+        keys = np.unique(
+            b.loc[b["l_returnflag"] == "R", "l_orderkey"].to_numpy(dtype=np.int64)
+        )
+        return pd.DataFrame({"rkey": keys})
+
+    keys_ds = li_ds.map_batches(ret_keys, batch_format="pandas", batch_size=262144)
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("o_orderpriority", sort=False).size().rename("n").reset_index()
+        return out
+
+    if li_ds.count() <= broadcast_keys_max:
+        keys = np.unique(keys_ds.to_pandas().get("rkey", pd.Series(dtype="int64")).to_numpy(dtype=np.int64))
+        keys_ref = ray.put(keys)
+
+        def semi(b: pd.DataFrame) -> pd.DataFrame:
+            k = cached_get(keys_ref)
+            return count_partial(b[np.isin(b["o_orderkey"].to_numpy(dtype=np.int64), k)])
+
+        parts = orders_ds.map_batches(semi, batch_format="pandas", batch_size=262144).to_pandas()
+    else:
+        joined = hash_join(orders_ds, keys_ds, "o_orderkey", "rkey", how="semi",
+                           num_buckets=num_buckets)
+        parts = joined.map_batches(count_partial, batch_format="pandas").to_pandas()
+    if "o_orderpriority" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {"o_orderpriority": pd.Series(dtype=object), "n_orders": pd.Series(dtype="int64")}
+        )
+    out = (
+        parts.groupby("o_orderpriority", sort=True)["n"].sum().astype("int64")
+        .rename("n_orders").reset_index()
+    )
+    return out
+
+
+def priority_shipmonths(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """TPC-H Q12-shaped report over the columns this schema has: per ship
+    MONTH, how many lineitems belong to high-priority (1-URGENT/2-HIGH)
+    vs lower-priority orders.  The join is the genuinely big×big shape —
+    lineitem ⋈ orders on orderkey via the generic reduce-side
+    ``hash_join`` (both streams move once into orderkey hash buckets);
+    the aggregate is per-batch (month, hi/lo) partials + a driver combine
+    over month-count-sized rows."""
+    from kgray.ops.join import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def month_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].astype("int64"),
+                "ship_month": b["l_shipdate"].astype("datetime64[ns]").dt.strftime("%Y-%m"),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(
+        li.map_batches(month_rows, batch_format="pandas"),
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        num_buckets=num_buckets,
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        hi = b["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        return (
+            pd.DataFrame({"ship_month": b["ship_month"], "hi": hi})
+            .groupby("ship_month", sort=False)["hi"]
+            .agg(high_count="sum", low_count=lambda s: int((~s).sum()))
+            .reset_index()
+        )
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    if "ship_month" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                "ship_month": pd.Series(dtype=object),
+                "high_count": pd.Series(dtype="int64"),
+                "low_count": pd.Series(dtype="int64"),
+            }
+        )
+    out = (
+        parts.groupby("ship_month", sort=True)[["high_count", "low_count"]]
+        .sum().astype("int64").reset_index()
+    )
+    return out

@@ -40,3 +40,26 @@ def test_anti_join_bucketed_rung_matches_broadcast(ray_session):
     )
     assert len(broadcast) > 0
     assert broadcast["numcust"].sum() > 0
+
+
+def test_order_priority_returns_rungs_agree():
+    from kgray.pipelines.relational import order_priority_returns
+
+    sf = "/root/testdata/sf0.001"
+    a = order_priority_returns(sf)
+    b = order_priority_returns(sf, broadcast_keys_max=0)  # semi hash_join rung
+    pd.testing.assert_frame_equal(a, b)
+    assert a["n_orders"].sum() > 0
+
+
+def test_priority_shipmonths_counts_are_complete():
+    from kgray.pipelines.relational import priority_shipmonths
+
+    sf = "/root/testdata/sf0.001"
+    out = priority_shipmonths(sf)
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{sf}/lineitem.parquet')"
+    ).fetchone()[0]
+    assert int((out["high_count"] + out["low_count"]).sum()) == n
