@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["customer_name_linkage"] = _q_customer_name_linkage
     q["events_late_arrivals"] = _q_events_late_arrivals
     q["doc_jaccard_join_exact"] = _q_doc_jaccard_join_exact
+    q["customer_name_linkage_snm"] = _q_customer_name_linkage_snm
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -1280,6 +1281,31 @@ def _q_doc_jaccard_join_exact(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return set_similarity_join(ds, threshold=0.5)
+
+
+def _q_customer_name_linkage_snm(sf_dir: str) -> pd.DataFrame:
+    """Sorted-neighborhood record linkage over ALL customers (no hard
+    blocking key): rows within 5 positions of the global name order,
+    within 2 edits.  Exact global ranks via the two-pass range-count
+    pattern + overlapping rank bins (kgray.ops.linkage.
+    sorted_neighborhood_linkage); twin is a row_number self-join."""
+    from kgray.ops.linkage import sorted_neighborhood_linkage
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    out = sorted_neighborhood_linkage(
+        ds, key_col="c_custkey", name_col="c_name", window=5, max_dist=2
+    ).to_pandas()
+    if "a_c_custkey" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "a_c_custkey": pd.Series(dtype="int64"),
+                "b_c_custkey": pd.Series(dtype="int64"),
+                "dist": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values(["a_c_custkey", "b_c_custkey"]).reset_index(drop=True)
 
 
 SSSP_SEEDS = ["user 1", "user 7"]
@@ -3898,6 +3924,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    epoch_us(wm) - epoch_us(ts) - 300000000 AS late_by_us
             FROM w WHERE ts < wm - INTERVAL 300 SECOND
+        """,
+        "customer_name_linkage_snm": """
+            WITH r AS (
+              SELECT c_custkey, c_name,
+                     row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+              FROM customer)
+            SELECT least(a.c_custkey, b.c_custkey) AS a_c_custkey,
+                   greatest(a.c_custkey, b.c_custkey) AS b_c_custkey,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+            FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5
+            WHERE levenshtein(a.c_name, b.c_name) <= 2
         """,
         "customer_name_linkage": """
             SELECT a.c_custkey AS a_c_custkey,

@@ -154,6 +154,14 @@ def run_bench() -> dict:
     timed("knn_store_incremental", lambda: size(entry.queries()["knn_store_incremental"](sf_dir)))
     timed("doc_token_budget_sample", lambda: size(entry.queries()["doc_token_budget_sample"](sf_dir)))
     timed("embedding_quantize", lambda: size(entry.queries()["embedding_quantize"](sf_dir)))
+    timed("doc_jaccard_join_exact", lambda: size(entry.queries()["doc_jaccard_join_exact"](sf_dir)))
+    timed("events_late_arrivals", lambda: size(entry.queries()["events_late_arrivals"](sf_dir)))
+    timed("customer_name_linkage", lambda: size(entry.queries()["customer_name_linkage"](sf_dir)))
+    timed("kg_shortest_path_events", lambda: size(entry.queries()["kg_shortest_path_events"](sf_dir)))
+    timed("kg_lpa_events", lambda: size(entry.queries()["kg_lpa_events"](sf_dir)))
+    timed("ref_components", lambda: size(entry.queries()["ref_components"](sf_dir)))
+    timed("order_priority_returns", lambda: size(entry.queries()["order_priority_returns"](sf_dir)))
+    timed("priority_shipmonths", lambda: size(entry.queries()["priority_shipmonths"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

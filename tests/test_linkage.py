@@ -66,3 +66,51 @@ def test_blocked_linkage_singleton_and_empty_blocks():
         ray.data.from_pandas(df), key_col="k", name_col="name", block_col="blk"
     ).to_pandas()
     assert len(out) == 0
+
+
+def _snm_ref(df, window, max_dist):
+    g = df.sort_values(["name", "k"], kind="mergesort").reset_index(drop=True)
+    rows = []
+    for i in range(len(g)):
+        for j in range(i + 1, min(i + window + 1, len(g))):
+            d = _lev_ref(g.loc[i, "name"], g.loc[j, "name"])
+            if d <= max_dist:
+                a, b = sorted((int(g.loc[i, "k"]), int(g.loc[j, "k"])))
+                rows.append((a, b, d))
+    return (
+        pd.DataFrame(rows, columns=["a_k", "b_k", "dist"])
+        .sort_values(["a_k", "b_k"])
+        .reset_index(drop=True)
+    )
+
+
+def test_sorted_neighborhood_matches_reference_across_bins():
+    from kgray.ops.linkage import sorted_neighborhood_linkage
+
+    rng = np.random.default_rng(13)
+    names = [
+        "rec" + "".join(rng.choice(list("abc012"), 6)) for _ in range(200)
+    ]
+    df = pd.DataFrame({"k": np.arange(200, dtype=np.int64), "name": names})
+    got = (
+        sorted_neighborhood_linkage(
+            ray.data.from_pandas(df), key_col="k", name_col="name",
+            window=4, max_dist=3, bin_size=16,  # tiny bins -> many boundaries
+        )
+        .to_pandas()
+        .sort_values(["a_k", "b_k"])
+        .reset_index(drop=True)
+    )
+    want = _snm_ref(df, window=4, max_dist=3)
+    assert len(want) > 10
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_sorted_neighborhood_empty():
+    from kgray.ops.linkage import sorted_neighborhood_linkage
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": pd.Series(dtype="int64"), "name": pd.Series(dtype=object)})
+    )
+    out = sorted_neighborhood_linkage(ds, key_col="k", name_col="name").to_pandas()
+    assert len(out) == 0
