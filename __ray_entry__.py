@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_late_arrivals"] = _q_events_late_arrivals
     q["doc_jaccard_join_exact"] = _q_doc_jaccard_join_exact
     q["customer_name_linkage_snm"] = _q_customer_name_linkage_snm
+    q["events_winsorized"] = _q_events_winsorized
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -1306,6 +1307,19 @@ def _q_customer_name_linkage_snm(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values(["a_c_custkey", "b_c_custkey"]).reset_index(drop=True)
+
+
+def _q_events_winsorized(sf_dir: str) -> pd.DataFrame:
+    """Per-type winsorized mean (kgray.ops.stats.winsorized_mean): values
+    clip to the type's own cume-dist [p05, p95] cent bounds before the
+    average — two shuffle-free histogram passes, integer clipped sums, one
+    final float division; twin shares the identical quantile convention."""
+    from kgray.ops.stats import winsorized_mean
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return winsorized_mean(ds)
 
 
 SSSP_SEEDS = ["user 1", "user 7"]
@@ -3924,6 +3938,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    epoch_us(wm) - epoch_us(ts) - 300000000 AS late_by_us
             FROM w WHERE ts < wm - INTERVAL 300 SECOND
+        """,
+        "events_winsorized": """
+            WITH h AS (
+              SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events),
+            cd AS (
+              SELECT event_type, c,
+                     cume_dist() OVER (PARTITION BY event_type ORDER BY c) AS f
+              FROM h),
+            lo AS (SELECT event_type, min(c) AS lo FROM cd WHERE f >= 0.05 GROUP BY 1),
+            hi AS (SELECT event_type, min(c) AS hi FROM cd WHERE f >= 0.95 GROUP BY 1),
+            cl AS (
+              SELECT h.event_type, lo.lo, hi.hi,
+                     least(greatest(h.c, lo.lo), hi.hi) AS c
+              FROM h JOIN lo USING (event_type) JOIN hi USING (event_type))
+            SELECT event_type, lo AS lo_cents, hi AS hi_cents,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
+            FROM cl GROUP BY event_type, lo, hi
         """,
         "customer_name_linkage_snm": """
             WITH r AS (

@@ -485,3 +485,97 @@ def rolling_distinct_per_day(
         .groupby("dbucket")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def winsorized_mean(
+    events: ray.data.Dataset,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> pd.DataFrame:
+    """Per-key winsorized mean — robust aggregation for value columns with
+    heavy tails: values clip to the key's own [q_lo, q_hi] empirical
+    quantiles before averaging (the standard outlier-resistant KPI).
+
+    Quantile convention (shared verbatim with the SQL twin): on the
+    CENT-quantized value, lo = min v with cdf(v) ≥ q_lo, hi = min v with
+    cdf(v) ≥ q_hi — i.e. cume_dist thresholds, no interpolation, so both
+    engines pick identical integer bounds and the clipped SUM is exact
+    integer arithmetic (order-independent up to 2^53; the single final
+    division is the only float op).
+
+    Scale shape (the percentile_transform premise): pass 1 folds batches
+    to (key, cents, count) histogram partials — driver traffic bounded by
+    keys × value DOMAIN, not rows; the per-key bounds broadcast; pass 2
+    folds clipped integer sums per key.  No shuffle in either pass."""
+    import pyarrow as pa
+
+    from kgray.functions.broadcast import cached_get
+
+    def cents_of(col) -> np.ndarray:
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({key_col: t[key_col], "cents": pa.array(cents_of(t[value_col]), pa.int64())})
+            .group_by([key_col, "cents"])
+            .aggregate([([], "count_all")])
+        )
+
+    hist = events.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            key_col: pd.Series(dtype=object),
+            "lo_cents": pd.Series(dtype="int64"),
+            "hi_cents": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "wmean": pd.Series(dtype="float64"),
+        }
+    )
+    if key_col not in hist.columns or not len(hist):
+        return empty
+    bounds: dict[str, tuple[int, int]] = {}
+    for k, grp in hist.groupby(key_col, sort=True):
+        g = grp.groupby("cents", sort=True)["count_all"].sum()
+        vals = g.index.to_numpy(dtype=np.int64)
+        cdf = np.cumsum(g.to_numpy(dtype=np.int64)) / g.sum()
+        bounds[k] = (
+            int(vals[np.searchsorted(cdf, q_lo, side="left")]),
+            int(vals[np.searchsorted(cdf, q_hi, side="left")]),
+        )
+    b_ref = ray.put(bounds)
+
+    def clip_partial(t: pa.Table) -> pa.Table:
+        bd = cached_get(b_ref)
+        keys = t[key_col].to_pylist()
+        c = cents_of(t[value_col])
+        lo = np.array([bd[k][0] for k in keys], dtype=np.int64)
+        hi = np.array([bd[k][1] for k in keys], dtype=np.int64)
+        clipped = np.clip(c, lo, hi)
+        return (
+            pa.table({key_col: t[key_col], "s": pa.array(clipped, pa.int64())})
+            .group_by(key_col)
+            .aggregate([("s", "sum"), ([], "count_all")])
+        )
+
+    parts = events.map_batches(clip_partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(key_col, sort=True)[["s_sum", "count_all"]].sum().reset_index()
+    out = pd.DataFrame(
+        {
+            key_col: agg[key_col],
+            "lo_cents": [bounds[k][0] for k in agg[key_col]],
+            "hi_cents": [bounds[k][1] for k in agg[key_col]],
+            "n": agg["count_all"].astype("int64"),
+            "wmean": (
+                agg["s_sum"].to_numpy(dtype=np.float64)
+                / 100.0
+                / agg["count_all"].to_numpy(dtype=np.float64)
+            ),
+        }
+    )
+    out["wmean"] = np.floor(out["wmean"] * 1e4 + 0.5) / 1e4
+    out["lo_cents"] = out["lo_cents"].astype("int64")
+    out["hi_cents"] = out["hi_cents"].astype("int64")
+    return out.reset_index(drop=True)

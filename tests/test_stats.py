@@ -179,3 +179,31 @@ def test_rolling_distinct_per_day(ray_session):
         .set_index("day")["n_rolling"]
     )
     assert out7.sort_index().equals(out.sort_index())
+
+
+def test_winsorized_mean_clips_outliers():
+    import ray.data
+
+    from kgray.ops.stats import winsorized_mean
+
+    # one key, 100 values 1..99 plus a huge outlier; p95 bound clips it
+    vals = list(range(1, 100)) + [10_000]
+    df = pd.DataFrame({"event_type": ["a"] * 100, "value": [float(v) for v in vals]})
+    out = winsorized_mean(ray.data.from_pandas(df))
+    assert out["n"].tolist() == [100]
+    # cume-dist p95 over cents: min c with cdf >= 0.95 -> 95*100 cents
+    assert out["hi_cents"].tolist() == [9500]
+    assert out["lo_cents"].tolist() == [500]
+    raw = np.clip(np.array(vals) * 100, 500, 9500).sum() / 100 / 100
+    assert abs(out["wmean"].iloc[0] - round(raw, 4)) < 1e-9
+
+
+def test_winsorized_mean_empty():
+    import ray.data
+
+    from kgray.ops.stats import winsorized_mean
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"event_type": pd.Series(dtype=object), "value": pd.Series(dtype="float64")})
+    )
+    assert len(winsorized_mean(ds)) == 0
