@@ -162,6 +162,8 @@ def run_bench() -> dict:
     timed("ref_components", lambda: size(entry.queries()["ref_components"](sf_dir)))
     timed("order_priority_returns", lambda: size(entry.queries()["order_priority_returns"](sf_dir)))
     timed("priority_shipmonths", lambda: size(entry.queries()["priority_shipmonths"](sf_dir)))
+    timed("customer_name_linkage_snm", lambda: size(entry.queries()["customer_name_linkage_snm"](sf_dir)))
+    timed("events_winsorized", lambda: size(entry.queries()["events_winsorized"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {
