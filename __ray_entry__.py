@@ -311,6 +311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_jaccard_join_exact"] = _q_doc_jaccard_join_exact
     q["customer_name_linkage_snm"] = _q_customer_name_linkage_snm
     q["events_winsorized"] = _q_events_winsorized
+    q["events_decay_score"] = _q_events_decay_score
+    q["events_mad_outliers"] = _q_events_mad_outliers
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -1320,6 +1322,42 @@ def _q_events_winsorized(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     )
     return winsorized_mean(ds)
+
+
+def _q_events_decay_score(sf_dir: str) -> pd.DataFrame:
+    """Per-user exponentially time-decayed engagement (kgray.ops.stats.
+    decay_engagement): value·exp(−age/7d) against the corpus watermark,
+    cents × micro-quantized decay so per-user sums are exact integers;
+    twin mirrors the double expression verbatim before quantizing."""
+    from kgray.ops.stats import decay_engagement
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return decay_engagement(ds)
+
+
+def _q_events_mad_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-type robust outliers, |v − median| > 3·MAD on cent-quantized
+    values (kgray.ops.stats.mad_outliers) — two histogram passes sharing
+    the winsorized cume-dist quantile convention, then a pure-int64
+    streaming flag; twin repeats the two cume_dist ladders."""
+    from kgray.ops.stats import mad_outliers
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    out = mad_outliers(ds).to_pandas()
+    if "event_id" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "event_type": pd.Series(dtype=object),
+                "dev_cents": pd.Series(dtype="int64"),
+                "mad_cents": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values("event_id").reset_index(drop=True)
 
 
 SSSP_SEEDS = ["user 1", "user 7"]
@@ -3957,6 +3995,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "events_decay_score": """
+            WITH m AS (SELECT CAST(epoch_us(max(ts)) AS BIGINT) AS mt FROM events),
+            x AS (
+              SELECT user_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT)
+                     * CAST(floor(exp(-(CAST(mt - epoch_us(ts) AS DOUBLE)) / 604800000000.0) * 1e6 + 0.5) AS BIGINT) AS w
+              FROM events, m)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   floor(sum(w)::DOUBLE / 1e8 * 1e4 + 0.5) / 1e4 AS decay_score
+            FROM x GROUP BY user_id
+        """,
+        "events_mad_outliers": """
+            WITH h AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events),
+            cd AS (
+              SELECT event_type, c,
+                     cume_dist() OVER (PARTITION BY event_type ORDER BY c) AS f
+              FROM h),
+            med AS (SELECT event_type, min(c) AS m FROM cd WHERE f >= 0.5 GROUP BY 1),
+            dv AS (
+              SELECT h.event_id, h.event_type, abs(h.c - med.m) AS d, med.m
+              FROM h JOIN med USING (event_type)),
+            cd2 AS (
+              SELECT event_type, d,
+                     cume_dist() OVER (PARTITION BY event_type ORDER BY d) AS f
+              FROM dv),
+            mad AS (SELECT event_type, min(d) AS s FROM cd2 WHERE f >= 0.5 GROUP BY 1)
+            SELECT dv.event_id, dv.event_type,
+                   dv.d AS dev_cents, mad.s AS mad_cents
+            FROM dv JOIN mad USING (event_type)
+            WHERE dv.d > 3 * mad.s
         """,
         "customer_name_linkage_snm": """
             WITH r AS (

@@ -579,3 +579,164 @@ def winsorized_mean(
     out["lo_cents"] = out["lo_cents"].astype("int64")
     out["hi_cents"] = out["hi_cents"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def decay_engagement(
+    events: ray.data.Dataset,
+    half_window_days: float = 7.0,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Per-key exponentially time-decayed engagement score — the standard
+    recency-weighted KPI (recommendation freshness, churn features):
+    ``score = Σ value·exp(−Δ/τ)`` with Δ the age of each event relative to
+    the corpus watermark (global max ``ts``) and τ = ``half_window_days``.
+
+    Exactness convention (the DSIR trick, kgray.ops.curation.dsir_weights):
+    value quantizes to integer CENTS and the decay factor to integer
+    MICRO-units (``floor(exp(−Δus/τus)·1e6 + 0.5)``) computed from the
+    exact integer microsecond age, so each event contributes an exact
+    int64 weight and per-key sums are order-independent — the SQL twin
+    mirrors the double expression verbatim before quantizing.  int64 is
+    safe up to ~9·10^6 max-value events per key (documented bound).
+
+    Scale shape: pass 0 folds batches to one max-ts row each (driver sees
+    blocks × 1); pass 1 folds batches to per-key integer partials via
+    Arrow ``group_by`` — the only shuffle-free reduce traffic is keys ×
+    blocks; the final per-key sum is a driver groupby over those partials
+    (bounded by the key vocabulary, the events_dau budget).
+    """
+    tau_us = float(half_window_days) * 86_400_000_000.0
+
+    def max_partial(t: pa.Table) -> pa.Table:
+        m = pc.max(t[ts_col].cast(pa.timestamp("us"))).cast(pa.int64())
+        return pa.table({"m": pa.array([m.as_py()], pa.int64())})
+
+    mx = events.map_batches(max_partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            key_col: pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "decay_score": pd.Series(dtype="float64"),
+        }
+    )
+    if "m" not in mx.columns or not len(mx) or mx["m"].isna().all():
+        return empty
+    t_max_us = int(mx["m"].max())
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = (
+            t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        age = (t_max_us - ts_us).astype(np.float64)
+        micro = np.floor(np.exp(-age / tau_us) * 1e6 + 0.5).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return (
+            pa.table({key_col: t[key_col], "w": pa.array(cents * micro, pa.int64())})
+            .group_by(key_col)
+            .aggregate([("w", "sum"), ([], "count_all")])
+        )
+
+    parts = events.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if key_col not in parts.columns or not len(parts):
+        return empty
+    agg = parts.groupby(key_col, sort=True)[["w_sum", "count_all"]].sum().reset_index()
+    score = agg["w_sum"].to_numpy(dtype=np.float64) / 1e8
+    return pd.DataFrame(
+        {
+            key_col: agg[key_col].astype("int64"),
+            "n": agg["count_all"].astype("int64"),
+            "decay_score": np.floor(score * 1e4 + 0.5) / 1e4,
+        }
+    )
+
+
+def mad_outliers(
+    events: ray.data.Dataset,
+    k: int = 3,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Per-key ROBUST outliers: flag events with ``|v − median| > k·MAD``
+    where MAD is the median absolute deviation — unlike the z-score twin
+    (kgray.ops.stats.zscore_outliers) this survives the heavy tails it is
+    meant to detect, because both location and scale are medians.
+
+    Quantile convention shared verbatim with the SQL twin (and with
+    ``winsorized_mean``): on CENT-quantized values, median = min c with
+    cume_dist(c) ≥ 0.5 within the key; MAD = the same statistic over
+    ``|c − median|``.  The flag predicate is pure int64 arithmetic — no
+    float enters, so engine and twin agree bit-for-bit.
+
+    Scale shape: two shuffle-free histogram passes (batches fold to (key,
+    cents, count) partials bounded by keys × value DOMAIN; the per-key
+    median then MAD broadcast via ``ray.put``), then a streaming flag
+    filter — the winsorized_mean ladder with an absolute-deviation second
+    pass.  Returns the flagged events as a Dataset.
+    """
+    from kgray.functions.broadcast import cached_get
+
+    def cents_of(col) -> np.ndarray:
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({key_col: t[key_col], "cents": pa.array(cents_of(t[value_col]), pa.int64())})
+            .group_by([key_col, "cents"])
+            .aggregate([([], "count_all")])
+        )
+
+    def median_of(hist: pd.DataFrame) -> dict:
+        out: dict = {}
+        for key, grp in hist.groupby(key_col, sort=True):
+            g = grp.groupby("cents", sort=True)["count_all"].sum()
+            vals = g.index.to_numpy(dtype=np.int64)
+            cdf = np.cumsum(g.to_numpy(dtype=np.int64)) / g.sum()
+            out[key] = int(vals[np.searchsorted(cdf, 0.5, side="left")])
+        return out
+
+    hist = events.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    schema = pa.schema(
+        [(id_col, pa.int64()), (key_col, pa.string()), ("dev_cents", pa.int64()), ("mad_cents", pa.int64())]
+    )
+    if key_col not in hist.columns or not len(hist):
+        return ray.data.from_arrow(schema.empty_table())
+    med = median_of(hist)
+    med_ref = ray.put(med)
+
+    def dev_partial(t: pa.Table) -> pa.Table:
+        m = cached_get(med_ref)
+        c = cents_of(t[value_col])
+        mc = np.array([m[key] for key in t[key_col].to_pylist()], dtype=np.int64)
+        return (
+            pa.table({key_col: t[key_col], "cents": pa.array(np.abs(c - mc), pa.int64())})
+            .group_by([key_col, "cents"])
+            .aggregate([([], "count_all")])
+        )
+
+    dev_hist = events.map_batches(dev_partial, batch_format="pyarrow").to_pandas()
+    mad = median_of(dev_hist)
+    bounds_ref = ray.put({key: (med[key], mad[key]) for key in med})
+
+    def flag(t: pa.Table) -> pa.Table:
+        bd = cached_get(bounds_ref)
+        c = cents_of(t[value_col])
+        keys = t[key_col].to_pylist()
+        mc = np.array([bd[key][0] for key in keys], dtype=np.int64)
+        sc = np.array([bd[key][1] for key in keys], dtype=np.int64)
+        dev = np.abs(c - mc)
+        keep = dev > k * sc
+        return pa.table(
+            {
+                id_col: t[id_col].filter(pa.array(keep)),
+                key_col: t[key_col].filter(pa.array(keep)),
+                "dev_cents": pa.array(dev[keep], pa.int64()),
+                "mad_cents": pa.array(sc[keep], pa.int64()),
+            }
+        ).cast(schema)
+
+    return events.map_batches(flag, batch_format="pyarrow")

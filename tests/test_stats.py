@@ -207,3 +207,91 @@ def test_winsorized_mean_empty():
         pd.DataFrame({"event_type": pd.Series(dtype=object), "value": pd.Series(dtype="float64")})
     )
     assert len(winsorized_mean(ds)) == 0
+
+
+def test_decay_engagement_exact_weights(ray_session):
+    import ray.data
+
+    from kgray.ops.stats import decay_engagement
+
+    # two users; watermark = latest event. user 1: event AT the watermark
+    # (decay 1.0) + one exactly 7 days old (decay e^-1); user 2: one event
+    # 14 days old (decay e^-2).
+    t0 = pd.Timestamp("2024-03-01 00:00:00")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": [t0, t0 - pd.Timedelta(days=7), t0 - pd.Timedelta(days=14)],
+            "value": [10.0, 10.0, 100.0],
+        }
+    )
+    out = decay_engagement(ray.data.from_pandas(df).repartition(3)).set_index("user_id")
+    m1 = np.floor(np.exp(-1.0) * 1e6 + 0.5)
+    m2 = np.floor(np.exp(-2.0) * 1e6 + 0.5)
+    exp1 = np.floor((1000 * 1e6 + 1000 * m1) / 1e8 * 1e4 + 0.5) / 1e4
+    exp2 = np.floor(10000 * m2 / 1e8 * 1e4 + 0.5) / 1e4
+    assert out.loc[1, "n"] == 2 and out.loc[2, "n"] == 1
+    assert out.loc[1, "decay_score"] == exp1
+    assert out.loc[2, "decay_score"] == exp2
+
+
+def test_decay_engagement_empty(ray_session):
+    import ray.data
+
+    from kgray.ops.stats import decay_engagement
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "ts": pd.Series(dtype="datetime64[us]"),
+                "value": pd.Series(dtype="float64"),
+            }
+        )
+    )
+    assert len(decay_engagement(ds)) == 0
+
+
+def test_mad_outliers_flags_and_partition_invariance(ray_session):
+    import ray.data
+
+    from kgray.ops.stats import mad_outliers
+
+    # key a: cents sorted [100,300,400,500,500,500,600,700,900,10000];
+    # median = min c with cdf >= 0.5 -> 500.  Deviations sorted
+    # [0,0,0,100,100,200,200,400,400,9500]; MAD = min d with cdf >= 0.5
+    # -> 100.  Flag |c-500| > 300 -> devs 400 (values 1, 9) and 9500.
+    df = pd.DataFrame(
+        {
+            "event_id": range(10),
+            "event_type": ["a"] * 10,
+            "value": [1.0, 3.0, 4.0, 5.0, 5.0, 5.0, 6.0, 7.0, 9.0, 100.0],
+        }
+    )
+    out = mad_outliers(ray.data.from_pandas(df)).to_pandas().sort_values("event_id")
+    assert out["event_id"].tolist() == [0, 8, 9]
+    assert out["mad_cents"].tolist() == [100, 100, 100]
+    assert out["dev_cents"].tolist() == [400, 400, 9500]
+    out3 = mad_outliers(ray.data.from_pandas(df).repartition(4)).to_pandas()
+    assert out3.sort_values("event_id").reset_index(drop=True).equals(
+        out.sort_values("event_id").reset_index(drop=True)
+    )
+
+
+def test_mad_outliers_empty(ray_session):
+    import ray.data
+
+    from kgray.ops.stats import mad_outliers
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "event_type": pd.Series(dtype=object),
+                "value": pd.Series(dtype="float64"),
+            }
+        )
+    )
+    out = mad_outliers(ds)
+    assert out.count() == 0
+    assert out.schema().names == ["event_id", "event_type", "dev_cents", "mad_cents"]
