@@ -243,6 +243,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dormant_customers"] = rel.dormant_customers
     q["order_priority_returns"] = rel.order_priority_returns
     q["priority_shipmonths"] = rel.priority_shipmonths
+    q["small_qty_revenue"] = rel.small_qty_revenue
+    q["large_orders"] = rel.large_orders
+    q["top_supplier"] = rel.top_supplier
+    q["brand_disjunction_revenue"] = rel.brand_disjunction_revenue
     q["doc_embedding_join"] = _q_doc_embedding_join
 
     q["doc_dsir_weights"] = _q_doc_dsir_weights
@@ -3719,6 +3723,59 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
             GROUP BY o_orderpriority
+        """,
+        # Q17-shaped: predicate 5*qty_cents*cnt < sum_cents is the exact
+        # integer form of qty < 0.2*avg(qty) — mirrored in the engine
+        "small_qty_revenue": """
+            WITH agg AS (
+              SELECT l_partkey AS pkey,
+                     sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sq,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#12' GROUP BY 1),
+            m AS (
+              SELECT coalesce(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)), 0) AS sp
+              FROM lineitem JOIN agg ON agg.pkey = lineitem.l_partkey
+              WHERE 5 * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) * cnt < sq)
+            SELECT floor(sp::DOUBLE / 100.0 / 7.0 * 100 + 0.5) / 100 AS avg_yearly FROM m
+        """,
+        "large_orders": """
+            WITH hot AS (
+              SELECT l_orderkey,
+                     sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qc
+              FROM lineitem GROUP BY 1
+              HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 30000)
+            SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+                   qc::DOUBLE / 100.0 AS sum_qty
+            FROM hot JOIN orders ON o_orderkey = l_orderkey
+                     JOIN customer ON c_custkey = o_custkey
+        """,
+        "top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS rc
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+            SELECT s_suppkey, s_name, rc::DOUBLE / 100.0 AS total_revenue
+            FROM rev JOIN supplier ON s_suppkey = l_suppkey
+            WHERE rc = (SELECT max(rc) FROM rev)
+        """,
+        "brand_disjunction_revenue": """
+            WITH pm AS (
+              SELECT p_partkey, 100 AS qlo, 2000 AS qhi FROM part
+              WHERE p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+              UNION ALL
+              SELECT p_partkey, 1000, 3000 FROM part
+              WHERE p_brand = 'Brand#21' AND p_size BETWEEN 11 AND 20
+              UNION ALL
+              SELECT p_partkey, 2000, 4000 FROM part
+              WHERE p_brand = 'Brand#31' AND p_size BETWEEN 21 AND 40)
+            SELECT coalesce(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)), 0)::DOUBLE
+                   / 100.0 AS revenue
+            FROM lineitem JOIN pm ON p_partkey = l_partkey
+            WHERE CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) BETWEEN qlo AND qhi
         """,
         "priority_shipmonths": """
             SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,

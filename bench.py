@@ -164,6 +164,10 @@ def run_bench() -> dict:
     timed("priority_shipmonths", lambda: size(entry.queries()["priority_shipmonths"](sf_dir)))
     timed("customer_name_linkage_snm", lambda: size(entry.queries()["customer_name_linkage_snm"](sf_dir)))
     timed("events_winsorized", lambda: size(entry.queries()["events_winsorized"](sf_dir)))
+    timed("events_decay_score", lambda: size(entry.queries()["events_decay_score"](sf_dir)))
+    timed("events_mad_outliers", lambda: size(entry.queries()["events_mad_outliers"](sf_dir)))
+    timed("small_qty_revenue", lambda: size(entry.queries()["small_qty_revenue"](sf_dir)))
+    timed("large_orders", lambda: size(entry.queries()["large_orders"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

@@ -805,3 +805,324 @@ def priority_shipmonths(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
         .sum().astype("int64").reset_index()
     )
     return out
+
+
+def small_qty_revenue(sf_dir: str, brand: str = "Brand#12") -> pd.DataFrame:
+    """TPC-H Q17-shaped correlated-average report: yearly revenue lost by
+    fulfilling orders for ``brand`` parts whose quantity sits below 20 % of
+    that PART's own average order quantity.
+
+    Exactness: the predicate ``qty < 0.2·avg(qty)`` is evaluated in pure
+    int64 cents — ``5·qty_cents·cnt < sum_cents`` — and the revenue sum is
+    integer cents with one final division, so engine and twin agree
+    bit-for-bit (no float average ever materializes).
+
+    Scale shape: the brand's partkeys broadcast (a brand is ~1/25 of the
+    part dimension); pass 1 folds lineitem batches to per-(brand-)part
+    (sum, count) partials via Arrow ``group_by`` — driver reduce traffic
+    is blocks × brand parts, never the fact stream; the per-part stats
+    broadcast back and pass 2 is a streaming filtered integer sum (one
+    row per batch)."""
+    from kgray.functions.broadcast import cached_get
+
+    part_ds = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def brand_keys(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"pkey": b.loc[b["p_brand"] == brand, "p_partkey"].to_numpy(dtype=np.int64)}
+        )
+
+    bp = part_ds.map_batches(brand_keys, batch_format="pandas").to_pandas()
+    keys = np.sort(bp["pkey"].to_numpy(dtype=np.int64)) if len(bp) else np.empty(0, np.int64)
+    empty = pd.DataFrame({"avg_yearly": pd.Series([0.0], dtype="float64")})
+    if not len(keys):
+        return empty
+    keys_ref = ray.put(keys)
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        ks = cached_get(keys_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        m = np.isin(pk, ks)
+        qc = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False)[m] * 100.0 + 0.5)
+        return (
+            pa.table(
+                {"pkey": pa.array(pk[m], pa.int64()), "qc": pa.array(qc.astype(np.int64), pa.int64())}
+            )
+            .group_by("pkey")
+            .aggregate([("qc", "sum"), ([], "count_all")])
+        )
+
+    parts = li.map_batches(qty_partial, batch_format="pyarrow").to_pandas()
+    if "pkey" not in parts.columns or not len(parts):
+        return empty
+    agg = parts.groupby("pkey", sort=False)[["qc_sum", "count_all"]].sum()
+    stats_ref = ray.put(
+        {
+            int(k): (int(s), int(c))
+            for k, s, c in zip(agg.index, agg["qc_sum"], agg["count_all"])
+        }
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        st = cached_get(stats_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        m = np.isin(pk, cached_get(keys_ref))
+        if not m.any():
+            return pa.table({"sp": pa.array([0], pa.int64())})
+        qc = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False)[m] * 100.0 + 0.5).astype(
+            np.int64
+        )
+        ep = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[m] * 100.0 + 0.5
+        ).astype(np.int64)
+        sums = np.array([st[int(k)][0] for k in pk[m]], dtype=np.int64)
+        cnts = np.array([st[int(k)][1] for k in pk[m]], dtype=np.int64)
+        keep = 5 * qc * cnts < sums
+        return pa.table({"sp": pa.array([int(ep[keep].sum())], pa.int64())})
+
+    sp = int(li.map_batches(rev_partial, batch_format="pyarrow").to_pandas()["sp"].sum())
+    avg_yearly = np.floor(sp / 100.0 / 7.0 * 100.0 + 0.5) / 100.0
+    return pd.DataFrame({"avg_yearly": pd.Series([avg_yearly], dtype="float64")})
+
+
+def large_orders(
+    sf_dir: str, min_qty: float = 300.0, num_buckets: int = 64
+) -> pd.DataFrame:
+    """TPC-H Q18-shaped large-volume-customer report: orders whose total
+    line quantity exceeds ``min_qty``, with customer name, order header
+    fields and the quantity total.
+
+    Scale shape: lineitem folds to per-order quantity partials inside
+    each batch (Arrow ``group_by`` combiner), the partials meet in
+    ORDERKEY hash buckets (``groupby().map_groups`` — the one shuffle,
+    carrying 2-int rows), and each bucket emits only orders above the
+    threshold — a vanishing fraction by construction.  The qualifying
+    keyset broadcasts; orders and customer attach as streaming filtered
+    scans (no dimension shuffle)."""
+    from kgray.functions.broadcast import cached_get
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_partial(b: pd.DataFrame) -> pd.DataFrame:
+        qc = np.floor(b["l_quantity"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        out = (
+            pd.DataFrame({"okey": b["l_orderkey"].to_numpy(dtype=np.int64), "qc": qc})
+            .groupby("okey", sort=False)["qc"]
+            .sum()
+            .reset_index()
+        )
+        out["bucket"] = (out["okey"] % num_buckets).astype("int32")
+        return out
+
+    thresh_cents = int(np.floor(min_qty * 100.0 + 0.5))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("okey", sort=False)["qc"].sum()
+        tot = tot[tot > thresh_cents]
+        return pd.DataFrame(
+            {"okey": tot.index.to_numpy(dtype=np.int64), "qc": tot.to_numpy(dtype=np.int64)}
+        )
+
+    hot = (
+        li.map_batches(qty_partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "c_custkey": pd.Series(dtype="int64"),
+            "c_name": pd.Series(dtype=object),
+            "o_orderkey": pd.Series(dtype="int64"),
+            "o_totalprice": pd.Series(dtype="float64"),
+            "sum_qty": pd.Series(dtype="float64"),
+        }
+    )
+    if "okey" not in hot.columns or not len(hot):
+        return empty
+    okeys_ref = ray.put(np.sort(hot["okey"].to_numpy(dtype=np.int64)))
+
+    def order_rows(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.isin(b["o_orderkey"].to_numpy(dtype=np.int64), cached_get(okeys_ref))
+        return b.loc[m, ["o_orderkey", "o_custkey", "o_totalprice"]]
+
+    orders = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(order_rows, batch_format="pandas")
+        .to_pandas()
+    )
+    if "o_orderkey" not in orders.columns or not len(orders):
+        return empty
+    ckeys_ref = ray.put(np.unique(orders["o_custkey"].to_numpy(dtype=np.int64)))
+
+    def cust_rows(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.isin(b["c_custkey"].to_numpy(dtype=np.int64), cached_get(ckeys_ref))
+        return b.loc[m, ["c_custkey", "c_name"]]
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(cust_rows, batch_format="pandas")
+        .to_pandas()
+    )
+    out = orders.merge(hot, left_on="o_orderkey", right_on="okey").merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    out["sum_qty"] = out["qc"].to_numpy(dtype=np.float64) / 100.0
+    out = out[["c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty"]]
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def top_supplier(
+    sf_dir: str, since: str = "1996-01-01", until: str = "1996-04-01"
+) -> pd.DataFrame:
+    """TPC-H Q15-shaped argmax report: the supplier(s) with the highest
+    discounted revenue over one quarter (ties all kept — the reference
+    Q15 semantics via the max-subquery, not LIMIT 1).
+
+    Exactness: per-row revenue quantizes to cents AFTER the double
+    product ``l_extendedprice·(1−l_discount)`` — the twin spells the same
+    expression — so per-supplier totals are exact integer sums.
+
+    Scale shape: one pruned fact scan folding each batch to per-supplier
+    int partials (supplier dimension is ~1/7000 of lineitem); the driver
+    reduce is blocks × suppliers; the argmax + name attach touch only the
+    supplier dimension (streaming filtered scan, no shuffle)."""
+    from kgray.functions.broadcast import cached_get
+
+    lo, hi = pd.Timestamp(since), pd.Timestamp(until)
+
+    def rev_partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
+        if not m.any():
+            return pd.DataFrame({"skey": pd.Series(dtype="int64"), "rc": pd.Series(dtype="int64")})
+        rc = np.floor(
+            b.loc[m, "l_extendedprice"].to_numpy()
+            * (1.0 - b.loc[m, "l_discount"].to_numpy())
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        out = (
+            pd.DataFrame({"skey": b.loc[m, "l_suppkey"].to_numpy(dtype=np.int64), "rc": rc})
+            .groupby("skey", sort=False)["rc"]
+            .sum()
+            .reset_index()
+        )
+        return out
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(rev_partial, batch_format="pandas", batch_size=262144)
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "s_suppkey": pd.Series(dtype="int64"),
+            "s_name": pd.Series(dtype=object),
+            "total_revenue": pd.Series(dtype="float64"),
+        }
+    )
+    if "skey" not in parts.columns or not len(parts):
+        return empty
+    tot = parts.groupby("skey", sort=False)["rc"].sum()
+    best = int(tot.max())
+    winners = np.sort(tot[tot == best].index.to_numpy(dtype=np.int64))
+    win_ref = ray.put(winners)
+
+    def name_rows(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.isin(b["s_suppkey"].to_numpy(dtype=np.int64), cached_get(win_ref))
+        return b.loc[m, ["s_suppkey", "s_name"]]
+
+    names = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(name_rows, batch_format="pandas")
+        .to_pandas()
+    )
+    out = names.sort_values("s_suppkey").reset_index(drop=True)
+    out["total_revenue"] = best / 100.0
+    return out
+
+
+_Q19_BRANCHES = (
+    ("Brand#11", 1, 10, 1.0, 20.0),
+    ("Brand#21", 11, 20, 10.0, 30.0),
+    ("Brand#31", 21, 40, 20.0, 40.0),
+)
+
+
+def brand_disjunction_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: three OR-ed
+    (brand, size-window, quantity-window) branches — the shape that
+    stresses predicate evaluation rather than joins.
+
+    Scale shape: the part dimension prunes to the union of branch-
+    eligible parts and broadcasts a partkey → quantity-window map (a
+    part matches at most one brand, so one (lo, hi) per key); the fact
+    scan is a single streaming pass emitting one integer cent-sum row
+    per batch.  Revenue quantizes per row after the same double product
+    as the twin."""
+    from kgray.functions.broadcast import cached_get
+
+    def part_map(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for brand, slo, shi, qlo, qhi in _Q19_BRANCHES:
+            m = (b["p_brand"] == brand) & (b["p_size"] >= slo) & (b["p_size"] <= shi)
+            if m.any():
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "pkey": b.loc[m, "p_partkey"].to_numpy(dtype=np.int64),
+                            "qlo": int(np.floor(qlo * 100.0 + 0.5)),
+                            "qhi": int(np.floor(qhi * 100.0 + 0.5)),
+                        }
+                    )
+                )
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "pkey": pd.Series(dtype="int64"),
+                    "qlo": pd.Series(dtype="int64"),
+                    "qhi": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    pm = (
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+        .map_batches(part_map, batch_format="pandas")
+        .to_pandas()
+    )
+    if "pkey" not in pm.columns or not len(pm):
+        return pd.DataFrame({"revenue": pd.Series([0.0], dtype="float64")})
+    win_ref = ray.put(
+        {int(k): (int(a), int(b)) for k, a, b in zip(pm["pkey"], pm["qlo"], pm["qhi"])}
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        win = cached_get(win_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        m = np.isin(pk, np.fromiter(win.keys(), dtype=np.int64, count=len(win)))
+        if not m.any():
+            return pa.table({"rc": pa.array([0], pa.int64())})
+        qc = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False)[m] * 100.0 + 0.5).astype(
+            np.int64
+        )
+        lo = np.array([win[int(k)][0] for k in pk[m]], dtype=np.int64)
+        hi = np.array([win[int(k)][1] for k in pk[m]], dtype=np.int64)
+        keep = (qc >= lo) & (qc <= hi)
+        rc = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[m][keep]
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)[m][keep])
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table({"rc": pa.array([int(rc.sum())], pa.int64())})
+
+    rc = int(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+        .map_batches(rev_partial, batch_format="pyarrow")
+        .to_pandas()["rc"]
+        .sum()
+    )
+    return pd.DataFrame({"revenue": pd.Series([rc / 100.0], dtype="float64")})

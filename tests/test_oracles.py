@@ -123,6 +123,12 @@ def _compare(query: str):
         "doc_bloom_contamination",
         "corpus_curation_fuzzy",
         "doc_unigram_lm_by_lang",
+        "events_decay_score",
+        "events_mad_outliers",
+        "small_qty_revenue",
+        "large_orders",
+        "top_supplier",
+        "brand_disjunction_revenue",
     ],
 )
 def test_sql_oracle_matches_ray(query):
