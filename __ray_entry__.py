@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_winsorized"] = _q_events_winsorized
     q["events_decay_score"] = _q_events_decay_score
     q["events_mad_outliers"] = _q_events_mad_outliers
+    q["events_cusum"] = _q_events_cusum
+    q["doc_tfidf_topk"] = _q_doc_tfidf_topk
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -1362,6 +1364,45 @@ def _q_events_mad_outliers(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_events_cusum(sf_dir: str) -> pd.DataFrame:
+    """Per-user one-sided CUSUM drift monitor (kgray.ops.temporal.
+    cusum_alarms): S_i = max(0, S_{i-1} + (value − 80)) over the
+    ts-ordered stream, alarm above $500 cumulative excess — int64 cents
+    via the prefix-minus-running-min identity; twin spells the identical
+    identity with window functions."""
+    from kgray.ops.temporal import cusum_alarms
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return cusum_alarms(ds, target=80.0, threshold=500.0)
+
+
+def _q_doc_tfidf_topk(sf_dir: str) -> pd.DataFrame:
+    """Per-document top-5 TF-IDF keywords (kgray.ops.ranking.tfidf_topk):
+    micro-quantized smoothed idf, integer tf·idf scores, (score desc,
+    token asc) tie order — twin is the same expression with a row_number
+    window."""
+    from kgray.ops.ranking import tfidf_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = tfidf_topk(ds, k=5).to_pandas()
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "token": pd.Series(dtype=object),
+                "tf": pd.Series(dtype="int64"),
+                "tfidf": pd.Series(dtype="float64"),
+            }
+        )
+    return out.sort_values(["doc_id", "tfidf", "token"], ascending=[True, False, True]).reset_index(
+        drop=True
+    )
 
 
 SSSP_SEEDS = ["user 1", "user 7"]
@@ -4052,6 +4093,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "events_cusum": """
+            WITH d AS (
+              SELECT user_id, ts, event_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) - 8000 AS d
+              FROM events),
+            p AS (
+              SELECT user_id, ts, event_id,
+                     CAST(sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre
+              FROM d),
+            s AS (
+              SELECT user_id,
+                     pre - least(0, min(pre) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+              FROM p)
+            SELECT user_id, CAST(max(s) AS BIGINT) AS max_cusum_cents,
+                   CAST(sum(CASE WHEN s > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+            FROM s GROUP BY user_id
+            HAVING sum(CASE WHEN s > 50000 THEN 1 ELSE 0 END) > 0
+        """,
+        "doc_tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id, t AS token
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''),
+            tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY 1, 2),
+            df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                   FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            sc AS (SELECT tf.doc_id, tf.token, tf.tf,
+                          tf.tf * CAST(floor(ln((n.n + 1.0) / (df.df + 1.0)) * 1e6 + 0.5) AS BIGINT) AS micro
+                   FROM tf JOIN df USING (token), n),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY micro DESC, token) AS rn
+                  FROM sc)
+            SELECT doc_id, token, tf, micro::DOUBLE / 1e6 AS tfidf FROM r WHERE rn <= 5
         """,
         "events_decay_score": """
             WITH m AS (SELECT CAST(epoch_us(max(ts)) AS BIGINT) AS mt FROM events),

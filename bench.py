@@ -168,6 +168,8 @@ def run_bench() -> dict:
     timed("events_mad_outliers", lambda: size(entry.queries()["events_mad_outliers"](sf_dir)))
     timed("small_qty_revenue", lambda: size(entry.queries()["small_qty_revenue"](sf_dir)))
     timed("large_orders", lambda: size(entry.queries()["large_orders"](sf_dir)))
+    timed("events_cusum", lambda: size(entry.queries()["events_cusum"](sf_dir)))
+    timed("doc_tfidf_topk", lambda: size(entry.queries()["doc_tfidf_topk"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

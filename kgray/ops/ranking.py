@@ -293,3 +293,88 @@ class HashedLinearClassifier:
                 "keep": pa.array(score_milli > 0, pa.bool_()),
             }
         )
+
+
+def tfidf_topk(
+    docs: ray.data.Dataset,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-document top-``k`` TF-IDF terms — the classic keyword-extraction
+    / sparse-retrieval primitive (tf · ln((N+1)/(df+1)), the smoothed idf).
+
+    Exactness: idf quantizes to integer MICRO-units (the DSIR convention,
+    kgray.ops.curation.dsir_weights) so per-term scores are exact int64
+    products ``tf · idf_micro`` and the per-doc top-k order (score desc,
+    token asc) is integer/lexicographic — engine and twin cannot disagree
+    on ties.
+
+    Scale shape: pass 1 folds each batch to per-token document-frequency
+    partials (documents are one row each, so a row's UNIQUE tokens count
+    df directly); the driver reduce and the broadcast idf table are
+    vocabulary-bounded — the doc_unigram_lm budget; above ~10^8 terms the
+    hashed-bucket variant (dsir_weights) is the stated upgrade path.
+    Pass 2 is a streaming per-batch score + per-doc head(k).
+    """
+    import ray
+
+    from kgray.functions.broadcast import cached_get
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        toks, parent, _ = _flat_tokens(t[text_col])
+        if not len(toks):
+            return pa.table({"token": pa.array([], pa.large_string()), "n": pa.array([], pa.int64())})
+        # unique (row, token) pairs -> each row counts a token's df once
+        uniq = pd.DataFrame({"row": parent, "token": toks}).drop_duplicates()
+        u, cnt = np.unique(uniq["token"].to_numpy(dtype=object), return_counts=True)
+        return pa.table(
+            {"token": pa.array(u, pa.large_string()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    n_docs = docs.count()
+    parts = docs.map_batches(df_partial, batch_format="pyarrow").to_pandas()
+    schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("token", pa.large_string()),
+            ("tf", pa.int64()),
+            ("tfidf", pa.float64()),
+        ]
+    )
+    if "token" not in parts.columns or not len(parts):
+        return ray.data.from_arrow(schema.empty_table())
+    df_tbl = parts.groupby("token", sort=False)["n"].sum()
+    idf_micro = np.floor(
+        np.log((n_docs + 1.0) / (df_tbl.to_numpy(dtype=np.float64) + 1.0)) * 1e6 + 0.5
+    ).astype(np.int64)
+    idf_ref = ray.put(dict(zip(df_tbl.index, idf_micro)))
+
+    def score(t: pa.Table) -> pa.Table:
+        idf = cached_get(idf_ref)
+        toks, parent, _ = _flat_tokens(t[text_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if not len(toks):
+            return schema.empty_table()
+        b = (
+            pd.DataFrame({"row": parent, "token": toks})
+            .groupby(["row", "token"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        micro = b["tf"].to_numpy(dtype=np.int64) * np.array(
+            [idf[tok] for tok in b["token"]], dtype=np.int64
+        )
+        b["micro"] = micro
+        b = b.sort_values(["row", "micro", "token"], ascending=[True, False, True], kind="mergesort")
+        top = b.groupby("row", sort=False).head(k)
+        return pa.table(
+            {
+                id_col: pa.array(ids[top["row"].to_numpy()], pa.int64()),
+                "token": pa.array(top["token"].to_numpy(dtype=object), pa.large_string()),
+                "tf": pa.array(top["tf"].to_numpy(dtype=np.int64), pa.int64()),
+                "tfidf": pa.array(top["micro"].to_numpy(dtype=np.float64) / 1e6, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

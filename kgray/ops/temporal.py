@@ -690,3 +690,78 @@ def late_events(
         )
 
     return derived.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def cusum_alarms(
+    events: ray.data.Dataset,
+    target: float = 5.0,
+    threshold: float = 50.0,
+    num_buckets: int = 64,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> pd.DataFrame:
+    """Per-key one-sided CUSUM drift detection (Page 1954): over the
+    ts-ordered event stream, ``S_i = max(0, S_{i-1} + (v_i − target))``;
+    report keys whose statistic ever exceeds ``threshold`` with the peak
+    value and alarm count — the standard sequential change-point monitor
+    (metric drift, abuse ramp-up).
+
+    Exactness: values quantize to cents, so the recursion is pure int64 —
+    and it VECTORIZES via the prefix identity ``S_i = P_i − min(0,
+    min_{j≤i} P_j)`` with ``P`` the running sum of ``(v − target)``; the
+    twin spells the same identity with window functions.
+
+    Scale shape: one keyed shuffle (hash buckets on ``key_col``, the
+    user_sessions pattern); inside a bucket the per-key streams sort once
+    and the recursion is two grouped cumulative kernels — no Python loop,
+    no global sort."""
+    t_cents = int(np.floor(target * 100.0 + 0.5))
+    h_cents = int(np.floor(threshold * 100.0 + 0.5))
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        d = np.floor(b[value_col].to_numpy() * 100.0 + 0.5).astype(np.int64) - t_cents
+        out = pd.DataFrame(
+            {
+                key_col: b[key_col].to_numpy(dtype=np.int64),
+                ts_col: b[ts_col],
+                id_col: b[id_col].to_numpy(dtype=np.int64),
+                "d": d,
+            }
+        )
+        out["bucket"] = (out[key_col] % num_buckets).astype("int32")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        grp = g.groupby(key_col, sort=False)
+        prefix = grp["d"].cumsum()
+        runmin = prefix.groupby(g[key_col], sort=False).cummin().clip(upper=0)
+        s = (prefix - runmin).to_numpy(dtype=np.int64)
+        out = (
+            pd.DataFrame({key_col: g[key_col].to_numpy(), "s": s, "alarm": s > h_cents})
+            .groupby(key_col, sort=False)
+            .agg(max_cusum_cents=("s", "max"), n_alarms=("alarm", "sum"))
+            .reset_index()
+        )
+        out = out[out["n_alarms"] > 0]
+        out["max_cusum_cents"] = out["max_cusum_cents"].astype("int64")
+        out["n_alarms"] = out["n_alarms"].astype("int64")
+        return out
+
+    out = (
+        events.map_batches(add_bucket, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if key_col not in out.columns or not len(out):
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(dtype="int64"),
+                "max_cusum_cents": pd.Series(dtype="int64"),
+                "n_alarms": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values(key_col).reset_index(drop=True)

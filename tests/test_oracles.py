@@ -125,6 +125,8 @@ def _compare(query: str):
         "doc_unigram_lm_by_lang",
         "events_decay_score",
         "events_mad_outliers",
+        "events_cusum",
+        "doc_tfidf_topk",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",

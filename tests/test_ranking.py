@@ -95,3 +95,54 @@ def test_cooccurrence_pmi_math(ray_session):
         .set_index(["tok_a", "tok_b"])
     )
     assert out.sort_index()["n_ab"].equals(out2.sort_index()["n_ab"])
+
+
+def test_tfidf_topk_order_and_ties(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.ranking import tfidf_topk
+
+    # 3 docs; "common" appears in all (lowest idf), "rare" in one.
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "common rare rare zeta",
+                "common beta beta",
+                "common beta",
+            ],
+        }
+    )
+    out = tfidf_topk(ray.data.from_pandas(df), k=2).to_pandas()
+    d1 = out[out["doc_id"] == 1].reset_index(drop=True)
+    # doc 1: rare (tf 2, df 1) outranks zeta (tf 1, df 1) outranks common
+    assert d1["token"].tolist() == ["rare", "zeta"]
+    assert d1["tf"].tolist() == [2, 1]
+    idf_rare = np.floor(np.log(4.0 / 2.0) * 1e6 + 0.5)
+    assert d1["tfidf"].iloc[0] == 2 * idf_rare / 1e6
+    # doc 3: common and beta have equal integer score iff tf and df tie;
+    # df(common)=3 > df(beta)=2 so beta outranks common
+    d3 = out[out["doc_id"] == 3].reset_index(drop=True)
+    assert d3["token"].tolist() == ["beta", "common"]
+    # partition invariance
+    out2 = tfidf_topk(ray.data.from_pandas(df).repartition(3), k=2).to_pandas()
+    key = ["doc_id", "token"]
+    assert (
+        out2.sort_values(key).reset_index(drop=True).equals(out.sort_values(key).reset_index(drop=True))
+    )
+
+
+def test_tfidf_topk_empty(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.ranking import tfidf_topk
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "text": pd.Series(dtype=object)})
+    )
+    out = tfidf_topk(ds, k=3)
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "token", "tf", "tfidf"]

@@ -253,3 +253,43 @@ def test_event_motifs_user_boundaries(ray_session):
     assert ("b", "c", "a", 1) in got
     # total trigrams = 4 (user1) + 1 (user2) across 3 distinct patterns
     assert out["n"].sum() == 5 and len(out) == 3
+
+
+def test_cusum_alarms_recursion_and_invariance(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.temporal import cusum_alarms
+
+    # user 1: values 10,10,1,10 with target 5 -> d = +500,+500,-400,+500
+    # S = 500,1000,600,1100 ; threshold 10 ($1000 cents) -> one alarm, peak 1100
+    # user 2: all below target -> S stays 0, never alarms
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "event_id": range(8),
+            "user_id": [1, 1, 1, 1, 2, 2, 2, 2],
+            "ts": [t0 + pd.Timedelta(minutes=i) for i in range(8)],
+            "value": [10.0, 10.0, 1.0, 10.0, 1.0, 2.0, 1.0, 2.0],
+        }
+    )
+    out = cusum_alarms(ray.data.from_pandas(df), target=5.0, threshold=10.0)
+    assert out["user_id"].tolist() == [1]
+    assert out["max_cusum_cents"].tolist() == [1100]
+    assert out["n_alarms"].tolist() == [1]
+    # reset-at-zero: a deep dip must not go negative (S clamps at 0)
+    df2 = pd.DataFrame(
+        {
+            "event_id": range(3),
+            "user_id": [7, 7, 7],
+            "ts": [t0 + pd.Timedelta(minutes=i) for i in range(3)],
+            "value": [0.0, 20.0, 20.0],  # d = -500, +1500, +1500
+        }
+    )
+    out2 = cusum_alarms(ray.data.from_pandas(df2), target=5.0, threshold=10.0)
+    # S = 0, 1500, 3000 (NOT 1000, 2500 — the dip clamps at zero)
+    assert out2["max_cusum_cents"].tolist() == [3000]
+    # partition invariance
+    out3 = cusum_alarms(ray.data.from_pandas(df).repartition(5), target=5.0, threshold=10.0)
+    assert out3.equals(out)
