@@ -319,6 +319,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_mad_outliers"] = _q_events_mad_outliers
     q["events_cusum"] = _q_events_cusum
     q["doc_tfidf_topk"] = _q_doc_tfidf_topk
+    q["events_asof_forward"] = _q_events_asof_forward
+    q["events_rolling_sum"] = _q_events_rolling_sum
+    q["doc_boolean_search"] = _q_doc_boolean_search
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -1364,6 +1367,64 @@ def _q_events_mad_outliers(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_events_asof_forward(sf_dir: str) -> pd.DataFrame:
+    """Forward as-of join (kgray.ops.temporal.asof_join direction=
+    "forward"): each click picks the user's EARLIEST purchase at-or-after
+    it — time-to-conversion.  Same sentinel-coding as the backward twin."""
+    from kgray.ops.temporal import asof_join
+
+    clicks = _events_of_type(sf_dir, "click", ["event_id", "user_id", "ts", "value"])
+    purchases = _events_of_type(sf_dir, "purchase", ["event_id", "user_id", "ts", "value"])
+    out = asof_join(clicks, purchases, direction="forward").to_pandas().sort_values("event_id")
+    for c in ("ts", "next_ts"):
+        out[c] = out[c].dt.strftime("%Y-%m-%d %H:%M:%S.%f").fillna("")
+    out["value"] = out["value"].astype(float).round(4)
+    out["next_value"] = out["next_value"].astype(float).round(4).fillna(-1.0)
+    return out.reset_index(drop=True)
+
+
+def _q_events_rolling_sum(sf_dir: str) -> pd.DataFrame:
+    """Per-user sliding 7-day spend attached to every event
+    (kgray.ops.temporal.rolling_window_sum): exact int-cent RANGE-window
+    sum incl. equal-ts peers — twin is the RANGE BETWEEN window."""
+    from kgray.ops.temporal import rolling_window_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = rolling_window_sum(ds, window_days=7).to_pandas()
+    if "event_id" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "window_sum": pd.Series(dtype="float64"),
+            }
+        )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_doc_boolean_search(sf_dir: str) -> pd.DataFrame:
+    """Boolean retrieval ('hash' AND 'join') OR 'slow'
+    (kgray.ops.ranking.boolean_search): vectorized token-membership
+    scatter, one streaming pass; twin uses list_contains."""
+    from kgray.ops.ranking import boolean_search
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = boolean_search(ds).to_pandas()
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "match_all": pd.Series(dtype="int64"),
+                "match_any": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_events_cusum(sf_dir: str) -> pd.DataFrame:
@@ -4093,6 +4154,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "events_asof_forward": """
+            WITH c AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'click'
+            ),
+            p AS (
+              SELECT user_id, ts, max(value) AS next_value FROM events
+              WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT c.event_id, c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   round(c.value, 4) AS value,
+                   coalesce(strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f'), '') AS next_ts,
+                   coalesce(round(p.next_value, 4), -1.0) AS next_value
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND p.ts >= c.ts
+        """,
+        "events_rolling_sum": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+                   ) AS BIGINT)::DOUBLE / 100.0 AS window_sum
+            FROM events
+        """,
+        "doc_boolean_search": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+            SELECT doc_id,
+                   CAST(list_contains(l, 'hash') AND list_contains(l, 'join') AS BIGINT) AS match_all,
+                   CAST(list_contains(l, 'slow') AS BIGINT) AS match_any
+            FROM t
+            WHERE (list_contains(l, 'hash') AND list_contains(l, 'join'))
+               OR list_contains(l, 'slow')
         """,
         "events_cusum": """
             WITH d AS (

@@ -170,6 +170,8 @@ def run_bench() -> dict:
     timed("large_orders", lambda: size(entry.queries()["large_orders"](sf_dir)))
     timed("events_cusum", lambda: size(entry.queries()["events_cusum"](sf_dir)))
     timed("doc_tfidf_topk", lambda: size(entry.queries()["doc_tfidf_topk"](sf_dir)))
+    timed("events_rolling_sum", lambda: size(entry.queries()["events_rolling_sum"](sf_dir)))
+    timed("doc_boolean_search", lambda: size(entry.queries()["doc_boolean_search"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

@@ -378,3 +378,47 @@ def tfidf_topk(
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def boolean_search(
+    docs: ray.data.Dataset,
+    must_all: tuple[str, ...] = ("hash", "join"),
+    any_of: tuple[str, ...] = ("slow",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Boolean retrieval over the token stream: documents matching
+    ``(AND over must_all) OR (any of any_of)`` — the conjunctive/
+    disjunctive filter every corpus-slicing pipeline needs before
+    expensive scoring.
+
+    Scale shape: one streaming pass; each batch tokenizes once
+    (``_flat_tokens``) and builds one boolean membership vector per query
+    term via a vectorized token-equality scatter — no per-row Python, no
+    shuffle, no index build (the inverted_index op is the amortized
+    alternative when many queries share a corpus)."""
+
+    def match(t: pa.Table) -> pa.Table:
+        toks, parent, n = _flat_tokens(t[text_col])
+        flags: dict[str, np.ndarray] = {}
+        for term in set(must_all) | set(any_of):
+            v = np.zeros(n, dtype=bool)
+            if len(toks):
+                v[parent[toks == term]] = True
+            flags[term] = v
+        m_and = np.ones(n, dtype=bool)
+        for term in must_all:
+            m_and &= flags[term]
+        m_or = np.zeros(n, dtype=bool)
+        for term in any_of:
+            m_or |= flags[term]
+        keep = m_and | m_or
+        return pa.table(
+            {
+                id_col: t[id_col].filter(pa.array(keep)),
+                "match_all": pa.array(m_and[keep].astype(np.int64), pa.int64()),
+                "match_any": pa.array(m_or[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(match, batch_format="pyarrow")

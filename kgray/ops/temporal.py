@@ -87,11 +87,15 @@ def asof_join(
     left_id: str = "event_id",
     value_col: str = "value",
     num_buckets: int = 64,
+    direction: str = "backward",
 ) -> ray.data.Dataset:
     """Keyed as-of join: each left row picks the most recent right row of
-    the same ``by`` key with ``right.ts <= left.ts`` (backward direction,
-    exact matches allowed), yielding ``prior_ts`` / ``prior_value``
-    columns; lefts with no prior right keep nulls.
+    the same ``by`` key with ``right.ts <= left.ts`` (``direction=
+    "backward"``, exact matches allowed), yielding ``prior_ts`` /
+    ``prior_value`` columns; lefts with no prior right keep nulls.
+    ``direction="forward"`` flips the predicate to the EARLIEST right row
+    with ``right.ts >= left.ts`` (time-to-next-conversion shape) and
+    names the columns ``next_ts`` / ``next_value``.
 
     Scale shape: both sides are tagged and hash-bucketed on ``by`` inside
     ``map_batches``; ONE ``groupby(bucket)`` shuffle co-locates every
@@ -123,6 +127,9 @@ def asof_join(
         right.map_batches(tag(1), batch_format="pandas")
     )
 
+    out_ts = "prior_ts" if direction == "backward" else "next_ts"
+    out_val = "prior_value" if direction == "backward" else "next_value"
+
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["side"] == 0].sort_values(ts_col, kind="mergesort")
         r = (
@@ -131,17 +138,17 @@ def asof_join(
             .max()
             .reset_index()
         )
-        r["prior_ts"] = r[ts_col]
-        r = r.rename(columns={value_col: "prior_value"}).sort_values(ts_col, kind="mergesort")
+        r[out_ts] = r[ts_col]
+        r = r.rename(columns={value_col: out_val}).sort_values(ts_col, kind="mergesort")
         m = pd.merge_asof(
             l[[left_id, by, ts_col, value_col]],
             r,
             on=ts_col,
             by=by,
-            direction="backward",
+            direction=direction,
             allow_exact_matches=True,
         )
-        return m[[left_id, by, ts_col, value_col, "prior_ts", "prior_value"]]
+        return m[[left_id, by, ts_col, value_col, out_ts, out_val]]
 
     return tagged.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
 
@@ -765,3 +772,71 @@ def cusum_alarms(
             }
         )
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def rolling_window_sum(
+    events: ray.data.Dataset,
+    window_days: int = 7,
+    num_buckets: int = 64,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Per-key SLIDING-window value sum attached to every event: for each
+    event, the key's total value over ``[ts − window, ts]`` — the exact
+    RANGE-window aggregate (spend velocity, rate limiting).  Peer rows
+    (equal ``ts``) are all included, matching SQL ``RANGE BETWEEN ...
+    AND CURRENT ROW`` semantics exactly.
+
+    Exactness: values sum as int64 cents; the window bounds are two
+    ``searchsorted`` probes into the key's sorted prefix-sum array —
+    ``sum = P[hi(ts)] − P[lo(ts − w)]`` — so no float enters until the
+    final /100.
+
+    Scale shape: the user_sessions ladder — one hash-bucket shuffle on
+    ``key_col``, per-bucket mergesort + grouped prefix sums, all
+    vectorized.  Per-key volume is the (inherent) skew bound."""
+    w = np.timedelta64(window_days * 86_400_000_000, "us")
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_col: b[key_col].to_numpy(dtype=np.int64),
+                ts_col: b[ts_col],
+                id_col: b[id_col].to_numpy(dtype=np.int64),
+                "vc": np.floor(b[value_col].to_numpy() * 100.0 + 0.5).astype(np.int64),
+                "bucket": (b[key_col].to_numpy(dtype=np.int64) % num_buckets).astype("int32"),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        out_rows = []
+        ts_all = g[ts_col].to_numpy(dtype="datetime64[us]")
+        vc = g["vc"].to_numpy()
+        ids = g[id_col].to_numpy()
+        keys = g[key_col].to_numpy()
+        # key segment boundaries (sorted, so segments are contiguous)
+        seg = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+        ends = np.concatenate((seg[1:], [len(keys)]))
+        sums = np.empty(len(keys), dtype=np.int64)
+        for s, e in zip(seg, ends):
+            ts = ts_all[s:e]
+            p = np.concatenate(([0], np.cumsum(vc[s:e])))
+            hi = np.searchsorted(ts, ts, side="right")
+            lo = np.searchsorted(ts, ts - w, side="left")
+            sums[s:e] = p[hi] - p[lo]
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                key_col: keys,
+                "window_sum": sums / 100.0,
+            }
+        )
+
+    return (
+        events.map_batches(add_bucket, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -127,6 +127,9 @@ def _compare(query: str):
         "events_mad_outliers",
         "events_cusum",
         "doc_tfidf_topk",
+        "events_asof_forward",
+        "events_rolling_sum",
+        "doc_boolean_search",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",

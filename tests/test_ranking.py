@@ -146,3 +146,31 @@ def test_tfidf_topk_empty(ray_session):
     out = tfidf_topk(ds, k=3)
     assert out.count() == 0
     assert out.schema().names == ["doc_id", "token", "tf", "tfidf"]
+
+
+def test_boolean_search_semantics(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.ranking import boolean_search
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "hash join fast",     # AND branch
+                "hash only here",     # neither (join missing, no slow)
+                "very slow scan",     # OR branch
+                "nothing relevant",   # no match
+            ],
+        }
+    )
+    out = (
+        boolean_search(ray.data.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 3]
+    assert out["match_all"].tolist() == [1, 0]
+    assert out["match_any"].tolist() == [0, 1]

@@ -293,3 +293,70 @@ def test_cusum_alarms_recursion_and_invariance(ray_session):
     # partition invariance
     out3 = cusum_alarms(ray.data.from_pandas(df).repartition(5), target=5.0, threshold=10.0)
     assert out3.equals(out)
+
+
+def test_asof_forward_direction(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.temporal import asof_join
+
+    t0 = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "user_id": [1, 1],
+            "ts": [t0, t0 + pd.Timedelta(hours=5)],
+            "value": [1.0, 2.0],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "event_id": [10, 11],
+            "user_id": [1, 1],
+            "ts": [t0 + pd.Timedelta(hours=1), t0 + pd.Timedelta(hours=9)],
+            "value": [7.0, 9.0],
+        }
+    )
+    out = (
+        asof_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right), direction="forward"
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # event 1 -> earliest right at +1h (7.0); event 2 (+5h) -> right at +9h
+    assert out["next_value"].tolist() == [7.0, 9.0]
+    assert out["next_ts"].tolist() == [t0 + pd.Timedelta(hours=1), t0 + pd.Timedelta(hours=9)]
+
+
+def test_rolling_window_sum_peers_and_bounds(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.temporal import rolling_window_sum
+
+    t0 = pd.Timestamp("2024-01-10")
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [1, 1, 1, 1],
+            "ts": [
+                t0 - pd.Timedelta(days=8),   # outside the 7d window of the others
+                t0,
+                t0,                          # equal-ts peer: both count for each other
+                t0 + pd.Timedelta(days=7),   # exactly 7d later: t0 rows still inside
+            ],
+            "value": [100.0, 1.0, 2.0, 10.0],
+        }
+    )
+    out = (
+        rolling_window_sum(ray.data.from_pandas(df).repartition(3), window_days=7)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # event 1: only itself (100); events 2 & 3: peers sum 3.0 (RANGE includes
+    # equal-ts rows both directions); event 4: 1+2+10 (the -8d row is out)
+    assert out["window_sum"].tolist() == [100.0, 3.0, 3.0, 13.0]
