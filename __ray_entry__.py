@@ -322,6 +322,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_asof_forward"] = _q_events_asof_forward
     q["events_rolling_sum"] = _q_events_rolling_sum
     q["doc_boolean_search"] = _q_doc_boolean_search
+    q["events_rollup"] = rel.events_rollup
+    q["order_fulfillment_latency"] = rel.order_fulfillment_latency
+    q["events_user_gaps"] = _q_events_user_gaps
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -1425,6 +1428,19 @@ def _q_doc_boolean_search(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_events_user_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per-user churn features (kgray.ops.temporal.user_gap_stats):
+    event count, longest inter-event gap in whole seconds (-1 for
+    single-event users), idle seconds vs the corpus watermark — integer
+    µs arithmetic mirrored by the twin's epoch_us divisions."""
+    from kgray.ops.temporal import user_gap_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return user_gap_stats(ds)
 
 
 def _q_events_cusum(sf_dir: str) -> pd.DataFrame:
@@ -4154,6 +4170,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "events_rollup": """
+            WITH x AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events)
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(day, 'ALL') AS day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(c) AS BIGINT)::DOUBLE / 100.0 AS sum_value
+            FROM x
+            GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+        """,
+        "order_fulfillment_latency": """
+            WITH s AS (
+              SELECT l_orderkey, min(l_shipdate) AS first_ship
+              FROM lineitem GROUP BY 1)
+            SELECT (epoch_us(first_ship) - epoch_us(o_orderdate)) // 86400000000 AS latency_days,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM s JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY 1
+        """,
+        "events_user_gaps": """
+            WITH m AS (SELECT CAST(epoch_us(max(ts)) AS BIGINT) AS wm FROM events),
+            g AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+              FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   coalesce(CAST(max((epoch_us(ts) - epoch_us(pts)) // 1000000) AS BIGINT), -1) AS max_gap_s,
+                   CAST((wm - max(epoch_us(ts))) // 1000000 AS BIGINT) AS idle_s
+            FROM g, m GROUP BY user_id, wm
         """,
         "events_asof_forward": """
             WITH c AS (

@@ -172,6 +172,9 @@ def run_bench() -> dict:
     timed("doc_tfidf_topk", lambda: size(entry.queries()["doc_tfidf_topk"](sf_dir)))
     timed("events_rolling_sum", lambda: size(entry.queries()["events_rolling_sum"](sf_dir)))
     timed("doc_boolean_search", lambda: size(entry.queries()["doc_boolean_search"](sf_dir)))
+    timed("events_rollup", lambda: size(entry.queries()["events_rollup"](sf_dir)))
+    timed("order_fulfillment_latency", lambda: size(entry.queries()["order_fulfillment_latency"](sf_dir)))
+    timed("events_user_gaps", lambda: size(entry.queries()["events_user_gaps"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

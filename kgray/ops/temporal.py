@@ -840,3 +840,82 @@ def rolling_window_sum(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def user_gap_stats(
+    events: ray.data.Dataset,
+    num_buckets: int = 64,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> pd.DataFrame:
+    """Per-key inter-event gap statistics: event count, the longest gap
+    between consecutive events (whole seconds), and idle time since the
+    key's last event relative to the corpus watermark — the churn-feature
+    trio.  Single-event keys report ``max_gap_s = -1`` (no gap exists).
+
+    Exactness: all arithmetic is integer microseconds floored to seconds
+    (``// 1_000_000``), mirrored by the twin's ``epoch_us`` division.
+
+    Scale shape: one tiny max-ts pass (blocks × 1 partials), then the
+    user_sessions hash-bucket ladder — per-bucket mergesort + ``np.diff``
+    per key segment, all vectorized."""
+
+    def max_partial(t: pa.Table) -> pa.Table:
+        m = pc.max(t[ts_col].cast(pa.timestamp("us"))).cast(pa.int64())
+        return pa.table({"m": pa.array([m.as_py()], pa.int64())})
+
+    mx = events.map_batches(max_partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            key_col: pd.Series(dtype="int64"),
+            "n_events": pd.Series(dtype="int64"),
+            "max_gap_s": pd.Series(dtype="int64"),
+            "idle_s": pd.Series(dtype="int64"),
+        }
+    )
+    if "m" not in mx.columns or not len(mx) or mx["m"].isna().all():
+        return empty
+    wm_us = int(mx["m"].max())
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        us = b[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                key_col: b[key_col].to_numpy(dtype=np.int64),
+                "us": us,
+                id_col: b[id_col].to_numpy(dtype=np.int64),
+                "bucket": (b[key_col].to_numpy(dtype=np.int64) % num_buckets).astype("int32"),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "us", id_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        us = g["us"].to_numpy()
+        # gap to the previous row, -1 at key boundaries (and for the first
+        # row), so a grouped max yields the longest gap or the -1 sentinel
+        gap = np.full(len(keys), np.int64(-1))
+        if len(keys) > 1:
+            same = keys[1:] == keys[:-1]
+            gap[1:] = np.where(same, np.diff(us) // 1_000_000, np.int64(-1))
+        agg = (
+            pd.DataFrame({key_col: keys, "gap": gap, "us": us})
+            .groupby(key_col, sort=False)
+            .agg(n_events=("gap", "size"), max_gap_s=("gap", "max"), last_us=("us", "max"))
+            .reset_index()
+        )
+        agg["idle_s"] = (wm_us - agg["last_us"].to_numpy()) // 1_000_000
+        return agg[[key_col, "n_events", "max_gap_s", "idle_s"]]
+
+    out = (
+        events.map_batches(add_bucket, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if key_col not in out.columns or not len(out):
+        return empty
+    for c in ("n_events", "max_gap_s", "idle_s"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(key_col).reset_index(drop=True)

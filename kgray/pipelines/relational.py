@@ -1126,3 +1126,135 @@ def brand_disjunction_revenue(sf_dir: str) -> pd.DataFrame:
         .sum()
     )
     return pd.DataFrame({"revenue": pd.Series([rc / 100.0], dtype="float64")})
+
+
+def events_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUPING-SETS rollup in one pass: per (event_type, day) counts and
+    value sums PLUS per-type subtotals PLUS the grand total — the OLAP
+    rollup shape, computed from ONE partial stream (no re-scan per level).
+
+    Scale shape: the same (type, day, count, cent-sum) Arrow partials as
+    ``events_daily``; the driver derives all three aggregation levels
+    from the combined (types × days)-bounded table — subtotals are free
+    once the finest level is partial-aggregated.  'ALL' is the rollup
+    label on both engines."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        return (
+            pa.table({"event_type": t["event_type"], "day": day, "c": cents})
+            .group_by(["event_type", "day"])
+            .aggregate([("c", "sum"), ([], "count_all")])
+        )
+
+    parts = (
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if "event_type" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype=object),
+                "day": pd.Series(dtype=object),
+                "n_events": pd.Series(dtype="int64"),
+                "sum_value": pd.Series(dtype="float64"),
+            }
+        )
+    fine = (
+        parts.groupby(["event_type", "day"], sort=False)[["c_sum", "count_all"]]
+        .sum()
+        .reset_index()
+    )
+    by_type = fine.groupby("event_type", sort=False)[["c_sum", "count_all"]].sum().reset_index()
+    by_type["day"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "event_type": ["ALL"],
+            "day": ["ALL"],
+            "c_sum": [fine["c_sum"].sum()],
+            "count_all": [fine["count_all"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_type, total], ignore_index=True)
+    out["n_events"] = out["count_all"].astype("int64")
+    out["sum_value"] = out["c_sum"].to_numpy(dtype=np.float64) / 100.0
+    out = out[["event_type", "day", "n_events", "sum_value"]]
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+def order_fulfillment_latency(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Order-to-first-shipment latency histogram: per order, days between
+    ``o_orderdate`` and the EARLIEST ``l_shipdate``; output is the count
+    of orders per whole-day latency — the fact×fact temporal-join +
+    domain-bounded histogram shape.
+
+    Scale shape: lineitem folds to per-order min-shipdate partials inside
+    each batch; both partials and the (pruned) orders stream meet in
+    ORDERKEY hash buckets (one shuffle); each bucket joins vectorized and
+    emits (latency_day, count) partials — the driver reduce is bounded by
+    the latency DOMAIN, not the order count."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def ship_partial(t: pa.Table) -> pa.Table:
+        out = (
+            pa.table(
+                {
+                    "okey": t["l_orderkey"],
+                    "ship_us": t["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+                }
+            )
+            .group_by("okey")
+            .aggregate([("ship_us", "min")])
+        )
+        return out.append_column(
+            "side", pa.array(np.zeros(len(out), dtype=np.int8), pa.int8())
+        )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": t["o_orderkey"],
+                "ship_us_min": t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "side": pa.array(np.ones(len(t), dtype=np.int8), pa.int8()),
+            }
+        )
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["bucket"] = (b["okey"] % num_buckets).astype("int32")
+        return b
+
+    tagged = (
+        li.map_batches(ship_partial, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+                order_rows, batch_format="pyarrow"
+            )
+        )
+        .map_batches(add_bucket, batch_format="pandas")
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ships = g[g["side"] == 0].groupby("okey", sort=False)["ship_us_min"].min()
+        orders = g[g["side"] == 1].set_index("okey")["ship_us_min"]
+        joined = ships.to_frame("ship").join(orders.to_frame("odate"), how="inner")
+        days = ((joined["ship"] - joined["odate"]) // 86_400_000_000).astype("int64")
+        out = days.value_counts().reset_index()
+        out.columns = ["latency_days", "n_orders"]
+        return out
+
+    parts = (
+        tagged.groupby("bucket").map_groups(per_bucket, batch_format="pandas").to_pandas()
+    )
+    if "latency_days" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {"latency_days": pd.Series(dtype="int64"), "n_orders": pd.Series(dtype="int64")}
+        )
+    out = parts.groupby("latency_days", sort=True)["n_orders"].sum().reset_index()
+    out["latency_days"] = out["latency_days"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out

@@ -130,6 +130,9 @@ def _compare(query: str):
         "events_asof_forward",
         "events_rolling_sum",
         "doc_boolean_search",
+        "events_rollup",
+        "order_fulfillment_latency",
+        "events_user_gaps",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",

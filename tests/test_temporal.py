@@ -360,3 +360,34 @@ def test_rolling_window_sum_peers_and_bounds(ray_session):
     # event 1: only itself (100); events 2 & 3: peers sum 3.0 (RANGE includes
     # equal-ts rows both directions); event 4: 1+2+10 (the -8d row is out)
     assert out["window_sum"].tolist() == [100.0, 3.0, 3.0, 13.0]
+
+
+def test_user_gap_stats_sentinels(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.temporal import user_gap_stats
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [1, 1, 1, 2],
+            "ts": [
+                t0,
+                t0 + pd.Timedelta(seconds=90),
+                t0 + pd.Timedelta(seconds=100),
+                t0 + pd.Timedelta(seconds=40),  # single-event user; watermark-60s
+            ],
+        }
+    )
+    out = (
+        user_gap_stats(ray.data.from_pandas(df).repartition(3))
+        .set_index("user_id")
+    )
+    assert out.loc[1, "n_events"] == 3
+    assert out.loc[1, "max_gap_s"] == 90
+    assert out.loc[1, "idle_s"] == 0          # user 1 owns the watermark
+    assert out.loc[2, "n_events"] == 1
+    assert out.loc[2, "max_gap_s"] == -1      # no gap exists
+    assert out.loc[2, "idle_s"] == 60
