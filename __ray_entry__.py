@@ -325,6 +325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_rollup"] = rel.events_rollup
     q["order_fulfillment_latency"] = rel.order_fulfillment_latency
     q["events_user_gaps"] = _q_events_user_gaps
+    q["embedding_standardize"] = _q_embedding_standardize
+    q["doc_top_bigrams"] = _q_doc_top_bigrams
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -1428,6 +1430,38 @@ def _q_doc_boolean_search(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_embedding_standardize(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension z-score standardization emitted long (kgray.ops.
+    similarity.standardize_embeddings): population moments from one
+    (n, Σx, Σx²) partial per block, micro-quantized z; twin replays the
+    same sx/n and sxx/n − m·m arithmetic per dimension."""
+    from kgray.ops.similarity import standardize_embeddings
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = standardize_embeddings(ds).to_pandas()
+    if "vec_id" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "i": pd.Series(dtype="int64"),
+                "z": pd.Series(dtype="float64"),
+            }
+        )
+    return out.sort_values(["vec_id", "i"]).reset_index(drop=True)
+
+
+def _q_doc_top_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Corpus top-30 bigrams (kgray.ops.stats.bigram_frequencies) —
+    BPE-merge candidate mining; adjacent raw split positions, empty sides
+    dropped, (count desc, bigram asc) ties."""
+    from kgray.ops.stats import bigram_frequencies
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bigram_frequencies(ds, top_n=30)
 
 
 def _q_events_user_gaps(sf_dir: str) -> pd.DataFrame:
@@ -4170,6 +4204,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "embedding_standardize": """
+            WITH dims AS MATERIALIZED (SELECT unnest(range(1, 65)) AS i),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+            mo AS MATERIALIZED (
+              SELECT d.i AS i,
+                     sum(CAST(e.embedding[d.i] AS DOUBLE)) AS sx,
+                     sum(CAST(e.embedding[d.i] AS DOUBLE)
+                         * CAST(e.embedding[d.i] AS DOUBLE)) AS sxx
+              FROM embeddings e CROSS JOIN dims d GROUP BY d.i),
+            st AS MATERIALIZED (
+              SELECT i, sx / (SELECT n FROM nn) AS m,
+                     sqrt(greatest(sxx / (SELECT n FROM nn)
+                                   - (sx / (SELECT n FROM nn)) * (sx / (SELECT n FROM nn)),
+                                   0.0)) AS s
+              FROM mo)
+            SELECT e.vec_id, st.i,
+                   CASE WHEN st.s = 0.0 THEN 0.0
+                        ELSE floor((CAST(e.embedding[st.i] AS DOUBLE) - st.m) / st.s * 1e6 + 0.5) / 1e6
+                   END AS z
+            FROM embeddings e CROSS JOIN st
+        """,
+        "doc_top_bigrams": """
+            WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+            pos AS (SELECT l, unnest(range(1, len(l))) AS i FROM t),
+            g AS (SELECT l[i] || ' ' || l[i + 1] AS bigram
+                  FROM pos WHERE l[i] <> '' AND l[i + 1] <> ''),
+            c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1)
+            SELECT bigram, cnt FROM c ORDER BY cnt DESC, bigram LIMIT 30
         """,
         "events_rollup": """
             WITH x AS (

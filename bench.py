@@ -175,6 +175,8 @@ def run_bench() -> dict:
     timed("events_rollup", lambda: size(entry.queries()["events_rollup"](sf_dir)))
     timed("order_fulfillment_latency", lambda: size(entry.queries()["order_fulfillment_latency"](sf_dir)))
     timed("events_user_gaps", lambda: size(entry.queries()["events_user_gaps"](sf_dir)))
+    timed("doc_top_bigrams", lambda: size(entry.queries()["doc_top_bigrams"](sf_dir)))
+    timed("embedding_standardize", lambda: size(entry.queries()["embedding_standardize"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

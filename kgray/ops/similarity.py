@@ -734,3 +734,59 @@ def quantize_embeddings(
         )
 
     return embeddings.map_batches(encode, batch_format="numpy", batch_size=8192)
+
+
+def standardize_embeddings(
+    embeddings: ray.data.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Per-dimension z-score standardization (feature scaling before
+    clustering / linear probes): ``z = (x − μ_i)/σ_i`` with population
+    moments, emitted LONG — one (vec_id, i, z) row per dimension — and
+    micro-quantized (floor(z·1e6 + 0.5)/1e6) so the SQL twin can replay
+    the identical arithmetic.
+
+    Scale shape: pass 1 folds each batch to ONE (count, Σx, Σx²) row —
+    2d + 1 doubles regardless of rows (the pca_project diagonal budget);
+    the driver derives (μ, σ) and broadcasts; pass 2 is a stateless
+    vectorized transform.  Constant dimensions (σ = 0) emit z = 0 rather
+    than dividing by zero."""
+    import pyarrow as pa
+
+    def partial(batch: dict) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+        return pd.DataFrame(
+            {"n": [mat.shape[0]], "sx": [mat.sum(axis=0)], "sxx": [(mat * mat).sum(axis=0)]}
+        )
+
+    parts = embeddings.map_batches(partial, batch_format="numpy").to_pandas()
+    schema = pa.schema([(id_col, pa.int64()), ("i", pa.int64()), ("z", pa.float64())])
+    if "n" not in parts.columns or not len(parts):
+        return ray.data.from_arrow(schema.empty_table())
+    n = float(parts["n"].sum())
+    sx = np.stack(parts["sx"].to_numpy()).sum(axis=0)
+    sxx = np.stack(parts["sxx"].to_numpy()).sum(axis=0)
+    mu = sx / n
+    var = sxx / n - mu * mu
+    s = np.sqrt(np.maximum(var, 0.0))
+    ref = ray.put((mu, s))
+
+    def transform(batch: dict) -> pa.Table:
+        m, sd = cached_get(ref)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        d = mat.shape[1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (mat - m) / sd
+        z[:, sd == 0.0] = 0.0
+        z = np.floor(z * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, d), pa.int64()),
+                "i": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), len(ids)), pa.int64()),
+                "z": pa.array(z.ravel(), pa.float64()),
+            }
+        )
+
+    return embeddings.map_batches(transform, batch_format="numpy")

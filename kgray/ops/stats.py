@@ -740,3 +740,68 @@ def mad_outliers(
         ).cast(schema)
 
     return events.map_batches(flag, batch_format="pyarrow")
+
+
+def bigram_frequencies(
+    ds: ray.data.Dataset,
+    top_n: int = 30,
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Global top-n BIGRAM frequencies (count desc, bigram asc tie-break)
+    — the second rung of tokenizer-vocabulary induction (BPE-merge
+    candidates).  Bigrams pair adjacent raw split positions within a row
+    and drop pairs with an empty side — the doc_repetition convention, so
+    the twin's ``l[i] || ' ' || l[i+1]`` replays it exactly.
+
+    Scale shape: identical to ``token_frequencies`` — per-batch Arrow
+    pre-count, bucket-hash shuffle of (bigram, count) partials, per-bucket
+    top-n, ``buckets × n`` driver merge."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lst = pc.split_pattern(pc.cast(texts, pa.large_string()), " ")
+        flat = np.asarray(pc.list_flatten(lst).to_pandas(), dtype=object)
+        lens = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(lens)), lens)
+        if len(flat) < 2:
+            return pa.table(
+                {
+                    "bigram": pa.array([], pa.large_string()),
+                    "count_all": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
+        adj = parent[1:] == parent[:-1]
+        a, b = flat[:-1][adj], flat[1:][adj]
+        ok = (a != "") & (b != "")
+        grams = pd.Series(a[ok]).str.cat(pd.Series(b[ok]), sep=" ").to_numpy(dtype=object)
+        counted = (
+            pa.table({"bigram": pa.array(grams, pa.large_string())})
+            .group_by("bigram")
+            .aggregate([([], "count_all")])
+        )
+        bucket = pd.util.hash_array(
+            np.asarray(counted["bigram"].to_pandas(), dtype=object)
+        ) % num_buckets
+        return counted.append_column("bucket", pa.array(bucket.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("bigram", sort=False)["count_all"].sum().reset_index(name="cnt")
+        return c.sort_values(["cnt", "bigram"], ascending=[False, True], kind="mergesort").head(
+            top_n
+        )
+
+    candidates = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "bigram" not in candidates.columns or not len(candidates):
+        return pd.DataFrame({"bigram": pd.Series(dtype=object), "cnt": pd.Series(dtype="int64")})
+    out = candidates.sort_values(["cnt", "bigram"], ascending=[False, True], kind="mergesort")
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.head(top_n).reset_index(drop=True)

@@ -133,6 +133,8 @@ def _compare(query: str):
         "events_rollup",
         "order_fulfillment_latency",
         "events_user_gaps",
+        "embedding_standardize",
+        "doc_top_bigrams",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",

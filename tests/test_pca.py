@@ -61,3 +61,30 @@ def test_pca_partition_invariant(ray_session):
     # moment partials sum in a different order -> identical to 6 dp after
     # the op's own rounding except at most a 1-ulp rounding-boundary flip
     pd.testing.assert_frame_equal(a, b, atol=1e-6, rtol=0)
+
+
+def test_standardize_embeddings_moments(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.similarity import standardize_embeddings
+
+    # dim 1: values 0, 2, 4 -> mu 2, sigma sqrt(8/3); dim 2 constant -> z=0
+    df = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "embedding": [[0.0, 7.0], [2.0, 7.0], [4.0, 7.0]],
+        }
+    )
+    out = (
+        standardize_embeddings(ray.data.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values(["vec_id", "i"])
+        .reset_index(drop=True)
+    )
+    sd = np.sqrt((0 + 4 + 16) / 3.0 - 4.0)
+    exp = np.floor(np.array([-2.0, 0.0, 2.0]) / sd * 1e6 + 0.5) / 1e6
+    assert out[out["i"] == 1]["z"].tolist() == exp.tolist()
+    assert out[out["i"] == 2]["z"].tolist() == [0.0, 0.0, 0.0]
+    assert len(out) == 6

@@ -295,3 +295,18 @@ def test_mad_outliers_empty(ray_session):
     out = mad_outliers(ds)
     assert out.count() == 0
     assert out.schema().names == ["event_id", "event_type", "dev_cents", "mad_cents"]
+
+
+def test_bigram_frequencies_raw_positions(ray_session):
+    import ray.data
+
+    from kgray.ops.stats import bigram_frequencies
+
+    # double space: "a  b" splits to [a, '', b] -> NO "a b" bigram (the
+    # empty middle kills both raw-adjacent pairs); row boundary never pairs
+    df = pd.DataFrame({"text": ["a b a b", "a  b", "b"]})
+    out = bigram_frequencies(ray.data.from_pandas(df).repartition(2), top_n=5)
+    got = dict(zip(out["bigram"], out["cnt"]))
+    assert got == {"a b": 2, "b a": 1}
+    # tie-break: count desc then bigram asc
+    assert out["bigram"].tolist() == ["a b", "b a"]
