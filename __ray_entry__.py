@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_user_gaps"] = _q_events_user_gaps
     q["embedding_standardize"] = _q_embedding_standardize
     q["doc_top_bigrams"] = _q_doc_top_bigrams
+    q["kg_diff_events"] = _q_kg_diff_events
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -1430,6 +1431,46 @@ def _q_doc_boolean_search(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_kg_diff_events(sf_dir: str) -> pd.DataFrame:
+    """Snapshot DIFF between two KG builds: the events KG on the even-
+    event subset vs on the full stream — which edges a corpus refresh
+    ADDED and which merely GREW (n_obs delta).  Both builds run the full
+    distributed pipeline (fused chunking → extract → canonicalize →
+    merge); the diff joins the two vocabulary-bounded edge tables.  Twin:
+    the same aggregate over `events` vs its even-id subset, LEFT-joined
+    (old ⊆ new by construction)."""
+    from kgray.pipelines.kg import build_kg
+    from kgray.sources.events_transcripts import chunks_from_events
+    from kgray.stages.extract import EventsRuleExtractor
+
+    def _edges(events):
+        res = build_kg(
+            chunks=chunks_from_events(events, _CFG.max_chunk_chars),
+            cfg=_CFG,
+            embedder_factory=lambda: HashEmbedder(dim=_CFG.embed_dim),
+            extractor_cls=EventsRuleExtractor,
+        )
+        df = res.edges.to_pandas()
+        return df[["subj_name", "pred", "obj_name", "n_obs"]]
+
+    import pyarrow.compute as _pc
+
+    full_ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    old_ds = full_ds.map_batches(
+        lambda t: t.filter(_pc.equal(_pc.bit_wise_and(t["event_id"], 1), 0)),
+        batch_format="pyarrow",
+    )
+    new = _edges(full_ds)
+    old = _edges(old_ds)
+    m = new.merge(old, on=["subj_name", "pred", "obj_name"], how="left", suffixes=("_new", "_old"))
+    m["n_obs_old"] = m["n_obs_old"].fillna(0).astype("int64")
+    m["n_obs_new"] = m["n_obs_new"].astype("int64")
+    m = m[m["n_obs_old"] != m["n_obs_new"]]
+    m["status"] = np.where(m["n_obs_old"] == 0, "added", "grown")
+    m = m[["subj_name", "pred", "obj_name", "n_obs_old", "n_obs_new", "status"]]
+    return m.sort_values(["subj_name", "pred", "obj_name"]).reset_index(drop=True)
 
 
 def _q_embedding_standardize(sf_dir: str) -> pd.DataFrame:
@@ -4204,6 +4245,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "kg_diff_events": """
+            WITH newkg AS (
+              SELECT 'user ' || CAST(user_id AS VARCHAR) AS subj_name,
+                     'did' AS pred, event_type AS obj_name,
+                     CAST(count(*) AS BIGINT) AS n_obs_new
+              FROM events GROUP BY 1, 3),
+            oldkg AS (
+              SELECT 'user ' || CAST(user_id AS VARCHAR) AS subj_name,
+                     'did' AS pred, event_type AS obj_name,
+                     CAST(count(*) AS BIGINT) AS n_obs_old
+              FROM events WHERE event_id % 2 = 0 GROUP BY 1, 3)
+            SELECT n.subj_name, n.pred, n.obj_name,
+                   coalesce(o.n_obs_old, 0) AS n_obs_old,
+                   n.n_obs_new,
+                   CASE WHEN o.n_obs_old IS NULL THEN 'added' ELSE 'grown' END AS status
+            FROM newkg n LEFT JOIN oldkg o
+              ON n.subj_name = o.subj_name AND n.obj_name = o.obj_name
+            WHERE coalesce(o.n_obs_old, 0) <> n.n_obs_new
         """,
         "embedding_standardize": """
             WITH dims AS MATERIALIZED (SELECT unnest(range(1, 65)) AS i),

@@ -177,6 +177,7 @@ def run_bench() -> dict:
     timed("events_user_gaps", lambda: size(entry.queries()["events_user_gaps"](sf_dir)))
     timed("doc_top_bigrams", lambda: size(entry.queries()["doc_top_bigrams"](sf_dir)))
     timed("embedding_standardize", lambda: size(entry.queries()["embedding_standardize"](sf_dir)))
+    timed("kg_diff_events", lambda: size(entry.queries()["kg_diff_events"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

@@ -135,6 +135,7 @@ def _compare(query: str):
         "events_user_gaps",
         "embedding_standardize",
         "doc_top_bigrams",
+        "kg_diff_events",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",
