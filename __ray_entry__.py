@@ -328,6 +328,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["embedding_standardize"] = _q_embedding_standardize
     q["doc_top_bigrams"] = _q_doc_top_bigrams
     q["kg_diff_events"] = _q_kg_diff_events
+    q["customer_ltv_quantiles"] = rel.customer_ltv_quantiles
+    q["events_session_funnel"] = _q_events_session_funnel
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -1431,6 +1433,19 @@ def _q_doc_boolean_search(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_events_session_funnel(sf_dir: str) -> pd.DataFrame:
+    """In-session funnel (kgray.ops.temporal.session_funnel): 30-min gap
+    sessionization, then per session 'purchase at-or-after the first
+    click' — one (n_sessions, n_with_first, n_converted) row; twin chains
+    the lag/cumsum session window with conditional min/max."""
+    from kgray.ops.temporal import session_funnel
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    return session_funnel(ds)
 
 
 def _q_kg_diff_events(sf_dir: str) -> pd.DataFrame:
@@ -4245,6 +4260,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "customer_ltv_quantiles": """
+            WITH ltv AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+              FROM orders GROUP BY 1)
+            SELECT 'all' AS grp, CAST(count(*) AS BIGINT) AS n,
+                   quantile_disc(c, 0.1) AS p10, quantile_disc(c, 0.2) AS p20,
+                   quantile_disc(c, 0.3) AS p30, quantile_disc(c, 0.4) AS p40,
+                   quantile_disc(c, 0.5) AS p50, quantile_disc(c, 0.6) AS p60,
+                   quantile_disc(c, 0.7) AS p70, quantile_disc(c, 0.8) AS p80,
+                   quantile_disc(c, 0.9) AS p90
+            FROM ltv
+        """,
+        "events_session_funnel": """
+            WITH s AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                          THEN 1 ELSE 0 END AS ns
+              FROM events),
+            sid AS (
+              SELECT user_id, ts, event_type,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+              FROM s),
+            per AS (
+              SELECT user_id, sess,
+                     min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS f,
+                     max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+              FROM sid GROUP BY 1, 2)
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(CASE WHEN f IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_first,
+                   CAST(sum(CASE WHEN f IS NOT NULL AND p >= f THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+            FROM per
         """,
         "kg_diff_events": """
             WITH newkg AS (

@@ -178,6 +178,8 @@ def run_bench() -> dict:
     timed("doc_top_bigrams", lambda: size(entry.queries()["doc_top_bigrams"](sf_dir)))
     timed("embedding_standardize", lambda: size(entry.queries()["embedding_standardize"](sf_dir)))
     timed("kg_diff_events", lambda: size(entry.queries()["kg_diff_events"](sf_dir)))
+    timed("customer_ltv_quantiles", lambda: size(entry.queries()["customer_ltv_quantiles"](sf_dir)))
+    timed("events_session_funnel", lambda: size(entry.queries()["events_session_funnel"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

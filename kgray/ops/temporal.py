@@ -919,3 +919,78 @@ def user_gap_stats(
     for c in ("n_events", "max_gap_s", "idle_s"):
         out[c] = out[c].astype("int64")
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def session_funnel(
+    events: ray.data.Dataset,
+    gap_minutes: int = 30,
+    first_step: str = "click",
+    second_step: str = "purchase",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """WITHIN-SESSION funnel conversion: sessionize per user (>gap idle
+    splits), then per session ask whether a ``second_step`` event occurs
+    at-or-after the session's first ``first_step`` event — the
+    composition (sessionize → funnel) product analytics runs constantly,
+    collapsed to one (n_sessions, n_with_first, n_converted) row.
+
+    The conversion predicate is purely on timestamps (``last second_step
+    ts ≥ first first_step ts``), so equal-timestamp events convert —
+    mirrored in the twin.
+
+    Scale shape: the user_sessions hash-bucket ladder; each bucket
+    resolves its sessions fully vectorized (grouped cumsum for session
+    ids, grouped min/max for the step timestamps) and emits ONE partial
+    count row — driver traffic is ``num_buckets`` rows."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(dtype=np.int64),
+                "us": b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64),
+                "event_id": b["event_id"].to_numpy(dtype=np.int64),
+                "event_type": b["event_type"].to_numpy(dtype=object),
+                "bucket": (b["user_id"].to_numpy(dtype=np.int64) % num_buckets).astype("int32"),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        us = g["us"].to_numpy()
+        ns = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            same = uid[1:] == uid[:-1]
+            ns[1:] = (~same | (np.diff(us) > gap_us)).astype(np.int64)
+        sess = np.cumsum(ns)  # globally unique within the bucket
+        et = g["event_type"].to_numpy()
+        first_us = np.where(et == first_step, us, np.iinfo(np.int64).max)
+        second_us = np.where(et == second_step, us, np.iinfo(np.int64).min)
+        agg = (
+            pd.DataFrame({"sess": sess, "f": first_us, "s": second_us})
+            .groupby("sess", sort=False)
+            .agg(f=("f", "min"), s=("s", "max"))
+        )
+        has_first = agg["f"] < np.iinfo(np.int64).max
+        converted = has_first & (agg["s"] >= agg["f"])
+        return pd.DataFrame(
+            {
+                "n_sessions": [len(agg)],
+                "n_with_first": [int(has_first.sum())],
+                "n_converted": [int(converted.sum())],
+            }
+        )
+
+    parts = (
+        events.map_batches(add_bucket, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "n_sessions" not in parts.columns or not len(parts):
+        return pd.DataFrame({"n_sessions": [0], "n_with_first": [0], "n_converted": [0]}).astype(
+            "int64"
+        )
+    out = parts.sum(axis=0).to_frame().T.astype("int64")
+    return out.reset_index(drop=True)

@@ -1258,3 +1258,46 @@ def order_fulfillment_latency(sf_dir: str, num_buckets: int = 64) -> pd.DataFram
     out["latency_days"] = out["latency_days"].astype("int64")
     out["n_orders"] = out["n_orders"].astype("int64")
     return out
+
+
+def customer_ltv_quantiles(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Customer-lifetime-value decile profile: per-customer order-total
+    sums (int cents), then exact discrete deciles over the per-customer
+    distribution — the aggregate→quantile two-stage composition every
+    LTV/segmentation report needs.
+
+    Scale shape: orders fold to per-customer cent partials inside each
+    batch; one CUSTKEY hash-bucket shuffle totals them; the per-customer
+    LTV stream then feeds the shared histogram-quantile kernel
+    (kgray.ops.stats.grouped_quantiles) whose exchange is bounded by the
+    distinct LTV value domain, never the customer count."""
+    from kgray.ops.stats import grouped_quantiles
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(b["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        out = (
+            pd.DataFrame({"ckey": b["o_custkey"].to_numpy(dtype=np.int64), "c": c})
+            .groupby("ckey", sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        out["bucket"] = (out["ckey"] % num_buckets).astype("int32")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("ckey", sort=False)["c"].sum()
+        return pd.DataFrame(
+            {"grp": "all", "ltv_cents": tot.to_numpy(dtype=np.int64)}
+        )
+
+    ltv = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    out = grouped_quantiles(ltv, group_col="grp", value_col="ltv_cents")
+    for c in out.columns:
+        if c != "grp":
+            out[c] = out[c].astype("int64")
+    return out

@@ -136,6 +136,8 @@ def _compare(query: str):
         "embedding_standardize",
         "doc_top_bigrams",
         "kg_diff_events",
+        "customer_ltv_quantiles",
+        "events_session_funnel",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",

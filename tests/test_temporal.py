@@ -391,3 +391,46 @@ def test_user_gap_stats_sentinels(ray_session):
     assert out.loc[2, "n_events"] == 1
     assert out.loc[2, "max_gap_s"] == -1      # no gap exists
     assert out.loc[2, "idle_s"] == 60
+
+
+def test_session_funnel_gap_and_order(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.temporal import session_funnel
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1, session 1: click then purchase -> converted
+        (1, 1, t0, "click"),
+        (2, 1, t0 + pd.Timedelta(minutes=5), "purchase"),
+        # user 1, session 2 (>30min gap): purchase BEFORE click -> no conversion
+        (3, 1, t0 + pd.Timedelta(hours=2), "purchase"),
+        (4, 1, t0 + pd.Timedelta(hours=2, minutes=1), "click"),
+        # user 2, one session, no click at all
+        (5, 2, t0, "view"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+    out = session_funnel(ray.data.from_pandas(df).repartition(3))
+    assert out["n_sessions"].tolist() == [3]
+    assert out["n_with_first"].tolist() == [2]
+    assert out["n_converted"].tolist() == [1]
+
+
+def test_session_funnel_equal_ts_converts(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.temporal import session_funnel
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "user_id": [1, 1],
+            "ts": [t0, t0],  # purchase at the SAME instant as the click
+            "event_type": ["click", "purchase"],
+        }
+    )
+    out = session_funnel(ray.data.from_pandas(df))
+    assert out["n_converted"].tolist() == [1]
