@@ -330,6 +330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_diff_events"] = _q_kg_diff_events
     q["customer_ltv_quantiles"] = rel.customer_ltv_quantiles
     q["events_session_funnel"] = _q_events_session_funnel
+    q["part_skyline"] = rel.part_skyline
+    q["events_mode"] = _q_events_mode
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -1433,6 +1435,18 @@ def _q_doc_boolean_search(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_events_mode(sf_dir: str) -> pd.DataFrame:
+    """Per-type modal value (kgray.ops.stats.grouped_mode): most frequent
+    cent value, smallest on ties — histogram partials, keys × domain
+    driver argmax; twin is a count + row_number ladder."""
+    from kgray.ops.stats import grouped_mode
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return grouped_mode(ds)
 
 
 def _q_events_session_funnel(sf_dir: str) -> pd.DataFrame:
@@ -4260,6 +4274,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "part_skyline": """
+            WITH p AS (
+              SELECT p_partkey,
+                     CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+                     CAST(p_size AS BIGINT) AS p_size
+              FROM part)
+            SELECT p_partkey, price_cents, p_size FROM p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p q
+              WHERE q.price_cents <= p.price_cents AND q.p_size >= p.p_size
+                AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))
+        """,
+        "events_mode": """
+            WITH h AS (
+              SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            r AS (
+              SELECT event_type, c, n,
+                     row_number() OVER (PARTITION BY event_type ORDER BY n DESC, c) AS rn
+              FROM h)
+            SELECT event_type, c AS mode_cents, n AS n_mode FROM r WHERE rn = 1
         """,
         "customer_ltv_quantiles": """
             WITH ltv AS (

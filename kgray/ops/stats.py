@@ -805,3 +805,48 @@ def bigram_frequencies(
     out = candidates.sort_values(["cnt", "bigram"], ascending=[False, True], kind="mergesort")
     out["cnt"] = out["cnt"].astype("int64")
     return out.head(top_n).reset_index(drop=True)
+
+
+def grouped_mode(
+    events: ray.data.Dataset,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> pd.DataFrame:
+    """Per-key MODE of a quantized value column (most frequent cent value,
+    smallest value on ties) with its count — the discrete-distribution
+    summary mean/median miss.
+
+    Scale shape: the winsorized_mean histogram budget — batches fold to
+    (key, cents, count) partials via Arrow ``group_by``; the driver
+    argmax is over keys × value DOMAIN rows, never the stream."""
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return (
+            pa.table({key_col: t[key_col], "cents": pa.array(cents, pa.int64())})
+            .group_by([key_col, "cents"])
+            .aggregate([([], "count_all")])
+        )
+
+    hist = events.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    if key_col not in hist.columns or not len(hist):
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(dtype=object),
+                "mode_cents": pd.Series(dtype="int64"),
+                "n_mode": pd.Series(dtype="int64"),
+            }
+        )
+    agg = hist.groupby([key_col, "cents"], sort=True)["count_all"].sum().reset_index()
+    # (count desc, cents asc) per key: sort then take first
+    agg = agg.sort_values([key_col, "count_all", "cents"], ascending=[True, False, True],
+                          kind="mergesort")
+    top = agg.groupby(key_col, sort=True).head(1)
+    return pd.DataFrame(
+        {
+            key_col: top[key_col].to_numpy(),
+            "mode_cents": top["cents"].astype("int64").to_numpy(),
+            "n_mode": top["count_all"].astype("int64").to_numpy(),
+        }
+    ).reset_index(drop=True)

@@ -1301,3 +1301,66 @@ def customer_ltv_quantiles(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
         if c != "grp":
             out[c] = out[c].astype("int64")
     return out
+
+
+def part_skyline(sf_dir: str) -> pd.DataFrame:
+    """Pareto-frontier (SKYLINE) query over the part dimension: parts not
+    dominated on (cheaper-or-equal price, larger-or-equal size, strictly
+    better in one) — the multi-criteria shortlist shape missing from
+    plain SQL aggregates.  Identical (price, size) points do not dominate
+    each other (both kept).
+
+    Exactness: price quantizes to int cents; dominance is pure integer
+    comparison; the vectorized kernel is sort (price asc, size desc) +
+    one prefix-max — no pairwise loop.
+
+    Scale shape: each batch reduces to its LOCAL skyline (the global
+    skyline is a subset of every partition's skyline union — the textbook
+    distributed-skyline property), so the driver merge sees only frontier
+    candidates, never the dimension."""
+
+    def local_skyline(b: pd.DataFrame) -> pd.DataFrame:
+        pc_ = np.floor(b["p_retailprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        sz = b["p_size"].to_numpy(dtype=np.int64)
+        key = b["p_partkey"].to_numpy(dtype=np.int64)
+        order = np.lexsort((key, -sz, pc_))  # price asc, size desc
+        pc_, sz, key = pc_[order], sz[order], key[order]
+        # max size among STRICTLY cheaper points, per position: the prefix
+        # max as of the row before each price group starts, repeated over
+        # the group (all vectorized — no per-group loop)
+        grp_start = np.concatenate(([True], pc_[1:] != pc_[:-1]))
+        run_max = np.maximum.accumulate(sz)
+        idx = np.flatnonzero(grp_start)
+        lengths = np.diff(np.append(idx, len(sz)))
+        sentinel = np.iinfo(np.int64).min
+        starts_before = np.where(idx > 0, run_max[np.maximum(idx - 1, 0)], sentinel)
+        before = np.repeat(starts_before, lengths)
+        # group max size = the group's first element (size desc within price)
+        gmax = np.repeat(sz[idx], lengths)
+        dominated = (before >= sz) | (gmax > sz)
+        keep = ~dominated
+        return pd.DataFrame(
+            {"p_partkey": key[keep], "price_cents": pc_[keep], "p_size": sz[keep]}
+        )
+
+    cand = (
+        _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+        .map_batches(local_skyline, batch_format="pandas", batch_size=262144)
+        .to_pandas()
+    )
+    if "p_partkey" not in cand.columns or not len(cand):
+        return pd.DataFrame(
+            {
+                "p_partkey": pd.Series(dtype="int64"),
+                "price_cents": pd.Series(dtype="int64"),
+                "p_size": pd.Series(dtype="int64"),
+            }
+        )
+    out = local_skyline(
+        cand.rename(columns={"price_cents": "p_retailprice", "p_size": "p_size"}).assign(
+            p_retailprice=cand["price_cents"] / 100.0
+        )
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("p_partkey").reset_index(drop=True)

@@ -63,3 +63,25 @@ def test_priority_shipmonths_counts_are_complete():
         f"SELECT count(*) FROM read_parquet('{sf}/lineitem.parquet')"
     ).fetchone()[0]
     assert int((out["high_count"] + out["low_count"]).sum()) == n
+
+
+def test_part_skyline_dominance(ray_session, tmp_path):
+    """Skyline semantics incl. the identical-point rule: equal (price,
+    size) points keep each other; strictly-cheaper equal-size dominates."""
+    import pandas as pd
+    import ray  # noqa: F401
+
+    from kgray.pipelines.relational import part_skyline
+
+    df = pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3, 4, 5],
+            "p_retailprice": [10.0, 10.0, 12.0, 9.0, 12.0],
+            "p_size": [5, 5, 5, 3, 6],
+        }
+    )
+    df.to_parquet(tmp_path / "part.parquet")
+    out = part_skyline(str(tmp_path))
+    # part 3 dominated by 1/2 (cheaper, same size); part 4 on frontier
+    # (cheapest); parts 1,2 identical -> both kept; part 5 biggest size
+    assert out["p_partkey"].tolist() == [1, 2, 4, 5]

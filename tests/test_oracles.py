@@ -138,6 +138,8 @@ def _compare(query: str):
         "kg_diff_events",
         "customer_ltv_quantiles",
         "events_session_funnel",
+        "part_skyline",
+        "events_mode",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",

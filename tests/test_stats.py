@@ -310,3 +310,20 @@ def test_bigram_frequencies_raw_positions(ray_session):
     assert got == {"a b": 2, "b a": 1}
     # tie-break: count desc then bigram asc
     assert out["bigram"].tolist() == ["a b", "b a"]
+
+
+def test_grouped_mode_tie_breaks(ray_session):
+    import ray.data
+
+    from kgray.ops.stats import grouped_mode
+
+    # key a: 2.0 x2, 1.0 x2 -> tie broken by smaller cents (100)
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * 4 + ["b"] * 3,
+            "value": [2.0, 1.0, 2.0, 1.0, 7.0, 7.0, 3.0],
+        }
+    )
+    out = grouped_mode(ray.data.from_pandas(df).repartition(3)).set_index("event_type")
+    assert out.loc["a", "mode_cents"] == 100 and out.loc["a", "n_mode"] == 2
+    assert out.loc["b", "mode_cents"] == 700 and out.loc["b", "n_mode"] == 2
