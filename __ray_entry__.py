@@ -332,6 +332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_session_funnel"] = _q_events_session_funnel
     q["part_skyline"] = rel.part_skyline
     q["events_mode"] = _q_events_mode
+    q["doc_dedup_weights"] = _q_doc_dedup_weights
+    q["events_heatmap"] = _q_events_heatmap
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -1435,6 +1437,32 @@ def _q_doc_boolean_search(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_dedup_weights(sf_dir: str) -> pd.DataFrame:
+    """Cluster-size sampling weights over the MinHash-LSH clustering
+    (kgray.ops.curation.dedup_cluster_weights): weight = 1/|cluster|
+    micro-quantized; twin extends the shared MinHash CTE chain with a
+    cluster-size rollup."""
+    from kgray.ops.curation import dedup_cluster_weights
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = dedup_cluster_weights(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_events_heatmap(sf_dir: str) -> pd.DataFrame:
+    """Per-type day-of-week × hour heatmap (kgray.ops.stats.
+    weekly_heatmap): epoch integer arithmetic ((days+4)%7, Sunday=0), no
+    strftime/locale dependency; twin repeats the epoch_us divisions."""
+    from kgray.ops.stats import weekly_heatmap
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    return weekly_heatmap(ds)
 
 
 def _q_events_mode(sf_dir: str) -> pd.DataFrame:
@@ -4274,6 +4302,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "doc_dedup_weights": _minhash_ctes(
+            "2 * sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) >= 63"
+        )
+        + """,
+mapping AS (SELECT d.doc_id, coalesce(r.root, d.doc_id) AS canonical_id
+            FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id),
+cs AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+       FROM mapping GROUP BY 1)
+SELECT m.doc_id, m.canonical_id, cs.cluster_size,
+       floor(1.0 / cs.cluster_size * 1e6 + 0.5) / 1e6 AS weight
+FROM mapping m JOIN cs USING (canonical_id)
+""",
+        "events_heatmap": """
+            SELECT event_type,
+                   ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+                   (epoch_us(ts) // 3600000000) % 24 AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2, 3
         """,
         "part_skyline": """
             WITH p AS (

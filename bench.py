@@ -180,6 +180,8 @@ def run_bench() -> dict:
     timed("kg_diff_events", lambda: size(entry.queries()["kg_diff_events"](sf_dir)))
     timed("customer_ltv_quantiles", lambda: size(entry.queries()["customer_ltv_quantiles"](sf_dir)))
     timed("events_session_funnel", lambda: size(entry.queries()["events_session_funnel"](sf_dir)))
+    timed("doc_dedup_weights", lambda: size(entry.queries()["doc_dedup_weights"](sf_dir)))
+    timed("events_heatmap", lambda: size(entry.queries()["events_heatmap"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

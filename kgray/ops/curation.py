@@ -795,3 +795,56 @@ def sample_to_token_budget(
         )
 
     return ds.map_batches(keep, batch_format="pandas", batch_size=65536)
+
+
+def dedup_cluster_weights(
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Cluster-size-aware sampling weights over the MinHash-LSH near-dup
+    clustering: every document gets ``weight = 1/|cluster|`` (micro-
+    quantized) so a training sampler sees each CONTENT once in
+    expectation instead of once per copy — the soft alternative to
+    dropping duplicates (Lee et al. 2022 keep-one ≡ hard 0/1 weights).
+
+    Scale shape: reuses the full minhash_lsh_dedup ladder for the
+    mapping; cluster sizes come from counting only NON-SELF mapping rows
+    (dup-universe bounded — singletons never cross the wire), broadcast
+    as a dict; the weight attach is one streaming pass."""
+    import ray
+
+    from kgray.functions.broadcast import cached_get
+    from kgray.ops.dedup import minhash_lsh_dedup
+
+    mapping = minhash_lsh_dedup(docs)
+
+    def member_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        canon = t["canonical_id"].to_numpy(zero_copy_only=False)
+        nonself = canon[ids != canon]
+        u, cnt = np.unique(nonself, return_counts=True)
+        return pa.table({"c": pa.array(u, pa.int64()), "n": pa.array(cnt, pa.int64())})
+
+    parts = mapping.map_batches(member_partial, batch_format="pyarrow").to_pandas()
+    sizes: dict[int, int] = {}
+    if "c" in parts.columns and len(parts):
+        agg = parts.groupby("c", sort=False)["n"].sum()
+        sizes = {int(k): int(v) + 1 for k, v in agg.items()}
+    ref = ray.put(sizes)
+
+    def attach(t: pa.Table) -> pa.Table:
+        sz = cached_get(ref)
+        canon = t["canonical_id"].to_numpy(zero_copy_only=False)
+        size = np.array([sz.get(int(c), 1) for c in canon], dtype=np.int64)
+        w = np.floor(1.0 / size * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "canonical_id": t["canonical_id"],
+                "cluster_size": pa.array(size, pa.int64()),
+                "weight": pa.array(w, pa.float64()),
+            }
+        )
+
+    return mapping.map_batches(attach, batch_format="pyarrow")

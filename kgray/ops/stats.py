@@ -850,3 +850,53 @@ def grouped_mode(
             "n_mode": top["count_all"].astype("int64").to_numpy(),
         }
     ).reset_index(drop=True)
+
+
+def weekly_heatmap(
+    events: ray.data.Dataset,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Per-type (day-of-week × hour) activity heatmap — the calendar
+    seasonality rollup.  Day-of-week is pure integer arithmetic on the
+    epoch (``(days + 4) % 7``, Sunday = 0 — 1970-01-01 was a Thursday),
+    hour likewise, so no locale/strftime dependency exists on either
+    engine.
+
+    Scale shape: batches fold to (key, dow, hour, count) Arrow partials —
+    driver reduce bounded by keys × 168 cells."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // 86_400_000_000) + 4) % 7
+        hour = (us // 3_600_000_000) % 24
+        return (
+            pa.table(
+                {
+                    key_col: t[key_col],
+                    "dow": pa.array(dow, pa.int64()),
+                    "hour": pa.array(hour, pa.int64()),
+                }
+            )
+            .group_by([key_col, "dow", "hour"])
+            .aggregate([([], "count_all")])
+        )
+
+    parts = events.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if key_col not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(dtype=object),
+                "dow": pd.Series(dtype="int64"),
+                "hour": pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+            }
+        )
+    out = (
+        parts.groupby([key_col, "dow", "hour"], sort=True)["count_all"]
+        .sum()
+        .reset_index(name="n_events")
+    )
+    for c in ("dow", "hour", "n_events"):
+        out[c] = out[c].astype("int64")
+    return out

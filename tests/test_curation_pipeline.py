@@ -71,3 +71,39 @@ def test_fuzzy_chain_collapses_near_dups_exact_chain_keeps(ray_session):
     fuzzy = curate_corpus_fuzzy(docs, bench, chunk_chars=64, overlap=16).to_pandas()
     assert set(exact["doc_id"]) == {1, 2, 3}  # one-word edit beats exact dedup
     assert set(fuzzy["doc_id"]) == {1, 3}  # near-dup 2 collapsed onto 1
+
+
+def test_dedup_cluster_weights_sum_to_content(ray_session):
+    """Weights are 1/|cluster| so each cluster's weights sum to ~1 and
+    singletons keep weight exactly 1.0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.curation import dedup_cluster_weights
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the distributed engine watches every single shingle closely"
+    )
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [base, base, base + " tail", "completely different content about nothing"],
+        }
+    )
+    out = (
+        dedup_cluster_weights(ray.data.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4
+    # docs 1/2 are exact dups -> same cluster; doc 4 is a singleton
+    assert out.loc[0, "canonical_id"] == out.loc[1, "canonical_id"]
+    assert out.loc[3, "cluster_size"] == 1 and out.loc[3, "weight"] == 1.0
+    sz = out.loc[0, "cluster_size"]
+    assert out.loc[0, "weight"] == np.floor(1.0 / sz * 1e6 + 0.5) / 1e6
+    # every member of one cluster carries the identical weight
+    grp = out.groupby("canonical_id")["weight"].nunique()
+    assert (grp == 1).all()

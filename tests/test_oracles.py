@@ -140,6 +140,8 @@ def _compare(query: str):
         "events_session_funnel",
         "part_skyline",
         "events_mode",
+        "doc_dedup_weights",
+        "events_heatmap",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",
