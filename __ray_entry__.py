@@ -334,6 +334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_mode"] = _q_events_mode
     q["doc_dedup_weights"] = _q_doc_dedup_weights
     q["events_heatmap"] = _q_events_heatmap
+    q["events_daily_anomaly"] = _q_events_daily_anomaly
+    q["doc_jsonl_roundtrip"] = _q_doc_jsonl_roundtrip
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -1436,6 +1438,45 @@ def _q_doc_boolean_search(sf_dir: str) -> pd.DataFrame:
                 "match_any": pd.Series(dtype="int64"),
             }
         )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_events_daily_anomaly(sf_dir: str) -> pd.DataFrame:
+    """Daily rate spikes per type (kgray.ops.stats.daily_anomalies):
+    count > mean + 2σ over the type's own daily series, decided in
+    SQUARED integer space (no float mean/σ); twin repeats the integer
+    predicate."""
+    from kgray.ops.stats import daily_anomalies
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    return daily_anomalies(ds, k_sigma=2)
+
+
+def _q_doc_jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """JSONL sink/source breadth check: write the documents table as
+    JSONL with Ray's native sink, read it back with ``read_json``, and
+    fingerprint every row — proving the engine round-trips a second
+    serialization format losslessly.  Twin fingerprints the parquet
+    directly (md5 equality ⇒ lossless)."""
+    import hashlib
+    import shutil
+
+    out_dir = "/tmp/kgray_jsonl_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs.write_json(out_dir)
+
+    def fp(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "text_md5": [hashlib.md5(t.encode()).hexdigest() for t in b["text"]],
+            }
+        )
+
+    out = ray.data.read_json(out_dir).map_batches(fp, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -4302,6 +4343,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "events_daily_anomaly": """
+            WITH daily AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2),
+            mo AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(c) AS BIGINT) AS s,
+                     CAST(sum(c * c) AS BIGINT) AS ss
+              FROM daily GROUP BY 1)
+            SELECT d.event_type, d.day, d.c AS n_events
+            FROM daily d JOIN mo USING (event_type)
+            WHERE d.c * mo.n > mo.s
+              AND mo.n * (d.c * mo.n - mo.s) * (d.c * mo.n - mo.s)
+                  > 4 * mo.n * (mo.n * mo.ss - mo.s * mo.s)
+        """,
+        "doc_jsonl_roundtrip": """
+            SELECT doc_id, md5(text) AS text_md5 FROM documents
         """,
         "doc_dedup_weights": _minhash_ctes(
             "2 * sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) >= 63"

@@ -182,6 +182,8 @@ def run_bench() -> dict:
     timed("events_session_funnel", lambda: size(entry.queries()["events_session_funnel"](sf_dir)))
     timed("doc_dedup_weights", lambda: size(entry.queries()["doc_dedup_weights"](sf_dir)))
     timed("events_heatmap", lambda: size(entry.queries()["events_heatmap"](sf_dir)))
+    timed("events_daily_anomaly", lambda: size(entry.queries()["events_daily_anomaly"](sf_dir)))
+    timed("doc_jsonl_roundtrip", lambda: size(entry.queries()["doc_jsonl_roundtrip"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

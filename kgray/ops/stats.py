@@ -900,3 +900,57 @@ def weekly_heatmap(
     for c in ("dow", "hour", "n_events"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def daily_anomalies(
+    events: ray.data.Dataset,
+    k_sigma: int = 3,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Daily-rate anomaly detection: flag (key, day) cells whose event
+    count exceeds the key's own mean daily count by ``k_sigma`` population
+    standard deviations — the aggregate-of-aggregate monitoring shape
+    (error spikes, abuse bursts).
+
+    Exactness: counts are integers; the flag compares in SQUARED integer
+    space — ``n·(c·n − s)² > k²·n·(n·ss − s²)`` with s = Σcounts,
+    ss = Σcounts², n = #days — so no float mean/σ is ever materialized
+    and both engines agree bit-for-bit (int64-safe while Σcounts² · days
+    < 2^63; BIGINT throughout on the twin).
+
+    Scale shape: one (key, day, count) Arrow-partial pass (keys × days
+    driver budget — the events_daily shape); the per-key moments and the
+    flag predicate run on that bounded table."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t[ts_col].cast(pa.timestamp("us")), format="%Y-%m-%d")
+        return (
+            pa.table({key_col: t[key_col], "day": day})
+            .group_by([key_col, "day"])
+            .aggregate([([], "count_all")])
+        )
+
+    parts = events.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            key_col: pd.Series(dtype=object),
+            "day": pd.Series(dtype=object),
+            "n_events": pd.Series(dtype="int64"),
+        }
+    )
+    if key_col not in parts.columns or not len(parts):
+        return empty
+    daily = parts.groupby([key_col, "day"], sort=True)["count_all"].sum().reset_index(name="c")
+    g = daily.groupby(key_col, sort=False)["c"]
+    n = g.transform("size").to_numpy(dtype=np.int64)
+    s = g.transform("sum").to_numpy(dtype=np.int64)
+    ss = g.transform(lambda x: (x.astype(np.int64) ** 2).sum()).to_numpy(dtype=np.int64)
+    c = daily["c"].to_numpy(dtype=np.int64)
+    lhs = n * (c * n - s) ** 2
+    rhs = k_sigma * k_sigma * n * (n * ss - s * s)
+    keep = (c * n > s) & (lhs > rhs)
+    out = daily.loc[keep, [key_col, "day"]].copy()
+    out["n_events"] = c[keep]
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values([key_col, "day"]).reset_index(drop=True)

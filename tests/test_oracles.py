@@ -142,6 +142,8 @@ def _compare(query: str):
         "events_mode",
         "doc_dedup_weights",
         "events_heatmap",
+        "events_daily_anomaly",
+        "doc_jsonl_roundtrip",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",

@@ -327,3 +327,23 @@ def test_grouped_mode_tie_breaks(ray_session):
     out = grouped_mode(ray.data.from_pandas(df).repartition(3)).set_index("event_type")
     assert out.loc["a", "mode_cents"] == 100 and out.loc["a", "n_mode"] == 2
     assert out.loc["b", "mode_cents"] == 700 and out.loc["b", "n_mode"] == 2
+
+
+def test_daily_anomalies_integer_predicate(ray_session):
+    import ray.data
+
+    from kgray.ops.stats import daily_anomalies
+
+    # type a: 9 quiet days of 10 events + one day of 100 -> flags;
+    # type b: constant -> variance 0, the strict > never fires
+    t = []
+    for d in range(9):
+        t += [("a", pd.Timestamp(f"2024-01-{d+1:02d} 12:00:00"))] * 10
+    t += [("a", pd.Timestamp("2024-01-10 12:00:00"))] * 100
+    t += [("b", pd.Timestamp("2024-01-01 12:00:00"))] * 5
+    t += [("b", pd.Timestamp("2024-01-02 12:00:00"))] * 5
+    df = pd.DataFrame(t, columns=["event_type", "ts"])
+    out = daily_anomalies(ray.data.from_pandas(df).repartition(4), k_sigma=2)
+    assert out["event_type"].tolist() == ["a"]
+    assert out["day"].tolist() == ["2024-01-10"]
+    assert out["n_events"].tolist() == [100]
