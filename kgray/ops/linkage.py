@@ -23,25 +23,37 @@ import pandas as pd
 import ray.data
 
 
-def levenshtein_pairs(a: list[str], b: list[str]) -> np.ndarray:
-    """Unit-cost Levenshtein distance for P string pairs as one batched
-    DP: encode both sides into padded uint32 char matrices and run the
-    (len_a × len_b) recurrence with vector ops over the pair axis —
-    324 vector steps for 18-char names instead of P Python DPs.
-    Matches DuckDB's ``levenshtein()`` exactly (insert/delete/substitute,
-    all cost 1)."""
-    P = len(a)
+def _encode_strings(strs) -> tuple[np.ndarray, np.ndarray]:
+    """Encode N strings once into a padded uint32 char matrix + lengths.
+    Callers gather pair rows from this matrix instead of re-encoding per
+    pair — the encode loop is O(records), not O(pairs)."""
+    lens = np.array([len(s) for s in strs], dtype=np.int64)
+    m = int(lens.max()) if len(lens) else 0
+    M = np.zeros((len(strs), m), dtype=np.uint32)
+    for i, s in enumerate(strs):
+        M[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    return M, lens
+
+
+def _lev_encoded(
+    A: np.ndarray,
+    la: np.ndarray,
+    B: np.ndarray,
+    lb: np.ndarray,
+    prune_above: int | None = None,
+) -> np.ndarray:
+    """Batched Levenshtein DP over pre-encoded pair rows (see
+    levenshtein_pairs for semantics and the prune_above contract)."""
+    P = len(la)
     if P == 0:
         return np.zeros(0, dtype=np.int64)
-    la = np.array([len(s) for s in a], dtype=np.int64)
-    lb = np.array([len(s) for s in b], dtype=np.int64)
-    ma, mb = int(la.max()), int(lb.max())
-    A = np.zeros((P, ma), dtype=np.uint32)
-    B = np.zeros((P, mb), dtype=np.uint32)
-    for i, s in enumerate(a):
-        A[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
-    for i, s in enumerate(b):
-        B[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    ma = int(la.max())
+    mb = int(lb.max())
+    A = A[:, :ma]
+    B = B[:, :mb]
+
+    if prune_above is not None:
+        return _lev_banded(A, la, B, lb, prune_above)
 
     # D[p, j] = distance between a[p][:i] and b[p][:j], rolled over i
     prev = np.broadcast_to(np.arange(mb + 1, dtype=np.int64), (P, mb + 1)).copy()
@@ -60,6 +72,70 @@ def levenshtein_pairs(a: list[str], b: list[str]) -> np.ndarray:
             out[done] = cur[done, lb[done]]
         prev = cur
     return out
+
+
+def _lev_banded(
+    A: np.ndarray, la: np.ndarray, B: np.ndarray, lb: np.ndarray, k: int
+) -> np.ndarray:
+    """Ukkonen BANDED Levenshtein: compute only the |i−j| ≤ k diagonal
+    band, all values clamped at k+1.  Exact for every pair whose true
+    distance is ≤ k (an alignment with ≤ k edits never leaves the band);
+    pairs beyond k uniformly report k+1.  Work per DP step is 2k+1 band
+    cells instead of max_len columns — the right kernel when the caller
+    thresholds at a small k."""
+    P = len(la)
+    INF = k + 1
+    if P == 0:
+        return np.zeros(0, dtype=np.int64)
+    ma = int(la.max())
+    W = 2 * k + 1
+    prev = np.full((P, W), INF, dtype=np.int64)
+    for o in range(0, k + 1):
+        prev[:, k + o] = np.where(o <= lb, o, INF)  # D[0][j] = j
+    out = np.where(la == 0, np.minimum(lb, INF), INF).astype(np.int64)
+    inf_col = np.full(P, INF, dtype=np.int64)
+    for i in range(1, ma + 1):
+        cur = np.full((P, W), INF, dtype=np.int64)
+        for o in range(-k, k + 1):
+            j = i + o
+            if j < 0:
+                continue
+            if j == 0:
+                cur[:, o + k] = min(i, INF)
+                continue
+            if j - 1 >= B.shape[1]:
+                continue  # no row's b-side reaches this column
+            dele = prev[:, o + k + 1] + 1 if o + 1 <= k else inf_col
+            ins = cur[:, o + k - 1] + 1 if o - 1 >= -k else inf_col
+            sub = prev[:, o + k] + (B[:, j - 1] != A[:, i - 1])
+            cur[:, o + k] = np.minimum(np.minimum(np.minimum(dele, ins), sub), INF)
+        done = la == i
+        if done.any():
+            o_fin = lb - i
+            inb = done & (np.abs(o_fin) <= k)
+            if inb.any():
+                out[inb] = cur[np.flatnonzero(inb), (o_fin + k)[inb]]
+        prev = cur
+    return out
+
+
+def levenshtein_pairs(
+    a: list[str], b: list[str], prune_above: int | None = None
+) -> np.ndarray:
+    """Unit-cost Levenshtein distance for P string pairs as one batched
+    DP: encode both sides into padded uint32 char matrices and run the
+    (len_a × len_b) recurrence with vector ops over the pair axis —
+    324 vector steps for 18-char names instead of P Python DPs.
+    Matches DuckDB's ``levenshtein()`` exactly (insert/delete/substitute,
+    all cost 1).
+
+    ``prune_above``: when the caller only consumes distances ≤ k the
+    kernel switches to the BANDED DP (:func:`_lev_banded`) — exact for
+    every pair within k edits, uniform ``k + 1`` beyond, at 2k+1 band
+    cells per step instead of max_len columns."""
+    A, la = _encode_strings(a)
+    B, lb = _encode_strings(b)
+    return _lev_encoded(A, la, B, lb, prune_above=prune_above)
 
 
 def blocked_name_linkage(
@@ -92,7 +168,8 @@ def blocked_name_linkage(
         keys = g[key_col].to_numpy(dtype=np.int64)
         names = g[name_col].to_numpy(dtype=object)
         iu, iv = np.triu_indices(len(g), k=1)
-        d = levenshtein_pairs(list(names[iu]), list(names[iv]))
+        enc, lens = _encode_strings(list(names))
+        d = _lev_encoded(enc[iu], lens[iu], enc[iv], lens[iv], prune_above=max_dist)
         hit = d <= max_dist
         if not hit.any():
             return empty
@@ -235,7 +312,8 @@ def sorted_neighborhood_linkage(
         j = np.concatenate(jj)
         if not len(i):
             return empty
-        d = levenshtein_pairs(list(names[i]), list(names[j]))
+        enc, lens = _encode_strings(list(names))
+        d = _lev_encoded(enc[i], lens[i], enc[j], lens[j], prune_above=max_dist)
         hit = d <= max_dist
         if not hit.any():
             return empty

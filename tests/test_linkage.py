@@ -114,3 +114,24 @@ def test_sorted_neighborhood_empty():
     )
     out = sorted_neighborhood_linkage(ds, key_col="k", name_col="name").to_pandas()
     assert len(out) == 0
+
+
+def test_levenshtein_prune_bounds_are_safe(ray_session):
+    """The banded kernel must never misjudge a pair whose true distance
+    is within the threshold — rotation is the adversarial case (hamming
+    6 but lev 2, the path hugs the band edge)."""
+    import numpy as np
+
+    from kgray.ops.linkage import levenshtein_pairs
+
+    a = ["abcdef", "abcdef", "short", "aaaa"]
+    b = ["bcdefa", "abcdef", "muchlongerstring", "zzzz"]
+    exact = levenshtein_pairs(a, b)
+    pruned = levenshtein_pairs(a, b, prune_above=2)
+    # rotation: lev("abcdef","bcdefa") == 2 -> must survive pruning exact
+    assert exact[0] == 2 and pruned[0] == 2
+    assert pruned[1] == 0
+    # hopeless pairs report SOME value > threshold (lower bound, not exact)
+    assert pruned[2] > 2 and pruned[3] > 2
+    # and the <= threshold decision matches the exact computation
+    assert ((pruned <= 2) == (exact <= 2)).all()
