@@ -336,6 +336,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_heatmap"] = _q_events_heatmap
     q["events_daily_anomaly"] = _q_events_daily_anomaly
     q["doc_jsonl_roundtrip"] = _q_doc_jsonl_roundtrip
+    q["orders_backlog_daily"] = rel.orders_backlog_daily
+    q["doc_hll_incremental"] = _q_doc_hll_incremental
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -1439,6 +1441,33 @@ def _q_doc_boolean_search(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_hll_incremental(sf_dir: str) -> pd.DataFrame:
+    """Persisted-HLL incremental distinct count (kgray.ops.stats.
+    hll_distinct_with_store): even-doc run then odd-doc run through one
+    register store; max-merge makes two runs == the one-shot sketch
+    bit-for-bit, so the twin is the one-shot HLL SQL over ALL docs."""
+    import hashlib
+    import shutil
+
+    from kgray.ops.stats import hll_distinct_with_store
+
+    store = "/tmp/kgray_hllstore_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(store, ignore_errors=True)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    import pyarrow.compute as _pc
+
+    even = docs.map_batches(
+        lambda t: t.filter(_pc.equal(_pc.bit_wise_and(t["doc_id"], 1), 0)),
+        batch_format="pyarrow",
+    )
+    odd = docs.map_batches(
+        lambda t: t.filter(_pc.equal(_pc.bit_wise_and(t["doc_id"], 1), 1)),
+        batch_format="pyarrow",
+    )
+    hll_distinct_with_store(even, store, run_id="r1")
+    return hll_distinct_with_store(odd, store, run_id="r2")
 
 
 def _q_events_daily_anomaly(sf_dir: str) -> pd.DataFrame:
@@ -4343,6 +4372,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "doc_hll_incremental": """
+            WITH tok AS MATERIALIZED (
+              SELECT DISTINCT t AS token
+              FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''
+            ),
+            h AS MATERIALIZED (SELECT md5_number_lower(token) AS h FROM tok),
+            reg AS MATERIALIZED (
+              SELECT CAST(h >> 56 AS BIGINT) AS bucket,
+                     max(CASE WHEN (h & 4294967295) = 0 THEN 33
+                         ELSE 33 - length(bin(h & 4294967295)) END) AS rho
+              FROM h GROUP BY 1
+            ),
+            est AS (
+              SELECT (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                       / (sum(power(2.0, -rho)) + (256 - count(*))) AS e,
+                     256 - count(*) AS v
+              FROM reg
+            )
+            SELECT round(CASE WHEN e <= 2.5 * 256 AND v > 0
+                              THEN 256.0 * ln(256.0 / v) ELSE e END, 6) AS est_distinct
+            FROM est
+        """,
+        "orders_backlog_daily": """
+            WITH s AS (
+              SELECT l_orderkey, min(l_shipdate) AS fs FROM lineitem GROUP BY 1),
+            x AS (
+              SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, 1 AS delta
+              FROM orders JOIN s ON o_orderkey = l_orderkey
+              UNION ALL
+              SELECT strftime(fs, '%Y-%m-%d'), -1
+              FROM orders JOIN s ON o_orderkey = l_orderkey),
+            d AS (SELECT day, CAST(sum(delta) AS BIGINT) AS dd FROM x GROUP BY 1)
+            SELECT day,
+                   CAST(sum(dd) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
+            FROM d
         """,
         "events_daily_anomaly": """
             WITH daily AS (

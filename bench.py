@@ -184,6 +184,8 @@ def run_bench() -> dict:
     timed("events_heatmap", lambda: size(entry.queries()["events_heatmap"](sf_dir)))
     timed("events_daily_anomaly", lambda: size(entry.queries()["events_daily_anomaly"](sf_dir)))
     timed("doc_jsonl_roundtrip", lambda: size(entry.queries()["doc_jsonl_roundtrip"](sf_dir)))
+    timed("orders_backlog_daily", lambda: size(entry.queries()["orders_backlog_daily"](sf_dir)))
+    timed("doc_hll_incremental", lambda: size(entry.queries()["doc_hll_incremental"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

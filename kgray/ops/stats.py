@@ -120,6 +120,17 @@ def token_frequencies(
 HLL_B = 8  # 2^8 = 256 registers
 
 
+def _hll_estimate(reg_vec: np.ndarray) -> float:
+    """HLL estimate from a 256-register vector, with the linear-counting
+    small-range correction, micro-quantized half-away (== DuckDB round)."""
+    s = np.power(2.0, -reg_vec).sum()
+    v = int((reg_vec == 0).sum())
+    est = (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / s
+    if est <= 2.5 * 256 and v > 0:
+        est = 256.0 * np.log(256.0 / v)  # linear-counting small-range correction
+    return float(np.floor(est * 1e6 + 0.5) / 1e6)
+
+
 def hll_distinct_tokens(
     ds: ray.data.Dataset, text_col: str = "text", num_buckets: int = 64
 ) -> pd.DataFrame:
@@ -183,12 +194,7 @@ def hll_distinct_tokens(
     n_exact = int(parts[parts["kind"] == 1]["val"].sum())
     reg_vec = np.zeros(m)
     reg_vec[regs.index.to_numpy()] = regs.to_numpy(dtype=np.float64)
-    s = np.power(2.0, -reg_vec).sum()
-    v = int((reg_vec == 0).sum())
-    est = (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / s
-    if est <= 2.5 * 256 and v > 0:
-        est = 256.0 * np.log(256.0 / v)  # linear-counting small-range correction
-    est = float(np.floor(est * 1e6 + 0.5) / 1e6)  # half-away == DuckDB round()
+    est = _hll_estimate(reg_vec)
     return pd.DataFrame({"est_distinct": [est], "n_exact": [n_exact]})
 
 
@@ -954,3 +960,69 @@ def daily_anomalies(
     out["n_events"] = c[keep]
     out["n_events"] = out["n_events"].astype("int64")
     return out.sort_values([key_col, "day"]).reset_index(drop=True)
+
+
+def hll_distinct_with_store(
+    ds: ray.data.Dataset,
+    store_dir: str,
+    run_id: str,
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Incremental distinct-count via a PERSISTED HyperLogLog register
+    store — the sketch twin of the MinHash/vector stores (ST4 evolving
+    state): each ingest run writes its 256 max-registers as one Parquet
+    file; the estimate is computed over the max-merge of ALL runs' files.
+    HLL registers are a commutative-idempotent merge, so N incremental
+    runs equal the one-shot sketch bit-for-bit — re-running a run is
+    harmless (idempotent resume).
+
+    Scale shape: the run's batches fold to ≤256-row register partials
+    (the hll_distinct_tokens budget); the store read is ≤256 rows per
+    PRIOR RUN — never corpus-proportional."""
+    import os
+
+    from kgray.ops.dedup import _md5_u64_np
+    from kgray.ops.ranking import _flat_tokens
+
+    m = 1 << HLL_B
+
+    def registers(t: pa.Table) -> pa.Table:
+        flat, _, _ = _flat_tokens(t[text_col])
+        uniq = pd.unique(flat)
+        h = _md5_u64_np(uniq)
+        bucket = (h >> np.uint64(64 - HLL_B)).astype(np.int64)
+        w = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+        bl = np.zeros(len(w), dtype=np.int64)
+        nz = w > 0
+        bl[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
+        rho = 33 - bl
+        reg = np.zeros(m, dtype=np.int64)
+        np.maximum.at(reg, bucket, rho)
+        hit = np.nonzero(reg)[0]
+        return pa.table(
+            {"bucket": pa.array(hit, pa.int64()), "val": pa.array(reg[hit], pa.int64())}
+        )
+
+    parts = ds.map_batches(registers, batch_format="pyarrow").to_pandas()
+    run_regs = (
+        parts.groupby("bucket", sort=True)["val"].max()
+        if "bucket" in parts.columns and len(parts)
+        else pd.Series(dtype="int64")
+    )
+    os.makedirs(store_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "bucket": pa.array(run_regs.index.to_numpy(dtype=np.int64), pa.int64()),
+            "val": pa.array(run_regs.to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, os.path.join(store_dir, f"regs_{run_id}.parquet"))
+
+    merged = ray.data.read_parquet(store_dir).to_pandas()
+    reg_vec = np.zeros(m)
+    if "bucket" in merged.columns and len(merged):
+        mx = merged.groupby("bucket", sort=True)["val"].max()
+        reg_vec[mx.index.to_numpy()] = mx.to_numpy(dtype=np.float64)
+    return pd.DataFrame({"est_distinct": [_hll_estimate(reg_vec)]})

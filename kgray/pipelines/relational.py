@@ -1364,3 +1364,78 @@ def part_skyline(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def orders_backlog_daily(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Open-order backlog over time: for every day, how many orders have
+    been placed but not yet first-shipped — the interval-stabbing /
+    sweep-line shape (a capacity dashboard no plain groupby expresses).
+
+    Scale shape: per-order first-ship minima and the pruned orders
+    stream meet in ORDERKEY hash buckets (the fulfillment-latency
+    shuffle); each bucket emits (day, ±1) DELTA partials — the sweep
+    line — so the driver reduce is bounded by the date domain; the
+    cumulative sum over sorted days is a vectorized driver pass on that
+    domain-sized table.  Days with no delta are omitted (the twin
+    builds days from the same delta stream)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def ship_partial(t: pa.Table) -> pa.Table:
+        out = (
+            pa.table(
+                {
+                    "okey": t["l_orderkey"],
+                    "us": t["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+                }
+            )
+            .group_by("okey")
+            .aggregate([("us", "min")])
+        )
+        return out.append_column("side", pa.array(np.zeros(len(out), dtype=np.int8), pa.int8()))
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": t["o_orderkey"],
+                "us_min": t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "side": pa.array(np.ones(len(t), dtype=np.int8), pa.int8()),
+            }
+        )
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["bucket"] = (b["okey"] % num_buckets).astype("int32")
+        return b
+
+    tagged = (
+        li.map_batches(ship_partial, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+                order_rows, batch_format="pyarrow"
+            )
+        )
+        .map_batches(add_bucket, batch_format="pandas")
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ships = g[g["side"] == 0].groupby("okey", sort=False)["us_min"].min()
+        orders = g[g["side"] == 1].set_index("okey")["us_min"]
+        j = orders.to_frame("start").join(ships.to_frame("end"), how="inner")
+        start_day = pd.to_datetime(j["start"], unit="us").dt.strftime("%Y-%m-%d")
+        end_day = pd.to_datetime(j["end"], unit="us").dt.strftime("%Y-%m-%d")
+        deltas = pd.concat(
+            [
+                pd.DataFrame({"day": start_day, "delta": 1}),
+                pd.DataFrame({"day": end_day, "delta": -1}),
+            ]
+        )
+        return deltas.groupby("day", sort=False)["delta"].sum().reset_index()
+
+    parts = tagged.groupby("bucket").map_groups(per_bucket, batch_format="pandas").to_pandas()
+    if "day" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {"day": pd.Series(dtype=object), "n_open": pd.Series(dtype="int64")}
+        )
+    days = parts.groupby("day", sort=True)["delta"].sum()
+    return pd.DataFrame(
+        {"day": days.index.to_numpy(), "n_open": np.cumsum(days.to_numpy()).astype("int64")}
+    )

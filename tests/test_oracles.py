@@ -144,6 +144,8 @@ def _compare(query: str):
         "events_heatmap",
         "events_daily_anomaly",
         "doc_jsonl_roundtrip",
+        "orders_backlog_daily",
+        "doc_hll_incremental",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",

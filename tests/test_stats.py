@@ -347,3 +347,26 @@ def test_daily_anomalies_integer_predicate(ray_session):
     assert out["event_type"].tolist() == ["a"]
     assert out["day"].tolist() == ["2024-01-10"]
     assert out["n_events"].tolist() == [100]
+
+
+def test_hll_store_incremental_equals_oneshot(ray_session, tmp_path):
+    from kgray.ops.stats import hll_distinct_tokens, hll_distinct_with_store
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(3000)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "text": [" ".join(rng.choice(vocab, size=80)) for _ in range(200)],
+        }
+    )
+    oneshot = hll_distinct_tokens(ray.data.from_pandas(docs))["est_distinct"].iloc[0]
+    store = str(tmp_path / "hll")
+    a = ray.data.from_pandas(docs.iloc[:90])
+    b = ray.data.from_pandas(docs.iloc[90:])
+    hll_distinct_with_store(a, store, run_id="r1")
+    two = hll_distinct_with_store(b, store, run_id="r2")["est_distinct"].iloc[0]
+    assert two == oneshot  # register max-merge is exact, not approximate
+    # idempotent resume: re-running a run overwrites its own file, no drift
+    three = hll_distinct_with_store(b, store, run_id="r2")["est_distinct"].iloc[0]
+    assert three == oneshot
