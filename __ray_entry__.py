@@ -338,6 +338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_jsonl_roundtrip"] = _q_doc_jsonl_roundtrip
     q["orders_backlog_daily"] = rel.orders_backlog_daily
     q["doc_hll_incremental"] = _q_doc_hll_incremental
+    q["events_first_last"] = _q_events_first_last
+    q["doc_missing_embeddings"] = _q_doc_missing_embeddings
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -1440,6 +1442,38 @@ def _q_doc_boolean_search(sf_dir: str) -> pd.DataFrame:
                 "match_any": pd.Series(dtype="int64"),
             }
         )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_events_first_last(sf_dir: str) -> pd.DataFrame:
+    """Per-user first/last event type by (ts, event_id) order + count
+    (kgray.ops.temporal.first_last_per_key) — associative ≤2-rows-per-key
+    partials, one bucket shuffle; twin is a row_number window."""
+    from kgray.ops.temporal import first_last_per_key
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    return first_last_per_key(ds)
+
+
+def _q_doc_missing_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit via the generic reduce-side ANTI join
+    (kgray.ops.join.hash_join how="anti"): documents with no embedding
+    row — the distributed NOT-EXISTS over two fact tables.  The synthetic
+    tables cover identical id ranges, so the embeddings side filters to
+    ``vec_id & 3 == 0`` to exercise a non-empty audit."""
+    import pyarrow.compute as _pc
+
+    from kgray.ops.join import hash_join
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).map_batches(
+        lambda t: t.filter(_pc.equal(_pc.bit_wise_and(t["vec_id"], 3), 0)), batch_format="pyarrow"
+    )
+    out = hash_join(docs, vecs, left_on="doc_id", right_on="vec_id", how="anti").to_pandas()
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -4372,6 +4406,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "events_first_last": """
+            WITH r AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS cnt
+              FROM events)
+            SELECT user_id,
+                   max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+                   max(CASE WHEN rn = cnt THEN event_type END) AS last_type,
+                   CAST(max(cnt) AS BIGINT) AS n_events
+            FROM r GROUP BY user_id
+        """,
+        "doc_missing_embeddings": """
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT vec_id FROM embeddings WHERE (vec_id & 3) = 0)
         """,
         "doc_hll_incremental": """
             WITH tok AS MATERIALIZED (

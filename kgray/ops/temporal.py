@@ -994,3 +994,63 @@ def session_funnel(
         )
     out = parts.sum(axis=0).to_frame().T.astype("int64")
     return out.reset_index(drop=True)
+
+
+def first_last_per_key(
+    events: ray.data.Dataset,
+    num_buckets: int = 64,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "event_type",
+) -> pd.DataFrame:
+    """Per-key argmin/argmax over the event stream: the FIRST and LAST
+    ``value_col`` by ``(ts, id)`` order plus the event count — the
+    acquisition-channel / latest-state rollup (an aggregate Ray Data has
+    no built-in for).
+
+    Scale shape: each batch folds to ≤ 2 rows per key touched (its local
+    first and last — partials carry the composite order key, so the
+    merge is associative); one KEY hash-bucket shuffle combines; driver
+    sees key-vocabulary rows."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        grp = g.groupby(key_col, sort=False)
+        sizes = grp.size()
+        first = grp.head(1).copy()
+        last = grp.tail(1).copy()
+        # the batch's count rides on the 'first' copy only, so the bucket
+        # combine can sum counts without double-counting
+        first["n"] = sizes.loc[first[key_col]].to_numpy(dtype=np.int64)
+        last["n"] = np.int64(0)
+        out = pd.concat([first, last], ignore_index=True)
+        out["bucket"] = (out[key_col].to_numpy(dtype=np.int64) % num_buckets).astype("int32")
+        return out[["bucket", key_col, ts_col, id_col, value_col, "n"]]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        grp = g.groupby(key_col, sort=False)
+        first = grp.head(1).set_index(key_col)[value_col].rename("first_type")
+        last = grp.tail(1).set_index(key_col)[value_col].rename("last_type")
+        n = grp["n"].sum().rename("n_events")
+        out = pd.concat([first, last, n], axis=1).reset_index()
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    out = (
+        events.map_batches(partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if key_col not in out.columns or not len(out):
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(dtype="int64"),
+                "first_type": pd.Series(dtype=object),
+                "last_type": pd.Series(dtype=object),
+                "n_events": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values(key_col).reset_index(drop=True)

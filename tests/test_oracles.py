@@ -146,6 +146,8 @@ def _compare(query: str):
         "doc_jsonl_roundtrip",
         "orders_backlog_daily",
         "doc_hll_incremental",
+        "events_first_last",
+        "doc_missing_embeddings",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",

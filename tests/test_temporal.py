@@ -434,3 +434,27 @@ def test_session_funnel_equal_ts_converts(ray_session):
     )
     out = session_funnel(ray.data.from_pandas(df))
     assert out["n_converted"].tolist() == [1]
+
+
+def test_first_last_per_key_cross_block(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.temporal import first_last_per_key
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "event_id": [3, 1, 2, 9],
+            "user_id": [1, 1, 1, 2],
+            "ts": [t0, t0, t0 + pd.Timedelta(hours=1), t0],
+            "event_type": ["b", "a", "c", "x"],
+        }
+    )
+    # 4 single-row blocks: first/last must merge associatively across
+    # partials; equal ts ties break by event_id (1 before 3)
+    out = first_last_per_key(ray.data.from_pandas(df).repartition(4)).set_index("user_id")
+    assert out.loc[1, "first_type"] == "a"
+    assert out.loc[1, "last_type"] == "c"
+    assert out.loc[1, "n_events"] == 3
+    assert out.loc[2, "first_type"] == "x" and out.loc[2, "last_type"] == "x"
