@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_hll_incremental"] = _q_doc_hll_incremental
     q["events_first_last"] = _q_events_first_last
     q["doc_missing_embeddings"] = _q_doc_missing_embeddings
+    q["customer_rfm_segments"] = rel.customer_rfm_segments
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -4406,6 +4407,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "customer_rfm_segments": """
+            WITH pc AS (
+              SELECT o_custkey,
+                     CAST(count(*) AS BIGINT) AS f,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m,
+                     CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS us
+              FROM orders GROUP BY 1),
+            wm AS (SELECT max(us) AS w FROM pc),
+            rfm AS (
+              SELECT o_custkey, (w - us) // 86400000000 AS r, f, m
+              FROM pc, wm),
+            cd AS (
+              SELECT o_custkey, r, f, m,
+                     cume_dist() OVER (ORDER BY r) AS cr,
+                     cume_dist() OVER (ORDER BY f) AS cf,
+                     cume_dist() OVER (ORDER BY m) AS cm
+              FROM rfm),
+            br AS (SELECT min(r) AS lo FROM cd WHERE cr >= 1.0/3.0),
+            br2 AS (SELECT min(r) AS hi FROM cd WHERE cr >= 2.0/3.0),
+            bf AS (SELECT min(f) AS lo FROM cd WHERE cf >= 1.0/3.0),
+            bf2 AS (SELECT min(f) AS hi FROM cd WHERE cf >= 2.0/3.0),
+            bm AS (SELECT min(m) AS lo FROM cd WHERE cm >= 1.0/3.0),
+            bm2 AS (SELECT min(m) AS hi FROM cd WHERE cm >= 2.0/3.0),
+            seg AS (
+              SELECT CAST(1 + CAST(r >= br.lo AS INT) + CAST(r >= br2.hi AS INT) AS VARCHAR)
+                     || CAST(1 + CAST(f >= bf.lo AS INT) + CAST(f >= bf2.hi AS INT) AS VARCHAR)
+                     || CAST(1 + CAST(m >= bm.lo AS INT) + CAST(m >= bm2.hi AS INT) AS VARCHAR)
+                     AS segment
+              FROM rfm, br, br2, bf, bf2, bm, bm2)
+            SELECT segment, CAST(count(*) AS BIGINT) AS n_customers
+            FROM seg GROUP BY 1
         """,
         "events_first_last": """
             WITH r AS (

@@ -187,6 +187,7 @@ def run_bench() -> dict:
     timed("orders_backlog_daily", lambda: size(entry.queries()["orders_backlog_daily"](sf_dir)))
     timed("doc_hll_incremental", lambda: size(entry.queries()["doc_hll_incremental"](sf_dir)))
     timed("events_first_last", lambda: size(entry.queries()["events_first_last"](sf_dir)))
+    timed("customer_rfm_segments", lambda: size(entry.queries()["customer_rfm_segments"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

@@ -1439,3 +1439,102 @@ def orders_backlog_daily(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
     return pd.DataFrame(
         {"day": days.index.to_numpy(), "n_open": np.cumsum(days.to_numpy()).astype("int64")}
     )
+
+
+def customer_rfm_segments(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """RFM segmentation: per customer, Recency (whole days since their
+    last order vs the corpus watermark), Frequency (order count) and
+    Monetary (total cents) each tercile-bucket 1–3 under the shared
+    cume-dist convention (min v with cdf ≥ 1/3 resp. 2/3 — the
+    winsorized_mean quantile rule), then the 27-cell segment census —
+    the classic marketing rollup as one composite pipeline.
+
+    Scale shape: orders fold to per-customer (n, cents, last_us)
+    partials → ONE custkey-bucket shuffle totals them; per-metric
+    HISTOGRAM partials (value-domain bounded) give the driver the two
+    tercile bounds per metric; the final assign pass emits ≤27-row
+    partials per block.  The customer stream itself never reaches the
+    driver."""
+    from kgray.functions.broadcast import cached_get
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        us = b["o_orderdate"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        out = (
+            pd.DataFrame(
+                {"ckey": b["o_custkey"].to_numpy(dtype=np.int64), "c": cents, "us": us}
+            )
+            .groupby("ckey", sort=False)
+            .agg(n=("c", "size"), c=("c", "sum"), us=("us", "max"))
+            .reset_index()
+        )
+        out["bucket"] = (out["ckey"] % num_buckets).astype("int32")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("ckey", sort=False).agg(
+            n=("n", "sum"), c=("c", "sum"), us=("us", "max")
+        )
+        return tot.reset_index()
+
+    per_cust = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    empty = pd.DataFrame(
+        {"segment": pd.Series(dtype=object), "n_customers": pd.Series(dtype="int64")}
+    )
+
+    def max_us_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"m": [b["us"].max()]})
+
+    mx = per_cust.map_batches(max_us_partial, batch_format="pandas").to_pandas()
+    if "m" not in mx.columns or not len(mx):
+        return empty
+    wm_us = int(mx["m"].max())
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        r = (wm_us - b["us"].to_numpy(dtype=np.int64)) // 86_400_000_000
+        frames = []
+        for name, v in (("r", r), ("f", b["n"].to_numpy(np.int64)), ("m", b["c"].to_numpy(np.int64))):
+            u, cnt = np.unique(v, return_counts=True)
+            frames.append(pd.DataFrame({"metric": name, "v": u, "cnt": cnt}))
+        return pd.concat(frames, ignore_index=True)
+
+    hist = per_cust.map_batches(hist_partial, batch_format="pandas").to_pandas()
+    if "metric" not in hist.columns or not len(hist):
+        return empty
+    bounds: dict[str, tuple[int, int]] = {}
+    for name, grp in hist.groupby("metric"):
+        g = grp.groupby("v", sort=True)["cnt"].sum()
+        vals = g.index.to_numpy(dtype=np.int64)
+        cdf = np.cumsum(g.to_numpy(dtype=np.int64)) / g.sum()
+        bounds[name] = (
+            int(vals[np.searchsorted(cdf, 1.0 / 3.0, side="left")]),
+            int(vals[np.searchsorted(cdf, 2.0 / 3.0, side="left")]),
+        )
+    b_ref = ray.put(bounds)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        bd = cached_get(b_ref)
+        r = (wm_us - b["us"].to_numpy(dtype=np.int64)) // 86_400_000_000
+        f = b["n"].to_numpy(np.int64)
+        mv = b["c"].to_numpy(np.int64)
+
+        def bucket3(v, key):
+            lo, hi = bd[key]
+            return 1 + (v >= lo).astype(np.int64) + (v >= hi).astype(np.int64)
+
+        seg = (
+            pd.Series(bucket3(r, "r")).astype(str)
+            + pd.Series(bucket3(f, "f")).astype(str)
+            + pd.Series(bucket3(mv, "m")).astype(str)
+        )
+        return pd.DataFrame({"segment": seg}).groupby("segment").size().reset_index(name="n")
+
+    parts = per_cust.map_batches(assign, batch_format="pandas").to_pandas()
+    out = parts.groupby("segment", sort=True)["n"].sum().reset_index(name="n_customers")
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out

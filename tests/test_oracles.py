@@ -148,6 +148,7 @@ def _compare(query: str):
         "doc_hll_incremental",
         "events_first_last",
         "doc_missing_embeddings",
+        "customer_rfm_segments",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",
