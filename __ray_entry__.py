@@ -341,6 +341,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_first_last"] = _q_events_first_last
     q["doc_missing_embeddings"] = _q_doc_missing_embeddings
     q["customer_rfm_segments"] = rel.customer_rfm_segments
+    q["doc_minhash_match_hist"] = lambda sf: dd.minhash_match_histogram(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    )
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -4408,6 +4411,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
         """,
+        "doc_minhash_match_hist": _minhash_ctes(
+            "1 = 1"  # keep every candidate: the histogram IS the S-curve
+        )
+        + """,
+matches AS (
+  SELECT c.a, c.b,
+         CAST(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM cand c JOIN sig sa ON sa.doc_id = c.a
+              JOIN sig sb ON sb.doc_id = c.b AND sb.p = sa.p
+  GROUP BY c.a, c.b)
+SELECT k, CAST(count(*) AS BIGINT) AS n_pairs FROM matches GROUP BY k
+""",
         "customer_rfm_segments": """
             WITH pc AS (
               SELECT o_custkey,

@@ -1379,3 +1379,70 @@ def dup_ngram_fraction(
         .groupby("dbucket")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def minhash_match_histogram(
+    docs: ray.data.Dataset,
+    num_perm: int = 63,
+    n_bands: int = 21,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+) -> pd.DataFrame:
+    """LSH calibration diagnostic: for every banded-LSH candidate pair,
+    the number of matching signature positions k (est-Jaccard = k/63),
+    rolled to a (k, n_pairs) histogram — the empirical S-curve that tells
+    an operator whether the banding (b=21, r=3 → threshold ≈0.36) fits
+    the corpus before committing to a threshold.
+
+    Scale shape: identical candidate machinery to minhash_lsh_dedup
+    (16-byte band rows, super-bucket pair generation, star-link skew
+    rule); the per-pair match count is computed on candidate-only
+    signatures fetched via a broadcast id-set filter — the histogram
+    reduce is bounded by num_perm + 1 rows."""
+    rows_per_band = num_perm // n_bands
+    sigs = _minhash_sigs(docs, num_perm, shingle_n).materialize()
+    explode = _band_explode_fn(n_bands, rows_per_band)
+
+    def add_super(b: pd.DataFrame) -> pd.DataFrame:
+        b["sb"] = (b["bucket"] % np.uint64(64)).astype("int32")
+        return b
+
+    def pairs_in_super(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g["bucket"].value_counts()
+        g = g[g["bucket"].isin(counts.index[counts >= 2])]
+        if g.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        frames = []
+        for _, grp in g.groupby("bucket", sort=False):
+            ids = np.sort(grp["doc_id"].to_numpy())
+            if len(ids) > max_bucket:
+                frames.append(pd.DataFrame({"a": ids[0], "b": ids[1:]}))
+            else:
+                ai, bi = np.triu_indices(len(ids), k=1)
+                frames.append(pd.DataFrame({"a": ids[ai], "b": ids[bi]}))
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = (
+        sigs.map_batches(explode, batch_format="pandas")
+        .map_batches(add_super, batch_format="pandas")
+        .groupby("sb")
+        .map_groups(pairs_in_super, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame({"k": pd.Series(dtype="int64"), "n_pairs": pd.Series(dtype="int64")})
+    if "a" not in pairs.columns or not len(pairs):
+        return empty
+    pairs = pairs.drop_duplicates(subset=["a", "b"])
+    cand_ids = set(pairs["a"].tolist()) | set(pairs["b"].tolist())
+    ids_ref = ray.put(cand_ids)
+
+    def filt(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["doc_id"].isin(cached_get(ids_ref))]
+
+    cand = sigs.map_batches(filt, batch_format="pandas").to_pandas()
+    sig_of = dict(zip(cand["doc_id"].astype(int), cand["sig"]))
+    sa = np.stack([np.asarray(sig_of[int(a)], dtype=np.uint64) for a in pairs["a"]])
+    sb = np.stack([np.asarray(sig_of[int(b)], dtype=np.uint64) for b in pairs["b"]])
+    k = (sa == sb).sum(axis=1).astype(np.int64)
+    u, cnt = np.unique(k, return_counts=True)
+    return pd.DataFrame({"k": u.astype("int64"), "n_pairs": cnt.astype("int64")})

@@ -149,6 +149,7 @@ def _compare(query: str):
         "events_first_last",
         "doc_missing_embeddings",
         "customer_rfm_segments",
+        "doc_minhash_match_hist",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",

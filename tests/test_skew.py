@@ -105,3 +105,27 @@ def test_semdedup_distributed_clustering_matches_driver(ray_session):
     pd.testing.assert_frame_equal(default, distributed)
     # near-copy triplets actually merged
     assert (default["canonical_id"] != default["vec_id"]).any()
+
+
+def test_minhash_match_histogram_counts(ray_session):
+    """Exact duplicates land in the k=63 bin; the histogram total equals
+    the deduped candidate-pair count."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.dedup import minhash_match_histogram
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base, base, "wholly unrelated text about other things entirely"],
+        }
+    )
+    out = minhash_match_histogram(ray.data.from_pandas(df).repartition(2))
+    assert out.loc[out["k"] == 63, "n_pairs"].tolist() == [1]  # the exact dup pair
+    assert out["n_pairs"].sum() >= 1
