@@ -344,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_minhash_match_hist"] = lambda sf: dd.minhash_match_histogram(
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     )
+    q["doc_weighted_sample"] = _q_doc_weighted_sample
+    q["events_pct_by_type"] = _q_events_pct_by_type
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -1447,6 +1449,40 @@ def _q_doc_boolean_search(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis, kgray.ops.curation.weighted_sample_topn): priority =
+    ln(md5-uniform)/token-count micro-quantized, top-50 — twin repeats
+    the expression with md5_number_lower."""
+    from kgray.ops.curation import weighted_sample_topn
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return weighted_sample_topn(ds, n=50)
+
+
+def _q_events_pct_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-type percentile attach (kgray.ops.stats.percentile_by_key):
+    grouped cume_dist on cent-quantized values, micro-quantized; twin is
+    the cume_dist window."""
+    from kgray.ops.stats import percentile_by_key
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    out = percentile_by_key(ds).to_pandas()
+    if "event_id" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "event_type": pd.Series(dtype=object),
+                "pct": pd.Series(dtype="float64"),
+            }
+        )
+    return out.sort_values("event_id").reset_index(drop=True)
 
 
 def _q_events_first_last(sf_dir: str) -> pd.DataFrame:
@@ -4410,6 +4446,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "doc_weighted_sample": """
+            WITH w AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents),
+            p AS (
+              SELECT doc_id, n_tokens,
+                     CAST(floor(ln((md5_number_lower(CAST(doc_id AS VARCHAR)) >> 11)::DOUBLE
+                                   / 9007199254740992.0)
+                                / greatest(n_tokens, 1) * 1e6 + 0.5) AS BIGINT) AS priority_micro
+              FROM w WHERE n_tokens > 0)
+            SELECT doc_id, n_tokens, priority_micro
+            FROM p ORDER BY priority_micro DESC, doc_id LIMIT 50
+        """,
+        "events_pct_by_type": """
+            WITH h AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events)
+            SELECT event_id, event_type,
+                   floor(cume_dist() OVER (PARTITION BY event_type ORDER BY c) * 1e6 + 0.5) / 1e6 AS pct
+            FROM h
         """,
         "doc_minhash_match_hist": _minhash_ctes(
             "1 = 1"  # keep every candidate: the histogram IS the S-curve

@@ -188,6 +188,8 @@ def run_bench() -> dict:
     timed("doc_hll_incremental", lambda: size(entry.queries()["doc_hll_incremental"](sf_dir)))
     timed("events_first_last", lambda: size(entry.queries()["events_first_last"](sf_dir)))
     timed("customer_rfm_segments", lambda: size(entry.queries()["customer_rfm_segments"](sf_dir)))
+    timed("doc_weighted_sample", lambda: size(entry.queries()["doc_weighted_sample"](sf_dir)))
+    timed("events_pct_by_type", lambda: size(entry.queries()["events_pct_by_type"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

@@ -848,3 +848,57 @@ def dedup_cluster_weights(
         )
 
     return mapping.map_batches(attach, batch_format="pyarrow")
+
+
+def weighted_sample_topn(
+    docs: ray.data.Dataset,
+    n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each document draws priority ``ln(u)/w`` with ``u``
+    a reproducible md5-derived uniform and ``w`` its token count; the
+    top-``n`` priorities are exactly a w-weighted sample — the standard
+    reproducible "sample long documents more" primitive.
+
+    Exactness: u = (md5_lower64 >> 11) / 2^53 is an exact double; the
+    priority quantizes to integer MICRO-units (the DSIR ln convention),
+    ties break by id.  Scale shape: one streaming pass with per-batch
+    top-n partials — the driver merges blocks × n rows (the bm25_rank
+    budget)."""
+    from kgray.ops.dedup import _md5_u64_np
+    from kgray.ops.ranking import _flat_tokens
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, parent, n_rows = _flat_tokens(t[text_col])
+        w = np.bincount(parent, minlength=n_rows).astype(np.float64)
+        h = _md5_u64_np([str(i) for i in ids])
+        u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        with np.errstate(divide="ignore"):
+            pr = np.where(w > 0, np.log(u) / np.maximum(w, 1.0), -np.inf)
+        keep = np.isfinite(pr)
+        micro = np.floor(pr[keep] * 1e6 + 0.5).astype(np.int64)
+        ids = ids[keep]
+        w = w[keep].astype(np.int64)
+        order = np.lexsort((ids, -micro))[:n]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "n_tokens": pa.array(w[order], pa.int64()),
+                "priority_micro": pa.array(micro[order], pa.int64()),
+            }
+        )
+
+    cand = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if id_col not in cand.columns or not len(cand):
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "n_tokens": pd.Series(dtype="int64"),
+                "priority_micro": pd.Series(dtype="int64"),
+            }
+        )
+    out = cand.sort_values(["priority_micro", id_col], ascending=[False, True], kind="mergesort")
+    return out.head(n).reset_index(drop=True)

@@ -1026,3 +1026,68 @@ def hll_distinct_with_store(
         mx = merged.groupby("bucket", sort=True)["val"].max()
         reg_vec[mx.index.to_numpy()] = mx.to_numpy(dtype=np.float64)
     return pd.DataFrame({"est_distinct": [_hll_estimate(reg_vec)]})
+
+
+def percentile_by_key(
+    events: ray.data.Dataset,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Attach each event's percentile WITHIN its key (grouped cume_dist:
+    share of the key's rows with value ≤ this row's) — the per-segment
+    normalization the global percentile_transform can't express.
+
+    Exactness: pct = cum/total on CENT-quantized values, micro-quantized
+    half-up — both engines compute the identical rational then round.
+
+    Scale shape: the winsorized histogram budget — (key, cents, count)
+    partials, per-key CDF tables broadcast once, streaming searchsorted
+    attach."""
+    from kgray.functions.broadcast import cached_get
+
+    def cents_of(col) -> np.ndarray:
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({key_col: t[key_col], "cents": pa.array(cents_of(t[value_col]), pa.int64())})
+            .group_by([key_col, "cents"])
+            .aggregate([([], "count_all")])
+        )
+
+    hist = events.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    schema = pa.schema(
+        [(id_col, pa.int64()), (key_col, pa.string()), ("pct", pa.float64())]
+    )
+    if key_col not in hist.columns or not len(hist):
+        return ray.data.from_arrow(schema.empty_table())
+    tables: dict = {}
+    for key, grp in hist.groupby(key_col, sort=True):
+        g = grp.groupby("cents", sort=True)["count_all"].sum()
+        vals = g.index.to_numpy(dtype=np.int64)
+        cum = np.cumsum(g.to_numpy(dtype=np.int64))
+        tables[key] = (vals, cum, int(cum[-1]))
+    ref = ray.put(tables)
+
+    def attach(t: pa.Table) -> pa.Table:
+        tb = cached_get(ref)
+        keys = t[key_col].to_pylist()
+        keys_arr = np.asarray(keys, dtype=object)
+        c = cents_of(t[value_col])
+        pct = np.empty(len(c), dtype=np.float64)
+        for key in pd.unique(keys_arr):  # one searchsorted per DISTINCT key
+            m = keys_arr == key
+            vals, cum, total = tb[key]
+            pct[m] = cum[np.searchsorted(vals, c[m], side="left")] / total
+        pct = np.floor(pct * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()),
+                key_col: pa.array(keys, pa.string()),
+                "pct": pa.array(pct, pa.float64()),
+            }
+        ).cast(schema)
+
+    return events.map_batches(attach, batch_format="pyarrow")

@@ -61,3 +61,28 @@ def test_partition_invariance(ray_session):
     )
     pd.testing.assert_frame_equal(a, b)
     assert (a["n_dup"] >= 1).all()
+
+
+def test_weighted_sample_prefers_long_docs(ray_session):
+    """Efraimidis-Spirakis: ln(u)/w with larger w pulls priorities toward
+    0, so heavy docs are overrepresented; the sample is deterministic and
+    partition-invariant."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.curation import weighted_sample_topn
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(400):
+        # even ids: 200-token docs; odd ids: 2-token docs
+        n = 200 if i % 2 == 0 else 2
+        rows.append((i, " ".join(rng.choice(["a", "b", "c", "d"], size=n))))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = weighted_sample_topn(ray.data.from_pandas(df), n=40)
+    assert len(out) == 40
+    long_share = (out["doc_id"] % 2 == 0).mean()
+    assert long_share > 0.8  # 100x weight ratio dominates the sample
+    out2 = weighted_sample_topn(ray.data.from_pandas(df).repartition(7), n=40)
+    assert out2.equals(out)

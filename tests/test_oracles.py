@@ -150,6 +150,8 @@ def _compare(query: str):
         "doc_missing_embeddings",
         "customer_rfm_segments",
         "doc_minhash_match_hist",
+        "doc_weighted_sample",
+        "events_pct_by_type",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",
