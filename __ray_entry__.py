@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["doc_weighted_sample"] = _q_doc_weighted_sample
     q["events_pct_by_type"] = _q_events_pct_by_type
+    q["events_burstiness"] = _q_events_burstiness
+    q["events_interarrival_hist"] = _q_events_interarrival_hist
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -1449,6 +1451,28 @@ def _q_doc_boolean_search(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_events_burstiness(sf_dir: str) -> pd.DataFrame:
+    """Per-user Fano factor over the daily count series
+    (kgray.ops.temporal.burstiness_fano): exact int64 moments, one
+    micro-quantized division; twin mirrors the integer moments."""
+    from kgray.ops.temporal import burstiness_fano
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return burstiness_fano(ds)
+
+
+def _q_events_interarrival_hist(sf_dir: str) -> pd.DataFrame:
+    """Inter-arrival log2 histogram (kgray.ops.temporal.
+    interarrival_histogram): consecutive same-user gaps, bin =
+    bit_length(whole seconds); twin uses length(bin(s))."""
+    from kgray.ops.temporal import interarrival_histogram
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return interarrival_histogram(ds)
 
 
 def _q_doc_weighted_sample(sf_dir: str) -> pd.DataFrame:
@@ -4446,6 +4470,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "events_burstiness": """
+            WITH daily AS (
+              SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2),
+            mo AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+              FROM daily GROUP BY 1)
+            SELECT user_id, n AS n_days,
+                   floor((n * ss - s * s)::DOUBLE / (n * s)::DOUBLE * 1e6 + 0.5) / 1e6 AS fano
+            FROM mo
+        """,
+        "events_interarrival_hist": """
+            WITH g AS (
+              SELECT (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+                     // 1000000 AS s
+              FROM events),
+            b AS (
+              SELECT CASE WHEN s > 0 THEN CAST(length(bin(s)) AS BIGINT) ELSE 0 END AS log2_bin
+              FROM g WHERE s IS NOT NULL)
+            SELECT log2_bin, CAST(count(*) AS BIGINT) AS n_gaps FROM b GROUP BY 1
         """,
         "doc_weighted_sample": """
             WITH w AS (

@@ -1054,3 +1054,109 @@ def first_last_per_key(
             }
         )
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def burstiness_fano(
+    events: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Per-key burstiness via the Fano factor of the DAILY count series:
+    ``var/mean = (n·Σc² − (Σc)²) / (n·Σc)`` over the key's active days —
+    ≈1 for Poisson-regular activity, ≫1 for bursty keys (bot/abuse
+    signal).  Only ACTIVE days enter (the twin counts the same days).
+
+    Exactness: the moments are exact int64 (daily counts are integers);
+    the single final division micro-quantizes half-up on both engines.
+
+    Scale shape: one (key, day, count) Arrow-partial pass (keys × days
+    driver budget — the daily_anomalies shape); moments and the division
+    run on that bounded table."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t[ts_col].cast(pa.timestamp("us")), format="%Y-%m-%d")
+        return (
+            pa.table({key_col: t[key_col], "day": day})
+            .group_by([key_col, "day"])
+            .aggregate([([], "count_all")])
+        )
+
+    parts = events.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            key_col: pd.Series(dtype="int64"),
+            "n_days": pd.Series(dtype="int64"),
+            "fano": pd.Series(dtype="float64"),
+        }
+    )
+    if key_col not in parts.columns or not len(parts):
+        return empty
+    daily = parts.groupby([key_col, "day"], sort=False)["count_all"].sum().reset_index(name="c")
+    g = daily.groupby(key_col, sort=True)["c"]
+    n = g.size().to_numpy(dtype=np.int64)
+    s = g.sum().to_numpy(dtype=np.int64)
+    ss = g.apply(lambda x: int((x.astype(np.int64) ** 2).sum())).to_numpy(dtype=np.int64)
+    fano = (n * ss - s * s).astype(np.float64) / (n * s).astype(np.float64)
+    return pd.DataFrame(
+        {
+            key_col: g.size().index.to_numpy(dtype=np.int64),
+            "n_days": n,
+            "fano": np.floor(fano * 1e6 + 0.5) / 1e6,
+        }
+    )
+
+
+def interarrival_histogram(
+    events: ray.data.Dataset,
+    num_buckets: int = 64,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> pd.DataFrame:
+    """Corpus-wide inter-arrival-time distribution: consecutive same-key
+    gaps bucketed by log2 of the whole-second gap (``bin = bit_length(s)``,
+    0 for sub-second) — the heavy-tail diagnostic behind session-gap and
+    watermark tuning.
+
+    Exactness: pure integer µs → seconds → bit_length; the twin uses
+    ``length(bin(s))``.  Scale shape: the user_sessions bucket ladder;
+    each bucket emits a ≤64-row histogram partial."""
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_col: b[key_col].to_numpy(dtype=np.int64),
+                "us": b[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64),
+                id_col: b[id_col].to_numpy(dtype=np.int64),
+                "bucket": (b[key_col].to_numpy(dtype=np.int64) % num_buckets).astype("int32"),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "us", id_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        us = g["us"].to_numpy()
+        if len(keys) < 2:
+            return pd.DataFrame({"log2_bin": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")})
+        same = keys[1:] == keys[:-1]
+        gaps_s = (np.diff(us) // 1_000_000)[same]
+        bins = np.zeros(len(gaps_s), dtype=np.int64)
+        pos = gaps_s > 0
+        bins[pos] = np.floor(np.log2(gaps_s[pos].astype(np.float64))).astype(np.int64) + 1
+        u, cnt = np.unique(bins, return_counts=True)
+        return pd.DataFrame({"log2_bin": u, "n": cnt})
+
+    parts = (
+        events.map_batches(add_bucket, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "log2_bin" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {"log2_bin": pd.Series(dtype="int64"), "n_gaps": pd.Series(dtype="int64")}
+        )
+    out = parts.groupby("log2_bin", sort=True)["n"].sum().reset_index(name="n_gaps")
+    out["log2_bin"] = out["log2_bin"].astype("int64")
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    return out

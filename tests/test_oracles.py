@@ -152,6 +152,8 @@ def _compare(query: str):
         "doc_minhash_match_hist",
         "doc_weighted_sample",
         "events_pct_by_type",
+        "events_burstiness",
+        "events_interarrival_hist",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",

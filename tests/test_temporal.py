@@ -458,3 +458,50 @@ def test_first_last_per_key_cross_block(ray_session):
     assert out.loc[1, "last_type"] == "c"
     assert out.loc[1, "n_events"] == 3
     assert out.loc[2, "first_type"] == "x" and out.loc[2, "last_type"] == "x"
+
+
+def test_burstiness_fano_semantics(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.temporal import burstiness_fano
+
+    rows = []
+    # user 1: 5 events every day for 4 days -> var 0 -> fano 0
+    for d in range(4):
+        for i in range(5):
+            rows.append((1, pd.Timestamp(f"2024-01-{d+1:02d} 0{i}:00:00")))
+    # user 2: counts 1 and 9 over two days -> mean 5, pop var 16 -> fano 3.2
+    rows.append((2, pd.Timestamp("2024-01-01 01:00:00")))
+    for i in range(9):
+        rows.append((2, pd.Timestamp(f"2024-01-02 0{i}:00:00")))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = burstiness_fano(ray.data.from_pandas(df).repartition(3)).set_index("user_id")
+    assert out.loc[1, "fano"] == 0.0 and out.loc[1, "n_days"] == 4
+    assert out.loc[2, "fano"] == 3.2
+
+
+def test_interarrival_histogram_bins(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.temporal import interarrival_histogram
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": [
+                t0,
+                t0 + pd.Timedelta(seconds=1),       # gap 1s  -> bin 1
+                t0 + pd.Timedelta(seconds=6),       # gap 5s  -> bin 3
+                t0,
+                t0 + pd.Timedelta(milliseconds=400) # gap 0s (floor) -> bin 0
+            ],
+        }
+    )
+    out = interarrival_histogram(ray.data.from_pandas(df).repartition(2)).set_index("log2_bin")
+    assert out.loc[0, "n_gaps"] == 1
+    assert out.loc[1, "n_gaps"] == 1
+    assert out.loc[3, "n_gaps"] == 1
