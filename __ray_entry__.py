@@ -348,6 +348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_pct_by_type"] = _q_events_pct_by_type
     q["events_burstiness"] = _q_events_burstiness
     q["events_interarrival_hist"] = _q_events_interarrival_hist
+    q["events_type_combos"] = _q_events_type_combos
+    q["events_daily_delta"] = _q_events_daily_delta
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -1451,6 +1453,40 @@ def _q_doc_boolean_search(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_events_type_combos(sf_dir: str) -> pd.DataFrame:
+    """Behavioral-segment census (kgray.ops.stats.type_combo_census):
+    count of users per exact HIGH-VALUE event-type SET (value ≥ 100 —
+    every user touches every type at low value, so the census is over
+    the discriminating stratum) — distinct-pair pre-shrink, one key
+    shuffle, power-set-bounded reduce; twin is string_agg with ordered
+    aggregation."""
+    import pyarrow.compute as _pc
+
+    from kgray.ops.stats import type_combo_census
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    ).map_batches(
+        lambda t: t.filter(_pc.greater_equal(t["value"], 100.0)).select(
+            ["user_id", "event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    return type_combo_census(ds)
+
+
+def _q_events_daily_delta(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day cent-sum differencing per type (kgray.ops.stats.
+    daily_delta) — integer lag over the keys × days partial table; twin
+    is the lag window with default 0."""
+    from kgray.ops.stats import daily_delta
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return daily_delta(ds)
 
 
 def _q_events_burstiness(sf_dir: str) -> pd.DataFrame:
@@ -4470,6 +4506,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "events_type_combos": """
+            WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events WHERE value >= 100),
+            combos AS (
+              SELECT user_id, string_agg(event_type, '+' ORDER BY event_type) AS combo
+              FROM pairs GROUP BY 1)
+            SELECT combo, CAST(count(*) AS BIGINT) AS n_users FROM combos GROUP BY 1
+        """,
+        "events_daily_delta": """
+            WITH daily AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, day, sum_cents,
+                   sum_cents - coalesce(lag(sum_cents) OVER (PARTITION BY event_type ORDER BY day), 0)
+                   AS delta_cents
+            FROM daily
         """,
         "events_burstiness": """
             WITH daily AS (

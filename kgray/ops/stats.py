@@ -1091,3 +1091,93 @@ def percentile_by_key(
         ).cast(schema)
 
     return events.map_batches(attach, batch_format="pyarrow")
+
+
+def type_combo_census(
+    events: ray.data.Dataset,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> pd.DataFrame:
+    """Exact behavioral-segment census: for every DISTINCT set of event
+    types a key has ever emitted, how many keys share exactly that set —
+    the set-algebra rollup (did A and B but never C) without one query
+    per combination.
+
+    Scale shape: batches pre-shrink to distinct (key, type) pairs; one
+    key-hash bucket shuffle assembles each key's full set; the combo
+    label is the sorted '+'-joined type list, so the driver reduce is
+    bounded by the type power set, not keys."""
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[key_col, type_col]].drop_duplicates()
+        out = out.copy()
+        out["bucket"] = (out[key_col].to_numpy(dtype=np.int64) % 64).astype("int32")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([key_col, type_col]).sort_values(
+            [key_col, type_col], kind="mergesort"
+        )
+        combos = g.groupby(key_col, sort=False)[type_col].agg("+".join)
+        c = combos.value_counts()
+        return pd.DataFrame({"combo": c.index.to_numpy(dtype=object), "n": c.to_numpy()})
+
+    parts = (
+        events.map_batches(pair_partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "combo" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {"combo": pd.Series(dtype=object), "n_users": pd.Series(dtype="int64")}
+        )
+    out = parts.groupby("combo", sort=True)["n"].sum().reset_index(name="n_users")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def daily_delta(
+    events: ray.data.Dataset,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> pd.DataFrame:
+    """Day-over-day revenue differencing per key: each ACTIVE day's cent
+    sum minus the key's PREVIOUS active day's — the time-series
+    first-difference report (trend/regression input).
+
+    Exactness: int64 cent sums; the delta is integer subtraction (first
+    active day has no predecessor and reports the sentinel delta = its
+    own sum, i.e. lag default 0 — mirrored in the twin).
+
+    Scale shape: the events_daily partial budget (keys × days); the
+    lag runs on that bounded table."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t[ts_col].cast(pa.timestamp("us")), format="%Y-%m-%d")
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t[value_col], pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        return (
+            pa.table({key_col: t[key_col], "day": day, "c": cents})
+            .group_by([key_col, "day"])
+            .aggregate([("c", "sum")])
+        )
+
+    parts = events.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if key_col not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(dtype=object),
+                "day": pd.Series(dtype=object),
+                "sum_cents": pd.Series(dtype="int64"),
+                "delta_cents": pd.Series(dtype="int64"),
+            }
+        )
+    daily = parts.groupby([key_col, "day"], sort=True)["c_sum"].sum().reset_index(name="sum_cents")
+    prev = daily.groupby(key_col, sort=False)["sum_cents"].shift(1).fillna(0).astype("int64")
+    daily["delta_cents"] = daily["sum_cents"].astype("int64") - prev
+    daily["sum_cents"] = daily["sum_cents"].astype("int64")
+    return daily.reset_index(drop=True)

@@ -154,6 +154,8 @@ def _compare(query: str):
         "events_pct_by_type",
         "events_burstiness",
         "events_interarrival_hist",
+        "events_type_combos",
+        "events_daily_delta",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",
