@@ -350,6 +350,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_interarrival_hist"] = _q_events_interarrival_hist
     q["events_type_combos"] = _q_events_type_combos
     q["events_daily_delta"] = _q_events_daily_delta
+    q["forecast_revenue_change"] = rel.forecast_revenue_change
+    q["promo_revenue_share"] = rel.promo_revenue_share
+    q["bilateral_trade"] = rel.bilateral_trade
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -4506,6 +4509,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "forecast_revenue_change": """
+            SELECT coalesce(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)), 0)::DOUBLE
+                   / 100.0 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "promo_revenue_share": """
+            WITH x AS (
+              SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rc,
+                     p_type = 'PROMO' AS promo
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01')
+            SELECT CASE WHEN sum(rc) = 0 THEN 0.0
+                        ELSE floor(100.0 * sum(CASE WHEN promo THEN rc ELSE 0 END)::DOUBLE
+                                   / sum(rc)::DOUBLE * 1e4 + 0.5) / 1e4
+                   END AS promo_share_pct
+            FROM x
+        """,
+        "bilateral_trade": """
+            WITH co AS (
+              SELECT o_orderkey, n.n_name AS cust_nation
+              FROM orders JOIN customer ON c_custkey = o_custkey
+                          JOIN nation n ON n.n_nationkey = c_nationkey
+              WHERE n.n_name IN ('NATION_1', 'NATION_2')),
+            sn AS (
+              SELECT s_suppkey, n_name AS supp_nation
+              FROM supplier JOIN nation ON n_nationkey = s_nationkey
+              WHERE n_name IN ('NATION_1', 'NATION_2')),
+            li AS (
+              SELECT l_orderkey, l_suppkey, strftime(l_shipdate, '%Y') AS l_year,
+                     CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rc
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01')
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(sum(rc) AS BIGINT)::DOUBLE / 100.0 AS revenue
+            FROM li JOIN co ON o_orderkey = l_orderkey
+                    JOIN sn ON sn.s_suppkey = l_suppkey
+            WHERE supp_nation <> cust_nation
+            GROUP BY 1, 2, 3
         """,
         "events_type_combos": """
             WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events WHERE value >= 100),

@@ -190,6 +190,8 @@ def run_bench() -> dict:
     timed("customer_rfm_segments", lambda: size(entry.queries()["customer_rfm_segments"](sf_dir)))
     timed("doc_weighted_sample", lambda: size(entry.queries()["doc_weighted_sample"](sf_dir)))
     timed("events_pct_by_type", lambda: size(entry.queries()["events_pct_by_type"](sf_dir)))
+    timed("bilateral_trade", lambda: size(entry.queries()["bilateral_trade"](sf_dir)))
+    timed("forecast_revenue_change", lambda: size(entry.queries()["forecast_revenue_change"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

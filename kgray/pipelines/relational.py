@@ -1538,3 +1538,225 @@ def customer_rfm_segments(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
     out = parts.groupby("segment", sort=True)["n"].sum().reset_index(name="n_customers")
     out["n_customers"] = out["n_customers"].astype("int64")
     return out
+
+
+def forecast_revenue_change(
+    sf_dir: str, since: str = "1996-01-01", until: str = "1997-01-01"
+) -> pd.DataFrame:
+    """TPC-H Q6-shaped what-if: revenue gained by dropping discounts of
+    5–7 % on small orders (qty < 24) in one year — the pure filter+sum
+    probe of scan/predicate throughput (no join, no shuffle at all).
+
+    Exactness: per-row ``l_extendedprice·l_discount`` quantizes to cents
+    after the same double product as the twin; one integer row per
+    batch."""
+    lo, hi = pd.Timestamp(since), pd.Timestamp(until)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            (b["l_shipdate"] >= lo)
+            & (b["l_shipdate"] < hi)
+            & (b["l_discount"] >= 0.05)
+            & (b["l_discount"] <= 0.07)
+            & (b["l_quantity"] < 24.0)
+        )
+        rc = np.floor(
+            b.loc[m, "l_extendedprice"].to_numpy() * b.loc[m, "l_discount"].to_numpy() * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame({"rc": [int(rc.sum())]})
+
+    rc = int(
+        _read(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pandas", batch_size=262144)
+        .to_pandas()["rc"]
+        .sum()
+    )
+    return pd.DataFrame({"revenue": pd.Series([rc / 100.0], dtype="float64")})
+
+
+def promo_revenue_share(
+    sf_dir: str, since: str = "1996-03-01", until: str = "1996-04-01"
+) -> pd.DataFrame:
+    """TPC-H Q14-shaped ratio report: the percentage of one month's
+    discounted revenue that came from PROMO parts.
+
+    Scale shape: the part dimension collapses to a broadcast promo
+    partkey set (below the documented broadcast ceiling — the dimension
+    ladder applies above it); the fact scan keeps TWO integer
+    accumulators per batch; the single division micro-quantizes."""
+    from kgray.functions.broadcast import cached_get
+
+    lo, hi = pd.Timestamp(since), pd.Timestamp(until)
+
+    def promo_keys(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"pkey": b.loc[b["p_type"] == "PROMO", "p_partkey"].to_numpy(dtype=np.int64)}
+        )
+
+    pk = (
+        _read(sf_dir, "part", ["p_partkey", "p_type"])
+        .map_batches(promo_keys, batch_format="pandas")
+        .to_pandas()
+    )
+    keys = np.sort(pk["pkey"].to_numpy(dtype=np.int64)) if len(pk) else np.empty(0, np.int64)
+    keys_ref = ray.put(keys)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
+        rc = np.floor(
+            b.loc[m, "l_extendedprice"].to_numpy()
+            * (1.0 - b.loc[m, "l_discount"].to_numpy())
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        promo = np.isin(b.loc[m, "l_partkey"].to_numpy(dtype=np.int64), cached_get(keys_ref))
+        return pd.DataFrame({"p": [int(rc[promo].sum())], "t": [int(rc.sum())]})
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pandas", batch_size=262144)
+        .to_pandas()
+    )
+    p, t = int(parts["p"].sum()), int(parts["t"].sum())
+    share = 0.0 if t == 0 else np.floor(100.0 * p / t * 1e4 + 0.5) / 1e4
+    return pd.DataFrame({"promo_share_pct": pd.Series([share], dtype="float64")})
+
+
+def bilateral_trade(
+    sf_dir: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """TPC-H Q7-shaped bilateral shipping volume: discounted revenue
+    flowing between two nations (supplier nation ≠ customer nation) per
+    ship year — the fact×fact join with two dimension attaches.
+
+    Scale shape: supplier and the FILTERED customer nation maps broadcast
+    (two of 25 nations; the dimension ladder applies above the ceiling);
+    orders pre-shrink to (orderkey, cust_nation) for mapped customers
+    only, then lineitem rows (supplier-mapped, date-filtered) and the
+    order rows meet in ORDERKEY hash buckets — one shuffle of pruned
+    streams; each bucket emits (supp, cust, year, cents) partials."""
+    from kgray.functions.broadcast import cached_get
+
+    nations = {nation_a, nation_b}
+    ndf = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n_name = dict(zip(ndf["n_nationkey"].astype(int), ndf["n_name"]))
+    wanted_keys = {k for k, v in n_name.items() if v in nations}
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cmap_ref = ray.put(
+        dict(
+            zip(
+                cust.loc[cust["c_nationkey"].isin(wanted_keys), "c_custkey"].astype(int),
+                cust.loc[cust["c_nationkey"].isin(wanted_keys), "c_nationkey"].map(n_name),
+            )
+        )
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    smap_ref = ray.put(
+        dict(
+            zip(
+                supp.loc[supp["s_nationkey"].isin(wanted_keys), "s_suppkey"].astype(int),
+                supp.loc[supp["s_nationkey"].isin(wanted_keys), "s_nationkey"].map(n_name),
+            )
+        )
+    )
+    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
+
+    def order_rows(b: pd.DataFrame) -> pd.DataFrame:
+        cm = cached_get(cmap_ref)
+        keys = b["o_custkey"].to_numpy(dtype=np.int64)
+        m = np.isin(keys, np.fromiter(cm.keys(), dtype=np.int64, count=len(cm)))
+        out = pd.DataFrame(
+            {
+                "okey": b.loc[m, "o_orderkey"].to_numpy(dtype=np.int64),
+                "cust_nation": [cm[int(k)] for k in keys[m]],
+            }
+        )
+        out["side"] = np.int8(1)
+        out["supp_nation"] = ""
+        out["l_year"] = ""
+        out["rc"] = np.int64(0)
+        return out
+
+    def line_rows(b: pd.DataFrame) -> pd.DataFrame:
+        sm = cached_get(smap_ref)
+        keys = b["l_suppkey"].to_numpy(dtype=np.int64)
+        m = (
+            np.isin(keys, np.fromiter(sm.keys(), dtype=np.int64, count=len(sm)))
+            & (b["l_shipdate"] >= lo).to_numpy()
+            & (b["l_shipdate"] < hi).to_numpy()
+        )
+        rc = np.floor(
+            b.loc[m, "l_extendedprice"].to_numpy()
+            * (1.0 - b.loc[m, "l_discount"].to_numpy())
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "okey": b.loc[m, "l_orderkey"].to_numpy(dtype=np.int64),
+                "cust_nation": "",
+                "supp_nation": [sm[int(k)] for k in keys[m]],
+                "l_year": b.loc[m, "l_shipdate"].dt.strftime("%Y").to_numpy(dtype=object),
+                "rc": rc,
+            }
+        )
+        out["side"] = np.int8(0)
+        return out[["okey", "cust_nation", "side", "supp_nation", "l_year", "rc"]]
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["bucket"] = (b["okey"] % num_buckets).astype("int32")
+        return b
+
+    tagged = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(line_rows, batch_format="pandas", batch_size=262144)
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+                order_rows, batch_format="pandas"
+            )
+        )
+        .map_batches(add_bucket, batch_format="pandas")
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["side"] == 0]
+        od = g[g["side"] == 1][["okey", "cust_nation"]]
+        j = li.merge(od, on="okey", suffixes=("_x", ""))
+        j = j[j["supp_nation"] != j["cust_nation"]]
+        if not len(j):
+            return pd.DataFrame(
+                {
+                    "supp_nation": pd.Series(dtype=object),
+                    "cust_nation": pd.Series(dtype=object),
+                    "l_year": pd.Series(dtype=object),
+                    "rc": pd.Series(dtype="int64"),
+                }
+            )
+        return (
+            j.groupby(["supp_nation", "cust_nation", "l_year"], sort=False)["rc"]
+            .sum()
+            .reset_index()
+        )
+
+    parts = tagged.groupby("bucket").map_groups(per_bucket, batch_format="pandas").to_pandas()
+    if "supp_nation" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                "supp_nation": pd.Series(dtype=object),
+                "cust_nation": pd.Series(dtype=object),
+                "l_year": pd.Series(dtype=object),
+                "revenue": pd.Series(dtype="float64"),
+            }
+        )
+    out = (
+        parts.groupby(["supp_nation", "cust_nation", "l_year"], sort=True)["rc"]
+        .sum()
+        .reset_index()
+    )
+    out["revenue"] = out["rc"].to_numpy(dtype=np.float64) / 100.0
+    return out.drop(columns=["rc"]).reset_index(drop=True)

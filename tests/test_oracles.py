@@ -156,6 +156,9 @@ def _compare(query: str):
         "events_interarrival_hist",
         "events_type_combos",
         "events_daily_delta",
+        "forecast_revenue_change",
+        "promo_revenue_share",
+        "bilateral_trade",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",
