@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_interarrival_hist"] = _q_events_interarrival_hist
     q["events_type_combos"] = _q_events_type_combos
     q["events_daily_delta"] = _q_events_daily_delta
+    q["events_benford"] = _q_events_benford
     q["forecast_revenue_change"] = rel.forecast_revenue_change
     q["promo_revenue_share"] = rel.promo_revenue_share
     q["bilateral_trade"] = rel.bilateral_trade
@@ -1456,6 +1457,37 @@ def _q_doc_boolean_search(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_events_benford(sf_dir: str) -> pd.DataFrame:
+    """Benford first-digit audit over positive cent values — the classic
+    fabricated-numbers screen.  Pure integer arithmetic: digit = the
+    leading decimal digit of the int64 cents (string head on both
+    engines); one Arrow-partial pass, 9-row reduce."""
+    import pyarrow.compute as _pc
+
+    def partial(t):
+        import pyarrow as _pa
+
+        c = _pc.cast(
+            _pc.floor(_pc.add(_pc.multiply(t["value"], _pa.scalar(100.0)), _pa.scalar(0.5))),
+            _pa.int64(),
+        )
+        pos = _pc.greater(c, 0)
+        digit = _pc.utf8_slice_codeunits(_pc.cast(_pc.filter(c, pos), _pa.large_string()), 0, 1)
+        return (
+            _pa.table({"digit": digit}).group_by("digit").aggregate([([], "count_all")])
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if "digit" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {"digit": pd.Series(dtype=object), "n": pd.Series(dtype="int64")}
+        )
+    out = parts.groupby("digit", sort=True)["count_all"].sum().reset_index(name="n")
+    out["n"] = out["n"].astype("int64")
+    return out
 
 
 def _q_events_type_combos(sf_dir: str) -> pd.DataFrame:
@@ -4509,6 +4541,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "events_benford": """
+            WITH c AS (
+              SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events)
+            SELECT substr(CAST(c AS VARCHAR), 1, 1) AS digit,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM c WHERE c > 0 GROUP BY 1
         """,
         "forecast_revenue_change": """
             SELECT coalesce(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)), 0)::DOUBLE

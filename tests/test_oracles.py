@@ -159,6 +159,7 @@ def _compare(query: str):
         "forecast_revenue_change",
         "promo_revenue_share",
         "bilateral_trade",
+        "events_benford",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",
