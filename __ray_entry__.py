@@ -351,6 +351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_type_combos"] = _q_events_type_combos
     q["events_daily_delta"] = _q_events_daily_delta
     q["events_benford"] = _q_events_benford
+    q["doc_cluster_size_hist"] = _q_doc_cluster_size_hist
+    q["orders_profile"] = _q_orders_profile
     q["forecast_revenue_change"] = rel.forecast_revenue_change
     q["promo_revenue_share"] = rel.promo_revenue_share
     q["bilateral_trade"] = rel.bilateral_trade
@@ -1457,6 +1459,112 @@ def _q_doc_boolean_search(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_cluster_size_hist(sf_dir: str) -> pd.DataFrame:
+    """Near-dup cluster-size spectrum: how many MinHash clusters exist at
+    each size (singletons included) — the one-look dedup-health report
+    (a fat tail = boilerplate floods).  Composes the lsh mapping with two
+    bounded reduces; twin extends the shared CTEs with a size rollup."""
+    from kgray.ops.dedup import minhash_lsh_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    mapping = minhash_lsh_dedup(ds)
+
+    def size_partial(t):
+        import pyarrow as _pa
+
+        return (
+            _pa.table({"c": t["canonical_id"]}).group_by("c").aggregate([([], "count_all")])
+        )
+
+    parts = mapping.map_batches(size_partial, batch_format="pyarrow").to_pandas()
+    if "c" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {"cluster_size": pd.Series(dtype="int64"), "n_clusters": pd.Series(dtype="int64")}
+        )
+    sizes = parts.groupby("c", sort=False)["count_all"].sum()
+    out = sizes.value_counts().sort_index().reset_index()
+    out.columns = ["cluster_size", "n_clusters"]
+    out["cluster_size"] = out["cluster_size"].astype("int64")
+    out["n_clusters"] = out["n_clusters"].astype("int64")
+    return out
+
+
+ORDERS_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+def _q_orders_profile(sf_dir: str) -> pd.DataFrame:
+    """Data-profiling op: exact per-column distinct and null counts over
+    the orders table — the schema-discovery pass every ingest runs first.
+    Values hash to md5-u64 per column; distinct counting rides the
+    exact-distinct hash-bucket ladder (batch-distinct pre-shrink, one
+    shuffle), so no column's value set ever materializes on the driver."""
+    from kgray.ops.dedup import _md5_u64_np
+
+    cols = list(ORDERS_PROFILE_COLS)
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for i, c in enumerate(cols):
+            s = b[c]
+            nn = s.notna()
+            h = _md5_u64_np([str(x) for x in s[nn]])
+            u = np.unique(h)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "col": i,
+                        "h": u.astype(np.int64),
+                        "n_null": 0,
+                        "kind": 0,
+                    }
+                )
+            )
+            frames.append(
+                pd.DataFrame({"col": [i], "h": [0], "n_null": [int((~nn).sum())], "kind": [1]})
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["bucket"] = ((out["h"].to_numpy(dtype=np.int64) % 64) + 64 * out["col"]).astype(
+            "int32"
+        )
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["kind"] == 0]
+        res = (
+            d.drop_duplicates(["col", "h"]).groupby("col", sort=False).size().reset_index(name="n_distinct")
+            if len(d)
+            else pd.DataFrame({"col": pd.Series(dtype="int64"), "n_distinct": pd.Series(dtype="int64")})
+        )
+        nulls = g[g["kind"] == 1].groupby("col", sort=False)["n_null"].sum().reset_index()
+        return res.merge(nulls, on="col", how="outer").fillna(0)
+
+    parts = (
+        ds.map_batches(pair_partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "col" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                "column": pd.Series(dtype=object),
+                "n_distinct": pd.Series(dtype="int64"),
+                "n_null": pd.Series(dtype="int64"),
+            }
+        )
+    agg = parts.groupby("col", sort=True)[["n_distinct", "n_null"]].sum()
+    return pd.DataFrame(
+        {
+            "column": [cols[int(i)] for i in agg.index],
+            "n_distinct": agg["n_distinct"].astype("int64").to_numpy(),
+            "n_null": agg["n_null"].astype("int64").to_numpy(),
+        }
+    ).sort_values("column").reset_index(drop=True)
 
 
 def _q_events_benford(sf_dir: str) -> pd.DataFrame:
@@ -4541,6 +4649,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "doc_cluster_size_hist": _minhash_ctes(
+            "2 * sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) >= 63"
+        )
+        + """,
+mapping AS (SELECT d.doc_id, coalesce(r.root, d.doc_id) AS canonical_id
+            FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id),
+cs AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+       FROM mapping GROUP BY 1)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM cs GROUP BY 1
+""",
+        "orders_profile": """
+            SELECT 'o_custkey' AS "column",
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderkey', CAST(count(DISTINCT o_orderkey) AS BIGINT),
+                   CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+                   CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+                   CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
         """,
         "events_benford": """
             WITH c AS (

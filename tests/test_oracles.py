@@ -160,6 +160,8 @@ def _compare(query: str):
         "promo_revenue_share",
         "bilateral_trade",
         "events_benford",
+        "doc_cluster_size_hist",
+        "orders_profile",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",
