@@ -353,6 +353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_benford"] = _q_events_benford
     q["doc_cluster_size_hist"] = _q_doc_cluster_size_hist
     q["orders_profile"] = _q_orders_profile
+    q["events_daily_autocorr"] = _q_events_daily_autocorr
+    q["events_type_phi"] = _q_events_type_phi
     q["forecast_revenue_change"] = rel.forecast_revenue_change
     q["promo_revenue_share"] = rel.promo_revenue_share
     q["bilateral_trade"] = rel.bilateral_trade
@@ -1459,6 +1461,36 @@ def _q_doc_boolean_search(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_events_daily_autocorr(sf_dir: str) -> pd.DataFrame:
+    """Lag-1 autocorrelation of per-type daily counts (kgray.ops.stats.
+    daily_autocorr) — exact int64 moments over consecutive active-day
+    pairs, one micro-quantized division; twin mirrors the moments."""
+    from kgray.ops.stats import daily_autocorr
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return daily_autocorr(ds)
+
+
+def _q_events_type_phi(sf_dir: str) -> pd.DataFrame:
+    """Phi correlation between high-value event-type pairs over user
+    presence sets (kgray.ops.stats.type_phi_correlation on the value ≥
+    100 stratum) — distinct-pair pre-shrink, one key shuffle, types²
+    reduce; twin is the presence self-join."""
+    import pyarrow.compute as _pc
+
+    from kgray.ops.stats import type_phi_correlation
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    ).map_batches(
+        lambda t: t.filter(_pc.greater_equal(t["value"], 100.0)).select(
+            ["user_id", "event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    return type_phi_correlation(ds)
 
 
 def _q_doc_cluster_size_hist(sf_dir: str) -> pd.DataFrame:
@@ -4649,6 +4681,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "events_daily_autocorr": """
+            WITH daily AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2),
+            lagd AS (
+              SELECT event_type, c,
+                     lag(c) OVER (PARTITION BY event_type ORDER BY day) AS pc
+              FROM daily),
+            pairs AS (SELECT event_type, pc AS x, c AS y FROM lagd WHERE pc IS NOT NULL),
+            mo AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM pairs GROUP BY 1)
+            SELECT event_type, n AS n_pairs,
+                   floor((n * sxy - sx * sy)::DOUBLE
+                         / sqrt(((n * sxx - sx * sx) * (n * syy - sy * sy))::DOUBLE)
+                         * 1e6 + 0.5) / 1e6 AS r1
+            FROM mo
+            WHERE n >= 2 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+        """,
+        "events_type_phi": """
+            WITH p AS (SELECT DISTINCT user_id, event_type FROM events WHERE value >= 100),
+            nn AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM p),
+            s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1),
+            co AS (
+              SELECT a.event_type AS ta, b.event_type AS tb,
+                     CAST(count(*) AS BIGINT) AS n11
+              FROM p a JOIN p b ON a.user_id = b.user_id AND a.event_type < b.event_type
+              GROUP BY 1, 2),
+            grid AS (
+              -- complete grid: never-co-occurring pairs keep n11 = 0
+              SELECT sa.event_type AS ta, sb.event_type AS tb,
+                     sa.c AS ca, sb.c AS cb,
+                     coalesce(co.n11, 0) AS n11
+              FROM s sa JOIN s sb ON sa.event_type < sb.event_type
+              LEFT JOIN co ON co.ta = sa.event_type AND co.tb = sb.event_type)
+            SELECT ta, tb, n11,
+                   floor((nn.n * n11 - ca * cb)::DOUBLE
+                         / sqrt((ca * cb * (nn.n - ca) * (nn.n - cb))::DOUBLE)
+                         * 1e6 + 0.5) / 1e6 AS phi
+            FROM grid, nn
+            WHERE ca * cb * (nn.n - ca) * (nn.n - cb) > 0
         """,
         "doc_cluster_size_hist": _minhash_ctes(
             "2 * sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) >= 63"

@@ -1181,3 +1181,136 @@ def daily_delta(
     daily["delta_cents"] = daily["sum_cents"].astype("int64") - prev
     daily["sum_cents"] = daily["sum_cents"].astype("int64")
     return daily.reset_index(drop=True)
+
+
+def daily_autocorr(
+    events: ray.data.Dataset,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Lag-1 autocorrelation of each key's daily count series (Pearson
+    between consecutive CALENDAR-ADJACENT active days is ill-posed on
+    sparse series, so this pairs consecutive ACTIVE days — the twin pairs
+    the same rows) — the trend-persistence diagnostic.
+
+    Exactness: all moments over the (c_t, c_{t+1}) pairs are exact int64;
+    the single r division + sqrt micro-quantizes on both engines.  Keys
+    with < 3 active days or zero variance report no row."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t[ts_col].cast(pa.timestamp("us")), format="%Y-%m-%d")
+        return (
+            pa.table({key_col: t[key_col], "day": day})
+            .group_by([key_col, "day"])
+            .aggregate([([], "count_all")])
+        )
+
+    parts = events.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            key_col: pd.Series(dtype=object),
+            "n_pairs": pd.Series(dtype="int64"),
+            "r1": pd.Series(dtype="float64"),
+        }
+    )
+    if key_col not in parts.columns or not len(parts):
+        return empty
+    daily = parts.groupby([key_col, "day"], sort=True)["count_all"].sum().reset_index(name="c")
+    rows = []
+    for key, grp in daily.groupby(key_col, sort=True):
+        c = grp["c"].to_numpy(dtype=np.int64)  # day-sorted
+        if len(c) < 3:
+            continue
+        x, y = c[:-1], c[1:]
+        n = np.int64(len(x))
+        sx, sy = x.sum(), y.sum()
+        sxx, syy, sxy = (x * x).sum(), (y * y).sum(), (x * y).sum()
+        den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        if den2 <= 0:
+            continue
+        r = (n * sxy - sx * sy).astype(np.float64) / np.sqrt(np.float64(den2))
+        rows.append((key, int(n), np.floor(r * 1e6 + 0.5) / 1e6))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=[key_col, "n_pairs", "r1"])
+
+
+def type_phi_correlation(
+    events: ray.data.Dataset,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> pd.DataFrame:
+    """Phi coefficient between event-type PAIRS over user presence sets —
+    which behaviors co-occur beyond chance (the association-mining
+    rollup).  Pairs with a degenerate margin (a type everyone or no one
+    has) are excluded, as is division by zero.
+
+    Exactness: n, n11 and the margins are exact int64 from distinct-pair
+    counting; phi's one division + sqrt micro-quantizes identically on
+    both engines.
+
+    Scale shape: distinct (key, type) pre-shrink per batch; ONE key-hash
+    bucket shuffle; each bucket emits its types² co-occurrence partial
+    plus per-type margins — driver reduce bounded by types²."""
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[key_col, type_col]].drop_duplicates().copy()
+        out["bucket"] = (out[key_col].to_numpy(dtype=np.int64) % 64).astype("int32")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([key_col, type_col])
+        frames = []
+        nkeys = g[key_col].nunique()
+        singles = g.groupby(type_col, sort=False).size().reset_index(name="cnt")
+        singles["other"] = ""
+        frames.append(singles.rename(columns={type_col: "ta", "other": "tb"}))
+        j = g.merge(g, on=key_col, suffixes=("_a", "_b"))
+        j = j[j[f"{type_col}_a"] < j[f"{type_col}_b"]]
+        if len(j):
+            co = (
+                j.groupby([f"{type_col}_a", f"{type_col}_b"], sort=False)
+                .size()
+                .reset_index(name="cnt")
+            )
+            co.columns = ["ta", "tb", "cnt"]
+            frames.append(co[["ta", "cnt", "tb"]])
+        frames.append(pd.DataFrame({"ta": ["\x00n"], "cnt": [nkeys], "tb": [""]}))
+        return pd.concat(frames, ignore_index=True)[["ta", "tb", "cnt"]]
+
+    parts = (
+        events.map_batches(pair_partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "ta": pd.Series(dtype=object),
+            "tb": pd.Series(dtype=object),
+            "n11": pd.Series(dtype="int64"),
+            "phi": pd.Series(dtype="float64"),
+        }
+    )
+    if "ta" not in parts.columns or not len(parts):
+        return empty
+    agg = parts.groupby(["ta", "tb"], sort=True)["cnt"].sum()
+    n = int(agg.get(("\x00n", ""), 0))
+    singles = {k[0]: int(v) for k, v in agg.items() if k[1] == "" and k[0] != "\x00n"}
+    co = {k: int(v) for k, v in agg.items() if k[1] != ""}
+    rows = []
+    # complete the type-pair grid: a pair that NEVER co-occurs (n11 = 0)
+    # is the strongest negative association — it must not vanish
+    types = sorted(singles)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            n11 = co.get((ta, tb), 0)
+            na, nb = singles[ta], singles[tb]
+            den2 = na * nb * (n - na) * (n - nb)
+            if den2 <= 0:
+                continue
+            phi = float(n * n11 - na * nb) / np.sqrt(np.float64(den2))
+            rows.append((ta, tb, n11, np.floor(phi * 1e6 + 0.5) / 1e6))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["ta", "tb", "n11", "phi"])

@@ -162,6 +162,8 @@ def _compare(query: str):
         "events_benford",
         "doc_cluster_size_hist",
         "orders_profile",
+        "events_daily_autocorr",
+        "events_type_phi",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",

@@ -370,3 +370,40 @@ def test_hll_store_incremental_equals_oneshot(ray_session, tmp_path):
     # idempotent resume: re-running a run overwrites its own file, no drift
     three = hll_distinct_with_store(b, store, run_id="r2")["est_distinct"].iloc[0]
     assert three == oneshot
+
+
+def test_type_phi_correlation_signs(ray_session):
+    from kgray.ops.stats import type_phi_correlation
+
+    # users 1-4: a & b always together (phi=1 over {a,b} among carriers);
+    # users 5-8: only c.  a-c never co-occur -> strong negative phi.
+    rows = []
+    for u in (1, 2, 3, 4):
+        rows += [(u, "a"), (u, "b")]
+    for u in (5, 6, 7, 8):
+        rows.append((u, "c"))
+    df = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    out = type_phi_correlation(ray.data.from_pandas(df).repartition(3)).set_index(["ta", "tb"])
+    assert out.loc[("a", "b"), "phi"] == 1.0
+    assert out.loc[("a", "c"), "phi"] == -1.0
+    assert out.loc[("a", "b"), "n11"] == 4
+    # partition invariance
+    out2 = type_phi_correlation(ray.data.from_pandas(df).repartition(7)).set_index(["ta", "tb"])
+    assert out2.sort_index().equals(out.sort_index())
+
+
+def test_daily_autocorr_alternating_series(ray_session):
+    from kgray.ops.stats import daily_autocorr
+
+    # alternating 1,3,1,3... daily counts -> consecutive pairs perfectly
+    # anti-correlated (r1 = -1)
+    rows = []
+    for d in range(8):
+        n = 1 if d % 2 == 0 else 3
+        for i in range(n):
+            rows.append(("a", pd.Timestamp(f"2024-01-{d+1:02d} 0{i}:00:00")))
+    df = pd.DataFrame(rows, columns=["event_type", "ts"])
+    out = daily_autocorr(ray.data.from_pandas(df).repartition(3))
+    assert out["event_type"].tolist() == ["a"]
+    assert out["r1"].tolist() == [-1.0]
+    assert out["n_pairs"].tolist() == [7]
