@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["orders_profile"] = _q_orders_profile
     q["events_daily_autocorr"] = _q_events_daily_autocorr
     q["events_type_phi"] = _q_events_type_phi
+    q["doc_length_psi"] = _q_doc_length_psi
     q["forecast_revenue_change"] = rel.forecast_revenue_change
     q["promo_revenue_share"] = rel.promo_revenue_share
     q["bilateral_trade"] = rel.bilateral_trade
@@ -1461,6 +1462,17 @@ def _q_doc_boolean_search(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_length_psi(sf_dir: str) -> pd.DataFrame:
+    """Distribution-drift monitor (kgray.ops.curation.length_psi): PSI
+    between the even- and odd-id halves over document length, reference-
+    decile bins, add-one smoothing, nano-quantized terms; twin repeats
+    the cume-dist ladder and the ln expression."""
+    from kgray.ops.curation import length_psi
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return length_psi(ds)
 
 
 def _q_events_daily_autocorr(sf_dir: str) -> pd.DataFrame:
@@ -4681,6 +4693,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "doc_length_psi": """
+            WITH x AS (
+              SELECT doc_id & 1 AS half, CAST(length(text) AS BIGINT) AS l
+              FROM documents),
+            ref AS (SELECT l FROM x WHERE half = 0),
+            cd AS (SELECT l, cume_dist() OVER (ORDER BY l) AS f FROM ref),
+            b AS (
+              SELECT k,
+                     (SELECT min(l) FROM cd WHERE f >= k / 10.0) AS bound
+              FROM (SELECT unnest(range(1, 10)) AS k)),
+            binned AS (
+              SELECT half,
+                     (SELECT CAST(count(*) AS BIGINT) FROM b WHERE x.l >= b.bound) AS bin
+              FROM x),
+            cnt AS (
+              SELECT bin,
+                     CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                     CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+              FROM binned GROUP BY 1),
+            tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS nr, CAST(sum(n_cur) AS BIGINT) AS nc FROM cnt),
+            grid AS (
+              SELECT k AS bin, coalesce(cnt.n_ref, 0) AS n_ref, coalesce(cnt.n_cur, 0) AS n_cur
+              FROM (SELECT unnest(range(0, 10)) AS k)
+              LEFT JOIN cnt ON cnt.bin = k)
+            SELECT bin, n_ref, n_cur,
+                   CAST(floor(((n_cur + 1.0) / (nc + 10.0) - (n_ref + 1.0) / (nr + 10.0))
+                              * ln(((n_cur + 1.0) / (nc + 10.0)) / ((n_ref + 1.0) / (nr + 10.0)))
+                              * 1e9 + 0.5) AS BIGINT) AS term_nano
+            FROM grid, tot
         """,
         "events_daily_autocorr": """
             WITH daily AS (

@@ -902,3 +902,82 @@ def weighted_sample_topn(
         )
     out = cand.sort_values(["priority_micro", id_col], ascending=[False, True], kind="mergesort")
     return out.head(n).reset_index(drop=True)
+
+
+def length_psi(
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Population Stability Index between two corpus halves (even vs odd
+    ids) over the document-LENGTH distribution — the standard
+    distribution-drift monitor a production pipeline runs between
+    ingests.  Bins are the REFERENCE half's deciles (cume-dist
+    convention: bound k = min L with cdf ≥ k/10); PSI = Σ (p_c − p_r)·
+    ln(p_c/p_r) with add-one smoothing so empty bins stay finite.
+
+    Exactness: lengths are ints, bin assignment is integer comparison,
+    the smoothed proportions are exact rationals — the per-bin term
+    quantizes to NANO-units identically on both engines (ln parity, the
+    DSIR convention).
+
+    Scale shape: ONE (half, length, count) histogram-partial pass —
+    driver traffic bounded by the length DOMAIN × 2; binning, counting
+    and the PSI sum run on that bounded table."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln_ = pc.utf8_length(t[text_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        return (
+            pa.table(
+                {
+                    "half": pa.array((ids & 1).astype(np.int64), pa.int64()),
+                    "len": pa.array(ln_, pa.int64()),
+                }
+            )
+            .group_by(["half", "len"])
+            .aggregate([([], "count_all")])
+        )
+
+    hist = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "bin": pd.Series(dtype="int64"),
+            "n_ref": pd.Series(dtype="int64"),
+            "n_cur": pd.Series(dtype="int64"),
+            "term_nano": pd.Series(dtype="int64"),
+        }
+    )
+    if "half" not in hist.columns or not len(hist):
+        return empty
+    agg = hist.groupby(["half", "len"], sort=True)["count_all"].sum()
+    ref = agg.xs(0, level="half") if 0 in agg.index.get_level_values(0) else pd.Series(dtype="int64")
+    cur = agg.xs(1, level="half") if 1 in agg.index.get_level_values(0) else pd.Series(dtype="int64")
+    if not len(ref) or not len(cur):
+        return empty
+    vals = ref.index.to_numpy(dtype=np.int64)
+    cdf = np.cumsum(ref.to_numpy(dtype=np.int64)) / ref.sum()
+    bounds = np.array(
+        [vals[np.searchsorted(cdf, k / 10.0, side="left")] for k in range(1, 10)],
+        dtype=np.int64,
+    )
+
+    def bin_counts(series: pd.Series) -> np.ndarray:
+        lens = series.index.to_numpy(dtype=np.int64)
+        cnts = series.to_numpy(dtype=np.int64)
+        bins = (lens[:, None] >= bounds[None, :]).sum(axis=1)
+        return np.bincount(bins, weights=cnts, minlength=10).astype(np.int64)
+
+    cr, cc = bin_counts(ref), bin_counts(cur)
+    nr, nc = int(cr.sum()), int(cc.sum())
+    pr = (cr + 1.0) / (nr + 10.0)
+    pcur = (cc + 1.0) / (nc + 10.0)
+    term = (pcur - pr) * np.log(pcur / pr)
+    return pd.DataFrame(
+        {
+            "bin": np.arange(10, dtype=np.int64),
+            "n_ref": cr,
+            "n_cur": cc,
+            "term_nano": np.floor(term * 1e9 + 0.5).astype(np.int64),
+        }
+    )

@@ -107,3 +107,28 @@ def test_dedup_cluster_weights_sum_to_content(ray_session):
     # every member of one cluster carries the identical weight
     grp = out.groupby("canonical_id")["weight"].nunique()
     assert (grp == 1).all()
+
+
+def test_length_psi_zero_on_identical_halves(ray_session):
+    """Identical even/odd length distributions give term ≈ 0 in every bin
+    (only smoothing noise when counts differ by the +1)."""
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.curation import length_psi
+
+    # even and odd ids carry the SAME multiset of lengths
+    texts = ["x" * n for n in (10, 20, 30, 40, 50)] * 8
+    df = pd.DataFrame({"doc_id": range(40), "text": texts})
+    out = length_psi(ray.data.from_pandas(df).repartition(4))
+    assert len(out) == 10
+    assert out["n_ref"].sum() == 20 and out["n_cur"].sum() == 20
+    assert (out["term_nano"].abs() <= 1).all()  # identical halves -> PSI ~ 0
+
+    # drifted current half: reference lengths spread 10..200, current
+    # lengths all in the top decile -> mass shifts to the last bin
+    texts2 = [
+        "x" * ((i // 2 % 20 + 1) * 10) if i % 2 == 0 else "x" * 200 for i in range(40)
+    ]
+    out2 = length_psi(ray.data.from_pandas(pd.DataFrame({"doc_id": range(40), "text": texts2})))
+    assert out2["term_nano"].sum() > 100_000_000  # PSI > 0.1 (drift alarm)

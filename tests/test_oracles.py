@@ -164,6 +164,7 @@ def _compare(query: str):
         "orders_profile",
         "events_daily_autocorr",
         "events_type_phi",
+        "doc_length_psi",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",
