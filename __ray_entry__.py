@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_daily_autocorr"] = _q_events_daily_autocorr
     q["events_type_phi"] = _q_events_type_phi
     q["doc_length_psi"] = _q_doc_length_psi
+    q["doc_lang_kl"] = _q_doc_lang_kl
     q["forecast_revenue_change"] = rel.forecast_revenue_change
     q["promo_revenue_share"] = rel.promo_revenue_share
     q["bilateral_trade"] = rel.bilateral_trade
@@ -1462,6 +1463,17 @@ def _q_doc_boolean_search(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_lang_kl(sf_dir: str) -> pd.DataFrame:
+    """Inter-language unigram-LM KL matrix (kgray.ops.text.
+    lang_kl_matrix): add-one smoothing on the union vocab, per-token
+    terms nano-quantized before summing; twin mirrors the grid and the
+    ln expression."""
+    from kgray.ops.text import lang_kl_matrix
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    return lang_kl_matrix(ds)
 
 
 def _q_doc_length_psi(sf_dir: str) -> pd.DataFrame:
@@ -4693,6 +4705,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "doc_lang_kl": """
+            WITH toks AS (
+              SELECT lang, t AS tok
+              FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''),
+            c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2),
+            v AS (SELECT DISTINCT tok FROM c),
+            nv AS (SELECT CAST(count(*) AS BIGINT) AS V FROM v),
+            ls AS (SELECT DISTINCT lang FROM c),
+            tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+            grid AS (
+              SELECT ls.lang, v.tok, coalesce(c.cnt, 0) AS cnt
+              FROM ls CROSS JOIN v
+              LEFT JOIN c ON c.lang = ls.lang AND c.tok = v.tok),
+            p AS (
+              SELECT g.lang, g.tok, (g.cnt + 1.0) / (tot.n + nv.V) AS p
+              FROM grid g JOIN tot ON tot.lang = g.lang, nv)
+            SELECT a.lang AS lang_a, b.lang AS lang_b,
+                   CAST(sum(CAST(floor(a.p * ln(a.p / b.p) * 1e9 + 0.5) AS BIGINT)) AS BIGINT)::DOUBLE
+                   / 1e9 AS kl
+            FROM p a JOIN p b ON a.tok = b.tok AND a.lang <> b.lang
+            GROUP BY 1, 2
         """,
         "doc_length_psi": """
             WITH x AS (

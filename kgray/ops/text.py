@@ -676,3 +676,80 @@ def unigram_lm_score_grouped(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def lang_kl_matrix(
+    docs: ray.data.Dataset,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Pairwise KL divergence between per-language unigram LMs —
+    KL(P_a‖P_b) over add-one-smoothed distributions on the SHARED union
+    vocabulary — the corpus-comparison rollup (which language slices are
+    interchangeable for mixing, which need their own model).
+
+    Exactness: counts are exact ints; each token's contribution
+    ``p_a·ln(p_a/p_b)`` quantizes to NANO-units before the sum (the DSIR
+    ln convention), so distributed float order cannot flip the hash.
+
+    Scale shape: ONE (lang, token, count) Arrow-partial pass — driver
+    traffic bounded by langs × vocabulary (the doc_unigram_lm budget,
+    hashed-bucket variant documented for 10^8-token vocabularies); the
+    langs² KL matrix is driver math on that bounded table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lst = pc.split_pattern(pc.cast(texts, pa.large_string()), " ")
+        lens = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+        flat = lst.flatten()
+        langs = np.repeat(
+            np.asarray(t[lang_col].to_pandas(), dtype=object), lens
+        )
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return (
+            pa.table(
+                {
+                    "lang": pa.array(langs[mask], pa.large_string()),
+                    "tok": pa.array(
+                        np.asarray(flat.to_pandas(), dtype=object)[mask], pa.large_string()
+                    ),
+                }
+            )
+            .group_by(["lang", "tok"])
+            .aggregate([([], "count_all")])
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "lang_a": pd.Series(dtype=object),
+            "lang_b": pd.Series(dtype=object),
+            "kl": pd.Series(dtype="float64"),
+        }
+    )
+    if "lang" not in parts.columns or not len(parts):
+        return empty
+    cnt = parts.groupby(["lang", "tok"], sort=True)["count_all"].sum()
+    piv = cnt.unstack(fill_value=0)  # langs × union vocab
+    langs = piv.index.to_numpy(dtype=object)
+    V = piv.shape[1]
+    c = piv.to_numpy(dtype=np.float64)
+    n = c.sum(axis=1, keepdims=True)
+    p = (c + 1.0) / (n + V)
+    rows = []
+    for i, la in enumerate(langs):
+        for j, lb in enumerate(langs):
+            if i == j:
+                continue
+            term = p[i] * np.log(p[i] / p[j])
+            nano = np.floor(term * 1e9 + 0.5).astype(np.int64).sum()
+            rows.append((la, lb, nano / 1e9))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["lang_a", "lang_b", "kl"]).sort_values(
+        ["lang_a", "lang_b"]
+    ).reset_index(drop=True)

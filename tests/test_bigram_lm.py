@@ -60,3 +60,35 @@ def test_single_token_doc_uses_unigram_only(ray_session):
     # doc 0: p(solo) = 3/3 = 1 -> 0 bits
     assert out.loc[0, "bits_per_token"] == 0.0
     assert out.loc[0, "n_tokens"] == 1
+
+
+def test_lang_kl_asymmetry_and_zero(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from kgray.ops.text import lang_kl_matrix
+
+    df = pd.DataFrame(
+        {
+            "lang": ["en", "en", "de", "de", "fr"],
+            "text": [
+                "the cat sat",
+                "the dog sat",
+                "der hund sass",
+                "die katze sass",
+                "the cat sat",  # fr == an en doc: KL(fr||en) small
+            ],
+        }
+    )
+    out = lang_kl_matrix(ray.data.from_pandas(df).repartition(2)).set_index(
+        ["lang_a", "lang_b"]
+    )
+    assert len(out) == 6  # 3 langs, ordered pairs
+    # disjoint vocabularies diverge much more than overlapping ones
+    assert out.loc[("en", "de"), "kl"] > out.loc[("fr", "en"), "kl"]
+    # KL is asymmetric in general — both directions present
+    assert ("de", "en") in out.index and ("en", "de") in out.index
+    out2 = lang_kl_matrix(ray.data.from_pandas(df).repartition(5)).set_index(
+        ["lang_a", "lang_b"]
+    )
+    assert out2.sort_index()["kl"].equals(out.sort_index()["kl"])

@@ -165,6 +165,7 @@ def _compare(query: str):
         "events_daily_autocorr",
         "events_type_phi",
         "doc_length_psi",
+        "doc_lang_kl",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",
