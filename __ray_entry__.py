@@ -357,6 +357,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_type_phi"] = _q_events_type_phi
     q["doc_length_psi"] = _q_doc_length_psi
     q["doc_lang_kl"] = _q_doc_lang_kl
+    q["lineitem_price_qty_corr"] = rel.price_qty_correlation
+    q["events_dup_audit"] = _q_events_dup_audit
     q["forecast_revenue_change"] = rel.forecast_revenue_change
     q["promo_revenue_share"] = rel.promo_revenue_share
     q["bilateral_trade"] = rel.bilateral_trade
@@ -1463,6 +1465,18 @@ def _q_doc_boolean_search(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_events_dup_audit(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-fact audit (kgray.ops.stats.duplicate_row_audit): exact
+    dup rows on (user, type, ts, cents) ignoring the surrogate id —
+    md5-keyed hash-bucket count; twin replays the same md5 key."""
+    from kgray.ops.stats import duplicate_row_audit
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "value"]
+    )
+    return duplicate_row_audit(ds)
 
 
 def _q_doc_lang_kl(sf_dir: str) -> pd.DataFrame:
@@ -4705,6 +4719,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "lineitem_price_qty_corr": """
+            WITH q AS (
+              SELECT l_returnflag,
+                     CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+                     CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+              FROM lineitem),
+            mo AS (
+              -- HUGEINT throughout: n·Σy² exceeds int64 at bench scale
+              SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(x * x) AS HUGEINT) AS sxx,
+                     CAST(sum(y * y) AS HUGEINT) AS syy,
+                     CAST(sum(x * y) AS HUGEINT) AS sxy
+              FROM q GROUP BY 1)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   floor((n * sxy - sx * sy)::DOUBLE
+                         / sqrt(((n * sxx - sx * sx) * (n * syy - sy * sy))::DOUBLE)
+                         * 1e6 + 0.5) / 1e6 AS r
+            FROM mo WHERE (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+        """,
+        "events_dup_audit": """
+            WITH k AS (
+              SELECT md5_number_lower(
+                       CAST(user_id AS VARCHAR) || chr(31) || event_type || chr(31)
+                       || strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || chr(31)
+                       || CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+                     ) AS h
+              FROM events),
+            g AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM k GROUP BY 1)
+            SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_groups,
+                   CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END), 0) AS BIGINT) AS n_extra_rows
+            FROM g
         """,
         "doc_lang_kl": """
             WITH toks AS (

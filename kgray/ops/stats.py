@@ -1314,3 +1314,59 @@ def type_phi_correlation(
     if not rows:
         return empty
     return pd.DataFrame(rows, columns=["ta", "tb", "n11", "phi"])
+
+
+def duplicate_row_audit(
+    events: ray.data.Dataset,
+    key_cols: tuple[str, ...] = ("user_id", "event_type", "ts", "value"),
+) -> pd.DataFrame:
+    """Data-quality audit: exact duplicate FACT rows (identical on
+    ``key_cols``, ignoring the surrogate id) — double-ingest detection.
+    Reports the number of duplicated groups and the surplus rows a
+    dedup would remove.
+
+    Scale shape: batches fold to (row-hash, count) partials (md5 over
+    the canonical string of the key tuple — the stratified_sample hash,
+    SQL-replayable); one hash-bucket shuffle; each bucket emits a 2-int
+    partial."""
+    from kgray.ops.dedup import _md5_u64_np
+
+    cols = list(key_cols)
+
+    def col_str(s: pd.Series) -> pd.Series:
+        if str(s.dtype).startswith("datetime"):
+            return s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        if str(s.dtype).startswith("float"):
+            # cents, NOT the float repr — decimal formatting differs
+            # between engines; the integer string never does
+            return pd.Series(
+                np.floor(s.to_numpy() * 100.0 + 0.5).astype(np.int64).astype(str),
+                index=s.index,
+            )
+        return s.astype(str)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        key = col_str(b[cols[0]])
+        for c in cols[1:]:
+            key = key + "\x1f" + col_str(b[c])
+        h = _md5_u64_np(list(key)).astype(np.int64)
+        out = pd.DataFrame({"h": h}).groupby("h").size().reset_index(name="cnt")
+        out["bucket"] = (out["h"] % 64).astype("int32")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("h", sort=False)["cnt"].sum()
+        dup = tot[tot > 1]
+        return pd.DataFrame(
+            {"n_dup_groups": [int(len(dup))], "n_extra_rows": [int((dup - 1).sum())]}
+        )
+
+    parts = (
+        events.map_batches(partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "n_dup_groups" not in parts.columns or not len(parts):
+        return pd.DataFrame({"n_dup_groups": [0], "n_extra_rows": [0]}).astype("int64")
+    return parts.sum(axis=0).to_frame().T.astype("int64").reset_index(drop=True)

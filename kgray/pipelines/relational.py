@@ -1760,3 +1760,61 @@ def bilateral_trade(
     )
     out["revenue"] = out["rc"].to_numpy(dtype=np.float64) / 100.0
     return out.drop(columns=["rc"]).reset_index(drop=True)
+
+
+def price_qty_correlation(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation between quantity and extended price per
+    return flag — the cross-variable moment rollup (pricing sanity:
+    price should track quantity; a flag where it doesn't is suspect).
+
+    Exactness: quantity quantizes to cents, price to WHOLE DOLLARS
+    (keeps Σy² within int64 through sf100 fact counts); the driver
+    combines in arbitrary-precision Python ints and the twin promotes
+    to HUGEINT, so the r formula's products never overflow; the single
+    division + sqrt micro-quantizes identically.
+
+    Scale shape: one streaming pass folding each batch to per-flag
+    moment partials (flags × 6 ints); driver combine + the r formula."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        qc = np.floor(b["l_quantity"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        pc_ = np.floor(b["l_extendedprice"].to_numpy() + 0.5).astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "flag": b["l_returnflag"].to_numpy(dtype=object),
+                "n": 1,
+                "sx": qc,
+                "sy": pc_,
+                "sxx": qc * qc,
+                "syy": pc_ * pc_,
+                "sxy": qc * pc_,
+            }
+        )
+        return d.groupby("flag", sort=False).sum().reset_index()
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pandas", batch_size=262144)
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "l_returnflag": pd.Series(dtype=object),
+            "n": pd.Series(dtype="int64"),
+            "r": pd.Series(dtype="float64"),
+        }
+    )
+    if "flag" not in parts.columns or not len(parts):
+        return empty
+    agg = parts.groupby("flag", sort=True)[["n", "sx", "sy", "sxx", "syy", "sxy"]].sum()
+    rows = []
+    for flag, m in agg.iterrows():
+        n, sx, sy, sxx, syy, sxy = (int(m[c]) for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+        den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        if den2 <= 0:
+            continue
+        r = float(n * sxy - sx * sy) / np.sqrt(np.float64(den2))
+        rows.append((flag, n, np.floor(r * 1e6 + 0.5) / 1e6))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["l_returnflag", "n", "r"])

@@ -166,6 +166,8 @@ def _compare(query: str):
         "events_type_phi",
         "doc_length_psi",
         "doc_lang_kl",
+        "lineitem_price_qty_corr",
+        "events_dup_audit",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",

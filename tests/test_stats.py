@@ -407,3 +407,21 @@ def test_daily_autocorr_alternating_series(ray_session):
     assert out["event_type"].tolist() == ["a"]
     assert out["r1"].tolist() == [-1.0]
     assert out["n_pairs"].tolist() == [7]
+
+
+def test_duplicate_row_audit_counts(ray_session):
+    from kgray.ops.stats import duplicate_row_audit
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "event_type": ["a", "a", "a", "b", "b"],
+            "ts": [t0, t0, t0, t0, t0 + pd.Timedelta(seconds=1)],
+            "value": [5.0, 5.0, 5.0, 7.0, 7.0],
+        }
+    )
+    # rows 0-2 identical (1 group, 2 extra); rows 3-4 differ by ts
+    out = duplicate_row_audit(ray.data.from_pandas(df).repartition(3))
+    assert out["n_dup_groups"].tolist() == [1]
+    assert out["n_extra_rows"].tolist() == [2]
