@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_lang_kl"] = _q_doc_lang_kl
     q["lineitem_price_qty_corr"] = rel.price_qty_correlation
     q["events_dup_audit"] = _q_events_dup_audit
+    q["events_weekday_chi2"] = _q_events_weekday_chi2
     q["forecast_revenue_change"] = rel.forecast_revenue_change
     q["promo_revenue_share"] = rel.promo_revenue_share
     q["bilateral_trade"] = rel.bilateral_trade
@@ -1465,6 +1466,16 @@ def _q_doc_boolean_search(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_events_weekday_chi2(sf_dir: str) -> pd.DataFrame:
+    """Weekday-uniformity χ² per type (kgray.ops.stats.weekday_chi2):
+    (7·Σo² − n²)/n exact until one micro-quantized division; twin
+    repeats the integer formula over the same epoch dow."""
+    from kgray.ops.stats import weekday_chi2
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return weekday_chi2(ds)
 
 
 def _q_events_dup_audit(sf_dir: str) -> pd.DataFrame:
@@ -4719,6 +4730,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(c)::DOUBLE / 100.0 / count(*), 4) AS wmean
             FROM cl GROUP BY event_type, lo, hi
+        """,
+        "events_weekday_chi2": """
+            WITH d AS (
+              SELECT event_type,
+                     ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow
+              FROM events),
+            o AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o FROM d GROUP BY 1, 2),
+            m AS (
+              SELECT event_type, CAST(sum(o) AS BIGINT) AS n,
+                     CAST(sum(o * o) AS BIGINT) AS so2
+              FROM o GROUP BY 1)
+            SELECT event_type, n,
+                   floor((7 * so2 - n * n)::DOUBLE / n::DOUBLE * 1e6 + 0.5) / 1e6 AS chi2
+            FROM m WHERE n > 0
         """,
         "lineitem_price_qty_corr": """
             WITH q AS (

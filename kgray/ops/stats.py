@@ -1370,3 +1370,53 @@ def duplicate_row_audit(
     if "n_dup_groups" not in parts.columns or not len(parts):
         return pd.DataFrame({"n_dup_groups": [0], "n_extra_rows": [0]}).astype("int64")
     return parts.sum(axis=0).to_frame().T.astype("int64").reset_index(drop=True)
+
+
+def weekday_chi2(
+    events: ray.data.Dataset,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Chi-square statistic against a UNIFORM weekday distribution per
+    key — the goodness-of-fit seasonality test (χ² ≫ 12.6 ⇒ the weekly
+    cycle is real, not noise).  Day-of-week is the epoch integer formula
+    (weekly_heatmap's (days+4) % 7).
+
+    Exactness: with e = n/7, χ² = (7·Σo² − n²)/n — exact integers until
+    the one micro-quantized division.
+
+    Scale shape: (key, dow, count) Arrow partials — keys × 7 driver
+    budget."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // 86_400_000_000) + 4) % 7
+        return (
+            pa.table({key_col: t[key_col], "dow": pa.array(dow, pa.int64())})
+            .group_by([key_col, "dow"])
+            .aggregate([([], "count_all")])
+        )
+
+    parts = events.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            key_col: pd.Series(dtype=object),
+            "n": pd.Series(dtype="int64"),
+            "chi2": pd.Series(dtype="float64"),
+        }
+    )
+    if key_col not in parts.columns or not len(parts):
+        return empty
+    agg = parts.groupby([key_col, "dow"], sort=True)["count_all"].sum()
+    rows = []
+    for key, grp in agg.groupby(level=0, sort=True):
+        o = np.zeros(7, dtype=np.int64)
+        o[grp.index.get_level_values(1).to_numpy(dtype=np.int64)] = grp.to_numpy(np.int64)
+        n = int(o.sum())
+        if n == 0:
+            continue
+        chi2 = float(7 * int((o * o).sum()) - n * n) / n
+        rows.append((key, n, np.floor(chi2 * 1e6 + 0.5) / 1e6))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=[key_col, "n", "chi2"])

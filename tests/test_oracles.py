@@ -168,6 +168,7 @@ def _compare(query: str):
         "doc_lang_kl",
         "lineitem_price_qty_corr",
         "events_dup_audit",
+        "events_weekday_chi2",
         "small_qty_revenue",
         "large_orders",
         "top_supplier",
