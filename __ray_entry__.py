@@ -363,6 +363,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["forecast_revenue_change"] = rel.forecast_revenue_change
     q["promo_revenue_share"] = rel.promo_revenue_share
     q["bilateral_trade"] = rel.bilateral_trade
+    q["customer_order_dist"] = rel.customer_order_dist
+    q["nation_market_share"] = rel.nation_market_share
+    q["supplier_part_coverage"] = rel.supplier_part_coverage
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
 
@@ -4957,6 +4960,47 @@ FROM cs GROUP BY 1
             FROM li JOIN co ON o_orderkey = l_orderkey
                     JOIN sn ON sn.s_suppkey = l_suppkey
             WHERE supp_nation <> cust_nation
+            GROUP BY 1, 2, 3
+        """,
+        "customer_order_dist": """
+            WITH pc AS (
+              SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+              GROUP BY 1)
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM pc GROUP BY 1
+        """,
+        "nation_market_share": """
+            WITH rn AS (
+              SELECT n_nationkey FROM nation JOIN region ON r_regionkey = n_regionkey
+              WHERE r_name = 'ASIA'),
+            co AS (
+              SELECT o_orderkey, strftime(o_orderdate, '%Y') AS o_year
+              FROM orders JOIN customer ON c_custkey = o_custkey
+              WHERE c_nationkey IN (SELECT n_nationkey FROM rn)
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'),
+            sn AS (
+              SELECT s_suppkey FROM supplier JOIN nation ON n_nationkey = s_nationkey
+              WHERE n_name = 'NATION_2'),
+            li AS (
+              SELECT l_orderkey, l_suppkey,
+                     CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rc
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_type = 'STANDARD')
+            SELECT o_year,
+                   floor(sum(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM sn)
+                                  THEN rc ELSE 0 END)::DOUBLE
+                         / sum(rc)::DOUBLE * 1e6 + 0.5) / 1e6 AS mkt_share
+            FROM li JOIN co ON o_orderkey = l_orderkey
+            GROUP BY 1
+            HAVING sum(rc) > 0
+        """,
+        "supplier_part_coverage": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO' AND p_size <= 25
             GROUP BY 1, 2, 3
         """,
         "events_type_combos": """

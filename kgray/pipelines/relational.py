@@ -1818,3 +1818,279 @@ def price_qty_correlation(sf_dir: str) -> pd.DataFrame:
     if not rows:
         return empty
     return pd.DataFrame(rows, columns=["l_returnflag", "n", "r"])
+
+
+def customer_order_dist(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """TPC-H Q13-shaped customer distribution: how many customers placed
+    exactly k orders, INCLUDING the zero bin (customers with no orders) —
+    the left-join + double-groupby shape.
+
+    Scale shape: the orders fact stream pre-aggregates per-custkey counts
+    inside ``map_batches`` (combiner), meets itself in custkey hash
+    buckets, and each bucket emits a HISTOGRAM partial (order-count →
+    n_customers) — the driver merges ≤ buckets × distinct-count rows.
+    The zero bin needs only two scalars: total customers (count pass on
+    the pruned customer stream) minus customers seen ordering (Σ
+    histogram), so the left join never materializes.
+    """
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b.groupby("o_custkey", sort=False).size().reset_index(name="n")
+        return pd.DataFrame(
+            {
+                "bucket": (c["o_custkey"] % num_buckets).astype("int32"),
+                "ckey": c["o_custkey"].astype("int64"),
+                "n": c["n"].astype("int64"),
+            }
+        )
+
+    def per_bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g.groupby("ckey", sort=False)["n"].sum()
+        h = per_cust.value_counts()
+        return pd.DataFrame(
+            {"c_count": h.index.astype("int64"), "custdist": h.to_numpy(dtype=np.int64)}
+        )
+
+    hist = (
+        orders.map_batches(count_partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket_hist, batch_format="pandas")
+        .to_pandas()  # ≤ buckets × |count domain| rows
+    )
+    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
+    if "c_count" not in hist.columns or not len(hist):
+        hist = pd.DataFrame({"c_count": [], "custdist": []})
+    out = hist.groupby("c_count", sort=True)["custdist"].sum().reset_index()
+    n_zero = n_customers - int(out["custdist"].sum())
+    if n_zero > 0:
+        out = pd.concat(
+            [pd.DataFrame({"c_count": [0], "custdist": [n_zero]}), out], ignore_index=True
+        )
+    out["c_count"] = out["c_count"].astype("int64")
+    out["custdist"] = out["custdist"].astype("int64")
+    return out.sort_values("c_count").reset_index(drop=True)
+
+
+def nation_market_share(
+    sf_dir: str,
+    region: str = "ASIA",
+    nation: str = "NATION_2",
+    part_type: str = "STANDARD",
+    since: str = "1995-01-01",
+    until: str = "1997-01-01",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """TPC-H Q8-shaped market share: per order year, the fraction of
+    discounted revenue (orders from customers in ``region``, parts of
+    ``part_type``) supplied by ``nation``.
+
+    Scale shape (the 6-table star):
+    - nation/region and the target-nation suppkey set always broadcast
+      (tiny); the region custkey set broadcasts below the documented
+      dimension ceiling (the custkey bucket-join ladder of
+      ``revenue_by_nation`` applies above it);
+    - the typed partkey set broadcasts (a type selects ~1/|types| of
+      part);
+    - orders pre-shrink to (orderkey, year) for in-range in-region rows;
+      lineitem pre-aggregates per orderkey into TWO integer-cent
+      accumulators (total, target-nation) inside ``map_batches``;
+    - both partial streams meet once in ORDERKEY hash buckets; each
+      bucket emits per-year integer partials, the driver reduces ≤
+      buckets × years rows and performs the single micro-quantized
+      division per year.
+    """
+    from kgray.functions.broadcast import cached_get
+
+    lo, hi = pd.Timestamp(since), pd.Timestamp(until)
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    region_keys = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    region_nations = set(nat.loc[nat["n_regionkey"].isin(region_keys), "n_nationkey"])
+    target_nkey = set(nat.loc[nat["n_name"] == nation, "n_nationkey"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pd.DataFrame(
+            {"ckey": b.loc[b["c_nationkey"].isin(region_nations), "c_custkey"]}
+        ),
+        batch_format="pandas",
+        batch_size=262144,
+    ).to_pandas()
+    region_cust_ref = ray.put(np.sort(cust["ckey"].to_numpy(dtype=np.int64)))
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    target_supp_ref = ray.put(
+        np.sort(supp.loc[supp["s_nationkey"].isin(target_nkey), "s_suppkey"].to_numpy(np.int64))
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    typed_part_ref = ray.put(
+        np.sort(part.loc[part["p_type"] == part_type, "p_partkey"].to_numpy(np.int64))
+    )
+
+    def orders_side(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)
+        m &= np.isin(b["o_custkey"].to_numpy(dtype=np.int64), cached_get(region_cust_ref))
+        b = b.loc[m]
+        return pd.DataFrame(
+            {
+                "bucket": (b["o_orderkey"] % num_buckets).astype("int32"),
+                "okey": b["o_orderkey"].astype("int64"),
+                "side": np.int8(0),
+                "o_year": b["o_orderdate"].dt.strftime("%Y"),
+                "rc_total": np.int64(0),
+                "rc_target": np.int64(0),
+            }
+        )
+
+    def line_side(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.isin(b["l_partkey"].to_numpy(dtype=np.int64), cached_get(typed_part_ref))
+        b = b.loc[m]
+        rc = np.floor(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy()) * 100.0 + 0.5
+        ).astype(np.int64)
+        tgt = np.where(
+            np.isin(b["l_suppkey"].to_numpy(dtype=np.int64), cached_get(target_supp_ref)), rc, 0
+        )
+        out = (
+            pd.DataFrame({"okey": b["l_orderkey"].to_numpy(np.int64), "t": rc, "g": tgt})
+            .groupby("okey", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "bucket": (out["okey"] % num_buckets).astype("int32"),
+                "okey": out["okey"].astype("int64"),
+                "side": np.int8(1),
+                "o_year": "",
+                "rc_total": out["t"].astype("int64"),
+                "rc_target": out["g"].astype("int64"),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0][["okey", "o_year"]]
+        l = g[g["side"] == 1].groupby("okey", sort=False)[["rc_total", "rc_target"]].sum()
+        m = o.merge(l.reset_index(), on="okey")
+        return m.groupby("o_year", sort=False)[["rc_total", "rc_target"]].sum().reset_index()
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_side, batch_format="pandas", batch_size=262144
+    )
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(line_side, batch_format="pandas", batch_size=262144)
+
+    parts = (
+        orders.union(line)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ buckets × years rows
+    )
+    empty = pd.DataFrame(
+        {"o_year": pd.Series(dtype=object), "mkt_share": pd.Series(dtype="float64")}
+    )
+    if "o_year" not in parts.columns or not len(parts):
+        return empty
+    agg = parts.groupby("o_year", sort=True)[["rc_total", "rc_target"]].sum()
+    agg = agg[agg["rc_total"] > 0]
+    if not len(agg):
+        return empty
+    share = np.floor(
+        agg["rc_target"].to_numpy(dtype=np.float64)
+        / agg["rc_total"].to_numpy(dtype=np.float64)
+        * 1e6
+        + 0.5
+    ) / 1e6
+    return pd.DataFrame({"o_year": agg.index.astype(str), "mkt_share": share}).reset_index(
+        drop=True
+    )
+
+
+def supplier_part_coverage(
+    sf_dir: str,
+    exclude_brand: str = "Brand#13",
+    exclude_type: str = "PROMO",
+    max_size: int = 25,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """TPC-H Q16-shaped supplier coverage: distinct suppliers per part
+    (brand, type, size) group, with the classic brand/type/size exclusion
+    filters — the COUNT(DISTINCT) over a fact⋈dimension join.
+
+    Scale shape: the filtered part attribute map broadcasts once (the
+    dimension ladder applies above the ceiling); the lineitem stream
+    pre-shrinks to DISTINCT (partkey, suppkey) pairs per batch (the
+    distinct combiner — supplier×part is vastly smaller than lineitem),
+    pairs meet once in group-hash buckets, and each bucket counts
+    distinct suppliers per attribute triple exactly.
+    """
+    from kgray.functions.broadcast import cached_get
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    part = part.loc[
+        (part["p_brand"] != exclude_brand)
+        & (part["p_type"] != exclude_type)
+        & (part["p_size"] <= max_size)
+    ]
+    attrs_ref = ray.put(
+        {
+            int(k): (b, t, int(s))
+            for k, b, t, s in zip(
+                part["p_partkey"], part["p_brand"], part["p_type"], part["p_size"]
+            )
+        }
+    )
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        attrs = cached_get(attrs_ref)
+        p = b.drop_duplicates(["l_partkey", "l_suppkey"])
+        keep = p["l_partkey"].isin(attrs.keys())
+        p = p.loc[keep]
+        trip = p["l_partkey"].map(attrs)
+        out = pd.DataFrame(
+            {
+                "p_brand": trip.str[0].astype(str),
+                "p_type": trip.str[1].astype(str),
+                "p_size": trip.str[2].astype("int64"),
+                "skey": p["l_suppkey"].astype("int64"),
+            }
+        )
+        key = out["p_brand"] + "|" + out["p_type"] + "|" + out["p_size"].astype(str)
+        out["bucket"] = (
+            pd.util.hash_array(key.to_numpy(dtype=object)) % num_buckets
+        ).astype("int32")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["p_brand", "p_type", "p_size", "skey"])
+        out = (
+            d.groupby(["p_brand", "p_type", "p_size"], sort=False)["skey"]
+            .nunique()
+            .reset_index(name="supplier_cnt")
+        )
+        out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+        return out
+
+    out = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(pair_partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ |part triples| rows
+    )
+    empty = pd.DataFrame(
+        {
+            "p_brand": pd.Series(dtype=object),
+            "p_type": pd.Series(dtype=object),
+            "p_size": pd.Series(dtype="int64"),
+            "supplier_cnt": pd.Series(dtype="int64"),
+        }
+    )
+    if "p_brand" not in out.columns or not len(out):
+        return empty
+    out = out.drop(columns=[c for c in ("bucket",) if c in out.columns])
+    return (
+        out.sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"], ascending=[False, True, True, True])
+        .reset_index(drop=True)
+    )

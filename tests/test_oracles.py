@@ -159,6 +159,9 @@ def _compare(query: str):
         "forecast_revenue_change",
         "promo_revenue_share",
         "bilateral_trade",
+        "customer_order_dist",
+        "nation_market_share",
+        "supplier_part_coverage",
         "events_benford",
         "doc_cluster_size_hist",
         "orders_profile",
