@@ -172,6 +172,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+    q["doc_readability"] = lambda sf: (
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(tx.flesch_readability, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    q["doc_zipf_slope"] = _q_doc_zipf_slope
+    q["doc_heaps_curve"] = _q_doc_heaps_curve
     q["doc_langid"] = lambda sf: (
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(tx.LangId, batch_format="pandas", concurrency=auto_concurrency())
@@ -618,6 +627,26 @@ def _q_doc_cooccur_pmi(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = token_cooccurrence_pmi(ds, min_count=2).to_pandas()
     return out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
+def _q_doc_zipf_slope(sf_dir: str) -> pd.DataFrame:
+    """Zipf OLS fit over the exact global top-64 tokens: token-hash
+    shuffle of Arrow count partials, 64-row driver fit in int64-exact
+    micro-quantized ln space (kgray/ops/stats.py zipf_slope)."""
+    from kgray.ops.stats import zipf_slope
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return zipf_slope(ds, top_n=64)
+
+
+def _q_doc_heaps_curve(sf_dir: str) -> pd.DataFrame:
+    """Heaps vocabulary-growth curve at power-of-2 doc-id checkpoints:
+    per-token min-doc partials, one token-hash shuffle, checkpoint-bin
+    histogram partials, driver cumsum (kgray/ops/stats.py heaps_curve)."""
+    from kgray.ops.stats import heaps_curve
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return heaps_curve(ds)
 
 
 def _q_events_rolling_wau(sf_dir: str) -> Any:
@@ -4961,6 +4990,52 @@ FROM cs GROUP BY 1
                     JOIN sn ON sn.s_suppkey = l_suppkey
             WHERE supp_nation <> cust_nation
             GROUP BY 1, 2, 3
+        """,
+        "doc_readability": r"""
+            WITH x AS (
+              SELECT doc_id,
+                     greatest(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT), 1) AS w,
+                     greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS s,
+                     CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS syl
+              FROM documents)
+            SELECT doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables,
+                   floor((206.835 - 1.015 * (w::DOUBLE / s::DOUBLE)
+                          - 84.6 * (syl::DOUBLE / w::DOUBLE)) * 1e6 + 0.5) / 1e6 AS fre
+            FROM x
+        """,
+        "doc_zipf_slope": """
+            WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+            c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+            top AS (
+              SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS r
+              FROM c ORDER BY cnt DESC, token LIMIT 64),
+            q AS (
+              SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+                     CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+              FROM top),
+            mo AS (
+              SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy
+              FROM q)
+            SELECT n AS n_ranks,
+                   floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) / 1e6 AS slope
+            FROM mo
+            WHERE n >= 2 AND (n * sxx - sx * sx) <> 0
+        """,
+        "doc_heaps_curve": """
+            WITH m AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM documents),
+            cps AS (SELECT DISTINCT c AS checkpoint FROM (
+              SELECT (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) AS c
+              FROM range(0, 63) t(k), m
+              WHERE (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) <= mx
+              UNION ALL SELECT mx FROM m)),
+            toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+            firstd AS (SELECT token, CAST(min(doc_id) AS BIGINT) AS fd FROM toks GROUP BY 1)
+            SELECT checkpoint,
+                   (SELECT CAST(count(*) AS BIGINT) FROM firstd WHERE fd <= checkpoint) AS vocab,
+                   (SELECT CAST(count(*) AS BIGINT) FROM toks WHERE doc_id <= checkpoint) AS total_tokens
+            FROM cps
         """,
         "customer_order_dist": """
             WITH pc AS (

@@ -1420,3 +1420,137 @@ def weekday_chi2(
     if not rows:
         return empty
     return pd.DataFrame(rows, columns=[key_col, "n", "chi2"])
+
+
+def zipf_slope(
+    ds: ray.data.Dataset, top_n: int = 64, text_col: str = "text"
+) -> pd.DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: OLS slope of
+    ln(count) on ln(rank) for the exact global top-``top_n`` tokens
+    (count-desc, token-asc tie-break) — the tokenizer/corpus-health
+    diagnostic (slope ≈ −1 for natural language).
+
+    Scale shape: reuses ``token_frequencies`` (per-batch Arrow count
+    partials, one token-hash shuffle, buckets×n driver merge); the fit
+    itself touches ``top_n`` rows.  Both ln() inputs micro-quantize to
+    1e6 BEFORE the moment sums so every product stays int64-exact and the
+    DuckDB twin reproduces the slope bit-for-bit (the DSIR ln trick).
+    """
+    freqs = token_frequencies(ds, top_n=top_n, text_col=text_col)
+    n = len(freqs)
+    empty = pd.DataFrame(
+        {"n_ranks": pd.Series(dtype="int64"), "slope": pd.Series(dtype="float64")}
+    )
+    if n < 2:
+        return empty
+    rank = np.arange(1, n + 1, dtype=np.float64)
+    x = np.floor(np.log(rank) * 1e6 + 0.5).astype(np.int64)
+    y = np.floor(np.log(freqs["cnt"].to_numpy(dtype=np.float64)) * 1e6 + 0.5).astype(
+        np.int64
+    )
+    # python ints: exact; magnitudes stay < 2^63 for top_n ≤ ~200
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, sxy = int((x * x).sum()), int((x * y).sum())
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    if den == 0:
+        return empty
+    slope = np.floor(float(num) / float(den) * 1e6 + 0.5) / 1e6
+    return pd.DataFrame({"n_ranks": [np.int64(n)], "slope": [slope]})
+
+
+def heaps_curve(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Heaps'-law vocabulary-growth curve: at doc-id checkpoints 2^k (plus
+    the corpus max), the distinct-token vocabulary and total token count
+    over all docs with id ≤ checkpoint — the corpus-scaling diagnostic
+    (vocab ~ tokens^β).
+
+    Scale shape: one pass computes per-token min-doc-id partials
+    (per-batch Arrow group-min combiner, one token-hash shuffle); each
+    bucket emits a CHECKPOINT-BIN histogram (first checkpoint covering
+    the token's first doc), total token counts bin per batch the same
+    way — the driver cumulative-sums ≤ buckets × ~log2(max_id) rows.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mx = ds.max(id_col)
+    if mx is None:
+        return pd.DataFrame(
+            {
+                "checkpoint": pd.Series(dtype="int64"),
+                "vocab": pd.Series(dtype="int64"),
+                "total_tokens": pd.Series(dtype="int64"),
+            }
+        )
+    mx = int(mx)
+    cps = sorted({1 << k for k in range(63) if (1 << k) <= mx} | {mx})
+    cps_arr = np.asarray(cps, dtype=np.int64)
+
+    def token_min_partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern(pc.cast(texts, pa.large_string()), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        docs = np.repeat(t[id_col].to_numpy(zero_copy_only=False), lens)
+        flat = pa.table({"token": toks.flatten(), "fd": pa.array(docs, pa.int64())})
+        g = flat.group_by("token").aggregate([("fd", "min")])
+        bucket = pd.util.hash_array(
+            np.asarray(g["token"].to_pandas(), dtype=object)
+        ) % num_buckets
+        return g.append_column("bucket", pa.array(bucket.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        fd = g.groupby("token", sort=False)["fd_min"].min().to_numpy(dtype=np.int64)
+        # first checkpoint index covering each token's first doc
+        idx = np.searchsorted(cps_arr, fd, side="left")
+        cnt = np.bincount(idx, minlength=len(cps_arr))
+        return pd.DataFrame(
+            {
+                "cp_idx": np.arange(len(cps_arr), dtype=np.int64),
+                "vocab_new": cnt.astype(np.int64),
+                "tok_new": np.int64(0),
+            }
+        )
+
+    vocab_parts = (
+        ds.map_batches(token_min_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+    def token_count_partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lens = pc.list_value_length(
+            pc.split_pattern(pc.cast(texts, pa.large_string()), " ")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(cps_arr, docs, side="left")
+        tot = np.bincount(idx, weights=lens.astype(np.float64), minlength=len(cps_arr))
+        return pa.table(
+            {
+                "cp_idx": pa.array(np.arange(len(cps_arr)), pa.int64()),
+                "vocab_new": pa.array(np.zeros(len(cps_arr), np.int64)),
+                "tok_new": pa.array(tot.astype(np.int64), pa.int64()),
+            }
+        )
+
+    tok_parts = ds.map_batches(token_count_partial, batch_format="pyarrow")
+    parts = vocab_parts.union(tok_parts).to_pandas()  # ≤ (buckets+blocks) × |cps|
+    agg = parts.groupby("cp_idx", sort=True)[["vocab_new", "tok_new"]].sum()
+    agg = agg.reindex(np.arange(len(cps_arr)), fill_value=0)
+    return pd.DataFrame(
+        {
+            "checkpoint": cps_arr,
+            "vocab": agg["vocab_new"].cumsum().astype("int64").to_numpy(),
+            "total_tokens": agg["tok_new"].cumsum().astype("int64").to_numpy(),
+        }
+    )

@@ -753,3 +753,37 @@ def lang_kl_matrix(
     return pd.DataFrame(rows, columns=["lang_a", "lang_b", "kl"]).sort_values(
         ["lang_a", "lang_b"]
     ).reset_index(drop=True)
+
+
+def flesch_readability(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Flesch reading-ease per document from three RE2 run-counts (words,
+    sentence enders, vowel-group syllable proxy) — the classic
+    quality-filter feature (reference has no counterpart; standard
+    training-data curation op).
+
+    Stateless Arrow kernel: three ``count_substring_regex`` passes per
+    batch, zero-copy from the object store; the score micro-quantizes
+    (floor(x·1e6+0.5)/1e6) so the DuckDB twin hashes identically.
+    """
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    words = pc.count_substring_regex(texts, r"\S+").to_numpy(zero_copy_only=False)
+    sents = pc.count_substring_regex(texts, r"[.!?]+").to_numpy(zero_copy_only=False)
+    syls = pc.count_substring_regex(texts, r"[aeiouyAEIOUY]+").to_numpy(
+        zero_copy_only=False
+    )
+    w = np.maximum(words.astype(np.int64), 1)
+    s = np.maximum(sents.astype(np.int64), 1)
+    syl = syls.astype(np.int64)
+    fre = 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
+    fre = np.floor(fre * 1e6 + 0.5) / 1e6
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(w, pa.int64()),
+            "n_sentences": pa.array(s, pa.int64()),
+            "n_syllables": pa.array(syl, pa.int64()),
+            "fre": pa.array(fre, pa.float64()),
+        }
+    )

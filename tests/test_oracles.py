@@ -162,6 +162,9 @@ def _compare(query: str):
         "customer_order_dist",
         "nation_market_share",
         "supplier_part_coverage",
+        "doc_readability",
+        "doc_zipf_slope",
+        "doc_heaps_curve",
         "events_benford",
         "doc_cluster_size_hist",
         "orders_profile",
