@@ -368,6 +368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_lang_kl"] = _q_doc_lang_kl
     q["lineitem_price_qty_corr"] = rel.price_qty_correlation
     q["events_dup_audit"] = _q_events_dup_audit
+    q["events_user_entropy"] = _q_events_user_entropy
+    q["events_value_gini"] = _q_events_value_gini
     q["events_weekday_chi2"] = _q_events_weekday_chi2
     q["forecast_revenue_change"] = rel.forecast_revenue_change
     q["promo_revenue_share"] = rel.promo_revenue_share
@@ -627,6 +629,26 @@ def _q_doc_cooccur_pmi(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = token_cooccurrence_pmi(ds, min_count=2).to_pandas()
     return out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
+def _q_events_user_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-user event-type Shannon entropy: (user, type) count partials,
+    one user-hash shuffle, integer-exact micro-quantized ln terms
+    (kgray/ops/stats.py user_type_entropy)."""
+    from kgray.ops.stats import user_type_entropy
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return user_type_entropy(ds)
+
+
+def _q_events_value_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini concentration of per-user total value: integer-cent sum
+    partials, one user-hash shuffle, rank-weighted formula on the
+    vocabulary-bounded totals vector (kgray/ops/stats.py value_gini)."""
+    from kgray.ops.stats import value_gini
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    return value_gini(ds)
 
 
 def _q_doc_zipf_slope(sf_dir: str) -> pd.DataFrame:
@@ -4990,6 +5012,32 @@ FROM cs GROUP BY 1
                     JOIN sn ON sn.s_suppkey = l_suppkey
             WHERE supp_nation <> cust_nation
             GROUP BY 1, 2, 3
+        """,
+        "events_user_entropy": """
+            WITH c AS (
+              SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            t AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1)
+            SELECT t.user_id, t.n AS n_events,
+                   CAST(sum(CAST(floor((c.cnt::DOUBLE / t.n::DOUBLE)
+                                       * ln(t.n::DOUBLE / c.cnt::DOUBLE) * 1e9 + 0.5)
+                                 AS BIGINT)) AS BIGINT)::DOUBLE / 1e9 AS entropy
+            FROM c JOIN t USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "events_value_gini": """
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+              FROM events GROUP BY 1),
+            r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM pu),
+            mo AS (
+              SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(i * x) AS six
+              FROM r)
+            SELECT n AS n_users,
+                   floor(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                         / CAST(n * sx AS DOUBLE) * 1e6 + 0.5) / 1e6 AS gini
+            FROM mo WHERE n > 0 AND sx <> 0
         """,
         "doc_readability": r"""
             WITH x AS (

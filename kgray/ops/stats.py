@@ -1554,3 +1554,116 @@ def heaps_curve(
             "total_tokens": agg["tok_new"].cumsum().astype("int64").to_numpy(),
         }
     )
+
+
+def user_type_entropy(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity feature (0 = single-type user).
+
+    Scale shape: per-batch (user, type) count partials (combiner), one
+    user-hash bucket shuffle; each bucket finishes counts, computes the
+    micro-quantized entropy terms (floor(p·ln(1/p)·1e9+0.5), the DSIR ln
+    trick — summed in exact integer space so the DuckDB twin hashes
+    identically) and emits one row per user.
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b.groupby([key_col, type_col], sort=False).size().reset_index(name="cnt")
+        c["bucket"] = (c[key_col] % num_buckets).astype("int32")
+        c["cnt"] = c["cnt"].astype("int64")
+        return c
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby([key_col, type_col], sort=False)["cnt"].sum().reset_index()
+        tot = c.groupby(key_col, sort=False)["cnt"].transform("sum")
+        p = c["cnt"].to_numpy(dtype=np.float64) / tot.to_numpy(dtype=np.float64)
+        inv = tot.to_numpy(dtype=np.float64) / c["cnt"].to_numpy(dtype=np.float64)
+        term = np.floor(p * np.log(inv) * 1e9 + 0.5).astype(np.int64)
+        out = pd.DataFrame({key_col: c[key_col], "n": tot, "t": term})
+        agg = out.groupby(key_col, sort=False).agg(n_events=("n", "max"), tsum=("t", "sum"))
+        return pd.DataFrame(
+            {
+                key_col: agg.index.astype("int64"),
+                "n_events": agg["n_events"].astype("int64").to_numpy(),
+                "entropy": agg["tsum"].to_numpy(dtype=np.float64) / 1e9,
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # one row per user (vocabulary-bounded)
+    )
+    if key_col not in out.columns or not len(out):
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+                "entropy": pd.Series(dtype="float64"),
+            }
+        )
+    return out.sort_values(key_col).reset_index(drop=True)
+
+
+def value_gini(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Gini coefficient of per-user total value — the concentration /
+    inequality audit over the event stream (0 = uniform, →1 = one whale).
+
+    Scale shape: per-batch (user, integer-cent) sum partials, one
+    user-hash shuffle to per-user totals; the rank-weighted Gini formula
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) runs on the per-user totals —
+    a KEY-VOCABULARY-bounded vector (the documented driver-reduce budget;
+    ties broken by user id so the rank assignment is deterministic).
+    All moments are exact python ints; only the final division is float,
+    micro-quantized to 1e6.
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b[value_col].to_numpy(dtype=np.float64) * 100.0 + 0.5).astype(
+            np.int64
+        )
+        c = (
+            pd.DataFrame({key_col: b[key_col].to_numpy(np.int64), "x": cents})
+            .groupby(key_col, sort=False)["x"]
+            .sum()
+            .reset_index()
+        )
+        c["bucket"] = (c[key_col] % num_buckets).astype("int32")
+        return c
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(key_col, sort=False)["x"].sum().reset_index()
+        c["x"] = c["x"].astype("int64")
+        return c[[key_col, "x"]]
+
+    totals = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # one row per user (vocabulary-bounded)
+    )
+    empty = pd.DataFrame(
+        {"n_users": pd.Series(dtype="int64"), "gini": pd.Series(dtype="float64")}
+    )
+    if key_col not in totals.columns or not len(totals):
+        return empty
+    totals = totals.sort_values(["x", key_col], kind="mergesort").reset_index(drop=True)
+    x = totals["x"].to_numpy(dtype=np.int64)
+    n = len(x)
+    sx = int(x.sum())
+    if sx == 0:
+        return empty
+    six = int((np.arange(1, n + 1, dtype=np.int64) * x).sum())
+    gini = np.floor(float(2 * six - (n + 1) * sx) / float(n * sx) * 1e6 + 0.5) / 1e6
+    return pd.DataFrame({"n_users": [np.int64(n)], "gini": [gini]})

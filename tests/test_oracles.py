@@ -165,6 +165,8 @@ def _compare(query: str):
         "doc_readability",
         "doc_zipf_slope",
         "doc_heaps_curve",
+        "events_user_entropy",
+        "events_value_gini",
         "events_benford",
         "doc_cluster_size_hist",
         "orders_profile",
