@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_lang_kl"] = _q_doc_lang_kl
     q["lineitem_price_qty_corr"] = rel.price_qty_correlation
     q["events_dup_audit"] = _q_events_dup_audit
+    q["doc_substring_dedup"] = _q_doc_substring_dedup
     q["events_user_entropy"] = _q_events_user_entropy
     q["events_value_gini"] = _q_events_value_gini
     q["events_weekday_chi2"] = _q_events_weekday_chi2
@@ -629,6 +630,21 @@ def _q_doc_cooccur_pmi(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = token_cooccurrence_pmi(ds, min_count=2).to_pandas()
     return out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
+def _q_doc_substring_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact-substring (window/stride) duplication audit: substring-hash
+    bucket shuffle + doc-hash finish, no all-pairs anywhere
+    (kgray/ops/dedup.py substring_dedup)."""
+    from kgray.ops.dedup import substring_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        substring_dedup(ds, window=40, stride=20)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
 
 
 def _q_events_user_entropy(sf_dir: str) -> pd.DataFrame:
@@ -5012,6 +5028,27 @@ FROM cs GROUP BY 1
                     JOIN sn ON sn.s_suppkey = l_suppkey
             WHERE supp_nation <> cust_nation
             GROUP BY 1, 2, 3
+        """,
+        "doc_substring_dedup": """
+            WITH w AS (
+              SELECT doc_id, substr(text, CAST(p AS INTEGER), 40) AS sub
+              FROM documents, LATERAL unnest(generate_series(1, length(text) - 39, 20)) AS t(p)
+              WHERE length(text) >= 40),
+            d AS (SELECT sub FROM w GROUP BY sub HAVING count(DISTINCT doc_id) >= 2),
+            dup AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows
+              FROM w WHERE sub IN (SELECT sub FROM d) GROUP BY 1),
+            nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM w GROUP BY 1)
+            SELECT documents.doc_id,
+                   coalesce(nw.n_windows, 0) AS n_windows,
+                   coalesce(dup.dup_windows, 0) AS dup_windows,
+                   CASE WHEN coalesce(nw.n_windows, 0) = 0 THEN 0.0
+                        ELSE floor(coalesce(dup.dup_windows, 0)::DOUBLE
+                                   / nw.n_windows::DOUBLE * 1e6 + 0.5) / 1e6
+                   END AS dup_fraction
+            FROM documents
+            LEFT JOIN nw USING (doc_id)
+            LEFT JOIN dup USING (doc_id)
         """,
         "events_user_entropy": """
             WITH c AS (

@@ -1446,3 +1446,110 @@ def minhash_match_histogram(
     k = (sa == sb).sum(axis=1).astype(np.int64)
     u, cnt = np.unique(k, return_counts=True)
     return pd.DataFrame({"k": u.astype("int64"), "n_pairs": cnt.astype("int64")})
+
+
+def substring_dedup(
+    ds: ray.data.Dataset,
+    window: int = 40,
+    stride: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exact-substring duplication audit: the fixed-window/stride
+    approximation of suffix-array ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") — flags
+    how much of each document is VERBATIM-shared with any other document
+    (boilerplate, mirrored passages), which near-dup signatures miss.
+
+    Per doc: every ``window``-char substring at ``stride`` steps; a
+    position is duplicated when its substring occurs in ≥2 DISTINCT docs.
+
+    Scale shape: window rows carry (substring, doc) — corpus-size ×
+    (1/stride) rows, never all-pairs; one substring-hash bucket shuffle
+    finds cross-doc windows (per-bucket exact distinct-doc count); the
+    per-doc finish is a second DOC-hash bucket shuffle of tiny count
+    partials.  Returns a Dataset (doc_id, n_windows, dup_windows,
+    dup_fraction) with one row per input doc.
+    """
+
+    def windows(b: pd.DataFrame) -> pd.DataFrame:
+        subs: list[str] = []
+        docs: list[int] = []
+        nw_doc = np.zeros(len(b), dtype=np.int64)
+        texts = b[text_col].fillna("").tolist()
+        ids = b[id_col].to_numpy(dtype=np.int64)
+        for j, (did, s) in enumerate(zip(ids, texts)):
+            k = 0
+            for p in range(0, len(s) - window + 1, stride):
+                subs.append(s[p : p + window])
+                docs.append(did)
+                k += 1
+            nw_doc[j] = k
+        w = pd.DataFrame(
+            {
+                "sub": pd.Series(subs, dtype=object),
+                "doc_id": pd.Series(docs, dtype="int64"),
+            }
+        )
+        w["bucket"] = (
+            pd.util.hash_array(w["sub"].to_numpy(dtype=object)) % num_buckets
+        ).astype("int32")
+        return w
+
+    def per_sub_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ndocs = g.groupby("sub", sort=False)["doc_id"].transform("nunique")
+        dup = g.loc[ndocs >= 2]
+        out = dup.groupby("doc_id", sort=False).size().reset_index(name="dup")
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["dup"] = out["dup"].astype("int64")
+        out["nw"] = np.int64(0)
+        return out[["doc_id", "nw", "dup"]]
+
+    dup_parts = (
+        ds.map_batches(windows, batch_format="pandas", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(per_sub_bucket, batch_format="pandas")
+    )
+
+    def nw_partial(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b[text_col].fillna("")
+        lens = texts.str.len().to_numpy(dtype=np.int64)
+        nw = np.where(lens >= window, (lens - window) // stride + 1, 0)
+        return pd.DataFrame(
+            {
+                "doc_id": b[id_col].astype("int64"),
+                "nw": nw.astype(np.int64),
+                "dup": np.int64(0),
+            }
+        )
+
+    nw_parts = ds.map_batches(nw_partial, batch_format="pandas", batch_size=262144)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("doc_id", sort=False)[["nw", "dup"]].sum().reset_index()
+        nw = a["nw"].to_numpy(dtype=np.int64)
+        dup = a["dup"].to_numpy(dtype=np.int64)
+        frac = np.where(
+            nw > 0, np.floor(dup / np.maximum(nw, 1) * 1e6 + 0.5) / 1e6, 0.0
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": a["doc_id"].astype("int64"),
+                "n_windows": nw,
+                "dup_windows": dup,
+                "dup_fraction": frac.astype(np.float64),
+            }
+        )
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["dbucket"] = (b["doc_id"] % num_buckets).astype("int32")
+        return b
+
+    return (
+        dup_parts.union(nw_parts)
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("dbucket")
+        .map_groups(per_doc, batch_format="pandas")
+    )

@@ -167,6 +167,7 @@ def _compare(query: str):
         "doc_heaps_curve",
         "events_user_entropy",
         "events_value_gini",
+        "doc_substring_dedup",
         "events_benford",
         "doc_cluster_size_hist",
         "orders_profile",
