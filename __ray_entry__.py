@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lineitem_price_qty_corr"] = rel.price_qty_correlation
     q["events_dup_audit"] = _q_events_dup_audit
     q["doc_substring_dedup"] = _q_doc_substring_dedup
+    q["embedding_outlier_z"] = _q_embedding_outlier_z
     q["events_user_entropy"] = _q_events_user_entropy
     q["events_value_gini"] = _q_events_value_gini
     q["events_weekday_chi2"] = _q_events_weekday_chi2
@@ -630,6 +631,20 @@ def _q_doc_cooccur_pmi(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = token_cooccurrence_pmi(ds, min_count=2).to_pandas()
     return out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
+def _q_embedding_outlier_z(sf_dir: str) -> pd.DataFrame:
+    """Per-label centroid-distance z-scores over the embeddings table:
+    integer-exact two-pass moments, broadcast centroids/stats, one output
+    row per vector (kgray/ops/similarity.py label_outlier_z)."""
+    from kgray.ops.similarity import label_outlier_z
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    return (
+        label_outlier_z(ds).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
 
 
 def _q_doc_substring_dedup(sf_dir: str) -> pd.DataFrame:
@@ -5028,6 +5043,35 @@ FROM cs GROUP BY 1
                     JOIN sn ON sn.s_suppkey = l_suppkey
             WHERE supp_nation <> cust_nation
             GROUP BY 1, 2, 3
+        """,
+        "embedding_outlier_z": """
+            WITH dims AS MATERIALIZED (SELECT unnest(range(1, 65)) AS i),
+            x AS MATERIALIZED (
+              SELECT vec_id, CAST(label AS BIGINT) AS label, d.i AS i,
+                     CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS xq
+              FROM embeddings e CROSS JOIN dims d),
+            lab AS (SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
+                    FROM embeddings GROUP BY 1),
+            sx AS MATERIALIZED (
+              SELECT label, i, CAST(sum(xq) AS BIGINT) AS sxq FROM x GROUP BY 1, 2),
+            d2 AS MATERIALIZED (
+              SELECT x.vec_id, x.label,
+                     CAST(sum((lab.n * x.xq - sx.sxq) * (lab.n * x.xq - sx.sxq))
+                          AS BIGINT) AS d2q
+              FROM x JOIN sx ON sx.label = x.label AND sx.i = x.i
+                     JOIN lab ON lab.label = x.label
+              GROUP BY 1, 2),
+            mo AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS n2, sum(d2q) AS s,
+                     sum(CAST(d2q AS HUGEINT) * d2q) AS ss
+              FROM d2 GROUP BY 1)
+            SELECT d2.vec_id, d2.label,
+                   CASE WHEN (mo.n2 * mo.ss - mo.s * mo.s) <= 0 THEN 0.0
+                        ELSE floor(CAST(CAST(mo.n2 AS HUGEINT) * d2.d2q - mo.s AS DOUBLE)
+                                   / sqrt(CAST(mo.n2 * mo.ss - mo.s * mo.s AS DOUBLE))
+                                   * 1e6 + 0.5) / 1e6
+                   END AS z
+            FROM d2 JOIN mo ON mo.label = d2.label
         """,
         "doc_substring_dedup": """
             WITH w AS (

@@ -790,3 +790,115 @@ def standardize_embeddings(
         )
 
     return embeddings.map_batches(transform, batch_format="numpy")
+
+
+def label_outlier_z(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    quant: float = 1e4,
+) -> ray.data.Dataset:
+    """Per-label embedding outlier scores: z-score of each vector's
+    squared distance to its LABEL CENTROID — the embedding-space data
+    audit (mislabeled / corrupted vectors sit in the z tail).
+
+    Exactness: components quantize to ``quant`` ints FIRST, the centroid
+    never divides (the scale-free identity n²·‖x−μ‖² = Σᵢ(n·xqᵢ−Σxqᵢ)²
+    keeps everything integer-exact; z is invariant to the n² factor), and
+    only the final z divides — so the DuckDB twin hashes bit-for-bit.
+    Int64 bound: per-label counts to ~3e4 at quant=1e4 (coarsen ``quant``
+    above; the embeddings side-table is vocabulary-sized by design).
+
+    Scale shape: pass 1 per-batch (label, n, Σxq-vector) partials →
+    driver merge over |labels| rows → broadcast; pass 2 per-batch integer
+    d² + per-label (n, Σd², Σd⁴) moment partials (Σd⁴ as python-int
+    strings — it exceeds int64 by design and merges exactly on the
+    driver) → broadcast; pass 3 emits (vec_id, label, z) per vector.
+    """
+    from kgray.functions.broadcast import cached_get as _get
+
+    def sum_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lab, grp in b.groupby(label_col, sort=False):
+            m = np.stack(grp[vec_col].to_numpy())
+            xq = np.floor(m.astype(np.float64) * quant + 0.5).astype(np.int64)
+            rows.append((int(lab), len(grp), xq.sum(axis=0)))
+        return pd.DataFrame(
+            {
+                "label": pd.Series([r[0] for r in rows], dtype="int64"),
+                "n": pd.Series([r[1] for r in rows], dtype="int64"),
+                "sxq": pd.Series([r[2] for r in rows]),
+            }
+        )
+
+    parts = ds.map_batches(sum_partial, batch_format="pandas", batch_size=65536).to_pandas()
+    if not len(parts):
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                    "z": pa.array([], pa.float64()),
+                }
+            )
+        )
+    cent: dict[int, tuple[int, np.ndarray]] = {}
+    for lab, grp in parts.groupby("label"):
+        cent[int(lab)] = (
+            int(grp["n"].sum()),
+            np.sum(np.stack(grp["sxq"].to_numpy()), axis=0).astype(np.int64),
+        )
+    cent_ref = ray.put(cent)
+
+    def d2_of(b: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        c = _get(cent_ref)
+        labs = b[label_col].to_numpy(dtype=np.int64)
+        m = np.stack(b[vec_col].to_numpy())
+        xq = np.floor(m.astype(np.float64) * quant + 0.5).astype(np.int64)
+        n_l = np.asarray([c[int(v)][0] for v in labs], dtype=np.int64)
+        sx = np.stack([c[int(v)][1] for v in labs])
+        diff = n_l[:, None] * xq - sx
+        return labs, np.sum(diff * diff, axis=1)
+
+    def moment_partial(b: pd.DataFrame) -> pd.DataFrame:
+        labs, d2 = d2_of(b)
+        out = []
+        for lab in np.unique(labs):
+            v = d2[labs == lab]
+            ss = sum(int(t) * int(t) for t in v)  # exceeds int64 by design
+            out.append((int(lab), len(v), int(v.sum()), str(ss)))
+        return pd.DataFrame(out, columns=["label", "n2", "s", "ss_str"])
+
+    mom = ds.map_batches(moment_partial, batch_format="pandas", batch_size=65536).to_pandas()
+    stats: dict[int, tuple[int, int, int]] = {}
+    for lab, grp in mom.groupby("label"):
+        stats[int(lab)] = (
+            int(grp["n2"].sum()),
+            int(grp["s"].sum()),
+            sum(int(x) for x in grp["ss_str"]),
+        )
+    stats_ref = ray.put(stats)
+
+    def z_rows(b: pd.DataFrame) -> pd.DataFrame:
+        st = _get(stats_ref)
+        labs, d2 = d2_of(b)
+        z = np.zeros(len(labs), dtype=np.float64)
+        for i, (lab, v) in enumerate(zip(labs, d2)):
+            n, s, ss = st[int(lab)]
+            den = n * ss - s * s
+            if den > 0:
+                z[i] = np.floor(
+                    float(n * int(v) - s) / np.sqrt(float(den)) * 1e6 + 0.5
+                ) / 1e6
+        return pd.DataFrame(
+            {
+                "vec_id": b[id_col].astype("int64"),
+                "label": labs,
+                "z": z,
+            }
+        )
+
+    return ds.map_batches(z_rows, batch_format="pandas", batch_size=65536)

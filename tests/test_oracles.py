@@ -168,6 +168,7 @@ def _compare(query: str):
         "events_user_entropy",
         "events_value_gini",
         "doc_substring_dedup",
+        "embedding_outlier_z",
         "events_benford",
         "doc_cluster_size_hist",
         "orders_profile",
