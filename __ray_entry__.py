@@ -371,6 +371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_substring_dedup"] = _q_doc_substring_dedup
     q["embedding_outlier_z"] = _q_embedding_outlier_z
     q["events_user_entropy"] = _q_events_user_entropy
+    q["customer_segment_chi2"] = _q_customer_segment_chi2
+    q["events_stickiness"] = _q_events_stickiness
     q["events_value_gini"] = _q_events_value_gini
     q["events_weekday_chi2"] = _q_events_weekday_chi2
     q["forecast_revenue_change"] = rel.forecast_revenue_change
@@ -381,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["supplier_part_coverage"] = rel.supplier_part_coverage
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
+    q["kg_assortativity_events"] = _q_kg_assortativity_events
 
     # --- sketches (kgray/ops/stats.py) -----------------------------------
     q["doc_hll_distinct"] = _q_doc_hll_distinct
@@ -631,6 +634,49 @@ def _q_doc_cooccur_pmi(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = token_cooccurrence_pmi(ds, min_count=2).to_pandas()
     return out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
+def _q_customer_segment_chi2(sf_dir: str) -> pd.DataFrame:
+    """Nation × market-segment independence test: (row, col, count)
+    partials, dimension-bounded driver grid, integer-exact per-cell terms
+    (kgray/ops/stats.py contingency_chi2)."""
+    from kgray.ops.stats import contingency_chi2
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
+    )
+    return contingency_chi2(ds, row_col="c_nationkey", col_col="c_mktsegment")
+
+
+def _q_events_stickiness(sf_dir: str) -> pd.DataFrame:
+    """DAU/WAU stickiness per day: composes the tumbling and sliding
+    exact-distinct shapes (kgray/ops/stats.py stickiness_ratio)."""
+    import pyarrow as _pa
+    import pyarrow.compute as pc
+
+    from kgray.ops.stats import stickiness_ratio
+
+    def derive(t):
+        return _pa.table(
+            {
+                "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                "user_id": t["user_id"],
+            }
+        )
+
+    days = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    ).map_batches(derive, batch_format="pyarrow")
+    return stickiness_ratio(days)
+
+
+def _q_kg_assortativity_events(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity of the events KG: broadcast degree map over
+    re-streamed edges, int64-exact moment partials
+    (kgray/functions/graph.py degree_assortativity)."""
+    from kgray.functions.graph import degree_assortativity
+
+    return degree_assortativity(_kg_events(sf_dir).edges)
 
 
 def _q_embedding_outlier_z(sf_dir: str) -> pd.DataFrame:
@@ -5043,6 +5089,67 @@ FROM cs GROUP BY 1
                     JOIN sn ON sn.s_suppkey = l_suppkey
             WHERE supp_nation <> cust_nation
             GROUP BY 1, 2, 3
+        """,
+        "customer_segment_chi2": """
+            WITH o AS (
+              SELECT CAST(c_nationkey AS BIGINT) AS r, c_mktsegment AS c,
+                     CAST(count(*) AS BIGINT) AS o
+              FROM customer GROUP BY 1, 2),
+            rs AS (SELECT r, CAST(sum(o) AS BIGINT) AS rn FROM o GROUP BY 1),
+            cs AS (SELECT c, CAST(sum(o) AS BIGINT) AS cn FROM o GROUP BY 1),
+            nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+            grid AS (
+              SELECT rs.rn, cs.cn, coalesce(o.o, 0) AS o
+              FROM rs CROSS JOIN cs
+              LEFT JOIN o ON o.r = rs.r AND o.c = cs.c),
+            terms AS (
+              SELECT CAST(floor(CAST((o * n - rn * cn) * (o * n - rn * cn) AS DOUBLE)
+                                / CAST(n * rn * cn AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS t
+              FROM grid, nn)
+            SELECT nn.n,
+                   CAST(((SELECT count(*) FROM rs) - 1)
+                        * ((SELECT count(*) FROM cs) - 1) AS BIGINT) AS dof,
+                   (SELECT CAST(sum(t) AS BIGINT) FROM terms)::DOUBLE / 1e6 AS chi2
+            FROM nn
+        """,
+        "events_stickiness": """
+            WITH ud AS (
+              SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+              FROM events),
+            days AS (SELECT DISTINCT d FROM ud),
+            dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+            wau AS (
+              SELECT dd.d, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+              FROM days dd JOIN ud u ON u.d BETWEEN dd.d - 6 AND dd.d
+              GROUP BY 1)
+            SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+                   floor(dau.dau::DOUBLE / wau.wau::DOUBLE * 1e6 + 0.5) / 1e6 AS stickiness
+            FROM dau JOIN wau USING (d)
+        """,
+        "kg_assortativity_events": """
+            WITH triples AS (
+              SELECT DISTINCT 'user ' || CAST(user_id AS VARCHAR) AS s, event_type AS o
+              FROM events),
+            deg AS (
+              SELECT name, CAST(sum(d) AS BIGINT) AS deg FROM (
+                SELECT s AS name, count(*) AS d FROM triples GROUP BY 1
+                UNION ALL
+                SELECT o AS name, count(*) AS d FROM triples GROUP BY 1)
+              GROUP BY 1),
+            e AS (
+              SELECT ds.deg AS x, dd.deg AS y
+              FROM triples JOIN deg ds ON ds.name = s JOIN deg dd ON dd.name = o),
+            mo AS (
+              SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+              FROM e)
+            SELECT n AS n_edges,
+                   CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0 THEN 0.0
+                        ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                                   / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+                                          AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   END AS assortativity
+            FROM mo WHERE n > 0
         """,
         "embedding_outlier_z": """
             WITH dims AS MATERIALIZED (SELECT unnest(range(1, 65)) AS i),

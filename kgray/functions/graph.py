@@ -1575,3 +1575,80 @@ def hits(
             "authority": np.floor(a * 1e6 + 0.5) / 1e6,
         }
     )
+
+
+def degree_assortativity(
+    edges: ray.data.Dataset,
+    src_col: str = "subj_name",
+    dst_col: str = "obj_name",
+) -> pd.DataFrame:
+    """Degree assortativity of the KG: Pearson correlation between the
+    TOTAL degrees at the two ends of every edge (negative = hubs link to
+    leaves, the usual KG shape; positive = rich-club).
+
+    Scale shape: degrees come from per-batch (node, count) partials and
+    one node-hash groupby (the documented vocabulary-bounded reduce); the
+    broadcast degree map then annotates the re-streamed edge batches,
+    which emit int64-exact moment partials — the driver reduces a
+    6-scalar row per block and does the one float division.
+    """
+    from kgray.functions.broadcast import cached_get
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby(src_col, sort=False).size().reset_index(name="d")
+        s.columns = ["name", "d"]
+        o = b.groupby(dst_col, sort=False).size().reset_index(name="d")
+        o.columns = ["name", "d"]
+        out = pd.concat([s, o], ignore_index=True)
+        out["bucket"] = (
+            pd.util.hash_array(out["name"].to_numpy(dtype=object)) % 64
+        ).astype("int32")
+        out["d"] = out["d"].astype("int64")
+        return out
+
+    def deg_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("name", sort=False)["d"].sum().reset_index(name="deg")
+        out["deg"] = out["deg"].astype("int64")
+        return out[["name", "deg"]]
+
+    degs = (
+        edges.map_batches(deg_partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(deg_combine, batch_format="pandas")
+        .to_pandas()  # one row per node (vocabulary-bounded)
+    )
+    empty = pd.DataFrame(
+        {"n_edges": pd.Series(dtype="int64"), "assortativity": pd.Series(dtype="float64")}
+    )
+    if "name" not in degs.columns or not len(degs):
+        return empty
+    deg_ref = ray.put(dict(zip(degs["name"], degs["deg"].astype(np.int64))))
+
+    def moment_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = cached_get(deg_ref)
+        x = b[src_col].map(d).to_numpy(dtype=np.int64)
+        y = b[dst_col].map(d).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(x))],
+                "sx": [x.sum()],
+                "sy": [y.sum()],
+                "sxx": [(x * x).sum()],
+                "syy": [(y * y).sum()],
+                "sxy": [(x * y).sum()],
+            }
+        )
+
+    mo = edges.map_batches(moment_partial, batch_format="pandas", batch_size=262144).to_pandas()
+    n = int(mo["n"].sum())
+    if n == 0:
+        return empty
+    sx, sy = int(mo["sx"].sum()), int(mo["sy"].sum())
+    sxx, syy, sxy = int(mo["sxx"].sum()), int(mo["syy"].sum()), int(mo["sxy"].sum())
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    if den2 <= 0:
+        return pd.DataFrame({"n_edges": [np.int64(n)], "assortativity": [0.0]})
+    r = float(n * sxy - sx * sy) / np.sqrt(np.float64(den2))
+    return pd.DataFrame(
+        {"n_edges": [np.int64(n)], "assortativity": [np.floor(r * 1e6 + 0.5) / 1e6]}
+    )

@@ -1667,3 +1667,104 @@ def value_gini(
     six = int((np.arange(1, n + 1, dtype=np.int64) * x).sum())
     gini = np.floor(float(2 * six - (n + 1) * sx) / float(n * sx) * 1e6 + 0.5) / 1e6
     return pd.DataFrame({"n_users": [np.int64(n)], "gini": [gini]})
+
+
+def contingency_chi2(
+    ds: ray.data.Dataset, row_col: str, col_col: str
+) -> pd.DataFrame:
+    """Chi-square test of independence over a two-way categorical
+    contingency table (e.g. nation × market segment) — the
+    association-strength audit between two dimension columns.
+
+    Exactness: per-cell terms use the identity (o−e)²/e =
+    (o·N − r·c)² / (N·r·c) — exact python-int numerators/denominators,
+    ONE float division per cell, micro-quantized to 1e6 and summed in
+    integer space so the DuckDB twin hashes identically.  Zero cells of
+    the full row×col grid contribute r·c/N, so the grid completes before
+    the sum.
+
+    Scale shape: per-batch (row, col, count) partials; the driver merges
+    a |rows|×|cols| grid (dimension-vocabulary-bounded by definition).
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b.groupby([row_col, col_col], sort=False).size().reset_index(name="o")
+        c["o"] = c["o"].astype("int64")
+        return c
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=262144).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "n": pd.Series(dtype="int64"),
+            "dof": pd.Series(dtype="int64"),
+            "chi2": pd.Series(dtype="float64"),
+        }
+    )
+    if row_col not in parts.columns or not len(parts):
+        return empty
+    grid = parts.groupby([row_col, col_col], sort=True)["o"].sum()
+    obs = grid.unstack(fill_value=0).to_numpy(dtype=np.int64)
+    n = int(obs.sum())
+    if n == 0:
+        return empty
+    rn = obs.sum(axis=1)
+    cn = obs.sum(axis=0)
+    tsum = 0
+    for i in range(obs.shape[0]):
+        for j in range(obs.shape[1]):
+            num = (int(obs[i, j]) * n - int(rn[i]) * int(cn[j])) ** 2
+            den = n * int(rn[i]) * int(cn[j])
+            if den > 0:
+                tsum += int(np.floor(float(num) / float(den) * 1e6 + 0.5))
+    dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    return pd.DataFrame(
+        {"n": [np.int64(n)], "dof": [np.int64(dof)], "chi2": [tsum / 1e6]}
+    )
+
+
+def stickiness_ratio(
+    days: ray.data.Dataset,
+    day_col: str = "day",
+    unit_col: str = "user_id",
+    window_days: int = 7,
+) -> pd.DataFrame:
+    """DAU/WAU stickiness per observed day: exact daily distinct over the
+    exact trailing-7-day distinct — the product-engagement ratio that
+    needs BOTH distinct shapes (tumbling + sliding) at once.
+
+    Scale shape: composes :func:`exact_distinct_per_group` (one day-hash
+    shuffle of batch-distinct pairs) and :func:`rolling_distinct_per_day`
+    (one unit-bucket shuffle with bounded ×window explode); the join +
+    micro-quantized ratio runs on the observed-day-bounded results.
+    """
+    dau = exact_distinct_per_group(days, group_col=day_col, unit_col=unit_col).to_pandas()
+    wau = rolling_distinct_per_day(
+        days, day_col=day_col, unit_col=unit_col, window_days=window_days
+    ).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "day": pd.Series(dtype=object),
+            "dau": pd.Series(dtype="int64"),
+            "wau": pd.Series(dtype="int64"),
+            "stickiness": pd.Series(dtype="float64"),
+        }
+    )
+    if day_col not in dau.columns or not len(dau) or day_col not in wau.columns:
+        return empty
+    m = dau.rename(columns={"n_distinct": "dau"}).merge(
+        wau.rename(columns={"n_rolling": "wau"}), on=day_col
+    )
+    m["stickiness"] = (
+        np.floor(
+            m["dau"].to_numpy(dtype=np.float64) / m["wau"].to_numpy(dtype=np.float64) * 1e6
+            + 0.5
+        )
+        / 1e6
+    )
+    m["dau"] = m["dau"].astype("int64")
+    m["wau"] = m["wau"].astype("int64")
+    return (
+        m[[day_col, "dau", "wau", "stickiness"]]
+        .sort_values(day_col)
+        .reset_index(drop=True)
+    )

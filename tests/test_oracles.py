@@ -169,6 +169,9 @@ def _compare(query: str):
         "events_value_gini",
         "doc_substring_dedup",
         "embedding_outlier_z",
+        "kg_assortativity_events",
+        "customer_segment_chi2",
+        "events_stickiness",
         "events_benford",
         "doc_cluster_size_hist",
         "orders_profile",
