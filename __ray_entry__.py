@@ -181,6 +181,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["doc_zipf_slope"] = _q_doc_zipf_slope
     q["doc_heaps_curve"] = _q_doc_heaps_curve
+    q["doc_lang_confusion"] = lambda sf: tx.langid_confusion(
+        ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+    )
+    q["doc_token_len_hist"] = lambda sf: tx.token_length_hist(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    )
     q["doc_langid"] = lambda sf: (
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(tx.LangId, batch_format="pandas", concurrency=auto_concurrency())
@@ -369,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lineitem_price_qty_corr"] = rel.price_qty_correlation
     q["events_dup_audit"] = _q_events_dup_audit
     q["doc_substring_dedup"] = _q_doc_substring_dedup
+    q["doc_winnowing_pairs"] = _q_doc_winnowing_pairs
     q["embedding_outlier_z"] = _q_embedding_outlier_z
     q["events_user_entropy"] = _q_events_user_entropy
     q["customer_segment_chi2"] = _q_customer_segment_chi2
@@ -690,6 +699,21 @@ def _q_embedding_outlier_z(sf_dir: str) -> pd.DataFrame:
     )
     return (
         label_outlier_z(ds).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+
+
+def _q_doc_winnowing_pairs(sf_dir: str) -> pd.DataFrame:
+    """Winnowing (MOSS) fingerprint match pairs: fp-hash bucket shuffle +
+    pair-hash merge, ubiquitous fingerprints cut at both ends
+    (kgray/ops/dedup.py winnowing_pairs)."""
+    from kgray.ops.dedup import winnowing_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        winnowing_pairs(ds, k=20, w=4, min_shared=2)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
     )
 
 
@@ -5090,6 +5114,38 @@ FROM cs GROUP BY 1
             WHERE supp_nation <> cust_nation
             GROUP BY 1, 2, 3
         """,
+        # same prediction ladder as doc_langid, grouped against the label
+        "doc_lang_confusion": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(substr(text, 1, 2000), '[\p{L}]+')) AS t
+                FROM documents
+            ), hits AS (
+                SELECT doc_id,
+                       count(*) FILTER (lower(t) IN ('the','a','of','to','and','in','is','that','it','for','on','with','as','was')) AS en,
+                       count(*) FILTER (lower(t) IN ('le','la','les','de','des','et','un','une','est','que','en','du','dans','pour')) AS fr,
+                       count(*) FILTER (lower(t) IN ('der','die','das','und','ist','ein','eine','zu','den','von','mit','auf','nicht')) AS de,
+                       count(*) FILTER (lower(t) IN ('el','la','los','las','de','y','un','una','es','que','en','del','por','con')) AS es
+                FROM toks GROUP BY doc_id
+            ), pred AS (
+                SELECT d.doc_id, d.lang,
+                       CASE WHEN regexp_matches(substr(d.text, 1, 400), '[\x{4E00}-\x{9FFF}]') THEN 'zh'
+                            WHEN coalesce(greatest(h.en, h.fr, h.de, h.es), 0) < 1 THEN 'und'
+                            WHEN h.en >= h.fr AND h.en >= h.de AND h.en >= h.es THEN 'en'
+                            WHEN h.fr >= h.de AND h.fr >= h.es THEN 'fr'
+                            WHEN h.de >= h.es THEN 'de'
+                            ELSE 'es' END AS pred_lang
+                FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            )
+            SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+            FROM pred GROUP BY 1, 2
+        """,
+        "doc_token_len_hist": """
+            WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+            SELECT CAST(length(t) AS BIGINT) AS tok_len,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM toks WHERE t <> '' GROUP BY 1
+        """,
         "customer_segment_chi2": """
             WITH o AS (
               SELECT CAST(c_nationkey AS BIGINT) AS r, c_mktsegment AS c,
@@ -5179,6 +5235,29 @@ FROM cs GROUP BY 1
                                    * 1e6 + 0.5) / 1e6
                    END AS z
             FROM d2 JOIN mo ON mo.label = d2.label
+        """,
+        "doc_winnowing_pairs": """
+            WITH h AS (
+              SELECT doc_id, p,
+                     CAST(concat('0x', substr(md5(substr(text, CAST(p AS INTEGER), 20)), 1, 15))
+                          AS BIGINT) AS hv
+              FROM documents, LATERAL unnest(generate_series(1, length(text) - 19, 1)) AS t(p)
+              WHERE length(text) >= 20),
+            wins AS (
+              SELECT doc_id, p,
+                     min(hv) OVER (PARTITION BY doc_id ORDER BY p
+                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                     count(*) OVER (PARTITION BY doc_id) AS npos
+              FROM h),
+            fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE p <= npos - 3),
+            good AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 100),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM fps a JOIN fps b USING (fp) JOIN good USING (fp)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
         """,
         "doc_substring_dedup": """
             WITH w AS (

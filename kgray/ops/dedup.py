@@ -1553,3 +1553,110 @@ def substring_dedup(
         .groupby("dbucket")
         .map_groups(per_doc, batch_format="pandas")
     )
+
+
+def winnowing_pairs(
+    ds: ray.data.Dataset,
+    k: int = 20,
+    w: int = 4,
+    min_shared: int = 2,
+    max_docs_per_fp: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Winnowing fingerprint matching (Schleimer/Wilkerson/Aiken 2003, the
+    MOSS local-fingerprinting algorithm): per doc, the MIN k-gram hash of
+    every w-window is selected as a fingerprint; docs sharing ≥
+    ``min_shared`` distinct fingerprints are reported with their overlap
+    count — local similarity that survives insertions/reorderings where
+    whole-doc hashes break.
+
+    Hashes are md5-prefix ints (60 bits) so the DuckDB twin reproduces
+    them exactly.  Fingerprints matching more than ``max_docs_per_fp``
+    docs are DROPPED on both sides (ubiquitous boilerplate ≈ stopword
+    fingerprints — the standard MOSS idf cut; this bounds the per-bucket
+    pair fan-out to cap²).
+
+    Scale shape: (fp, doc) distinct rows — ~|corpus|/2 per the winnowing
+    density bound — meet once in FP-hash buckets; each bucket emits
+    bounded pairs; a second PAIR-hash shuffle merges overlap counts
+    exactly.  Returns a Dataset (doc_a, doc_b, n_shared).
+    """
+    import hashlib
+
+    def fingerprints(b: pd.DataFrame) -> pd.DataFrame:
+        fps: list[int] = []
+        docs: list[int] = []
+        ids = b[id_col].to_numpy(dtype=np.int64)
+        for did, s in zip(ids, b[text_col].fillna("").tolist()):
+            npos = len(s) - k + 1
+            if npos < w:
+                continue
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(s[p : p + k].encode("utf-8")).hexdigest()[:15], 16)
+                    for p in range(npos)
+                ),
+                dtype=np.int64,
+                count=npos,
+            )
+            m = h[: npos - w + 1].copy()
+            for off in range(1, w):
+                np.minimum(m, h[off : npos - w + 1 + off], out=m)
+            for v in np.unique(m):
+                fps.append(int(v))
+                docs.append(int(did))
+        out = pd.DataFrame(
+            {"fp": pd.Series(fps, dtype="int64"), "doc_id": pd.Series(docs, dtype="int64")}
+        )
+        out["bucket"] = (out["fp"] % num_buckets).astype("int32")
+        return out
+
+    def per_fp_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["fp", "doc_id"])
+        sizes = g.groupby("fp", sort=False)["doc_id"].transform("size")
+        g = g.loc[(sizes >= 2) & (sizes <= max_docs_per_fp)]
+        rows_a: list[np.ndarray] = []
+        rows_b: list[np.ndarray] = []
+        for _, grp in g.groupby("fp", sort=False):
+            ids = np.sort(grp["doc_id"].to_numpy(dtype=np.int64))
+            i, j = np.triu_indices(len(ids), k=1)
+            rows_a.append(ids[i])
+            rows_b.append(ids[j])
+        if not rows_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                    "pbucket": pd.Series(dtype="int32"),
+                }
+            )
+        a = np.concatenate(rows_a)
+        bb = np.concatenate(rows_b)
+        out = (
+            pd.DataFrame({"doc_a": a, "doc_b": bb})
+            .groupby(["doc_a", "doc_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        out["pbucket"] = ((out["doc_a"] * 1_000_003 + out["doc_b"]) % num_buckets).astype(
+            "int32"
+        )
+        return out
+
+    def per_pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["doc_a", "doc_b"], sort=False)["n"].sum().reset_index(name="n_shared")
+        out = out.loc[out["n_shared"] >= min_shared]
+        out["n_shared"] = out["n_shared"].astype("int64")
+        return out[["doc_a", "doc_b", "n_shared"]]
+
+    return (
+        ds.map_batches(fingerprints, batch_format="pandas", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(per_fp_bucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(per_pair_bucket, batch_format="pandas")
+    )

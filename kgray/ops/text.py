@@ -787,3 +787,76 @@ def flesch_readability(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "fre": pa.array(fre, pa.float64()),
         }
     )
+
+
+class LangConfusion(LangId):
+    """Actor-pool langid-vs-label confusion partials: per batch, counts of
+    (labeled lang, predicted lang) pairs — the language-ID accuracy audit
+    over a labeled corpus.  Inherits the per-actor compiled state of
+    :class:`LangId`; emits ≤ |langs|² rows per batch."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:  # type: ignore[override]
+        pred = [self._predict(t) for t in batch["text"]]
+        out = (
+            pd.DataFrame({"lang": batch["lang"].astype(str), "pred_lang": pred})
+            .groupby(["lang", "pred_lang"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+
+def langid_confusion(ds: ray.data.Dataset) -> pd.DataFrame:
+    """Language-ID confusion matrix (labeled × predicted, with counts):
+    actor-pool prediction partials, |langs|²-bounded driver merge."""
+    from kgray.functions.broadcast import auto_concurrency
+
+    parts = ds.map_batches(
+        LangConfusion, batch_format="pandas", concurrency=auto_concurrency()
+    ).to_pandas()
+    if "lang" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                "lang": pd.Series(dtype=object),
+                "pred_lang": pd.Series(dtype=object),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+    out = parts.groupby(["lang", "pred_lang"], sort=True)["n"].sum().reset_index()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def token_length_hist(ds: ray.data.Dataset, text_col: str = "text") -> pd.DataFrame:
+    """Corpus histogram of token lengths (in code points, empty tokens
+    excluded) — the subword-budget / tokenizer-fit diagnostic.
+
+    Scale shape: per-batch Arrow split + ``utf8_length`` + bincount
+    partials; the driver merges ≤ blocks × |length domain| rows (token
+    length is value-bounded)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern(pc.cast(texts, pa.large_string()), " ").flatten()
+        lens = pc.utf8_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = lens[lens > 0]
+        cnt = np.bincount(lens)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "tok_len": pa.array(nz.astype(np.int64), pa.int64()),
+                "n_tokens": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if "tok_len" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {"tok_len": pd.Series(dtype="int64"), "n_tokens": pd.Series(dtype="int64")}
+        )
+    out = parts.groupby("tok_len", sort=True)["n_tokens"].sum().reset_index()
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out

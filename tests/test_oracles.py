@@ -172,6 +172,9 @@ def _compare(query: str):
         "kg_assortativity_events",
         "customer_segment_chi2",
         "events_stickiness",
+        "doc_lang_confusion",
+        "doc_token_len_hist",
+        "doc_winnowing_pairs",
         "events_benford",
         "doc_cluster_size_hist",
         "orders_profile",
