@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_substring_dedup"] = _q_doc_substring_dedup
     q["doc_winnowing_pairs"] = _q_doc_winnowing_pairs
     q["embedding_outlier_z"] = _q_embedding_outlier_z
+    q["embedding_jl_project"] = _q_embedding_jl_project
     q["events_user_entropy"] = _q_events_user_entropy
     q["customer_segment_chi2"] = _q_customer_segment_chi2
     q["events_stickiness"] = _q_events_stickiness
@@ -388,6 +389,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["promo_revenue_share"] = rel.promo_revenue_share
     q["bilateral_trade"] = rel.bilateral_trade
     q["customer_order_dist"] = rel.customer_order_dist
+    q["orders_cohort_retention"] = rel.orders_cohort_retention
+    q["doc_bpe_top_pairs"] = lambda sf: tx.bpe_top_pairs(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    )
     q["nation_market_share"] = rel.nation_market_share
     q["supplier_part_coverage"] = rel.supplier_part_coverage
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
@@ -686,6 +691,20 @@ def _q_kg_assortativity_events(sf_dir: str) -> pd.DataFrame:
     from kgray.functions.graph import degree_assortativity
 
     return degree_assortativity(_kg_events(sf_dir).edges)
+
+
+def _q_embedding_jl_project(sf_dir: str) -> pd.DataFrame:
+    """Deterministic ±1 Johnson-Lindenstrauss projection 64→16 dims:
+    hash-derived sign matrix, integer-exact matmul per batch
+    (kgray/ops/similarity.py jl_project)."""
+    from kgray.ops.similarity import jl_project
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return (
+        jl_project(ds).to_pandas().sort_values(["vec_id", "j"]).reset_index(drop=True)
+    )
 
 
 def _q_embedding_outlier_z(sf_dir: str) -> pd.DataFrame:
@@ -5181,6 +5200,46 @@ FROM cs GROUP BY 1
             SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
                    floor(dau.dau::DOUBLE / wau.wau::DOUBLE * 1e6 + 0.5) / 1e6 AS stickiness
             FROM dau JOIN wau USING (d)
+        """,
+        "orders_cohort_retention": """
+            WITH cm AS (
+              SELECT DISTINCT o_custkey,
+                     CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
+                     + CAST(strftime(o_orderdate, '%m') AS BIGINT) - 1 AS m
+              FROM orders),
+            f AS (SELECT o_custkey, CAST(min(m) AS BIGINT) AS fm FROM cm GROUP BY 1)
+            SELECT printf('%04d-%02d', fm // 12, fm % 12 + 1) AS cohort_month,
+                   CAST(cm.m - f.fm AS BIGINT) AS month_offset,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM cm JOIN f USING (o_custkey)
+            GROUP BY 1, 2
+        """,
+        "doc_bpe_top_pairs": """
+            WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+            p AS (
+              SELECT substr(word, CAST(i AS INTEGER), 2) AS pair
+              FROM w, LATERAL unnest(generate_series(1, length(word) - 1, 1)) AS t(i)
+              WHERE length(word) >= 2),
+            c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1)
+            SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 30
+        """,
+        "embedding_jl_project": """
+            WITH dims AS MATERIALIZED (SELECT unnest(range(1, 65)) AS i),
+            js AS (SELECT unnest(range(1, 17)) AS j),
+            s AS MATERIALIZED (
+              SELECT i, j,
+                     CASE WHEN CAST(concat('0x', substr(md5(CAST(i - 1 AS VARCHAR) || '|'
+                                    || CAST(j - 1 AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0
+                          THEN 1 ELSE -1 END AS sgn
+              FROM dims CROSS JOIN js),
+            x AS MATERIALIZED (
+              SELECT vec_id, d.i AS i,
+                     CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xq
+              FROM embeddings e CROSS JOIN dims d)
+            SELECT x.vec_id, s.j,
+                   CAST(sum(s.sgn * x.xq) AS BIGINT)::DOUBLE / (1e6 * sqrt(16.0)) AS proj
+            FROM x JOIN s ON s.i = x.i
+            GROUP BY 1, 2
         """,
         "kg_assortativity_events": """
             WITH triples AS (

@@ -902,3 +902,50 @@ def label_outlier_z(
         )
 
     return ds.map_batches(z_rows, batch_format="pandas", batch_size=65536)
+
+
+def jl_project(
+    ds: ray.data.Dataset,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: float = 1e6,
+) -> ray.data.Dataset:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` dims with a
+    DETERMINISTIC ±1 sign matrix (Achlioptas 2003 database-friendly
+    projection; signs derive from md5(i|j) parity so every worker — and
+    the DuckDB twin — rebuilds the identical matrix with no RNG state).
+
+    Exactness: components quantize to ``quant`` ints first; each output
+    coordinate is an exact ±-signed integer sum, divided once by
+    quant·√out_dim (√16 = 4 exactly) — bit-for-bit reproducible.
+
+    Scale shape: the sign matrix is built once per actor call from pure
+    hashing (nothing broadcasts); each batch emits out_dim rows per
+    vector via one int matmul.  Returns a Dataset (vec_id, j, proj).
+    """
+    import hashlib
+
+    signs = np.empty((in_dim, out_dim), dtype=np.int64)
+    for i in range(in_dim):
+        for j in range(out_dim):
+            h = int(hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:1], 16)
+            signs[i, j] = 1 if h % 2 == 0 else -1
+    scale = float(quant) * float(np.sqrt(float(out_dim)))
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(b[vec_col].to_numpy())
+        xq = np.floor(m.astype(np.float64) * quant + 0.5).astype(np.int64)
+        y = xq @ signs  # exact int64: |y| ≤ in_dim · quant · max|x|
+        ids = np.repeat(b[id_col].to_numpy(dtype=np.int64), out_dim)
+        js = np.tile(np.arange(1, out_dim + 1, dtype=np.int64), len(b))
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "j": js,
+                "proj": y.reshape(-1).astype(np.float64) / scale,
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pandas", batch_size=65536)

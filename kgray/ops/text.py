@@ -860,3 +860,63 @@ def token_length_hist(ds: ray.data.Dataset, text_col: str = "text") -> pd.DataFr
     out = parts.groupby("tok_len", sort=True)["n_tokens"].sum().reset_index()
     out["n_tokens"] = out["n_tokens"].astype("int64")
     return out
+
+
+def bpe_top_pairs(
+    ds: ray.data.Dataset, top_n: int = 30, text_col: str = "text", num_buckets: int = 16
+) -> pd.DataFrame:
+    """The BPE-induction counting step: global top-``top_n`` adjacent
+    CHARACTER pairs inside whitespace words (count desc, pair asc) — the
+    pair a byte-pair-encoding tokenizer would merge next.
+
+    Scale shape: per-batch pairs come from one UTF-32 reinterpret of the
+    word stream (a vectorized shift-and-mask, no per-char python loop);
+    int-coded pair partials take one pair-hash shuffle; per-bucket top-n
+    merges on the driver (the token_frequencies ladder).
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        words: list[str] = []
+        for t in b[text_col].fillna(""):
+            words.extend(t.split(" "))
+        s = "\x00".join(words)
+        if len(s) < 2:
+            return pd.DataFrame(
+                {
+                    "code": pd.Series(dtype="int64"),
+                    "cnt": pd.Series(dtype="int64"),
+                    "bucket": pd.Series(dtype="int32"),
+                }
+            )
+        codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        a, bb = codes[:-1], codes[1:]
+        mask = (a != 0) & (bb != 0)
+        combined = (a[mask] << 32) | bb[mask]
+        u, c = np.unique(combined, return_counts=True)
+        return pd.DataFrame(
+            {
+                "code": u,
+                "cnt": c.astype(np.int64),
+                "bucket": (u % num_buckets).astype(np.int32),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("code", sort=False)["cnt"].sum().reset_index()
+        c["pair"] = [chr(v >> 32) + chr(v & 0xFFFFFFFF) for v in c["code"]]
+        c = c.sort_values(["cnt", "pair"], ascending=[False, True], kind="mergesort")
+        return c[["pair", "cnt"]].head(top_n)
+
+    cand = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "pair" not in cand.columns or not len(cand):
+        return pd.DataFrame(
+            {"pair": pd.Series(dtype=object), "cnt": pd.Series(dtype="int64")}
+        )
+    out = cand.sort_values(["cnt", "pair"], ascending=[False, True], kind="mergesort")
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.head(top_n).reset_index(drop=True)

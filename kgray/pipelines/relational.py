@@ -2094,3 +2094,68 @@ def supplier_part_coverage(
         out.sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"], ascending=[False, True, True, True])
         .reset_index(drop=True)
     )
+
+
+def orders_cohort_retention(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Monthly repeat-purchase cohort retention: customers grouped by
+    FIRST-order month, counted as retained in every later month they
+    ordered again (offset in months) — the orders-side twin of the
+    events cohort matrix.
+
+    Scale shape: the orders stream pre-shrinks to DISTINCT (custkey,
+    month) pairs per batch; one custkey-hash shuffle co-locates each
+    customer's months; each bucket computes the cohort month (min) and
+    emits (cohort, offset) COUNT partials — the driver merges ≤ buckets ×
+    months² rows.
+    """
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            b["o_orderdate"].dt.year.to_numpy(dtype=np.int64) * 12
+            + b["o_orderdate"].dt.month.to_numpy(dtype=np.int64)
+            - 1
+        )
+        out = pd.DataFrame(
+            {"ckey": b["o_custkey"].to_numpy(np.int64), "m": m}
+        ).drop_duplicates()
+        out["bucket"] = (out["ckey"] % num_buckets).astype("int32")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["ckey", "m"])
+        fm = g.groupby("ckey", sort=False)["m"].transform("min")
+        out = (
+            pd.DataFrame({"fm": fm, "off": g["m"] - fm})
+            .groupby(["fm", "off"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = (
+        orders.map_batches(pair_partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ buckets × months² rows
+    )
+    empty = pd.DataFrame(
+        {
+            "cohort_month": pd.Series(dtype=object),
+            "month_offset": pd.Series(dtype="int64"),
+            "n_customers": pd.Series(dtype="int64"),
+        }
+    )
+    if "fm" not in parts.columns or not len(parts):
+        return empty
+    agg = parts.groupby(["fm", "off"], sort=True)["n"].sum().reset_index()
+    return pd.DataFrame(
+        {
+            "cohort_month": [
+                f"{int(v) // 12:04d}-{int(v) % 12 + 1:02d}" for v in agg["fm"]
+            ],
+            "month_offset": agg["off"].astype("int64"),
+            "n_customers": agg["n"].astype("int64"),
+        }
+    )

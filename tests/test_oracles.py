@@ -175,6 +175,9 @@ def _compare(query: str):
         "doc_lang_confusion",
         "doc_token_len_hist",
         "doc_winnowing_pairs",
+        "embedding_jl_project",
+        "orders_cohort_retention",
+        "doc_bpe_top_pairs",
         "events_benford",
         "doc_cluster_size_hist",
         "orders_profile",
