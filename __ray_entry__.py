@@ -383,6 +383,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_user_entropy"] = _q_events_user_entropy
     q["customer_segment_chi2"] = _q_customer_segment_chi2
     q["events_stickiness"] = _q_events_stickiness
+    q["events_markov_stationary"] = _q_events_markov_stationary
+    q["events_seasonal_naive"] = _q_events_seasonal_naive
+    q["customer_lorenz_curve"] = rel.customer_lorenz_curve
     q["events_value_gini"] = _q_events_value_gini
     q["events_weekday_chi2"] = _q_events_weekday_chi2
     q["forecast_revenue_change"] = rel.forecast_revenue_change
@@ -1164,6 +1167,70 @@ def _q_kg_link_prediction_events(sf_dir: str) -> pd.DataFrame:
         _kg_events(sf_dir).edges, src_col="subj_name", dst_col="obj_name"
     ).to_pandas()
     return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+def _q_events_markov_stationary(sf_dir: str) -> pd.DataFrame:
+    """Stationary distribution of the event-type transition chain:
+    integer-exact power iteration, one user-hash shuffle for transitions
+    (kgray/ops/temporal.py markov_stationary)."""
+    from kgray.ops.temporal import markov_stationary
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    return markov_stationary(ds)
+
+
+def _q_events_seasonal_naive(sf_dir: str) -> pd.DataFrame:
+    """Seasonal-naive (lag-7) forecast MAE per event type: daily count
+    partials, types x days driver lag join (kgray/ops/temporal.py
+    seasonal_naive_backtest)."""
+    from kgray.ops.temporal import seasonal_naive_backtest
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return seasonal_naive_backtest(ds)
+
+
+def _markov_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str:
+    """Markov stationary twin: the SAME integer floor-division iteration
+    x'_j = Σᵢ (qᵢ·cᵢⱼ) // rᵢ unrolled as MATERIALIZED CTEs (the HITS
+    builder pattern); absorbing types get the self-loop patch."""
+    parts = [
+        """seq AS MATERIALIZED (
+            SELECT event_type AS prev,
+                   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+            FROM events)""",
+        """tr AS MATERIALIZED (
+            SELECT prev, nxt, CAST(count(*) AS BIGINT) AS c
+            FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)""",
+        """types AS MATERIALIZED (
+            SELECT DISTINCT t AS ty FROM (SELECT prev AS t FROM tr UNION SELECT nxt FROM tr))""",
+        """cm AS MATERIALIZED (
+            SELECT prev, nxt, c FROM tr
+            UNION ALL
+            SELECT ty, ty, CAST(1 AS BIGINT) FROM types
+            WHERE ty NOT IN (SELECT prev FROM tr))""",
+        "r AS MATERIALIZED (SELECT prev, CAST(sum(c) AS BIGINT) AS rr FROM cm GROUP BY 1)",
+        "kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM types)",
+        f"q0 AS MATERIALIZED (SELECT ty, CAST({scale} // kk.k AS BIGINT) AS q FROM types, kk)",
+    ]
+    for t in range(iterations):
+        parts.append(
+            f"""q{t + 1} AS MATERIALIZED (
+            SELECT types.ty,
+                   CAST(coalesce((SELECT sum((CAST(q{t}.q AS HUGEINT) * cm.c) // r.rr)
+                                  FROM cm JOIN q{t} ON q{t}.ty = cm.prev
+                                          JOIN r ON r.prev = cm.prev
+                                  WHERE cm.nxt = types.ty), 0) AS BIGINT) AS q
+            FROM types)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT ty AS event_type, CAST(q AS DOUBLE) / {float(scale)} AS stationary
+        FROM q{iterations}"""
+    )
 
 
 def _hits_oracle_sql(iterations: int = 10) -> str:
@@ -4845,6 +4912,39 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_events": _pagerank_oracle_sql(),
         "kg_ppr_events": _ppr_oracle_sql(),
         "kg_hits_events": _hits_oracle_sql(),
+        "events_markov_stationary": _markov_oracle_sql(),
+        "events_seasonal_naive": """
+            WITH daily AS (
+              SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2),
+            m AS (
+              SELECT a.event_type, a.c AS actual, b.c AS pred
+              FROM daily a JOIN daily b
+                ON b.event_type = a.event_type AND b.day = a.day - 7)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                   floor(CAST(sum(abs(actual - pred)) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mae
+            FROM m GROUP BY 1
+        """,
+        "customer_lorenz_curve": """
+            WITH pu AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+              FROM orders GROUP BY 1),
+            r AS (
+              SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i,
+                     sum(x) OVER (ORDER BY x, o_custkey ROWS UNBOUNDED PRECEDING) AS cum
+              FROM pu),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS tot FROM pu)
+            SELECT CAST(d AS BIGINT) AS decile,
+                   CAST(n * d // 10 AS BIGINT) AS n_customers,
+                   CASE WHEN n * d // 10 = 0 THEN 0.0
+                        ELSE floor(CAST((SELECT cum FROM r WHERE i = n * d // 10) AS DOUBLE)
+                                   / CAST(tot AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   END AS cum_share
+            FROM (SELECT unnest(range(1, 11)) AS d), nt
+        """,
         "ref_components": _REF_COMPONENTS_ORACLE,
         "doc_jaccard_join_exact": """
             WITH tk AS (

@@ -1160,3 +1160,149 @@ def interarrival_histogram(
     out["log2_bin"] = out["log2_bin"].astype("int64")
     out["n_gaps"] = out["n_gaps"].astype("int64")
     return out
+
+
+def markov_stationary(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    iterations: int = 20,
+    scale: int = 10**12,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Stationary distribution of the event-type Markov chain: power
+    iteration x' = xP over the per-user transition matrix, starting
+    uniform — where user behavior settles in the long run.
+
+    Exactness: the iteration runs ENTIRELY in integer space — state
+    components are ints scaled by ``scale`` and each step is
+    x'_j = Σᵢ (qᵢ·cᵢⱼ) // rᵢ (floor division; cᵢⱼ transition counts,
+    rᵢ row totals) — so the unrolled DuckDB twin reproduces every
+    iteration bit-for-bit with no float drift.
+
+    Scale shape: transitions come from one user-hash bucket shuffle
+    (consecutive pairs per user, the events_transitions kernel); the
+    |types|² matrix and the 20 integer iterations are driver work by
+    construction.  Types with no outgoing transitions keep their mass
+    (self-loop), the standard absorbing-state patch.
+    """
+    import pyarrow as pa
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "bucket": (b[key_col] % num_buckets).astype("int32"),
+                "u": b[key_col].astype("int64"),
+                "t": b[type_col].astype(str),
+                "ts": b[ts_col],
+                "eid": b["event_id"].astype("int64"),
+            }
+        )
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "ts", "eid"], kind="mergesort")
+        prev = g["t"].to_numpy()
+        same = g["u"].to_numpy()[1:] == g["u"].to_numpy()[:-1]
+        a, bb = prev[:-1][same], prev[1:][same]
+        out = (
+            pd.DataFrame({"prev": a, "nxt": bb})
+            .groupby(["prev", "nxt"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    trans = (
+        ds.map_batches(pair_partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ |types|² × buckets rows
+    )
+    empty = pd.DataFrame(
+        {"event_type": pd.Series(dtype=object), "stationary": pd.Series(dtype="float64")}
+    )
+    if "prev" not in trans.columns or not len(trans):
+        return empty
+    c = trans.groupby(["prev", "nxt"], sort=True)["c"].sum().reset_index()
+    types = sorted(set(c["prev"]) | set(c["nxt"]))
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    cm = np.zeros((k, k), dtype=np.int64)
+    for p, nx, cnt in zip(c["prev"], c["nxt"], c["c"]):
+        cm[idx[p], idx[nx]] = cnt
+    r = cm.sum(axis=1)
+    for i in range(k):  # absorbing rows self-loop
+        if r[i] == 0:
+            cm[i, i] = 1
+            r[i] = 1
+    q = [scale // k] * k  # python ints
+    for _ in range(iterations):
+        q = [
+            sum(q[i] * int(cm[i, j]) // int(r[i]) for i in range(k))
+            for j in range(k)
+        ]
+    return pd.DataFrame(
+        {
+            "event_type": types,
+            "stationary": [float(v) / float(scale) for v in q],
+        }
+    )
+
+
+def seasonal_naive_backtest(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    lag_days: int = 7,
+) -> pd.DataFrame:
+    """Seasonal-naive forecast backtest per event type: predict each
+    day's count with the count ``lag_days`` earlier (the classic
+    baseline every real forecaster must beat) and report its MAE over
+    all days whose lagged day was observed — the data-health /
+    forecastability audit.
+
+    Exactness: daily counts and absolute errors are exact integers; the
+    one MAE division micro-quantizes.
+
+    Scale shape: (type, day) Arrow count partials (the daily-rollup
+    combiner); the lag join and MAE run on the types × days driver
+    budget.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        return (
+            pa.table({type_col: t[type_col], "day": pa.array(day, pa.int64())})
+            .group_by([type_col, "day"])
+            .aggregate([([], "count_all")])
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            type_col: pd.Series(dtype=object),
+            "n_days": pd.Series(dtype="int64"),
+            "mae": pd.Series(dtype="float64"),
+        }
+    )
+    if type_col not in parts.columns or not len(parts):
+        return empty
+    daily = parts.groupby([type_col, "day"], sort=True)["count_all"].sum().reset_index()
+    lag = daily.copy()
+    lag["day"] = lag["day"] + lag_days
+    m = daily.merge(lag, on=[type_col, "day"], suffixes=("", "_pred"))
+    if not len(m):
+        return empty
+    m["err"] = (m["count_all"] - m["count_all_pred"]).abs().astype("int64")
+    rows = []
+    for ty, grp in m.groupby(type_col, sort=True):
+        n = len(grp)
+        mae = np.floor(float(int(grp["err"].sum())) / float(n) * 1e6 + 0.5) / 1e6
+        rows.append((ty, np.int64(n), mae))
+    return pd.DataFrame(rows, columns=[type_col, "n_days", "mae"])

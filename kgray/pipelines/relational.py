@@ -2159,3 +2159,64 @@ def orders_cohort_retention(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
             "n_customers": agg["n"].astype("int64"),
         }
     )
+
+
+def customer_lorenz_curve(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Lorenz curve of customer spend: at each customer decile (sorted by
+    total order value ascending), the cumulative share of total revenue —
+    the concentration curve behind the Gini number.
+
+    Scale shape: per-batch (custkey, integer-cent) sum partials, one
+    custkey-hash shuffle to per-customer totals; the curve evaluation
+    sorts the KEY-VOCABULARY-bounded totals vector (the documented
+    driver-reduce budget; ties broken by custkey).  Cent sums stay exact
+    ints; each share micro-quantizes once.
+    """
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["o_totalprice"].to_numpy(dtype=np.float64) * 100.0 + 0.5).astype(
+            np.int64
+        )
+        c = (
+            pd.DataFrame({"ckey": b["o_custkey"].to_numpy(np.int64), "x": cents})
+            .groupby("ckey", sort=False)["x"]
+            .sum()
+            .reset_index()
+        )
+        c["bucket"] = (c["ckey"] % num_buckets).astype("int32")
+        return c
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("ckey", sort=False)["x"].sum().reset_index()
+        c["x"] = c["x"].astype("int64")
+        return c[["ckey", "x"]]
+
+    totals = (
+        orders.map_batches(partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # one row per ordering customer (vocabulary-bounded)
+    )
+    empty = pd.DataFrame(
+        {
+            "decile": pd.Series(dtype="int64"),
+            "n_customers": pd.Series(dtype="int64"),
+            "cum_share": pd.Series(dtype="float64"),
+        }
+    )
+    if "ckey" not in totals.columns or not len(totals):
+        return empty
+    totals = totals.sort_values(["x", "ckey"], kind="mergesort").reset_index(drop=True)
+    x = totals["x"].to_numpy(dtype=np.int64)
+    n = len(x)
+    tot = int(x.sum())
+    if tot == 0:
+        return empty
+    cum = np.cumsum(x)
+    rows = []
+    for d in range(1, 11):
+        i = n * d // 10  # customers covered by decile d
+        share = 0.0 if i == 0 else np.floor(float(int(cum[i - 1])) / float(tot) * 1e6 + 0.5) / 1e6
+        rows.append((np.int64(d), np.int64(i), share))
+    return pd.DataFrame(rows, columns=["decile", "n_customers", "cum_share"])

@@ -1,0 +1,73 @@
+"""Pins for markov_stationary, seasonal_naive_backtest, customer_lorenz_curve."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from kgray.ops.temporal import markov_stationary, seasonal_naive_backtest
+
+
+def _events(rows):
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    if "event_id" not in df:
+        df["event_id"] = np.arange(len(df), dtype=np.int64)
+    return ray.data.from_pandas(df)
+
+
+def test_markov_two_state_cycle(ray_session):
+    # a -> b -> a -> b ... : stationary = (1/2, 1/2)
+    rows = [
+        {"user_id": 1, "event_type": t, "ts": f"2024-01-01 00:0{i}:00"}
+        for i, t in enumerate(["a", "b", "a", "b", "a"])
+    ]
+    out = markov_stationary(_events(rows))
+    m = dict(zip(out["event_type"], out["stationary"]))
+    assert abs(m["a"] - 0.5) < 1e-9
+    assert abs(m["b"] - 0.5) < 1e-9
+
+
+def test_markov_absorbing_state(ray_session):
+    # a -> b and b never leaves: all mass drains to b
+    rows = [
+        {"user_id": 1, "event_type": "a", "ts": "2024-01-01 00:00:00"},
+        {"user_id": 1, "event_type": "b", "ts": "2024-01-01 00:01:00"},
+    ]
+    out = markov_stationary(_events(rows))
+    m = dict(zip(out["event_type"], out["stationary"]))
+    assert m["b"] > 0.99
+    assert m["a"] < 0.01
+
+
+def test_seasonal_naive_perfect_weekly_cycle(ray_session):
+    # same count every 7 days -> MAE 0
+    rows = []
+    for week in range(3):
+        for d in (0, 3):
+            day = week * 7 + d
+            rows.append(
+                {"user_id": 1, "event_type": "x", "ts": f"2024-01-{day + 1:02d} 12:00:00"}
+            )
+    out = seasonal_naive_backtest(_events(rows))
+    assert out["mae"].iloc[0] == 0.0
+    assert out["n_days"].iloc[0] == 4  # weeks 2 and 3 backtested, 2 days each
+
+
+def test_lorenz_uniform(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgray.pipelines.relational import customer_lorenz_curve
+
+    t = pa.table(
+        {
+            "o_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "o_totalprice": pa.array([10.0] * 5, pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "orders.parquet")
+    out = customer_lorenz_curve(str(tmp_path))
+    # uniform spend: decile d covers n*d//10 customers -> share = that/5
+    m = dict(zip(out["decile"], out["cum_share"]))
+    assert m[10] == 1.0
+    assert abs(m[5] - 0.4) < 1e-9  # 5*5//10 = 2 of 5 customers

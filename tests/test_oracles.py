@@ -178,6 +178,9 @@ def _compare(query: str):
         "embedding_jl_project",
         "orders_cohort_retention",
         "doc_bpe_top_pairs",
+        "events_markov_stationary",
+        "events_seasonal_naive",
+        "customer_lorenz_curve",
         "events_benford",
         "doc_cluster_size_hist",
         "orders_profile",
