@@ -386,6 +386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_markov_stationary"] = _q_events_markov_stationary
     q["events_seasonal_naive"] = _q_events_seasonal_naive
     q["customer_lorenz_curve"] = rel.customer_lorenz_curve
+    q["market_basket_lift"] = rel.market_basket_lift
+    q["events_bounce_rate"] = rel.session_bounce_rate
     q["events_value_gini"] = _q_events_value_gini
     q["events_weekday_chi2"] = _q_events_weekday_chi2
     q["forecast_revenue_change"] = rel.forecast_revenue_change
@@ -4926,6 +4928,47 @@ def oracle_sql() -> dict[str, str]:
                    floor(CAST(sum(abs(actual - pred)) AS DOUBLE)
                          / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mae
             FROM m GROUP BY 1
+        """,
+        "market_basket_lift": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+            n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+            pf AS (SELECT p, CAST(count(*) AS BIGINT) AS np FROM op GROUP BY 1),
+            pairs AS (
+              SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS support
+              FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+              GROUP BY 1, 2
+              HAVING count(*) >= 3)
+            SELECT part_a, part_b, support,
+                   floor(CAST(support * n_orders AS DOUBLE)
+                         / CAST(fa.np * fb.np AS DOUBLE) * 1e6 + 0.5) / 1e6 AS lift
+            FROM pairs, n
+            JOIN pf fa ON fa.p = part_a
+            JOIN pf fb ON fb.p = part_b
+        """,
+        "events_bounce_rate": """
+            WITH s AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sid AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM s),
+            sess AS (
+              SELECT user_id, session_id, min(ts) AS start, count(*) AS sz
+              FROM sid GROUP BY 1, 2),
+            d AS (
+              SELECT strftime(start, '%Y-%m-%d') AS day,
+                     CAST(count(*) AS BIGINT) AS n_sessions,
+                     CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+              FROM sess GROUP BY 1)
+            SELECT day, n_sessions, n_bounces,
+                   floor(n_bounces::DOUBLE / n_sessions::DOUBLE * 1e6 + 0.5) / 1e6 AS bounce_rate
+            FROM d
         """,
         "customer_lorenz_curve": """
             WITH pu AS (

@@ -2220,3 +2220,212 @@ def customer_lorenz_curve(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
         share = 0.0 if i == 0 else np.floor(float(int(cum[i - 1])) / float(tot) * 1e6 + 0.5) / 1e6
         rows.append((np.int64(d), np.int64(i), share))
     return pd.DataFrame(rows, columns=["decile", "n_customers", "cum_share"])
+
+
+def market_basket_lift(
+    sf_dir: str, min_support: int = 3, num_buckets: int = 64
+) -> pd.DataFrame:
+    """Market-basket association mining over lineitem: part pairs
+    co-ordered in the same order, with support and lift
+    (lift = P(ab)/(P(a)·P(b)) over order baskets) — the classic
+    co-purchase affinity report.
+
+    Scale shape: baskets pre-shrink to DISTINCT (orderkey, partkey) pairs
+    per batch; one ORDERKEY-hash shuffle co-locates baskets and emits the
+    pair stream (quadratic only in basket size, which the order schema
+    bounds); a second PAIR-hash shuffle sums support exactly; per-part
+    order frequencies are a (|parts|-bounded) driver merge broadcast into
+    the final lift computation.  Exact integers until one micro-quantized
+    division per surviving pair.
+    """
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def op_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.drop_duplicates(["l_orderkey", "l_partkey"])
+        return pd.DataFrame(
+            {
+                "bucket": (d["l_orderkey"] % num_buckets).astype("int32"),
+                "o": d["l_orderkey"].astype("int64"),
+                "p": d["l_partkey"].astype("int64"),
+            }
+        )
+
+    op = line.map_batches(op_partial, batch_format="pandas", batch_size=262144)
+
+    def per_order_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["o", "p"]).sort_values(["o", "p"], kind="mergesort")
+        rows_a: list[np.ndarray] = []
+        rows_b: list[np.ndarray] = []
+        for _, grp in g.groupby("o", sort=False):
+            ids = grp["p"].to_numpy(dtype=np.int64)
+            if len(ids) < 2:
+                continue
+            i, j = np.triu_indices(len(ids), k=1)
+            rows_a.append(ids[i])
+            rows_b.append(ids[j])
+        if not rows_a:
+            return pd.DataFrame(
+                {
+                    "part_a": pd.Series(dtype="int64"),
+                    "part_b": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                    "pbucket": pd.Series(dtype="int32"),
+                }
+            )
+        a, bb = np.concatenate(rows_a), np.concatenate(rows_b)
+        out = (
+            pd.DataFrame({"part_a": a, "part_b": bb})
+            .groupby(["part_a", "part_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        out["pbucket"] = ((out["part_a"] * 1_000_003 + out["part_b"]) % num_buckets).astype(
+            "int32"
+        )
+        return out
+
+    def per_pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["part_a", "part_b"], sort=False)["n"].sum().reset_index(
+            name="support"
+        )
+        out = out.loc[out["support"] >= min_support]
+        out["support"] = out["support"].astype("int64")
+        return out[["part_a", "part_b", "support"]]
+
+    pairs = (
+        op.groupby("bucket")
+        .map_groups(per_order_bucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(per_pair_bucket, batch_format="pandas")
+        .to_pandas()  # support-filtered pair universe
+    )
+    empty = pd.DataFrame(
+        {
+            "part_a": pd.Series(dtype="int64"),
+            "part_b": pd.Series(dtype="int64"),
+            "support": pd.Series(dtype="int64"),
+            "lift": pd.Series(dtype="float64"),
+        }
+    )
+    if "part_a" not in pairs.columns or not len(pairs):
+        return empty
+
+    def freq_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["o", "p"])
+        out = d.groupby("p", sort=False).size().reset_index(name="np")
+        out["np"] = out["np"].astype("int64")
+        return out
+
+    # part frequencies re-use the SAME bucketed distinct stream (each
+    # (o, p) pair lands in exactly one orderkey bucket, so per-bucket
+    # counts sum exactly)
+    pf = (
+        op.groupby("bucket")
+        .map_groups(freq_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("p", sort=False)["np"]
+        .sum()
+    )
+    n_orders = int(
+        line.map_batches(
+            lambda b: pd.DataFrame({"o": b["l_orderkey"].unique()}),
+            batch_format="pandas",
+            batch_size=262144,
+        )
+        .map_batches(
+            lambda b: pd.DataFrame({"bucket": (b["o"] % 64).astype("int32"), "o": b["o"]}),
+            batch_format="pandas",
+        )
+        .groupby("bucket")
+        .map_groups(
+            lambda g: pd.DataFrame({"n": [g["o"].nunique()]}), batch_format="pandas"
+        )
+        .to_pandas()["n"]
+        .sum()
+    )
+    na = pairs["part_a"].map(pf).to_numpy(dtype=np.int64)
+    nb = pairs["part_b"].map(pf).to_numpy(dtype=np.int64)
+    sup = pairs["support"].to_numpy(dtype=np.int64)
+    lift = np.floor(
+        (sup.astype(np.float64) * float(n_orders)) / (na.astype(np.float64) * nb) * 1e6
+        + 0.5
+    ) / 1e6
+    out = pairs.copy()
+    out["lift"] = lift
+    return out.sort_values(["part_a", "part_b"]).reset_index(drop=True)
+
+
+def session_bounce_rate(
+    sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64
+) -> pd.DataFrame:
+    """Per-day session bounce rate: sessions (the >gap idle split of
+    user_sessions) starting that day that contain exactly ONE event,
+    over all sessions starting that day — the engagement-quality rollup
+    on top of sessionization.
+
+    Scale shape: one user-hash bucket shuffle; inside a bucket sessions
+    assemble vectorized (cumsum of session starts) and collapse to
+    (start-day, n_sessions, n_bounces) partials — the driver merges ≤
+    buckets × days rows and performs one micro-quantized division per
+    day.
+    """
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = (b["user_id"] % num_buckets).astype("int32")
+        return b
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = b["ts"].to_numpy()
+        uid = b["user_id"].to_numpy()
+        new_session = np.ones(len(b), dtype=bool)
+        if len(b) > 1:
+            same_user = uid[1:] == uid[:-1]
+            new_session[1:] = ~same_user | ((ts[1:] - ts[:-1]) > gap)
+        sid = np.cumsum(new_session)
+        s = pd.DataFrame({"sid": sid, "ts": ts})
+        agg = s.groupby("sid", sort=False).agg(start=("ts", "min"), size=("ts", "size"))
+        day = agg["start"].dt.strftime("%Y-%m-%d")
+        out = (
+            pd.DataFrame({"day": day, "one": (agg["size"] == 1).astype(np.int64)})
+            .groupby("day", sort=False)["one"]
+            .agg(n_sessions="size", n_bounces="sum")
+            .reset_index()
+        )
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_bounces"] = out["n_bounces"].astype("int64")
+        return out
+
+    parts = (
+        _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ buckets × days rows
+    )
+    empty = pd.DataFrame(
+        {
+            "day": pd.Series(dtype=object),
+            "n_sessions": pd.Series(dtype="int64"),
+            "n_bounces": pd.Series(dtype="int64"),
+            "bounce_rate": pd.Series(dtype="float64"),
+        }
+    )
+    if "day" not in parts.columns or not len(parts):
+        return empty
+    agg = parts.groupby("day", sort=True)[["n_sessions", "n_bounces"]].sum().reset_index()
+    agg["bounce_rate"] = (
+        np.floor(
+            agg["n_bounces"].to_numpy(dtype=np.float64)
+            / agg["n_sessions"].to_numpy(dtype=np.float64)
+            * 1e6
+            + 0.5
+        )
+        / 1e6
+    )
+    agg["n_sessions"] = agg["n_sessions"].astype("int64")
+    agg["n_bounces"] = agg["n_bounces"].astype("int64")
+    return agg.reset_index(drop=True)

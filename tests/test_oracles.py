@@ -181,6 +181,8 @@ def _compare(query: str):
         "events_markov_stationary",
         "events_seasonal_naive",
         "customer_lorenz_curve",
+        "market_basket_lift",
+        "events_bounce_rate",
         "events_benford",
         "doc_cluster_size_hist",
         "orders_profile",
