@@ -388,6 +388,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["customer_lorenz_curve"] = rel.customer_lorenz_curve
     q["market_basket_lift"] = rel.market_basket_lift
     q["events_bounce_rate"] = rel.session_bounce_rate
+    q["events_trending"] = _q_events_trending
+    q["doc_source_jsd"] = _q_doc_source_jsd
+    q["embedding_knn_loo"] = _q_embedding_knn_loo
     q["events_value_gini"] = _q_events_value_gini
     q["events_weekday_chi2"] = _q_events_weekday_chi2
     q["forecast_revenue_change"] = rel.forecast_revenue_change
@@ -1191,6 +1194,38 @@ def _q_events_seasonal_naive(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
     return seasonal_naive_backtest(ds)
+
+
+def _q_events_trending(sf_dir: str) -> pd.DataFrame:
+    """Trailing-7-day top-3 trending event types per day: daily count
+    partials, types x days driver window (kgray/ops/temporal.py
+    trending_types)."""
+    from kgray.ops.temporal import trending_types
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return trending_types(ds)
+
+
+def _q_doc_source_jsd(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram LMs:
+    one (group, token, count) Arrow pass, nano-quantized terms
+    (kgray/ops/text.py group_jsd_matrix)."""
+    from kgray.ops.text import group_jsd_matrix
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return group_jsd_matrix(ds, group_col="source")
+
+
+def _q_embedding_knn_loo(sf_dir: str) -> pd.DataFrame:
+    """Leave-one-out 5-NN label accuracy per class: broadcast reference
+    matrix, per-batch cosine blocks + majority votes
+    (kgray/ops/similarity.py knn_loo_accuracy)."""
+    from kgray.ops.similarity import knn_loo_accuracy
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    return knn_loo_accuracy(ds, k=5)
 
 
 def _markov_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str:
@@ -4915,6 +4950,73 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr_events": _ppr_oracle_sql(),
         "kg_hits_events": _hits_oracle_sql(),
         "events_markov_stationary": _markov_oracle_sql(),
+        "events_trending": """
+            WITH daily AS (
+              SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2),
+            days AS (SELECT DISTINCT day FROM daily),
+            tr AS (
+              SELECT d.day, dd.event_type, CAST(sum(dd.c) AS BIGINT) AS trailing_cnt
+              FROM days d JOIN daily dd ON dd.day BETWEEN d.day - 6 AND d.day
+              GROUP BY 1, 2),
+            r AS (
+              SELECT day, event_type, trailing_cnt,
+                     row_number() OVER (PARTITION BY day
+                                        ORDER BY trailing_cnt DESC, event_type) AS rnk
+              FROM tr)
+            SELECT day, event_type, trailing_cnt, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 3
+        """,
+        "doc_source_jsd": """
+            WITH toks AS (
+              SELECT source AS grp, t AS tok
+              FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''),
+            c AS (SELECT grp, tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2),
+            v AS (SELECT DISTINCT tok FROM c),
+            nv AS (SELECT CAST(count(*) AS BIGINT) AS V FROM v),
+            gs AS (SELECT DISTINCT grp FROM c),
+            tot AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+            grid AS (
+              SELECT gs.grp, v.tok, coalesce(c.cnt, 0) AS cnt
+              FROM gs CROSS JOIN v
+              LEFT JOIN c ON c.grp = gs.grp AND c.tok = v.tok),
+            p AS (
+              SELECT g.grp, g.tok, (g.cnt + 1.0) / (tot.n + nv.V) AS p
+              FROM grid g JOIN tot ON tot.grp = g.grp, nv)
+            SELECT a.grp AS group_a, b.grp AS group_b,
+                   CAST(sum(CAST(floor((0.5 * a.p * ln(a.p / ((a.p + b.p) / 2.0))
+                                        + 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2.0)))
+                                       * 1e9 + 0.5) AS BIGINT)) AS BIGINT)::DOUBLE
+                   / 1e9 AS jsd
+            FROM p a JOIN p b ON a.tok = b.tok AND a.grp < b.grp
+            GROUP BY 1, 2
+        """,
+        "embedding_knn_loo": """
+            WITH scored AS (
+              SELECT a.vec_id AS i, CAST(a.label AS BIGINT) AS la,
+                     b.vec_id AS j, CAST(b.label AS BIGINT) AS lb,
+                     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])) AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+            top AS (
+              SELECT i, la, lb,
+                     row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS r
+              FROM scored),
+            votes AS (SELECT i, la, lb, count(*) AS c FROM top WHERE r <= 5 GROUP BY 1, 2, 3),
+            pred AS (
+              SELECT i, la, lb AS pl,
+                     row_number() OVER (PARTITION BY i ORDER BY c DESC, lb) AS pr
+              FROM votes),
+            ok AS (
+              SELECT la AS label, CASE WHEN pl = la THEN 1 ELSE 0 END AS correct
+              FROM pred WHERE pr = 1)
+            SELECT label, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(correct) AS BIGINT) AS n_correct,
+                   floor(sum(correct)::DOUBLE / count(*)::DOUBLE * 1e6 + 0.5) / 1e6 AS accuracy
+            FROM ok GROUP BY 1
+        """,
         "events_seasonal_naive": """
             WITH daily AS (
               SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,

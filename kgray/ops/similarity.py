@@ -949,3 +949,94 @@ def jl_project(
         )
 
     return ds.map_batches(project, batch_format="pandas", batch_size=65536)
+
+
+def knn_loo_accuracy(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Leave-one-out k-NN label accuracy per class: each vector's label is
+    predicted by the MAJORITY label of its k nearest cosine neighbors
+    (self excluded; neighbor ties by id, vote ties by smallest label) —
+    the embedding-space label-quality audit (low LOO accuracy ⇒ noisy
+    labels or entangled classes).
+
+    Scale shape: the reference matrix broadcasts once (the embeddings
+    side-table is vocabulary-sized by design — the _BlockKnn budget);
+    each batch computes its cosine block, votes, and emits per-label
+    (n, n_correct) partials; the driver merges |labels| rows.
+    """
+
+    def collect(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_id": b[id_col].astype("int64"),
+                "embedding": b[vec_col],
+                "label": b[label_col].astype("int64"),
+            }
+        )
+
+    all_rows = ds.map_batches(collect, batch_format="pandas").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "label": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "n_correct": pd.Series(dtype="int64"),
+            "accuracy": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(all_rows):
+        return empty
+    all_rows = all_rows.sort_values("vec_id").reset_index(drop=True)
+    ids = all_rows["vec_id"].to_numpy(dtype=np.int64)
+    labels = all_rows["label"].to_numpy(dtype=np.int64)
+    ref = ray.put((ids, _unit(np.stack(all_rows["embedding"].to_numpy())), labels))
+
+    def vote(b: pd.DataFrame) -> pd.DataFrame:
+        from kgray.functions.broadcast import cached_get
+
+        rids, runit, rlabels = cached_get(ref)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+        unit = _unit(mat)
+        bids = b[id_col].to_numpy(dtype=np.int64)
+        blab = b[label_col].to_numpy(dtype=np.int64)
+        sims = unit @ runit.T  # (B, N)
+        out_lab, out_ok = [], []
+        for r in range(len(bids)):
+            s = sims[r].copy()
+            s[rids == bids[r]] = -np.inf  # exclude self
+            order = np.lexsort((rids, -s))[:k]
+            votes = rlabels[order]
+            uniq, cnts = np.unique(votes, return_counts=True)
+            pred = int(uniq[np.lexsort((uniq, -cnts))[0]])
+            out_lab.append(int(blab[r]))
+            out_ok.append(1 if pred == blab[r] else 0)
+        out = (
+            pd.DataFrame({"label": out_lab, "ok": out_ok})
+            .groupby("label", sort=False)["ok"]
+            .agg(n="size", n_correct="sum")
+            .reset_index()
+        )
+        out["label"] = out["label"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        out["n_correct"] = out["n_correct"].astype("int64")
+        return out
+
+    parts = ds.map_batches(vote, batch_format="pandas", batch_size=65536).to_pandas()
+    agg = parts.groupby("label", sort=True)[["n", "n_correct"]].sum().reset_index()
+    agg["accuracy"] = (
+        np.floor(
+            agg["n_correct"].to_numpy(dtype=np.float64)
+            / agg["n"].to_numpy(dtype=np.float64)
+            * 1e6
+            + 0.5
+        )
+        / 1e6
+    )
+    agg["label"] = agg["label"].astype("int64")
+    agg["n"] = agg["n"].astype("int64")
+    agg["n_correct"] = agg["n_correct"].astype("int64")
+    return agg

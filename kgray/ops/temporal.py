@@ -1306,3 +1306,59 @@ def seasonal_naive_backtest(
         mae = np.floor(float(int(grp["err"].sum())) / float(n) * 1e6 + 0.5) / 1e6
         rows.append((ty, np.int64(n), mae))
     return pd.DataFrame(rows, columns=[type_col, "n_days", "mae"])
+
+
+def trending_types(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    top_k: int = 3,
+) -> pd.DataFrame:
+    """Trending event types: for every observed day, the top-``top_k``
+    types by TRAILING-``window_days`` count (count desc, type asc) — the
+    sliding-window leaderboard shape.
+
+    Scale shape: one (type, day) Arrow count-partial pass (the daily
+    combiner); the window sums and ranking run on the types × days
+    driver budget — exact integers throughout.
+    """
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        return (
+            pa.table({type_col: t[type_col], "day": pa.array(day, pa.int64())})
+            .group_by([type_col, "day"])
+            .aggregate([([], "count_all")])
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "day": pd.Series(dtype="int64"),
+            type_col: pd.Series(dtype=object),
+            "trailing_cnt": pd.Series(dtype="int64"),
+            "rnk": pd.Series(dtype="int64"),
+        }
+    )
+    if type_col not in parts.columns or not len(parts):
+        return empty
+    daily = parts.groupby([type_col, "day"], sort=True)["count_all"].sum().reset_index()
+    days = np.sort(daily["day"].unique())
+    rows = []
+    for d in days:
+        w = daily.loc[(daily["day"] >= d - window_days + 1) & (daily["day"] <= d)]
+        agg = (
+            w.groupby(type_col, sort=False)["count_all"]
+            .sum()
+            .reset_index(name="trailing_cnt")
+            .sort_values(["trailing_cnt", type_col], ascending=[False, True], kind="mergesort")
+            .head(top_k)
+        )
+        for r, (_, row) in enumerate(agg.iterrows(), start=1):
+            rows.append((int(d), row[type_col], int(row["trailing_cnt"]), r))
+    return pd.DataFrame(rows, columns=["day", type_col, "trailing_cnt", "rnk"]).astype(
+        {"day": "int64", "trailing_cnt": "int64", "rnk": "int64"}
+    )

@@ -920,3 +920,75 @@ def bpe_top_pairs(
     out = cand.sort_values(["cnt", "pair"], ascending=[False, True], kind="mergesort")
     out["cnt"] = out["cnt"].astype("int64")
     return out.head(top_n).reset_index(drop=True)
+
+
+def group_jsd_matrix(
+    docs: ray.data.Dataset,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-group unigram LMs
+    (add-one smoothing on the shared union vocabulary, unordered pairs) —
+    the SYMMETRIC corpus-slice comparison (lang_kl_matrix's KL is
+    directional; JSD is the mixing-decision metric).
+
+    Exactness and scale shape are lang_kl_matrix's: one (group, token,
+    count) Arrow-partial pass bounded by groups × vocabulary; per-token
+    contributions ``½·p·ln(p/m) + ½·q·ln(q/m)`` quantize to nano-units
+    before the sum."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lst = pc.split_pattern(pc.cast(texts, pa.large_string()), " ")
+        lens = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+        flat = lst.flatten()
+        grp = np.repeat(np.asarray(t[group_col].to_pandas(), dtype=object), lens)
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return (
+            pa.table(
+                {
+                    "grp": pa.array(grp[mask], pa.large_string()),
+                    "tok": pa.array(
+                        np.asarray(flat.to_pandas(), dtype=object)[mask], pa.large_string()
+                    ),
+                }
+            )
+            .group_by(["grp", "tok"])
+            .aggregate([([], "count_all")])
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "group_a": pd.Series(dtype=object),
+            "group_b": pd.Series(dtype=object),
+            "jsd": pd.Series(dtype="float64"),
+        }
+    )
+    if "grp" not in parts.columns or not len(parts):
+        return empty
+    cnt = parts.groupby(["grp", "tok"], sort=True)["count_all"].sum()
+    piv = cnt.unstack(fill_value=0)
+    groups = piv.index.to_numpy(dtype=object)
+    V = piv.shape[1]
+    c = piv.to_numpy(dtype=np.float64)
+    n = c.sum(axis=1, keepdims=True)
+    p = (c + 1.0) / (n + V)
+    rows = []
+    for i in range(len(groups)):
+        for j in range(i + 1, len(groups)):
+            m = (p[i] + p[j]) / 2.0
+            term = 0.5 * p[i] * np.log(p[i] / m) + 0.5 * p[j] * np.log(p[j] / m)
+            nano = np.floor(term * 1e9 + 0.5).astype(np.int64).sum()
+            rows.append((groups[i], groups[j], nano / 1e9))
+    if not rows:
+        return empty
+    return (
+        pd.DataFrame(rows, columns=["group_a", "group_b", "jsd"])
+        .sort_values(["group_a", "group_b"])
+        .reset_index(drop=True)
+    )

@@ -183,6 +183,9 @@ def _compare(query: str):
         "customer_lorenz_curve",
         "market_basket_lift",
         "events_bounce_rate",
+        "events_trending",
+        "doc_source_jsd",
+        "embedding_knn_loo",
         "events_benford",
         "doc_cluster_size_hist",
         "orders_profile",
