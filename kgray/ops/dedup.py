@@ -1585,6 +1585,8 @@ def winnowing_pairs(
     """
     import hashlib
 
+    _md5 = hashlib.md5
+
     def fingerprints(b: pd.DataFrame) -> pd.DataFrame:
         fps: list[int] = []
         docs: list[int] = []
@@ -1593,14 +1595,21 @@ def winnowing_pairs(
             npos = len(s) - k + 1
             if npos < w:
                 continue
-            h = np.fromiter(
-                (
-                    int(hashlib.md5(s[p : p + k].encode("utf-8")).hexdigest()[:15], 16)
+            # top 60 bits of the digest == int(hexdigest[:15], 16), without
+            # the hex-string round-trip; ASCII docs slice the encoded bytes
+            # directly (byte windows == char windows there)
+            bs = s.encode("utf-8")
+            if len(bs) == len(s):
+                hs = [
+                    int.from_bytes(_md5(bs[p : p + k]).digest()[:8], "big") >> 4
                     for p in range(npos)
-                ),
-                dtype=np.int64,
-                count=npos,
-            )
+                ]
+            else:
+                hs = [
+                    int.from_bytes(_md5(s[p : p + k].encode("utf-8")).digest()[:8], "big") >> 4
+                    for p in range(npos)
+                ]
+            h = np.asarray(hs, dtype=np.int64)
             m = h[: npos - w + 1].copy()
             for off in range(1, w):
                 np.minimum(m, h[off : npos - w + 1 + off], out=m)

@@ -2254,31 +2254,46 @@ def market_basket_lift(
 
     def per_order_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["o", "p"]).sort_values(["o", "p"], kind="mergesort")
+        o = g["o"].to_numpy(dtype=np.int64)
+        p = g["p"].to_numpy(dtype=np.int64)
+        # vectorized pair emission: basket size is schema-bounded, so loop
+        # over WITHIN-BASKET offsets (≤ max_size² steps), not over orders —
+        # row r with in-basket position i pairs with row r+(j−i) of the
+        # same sorted basket
+        sizes = pd.Series(o).groupby(o, sort=False).transform("size").to_numpy()
+        pos = pd.Series(o).groupby(o, sort=False).cumcount().to_numpy()
+        max_sz = int(sizes.max()) if len(sizes) else 0
         rows_a: list[np.ndarray] = []
         rows_b: list[np.ndarray] = []
-        for _, grp in g.groupby("o", sort=False):
-            ids = grp["p"].to_numpy(dtype=np.int64)
-            if len(ids) < 2:
-                continue
-            i, j = np.triu_indices(len(ids), k=1)
-            rows_a.append(ids[i])
-            rows_b.append(ids[j])
-        if not rows_a:
-            return pd.DataFrame(
-                {
-                    "part_a": pd.Series(dtype="int64"),
-                    "part_b": pd.Series(dtype="int64"),
-                    "n": pd.Series(dtype="int64"),
-                    "pbucket": pd.Series(dtype="int32"),
-                }
-            )
-        a, bb = np.concatenate(rows_a), np.concatenate(rows_b)
-        out = (
-            pd.DataFrame({"part_a": a, "part_b": bb})
-            .groupby(["part_a", "part_b"], sort=False)
-            .size()
-            .reset_index(name="n")
+        for d in range(1, max_sz):
+            idx = np.flatnonzero(pos + d < sizes)
+            if len(idx):
+                rows_a.append(p[idx])
+                rows_b.append(p[idx + d])
+        # side stats ride the SAME pass: per-part basket counts
+        # (part_b = -1) and the bucket's order count (part_a = -2) — one
+        # read, one basket shuffle, one pair shuffle for everything
+        pc_ = pd.Series(p).groupby(p, sort=False).size()
+        side = pd.DataFrame(
+            {
+                "part_a": np.concatenate([pc_.index.to_numpy(np.int64), [-2]]),
+                "part_b": np.int64(-1),
+                "n": np.concatenate(
+                    [pc_.to_numpy(np.int64), [np.int64(len(np.unique(o)))]]
+                ),
+            }
         )
+        if rows_a:
+            a, bb = np.concatenate(rows_a), np.concatenate(rows_b)
+            pair = (
+                pd.DataFrame({"part_a": a, "part_b": bb})
+                .groupby(["part_a", "part_b"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+            out = pd.concat([pair, side], ignore_index=True)
+        else:
+            out = side
         out["n"] = out["n"].astype("int64")
         out["pbucket"] = ((out["part_a"] * 1_000_003 + out["part_b"]) % num_buckets).astype(
             "int32"
@@ -2289,16 +2304,16 @@ def market_basket_lift(
         out = g.groupby(["part_a", "part_b"], sort=False)["n"].sum().reset_index(
             name="support"
         )
-        out = out.loc[out["support"] >= min_support]
+        out = out.loc[(out["part_b"] == -1) | (out["support"] >= min_support)]
         out["support"] = out["support"].astype("int64")
         return out[["part_a", "part_b", "support"]]
 
-    pairs = (
+    rows = (
         op.groupby("bucket")
         .map_groups(per_order_bucket, batch_format="pandas")
         .groupby("pbucket")
         .map_groups(per_pair_bucket, batch_format="pandas")
-        .to_pandas()  # support-filtered pair universe
+        .to_pandas()  # support-filtered pairs + per-part/order-count side rows
     )
     empty = pd.DataFrame(
         {
@@ -2308,42 +2323,14 @@ def market_basket_lift(
             "lift": pd.Series(dtype="float64"),
         }
     )
-    if "part_a" not in pairs.columns or not len(pairs):
+    if "part_a" not in rows.columns or not len(rows):
         return empty
-
-    def freq_partial(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates(["o", "p"])
-        out = d.groupby("p", sort=False).size().reset_index(name="np")
-        out["np"] = out["np"].astype("int64")
-        return out
-
-    # part frequencies re-use the SAME bucketed distinct stream (each
-    # (o, p) pair lands in exactly one orderkey bucket, so per-bucket
-    # counts sum exactly)
-    pf = (
-        op.groupby("bucket")
-        .map_groups(freq_partial, batch_format="pandas")
-        .to_pandas()
-        .groupby("p", sort=False)["np"]
-        .sum()
-    )
-    n_orders = int(
-        line.map_batches(
-            lambda b: pd.DataFrame({"o": b["l_orderkey"].unique()}),
-            batch_format="pandas",
-            batch_size=262144,
-        )
-        .map_batches(
-            lambda b: pd.DataFrame({"bucket": (b["o"] % 64).astype("int32"), "o": b["o"]}),
-            batch_format="pandas",
-        )
-        .groupby("bucket")
-        .map_groups(
-            lambda g: pd.DataFrame({"n": [g["o"].nunique()]}), batch_format="pandas"
-        )
-        .to_pandas()["n"]
-        .sum()
-    )
+    side = rows.loc[rows["part_b"] == -1]
+    pairs = rows.loc[rows["part_b"] != -1].copy()
+    if not len(pairs):
+        return empty
+    n_orders = int(side.loc[side["part_a"] == -2, "support"].sum())
+    pf = side.loc[side["part_a"] >= 0].groupby("part_a", sort=False)["support"].sum()
     na = pairs["part_a"].map(pf).to_numpy(dtype=np.int64)
     nb = pairs["part_b"].map(pf).to_numpy(dtype=np.int64)
     sup = pairs["support"].to_numpy(dtype=np.int64)
