@@ -391,6 +391,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_trending"] = _q_events_trending
     q["doc_source_jsd"] = _q_doc_source_jsd
     q["embedding_knn_loo"] = _q_embedding_knn_loo
+    q["events_ltv_age_curve"] = _q_events_ltv_age_curve
+    q["fk_integrity_audit"] = rel.fk_integrity_audit
+    q["doc_hapax_ratio"] = _q_doc_hapax_ratio
     q["events_value_gini"] = _q_events_value_gini
     q["events_weekday_chi2"] = _q_events_weekday_chi2
     q["forecast_revenue_change"] = rel.forecast_revenue_change
@@ -1226,6 +1229,27 @@ def _q_embedding_knn_loo(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
     )
     return knn_loo_accuracy(ds, k=5)
+
+
+def _q_events_ltv_age_curve(sf_dir: str) -> pd.DataFrame:
+    """Average cumulative value by account age: one user-hash shuffle,
+    (age, cents) partials, driver cumsum (kgray/ops/temporal.py
+    ltv_age_curve)."""
+    from kgray.ops.temporal import ltv_age_curve
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return ltv_age_curve(ds)
+
+
+def _q_doc_hapax_ratio(sf_dir: str) -> pd.DataFrame:
+    """Hapax legomena share of the vocabulary: token-count partials, one
+    token-hash shuffle, scalar merge (kgray/ops/stats.py hapax_ratio)."""
+    from kgray.ops.stats import hapax_ratio
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return hapax_ratio(ds)
 
 
 def _markov_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str:
@@ -4950,6 +4974,68 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr_events": _ppr_oracle_sql(),
         "kg_hits_events": _hits_oracle_sql(),
         "events_markov_stationary": _markov_oracle_sql(),
+        "events_ltv_age_curve": """
+            WITH x AS (
+              SELECT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events),
+            f AS (SELECT user_id, CAST(min(day) AS BIGINT) AS fd FROM x GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM f),
+            a AS (
+              SELECT x.day - f.fd AS age, CAST(sum(x.cents) AS BIGINT) AS cents
+              FROM x JOIN f USING (user_id) GROUP BY 1),
+            c AS (
+              SELECT age, sum(cents) OVER (ORDER BY age ROWS UNBOUNDED PRECEDING) AS cum
+              FROM a)
+            SELECT age AS age_day,
+                   floor(CAST(cum AS DOUBLE) / 100.0 / CAST(n_users AS DOUBLE) * 1e6 + 0.5)
+                   / 1e6 AS cum_value_per_user
+            FROM c, n
+        """,
+        "fk_integrity_audit": """
+            SELECT fk_edge, CAST(n_orphans AS BIGINT) AS n_orphans FROM (
+              SELECT 'customer->nation' AS fk_edge,
+                     (SELECT count(*) FROM customer
+                      WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS n_orphans
+              UNION ALL
+              SELECT 'lineitem->orders',
+                     (SELECT count(DISTINCT l_orderkey) FROM lineitem
+                      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+              UNION ALL
+              SELECT 'lineitem->part',
+                     (SELECT count(*) FROM lineitem
+                      WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+              UNION ALL
+              SELECT 'lineitem->supplier',
+                     (SELECT count(*) FROM lineitem
+                      WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+              UNION ALL
+              SELECT 'nation->region',
+                     (SELECT count(*) FROM nation
+                      WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+              UNION ALL
+              SELECT 'orders->customer',
+                     (SELECT count(*) FROM orders
+                      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+              UNION ALL
+              SELECT 'supplier->nation',
+                     (SELECT count(*) FROM supplier
+                      WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+            )
+        """,
+        "doc_hapax_ratio": """
+            WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+            c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS vocab,
+                     CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+                     CAST(sum(cnt) AS BIGINT) AS total_tokens
+              FROM c)
+            SELECT vocab, hapax, total_tokens,
+                   floor(hapax::DOUBLE / vocab::DOUBLE * 1e6 + 0.5) / 1e6 AS hapax_ratio
+            FROM s WHERE vocab > 0
+        """,
         "events_trending": """
             WITH daily AS (
               SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,

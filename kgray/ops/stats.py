@@ -1768,3 +1768,66 @@ def stickiness_ratio(
         .sort_values(day_col)
         .reset_index(drop=True)
     )
+
+
+def hapax_ratio(
+    ds: ray.data.Dataset, text_col: str = "text", num_buckets: int = 16
+) -> pd.DataFrame:
+    """Hapax legomena ratio: the fraction of the corpus VOCABULARY that
+    occurs exactly once — the classic corpus-maturity / OCR-noise
+    diagnostic (noisy corpora skew hapax-heavy).
+
+    Scale shape: per-batch Arrow token-count partials, one token-hash
+    shuffle; each bucket emits (V, hapax, tokens) scalars — a
+    buckets-row driver merge and one micro-quantized division.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern(pc.cast(texts, pa.large_string()), " ").flatten()
+        counted = pa.table({"token": toks}).group_by("token").aggregate([([], "count_all")])
+        bucket = pd.util.hash_array(
+            np.asarray(counted["token"].to_pandas(), dtype=object)
+        ) % num_buckets
+        return counted.append_column("bucket", pa.array(bucket.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("token", sort=False)["count_all"].sum()
+        return pd.DataFrame(
+            {
+                "v": [np.int64(len(c))],
+                "hapax": [np.int64(int((c == 1).sum()))],
+                "toks": [np.int64(int(c.sum()))],
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "vocab": pd.Series(dtype="int64"),
+            "hapax": pd.Series(dtype="int64"),
+            "total_tokens": pd.Series(dtype="int64"),
+            "hapax_ratio": pd.Series(dtype="float64"),
+        }
+    )
+    if "v" not in parts.columns or not len(parts):
+        return empty
+    v, h, t = int(parts["v"].sum()), int(parts["hapax"].sum()), int(parts["toks"].sum())
+    if v == 0:
+        return empty
+    ratio = np.floor(float(h) / float(v) * 1e6 + 0.5) / 1e6
+    return pd.DataFrame(
+        {
+            "vocab": [np.int64(v)],
+            "hapax": [np.int64(h)],
+            "total_tokens": [np.int64(t)],
+            "hapax_ratio": [ratio],
+        }
+    )

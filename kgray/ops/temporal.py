@@ -1362,3 +1362,82 @@ def trending_types(
     return pd.DataFrame(rows, columns=["day", type_col, "trailing_cnt", "rnk"]).astype(
         {"day": "int64", "trailing_cnt": "int64", "rnk": "int64"}
     )
+
+
+def ltv_age_curve(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Average cumulative lifetime value by account age: for each age (in
+    days since the user's FIRST event), the cumulative value accrued per
+    user up to that age, averaged over ALL users — the LTV curve a
+    retention team tracks.
+
+    Scale shape: one user-hash bucket shuffle; each bucket computes its
+    users' first days vectorized and emits (age, integer-cent) sum
+    partials plus a user count — the driver cumsums ≤ buckets × ages
+    rows.  Exact cents until one micro-quantized division per age row.
+    """
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "bucket": (b[key_col] % num_buckets).astype("int32"),
+                "u": b[key_col].astype("int64"),
+                "day": (
+                    b[ts_col].astype("datetime64[us]").astype("int64")
+                    // 86_400_000_000
+                ).astype("int64"),
+                "cents": np.floor(
+                    b[value_col].to_numpy(dtype=np.float64) * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("u", sort=False)["day"].transform("min")
+        age = (g["day"] - first).astype("int64")
+        out = (
+            pd.DataFrame({"age": age, "cents": g["cents"]})
+            .groupby("age", sort=False)["cents"]
+            .sum()
+            .reset_index(name="cents")
+        )
+        out["cents"] = out["cents"].astype("int64")
+        out["n_users"] = np.int64(0)
+        users = pd.DataFrame(
+            {"age": [np.int64(-1)], "cents": [np.int64(0)], "n_users": [g["u"].nunique()]}
+        )
+        return pd.concat([out, users], ignore_index=True)
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ buckets × ages rows
+    )
+    empty = pd.DataFrame(
+        {
+            "age_day": pd.Series(dtype="int64"),
+            "cum_value_per_user": pd.Series(dtype="float64"),
+        }
+    )
+    if "age" not in parts.columns or not len(parts):
+        return empty
+    n_users = int(parts.loc[parts["age"] == -1, "n_users"].sum())
+    if n_users == 0:
+        return empty
+    agg = (
+        parts.loc[parts["age"] >= 0]
+        .groupby("age", sort=True)["cents"]
+        .sum()
+        .astype("int64")
+    )
+    ages = agg.index.to_numpy(dtype=np.int64)
+    cum = np.cumsum(agg.to_numpy(dtype=np.int64))
+    val = np.floor(cum.astype(np.float64) / 100.0 / float(n_users) * 1e6 + 0.5) / 1e6
+    return pd.DataFrame({"age_day": ages, "cum_value_per_user": val})

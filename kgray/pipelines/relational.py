@@ -2416,3 +2416,126 @@ def session_bounce_rate(
     agg["n_sessions"] = agg["n_sessions"].astype("int64")
     agg["n_bounces"] = agg["n_bounces"].astype("int64")
     return agg.reset_index(drop=True)
+
+
+def fk_integrity_audit(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Referential-integrity audit across every foreign-key edge of the
+    schema: orphan fact rows whose key has no match in the referenced
+    table — the ingest-health report run before anything joins.
+
+    Scale ladder per edge: DIMENSION-referenced keys (part, supplier,
+    customer, nation, region) broadcast as sorted arrays and orphans
+    count per batch with ``np.isin`` (no shuffle); the one FACT→FACT
+    edge (lineitem→orders) pre-shrinks both sides to distinct keys per
+    batch and anti-joins in ORDERKEY hash buckets.
+    """
+    from kgray.functions.broadcast import cached_get
+
+    def count_orphans_broadcast(
+        fact: ray.data.Dataset, col: str, keys: np.ndarray
+    ) -> int:
+        ref = ray.put(np.sort(keys.astype(np.int64)))
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            v = b[col].to_numpy(dtype=np.int64)
+            return pd.DataFrame({"n": [int((~np.isin(v, cached_get(ref))).sum())]})
+
+        return int(
+            fact.map_batches(partial, batch_format="pandas", batch_size=262144)
+            .to_pandas()["n"]
+            .sum()
+        )
+
+    part = _read(sf_dir, "part", ["p_partkey"]).to_pandas()["p_partkey"].to_numpy()
+    supp = _read(sf_dir, "supplier", ["s_suppkey"]).to_pandas()["s_suppkey"].to_numpy()
+    cust = _read(sf_dir, "customer", ["c_custkey"]).to_pandas()["c_custkey"].to_numpy()
+    nat = _read(sf_dir, "nation", ["n_nationkey"]).to_pandas()["n_nationkey"].to_numpy()
+    reg = _read(sf_dir, "region", ["r_regionkey"]).to_pandas()["r_regionkey"].to_numpy()
+
+    line_part = count_orphans_broadcast(
+        _read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey", part
+    )
+    line_supp = count_orphans_broadcast(
+        _read(sf_dir, "lineitem", ["l_suppkey"]), "l_suppkey", supp
+    )
+    orders_cust = count_orphans_broadcast(
+        _read(sf_dir, "orders", ["o_custkey"]), "o_custkey", cust
+    )
+    cust_nat = count_orphans_broadcast(
+        _read(sf_dir, "customer", ["c_nationkey"]), "c_nationkey", nat
+    )
+    supp_nat = count_orphans_broadcast(
+        _read(sf_dir, "supplier", ["s_nationkey"]), "s_nationkey", nat
+    )
+    nat_reg = count_orphans_broadcast(
+        _read(sf_dir, "nation", ["n_regionkey"]), "n_regionkey", reg
+    )
+
+    # lineitem → orders: fact×fact, bucketed anti-join on orderkey
+    def line_keys(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(b["l_orderkey"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "bucket": (u % num_buckets).astype(np.int32),
+                "k": u,
+                "side": np.int8(0),
+                "n": np.int64(1),
+            }
+        )
+
+    def order_keys(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(b["o_orderkey"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "bucket": (u % num_buckets).astype(np.int32),
+                "k": u,
+                "side": np.int8(1),
+                "n": np.int64(1),
+            }
+        )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        have = g.loc[g["side"] == 1, "k"].unique()
+        l = g.loc[g["side"] == 0, "k"].unique()
+        return pd.DataFrame({"n": [int((~np.isin(l, have)).sum())]})
+
+    # counts DISTINCT orphan orderkeys (each key lands in exactly one bucket)
+    line_orders = int(
+        _read(sf_dir, "lineitem", ["l_orderkey"])
+        .map_batches(line_keys, batch_format="pandas", batch_size=262144)
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+                order_keys, batch_format="pandas", batch_size=262144
+            )
+        )
+        .groupby("bucket")
+        .map_groups(anti, batch_format="pandas")
+        .to_pandas()["n"]
+        .sum()
+    )
+
+    return pd.DataFrame(
+        {
+            "fk_edge": [
+                "customer->nation",
+                "lineitem->orders",
+                "lineitem->part",
+                "lineitem->supplier",
+                "nation->region",
+                "orders->customer",
+                "supplier->nation",
+            ],
+            "n_orphans": pd.Series(
+                [
+                    cust_nat,
+                    line_orders,
+                    line_part,
+                    line_supp,
+                    nat_reg,
+                    orders_cust,
+                    supp_nat,
+                ],
+                dtype="int64",
+            ),
+        }
+    )

@@ -186,6 +186,9 @@ def _compare(query: str):
         "events_trending",
         "doc_source_jsd",
         "embedding_knn_loo",
+        "events_ltv_age_curve",
+        "fk_integrity_audit",
+        "doc_hapax_ratio",
         "events_benford",
         "doc_cluster_size_hist",
         "orders_profile",
