@@ -394,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_ltv_age_curve"] = _q_events_ltv_age_curve
     q["fk_integrity_audit"] = rel.fk_integrity_audit
     q["doc_hapax_ratio"] = _q_doc_hapax_ratio
+    q["events_type_drift"] = _q_events_type_drift
     q["events_value_gini"] = _q_events_value_gini
     q["events_weekday_chi2"] = _q_events_weekday_chi2
     q["forecast_revenue_change"] = rel.forecast_revenue_change
@@ -1250,6 +1251,16 @@ def _q_doc_hapax_ratio(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     return hapax_ratio(ds)
+
+
+def _q_events_type_drift(sf_dir: str) -> pd.DataFrame:
+    """Event-type mix drift between time halves (KL both ways + TVD):
+    scalar min/max pass + (half, type) count partials
+    (kgray/ops/stats.py type_drift)."""
+    from kgray.ops.stats import type_drift
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return type_drift(ds)
 
 
 def _markov_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str:
@@ -4974,6 +4985,34 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr_events": _ppr_oracle_sql(),
         "kg_hits_events": _hits_oracle_sql(),
         "events_markov_stationary": _markov_oracle_sql(),
+        "events_type_drift": """
+            WITH b AS (
+              SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+                     CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+              FROM events),
+            x AS (
+              SELECT CASE WHEN CAST(epoch_us(ts) AS BIGINT) >= (lo + hi) // 2
+                          THEN 1 ELSE 0 END AS half,
+                     event_type
+              FROM events, b),
+            types AS (SELECT DISTINCT event_type FROM x),
+            k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM types),
+            c AS (
+              SELECT h.half, t.event_type, CAST(coalesce(cnt, 0) AS BIGINT) AS cnt
+              FROM (SELECT 0 AS half UNION ALL SELECT 1) h
+              CROSS JOIN types t
+              LEFT JOIN (SELECT half, event_type, count(*) AS cnt FROM x GROUP BY 1, 2) o
+                ON o.half = h.half AND o.event_type = t.event_type),
+            n AS (SELECT half, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+            p AS (
+              SELECT c.half, c.event_type, (c.cnt + 1.0) / (n.n + k.k) AS p
+              FROM c JOIN n USING (half), k)
+            SELECT
+              CAST(sum(CAST(floor(a.p * ln(a.p / b2.p) * 1e9 + 0.5) AS BIGINT)) AS BIGINT)::DOUBLE / 1e9 AS kl_ab,
+              CAST(sum(CAST(floor(b2.p * ln(b2.p / a.p) * 1e9 + 0.5) AS BIGINT)) AS BIGINT)::DOUBLE / 1e9 AS kl_ba,
+              CAST(sum(CAST(floor(abs(a.p - b2.p) / 2.0 * 1e9 + 0.5) AS BIGINT)) AS BIGINT)::DOUBLE / 1e9 AS tvd
+            FROM p a JOIN p b2 ON a.event_type = b2.event_type AND a.half = 0 AND b2.half = 1
+        """,
         "events_ltv_age_curve": """
             WITH x AS (
               SELECT user_id,

@@ -1831,3 +1831,62 @@ def hapax_ratio(
             "hapax_ratio": [ratio],
         }
     )
+
+
+def type_drift(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Distribution drift of the event-type mix between the FIRST and
+    SECOND half of the observed time range: symmetric KL pair plus total
+    variation distance — the stream-health drift monitor (doc_length_psi's
+    twin on the categorical axis).
+
+    Exactness: counts are exact ints; add-one smoothing over the union
+    type set; each KL term quantizes to nano-units before the sum, TVD
+    is |p−q|/2 summed in quantized space.
+
+    Scale shape: one epoch min/max scalar pass, then (half, type) Arrow
+    count partials — a 2 × |types| driver grid.
+    """
+    import pyarrow as pa
+
+    lo = ds.min(ts_col)
+    hi = ds.max(ts_col)
+    if lo is None:
+        return pd.DataFrame(
+            {
+                "kl_ab": pd.Series(dtype="float64"),
+                "kl_ba": pd.Series(dtype="float64"),
+                "tvd": pd.Series(dtype="float64"),
+            }
+        )
+    lo_us = int(pd.Timestamp(lo).value // 1000)
+    hi_us = int(pd.Timestamp(hi).value // 1000)
+    mid_us = (lo_us + hi_us) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        half = (us >= mid_us).astype(np.int8)
+        return (
+            pa.table({"half": pa.array(half, pa.int8()), type_col: t[type_col]})
+            .group_by(["half", type_col])
+            .aggregate([([], "count_all")])
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    grid = parts.groupby(["half", type_col], sort=True)["count_all"].sum().unstack(
+        fill_value=0
+    )
+    grid = grid.reindex([0, 1], fill_value=0)
+    k = grid.shape[1]
+    c = grid.to_numpy(dtype=np.float64)
+    n = c.sum(axis=1, keepdims=True)
+    p = (c + 1.0) / (n + k)
+    kl_ab = int(np.floor(p[0] * np.log(p[0] / p[1]) * 1e9 + 0.5).astype(np.int64).sum())
+    kl_ba = int(np.floor(p[1] * np.log(p[1] / p[0]) * 1e9 + 0.5).astype(np.int64).sum())
+    tvd = int(np.floor(np.abs(p[0] - p[1]) / 2.0 * 1e9 + 0.5).astype(np.int64).sum())
+    return pd.DataFrame(
+        {"kl_ab": [kl_ab / 1e9], "kl_ba": [kl_ba / 1e9], "tvd": [tvd / 1e9]}
+    )

@@ -73,3 +73,18 @@ def test_fk_audit_detects_orphans(ray_session, tmp_path):
     assert m["lineitem->part"] == 1  # partkey 2 missing
     assert m["lineitem->supplier"] == 0
     assert m["customer->nation"] == 0
+
+
+def test_type_drift_identical_halves_near_zero(ray_session):
+    from kgray.ops.stats import type_drift
+
+    rows = []
+    for day in (1, 20):  # same mix in both halves
+        for t, n in (("a", 4), ("b", 2)):
+            for i in range(n):
+                rows.append({"event_type": t, "ts": f"2024-01-{day:02d} 0{i}:00:00"})
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    out = type_drift(ray.data.from_pandas(df))
+    assert abs(out["kl_ab"].iloc[0]) < 1e-6
+    assert abs(out["tvd"].iloc[0]) < 1e-6

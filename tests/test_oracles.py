@@ -189,6 +189,7 @@ def _compare(query: str):
         "events_ltv_age_curve",
         "fk_integrity_audit",
         "doc_hapax_ratio",
+        "events_type_drift",
         "events_benford",
         "doc_cluster_size_hist",
         "orders_profile",
