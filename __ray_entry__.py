@@ -395,6 +395,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["fk_integrity_audit"] = rel.fk_integrity_audit
     q["doc_hapax_ratio"] = _q_doc_hapax_ratio
     q["events_type_drift"] = _q_events_type_drift
+    q["doc_kmv_distinct"] = _q_doc_kmv_distinct
+    q["doc_mixing_weights"] = _q_doc_mixing_weights
     q["events_value_gini"] = _q_events_value_gini
     q["events_weekday_chi2"] = _q_events_weekday_chi2
     q["forecast_revenue_change"] = rel.forecast_revenue_change
@@ -1261,6 +1263,26 @@ def _q_events_type_drift(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
     return type_drift(ds)
+
+
+def _q_doc_kmv_distinct(sf_dir: str) -> pd.DataFrame:
+    """KMV bottom-k distinct-token sketch (exactly reproducible twin):
+    per-batch bottom-k combiner, blocks x k driver merge
+    (kgray/ops/stats.py kmv_distinct_tokens)."""
+    from kgray.ops.stats import kmv_distinct_tokens
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return kmv_distinct_tokens(ds, k=256)
+
+
+def _q_doc_mixing_weights(sf_dir: str) -> pd.DataFrame:
+    """Temperature mixing weights (w ~ n^0.3) + per-lang fertility: one
+    Arrow partial pass, |langs| driver grid (kgray/ops/stats.py
+    lang_mixing_weights)."""
+    from kgray.ops.stats import lang_mixing_weights
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    return lang_mixing_weights(ds, alpha=0.3)
 
 
 def _markov_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str:
@@ -4985,6 +5007,39 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr_events": _ppr_oracle_sql(),
         "kg_hits_events": _hits_oracle_sql(),
         "events_markov_stationary": _markov_oracle_sql(),
+        "doc_kmv_distinct": """
+            WITH toks AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents),
+            h AS (SELECT DISTINCT md5_number_lower(tok) AS hv FROM toks),
+            o AS (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM h),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM h)
+            SELECT CASE WHEN nn.n < 256 THEN nn.n ELSE CAST(256 AS BIGINT) END AS k,
+                   CASE WHEN nn.n < 256 THEN ''
+                        ELSE CAST((SELECT hv FROM o WHERE r = 256) AS VARCHAR)
+                   END AS kth_hash,
+                   CASE WHEN nn.n < 256 THEN CAST(nn.n AS DOUBLE)
+                        ELSE floor(255.0 / (CAST((SELECT hv FROM o WHERE r = 256) AS DOUBLE)
+                                            / 18446744073709551616.0) * 1e6 + 0.5) / 1e6
+                   END AS estimate
+            FROM nn
+        """,
+        "doc_mixing_weights": """
+            WITH g AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks,
+                     CAST(sum(length(text)) AS BIGINT) AS chars
+              FROM documents GROUP BY 1),
+            t AS (
+              SELECT lang, docs, toks, chars,
+                     CAST(floor(exp(0.3 * (floor(ln(CAST(docs AS DOUBLE)) * 1e6 + 0.5) / 1e6))
+                                * 1e6 + 0.5) AS BIGINT) AS tq
+              FROM g),
+            s AS (SELECT CAST(sum(tq) AS BIGINT) AS ts FROM t)
+            SELECT lang, docs AS n_docs, toks AS n_tokens,
+                   floor(CAST(chars AS DOUBLE) / greatest(CAST(toks AS DOUBLE), 1.0)
+                         * 1e6 + 0.5) / 1e6 AS chars_per_token,
+                   floor(CAST(tq AS DOUBLE) / CAST(ts AS DOUBLE) * 1e6 + 0.5) / 1e6 AS weight
+            FROM t, s
+        """,
         "events_type_drift": """
             WITH b AS (
               SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,

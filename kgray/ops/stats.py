@@ -1890,3 +1890,130 @@ def type_drift(
     return pd.DataFrame(
         {"kl_ab": [kl_ab / 1e9], "kl_ba": [kl_ba / 1e9], "tvd": [tvd / 1e9]}
     )
+
+
+def kmv_distinct_tokens(
+    ds: ray.data.Dataset, k: int = 256, text_col: str = "text"
+) -> pd.DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-token sketch: keep the k
+    smallest md5 hashes ever seen; estimate distinct = (k−1)/û where û is
+    the k-th smallest hash normalized to (0,1] — HLL's mergeable cousin
+    with an EXACTLY reproducible twin (the sketch content is a pure
+    function of the data, no register probabilities).
+
+    Scale shape: per-batch partials keep ≤ k distinct hashes (bottom-k is
+    a combiner); the driver merges blocks × k candidates and takes the
+    global bottom-k.  Falls back to the exact count when fewer than k
+    distinct hashes exist.
+    """
+    from kgray.ops.dedup import _md5_u64_np
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern(pc.cast(texts, pa.large_string()), " ").flatten()
+        uniq = pc.unique(toks).to_pylist()
+        h = np.unique(_md5_u64_np(uniq))
+        return pa.table({"h": pa.array(h[:k], pa.uint64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "k": pd.Series(dtype="int64"),
+            "kth_hash": pd.Series(dtype=object),
+            "estimate": pd.Series(dtype="float64"),
+        }
+    )
+    if "h" not in parts.columns or not len(parts):
+        return empty
+    hs = np.unique(parts["h"].to_numpy(dtype=np.uint64))
+    if len(hs) < k:
+        return pd.DataFrame(
+            {"k": [np.int64(len(hs))], "kth_hash": [""], "estimate": [float(len(hs))]}
+        )
+    kth = int(hs[k - 1])
+    est = (
+        np.floor((k - 1) / (float(kth) / 18446744073709551616.0) * 1e6 + 0.5) / 1e6
+    )
+    return pd.DataFrame({"k": [np.int64(k)], "kth_hash": [str(kth)], "estimate": [est]})
+
+
+def lang_mixing_weights(
+    ds: ray.data.Dataset,
+    group_col: str = "lang",
+    text_col: str = "text",
+    alpha: float = 0.3,
+) -> pd.DataFrame:
+    """Temperature-based multilingual mixing weights (the mT5/XLM-R rule
+    w_l ∝ n_l^α, α<1 upsamples tail languages) plus per-language
+    tokenizer fertility (chars per whitespace token).
+
+    Exactness: n^α = exp(α·ln n) with BOTH transcendentals micro-quantized
+    (the DSIR trick — np.exp/np.log match DuckDB bit-for-bit on quantized
+    inputs); the weight normalization sums exact ints.
+
+    Scale shape: one (lang, docs, tokens, chars) Arrow-partial pass —
+    a |langs|-bounded driver grid.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lst = pc.split_pattern(pc.cast(texts, pa.large_string()), " ")
+        ntok = pc.list_value_length(lst).to_numpy(zero_copy_only=False).astype(np.int64)
+        nchars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "lang": np.asarray(t[group_col].to_pandas(), dtype=object),
+                "docs": np.int64(1),
+                "toks": ntok,
+                "chars": nchars,
+            }
+        )
+        out = g.groupby("lang", sort=False).sum().reset_index()
+        return pa.table(
+            {
+                "lang": pa.array(out["lang"], pa.large_string()),
+                "docs": pa.array(out["docs"].astype(np.int64), pa.int64()),
+                "toks": pa.array(out["toks"].astype(np.int64), pa.int64()),
+                "chars": pa.array(out["chars"].astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "lang": pd.Series(dtype=object),
+            "n_docs": pd.Series(dtype="int64"),
+            "n_tokens": pd.Series(dtype="int64"),
+            "chars_per_token": pd.Series(dtype="float64"),
+            "weight": pd.Series(dtype="float64"),
+        }
+    )
+    if "lang" not in parts.columns or not len(parts):
+        return empty
+    agg = parts.groupby("lang", sort=True)[["docs", "toks", "chars"]].sum()
+    n = agg["docs"].to_numpy(dtype=np.float64)
+    # n^alpha in micro-quantized steps: lnq = floor(ln(n)·1e6+0.5)/1e6,
+    # t = floor(exp(alpha·lnq)·1e6+0.5) — exact ints after this point
+    lnq = np.floor(np.log(n) * 1e6 + 0.5) / 1e6
+    t = np.floor(np.exp(alpha * lnq) * 1e6 + 0.5).astype(np.int64)
+    tsum = int(t.sum())
+    weight = np.floor(t.astype(np.float64) / float(tsum) * 1e6 + 0.5) / 1e6
+    cpt = np.floor(
+        agg["chars"].to_numpy(dtype=np.float64)
+        / np.maximum(agg["toks"].to_numpy(dtype=np.float64), 1.0)
+        * 1e6
+        + 0.5
+    ) / 1e6
+    return pd.DataFrame(
+        {
+            "lang": agg.index.to_numpy(dtype=object),
+            "n_docs": agg["docs"].astype("int64").to_numpy(),
+            "n_tokens": agg["toks"].astype("int64").to_numpy(),
+            "chars_per_token": cpt,
+            "weight": weight,
+        }
+    )

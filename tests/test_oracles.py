@@ -190,6 +190,8 @@ def _compare(query: str):
         "fk_integrity_audit",
         "doc_hapax_ratio",
         "events_type_drift",
+        "doc_kmv_distinct",
+        "doc_mixing_weights",
         "events_benford",
         "doc_cluster_size_hist",
         "orders_profile",
