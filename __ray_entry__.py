@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_type_drift"] = _q_events_type_drift
     q["doc_kmv_distinct"] = _q_doc_kmv_distinct
     q["doc_mixing_weights"] = _q_doc_mixing_weights
+    q["embedding_label_cosine"] = _q_embedding_label_cosine
     q["events_value_gini"] = _q_events_value_gini
     q["events_weekday_chi2"] = _q_events_weekday_chi2
     q["forecast_revenue_change"] = rel.forecast_revenue_change
@@ -1283,6 +1284,18 @@ def _q_doc_mixing_weights(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
     return lang_mixing_weights(ds, alpha=0.3)
+
+
+def _q_embedding_label_cosine(sf_dir: str) -> pd.DataFrame:
+    """Inter-label centroid cosine matrix: one (label, sum-vector)
+    partial pass, |labels|^2 driver math in exact integer space
+    (kgray/ops/similarity.py label_centroid_cosine)."""
+    from kgray.ops.similarity import label_centroid_cosine
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+    return label_centroid_cosine(ds)
 
 
 def _markov_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str:
@@ -5007,6 +5020,28 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr_events": _ppr_oracle_sql(),
         "kg_hits_events": _hits_oracle_sql(),
         "events_markov_stationary": _markov_oracle_sql(),
+        "embedding_label_cosine": """
+            WITH dims AS MATERIALIZED (SELECT unnest(range(1, 65)) AS i),
+            x AS MATERIALIZED (
+              SELECT CAST(label AS BIGINT) AS label, d.i AS i,
+                     CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS xq
+              FROM embeddings e CROSS JOIN dims d),
+            s AS MATERIALIZED (
+              SELECT label, i, CAST(sum(xq) AS BIGINT) AS s FROM x GROUP BY 1, 2),
+            ab AS (
+              SELECT a.label AS la, b.label AS lb,
+                     sum(CAST(a.s AS HUGEINT) * b.s) AS sab
+              FROM s a JOIN s b ON a.i = b.i AND a.label < b.label
+              GROUP BY 1, 2),
+            aa AS (SELECT label, sum(CAST(s AS HUGEINT) * s) AS saa FROM s GROUP BY 1)
+            SELECT la AS label_a, lb AS label_b,
+                   CASE WHEN CAST(x1.saa AS DOUBLE) * CAST(x2.saa AS DOUBLE) <= 0 THEN 0.0
+                        ELSE floor(CAST(ab.sab AS DOUBLE)
+                                   / sqrt(CAST(x1.saa AS DOUBLE) * CAST(x2.saa AS DOUBLE))
+                                   * 1e6 + 0.5) / 1e6
+                   END AS cosine
+            FROM ab JOIN aa x1 ON x1.label = la JOIN aa x2 ON x2.label = lb
+        """,
         "doc_kmv_distinct": """
             WITH toks AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents),
             h AS (SELECT DISTINCT md5_number_lower(tok) AS hv FROM toks),

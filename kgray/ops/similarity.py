@@ -1040,3 +1040,69 @@ def knn_loo_accuracy(
     agg["n"] = agg["n"].astype("int64")
     agg["n_correct"] = agg["n_correct"].astype("int64")
     return agg
+
+
+def label_centroid_cosine(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quant: float = 1e4,
+) -> pd.DataFrame:
+    """Inter-label centroid cosine matrix (unordered pairs): how close the
+    class centroids sit in embedding space — the class-separability audit
+    that pairs with :func:`label_outlier_z` (within-class) and
+    :func:`knn_loo_accuracy` (boundary quality).
+
+    Exactness: components quantize to ``quant`` ints first; each centroid
+    SUM vector is exact (cosine is scale-invariant, so the un-divided sum
+    IS the centroid direction); Σab / √(Σa²·Σb²) runs in python ints with
+    one micro-quantized float division.
+
+    Scale shape: one per-batch (label, n, Σxq-vector) partial pass —
+    |labels| driver rows; the |labels|² matrix is driver math.
+    """
+
+    def sum_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lab, grp in b.groupby(label_col, sort=False):
+            m = np.stack(grp[vec_col].to_numpy())
+            xq = np.floor(m.astype(np.float64) * quant + 0.5).astype(np.int64)
+            rows.append((int(lab), xq.sum(axis=0)))
+        return pd.DataFrame(
+            {
+                "label": pd.Series([r[0] for r in rows], dtype="int64"),
+                "sxq": pd.Series([r[1] for r in rows]),
+            }
+        )
+
+    parts = ds.map_batches(sum_partial, batch_format="pandas", batch_size=65536).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "label_a": pd.Series(dtype="int64"),
+            "label_b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+    if "label" not in parts.columns or not len(parts):
+        return empty
+    cent = {
+        int(lab): np.sum(np.stack(grp["sxq"].to_numpy()), axis=0).astype(np.int64)
+        for lab, grp in parts.groupby("label")
+    }
+    labs = sorted(cent)
+    rows = []
+    for i, la in enumerate(labs):
+        a = cent[la]
+        saa = sum(int(v) * int(v) for v in a)
+        for lb in labs[i + 1 :]:
+            b = cent[lb]
+            sab = sum(int(x) * int(y) for x, y in zip(a, b))
+            sbb = sum(int(v) * int(v) for v in b)
+            den = float(saa) * float(sbb)
+            cos = 0.0 if den <= 0 else np.floor(
+                float(sab) / np.sqrt(np.float64(den)) * 1e6 + 0.5
+            ) / 1e6
+            rows.append((la, lb, cos))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["label_a", "label_b", "cosine"])

@@ -192,6 +192,7 @@ def _compare(query: str):
         "events_type_drift",
         "doc_kmv_distinct",
         "doc_mixing_weights",
+        "embedding_label_cosine",
         "events_benford",
         "doc_cluster_size_hist",
         "orders_profile",

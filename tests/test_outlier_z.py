@@ -37,3 +37,17 @@ def test_singleton_label_z_zero(ray_session):
 def test_identical_vectors_z_zero(ray_session):
     out = label_outlier_z(_ds([[1.0, 1.0]] * 4, [2] * 4)).to_pandas()
     assert (out["z"] == 0.0).all()
+
+
+def test_label_centroid_cosine(ray_session):
+    from kgray.ops.similarity import label_centroid_cosine
+
+    # label 0 along x, label 1 along y (orthogonal), label 2 along x too
+    vecs = [[1.0, 0.0], [2.0, 0.0], [0.0, 1.0], [0.0, 3.0], [4.0, 0.0]]
+    labels = [0, 0, 1, 1, 2]
+    ds = _ds(vecs, labels)
+    out = label_centroid_cosine(ds)
+    m = {(a, b): c for a, b, c in zip(out["label_a"], out["label_b"], out["cosine"])}
+    assert abs(m[(0, 1)]) < 1e-6  # orthogonal
+    assert abs(m[(0, 2)] - 1.0) < 1e-6  # parallel
+    assert abs(m[(1, 2)]) < 1e-6
