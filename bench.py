@@ -192,6 +192,12 @@ def run_bench() -> dict:
     timed("events_pct_by_type", lambda: size(entry.queries()["events_pct_by_type"](sf_dir)))
     timed("bilateral_trade", lambda: size(entry.queries()["bilateral_trade"](sf_dir)))
     timed("forecast_revenue_change", lambda: size(entry.queries()["forecast_revenue_change"](sf_dir)))
+    timed("doc_winnowing_pairs", lambda: size(entry.queries()["doc_winnowing_pairs"](sf_dir)))
+    timed("doc_substring_dedup", lambda: size(entry.queries()["doc_substring_dedup"](sf_dir)))
+    timed("market_basket_lift", lambda: size(entry.queries()["market_basket_lift"](sf_dir)))
+    timed("events_markov_stationary", lambda: size(entry.queries()["events_markov_stationary"](sf_dir)))
+    timed("nation_market_share", lambda: size(entry.queries()["nation_market_share"](sf_dir)))
+    timed("events_stickiness", lambda: size(entry.queries()["events_stickiness"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {
