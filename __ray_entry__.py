@@ -398,6 +398,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_kmv_distinct"] = _q_doc_kmv_distinct
     q["doc_mixing_weights"] = _q_doc_mixing_weights
     q["embedding_label_cosine"] = _q_embedding_label_cosine
+    q["embedding_robust_z"] = _q_embedding_robust_z
+    q["lineitem_discount_elasticity"] = rel.discount_elasticity
+    q["events_seasonal_anomalies"] = _q_events_seasonal_anomalies
     q["events_value_gini"] = _q_events_value_gini
     q["events_weekday_chi2"] = _q_events_weekday_chi2
     q["forecast_revenue_change"] = rel.forecast_revenue_change
@@ -1296,6 +1299,32 @@ def _q_embedding_label_cosine(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
     )
     return label_centroid_cosine(ds)
+
+
+def _q_embedding_robust_z(sf_dir: str) -> pd.DataFrame:
+    """Robust per-dim standardization (median/IQR order statistics at
+    fixed ranks, no interpolation) — kgray/ops/similarity.py
+    robust_standardize."""
+    from kgray.ops.similarity import robust_standardize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return (
+        robust_standardize(ds)
+        .to_pandas()
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_events_seasonal_anomalies(sf_dir: str) -> pd.DataFrame:
+    """Seasonal-naive residual outliers (|r − med| > 3·MAD, all-integer):
+    kgray/ops/temporal.py seasonal_residual_anomalies."""
+    from kgray.ops.temporal import seasonal_residual_anomalies
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return seasonal_residual_anomalies(ds)
 
 
 def _markov_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str:
@@ -5020,6 +5049,72 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr_events": _ppr_oracle_sql(),
         "kg_hits_events": _hits_oracle_sql(),
         "events_markov_stationary": _markov_oracle_sql(),
+        "embedding_robust_z": """
+            WITH dims AS MATERIALIZED (SELECT unnest(range(1, 65)) AS i),
+            x AS MATERIALIZED (
+              SELECT vec_id, d.i AS i,
+                     CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS xq
+              FROM embeddings e CROSS JOIN dims d),
+            r AS (SELECT i, xq, row_number() OVER (PARTITION BY i ORDER BY xq) AS rk FROM x),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+            st AS MATERIALIZED (
+              SELECT i,
+                     max(CASE WHEN rk = (n + 1) // 2 THEN xq END) AS med,
+                     max(CASE WHEN rk = (3 * n + 3) // 4 THEN xq END)
+                     - max(CASE WHEN rk = (n + 3) // 4 THEN xq END) AS iqr
+              FROM r, nn GROUP BY i)
+            SELECT x.vec_id, x.i AS dim,
+                   CASE WHEN st.iqr = 0 THEN 0.0
+                        ELSE floor(CAST(x.xq - st.med AS DOUBLE) / CAST(st.iqr AS DOUBLE)
+                                   * 1e6 + 0.5) / 1e6
+                   END AS z
+            FROM x JOIN st ON st.i = x.i
+        """,
+        "lineitem_discount_elasticity": """
+            WITH x AS (
+              SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS band,
+                     CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+                     CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS r
+              FROM lineitem),
+            a AS (
+              SELECT band, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(q) AS BIGINT) AS sq, CAST(sum(r) AS BIGINT) AS sr
+              FROM x GROUP BY 1)
+            SELECT band AS disc_pct, n AS n_items,
+                   floor(CAST(sq AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS avg_qty,
+                   floor(CAST(sr AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS avg_revenue
+            FROM a
+        """,
+        "events_seasonal_anomalies": """
+            WITH daily AS (
+              SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2),
+            m AS (
+              SELECT a.event_type, a.day, a.c AS actual, b.c AS pred,
+                     a.c - b.c AS resid
+              FROM daily a JOIN daily b
+                ON b.event_type = a.event_type AND b.day = a.day - 7),
+            nr AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1),
+            medr AS (
+              SELECT event_type, resid,
+                     row_number() OVER (PARTITION BY event_type ORDER BY resid) AS rk
+              FROM m),
+            med AS (
+              SELECT medr.event_type, max(CASE WHEN rk = (n + 1) // 2 THEN resid END) AS med
+              FROM medr JOIN nr USING (event_type) GROUP BY 1),
+            devr AS (
+              SELECT m.event_type, abs(m.resid - med.med) AS dev,
+                     row_number() OVER (PARTITION BY m.event_type
+                                        ORDER BY abs(m.resid - med.med)) AS rk
+              FROM m JOIN med USING (event_type)),
+            mad AS (
+              SELECT devr.event_type, max(CASE WHEN rk = (n + 1) // 2 THEN dev END) AS mad
+              FROM devr JOIN nr USING (event_type) GROUP BY 1)
+            SELECT m.event_type, m.day, m.actual, m.pred, m.resid
+            FROM m JOIN med USING (event_type) JOIN mad USING (event_type)
+            WHERE abs(m.resid - med.med) > 3 * mad.mad
+        """,
         "embedding_label_cosine": """
             WITH dims AS MATERIALIZED (SELECT unnest(range(1, 65)) AS i),
             x AS MATERIALIZED (

@@ -1106,3 +1106,71 @@ def label_centroid_cosine(
     if not rows:
         return empty
     return pd.DataFrame(rows, columns=["label_a", "label_b", "cosine"])
+
+
+def robust_standardize(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    quant: float = 1e4,
+) -> ray.data.Dataset:
+    """Robust per-dimension standardization: (x − median) / IQR — the
+    outlier-immune twin of ``embedding_standardize`` (mean/std moves with
+    every corrupted vector; median/IQR doesn't).
+
+    Exactness: components quantize to ``quant`` ints first; medians and
+    quartiles are ORDER STATISTICS of those ints at fixed 1-based ranks
+    (⌈n/2⌉, ⌈n/4⌉, ⌈3n/4⌉ — no interpolation), so the DuckDB twin
+    selects byte-identical values; one micro-quantized division per cell.
+
+    Scale shape: per-dim order statistics need a global sort per
+    dimension — here the table is vocabulary-sized by design, so the
+    quantized matrix collects once (the _BlockKnn budget) and a second
+    broadcast pass emits (vec_id, dim, z) rows; above that budget the
+    documented upgrade is one dim-bucketed sort per dimension group.
+    """
+
+    def collect(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(b[vec_col].to_numpy())
+        xq = np.floor(m.astype(np.float64) * quant + 0.5).astype(np.int64)
+        return pd.DataFrame({"vec_id": b[id_col].astype("int64"), "xq": list(xq)})
+
+    rows = ds.map_batches(collect, batch_format="pandas", batch_size=65536).to_pandas()
+    import pyarrow as pa
+
+    if not len(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "z": pa.array([], pa.float64()),
+                }
+            )
+        )
+    mat = np.stack(rows["xq"].to_numpy())  # (n, dim) int64
+    n = mat.shape[0]
+    srt = np.sort(mat, axis=0)
+    k_med, k_q1, k_q3 = (n + 1) // 2, (n + 3) // 4, (3 * n + 3) // 4
+    med = srt[k_med - 1]
+    iqr = srt[k_q3 - 1] - srt[k_q1 - 1]
+    med_ref = ray.put((med.astype(np.int64), iqr.astype(np.int64)))
+
+    def z_rows(b: pd.DataFrame) -> pd.DataFrame:
+        from kgray.functions.broadcast import cached_get
+
+        mmed, miqr = cached_get(med_ref)
+        m = np.stack(b[vec_col].to_numpy())
+        xq = np.floor(m.astype(np.float64) * quant + 0.5).astype(np.int64)
+        num = xq - mmed[None, :]
+        z = np.zeros_like(num, dtype=np.float64)
+        nz = miqr != 0
+        z[:, nz] = (
+            np.floor(num[:, nz] / miqr[None, nz].astype(np.float64) * 1e6 + 0.5) / 1e6
+        )
+        ids = np.repeat(b[id_col].to_numpy(dtype=np.int64), mat.shape[1])
+        dims = np.tile(np.arange(1, mat.shape[1] + 1, dtype=np.int64), len(b))
+        return pd.DataFrame({"vec_id": ids, "dim": dims, "z": z.reshape(-1)})
+
+    return ds.map_batches(z_rows, batch_format="pandas", batch_size=65536)

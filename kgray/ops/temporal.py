@@ -1441,3 +1441,72 @@ def ltv_age_curve(
     cum = np.cumsum(agg.to_numpy(dtype=np.int64))
     val = np.floor(cum.astype(np.float64) / 100.0 / float(n_users) * 1e6 + 0.5) / 1e6
     return pd.DataFrame({"age_day": ages, "cum_value_per_user": val})
+
+
+def seasonal_residual_anomalies(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    lag_days: int = 7,
+    k_mad: int = 3,
+) -> pd.DataFrame:
+    """Forecast-residual anomaly detection: days whose seasonal-naive
+    residual (actual − count ``lag_days`` earlier) deviates from the
+    per-type residual MEDIAN by more than ``k_mad``×MAD — the robust
+    alerting layer on top of :func:`seasonal_naive_backtest`.
+
+    Exactness: residuals, medians and MADs are exact ints (order
+    statistics at fixed lower-median ranks, no interpolation); the flag
+    comparison |r − med| > k·MAD stays in integer space — no float
+    anywhere.
+
+    Scale shape: the same (type, day) count-partial pass; residual
+    statistics run on the types × days driver budget.
+    """
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        return (
+            pa.table({type_col: t[type_col], "day": pa.array(day, pa.int64())})
+            .group_by([type_col, "day"])
+            .aggregate([([], "count_all")])
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            type_col: pd.Series(dtype=object),
+            "day": pd.Series(dtype="int64"),
+            "actual": pd.Series(dtype="int64"),
+            "pred": pd.Series(dtype="int64"),
+            "resid": pd.Series(dtype="int64"),
+        }
+    )
+    if type_col not in parts.columns or not len(parts):
+        return empty
+    daily = parts.groupby([type_col, "day"], sort=True)["count_all"].sum().reset_index()
+    lag = daily.copy()
+    lag["day"] = lag["day"] + lag_days
+    m = daily.merge(lag, on=[type_col, "day"], suffixes=("", "_pred"))
+    if not len(m):
+        return empty
+    m["resid"] = (m["count_all"] - m["count_all_pred"]).astype("int64")
+    rows = []
+    for ty, grp in m.groupby(type_col, sort=True):
+        r = np.sort(grp["resid"].to_numpy(dtype=np.int64))
+        n = len(r)
+        med = int(r[(n + 1) // 2 - 1])  # lower median
+        dev = np.sort(np.abs(grp["resid"].to_numpy(dtype=np.int64) - med))
+        mad = int(dev[(n + 1) // 2 - 1])
+        flag = np.abs(grp["resid"].to_numpy(dtype=np.int64) - med) > k_mad * mad
+        for _, row in grp.loc[flag].iterrows():
+            rows.append(
+                (ty, int(row["day"]), int(row["count_all"]), int(row["count_all_pred"]), int(row["resid"]))
+            )
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=[type_col, "day", "actual", "pred", "resid"]).astype(
+        {"day": "int64", "actual": "int64", "pred": "int64", "resid": "int64"}
+    )

@@ -2539,3 +2539,64 @@ def fk_integrity_audit(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
             ),
         }
     )
+
+
+def discount_elasticity(sf_dir: str) -> pd.DataFrame:
+    """Discount-band elasticity profile: per discount percentage point,
+    item count, average quantity and average discounted revenue — does a
+    deeper discount actually move volume?
+
+    Scale shape: one pruned lineitem pass with per-batch (band, n, Σqty,
+    Σrev) integer-cent partials — a |bands| driver merge (discount is a
+    bounded-domain column) with one micro-quantized division per band.
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        band = np.floor(b["l_discount"].to_numpy(dtype=np.float64) * 100.0 + 0.5).astype(
+            np.int64
+        )
+        qty_c = np.floor(b["l_quantity"].to_numpy(dtype=np.float64) * 100.0 + 0.5).astype(
+            np.int64
+        )
+        rev_c = np.floor(
+            b["l_extendedprice"].to_numpy(dtype=np.float64)
+            * (1.0 - b["l_discount"].to_numpy(dtype=np.float64))
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        out = (
+            pd.DataFrame({"band": band, "n": np.int64(1), "q": qty_c, "r": rev_c})
+            .groupby("band", sort=False)
+            .sum()
+            .reset_index()
+        )
+        for c in ("n", "q", "r"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_discount", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pandas", batch_size=262144)
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "disc_pct": pd.Series(dtype="int64"),
+            "n_items": pd.Series(dtype="int64"),
+            "avg_qty": pd.Series(dtype="float64"),
+            "avg_revenue": pd.Series(dtype="float64"),
+        }
+    )
+    if "band" not in parts.columns or not len(parts):
+        return empty
+    agg = parts.groupby("band", sort=True)[["n", "q", "r"]].sum()
+    n = agg["n"].to_numpy(dtype=np.float64)
+    return pd.DataFrame(
+        {
+            "disc_pct": agg.index.to_numpy(dtype=np.int64),
+            "n_items": agg["n"].astype("int64").to_numpy(),
+            "avg_qty": np.floor(agg["q"].to_numpy(np.float64) / 100.0 / n * 1e6 + 0.5) / 1e6,
+            "avg_revenue": np.floor(agg["r"].to_numpy(np.float64) / 100.0 / n * 1e6 + 0.5)
+            / 1e6,
+        }
+    )

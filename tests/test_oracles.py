@@ -193,6 +193,9 @@ def _compare(query: str):
         "doc_kmv_distinct",
         "doc_mixing_weights",
         "embedding_label_cosine",
+        "embedding_robust_z",
+        "lineitem_discount_elasticity",
+        "events_seasonal_anomalies",
         "events_benford",
         "doc_cluster_size_hist",
         "orders_profile",
