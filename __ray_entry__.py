@@ -401,6 +401,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["embedding_robust_z"] = _q_embedding_robust_z
     q["lineitem_discount_elasticity"] = rel.discount_elasticity
     q["events_seasonal_anomalies"] = _q_events_seasonal_anomalies
+    q["events_retention_decay"] = _q_events_retention_decay
+    q["events_hash_split"] = _q_events_hash_split
     q["events_value_gini"] = _q_events_value_gini
     q["events_weekday_chi2"] = _q_events_weekday_chi2
     q["forecast_revenue_change"] = rel.forecast_revenue_change
@@ -1325,6 +1327,24 @@ def _q_events_seasonal_anomalies(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
     return seasonal_residual_anomalies(ds)
+
+
+def _q_events_retention_decay(sf_dir: str) -> pd.DataFrame:
+    """Retention-decay constant (OLS of ln retention on age, zipf_slope
+    recipe): kgray/ops/temporal.py retention_decay_fit."""
+    from kgray.ops.temporal import retention_decay_fit
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return retention_decay_fit(ds)
+
+
+def _q_events_hash_split(sf_dir: str) -> pd.DataFrame:
+    """Leakage-free md5(user)%100 train/val/test assignment with per-split
+    totals: kgray/ops/temporal.py hash_split_assign."""
+    from kgray.ops.temporal import hash_split_assign
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return hash_split_assign(ds)
 
 
 def _markov_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str:
@@ -5049,6 +5069,42 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr_events": _ppr_oracle_sql(),
         "kg_hits_events": _hits_oracle_sql(),
         "events_markov_stationary": _markov_oracle_sql(),
+        "events_retention_decay": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+              FROM events),
+            f AS (SELECT user_id, CAST(min(day) AS BIGINT) AS fd FROM ud GROUP BY 1),
+            co AS (SELECT CAST(count(*) AS BIGINT) AS cohort FROM f),
+            a AS (
+              SELECT ud.day - f.fd AS age FROM ud JOIN f USING (user_id)
+              WHERE ud.day - f.fd BETWEEN 1 AND 28),
+            cnt AS (SELECT age, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1),
+            q AS (
+              SELECT age AS x,
+                     CAST(floor(ln(floor(CAST(n AS DOUBLE) / CAST(cohort AS DOUBLE)
+                                         * 1e9 + 0.5) / 1e9) * 1e6 + 0.5) AS BIGINT) AS y
+              FROM cnt, co WHERE n > 0),
+            mo AS (
+              SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy
+              FROM q)
+            SELECT n AS n_ages, (SELECT cohort FROM co) AS cohort,
+                   floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE) + 0.5) / 1e6 AS decay_per_day
+            FROM mo WHERE n >= 2 AND (n * sxx - sx * sx) <> 0
+        """,
+        "events_hash_split": """
+            WITH s AS (
+              SELECT user_id,
+                     CASE WHEN md5_number_lower(CAST(user_id AS VARCHAR)) % 100 < 80 THEN 'train'
+                          WHEN md5_number_lower(CAST(user_id AS VARCHAR)) % 100 < 90 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM events)
+            SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM s GROUP BY 1
+        """,
         "embedding_robust_z": """
             WITH dims AS MATERIALIZED (SELECT unnest(range(1, 65)) AS i),
             x AS MATERIALIZED (

@@ -1510,3 +1510,189 @@ def seasonal_residual_anomalies(
     return pd.DataFrame(rows, columns=[type_col, "day", "actual", "pred", "resid"]).astype(
         {"day": "int64", "actual": "int64", "pred": "int64", "resid": "int64"}
     )
+
+
+def retention_decay_fit(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    max_age: int = 28,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Retention-decay constant: OLS slope of ln(retention rate) on age
+    for ages 1..``max_age`` (retention(a) = users active a days after
+    their first day / cohort size) — the single number product teams
+    quote ("we lose x%/day").
+
+    Exactness: retained counts come from DISTINCT (user, age) pairs —
+    exact ints; rate micro-quantizes at 1e9 BEFORE ln; the OLS moments
+    run in exact python ints on ≤ max_age rows (the zipf_slope recipe).
+
+    Scale shape: per-batch distinct (user, day) pre-shrink, one user-hash
+    shuffle to compute ages, (age, count) partials — driver sees ≤
+    buckets × max_age rows plus one cohort scalar.
+    """
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            b[ts_col].astype("datetime64[us]").astype("int64") // 86_400_000_000
+        ).astype("int64")
+        out = pd.DataFrame({"u": b[key_col].astype("int64"), "day": day}).drop_duplicates()
+        out["bucket"] = (out["u"] % num_buckets).astype("int32")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "day"])
+        first = g.groupby("u", sort=False)["day"].transform("min")
+        age = (g["day"] - first).astype("int64")
+        keep = (age >= 1) & (age <= max_age)
+        cnt = (
+            pd.DataFrame({"age": age[keep]})
+            .groupby("age", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        cnt["n"] = cnt["n"].astype("int64")
+        users = pd.DataFrame({"age": [np.int64(-1)], "n": [np.int64(g["u"].nunique())]})
+        return pd.concat([cnt, users], ignore_index=True)
+
+    parts = (
+        ds.map_batches(pair_partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "n_ages": pd.Series(dtype="int64"),
+            "cohort": pd.Series(dtype="int64"),
+            "decay_per_day": pd.Series(dtype="float64"),
+        }
+    )
+    if "age" not in parts.columns or not len(parts):
+        return empty
+    cohort = int(parts.loc[parts["age"] == -1, "n"].sum())
+    agg = parts.loc[parts["age"] >= 1].groupby("age", sort=True)["n"].sum()
+    agg = agg[agg > 0]
+    if cohort == 0 or len(agg) < 2:
+        return empty
+    ages = agg.index.to_numpy(dtype=np.int64)
+    # rate quantized at 1e9, then ln quantized at 1e6 (both mirrored in SQL)
+    rate_q = np.floor(agg.to_numpy(np.float64) / float(cohort) * 1e9 + 0.5) / 1e9
+    x = ages
+    y = np.floor(np.log(rate_q) * 1e6 + 0.5).astype(np.int64)
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, sxy = int((x * x).sum()), int((x * y).sum())
+    den = n * sxx - sx * sx
+    if den == 0:
+        return empty
+    num = n * sxy - sx * sy
+    # slope is in micro-ln units per day; /1e6 converts back
+    slope = np.floor(float(num) / float(den) + 0.5) / 1e6
+    return pd.DataFrame(
+        {
+            "n_ages": [np.int64(n)],
+            "cohort": [np.int64(cohort)],
+            "decay_per_day": [slope],
+        }
+    )
+
+
+def hash_split_assign(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    pct_train: int = 80,
+    pct_val: int = 10,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Leakage-free train/val/test split assignment: every event of a
+    user lands in the split chosen by md5(user) % 100 — the deterministic
+    entity-level split that keeps a user's data out of two splits (the
+    cardinal eval-hygiene rule).
+
+    Returns per-split totals PLUS a leakage audit (distinct users seen in
+    >1 split — zero by construction, the audit proves it).
+
+    Scale shape: per-batch (split, events, user-set) partials pre-shrink
+    to distinct users before one user-hash shuffle; the report is a
+    3-row driver merge.
+    """
+    from kgray.ops.dedup import _md5_u64_np
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = b[key_col].to_numpy(dtype=np.int64)
+        h = _md5_u64_np([str(v) for v in u]) % np.uint64(100)
+        split = np.where(
+            h < pct_train, "train", np.where(h < pct_train + pct_val, "val", "test")
+        )
+        ev = (
+            pd.DataFrame({"split": split})
+            .groupby("split", sort=False)
+            .size()
+            .reset_index(name="n_events")
+        )
+        users = pd.DataFrame({"split": split, "u": u}).drop_duplicates()
+        users["bucket"] = (users["u"] % num_buckets).astype("int32")
+        ev["n_events"] = ev["n_events"].astype("int64")
+        return pd.concat(
+            [
+                ev.assign(kind=np.int8(0), u=np.int64(-1), bucket=np.int32(0)),
+                users.assign(kind=np.int8(1), n_events=np.int64(0)),
+            ],
+            ignore_index=True,
+        )[["kind", "split", "u", "n_events", "bucket"]]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g.loc[g["kind"] == 0]
+        ev_out = ev.groupby("split", sort=False)["n_events"].sum().reset_index()
+        ev_out["n_users"] = np.int64(0)
+        ev_out["n_leaked"] = np.int64(0)
+        us = g.loc[g["kind"] == 1].drop_duplicates(["split", "u"])
+        per_user = us.groupby("u", sort=False)["split"].nunique()
+        leaked = int((per_user > 1).sum())
+        us_out = us.groupby("split", sort=False)["u"].nunique().reset_index(name="n_users")
+        us_out["n_events"] = np.int64(0)
+        us_out["n_leaked"] = np.int64(0)
+        rows = pd.concat([ev_out, us_out], ignore_index=True)
+        if leaked:
+            rows = pd.concat(
+                [
+                    rows,
+                    pd.DataFrame(
+                        {
+                            "split": ["__leak__"],
+                            "n_events": [np.int64(0)],
+                            "n_users": [np.int64(0)],
+                            "n_leaked": [np.int64(leaked)],
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        return rows[["split", "n_events", "n_users", "n_leaked"]]
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "split": pd.Series(dtype=object),
+            "n_events": pd.Series(dtype="int64"),
+            "n_users": pd.Series(dtype="int64"),
+        }
+    )
+    if "split" not in parts.columns or not len(parts):
+        return empty
+    agg = (
+        parts.loc[parts["split"] != "__leak__"]
+        .groupby("split", sort=True)[["n_events", "n_users"]]
+        .sum()
+        .reset_index()
+    )
+    agg["n_events"] = agg["n_events"].astype("int64")
+    agg["n_users"] = agg["n_users"].astype("int64")
+    return agg

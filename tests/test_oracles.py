@@ -196,6 +196,8 @@ def _compare(query: str):
         "embedding_robust_z",
         "lineitem_discount_elasticity",
         "events_seasonal_anomalies",
+        "events_retention_decay",
+        "events_hash_split",
         "events_benford",
         "doc_cluster_size_hist",
         "orders_profile",

@@ -41,3 +41,31 @@ def test_seasonal_anomaly_planted_spike(ray_session):
     out = seasonal_residual_anomalies(ray.data.from_pandas(df))
     assert len(out) == 1
     assert out["actual"].iloc[0] == 30 and out["resid"].iloc[0] == 28
+
+
+def test_hash_split_no_leakage_and_full_coverage(ray_session):
+    from kgray.ops.temporal import hash_split_assign
+
+    df = pd.DataFrame({"user_id": np.arange(500, dtype=np.int64).repeat(3)})
+    out = hash_split_assign(ray.data.from_pandas(df))
+    assert out["n_events"].sum() == 1500
+    assert out["n_users"].sum() == 500  # zero leakage: users sum exactly
+    m = dict(zip(out["split"], out["n_users"]))
+    assert m["train"] > m["val"] and m["train"] > m["test"]
+
+
+def test_retention_decay_geometric(ray_session):
+    from kgray.ops.temporal import retention_decay_fit
+
+    # 64 users on day 0; halve the actives each subsequent day
+    rows = []
+    for age in range(0, 7):
+        active = 64 >> age
+        for u in range(active):
+            rows.append({"user_id": u, "ts": f"2024-01-{age + 1:02d} 12:00:00"})
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    out = retention_decay_fit(ray.data.from_pandas(df))
+    assert out["cohort"].iloc[0] == 64
+    # halving per day -> slope = -ln 2
+    assert abs(out["decay_per_day"].iloc[0] + np.log(2)) < 1e-3
