@@ -403,6 +403,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_seasonal_anomalies"] = _q_events_seasonal_anomalies
     q["events_retention_decay"] = _q_events_retention_decay
     q["events_hash_split"] = _q_events_hash_split
+    q["events_activity_powerlaw"] = _q_events_activity_powerlaw
+    q["doc_sentence_stats"] = lambda sf: (
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(tx.sentence_length_stats, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
     q["events_value_gini"] = _q_events_value_gini
     q["events_weekday_chi2"] = _q_events_weekday_chi2
     q["forecast_revenue_change"] = rel.forecast_revenue_change
@@ -1345,6 +1353,15 @@ def _q_events_hash_split(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     return hash_split_assign(ds)
+
+
+def _q_events_activity_powerlaw(sf_dir: str) -> pd.DataFrame:
+    """Heavy-tail exponent of user activity (zipf_slope recipe over
+    per-user counts): kgray/ops/stats.py activity_powerlaw_slope."""
+    from kgray.ops.stats import activity_powerlaw_slope
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return activity_powerlaw_slope(ds, top_n=64)
 
 
 def _markov_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str:
@@ -5069,6 +5086,40 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr_events": _ppr_oracle_sql(),
         "kg_hits_events": _hits_oracle_sql(),
         "events_markov_stationary": _markov_oracle_sql(),
+        "events_activity_powerlaw": """
+            WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+            top AS (
+              SELECT cnt, row_number() OVER (ORDER BY cnt DESC, user_id) AS r
+              FROM c ORDER BY cnt DESC, user_id LIMIT 64),
+            q AS (
+              SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+                     CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+              FROM top),
+            mo AS (
+              SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy
+              FROM q)
+            SELECT n AS n_ranks,
+                   floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) / 1e6 AS slope
+            FROM mo WHERE n >= 2 AND (n * sxx - sx * sx) <> 0
+        """,
+        "doc_sentence_stats": """
+            WITH s AS (
+              SELECT doc_id, string_split_regex(text, '[.!?]+') AS l FROM documents),
+            pos AS (SELECT doc_id, unnest(l) AS sent FROM s),
+            agg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(length(sent)) AS BIGINT) AS sx,
+                     CAST(sum(length(sent) * length(sent)) AS BIGINT) AS sxx
+              FROM pos GROUP BY 1)
+            SELECT doc_id, n AS n_sentences,
+                   floor(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_len,
+                   floor((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS var_len
+            FROM agg
+        """,
         "events_retention_decay": """
             WITH ud AS (
               SELECT DISTINCT user_id,

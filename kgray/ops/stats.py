@@ -2017,3 +2017,59 @@ def lang_mixing_weights(
             "weight": weight,
         }
     )
+
+
+def activity_powerlaw_slope(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    top_n: int = 64,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Heavy-tail exponent of user activity: OLS slope of ln(event count)
+    on ln(rank) over the top-``top_n`` most active users — how whale-
+    dominated the traffic is (steeper = heavier tail).
+
+    Exactness and recipe are zipf_slope's: per-batch count partials, one
+    key-hash shuffle, per-bucket top-n (count desc, key asc), int64-exact
+    micro-quantized ln moments on ≤ top_n rows.
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b.groupby(key_col, sort=False).size().reset_index(name="cnt")
+        c["bucket"] = (c[key_col] % num_buckets).astype("int32")
+        c["cnt"] = c["cnt"].astype("int64")
+        return c
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(key_col, sort=False)["cnt"].sum().reset_index()
+        return c.sort_values(["cnt", key_col], ascending=[False, True], kind="mergesort").head(
+            top_n
+        )
+
+    cand = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {"n_ranks": pd.Series(dtype="int64"), "slope": pd.Series(dtype="float64")}
+    )
+    if key_col not in cand.columns or not len(cand):
+        return empty
+    top = cand.sort_values(["cnt", key_col], ascending=[False, True], kind="mergesort").head(
+        top_n
+    )
+    n = len(top)
+    if n < 2:
+        return empty
+    rank = np.arange(1, n + 1, dtype=np.float64)
+    x = np.floor(np.log(rank) * 1e6 + 0.5).astype(np.int64)
+    y = np.floor(np.log(top["cnt"].to_numpy(dtype=np.float64)) * 1e6 + 0.5).astype(np.int64)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, sxy = int((x * x).sum()), int((x * y).sum())
+    den = n * sxx - sx * sx
+    if den == 0:
+        return empty
+    slope = np.floor(float(n * sxy - sx * sy) / float(den) * 1e6 + 0.5) / 1e6
+    return pd.DataFrame({"n_ranks": [np.int64(n)], "slope": [slope]})

@@ -992,3 +992,45 @@ def group_jsd_matrix(
         .sort_values(["group_a", "group_b"])
         .reset_index(drop=True)
     )
+
+
+def sentence_length_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document sentence-length dispersion: sentence count, mean and
+    POPULATION variance of sentence lengths (chars, split on [.!?]+ runs)
+    — uniform robotic sentences versus natural variation.
+
+    Exactness: lengths are ints; variance uses (n·Σx² − (Σx)²)/n² — exact
+    integers until two micro-quantized divisions.  Stateless zero-copy
+    Arrow kernel (one regex split per batch)."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    sents = pc.split_pattern_regex(pc.cast(texts, pa.large_string()), "[.!?]+")
+    lens = pc.list_value_length(sents).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_len = pc.utf8_length(sents.flatten()).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    # per-doc sums via reduceat on the flattened sentence lengths
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    starts = offsets[:-1].copy()
+    # reduceat needs indices < len(flat); guard all-empty docs
+    sx = np.zeros(len(lens), dtype=np.int64)
+    sxx = np.zeros(len(lens), dtype=np.int64)
+    nz = lens > 0
+    if flat_len.size:
+        red = np.add.reduceat(flat_len, np.minimum(starts, flat_len.size - 1))
+        red2 = np.add.reduceat(flat_len * flat_len, np.minimum(starts, flat_len.size - 1))
+        sx[nz] = red[nz]
+        sxx[nz] = red2[nz]
+    n = np.maximum(lens, 1).astype(np.float64)
+    mean = np.floor(sx / n * 1e6 + 0.5) / 1e6
+    var = np.floor((n * sxx - sx.astype(np.float64) ** 2) / (n * n) * 1e6 + 0.5) / 1e6
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_sentences": pa.array(lens, pa.int64()),
+            "mean_len": pa.array(mean, pa.float64()),
+            "var_len": pa.array(var, pa.float64()),
+        }
+    )

@@ -198,6 +198,8 @@ def _compare(query: str):
         "events_seasonal_anomalies",
         "events_retention_decay",
         "events_hash_split",
+        "events_activity_powerlaw",
+        "doc_sentence_stats",
         "events_benford",
         "doc_cluster_size_hist",
         "orders_profile",

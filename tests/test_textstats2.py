@@ -61,3 +61,34 @@ def test_flesch_readability_kernel():
     assert list(out["n_sentences"]) == [2, 1]
     assert out["n_syllables"].iloc[0] == 6  # e,a,a,I,u,e vowel groups
     assert np.isfinite(out["fre"]).all()
+
+
+def test_sentence_length_stats_kernel():
+    from kgray.ops.text import sentence_length_stats
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["aaaa. bb! c", "nodots", ""],
+        }
+    )
+    out = sentence_length_stats(t).to_pandas()
+    # doc 1: sentences 'aaaa', ' bb', ' c' -> lens 4,3,2
+    assert out.loc[0, "n_sentences"] == 3
+    assert abs(out.loc[0, "mean_len"] - 3.0) < 1e-6
+    assert abs(out.loc[0, "var_len"] - 2.0 / 3.0) < 1e-6
+    # doc 2: one sentence of 6 chars, zero variance
+    assert out.loc[1, "n_sentences"] == 1 and out.loc[1, "var_len"] == 0.0
+    # doc 3: empty text -> one empty sentence
+    assert out.loc[2, "n_sentences"] == 1 and out.loc[2, "mean_len"] == 0.0
+
+
+def test_activity_powerlaw_slope(ray_session):
+    from kgray.ops.stats import activity_powerlaw_slope
+
+    rows = []
+    for u, n in [(1, 64), (2, 32), (3, 16), (4, 8)]:
+        rows.extend({"user_id": u} for _ in range(n))
+    out = activity_powerlaw_slope(ray.data.from_pandas(pd.DataFrame(rows)), top_n=4)
+    assert out["n_ranks"].iloc[0] == 4
+    assert out["slope"].iloc[0] < -0.5
