@@ -404,6 +404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_retention_decay"] = _q_events_retention_decay
     q["events_hash_split"] = _q_events_hash_split
     q["events_activity_powerlaw"] = _q_events_activity_powerlaw
+    q["events_linear_attribution"] = _q_events_linear_attribution
+    q["events_error_pchart"] = _q_events_error_pchart
     q["doc_sentence_stats"] = lambda sf: (
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(tx.sentence_length_stats, batch_format="pyarrow")
@@ -1362,6 +1364,26 @@ def _q_events_activity_powerlaw(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     return activity_powerlaw_slope(ds, top_n=64)
+
+
+def _q_events_linear_attribution(sf_dir: str) -> pd.DataFrame:
+    """Linear multi-touch attribution (credit = 1e6 // k micro-units per
+    touch, trailing 7d window): kgray/ops/temporal.py linear_attribution."""
+    from kgray.ops.temporal import linear_attribution
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return linear_attribution(ds)
+
+
+def _q_events_error_pchart(sf_dir: str) -> pd.DataFrame:
+    """p-chart SPC alert on the daily error proportion:
+    kgray/ops/temporal.py error_rate_control_chart."""
+    from kgray.ops.temporal import error_rate_control_chart
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return error_rate_control_chart(ds)
 
 
 def _markov_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str:
@@ -5086,6 +5108,40 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr_events": _ppr_oracle_sql(),
         "kg_hits_events": _hits_oracle_sql(),
         "events_markov_stationary": _markov_oracle_sql(),
+        "events_linear_attribution": """
+            WITH x AS (
+              SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us
+              FROM events WHERE event_type IN ('click', 'purchase')),
+            t AS (SELECT user_id, us FROM x WHERE event_type = 'click'),
+            c AS (SELECT user_id, us FROM x WHERE event_type = 'purchase'),
+            k AS (
+              SELECT c.user_id, c.us AS cus, CAST(count(*) AS BIGINT) AS k
+              FROM c JOIN t ON t.user_id = c.user_id
+                           AND t.us >= c.us - 604800000000 AND t.us <= c.us
+              GROUP BY 1, 2),
+            cr AS (
+              SELECT t.us // 86400000000 AS day, 1000000 // k.k AS credit
+              FROM k JOIN t ON t.user_id = k.user_id
+                           AND t.us >= k.cus - 604800000000 AND t.us <= k.cus)
+            SELECT CAST(day AS BIGINT) AS day,
+                   CAST(sum(credit) AS BIGINT)::DOUBLE / 1e6 AS credit
+            FROM cr GROUP BY 1
+        """,
+        "events_error_pchart": """
+            WITH d AS (
+              SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1),
+            tot AS (SELECT CAST(sum(e) AS BIGINT) AS te, CAST(sum(n) AS BIGINT) AS tn FROM d)
+            SELECT day, n AS n_events, e AS n_errors,
+                   floor(e::DOUBLE / n::DOUBLE * 1e6 + 0.5) / 1e6 AS rate,
+                   CAST(CASE WHEN abs(e::DOUBLE / n::DOUBLE - te::DOUBLE / tn::DOUBLE)
+                             > 3 * sqrt((te::DOUBLE / tn::DOUBLE)
+                                        * (1.0 - te::DOUBLE / tn::DOUBLE) / n::DOUBLE)
+                        THEN 1 ELSE 0 END AS BIGINT) AS flagged
+            FROM d, tot
+        """,
         "events_activity_powerlaw": """
             WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
             top AS (

@@ -1696,3 +1696,158 @@ def hash_split_assign(
     agg["n_events"] = agg["n_events"].astype("int64")
     agg["n_users"] = agg["n_users"].astype("int64")
     return agg
+
+
+def linear_attribution(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+    window_days: int = 7,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """LINEAR multi-touch attribution: each conversion splits one unit of
+    credit equally across the user's touch events in the trailing
+    ``window_days`` window — the fairness-spread twin of the as-of
+    (last-touch) join.
+
+    Exactness: per-conversion credit is the integer floor 1e6 // k
+    micro-units (k = touches in window) — identical floor division on
+    both engines, summed as exact ints.
+
+    Scale shape: one user-hash bucket shuffle; per user the
+    touch↔conversion window match is two searchsorted calls per
+    conversion (no quadratic expansion — the window bounds index
+    ranges); (day, credit) partials merge on the days-bounded driver.
+    """
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[type_col].isin([touch_type, convert_type])
+        b = b.loc[m]
+        return pd.DataFrame(
+            {
+                "bucket": (b[key_col] % num_buckets).astype("int32"),
+                "u": b[key_col].astype("int64"),
+                "t": b[type_col].astype(str),
+                "us": b[ts_col].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    win_us = window_days * 86_400_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out: dict[int, int] = {}
+        for _, grp in g.groupby("u", sort=False):
+            touches = np.sort(grp.loc[grp["t"] == touch_type, "us"].to_numpy(np.int64))
+            convs = grp.loc[grp["t"] == convert_type, "us"].to_numpy(np.int64)
+            if not len(touches) or not len(convs):
+                continue
+            lo = np.searchsorted(touches, convs - win_us, side="left")
+            hi = np.searchsorted(touches, convs, side="right")
+            for l, h in zip(lo, hi):
+                k = h - l
+                if k <= 0:
+                    continue
+                credit = 1_000_000 // int(k)
+                for ts in touches[l:h]:
+                    day = int(ts // 86_400_000_000)
+                    out[day] = out.get(day, 0) + credit
+        return pd.DataFrame(
+            {
+                "day": pd.Series(list(out.keys()), dtype="int64"),
+                "credit_micro": pd.Series(list(out.values()), dtype="int64"),
+            }
+        )
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ buckets × days rows
+    )
+    empty = pd.DataFrame(
+        {"day": pd.Series(dtype="int64"), "credit": pd.Series(dtype="float64")}
+    )
+    if "day" not in parts.columns or not len(parts):
+        return empty
+    agg = parts.groupby("day", sort=True)["credit_micro"].sum()
+    return pd.DataFrame(
+        {
+            "day": agg.index.to_numpy(dtype=np.int64),
+            "credit": agg.to_numpy(dtype=np.int64) / 1e6,
+        }
+    )
+
+
+def error_rate_control_chart(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    error_type: str = "error",
+    sigma: int = 3,
+) -> pd.DataFrame:
+    """p-chart (SPC control chart) on the daily error proportion: days
+    whose error rate sits outside p̄ ± σ·√(p̄(1−p̄)/n) — the classic
+    statistical-process-control alert on a Bernoulli stream.
+
+    Exactness: daily (errors, totals) are exact ints; p̄ and the limits
+    compute with the SAME double expression on both engines (identical
+    IEEE op order), and the output ships the quantized rate + limits so
+    the flag is reproducible.
+
+    Scale shape: (day, errors, total) Arrow count partials — a
+    days-bounded driver merge.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        err = pc.equal(t[type_col], error_type).to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (
+            pd.DataFrame({"day": day, "e": err, "n": np.int64(1)})
+            .groupby("day", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "day": pa.array(g["day"].astype(np.int64), pa.int64()),
+                "e": pa.array(g["e"].astype(np.int64), pa.int64()),
+                "n": pa.array(g["n"].astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "day": pd.Series(dtype="int64"),
+            "n_events": pd.Series(dtype="int64"),
+            "n_errors": pd.Series(dtype="int64"),
+            "rate": pd.Series(dtype="float64"),
+            "flagged": pd.Series(dtype="int64"),
+        }
+    )
+    if "day" not in parts.columns or not len(parts):
+        return empty
+    agg = parts.groupby("day", sort=True)[["e", "n"]].sum()
+    te, tn = int(agg["e"].sum()), int(agg["n"].sum())
+    if tn == 0:
+        return empty
+    pbar = float(te) / float(tn)
+    n = agg["n"].to_numpy(dtype=np.float64)
+    rate = agg["e"].to_numpy(dtype=np.float64) / n
+    halfwidth = sigma * np.sqrt(pbar * (1.0 - pbar) / n)
+    flagged = (np.abs(rate - pbar) > halfwidth).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "day": agg.index.to_numpy(dtype=np.int64),
+            "n_events": agg["n"].astype("int64").to_numpy(),
+            "n_errors": agg["e"].astype("int64").to_numpy(),
+            "rate": np.floor(rate * 1e6 + 0.5) / 1e6,
+            "flagged": flagged,
+        }
+    )

@@ -199,6 +199,8 @@ def _compare(query: str):
         "events_retention_decay",
         "events_hash_split",
         "events_activity_powerlaw",
+        "events_linear_attribution",
+        "events_error_pchart",
         "doc_sentence_stats",
         "events_benford",
         "doc_cluster_size_hist",
