@@ -406,6 +406,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_activity_powerlaw"] = _q_events_activity_powerlaw
     q["events_linear_attribution"] = _q_events_linear_attribution
     q["events_error_pchart"] = _q_events_error_pchart
+    q["events_streaks"] = _q_events_streaks
+    q["events_share_ztest"] = _q_events_share_ztest
+    q["orders_basket_size"] = rel.basket_size_dist
     q["doc_sentence_stats"] = lambda sf: (
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(tx.sentence_length_stats, batch_format="pyarrow")
@@ -1384,6 +1387,24 @@ def _q_events_error_pchart(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
     return error_rate_control_chart(ds)
+
+
+def _q_events_streaks(sf_dir: str) -> pd.DataFrame:
+    """Longest consecutive-day streak per user (gaps-and-islands):
+    kgray/ops/temporal.py activity_streaks."""
+    from kgray.ops.temporal import activity_streaks
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return activity_streaks(ds)
+
+
+def _q_events_share_ztest(sf_dir: str) -> pd.DataFrame:
+    """Two-proportion z-test of each type's traffic share between time
+    halves: kgray/ops/temporal.py two_proportion_ztest."""
+    from kgray.ops.temporal import two_proportion_ztest
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return two_proportion_ztest(ds)
 
 
 def _markov_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str:
@@ -5108,6 +5129,70 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr_events": _ppr_oracle_sql(),
         "kg_hits_events": _hits_oracle_sql(),
         "events_markov_stationary": _markov_oracle_sql(),
+        "events_streaks": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+              FROM events),
+            r AS (
+              SELECT user_id, day,
+                     day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+              FROM ud),
+            runs AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS run
+              FROM r GROUP BY user_id, isl)
+            SELECT user_id,
+                   CAST(max(run) AS BIGINT) AS longest_streak,
+                   CAST(sum(run) AS BIGINT) AS n_active_days
+            FROM runs GROUP BY 1
+        """,
+        "events_share_ztest": """
+            WITH b AS (
+              SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+                     CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+              FROM events),
+            x AS (
+              SELECT CASE WHEN CAST(epoch_us(ts) AS BIGINT) >= (lo + hi) // 2
+                          THEN 1 ELSE 0 END AS half,
+                     event_type
+              FROM events, b),
+            types AS (SELECT DISTINCT event_type FROM x),
+            c AS (
+              SELECT t.event_type,
+                     CAST(coalesce(sum(CASE WHEN x.half = 0 THEN 1 END), 0) AS BIGINT) AS e1,
+                     CAST(coalesce(sum(CASE WHEN x.half = 1 THEN 1 END), 0) AS BIGINT) AS e2
+              FROM types t LEFT JOIN x ON x.event_type = t.event_type
+              GROUP BY 1),
+            n AS (
+              SELECT CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                     CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+              FROM x)
+            SELECT event_type,
+                   floor(e1::DOUBLE / n1::DOUBLE * 1e6 + 0.5) / 1e6 AS share_a,
+                   floor(e2::DOUBLE / n2::DOUBLE * 1e6 + 0.5) / 1e6 AS share_b,
+                   CASE WHEN sqrt(((e1 + e2)::DOUBLE / (n1::DOUBLE + n2::DOUBLE))
+                                  * (1.0 - (e1 + e2)::DOUBLE / (n1::DOUBLE + n2::DOUBLE))
+                                  * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE)) = 0 THEN 0.0
+                        ELSE floor((e1::DOUBLE / n1::DOUBLE - e2::DOUBLE / n2::DOUBLE)
+                                   / sqrt(((e1 + e2)::DOUBLE / (n1::DOUBLE + n2::DOUBLE))
+                                          * (1.0 - (e1 + e2)::DOUBLE / (n1::DOUBLE + n2::DOUBLE))
+                                          * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE))
+                                   * 1e6 + 0.5) / 1e6
+                   END AS z,
+                   CAST(CASE WHEN abs((e1::DOUBLE / n1::DOUBLE - e2::DOUBLE / n2::DOUBLE)
+                                      / sqrt(((e1 + e2)::DOUBLE / (n1::DOUBLE + n2::DOUBLE))
+                                             * (1.0 - (e1 + e2)::DOUBLE / (n1::DOUBLE + n2::DOUBLE))
+                                             * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE))) > 1.96
+                        THEN 1 ELSE 0 END AS BIGINT) AS significant
+            FROM c, n
+        """,
+        "orders_basket_size": """
+            WITH c AS (
+              SELECT l_orderkey, CAST(count(*) AS BIGINT) AS sz
+              FROM lineitem GROUP BY 1)
+            SELECT sz AS basket_size, CAST(count(*) AS BIGINT) AS n_orders
+            FROM c GROUP BY 1
+        """,
         "events_linear_attribution": """
             WITH x AS (
               SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us

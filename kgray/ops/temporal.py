@@ -1851,3 +1851,140 @@ def error_rate_control_chart(
             "flagged": flagged,
         }
     )
+
+
+def activity_streaks(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Longest consecutive-day activity streak per user (plus active-day
+    count) — the gaps-and-islands shape (SQL's day − row_number() trick)
+    behind every engagement-streak feature.
+
+    Scale shape: per-batch DISTINCT (user, day) pre-shrink, one user-hash
+    shuffle; inside a bucket streaks are pure vectorized diffs over each
+    user's sorted unique days.  Exact integers throughout.
+    """
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            b[ts_col].astype("datetime64[us]").astype("int64") // 86_400_000_000
+        ).astype("int64")
+        out = pd.DataFrame({"u": b[key_col].astype("int64"), "day": day}).drop_duplicates()
+        out["bucket"] = (out["u"] % num_buckets).astype("int32")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "day"]).sort_values(["u", "day"], kind="mergesort")
+        u = g["u"].to_numpy(dtype=np.int64)
+        d = g["day"].to_numpy(dtype=np.int64)
+        # island id: increments on user change or a gap > 1 day
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] > 1)
+        isl = np.cumsum(new)
+        runs = (
+            pd.DataFrame({"u": u, "isl": isl})
+            .groupby(["u", "isl"], sort=False)
+            .size()
+            .reset_index(name="run")
+        )
+        out = runs.groupby("u", sort=False)["run"].max().reset_index(name="longest_streak")
+        days = pd.DataFrame({"u": u}).groupby("u", sort=False).size().reset_index(name="n_active_days")
+        m = out.merge(days, on="u")
+        m["u"] = m["u"].astype("int64")
+        m["longest_streak"] = m["longest_streak"].astype("int64")
+        m["n_active_days"] = m["n_active_days"].astype("int64")
+        return m.rename(columns={"u": "user_id"})
+
+    out = (
+        ds.map_batches(pair_partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # one row per user (vocabulary-bounded)
+    )
+    if "user_id" not in out.columns or not len(out):
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "longest_streak": pd.Series(dtype="int64"),
+                "n_active_days": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def two_proportion_ztest(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Two-proportion z-test per event type between the first and second
+    half of the observed time range: is the type's SHARE of traffic
+    different, and is the difference statistically significant (|z| >
+    1.96)? — the A/B-comparison kernel pointed at temporal drift.
+
+    Exactness: counts exact ints; z computes with the SAME double
+    expression on both engines (pooled p, IEEE op order), ships quantized
+    plus the integer flag.
+
+    Scale shape: the type_drift (half, type) count-partial pass — a
+    2 × |types| driver grid.
+    """
+    import pyarrow as pa
+
+    lo = ds.min(ts_col)
+    hi = ds.max(ts_col)
+    empty = pd.DataFrame(
+        {
+            type_col: pd.Series(dtype=object),
+            "share_a": pd.Series(dtype="float64"),
+            "share_b": pd.Series(dtype="float64"),
+            "z": pd.Series(dtype="float64"),
+            "significant": pd.Series(dtype="int64"),
+        }
+    )
+    if lo is None:
+        return empty
+    lo_us = int(pd.Timestamp(lo).value // 1000)
+    hi_us = int(pd.Timestamp(hi).value // 1000)
+    mid_us = (lo_us + hi_us) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        half = (us >= mid_us).astype(np.int8)
+        return (
+            pa.table({"half": pa.array(half, pa.int8()), type_col: t[type_col]})
+            .group_by(["half", type_col])
+            .aggregate([([], "count_all")])
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if type_col not in parts.columns or not len(parts):
+        return empty
+    grid = parts.groupby(["half", type_col], sort=True)["count_all"].sum().unstack(
+        fill_value=0
+    )
+    grid = grid.reindex([0, 1], fill_value=0)
+    n1, n2 = float(grid.iloc[0].sum()), float(grid.iloc[1].sum())
+    if n1 == 0 or n2 == 0:
+        return empty
+    rows = []
+    for ty in grid.columns:
+        e1, e2 = float(grid.iloc[0][ty]), float(grid.iloc[1][ty])
+        p1, p2 = e1 / n1, e2 / n2
+        p = (e1 + e2) / (n1 + n2)
+        den = np.sqrt(p * (1.0 - p) * (1.0 / n1 + 1.0 / n2))
+        z = 0.0 if den == 0 else (p1 - p2) / den
+        rows.append(
+            (
+                ty,
+                np.floor(p1 * 1e6 + 0.5) / 1e6,
+                np.floor(p2 * 1e6 + 0.5) / 1e6,
+                np.floor(z * 1e6 + 0.5) / 1e6,
+                np.int64(1) if abs(z) > 1.96 else np.int64(0),
+            )
+        )
+    return pd.DataFrame(rows, columns=[type_col, "share_a", "share_b", "z", "significant"])

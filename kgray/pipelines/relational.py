@@ -2600,3 +2600,45 @@ def discount_elasticity(sf_dir: str) -> pd.DataFrame:
             / 1e6,
         }
     )
+
+
+def basket_size_dist(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Order basket-size distribution: how many orders carry exactly k
+    line items — the order-granularity census (customer_order_dist's
+    twin one level down the hierarchy).
+
+    Scale shape: per-orderkey count combiner, orderkey buckets emit
+    HISTOGRAM partials, driver merges ≤ buckets × |size domain| rows.
+    """
+    line = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b.groupby("l_orderkey", sort=False).size().reset_index(name="n")
+        return pd.DataFrame(
+            {
+                "bucket": (c["l_orderkey"] % num_buckets).astype("int32"),
+                "okey": c["l_orderkey"].astype("int64"),
+                "n": c["n"].astype("int64"),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("okey", sort=False)["n"].sum()
+        h = per.value_counts()
+        return pd.DataFrame(
+            {"basket_size": h.index.astype("int64"), "n_orders": h.to_numpy(dtype=np.int64)}
+        )
+
+    hist = (
+        line.map_batches(partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "basket_size" not in hist.columns or not len(hist):
+        return pd.DataFrame(
+            {"basket_size": pd.Series(dtype="int64"), "n_orders": pd.Series(dtype="int64")}
+        )
+    out = hist.groupby("basket_size", sort=True)["n_orders"].sum().reset_index()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out

@@ -40,3 +40,38 @@ def test_pchart_flags_spike_day(ray_session):
     flagged = out[out["flagged"] == 1]
     assert len(flagged) == 1
     assert flagged["n_errors"].iloc[0] == 25
+
+
+def test_streaks_gaps_and_islands(ray_session):
+    from kgray.ops.temporal import activity_streaks
+
+    rows = []
+    # user 1: days 1,2,3, 5,6 -> longest 3, active 5
+    for d in (1, 2, 3, 5, 6):
+        rows.append({"user_id": 1, "ts": f"2024-01-{d:02d} 10:00:00"})
+    # user 2: one day
+    rows.append({"user_id": 2, "ts": "2024-02-01 10:00:00"})
+    out = activity_streaks(_events(rows))
+    m = {r["user_id"]: (r["longest_streak"], r["n_active_days"]) for _, r in out.iterrows()}
+    assert m[1] == (3, 5)
+    assert m[2] == (1, 1)
+
+
+def test_ztest_flags_shifted_share(ray_session):
+    from kgray.ops.temporal import two_proportion_ztest
+
+    rows = []
+    # first half: 300 a / 100 b ; second half: 100 a / 300 b
+    for i in range(300):
+        rows.append({"event_type": "a", "ts": "2024-01-01 00:00:00"})
+    for i in range(100):
+        rows.append({"event_type": "b", "ts": "2024-01-01 00:00:00"})
+    for i in range(100):
+        rows.append({"event_type": "a", "ts": "2024-03-01 00:00:00"})
+    for i in range(300):
+        rows.append({"event_type": "b", "ts": "2024-03-01 00:00:00"})
+    out = two_proportion_ztest(_events(rows))
+    m = dict(zip(out["event_type"], out["significant"]))
+    assert m == {"a": 1, "b": 1}
+    za = out.loc[out["event_type"] == "a", "z"].iloc[0]
+    assert za > 1.96

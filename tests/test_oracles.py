@@ -201,6 +201,9 @@ def _compare(query: str):
         "events_activity_powerlaw",
         "events_linear_attribution",
         "events_error_pchart",
+        "events_streaks",
+        "events_share_ztest",
+        "orders_basket_size",
         "doc_sentence_stats",
         "events_benford",
         "doc_cluster_size_hist",
