@@ -409,6 +409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_streaks"] = _q_events_streaks
     q["events_share_ztest"] = _q_events_share_ztest
     q["orders_basket_size"] = rel.basket_size_dist
+    q["events_session_paths"] = _q_events_session_paths
+    q["events_holt_smooth"] = _q_events_holt_smooth
     q["doc_sentence_stats"] = lambda sf: (
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(tx.sentence_length_stats, batch_format="pyarrow")
@@ -1405,6 +1407,27 @@ def _q_events_share_ztest(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
     return two_proportion_ztest(ds)
+
+
+def _q_events_session_paths(sf_dir: str) -> pd.DataFrame:
+    """Top first-3-event session paths (sequence mining over gap-split
+    sessions): kgray/ops/temporal.py top_session_paths."""
+    from kgray.ops.temporal import top_session_paths
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    return top_session_paths(ds)
+
+
+def _q_events_holt_smooth(sf_dir: str) -> pd.DataFrame:
+    """Integer Holt double-exponential smoothing of daily counts
+    (recursive-CTE twin, bit-for-bit): kgray/ops/temporal.py
+    holt_linear_smooth."""
+    from kgray.ops.temporal import holt_linear_smooth
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return holt_linear_smooth(ds)
 
 
 def _markov_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str:
@@ -5129,6 +5152,47 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr_events": _ppr_oracle_sql(),
         "kg_hits_events": _hits_oracle_sql(),
         "events_markov_stationary": _markov_oracle_sql(),
+        "events_session_paths": """
+            WITH s AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sid AS (
+              SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM s),
+            rn AS (
+              SELECT user_id, session_id, event_type, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, session_id
+                                        ORDER BY ts, event_id) AS r
+              FROM sid),
+            p AS (
+              SELECT user_id, session_id,
+                     string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+              FROM rn WHERE r <= 3 GROUP BY 1, 2)
+            SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM p GROUP BY 1
+            ORDER BY n_sessions DESC, path LIMIT 20
+        """,
+        "events_holt_smooth": """
+            WITH RECURSIVE daily AS (
+              SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1),
+            idx AS (SELECT day, n, row_number() OVER (ORDER BY day) AS i FROM daily),
+            it AS (
+              SELECT i, day, n, n AS level, CAST(0 AS BIGINT) AS trend
+              FROM idx WHERE i = 1
+              UNION ALL
+              SELECT d.i, d.day, d.n,
+                     (d.n + it.level + it.trend) // 2,
+                     (((d.n + it.level + it.trend) // 2 - it.level) + it.trend) // 2
+              FROM it JOIN idx d ON d.i = it.i + 1)
+            SELECT day, n AS count, level, trend FROM it
+        """,
         "events_streaks": """
             WITH ud AS (
               SELECT DISTINCT user_id,

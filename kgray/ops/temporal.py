@@ -1988,3 +1988,143 @@ def two_proportion_ztest(
             )
         )
     return pd.DataFrame(rows, columns=[type_col, "share_a", "share_b", "z", "significant"])
+
+
+def top_session_paths(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    path_len: int = 3,
+    top_n: int = 20,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Top session paths: the most common first-``path_len`` event-type
+    sequences of gap-split sessions (count desc, path asc) — the
+    product-analytics "how do sessions start" report (sequence mining on
+    top of sessionization).
+
+    Scale shape: one user-hash bucket shuffle; sessions assemble
+    vectorized per bucket (cumsum of session starts), the per-session
+    prefix joins without a python loop over sessions (position masks),
+    and (path, count) partials merge on the driver top-n.
+    """
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": (b[key_col] % num_buckets).astype("int32"),
+                "u": b[key_col].astype("int64"),
+                "t": b[type_col].astype(str),
+                "ts": b[ts_col],
+                "eid": b["event_id"].astype("int64"),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "ts", "eid"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        uid = g["u"].to_numpy()
+        new_session = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            same = uid[1:] == uid[:-1]
+            new_session[1:] = ~same | ((ts[1:] - ts[:-1]) > gap)
+        sid = np.cumsum(new_session)
+        pos = np.arange(len(g)) - np.maximum.accumulate(
+            np.where(new_session, np.arange(len(g)), 0)
+        )
+        keep = pos < path_len
+        d = pd.DataFrame({"sid": sid[keep], "t": g["t"].to_numpy()[keep]})
+        paths = d.groupby("sid", sort=False)["t"].agg(">".join)
+        out = paths.value_counts().reset_index()
+        out.columns = ["path", "n"]
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {"path": pd.Series(dtype=object), "n_sessions": pd.Series(dtype="int64")}
+    )
+    if "path" not in parts.columns or not len(parts):
+        return empty
+    agg = parts.groupby("path", sort=False)["n"].sum().reset_index(name="n_sessions")
+    agg["n_sessions"] = agg["n_sessions"].astype("int64")
+    return (
+        agg.sort_values(["n_sessions", "path"], ascending=[False, True], kind="mergesort")
+        .head(top_n)
+        .reset_index(drop=True)
+    )
+
+
+def holt_linear_smooth(
+    ds: ray.data.Dataset, ts_col: str = "ts"
+) -> pd.DataFrame:
+    """Holt double-exponential smoothing of the daily event count with
+    α = β = ½ run ENTIRELY in integer space: level sₜ = (xₜ + sₜ₋₁ +
+    bₜ₋₁) // 2, trend bₜ = ((sₜ − sₜ₋₁) + bₜ₋₁) // 2 — the trend-aware
+    smoother (and the stateful-streaming shape), with a recursive-CTE
+    DuckDB twin that reproduces every step bit-for-bit (DuckDB-style
+    truncating integer division, no float drift).
+
+    Scale shape: one (day, count) Arrow partial pass; the recurrence is
+    inherently sequential and runs on the observed-days driver budget.
+    """
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        g = (
+            pd.DataFrame({"day": day, "n": np.int64(1)})
+            .groupby("day", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "day": pa.array(g["day"].astype(np.int64), pa.int64()),
+                "n": pa.array(g["n"].astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "day": pd.Series(dtype="int64"),
+            "count": pd.Series(dtype="int64"),
+            "level": pd.Series(dtype="int64"),
+            "trend": pd.Series(dtype="int64"),
+        }
+    )
+    if "day" not in parts.columns or not len(parts):
+        return empty
+    daily = parts.groupby("day", sort=True)["n"].sum()
+    days = daily.index.to_numpy(dtype=np.int64)
+    xs = [int(v) for v in daily.to_numpy()]
+    def tdiv2(v: int) -> int:
+        # DuckDB's // truncates toward zero; Python's floors — mirror DuckDB
+        return v // 2 if v >= 0 else -((-v) // 2)
+
+    s, b = xs[0], 0
+    levels, trends = [s], [b]
+    for x in xs[1:]:
+        s_new = tdiv2(x + s + b)
+        b = tdiv2((s_new - s) + b)
+        s = s_new
+        levels.append(s)
+        trends.append(b)
+    return pd.DataFrame(
+        {
+            "day": days,
+            "count": pd.Series(xs, dtype="int64"),
+            "level": pd.Series(levels, dtype="int64"),
+            "trend": pd.Series(trends, dtype="int64"),
+        }
+    )

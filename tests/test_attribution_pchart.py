@@ -75,3 +75,30 @@ def test_ztest_flags_shifted_share(ray_session):
     assert m == {"a": 1, "b": 1}
     za = out.loc[out["event_type"] == "a", "z"].iloc[0]
     assert za > 1.96
+
+
+def test_session_paths_counts(ray_session):
+    from kgray.ops.temporal import top_session_paths
+
+    rows = []
+    # two sessions for u1 with path a>b (gap 2h between), one for u2 with c
+    for base in ("2024-01-01 09", "2024-01-01 13"):
+        rows.append({"user_id": 1, "event_type": "a", "ts": f"{base}:00:00", "event_id": len(rows)})
+        rows.append({"user_id": 1, "event_type": "b", "ts": f"{base}:01:00", "event_id": len(rows)})
+    rows.append({"user_id": 2, "event_type": "c", "ts": "2024-01-01 10:00:00", "event_id": 99})
+    out = top_session_paths(_events(rows))
+    m = dict(zip(out["path"], out["n_sessions"]))
+    assert m == {"a>b": 2, "c": 1}
+
+
+def test_holt_constant_series_levels_flat(ray_session):
+    from kgray.ops.temporal import holt_linear_smooth
+
+    rows = []
+    for d in range(1, 9):
+        for _ in range(10):
+            rows.append({"ts": f"2024-01-{d:02d} 10:00:00"})
+    out = holt_linear_smooth(_events(rows))
+    # constant 10/day: level locks to 10, trend to 0
+    assert (out["level"] == 10).all()
+    assert (out["trend"] == 0).all()

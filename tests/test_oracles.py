@@ -204,6 +204,8 @@ def _compare(query: str):
         "events_streaks",
         "events_share_ztest",
         "orders_basket_size",
+        "events_session_paths",
+        "events_holt_smooth",
         "doc_sentence_stats",
         "events_benford",
         "doc_cluster_size_hist",
