@@ -411,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["orders_basket_size"] = rel.basket_size_dist
     q["events_session_paths"] = _q_events_session_paths
     q["events_holt_smooth"] = _q_events_holt_smooth
+    q["events_weekday_cosine"] = _q_events_weekday_cosine
     q["doc_sentence_stats"] = lambda sf: (
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(tx.sentence_length_stats, batch_format="pyarrow")
@@ -1428,6 +1429,15 @@ def _q_events_holt_smooth(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
     return holt_linear_smooth(ds)
+
+
+def _q_events_weekday_cosine(sf_dir: str) -> pd.DataFrame:
+    """Pairwise cosine of per-type weekday count profiles:
+    kgray/ops/stats.py weekday_profile_cosine."""
+    from kgray.ops.stats import weekday_profile_cosine
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return weekday_profile_cosine(ds)
 
 
 def _markov_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str:
@@ -5152,6 +5162,32 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr_events": _ppr_oracle_sql(),
         "kg_hits_events": _hits_oracle_sql(),
         "events_markov_stationary": _markov_oracle_sql(),
+        "events_weekday_cosine": """
+            WITH x AS (
+              SELECT event_type,
+                     ((CAST(epoch_us(ts) AS BIGINT) // 86400000000) + 4) % 7 AS dow
+              FROM events),
+            types AS (SELECT DISTINCT event_type FROM x),
+            dows AS (SELECT unnest(range(0, 7)) AS dow),
+            c AS (
+              SELECT t.event_type, d.dow, CAST(coalesce(o.n, 0) AS BIGINT) AS n
+              FROM types t CROSS JOIN dows d
+              LEFT JOIN (SELECT event_type, dow, count(*) AS n FROM x GROUP BY 1, 2) o
+                ON o.event_type = t.event_type AND o.dow = d.dow),
+            ab AS (
+              SELECT a.event_type AS ta, b.event_type AS tb,
+                     CAST(sum(a.n * b.n) AS BIGINT) AS sab
+              FROM c a JOIN c b ON a.dow = b.dow AND a.event_type < b.event_type
+              GROUP BY 1, 2),
+            aa AS (SELECT event_type, CAST(sum(n * n) AS BIGINT) AS saa FROM c GROUP BY 1)
+            SELECT ta AS type_a, tb AS type_b,
+                   CASE WHEN CAST(x1.saa AS DOUBLE) * CAST(x2.saa AS DOUBLE) <= 0 THEN 0.0
+                        ELSE floor(CAST(ab.sab AS DOUBLE)
+                                   / sqrt(CAST(x1.saa AS DOUBLE) * CAST(x2.saa AS DOUBLE))
+                                   * 1e6 + 0.5) / 1e6
+                   END AS cosine
+            FROM ab JOIN aa x1 ON x1.event_type = ta JOIN aa x2 ON x2.event_type = tb
+        """,
         "events_session_paths": """
             WITH s AS (
               SELECT user_id, ts, event_id, event_type,

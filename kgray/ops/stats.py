@@ -2073,3 +2073,62 @@ def activity_powerlaw_slope(
         return empty
     slope = np.floor(float(n * sxy - sx * sy) / float(den) * 1e6 + 0.5) / 1e6
     return pd.DataFrame({"n_ranks": [np.int64(n)], "slope": [slope]})
+
+
+def weekday_profile_cosine(
+    events: ray.data.Dataset,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Pairwise cosine similarity of the 7-dim WEEKDAY count profiles of
+    event types (unordered pairs) — do two behaviors follow the same
+    weekly rhythm?  Complements weekday_chi2 (is there a rhythm) with
+    which rhythms MATCH.
+
+    Exactness: profiles are exact integer count vectors (the epoch
+    day-of-week formula); Σab/√(Σa²·Σb²) runs in python ints with one
+    micro-quantized division per pair.
+
+    Scale shape: (key, dow, count) Arrow partials — keys × 7 driver grid.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // 86_400_000_000) + 4) % 7
+        return (
+            pa.table({key_col: t[key_col], "dow": pa.array(dow, pa.int64())})
+            .group_by([key_col, "dow"])
+            .aggregate([([], "count_all")])
+        )
+
+    parts = events.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "type_a": pd.Series(dtype=object),
+            "type_b": pd.Series(dtype=object),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+    if key_col not in parts.columns or not len(parts):
+        return empty
+    grid = parts.groupby([key_col, "dow"], sort=True)["count_all"].sum().unstack(
+        fill_value=0
+    )
+    keys = list(grid.index)
+    mat = grid.to_numpy(dtype=np.int64)
+    rows = []
+    for i in range(len(keys)):
+        a = [int(v) for v in mat[i]]
+        saa = sum(v * v for v in a)
+        for j in range(i + 1, len(keys)):
+            b = [int(v) for v in mat[j]]
+            sab = sum(x * y for x, y in zip(a, b))
+            sbb = sum(v * v for v in b)
+            den = float(saa) * float(sbb)
+            cos = 0.0 if den <= 0 else np.floor(
+                float(sab) / np.sqrt(np.float64(den)) * 1e6 + 0.5
+            ) / 1e6
+            rows.append((keys[i], keys[j], cos))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "cosine"])

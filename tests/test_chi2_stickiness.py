@@ -72,3 +72,19 @@ def test_assortativity_star_is_negative(ray_session):
     out2 = degree_assortativity(ray.data.from_pandas(edges2))
     assert out2["assortativity"].iloc[0] < 0
     assert out2["n_edges"].iloc[0] == 6
+
+
+def test_weekday_profile_cosine(ray_session):
+    from kgray.ops.stats import weekday_profile_cosine
+
+    rows = []
+    # type a and b both Monday-only (parallel); type c Friday-only (orthogonal)
+    for t, day in (("a", 5), ("b", 5), ("c", 2)):  # 2024-01-05 Fri? pick distinct dows
+        for i in range(4):
+            rows.append({"event_type": t, "ts": f"2024-01-{day:02d} 10:00:00"})
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    out = weekday_profile_cosine(ray.data.from_pandas(df))
+    m = {(a, b): c for a, b, c in zip(out["type_a"], out["type_b"], out["cosine"])}
+    assert abs(m[("a", "b")] - 1.0) < 1e-6
+    assert abs(m[("a", "c")]) < 1e-6

@@ -206,6 +206,7 @@ def _compare(query: str):
         "orders_basket_size",
         "events_session_paths",
         "events_holt_smooth",
+        "events_weekday_cosine",
         "doc_sentence_stats",
         "events_benford",
         "doc_cluster_size_hist",
