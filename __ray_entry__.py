@@ -412,6 +412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_session_paths"] = _q_events_session_paths
     q["events_holt_smooth"] = _q_events_holt_smooth
     q["events_weekday_cosine"] = _q_events_weekday_cosine
+    q["events_markov_entropy"] = _q_events_markov_entropy
+    q["events_conversion_lag"] = _q_events_conversion_lag
     q["doc_sentence_stats"] = lambda sf: (
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(tx.sentence_length_stats, batch_format="pyarrow")
@@ -1438,6 +1440,49 @@ def _q_events_weekday_cosine(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
     return weekday_profile_cosine(ds)
+
+
+def _q_events_markov_entropy(sf_dir: str) -> pd.DataFrame:
+    """Entropy rate of the behavior Markov chain (pi from the all-integer
+    stationary iteration, fixed-order double terms):
+    kgray/ops/temporal.py markov_entropy_rate."""
+    from kgray.ops.temporal import markov_entropy_rate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    return markov_entropy_rate(ds)
+
+
+def _q_events_conversion_lag(sf_dir: str) -> pd.DataFrame:
+    """Click-to-purchase lag histogram (last prior touch, log2-second
+    bins): kgray/ops/temporal.py conversion_lag_hist."""
+    from kgray.ops.temporal import conversion_lag_hist
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return conversion_lag_hist(ds)
+
+
+def _markov_entropy_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str:
+    """Entropy-rate twin: the markov CTE chain + one fixed-order double
+    term per observed transition, nano-quantized and integer-summed."""
+    base = _markov_oracle_sql(iterations=iterations, scale=scale)
+    # strip the builder's final SELECT, keep the WITH chain
+    head = base[: base.rindex("SELECT ty AS event_type")]
+    return (
+        head
+        + f"""
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM types) AS n_types,
+               CAST(sum(CAST(floor((CAST(q{iterations}.q AS DOUBLE) / {float(scale)})
+                                   * (CAST(tr.c AS DOUBLE) / CAST(r.rr AS DOUBLE))
+                                   * ln(CAST(r.rr AS DOUBLE) / CAST(tr.c AS DOUBLE))
+                                   * 1e9 + 0.5) AS BIGINT)) AS BIGINT)::DOUBLE
+               / 1e9 AS entropy_rate
+        FROM tr JOIN q{iterations} ON q{iterations}.ty = tr.prev
+                JOIN r ON r.prev = tr.prev"""
+    )
 
 
 def _markov_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str:
@@ -5162,6 +5207,25 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr_events": _ppr_oracle_sql(),
         "kg_hits_events": _hits_oracle_sql(),
         "events_markov_stationary": _markov_oracle_sql(),
+        "events_markov_entropy": _markov_entropy_oracle_sql(),
+        "events_conversion_lag": """
+            WITH x AS (
+              SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us
+              FROM events WHERE event_type IN ('click', 'purchase')),
+            t AS (SELECT user_id, us FROM x WHERE event_type = 'click'),
+            c AS (SELECT user_id, us FROM x WHERE event_type = 'purchase'),
+            l AS (
+              SELECT c.user_id, c.us, CAST(max(t.us) AS BIGINT) AS lastt
+              FROM c JOIN t ON t.user_id = c.user_id AND t.us <= c.us
+              GROUP BY 1, 2),
+            b AS (
+              SELECT CASE WHEN (us - lastt) // 1000000 > 0
+                          THEN CAST(length(bin((us - lastt) // 1000000)) AS BIGINT)
+                          ELSE 0 END AS lag_bin
+              FROM l)
+            SELECT lag_bin, CAST(count(*) AS BIGINT) AS n_conversions
+            FROM b GROUP BY 1
+        """,
         "events_weekday_cosine": """
             WITH x AS (
               SELECT event_type,

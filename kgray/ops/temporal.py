@@ -2128,3 +2128,160 @@ def holt_linear_smooth(
             "trend": pd.Series(trends, dtype="int64"),
         }
     )
+
+
+def markov_entropy_rate(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    iterations: int = 20,
+    scale: int = 10**12,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Entropy rate of the event-type Markov chain: H = −Σᵢ πᵢ Σⱼ pᵢⱼ·ln pᵢⱼ
+    with π from the integer-exact stationary iteration — ONE number for
+    how predictable the behavior stream is (0 = deterministic loops).
+
+    Exactness: π comes from :func:`markov_stationary`'s all-integer
+    iteration; each (i, j) term evaluates the SAME fixed-order double
+    expression (πᵢ · (cᵢⱼ/rᵢ) · ln(rᵢ/cᵢⱼ)) on both engines, quantizes to
+    nano-units, and sums as exact ints.
+
+    Scale shape: the transition matrix is the one user-hash shuffle of
+    markov_stationary; everything after is |types|²-bounded driver math.
+    """
+    pi = markov_stationary(
+        ds,
+        key_col=key_col,
+        type_col=type_col,
+        ts_col=ts_col,
+        iterations=iterations,
+        scale=scale,
+        num_buckets=num_buckets,
+    )
+    empty = pd.DataFrame(
+        {"n_types": pd.Series(dtype="int64"), "entropy_rate": pd.Series(dtype="float64")}
+    )
+    if not len(pi):
+        return empty
+
+    # rebuild the transition counts (same kernel; the pi call's shuffle
+    # already produced them but returns only the distribution — the
+    # recompute stays one shuffle and keeps the two ops composable)
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": (b[key_col] % num_buckets).astype("int32"),
+                "u": b[key_col].astype("int64"),
+                "t": b[type_col].astype(str),
+                "ts": b[ts_col],
+                "eid": b["event_id"].astype("int64"),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "ts", "eid"], kind="mergesort")
+        prev = g["t"].to_numpy()
+        same = g["u"].to_numpy()[1:] == g["u"].to_numpy()[:-1]
+        a, bb = prev[:-1][same], prev[1:][same]
+        out = (
+            pd.DataFrame({"prev": a, "nxt": bb})
+            .groupby(["prev", "nxt"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    trans = (
+        ds.map_batches(pair_partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "prev" not in trans.columns or not len(trans):
+        return empty
+    c = trans.groupby(["prev", "nxt"], sort=True)["c"].sum().reset_index()
+    r = c.groupby("prev", sort=False)["c"].transform("sum")
+    # pi as the raw integer q (scale-denominated), matching the SQL twin
+    q_by_type = dict(zip(pi["event_type"], (pi["stationary"] * scale).round().astype(np.int64)))
+    qv = c["prev"].map(q_by_type).fillna(0).to_numpy(dtype=np.float64)
+    cc = c["c"].to_numpy(dtype=np.float64)
+    rr = r.to_numpy(dtype=np.float64)
+    term = (qv / float(scale)) * (cc / rr) * np.log(rr / cc)
+    nano = int(np.floor(term * 1e9 + 0.5).astype(np.int64).sum())
+    return pd.DataFrame(
+        {"n_types": [np.int64(len(pi))], "entropy_rate": [nano / 1e9]}
+    )
+
+
+def conversion_lag_hist(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Conversion-lag histogram: for every purchase with at least one
+    PRIOR click by the same user, the time since the MOST RECENT click,
+    bucketed by bit_length of whole seconds (the log₂ ladder) — how long
+    intent takes to convert.
+
+    Scale shape: one user-hash shuffle; per user the last-click lookup is
+    one searchsorted per conversion; (bin, count) partials merge on the
+    driver.  Exact integer microseconds throughout.
+    """
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[type_col].isin([touch_type, convert_type])
+        b = b.loc[m]
+        return pd.DataFrame(
+            {
+                "bucket": (b[key_col] % num_buckets).astype("int32"),
+                "u": b[key_col].astype("int64"),
+                "t": b[type_col].astype(str),
+                "us": b[ts_col].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bins: dict[int, int] = {}
+        for _, grp in g.groupby("u", sort=False):
+            touches = np.sort(grp.loc[grp["t"] == touch_type, "us"].to_numpy(np.int64))
+            convs = grp.loc[grp["t"] == convert_type, "us"].to_numpy(np.int64)
+            if not len(touches) or not len(convs):
+                continue
+            idx = np.searchsorted(touches, convs, side="right") - 1
+            ok = idx >= 0
+            lags_s = (convs[ok] - touches[idx[ok]]) // 1_000_000
+            for v in lags_s:
+                b_ = int(v).bit_length()
+                bins[b_] = bins.get(b_, 0) + 1
+        return pd.DataFrame(
+            {
+                "bin": pd.Series(list(bins.keys()), dtype="int64"),
+                "n": pd.Series(list(bins.values()), dtype="int64"),
+            }
+        )
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {"lag_bin": pd.Series(dtype="int64"), "n_conversions": pd.Series(dtype="int64")}
+    )
+    if "bin" not in parts.columns or not len(parts):
+        return empty
+    agg = parts.groupby("bin", sort=True)["n"].sum().reset_index()
+    return pd.DataFrame(
+        {
+            "lag_bin": agg["bin"].astype("int64"),
+            "n_conversions": agg["n"].astype("int64"),
+        }
+    )

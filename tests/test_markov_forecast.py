@@ -71,3 +71,31 @@ def test_lorenz_uniform(ray_session, tmp_path):
     m = dict(zip(out["decile"], out["cum_share"]))
     assert m[10] == 1.0
     assert abs(m[5] - 0.4) < 1e-9  # 5*5//10 = 2 of 5 customers
+
+
+def test_markov_entropy_deterministic_chain_zero(ray_session):
+    from kgray.ops.temporal import markov_entropy_rate
+
+    # a->b->a->b: every transition deterministic -> entropy rate 0
+    rows = [
+        {"user_id": 1, "event_type": t, "ts": f"2024-01-01 00:0{i}:00"}
+        for i, t in enumerate(["a", "b", "a", "b", "a"])
+    ]
+    out = markov_entropy_rate(_events(rows))
+    assert abs(out["entropy_rate"].iloc[0]) < 1e-9
+
+
+def test_conversion_lag_bins(ray_session):
+    from kgray.ops.temporal import conversion_lag_hist
+
+    rows = [
+        {"user_id": 1, "event_type": "click", "ts": "2024-01-01 10:00:00"},
+        # 100 s later -> bit_length(100) = 7
+        {"user_id": 1, "event_type": "purchase", "ts": "2024-01-01 10:01:40"},
+        # purchase with no prior click is dropped
+        {"user_id": 2, "event_type": "purchase", "ts": "2024-01-01 09:00:00"},
+    ]
+    out = conversion_lag_hist(_events(rows))
+    assert len(out) == 1
+    assert out["lag_bin"].iloc[0] == 7
+    assert out["n_conversions"].iloc[0] == 1

@@ -207,6 +207,8 @@ def _compare(query: str):
         "events_session_paths",
         "events_holt_smooth",
         "events_weekday_cosine",
+        "events_markov_entropy",
+        "events_conversion_lag",
         "doc_sentence_stats",
         "events_benford",
         "doc_cluster_size_hist",
