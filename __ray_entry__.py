@@ -433,6 +433,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["nation_market_share"] = rel.nation_market_share
     q["supplier_part_coverage"] = rel.supplier_part_coverage
+    q["product_profit"] = rel.product_profit
+    q["important_parts"] = rel.important_parts
+    q["dominant_suppliers"] = rel.dominant_suppliers
+    q["waiting_suppliers"] = rel.waiting_suppliers
+    q["idle_customer_balance"] = rel.idle_customer_balance
+    q["min_balance_supplier"] = rel.min_balance_supplier
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
     q["kg_assortativity_events"] = _q_kg_assortativity_events
@@ -6377,6 +6383,110 @@ FROM cs GROUP BY 1
                    (SELECT CAST(count(*) AS BIGINT) FROM firstd WHERE fd <= checkpoint) AS vocab,
                    (SELECT CAST(count(*) AS BIGINT) FROM toks WHERE doc_id <= checkpoint) AS total_tokens
             FROM cps
+        """,
+        "product_profit": """
+            WITH pr AS (
+              SELECT p_partkey, CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS rcst
+              FROM part WHERE p_name LIKE '%red%'),
+            li AS (
+              SELECT l_orderkey,
+                     n_name AS nation,
+                     CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                       - rcst * CAST(l_quantity AS BIGINT) AS pc
+              FROM lineitem
+              JOIN pr ON pr.p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey)
+            SELECT nation, strftime(o_orderdate, '%Y') AS o_year,
+                   CAST(sum(pc) AS DOUBLE) / 100.0 AS sum_profit
+            FROM li JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY 1, 2
+        """,
+        "important_parts": """
+            WITH sk AS (
+              SELECT s_suppkey FROM supplier JOIN nation ON n_nationkey = s_nationkey
+              WHERE n_name = 'NATION_3'),
+            v AS (
+              SELECT l_partkey AS p_partkey,
+                     CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS vc
+              FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM sk)
+              GROUP BY 1)
+            SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+                   CAST(vc AS DOUBLE) / 100.0 AS value
+            FROM v WHERE vc * 1000 > (SELECT sum(vc) FROM v)
+        """,
+        "dominant_suppliers": """
+            WITH q AS (
+              SELECT l_partkey AS pk, l_suppkey AS sk,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_name LIKE '%blue%'
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1, 2),
+            t AS (SELECT pk, sum(sq) AS tq FROM q GROUP BY 1)
+            SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS n_parts
+            FROM q JOIN t USING (pk)
+            JOIN supplier ON s_suppkey = sk
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE 2 * sq > tq
+            GROUP BY 1, 2
+        """,
+        "waiting_suppliers": """
+            WITH o AS (
+              SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+            l AS (
+              SELECT l_orderkey AS ok, l_suppkey AS sk,
+                     CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                          THEN 1 ELSE 0 END AS late
+              FROM lineitem JOIN o ON o_orderkey = l_orderkey),
+            s AS (SELECT ok, sk, max(late) AS late FROM l GROUP BY 1, 2),
+            a AS (SELECT ok, count(*) AS ns, sum(late) AS nl FROM s GROUP BY 1)
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM s JOIN a USING (ok) JOIN supplier ON s_suppkey = sk
+            WHERE a.ns >= 2 AND a.nl = 1 AND s.late = 1
+            GROUP BY 1
+        """,
+        "idle_customer_balance": """
+            WITH c AS (
+              SELECT c_nationkey AS nk, c_custkey AS ck,
+                     CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+              FROM customer WHERE c_nationkey IN (1, 2, 4)),
+            avgc AS (
+              SELECT CAST(sum(bal) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+              FROM c WHERE bal > 0),
+            e AS (
+              SELECT nk, bal FROM c, avgc
+              WHERE bal * n > s
+                AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = ck
+                                AND o_orderdate >= TIMESTAMP '2001-01-01'))
+            SELECT CAST(nk AS BIGINT) AS cntrycode,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(bal) AS DOUBLE) / 100.0 AS totacctbal
+            FROM e GROUP BY 1
+        """,
+        "min_balance_supplier": """
+            WITH rs AS (
+              SELECT s_suppkey, s_name, n_name,
+                     CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal
+              FROM supplier
+              JOIN nation ON n_nationkey = s_nationkey
+              JOIN region ON r_regionkey = n_regionkey
+              WHERE r_name = 'EUROPE'),
+            ps AS (
+              SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+                       AND p_size = 15 AND p_type = 'STANDARD'
+              JOIN rs ON rs.s_suppkey = l_suppkey),
+            b AS (
+              SELECT pk, sk, bal, s_name, n_name
+              FROM ps JOIN rs ON rs.s_suppkey = sk)
+            SELECT CAST(bal AS DOUBLE) / 100.0 AS s_acctbal, s_name, n_name,
+                   CAST(pk AS BIGINT) AS p_partkey
+            FROM b
+            WHERE bal = (SELECT min(bal) FROM b b2 WHERE b2.pk = b.pk)
         """,
         "customer_order_dist": """
             WITH pc AS (

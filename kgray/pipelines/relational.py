@@ -2642,3 +2642,570 @@ def basket_size_dist(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
     out = hist.groupby("basket_size", sort=True)["n_orders"].sum().reset_index()
     out["n_orders"] = out["n_orders"].astype("int64")
     return out
+
+
+def product_profit(
+    sf_dir: str, name_like: str = "red", num_buckets: int = 64
+) -> pd.DataFrame:
+    """TPC-H Q9-shaped product-type profit: per (supplier nation, order
+    year), discounted revenue minus retail-cost-of-goods
+    (p_retailprice × quantity stands in for ps_supplycost — this corpus
+    has no partsupp table) over parts whose name contains ``name_like``.
+
+    Exactness: revenue quantizes to cents with the proven
+    floor(ep·(1−d)·100+0.5) kernel; cost is the exact integer
+    retail_cents × quantity; everything sums as int64.
+
+    Scale shape: part (filtered) and supplier→nation maps broadcast via
+    ``ray.put`` (dimension sides); lineitem rows shrink to
+    (orderkey, nation, profit_cents) and meet the (orderkey, year) order
+    stream in ORDERKEY hash buckets — one shuffle of pruned streams."""
+    from kgray.functions.broadcast import cached_get
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+    m = part["p_name"].str.contains(name_like, regex=False)
+    pmap_ref = ray.put(
+        dict(
+            zip(
+                part.loc[m, "p_partkey"].astype(int),
+                np.floor(part.loc[m, "p_retailprice"].to_numpy() * 100.0 + 0.5).astype(
+                    np.int64
+                ),
+            )
+        )
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    smap_ref = ray.put(
+        dict(zip(supp["s_suppkey"].astype(int), supp["s_nationkey"].map(n_name)))
+    )
+
+    def line_rows(b: pd.DataFrame) -> pd.DataFrame:
+        pm, sm = cached_get(pmap_ref), cached_get(smap_ref)
+        keys = b["l_partkey"].to_numpy(dtype=np.int64)
+        sel = np.isin(keys, np.fromiter(pm.keys(), dtype=np.int64, count=len(pm)))
+        b = b.loc[sel]
+        rev_c = np.floor(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy()) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        cost_c = np.array(
+            [pm[int(k)] for k in b["l_partkey"].to_numpy(dtype=np.int64)], dtype=np.int64
+        ) * b["l_quantity"].to_numpy().astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "okey": b["l_orderkey"].to_numpy(dtype=np.int64),
+                "nation": [sm[int(k)] for k in b["l_suppkey"].to_numpy(dtype=np.int64)],
+                "pc": rev_c - cost_c,
+            }
+        )
+        out["side"] = np.int8(0)
+        out["o_year"] = ""
+        return out
+
+    def order_rows(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "okey": b["o_orderkey"].to_numpy(dtype=np.int64),
+                "nation": "",
+                "pc": np.int64(0),
+                "side": np.int8(1),
+                "o_year": b["o_orderdate"].dt.strftime("%Y").to_numpy(dtype=object),
+            }
+        )
+        return out
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["bucket"] = (b["okey"] % num_buckets).astype("int32")
+        return b
+
+    tagged = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(line_rows, batch_format="pandas", batch_size=262144)
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+                order_rows, batch_format="pandas"
+            )
+        )
+        .map_batches(add_bucket, batch_format="pandas")
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["side"] == 0]
+        od = g[g["side"] == 1][["okey", "o_year"]]
+        j = li[["okey", "nation", "pc"]].merge(od, on="okey")
+        if not len(j):
+            return pd.DataFrame(
+                {
+                    "nation": pd.Series(dtype=object),
+                    "o_year": pd.Series(dtype=object),
+                    "pc": pd.Series(dtype="int64"),
+                }
+            )
+        return j.groupby(["nation", "o_year"], sort=False)["pc"].sum().reset_index()
+
+    parts = tagged.groupby("bucket").map_groups(per_bucket, batch_format="pandas").to_pandas()
+    if "nation" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                "nation": pd.Series(dtype=object),
+                "o_year": pd.Series(dtype=object),
+                "sum_profit": pd.Series(dtype="float64"),
+            }
+        )
+    out = parts.groupby(["nation", "o_year"], sort=True)["pc"].sum().reset_index()
+    out["sum_profit"] = out["pc"].to_numpy(dtype=np.float64) / 100.0
+    return out.drop(columns=["pc"]).reset_index(drop=True)
+
+
+def important_parts(
+    sf_dir: str, nation: str = "NATION_3", ppm_threshold: int = 1000, num_buckets: int = 64
+) -> pd.DataFrame:
+    """TPC-H Q11-shaped important stock: parts whose shipped discounted
+    revenue from ONE nation's suppliers exceeds 1/``ppm_threshold`` of
+    that nation's total — the HAVING-against-a-global-scalar shape
+    (lineitem revenue stands in for ps_supplycost·ps_availqty).
+
+    Exactness: cents int64 everywhere; the threshold compares
+    value·threshold > total as exact ints (no division).
+
+    Scale shape: the nation's supplier set broadcasts; per-batch
+    combiner pre-sums (partkey → cents) so the PARTKEY-bucket shuffle
+    moves ≤ |part| rows per batch; the driver sees ≤ |part| rows."""
+    from kgray.functions.broadcast import cached_get
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nk = set(nat.loc[nat["n_name"] == nation, "n_nationkey"].astype(int))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    skeys_ref = ray.put(
+        np.sort(supp.loc[supp["s_nationkey"].isin(nk), "s_suppkey"].to_numpy(np.int64))
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        sk = cached_get(skeys_ref)
+        m = np.isin(b["l_suppkey"].to_numpy(dtype=np.int64), sk)
+        b = b.loc[m]
+        rc = np.floor(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy()) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        d = (
+            pd.DataFrame({"pkey": b["l_partkey"].to_numpy(dtype=np.int64), "rc": rc})
+            .groupby("pkey", sort=False)["rc"]
+            .sum()
+            .reset_index()
+        )
+        d["bucket"] = (d["pkey"] % num_buckets).astype("int32")
+        return d
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("pkey", sort=False)["rc"].sum().reset_index()
+
+    vals = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {"p_partkey": pd.Series(dtype="int64"), "value": pd.Series(dtype="float64")}
+    )
+    if "pkey" not in vals.columns or not len(vals):
+        return empty
+    total = int(vals["rc"].sum())
+    keep = vals.loc[vals["rc"].to_numpy() * ppm_threshold > total]
+    if not len(keep):
+        return empty
+    return pd.DataFrame(
+        {
+            "p_partkey": keep["pkey"].astype("int64").to_numpy(),
+            "value": keep["rc"].to_numpy(dtype=np.float64) / 100.0,
+        }
+    ).sort_values("p_partkey").reset_index(drop=True)
+
+
+def dominant_suppliers(
+    sf_dir: str,
+    name_like: str = "blue",
+    since: str = "1996-01-01",
+    until: str = "1998-01-01",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """TPC-H Q20-shaped dominant suppliers: suppliers who shipped MORE
+    THAN HALF of a part's total quantity (parts matching ``name_like``,
+    ship dates in [since, until)) — the per-group-threshold semi-join
+    (shipped share stands in for availqty vs half demand).
+
+    Scale shape: filtered part keys broadcast; per-batch combiner
+    pre-sums (partkey, suppkey) → qty; PARTKEY buckets hold every
+    supplier of a part together, so dominance (2·sq > total) is decided
+    inside the bucket; supplier/nation names attach from broadcast maps
+    on the tiny winner set."""
+    from kgray.functions.broadcast import cached_get
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    pkeys_ref = ray.put(
+        np.sort(
+            part.loc[
+                part["p_name"].str.contains(name_like, regex=False), "p_partkey"
+            ].to_numpy(np.int64)
+        )
+    )
+    lo, hi = pd.Timestamp(since), pd.Timestamp(until)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        pk = cached_get(pkeys_ref)
+        m = (
+            np.isin(b["l_partkey"].to_numpy(dtype=np.int64), pk)
+            & (b["l_shipdate"] >= lo).to_numpy()
+            & (b["l_shipdate"] < hi).to_numpy()
+        )
+        b = b.loc[m]
+        d = (
+            pd.DataFrame(
+                {
+                    "pkey": b["l_partkey"].to_numpy(dtype=np.int64),
+                    "skey": b["l_suppkey"].to_numpy(dtype=np.int64),
+                    "q": b["l_quantity"].to_numpy().astype(np.int64),
+                }
+            )
+            .groupby(["pkey", "skey"], sort=False)["q"]
+            .sum()
+            .reset_index()
+        )
+        d["bucket"] = (d["pkey"] % num_buckets).astype("int32")
+        return d
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pq = g.groupby(["pkey", "skey"], sort=False)["q"].sum().reset_index()
+        tot = pq.groupby("pkey", sort=False)["q"].transform("sum")
+        win = pq.loc[2 * pq["q"].to_numpy() > tot.to_numpy()]
+        return win[["skey", "pkey"]]
+
+    wins = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+        .map_batches(partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "s_name": pd.Series(dtype=object),
+            "n_name": pd.Series(dtype=object),
+            "n_parts": pd.Series(dtype="int64"),
+        }
+    )
+    if "skey" not in wins.columns or not len(wins):
+        return empty
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    s_name = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    s_nat = dict(zip(supp["s_suppkey"].astype(int), supp["s_nationkey"].map(n_name)))
+    agg = wins.groupby("skey", sort=True).size().reset_index(name="n_parts")
+    return pd.DataFrame(
+        {
+            "s_name": agg["skey"].map(lambda k: s_name[int(k)]),
+            "n_name": agg["skey"].map(lambda k: s_nat[int(k)]),
+            "n_parts": agg["n_parts"].astype("int64"),
+        }
+    ).sort_values("s_name").reset_index(drop=True)
+
+
+def waiting_suppliers(
+    sf_dir: str, late_days: int = 90, status: str = "F", num_buckets: int = 64
+) -> pd.DataFrame:
+    """TPC-H Q21-shaped suppliers who kept orders waiting: for finished
+    ('F') orders with at least TWO distinct suppliers where EXACTLY ONE
+    supplier shipped late (shipdate > orderdate + ``late_days``), count
+    such orders per guilty supplier (ship-vs-order lag stands in for
+    receipt-vs-commit — this corpus has no commit/receipt dates).
+
+    Scale shape: the filtered (orderkey, orderdate) order stream and the
+    (orderkey, suppkey, shipdate) lineitem stream meet in ORDERKEY hash
+    buckets; the exists / not-exists pair collapses to vectorized
+    per-order distinct counts inside the bucket; supplier names attach
+    from a broadcast map on the tiny per-supplier counts."""
+
+    def order_rows(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["o_orderstatus"] == status]
+        return pd.DataFrame(
+            {
+                "okey": b["o_orderkey"].to_numpy(dtype=np.int64),
+                "skey": np.int64(-1),
+                "us": b["o_orderdate"].astype("datetime64[us]").astype("int64"),
+                "side": np.int8(1),
+            }
+        )
+
+    def line_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "okey": b["l_orderkey"].to_numpy(dtype=np.int64),
+                "skey": b["l_suppkey"].to_numpy(dtype=np.int64),
+                "us": b["l_shipdate"].astype("datetime64[us]").astype("int64"),
+                "side": np.int8(0),
+            }
+        )
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["bucket"] = (b["okey"] % num_buckets).astype("int32")
+        return b
+
+    tagged = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+        .map_batches(line_rows, batch_format="pandas", batch_size=262144)
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"]).map_batches(
+                order_rows, batch_format="pandas"
+            )
+        )
+        .map_batches(add_bucket, batch_format="pandas")
+    )
+    late_us = int(late_days) * 86_400_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["side"] == 0][["okey", "skey", "us"]]
+        od = g[g["side"] == 1][["okey", "us"]].rename(columns={"us": "ous"})
+        j = li.merge(od, on="okey")
+        if not len(j):
+            return pd.DataFrame(
+                {"skey": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")}
+            )
+        j["late"] = (j["us"].to_numpy() > j["ous"].to_numpy() + late_us).astype(np.int8)
+        per_pair = j.groupby(["okey", "skey"], sort=False)["late"].max().reset_index()
+        per_order = per_pair.groupby("okey", sort=False).agg(
+            ns=("skey", "size"), nl=("late", "sum")
+        )
+        hit = per_order.index[(per_order["ns"] >= 2) & (per_order["nl"] == 1)]
+        guilty = per_pair.loc[
+            per_pair["okey"].isin(hit) & (per_pair["late"] == 1), "skey"
+        ]
+        out = guilty.value_counts().reset_index()
+        out.columns = ["skey", "n"]
+        out["skey"] = out["skey"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = tagged.groupby("bucket").map_groups(per_bucket, batch_format="pandas").to_pandas()
+    empty = pd.DataFrame(
+        {"s_name": pd.Series(dtype=object), "numwait": pd.Series(dtype="int64")}
+    )
+    if "skey" not in parts.columns or not len(parts):
+        return empty
+    agg = parts.groupby("skey", sort=True)["n"].sum().reset_index()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    s_name = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    return pd.DataFrame(
+        {
+            "s_name": agg["skey"].map(lambda k: s_name[int(k)]),
+            "numwait": agg["n"].astype("int64"),
+        }
+    ).sort_values("s_name").reset_index(drop=True)
+
+
+def idle_customer_balance(
+    sf_dir: str,
+    nationkeys: tuple[int, ...] = (1, 2, 4),
+    dormant_since: str = "2001-01-01",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """TPC-H Q22-shaped global sales opportunity: per nation (standing in
+    for the phone country code), the count and total balance of customers
+    whose balance beats the positive-balance average of the nation set
+    and who have placed no orders since ``dormant_since`` — the
+    scalar-subquery + anti-join.
+
+    Exactness: balances in cents; the above-average test is the exact
+    integer cross-multiplication bal·n > Σbal.
+
+    Scale shape: pass 1 folds (Σ positive cents, count) per batch —
+    two scalars; pass 2 buckets filtered customers and the pre-shrunk
+    distinct order custkeys by CUSTKEY hash, anti-joining inside the
+    bucket; the driver merges per-nation partials."""
+    nset = set(int(k) for k in nationkeys)
+
+    def avg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["c_nationkey"].isin(nset)]
+        bal = np.floor(b["c_acctbal"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        pos = bal[bal > 0]
+        return pd.DataFrame({"s": [int(pos.sum())], "n": [int(len(pos))]})
+
+    scal = (
+        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(avg_partial, batch_format="pandas", batch_size=262144)
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "cntrycode": pd.Series(dtype="int64"),
+            "numcust": pd.Series(dtype="int64"),
+            "totacctbal": pd.Series(dtype="float64"),
+        }
+    )
+    tot_s, tot_n = int(scal["s"].sum()), int(scal["n"].sum())
+    if tot_n == 0:
+        return empty
+
+    def cust_rows(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["c_nationkey"].isin(nset)]
+        bal = np.floor(b["c_acctbal"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        m = bal * tot_n > tot_s
+        return pd.DataFrame(
+            {
+                "ckey": b.loc[m, "c_custkey"].to_numpy(dtype=np.int64),
+                "nk": b.loc[m, "c_nationkey"].to_numpy(dtype=np.int64),
+                "bal": bal[m],
+                "side": np.int8(1),
+            }
+        )
+
+    cutoff = pd.Timestamp(dormant_since)
+
+    def order_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ck = np.unique(
+            b.loc[(b["o_orderdate"] >= cutoff).to_numpy(), "o_custkey"].to_numpy(
+                dtype=np.int64
+            )
+        )
+        return pd.DataFrame(
+            {"ckey": ck, "nk": np.int64(0), "bal": np.int64(0), "side": np.int8(0)}
+        )
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["bucket"] = (b["ckey"] % num_buckets).astype("int32")
+        return b
+
+    tagged = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+        .map_batches(cust_rows, batch_format="pandas", batch_size=262144)
+        .union(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+                order_rows, batch_format="pandas", batch_size=262144
+            )
+        )
+        .map_batches(add_bucket, batch_format="pandas")
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        have = g.loc[g["side"] == 0, "ckey"].unique()
+        cand = g[g["side"] == 1]
+        keep = cand.loc[~cand["ckey"].isin(have)]
+        if not len(keep):
+            return pd.DataFrame(
+                {
+                    "nk": pd.Series(dtype="int64"),
+                    "numcust": pd.Series(dtype="int64"),
+                    "bal": pd.Series(dtype="int64"),
+                }
+            )
+        out = keep.groupby("nk", sort=False).agg(
+            numcust=("ckey", "size"), bal=("bal", "sum")
+        ).reset_index()
+        return out
+
+    parts = tagged.groupby("bucket").map_groups(per_bucket, batch_format="pandas").to_pandas()
+    if "nk" not in parts.columns or not len(parts):
+        return empty
+    agg = parts.groupby("nk", sort=True)[["numcust", "bal"]].sum().reset_index()
+    return pd.DataFrame(
+        {
+            "cntrycode": agg["nk"].astype("int64"),
+            "numcust": agg["numcust"].astype("int64"),
+            "totacctbal": agg["bal"].to_numpy(dtype=np.float64) / 100.0,
+        }
+    )
+
+
+def min_balance_supplier(
+    sf_dir: str,
+    region: str = "EUROPE",
+    size: int = 15,
+    ptype: str = "STANDARD",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier: for each part of the given
+    size and type, the region's supplier(s) with the MINIMUM account
+    balance among those who actually shipped it (acctbal stands in for
+    ps_supplycost) — the correlated-min join-back shape.
+
+    Scale shape: filtered part keys and the region's supplier attributes
+    broadcast; lineitem shrinks to distinct (partkey, suppkey) pairs per
+    batch, PARTKEY buckets decide the per-part argmin locally, names
+    attach from the broadcast map on the winner set."""
+    from kgray.functions.broadcast import cached_get
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_size", "p_type"]).to_pandas()
+    pkeys_ref = ray.put(
+        np.sort(
+            part.loc[
+                (part["p_size"] == size) & (part["p_type"] == ptype), "p_partkey"
+            ].to_numpy(np.int64)
+        )
+    )
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"].astype(int))
+    nat = nat.loc[nat["n_regionkey"].isin(rkeys)]
+    n_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]).to_pandas()
+    supp = supp.loc[supp["s_nationkey"].isin(n_name.keys())]
+    bal_c = np.floor(supp["s_acctbal"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    sbal_ref = ray.put(dict(zip(supp["s_suppkey"].astype(int), bal_c)))
+    s_name = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    s_nat = dict(zip(supp["s_suppkey"].astype(int), supp["s_nationkey"].map(n_name)))
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        pk = cached_get(pkeys_ref)
+        sb = cached_get(sbal_ref)
+        m = np.isin(b["l_partkey"].to_numpy(dtype=np.int64), pk) & np.isin(
+            b["l_suppkey"].to_numpy(dtype=np.int64),
+            np.fromiter(sb.keys(), dtype=np.int64, count=len(sb)),
+        )
+        d = pd.DataFrame(
+            {
+                "pkey": b.loc[m, "l_partkey"].to_numpy(dtype=np.int64),
+                "skey": b.loc[m, "l_suppkey"].to_numpy(dtype=np.int64),
+            }
+        ).drop_duplicates()
+        d["bal"] = d["skey"].map(lambda k: sb[int(k)]).astype("int64")
+        d["bucket"] = (d["pkey"] % num_buckets).astype("int32")
+        return d
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["pkey", "skey"])
+        mn = g.groupby("pkey", sort=False)["bal"].transform("min")
+        return g.loc[g["bal"].to_numpy() == mn.to_numpy(), ["pkey", "skey", "bal"]]
+
+    wins = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(pairs, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "s_acctbal": pd.Series(dtype="float64"),
+            "s_name": pd.Series(dtype=object),
+            "n_name": pd.Series(dtype=object),
+            "p_partkey": pd.Series(dtype="int64"),
+        }
+    )
+    if "pkey" not in wins.columns or not len(wins):
+        return empty
+    return pd.DataFrame(
+        {
+            "s_acctbal": wins["bal"].to_numpy(dtype=np.float64) / 100.0,
+            "s_name": wins["skey"].map(lambda k: s_name[int(k)]),
+            "n_name": wins["skey"].map(lambda k: s_nat[int(k)]),
+            "p_partkey": wins["pkey"].astype("int64"),
+        }
+    ).sort_values(["p_partkey", "s_name"]).reset_index(drop=True)

@@ -162,6 +162,12 @@ def _compare(query: str):
         "customer_order_dist",
         "nation_market_share",
         "supplier_part_coverage",
+        "product_profit",
+        "important_parts",
+        "dominant_suppliers",
+        "waiting_suppliers",
+        "idle_customer_balance",
+        "min_balance_supplier",
         "doc_readability",
         "doc_zipf_slope",
         "doc_heaps_curve",

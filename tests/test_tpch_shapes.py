@@ -1,0 +1,156 @@
+"""Semantic pins for the adapted TPC-H shapes (Q2/Q9/Q11/Q20/Q21/Q22)
+on hand-built micro-tables — the oracle suite checks sf0.001 parity;
+these check the SHAPE decisions (exactly-one-late, strict >50%% share,
+above-average anti-join, per-part argmin ties)."""
+
+import pandas as pd
+import pytest
+
+from kgray.pipelines import relational as rel
+
+
+def _mk(tmp_path, **tables) -> str:
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    for name, df in tables.items():
+        pd.DataFrame(df).to_parquet(d / f"{name}.parquet")
+    return str(d)
+
+
+def test_waiting_suppliers_exactly_one_late(ray_session, tmp_path):
+    ts = pd.Timestamp
+    orders = {
+        "o_orderkey": [1, 2, 3, 4],
+        "o_orderdate": [ts("2000-01-01")] * 4,
+        "o_orderstatus": ["F", "F", "F", "O"],
+    }
+    late, ok = ts("2000-06-01"), ts("2000-01-15")
+    lineitem = {
+        # order 1: two suppliers, only supplier 11 late -> counted
+        # order 2: one supplier late -> no (needs >= 2 suppliers)
+        # order 3: two suppliers BOTH late -> no (exactly one)
+        # order 4: would qualify but status 'O' -> excluded
+        "l_orderkey": [1, 1, 2, 3, 3, 4, 4],
+        "l_suppkey": [11, 12, 11, 11, 12, 11, 12],
+        "l_shipdate": [late, ok, late, late, late, late, ok],
+    }
+    supplier = {"s_suppkey": [11, 12], "s_name": ["S11", "S12"]}
+    sf = _mk(tmp_path, orders=orders, lineitem=lineitem, supplier=supplier)
+    out = rel.waiting_suppliers(sf)
+    assert list(out["s_name"]) == ["S11"]
+    assert list(out["numwait"]) == [1]
+
+
+def test_dominant_suppliers_strict_majority(ray_session, tmp_path):
+    part = {"p_partkey": [1, 2], "p_name": ["blue bolt", "blue nut"]}
+    ts = pd.Timestamp("1996-06-01")
+    lineitem = {
+        # part 1: supplier 11 ships 6 of 10 -> dominant
+        # part 2: 5/5 split -> nobody (strict >)
+        "l_partkey": [1, 1, 2, 2],
+        "l_suppkey": [11, 12, 11, 12],
+        "l_quantity": [6.0, 4.0, 5.0, 5.0],
+        "l_shipdate": [ts] * 4,
+    }
+    supplier = {"s_suppkey": [11, 12], "s_name": ["S11", "S12"], "s_nationkey": [0, 0]}
+    nation = {"n_nationkey": [0], "n_name": ["N0"]}
+    sf = _mk(tmp_path, part=part, lineitem=lineitem, supplier=supplier, nation=nation)
+    out = rel.dominant_suppliers(sf)
+    assert list(out["s_name"]) == ["S11"]
+    assert list(out["n_parts"]) == [1]
+
+
+def test_idle_customer_balance_above_avg_and_dormant(ray_session, tmp_path):
+    customer = {
+        "c_custkey": [1, 2, 3, 4],
+        "c_nationkey": [1, 1, 2, 1],
+        # positive-balance avg = (100 + 300 + 200) / 3 = 200
+        "c_acctbal": [100.0, 300.0, 200.0, -50.0],
+    }
+    orders = {
+        # customer 2 ordered recently -> excluded; 3 only pre-cutoff -> kept
+        "o_custkey": [2, 3],
+        "o_orderdate": [pd.Timestamp("2001-05-01"), pd.Timestamp("1999-01-01")],
+    }
+    sf = _mk(tmp_path, customer=customer, orders=orders)
+    out = rel.idle_customer_balance(sf)
+    # only customer 3 (bal 200 is NOT > 200 avg... strict) -> empty? no:
+    # avg test is bal*n > s -> 200*3=600 NOT > 600 -> dropped; 300*3 > 600
+    # but customer 2 is active -> excluded. Result: empty.
+    assert len(out) == 0
+    out2 = rel.idle_customer_balance(sf, nationkeys=(2,))
+    # nation set {2}: avg = 200, only customer 3, 200*1 > 200 false -> empty
+    assert len(out2) == 0
+    customer["c_acctbal"] = [100.0, 300.0, 250.0, -50.0]
+    sf = _mk(tmp_path, customer=customer, orders=orders)
+    out3 = rel.idle_customer_balance(sf)
+    # avg = 650/3; customer 3: 250*3=750 > 650, dormant -> kept (nation 2)
+    assert list(out3["cntrycode"]) == [2]
+    assert list(out3["numcust"]) == [1]
+    assert out3["totacctbal"].iloc[0] == pytest.approx(250.0)
+
+
+def test_min_balance_supplier_ties_return_all(ray_session, tmp_path):
+    part = {"p_partkey": [1, 2], "p_size": [15, 15], "p_type": ["STANDARD", "LARGE"]}
+    region = {"r_regionkey": [0, 1], "r_name": ["EUROPE", "ASIA"]}
+    nation = {"n_nationkey": [0, 1], "n_name": ["N0", "N1"], "n_regionkey": [0, 1]}
+    supplier = {
+        "s_suppkey": [11, 12, 13],
+        "s_name": ["S11", "S12", "S13"],
+        "s_nationkey": [0, 0, 1],  # S13 out of region
+        "s_acctbal": [5.0, 5.0, 1.0],
+    }
+    lineitem = {
+        "l_partkey": [1, 1, 1, 2],
+        "l_suppkey": [11, 12, 13, 11],  # part 2 wrong type -> out
+        "l_quantity": [1.0] * 4,
+    }
+    sf = _mk(
+        tmp_path, part=part, region=region, nation=nation, supplier=supplier,
+        lineitem=lineitem,
+    )
+    out = rel.min_balance_supplier(sf)
+    assert list(out["s_name"]) == ["S11", "S12"]  # tie at 5.0, S13 filtered
+    assert list(out["p_partkey"]) == [1, 1]
+
+
+def test_product_profit_manual(ray_session, tmp_path):
+    part = {"p_partkey": [1, 2], "p_name": ["red widget", "blue bolt"],
+            "p_retailprice": [10.0, 99.0]}
+    supplier = {"s_suppkey": [11], "s_nationkey": [0]}
+    nation = {"n_nationkey": [0], "n_name": ["N0"]}
+    lineitem = {
+        "l_orderkey": [1, 1],
+        "l_partkey": [1, 2],  # part 2 not 'red' -> excluded
+        "l_suppkey": [11, 11],
+        "l_quantity": [2.0, 1.0],
+        "l_extendedprice": [100.0, 50.0],
+        "l_discount": [0.1, 0.0],
+    }
+    orders = {"o_orderkey": [1], "o_orderdate": [pd.Timestamp("1997-03-01")]}
+    sf = _mk(tmp_path, part=part, supplier=supplier, nation=nation,
+             lineitem=lineitem, orders=orders)
+    out = rel.product_profit(sf)
+    assert len(out) == 1
+    assert out["nation"].iloc[0] == "N0"
+    assert out["o_year"].iloc[0] == "1997"
+    # 100*0.9 - 10*2 = 70
+    assert out["sum_profit"].iloc[0] == pytest.approx(70.0)
+
+
+def test_important_parts_threshold(ray_session, tmp_path):
+    nation = {"n_nationkey": [3], "n_name": ["NATION_3"]}
+    supplier = {"s_suppkey": [11], "s_nationkey": [3]}
+    # part 1 revenue 999, part 2 revenue 1 -> total 1000;
+    # threshold vc*1000 > 1000_00 cents... both in cents: 99900 and 100,
+    # total 100000; keep vc*1000 > 100000 -> vc > 100 -> part 1 only
+    lineitem = {
+        "l_partkey": [1, 2],
+        "l_suppkey": [11, 11],
+        "l_extendedprice": [999.0, 1.0],
+        "l_discount": [0.0, 0.0],
+    }
+    sf = _mk(tmp_path, nation=nation, supplier=supplier, lineitem=lineitem)
+    out = rel.important_parts(sf)
+    assert list(out["p_partkey"]) == [1]
+    assert out["value"].iloc[0] == pytest.approx(999.0)
