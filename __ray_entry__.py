@@ -439,6 +439,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["waiting_suppliers"] = rel.waiting_suppliers
     q["idle_customer_balance"] = rel.idle_customer_balance
     q["min_balance_supplier"] = rel.min_balance_supplier
+    q["lineitem_qty_discount_spearman"] = rel.qty_discount_spearman
+    q["events_ks_test"] = _q_events_ks_test
+    q["events_mannwhitney"] = _q_events_mannwhitney
+    q["embedding_dot_hist"] = _q_embedding_dot_hist
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
     q["kg_assortativity_events"] = _q_kg_assortativity_events
@@ -1489,6 +1493,37 @@ def _markov_entropy_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str
         FROM tr JOIN q{iterations} ON q{iterations}.ty = tr.prev
                 JOIN r ON r.prev = tr.prev"""
     )
+
+
+def _q_events_ks_test(sf_dir: str) -> pd.DataFrame:
+    """Two-sample KS distance between purchase and view value
+    distributions: kgray/ops/stats.py ks_two_sample (exact integer
+    sup-distance numerator over the cents histogram)."""
+    from kgray.ops.stats import ks_two_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return ks_two_sample(ds)
+
+
+def _q_events_mannwhitney(sf_dir: str) -> pd.DataFrame:
+    """Mann-Whitney 2·U + AUC between purchase and view values:
+    kgray/ops/stats.py mannwhitney_auc (doubled integer midranks)."""
+    from kgray.ops.stats import mannwhitney_auc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return mannwhitney_auc(ds)
+
+
+def _q_embedding_dot_hist(sf_dir: str) -> pd.DataFrame:
+    """Pairwise quantized-dot-product histogram over the embeddings
+    table: kgray/ops/similarity.py pairwise_dot_hist (broadcast matrix,
+    one int matmul per batch)."""
+    from kgray.ops.similarity import pairwise_dot_hist
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pairwise_dot_hist(ds)
 
 
 def _markov_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str:
@@ -6383,6 +6418,94 @@ FROM cs GROUP BY 1
                    (SELECT CAST(count(*) AS BIGINT) FROM firstd WHERE fd <= checkpoint) AS vocab,
                    (SELECT CAST(count(*) AS BIGINT) FROM toks WHERE doc_id <= checkpoint) AS total_tokens
             FROM cps
+        """,
+        "events_ks_test": """
+            WITH x AS (
+              SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                     (event_type = 'purchase') AS ia
+              FROM events WHERE event_type IN ('purchase', 'view')),
+            h AS (
+              SELECT v, CAST(count(*) FILTER (WHERE ia) AS BIGINT) AS ca,
+                     CAST(count(*) FILTER (WHERE NOT ia) AS BIGINT) AS cb
+              FROM x GROUP BY 1),
+            n AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM h),
+            c AS (
+              SELECT CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cca,
+                     CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS ccb
+              FROM h)
+            SELECT na AS n_a, nb AS n_b,
+                   CAST(max(abs(cca * nb - ccb * na)) AS BIGINT) AS d_num,
+                   floor(CAST(max(abs(cca * nb - ccb * na)) AS DOUBLE)
+                         / (CAST(na AS DOUBLE) * nb) * 1e9 + 0.5) / 1e9 AS ks_d
+            FROM c, n GROUP BY na, nb
+        """,
+        "events_mannwhitney": """
+            WITH x AS (
+              SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                     (event_type = 'purchase') AS ia
+              FROM events WHERE event_type IN ('purchase', 'view')),
+            h AS (
+              SELECT v, CAST(count(*) FILTER (WHERE ia) AS BIGINT) AS ca,
+                     CAST(count(*) FILTER (WHERE NOT ia) AS BIGINT) AS cb
+              FROM x GROUP BY 1),
+            n AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM h),
+            c AS (
+              SELECT ca, ca + cb AS ct,
+                     CAST(coalesce(sum(ca + cb) OVER (
+                       ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS cb4
+              FROM h),
+            r AS (SELECT CAST(sum(ca * (2 * cb4 + ct + 1)) AS BIGINT) AS r2 FROM c)
+            SELECT na AS n_a, nb AS n_b,
+                   CAST(r2 - na * (na + 1) AS BIGINT) AS u2,
+                   floor(CAST(r2 - na * (na + 1) AS DOUBLE)
+                         / (2.0 * na * nb) * 1e9 + 0.5) / 1e9 AS auc
+            FROM r, n
+        """,
+        "lineitem_qty_discount_spearman": """
+            WITH j AS (
+              SELECT CAST(l_quantity AS BIGINT) AS q,
+                     CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM lineitem GROUP BY 1, 2),
+            mq AS (
+              SELECT q, 2 * CAST(coalesce(sum(c) OVER (
+                       ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) + CAST(sum(c) OVER (PARTITION BY q) AS BIGINT) + 1 AS r2
+              FROM (SELECT q, CAST(sum(c) AS BIGINT) AS c FROM j GROUP BY 1) t),
+            md AS (
+              SELECT d, 2 * CAST(coalesce(sum(c) OVER (
+                       ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) + CAST(sum(c) OVER (PARTITION BY d) AS BIGINT) + 1 AS r2
+              FROM (SELECT d, CAST(sum(c) AS BIGINT) AS c FROM j GROUP BY 1) t),
+            mo AS (
+              SELECT CAST(sum(j.c) AS HUGEINT) AS n,
+                     CAST(sum(j.c * mq.r2) AS HUGEINT) AS sx,
+                     CAST(sum(j.c * md.r2) AS HUGEINT) AS sy,
+                     CAST(sum(j.c * mq.r2 * mq.r2) AS HUGEINT) AS sxx,
+                     CAST(sum(j.c * md.r2 * md.r2) AS HUGEINT) AS syy,
+                     CAST(sum(j.c * mq.r2 * md.r2) AS HUGEINT) AS sxy
+              FROM j JOIN mq ON mq.q = j.q JOIN md ON md.d = j.d)
+            SELECT CAST(n AS BIGINT) AS n,
+                   floor((n * sxy - sx * sy)::DOUBLE
+                         / sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE)
+                         * 1e6 + 0.5) / 1e6 AS rho
+            FROM mo
+            WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        """,
+        "embedding_dot_hist": """
+            WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+            x AS MATERIALIZED (
+              SELECT vec_id, d.i AS i,
+                     CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS q
+              FROM embeddings CROSS JOIN dims d),
+            p AS (
+              SELECT a.vec_id AS va, b.vec_id AS vb, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+              FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+              GROUP BY 1, 2)
+            SELECT (dot + 2000000000) // 20000000 - 100 AS bin,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM p GROUP BY 1
         """,
         "product_profit": """
             WITH pr AS (

@@ -1174,3 +1174,69 @@ def robust_standardize(
         return pd.DataFrame({"vec_id": ids, "dim": dims, "z": z.reshape(-1)})
 
     return ds.map_batches(z_rows, batch_format="pandas", batch_size=65536)
+
+
+def pairwise_dot_hist(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: float = 1e4,
+    bin_div: int = 20_000_000,
+    offset: int = 2_000_000_000,
+    batch_size: int = 4096,
+) -> pd.DataFrame:
+    """Histogram of ALL pairwise quantized dot products (unordered pairs,
+    i < j by id) — the similarity-mass audit behind near-dup thresholds:
+    where does the corpus's pair similarity actually concentrate?
+
+    Exactness: components quantize to ``quant`` ints; dots are exact
+    int64 (64 dims × ~5e3² per term); bins are the exact integer
+    (dot + offset) // bin_div − offset//bin_div with ``offset`` a
+    multiple of ``bin_div`` large enough to keep the dividend
+    non-negative (DuckDB ``//`` truncates, numpy floors — non-negative
+    dividends make them agree).
+
+    Scale shape: the reference matrix broadcasts once via ``ray.put``
+    (the pairwise census is only meaningful on a bounded reference set);
+    each batch does ONE int matmul against it and emits a bincount
+    partial — driver merges ≤ |bins| rows.
+    """
+    from kgray.functions.broadcast import cached_get
+
+    assert offset % bin_div == 0, "offset must be a multiple of bin_div"
+    ref = ds.to_pandas().sort_values(id_col).reset_index(drop=True)
+    empty = pd.DataFrame(
+        {"bin": pd.Series(dtype="int64"), "n_pairs": pd.Series(dtype="int64")}
+    )
+    if not len(ref):
+        return empty
+    ref_ids = ref[id_col].to_numpy(dtype=np.int64)
+    refq = np.floor(np.stack(ref[vec_col].to_numpy()).astype(np.float64) * quant + 0.5).astype(
+        np.int64
+    )
+    shared = ray.put((ref_ids, refq))
+    shift = offset // bin_div
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids_r, Q = cached_get(shared)
+        ids = b[id_col].to_numpy(dtype=np.int64)
+        X = np.floor(np.stack(b[vec_col].to_numpy()).astype(np.float64) * quant + 0.5).astype(
+            np.int64
+        )
+        dots = X @ Q.T  # exact int64
+        mask = ids[:, None] < ids_r[None, :]
+        bins = (dots[mask] + offset) // bin_div - shift
+        if not len(bins):
+            return pd.DataFrame(
+                {"bin": pd.Series(dtype="int64"), "n_pairs": pd.Series(dtype="int64")}
+            )
+        u, c = np.unique(bins, return_counts=True)
+        return pd.DataFrame({"bin": u.astype(np.int64), "n_pairs": c.astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size).to_pandas()
+    if "bin" not in parts.columns or not len(parts):
+        return empty
+    out = parts.groupby("bin", sort=True)["n_pairs"].sum().reset_index()
+    out["bin"] = out["bin"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out

@@ -2132,3 +2132,136 @@ def weekday_profile_cosine(
     if not rows:
         return empty
     return pd.DataFrame(rows, columns=["type_a", "type_b", "cosine"])
+
+
+def _two_sample_value_hist(
+    ds: ray.data.Dataset,
+    type_col: str,
+    value_col: str,
+    type_a: str,
+    type_b: str,
+    quant: float,
+    num_buckets: int,
+) -> pd.DataFrame:
+    """Shared kernel for the two-sample rank tests: the exact
+    (value_cents → count_a, count_b) histogram.  The value domain is
+    bounded (cents of a capped metric), so per-batch combiners plus a
+    VALUE-hash bucket merge keep every moving row pre-aggregated; the
+    driver sees ≤ |domain| rows no matter the corpus size."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[type_col].isin([type_a, type_b])
+        b = b.loc[m]
+        v = np.floor(b[value_col].to_numpy(dtype=np.float64) * quant + 0.5).astype(
+            np.int64
+        )
+        ia = (b[type_col] == type_a).to_numpy()
+        d = pd.DataFrame({"v": v, "ca": ia.astype(np.int64), "cb": (~ia).astype(np.int64)})
+        out = d.groupby("v", sort=False)[["ca", "cb"]].sum().reset_index()
+        out["bucket"] = (out["v"] % num_buckets).astype("int32")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("v", sort=False)[["ca", "cb"]].sum().reset_index()
+
+    h = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "v" not in h.columns or not len(h):
+        return pd.DataFrame(
+            {
+                "v": pd.Series(dtype="int64"),
+                "ca": pd.Series(dtype="int64"),
+                "cb": pd.Series(dtype="int64"),
+            }
+        )
+    return h.sort_values("v").reset_index(drop=True)
+
+
+def ks_two_sample(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    type_a: str = "purchase",
+    type_b: str = "view",
+    quant: float = 100.0,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the value
+    distributions of two event types — the distribution-drift test that
+    needs no binning choice (D = sup |F_a − F_b|).
+
+    Exactness: values quantize to cents; D's numerator is the exact
+    integer max|cumA·nB − cumB·nA| over the sorted distinct values; only
+    the final D division is floating (nano-quantized on both engines).
+    """
+    h = _two_sample_value_hist(ds, type_col, value_col, type_a, type_b, quant, num_buckets)
+    empty = pd.DataFrame(
+        {
+            "n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+            "d_num": pd.Series(dtype="int64"),
+            "ks_d": pd.Series(dtype="float64"),
+        }
+    )
+    na, nb = int(h["ca"].sum()), int(h["cb"].sum())
+    if na == 0 or nb == 0:
+        return empty
+    cca = np.cumsum(h["ca"].to_numpy(dtype=np.int64))
+    ccb = np.cumsum(h["cb"].to_numpy(dtype=np.int64))
+    d_num = int(np.max(np.abs(cca * nb - ccb * na)))
+    ks_d = np.floor(float(d_num) / (float(na) * nb) * 1e9 + 0.5) / 1e9
+    return pd.DataFrame(
+        {
+            "n_a": [np.int64(na)],
+            "n_b": [np.int64(nb)],
+            "d_num": [np.int64(d_num)],
+            "ks_d": [ks_d],
+        }
+    )
+
+
+def mannwhitney_auc(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    type_a: str = "purchase",
+    type_b: str = "view",
+    quant: float = 100.0,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Mann-Whitney U between two event types' values, reported as 2·U_a
+    (exact int, midrank tie handling) and the AUC U_a/(n_a·n_b) — does
+    type A stochastically dominate type B?
+
+    Exactness: from the exact cents histogram, 2·R_a = Σ ca·(2·cum_before
+    + c + 1) with INTEGER midranks doubled; 2U = 2R − n_a(n_a+1); the one
+    AUC division nano-quantizes identically on both engines."""
+    h = _two_sample_value_hist(ds, type_col, value_col, type_a, type_b, quant, num_buckets)
+    empty = pd.DataFrame(
+        {
+            "n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+            "u2": pd.Series(dtype="int64"),
+            "auc": pd.Series(dtype="float64"),
+        }
+    )
+    na, nb = int(h["ca"].sum()), int(h["cb"].sum())
+    if na == 0 or nb == 0:
+        return empty
+    ct = (h["ca"] + h["cb"]).to_numpy(dtype=np.int64)
+    cum_before = np.concatenate([[0], np.cumsum(ct)[:-1]])
+    r2 = int((h["ca"].to_numpy(dtype=np.int64) * (2 * cum_before + ct + 1)).sum())
+    u2 = r2 - na * (na + 1)
+    auc = np.floor(float(u2) / (2.0 * na * nb) * 1e9 + 0.5) / 1e9
+    return pd.DataFrame(
+        {
+            "n_a": [np.int64(na)],
+            "n_b": [np.int64(nb)],
+            "u2": [np.int64(u2)],
+            "auc": [auc],
+        }
+    )

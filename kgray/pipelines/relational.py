@@ -3209,3 +3209,71 @@ def min_balance_supplier(
             "p_partkey": wins["pkey"].astype("int64"),
         }
     ).sort_values(["p_partkey", "s_name"]).reset_index(drop=True)
+
+
+def qty_discount_spearman(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation between l_quantity and l_discount —
+    the monotone-association audit (are bigger orders discounted
+    deeper?) computed WITHOUT a global sort: both variables live on
+    tiny bounded domains (integer quantities, cent discounts), so the
+    exact joint histogram determines every midrank.
+
+    Exactness: doubled midranks (2r = 2·cum_before + count + 1) are
+    exact ints; the weighted Pearson moments accumulate as python
+    bigints (n·Σr² passes int64 at bench scale — the HUGEINT twin
+    mirrors); each (n·sxx−sx²) factor converts to double BEFORE the
+    product (their product passes even HUGEINT), and the single
+    division + sqrt micro-quantizes identically.
+
+    Scale shape: per-batch joint-histogram combiner → ≤ |qty domain| ×
+    |discount domain| partial rows per batch; driver merge is bounded
+    regardless of corpus size."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = b["l_quantity"].to_numpy().astype(np.int64)
+        d = np.floor(b["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return (
+            pd.DataFrame({"q": q, "d": d})
+            .groupby(["q", "d"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+        .map_batches(partial, batch_format="pandas", batch_size=262144)
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {"n": pd.Series(dtype="int64"), "rho": pd.Series(dtype="float64")}
+    )
+    if "q" not in parts.columns or not len(parts):
+        return empty
+    cells = parts.groupby(["q", "d"], sort=True)["c"].sum().reset_index()
+
+    def doubled_ranks(col: str) -> dict[int, int]:
+        marg = cells.groupby(col, sort=True)["c"].sum()
+        out: dict[int, int] = {}
+        before = 0
+        for v, cnt in marg.items():
+            out[int(v)] = 2 * before + int(cnt) + 1
+            before += int(cnt)
+        return out
+
+    rq, rd = doubled_ranks("q"), doubled_ranks("d")
+    n = sx = sy = sxx = syy = sxy = 0
+    for q, d, c in cells.itertuples(index=False):
+        x, y, c = rq[int(q)], rd[int(d)], int(c)
+        n += c
+        sx += c * x
+        sy += c * y
+        sxx += c * x * x
+        syy += c * y * y
+        sxy += c * x * y
+    a, b_ = n * sxx - sx * sx, n * syy - sy * sy
+    if a <= 0 or b_ <= 0:
+        return empty
+    rho = float(n * sxy - sx * sy) / np.sqrt(np.float64(float(a)) * np.float64(float(b_)))
+    return pd.DataFrame(
+        {"n": [np.int64(n)], "rho": [np.floor(rho * 1e6 + 0.5) / 1e6]}
+    )

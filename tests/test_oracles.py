@@ -168,6 +168,10 @@ def _compare(query: str):
         "waiting_suppliers",
         "idle_customer_balance",
         "min_balance_supplier",
+        "lineitem_qty_discount_spearman",
+        "events_ks_test",
+        "events_mannwhitney",
+        "embedding_dot_hist",
         "doc_readability",
         "doc_zipf_slope",
         "doc_heaps_curve",
