@@ -443,6 +443,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_ks_test"] = _q_events_ks_test
     q["events_mannwhitney"] = _q_events_mannwhitney
     q["embedding_dot_hist"] = _q_embedding_dot_hist
+    q["events_changepoint"] = _q_events_changepoint
+    q["events_burst_users"] = _q_events_burst_users
+    q["events_heavy_hitters"] = _q_events_heavy_hitters
+    q["doc_gopher_rules"] = lambda sf: (
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(tx.gopher_word_rules, batch_format="pandas")
+        .to_pandas()
+    )
+    q["doc_compression_ratio"] = lambda sf: (
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(tx.compression_ratio, batch_format="pandas")
+        .to_pandas()
+    )
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
     q["kg_assortativity_events"] = _q_kg_assortativity_events
@@ -1512,6 +1525,33 @@ def _q_events_mannwhitney(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     return mannwhitney_auc(ds)
+
+
+def _q_events_changepoint(sf_dir: str) -> pd.DataFrame:
+    """Integer-CUSUM single change point in the daily event-count
+    series: kgray/ops/temporal.py daily_changepoint."""
+    from kgray.ops.temporal import daily_changepoint
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return daily_changepoint(ds)
+
+
+def _q_events_burst_users(sf_dir: str) -> pd.DataFrame:
+    """Bot-rate burst windows (≥3 events within an hour): kgray/ops/
+    temporal.py burst_windows."""
+    from kgray.ops.temporal import burst_windows
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return burst_windows(ds, k=3, window_s=3600)
+
+
+def _q_events_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Exact φ-heavy hitters via merged Misra-Gries superset + broadcast
+    recount: kgray/ops/stats.py heavy_hitters."""
+    from kgray.ops.stats import heavy_hitters
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return heavy_hitters(ds, denom=1200, capacity=4096)
 
 
 def _q_embedding_dot_hist(sf_dir: str) -> pd.DataFrame:
@@ -6418,6 +6458,59 @@ FROM cs GROUP BY 1
                    (SELECT CAST(count(*) AS BIGINT) FROM firstd WHERE fd <= checkpoint) AS vocab,
                    (SELECT CAST(count(*) AS BIGINT) FROM toks WHERE doc_id <= checkpoint) AS total_tokens
             FROM cps
+        """,
+        "events_changepoint": """
+            WITH d AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1),
+            s AS (
+              SELECT day, CAST(sum(c) OVER (ORDER BY day) AS BIGINT) AS sp,
+                     CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+              FROM d),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(c) AS BIGINT) AS tot FROM d),
+            e AS (
+              SELECT day, sp, k, nd, tot, CAST(abs(sp * nd - tot * k) AS BIGINT) AS dev
+              FROM s, t WHERE k < nd)
+            SELECT day AS change_day, dev AS d_stat,
+                   floor(CAST(sp AS DOUBLE) / k * 1e6 + 0.5) / 1e6 AS mean_before,
+                   floor(CAST(tot - sp AS DOUBLE) / (nd - k) * 1e6 + 0.5) / 1e6 AS mean_after
+            FROM e ORDER BY dev DESC, day ASC LIMIT 1
+        """,
+        "events_burst_users": """
+            WITH x AS (
+              SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+            w AS (
+              SELECT user_id,
+                     lead(us, 2) OVER (PARTITION BY user_id ORDER BY us) - us AS d
+              FROM x)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(*) AS BIGINT) AS n_bursts
+            FROM w WHERE d <= CAST(3600 AS BIGINT) * 1000000 GROUP BY 1
+        """,
+        "events_heavy_hitters": """
+            WITH c AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1)
+            SELECT CAST(user_id AS BIGINT) AS user_id, c AS n_events
+            FROM c WHERE c * 1200 > (SELECT count(*) FROM events)
+        """,
+        "doc_gopher_rules": """
+            WITH x AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                     CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                          AS BIGINT) AS sum_word_len,
+                     CAST(len(list_intersect(
+                            list_distinct(string_split(text, ' ')),
+                            ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+                          AS BIGINT) AS n_stopwords
+              FROM documents)
+            SELECT doc_id, n_words, sum_word_len, n_stopwords,
+                   CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                              AND 3 * n_words <= sum_word_len
+                              AND sum_word_len <= 10 * n_words
+                              AND n_stopwords >= 2
+                             THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM x
         """,
         "events_ks_test": """
             WITH x AS (

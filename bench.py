@@ -198,6 +198,14 @@ def run_bench() -> dict:
     timed("events_markov_stationary", lambda: size(entry.queries()["events_markov_stationary"](sf_dir)))
     timed("nation_market_share", lambda: size(entry.queries()["nation_market_share"](sf_dir)))
     timed("events_stickiness", lambda: size(entry.queries()["events_stickiness"](sf_dir)))
+    timed("product_profit", lambda: size(entry.queries()["product_profit"](sf_dir)))
+    timed("waiting_suppliers", lambda: size(entry.queries()["waiting_suppliers"](sf_dir)))
+    timed("min_balance_supplier", lambda: size(entry.queries()["min_balance_supplier"](sf_dir)))
+    timed("events_ks_test", lambda: size(entry.queries()["events_ks_test"](sf_dir)))
+    timed("lineitem_qty_discount_spearman",
+          lambda: size(entry.queries()["lineitem_qty_discount_spearman"](sf_dir)))
+    timed("embedding_dot_hist", lambda: size(entry.queries()["embedding_dot_hist"](sf_dir)))
+    timed("events_conversion_lag", lambda: size(entry.queries()["events_conversion_lag"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

@@ -2265,3 +2265,72 @@ def mannwhitney_auc(
             "auc": [auc],
         }
     )
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    denom: int = 200,
+    capacity: int = 1024,
+) -> pd.DataFrame:
+    """Exact φ-heavy hitters (count > n/``denom``) via the two-pass
+    sketch-then-verify pattern: per-batch Misra-Gries summaries merge on
+    the driver into a candidate SUPERSET (mergeable-summaries guarantee,
+    Agarwal et al. 2012: merged MG undercounts by ≤ n/(capacity+1) and
+    the driver-side re-cut removes ≤ another n/(capacity+1), so with
+    capacity ≥ 2·denom every key with count > n/denom survives), then
+    one broadcast recount pass makes the final counts exact.
+
+    Scale shape: pass 1 moves ≤ capacity rows per batch; pass 2 moves
+    ≤ capacity partial rows per batch; no shuffle at all."""
+    from kgray.functions.broadcast import cached_get
+
+    assert capacity >= 2 * denom, "capacity must be ≥ 2·denom for the superset guarantee"
+
+    def mg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[key_col].value_counts()
+        keys = vc.index.to_numpy(dtype=np.int64)
+        cnts = vc.to_numpy(dtype=np.int64)
+        if len(keys) > capacity:
+            # Misra-Gries decrement: keep top-(capacity), subtract the
+            # (capacity+1)-th count from the survivors (batch is already
+            # exact-counted, so one decrement step suffices)
+            cut = cnts[capacity]
+            keys, cnts = keys[:capacity], cnts[:capacity] - cut
+            keep = cnts > 0
+            keys, cnts = keys[keep], cnts[keep]
+        return pd.DataFrame({"k": keys, "c": cnts})
+
+    parts = ds.map_batches(mg_partial, batch_format="pandas", batch_size=262144).to_pandas()
+    empty = pd.DataFrame(
+        {"user_id": pd.Series(dtype="int64"), "n_events": pd.Series(dtype="int64")}
+    )
+    if "k" not in parts.columns or not len(parts):
+        return empty
+    merged = parts.groupby("k", sort=False)["c"].sum()
+    if len(merged) > capacity:
+        cut = np.sort(merged.to_numpy())[::-1][capacity]
+        merged = merged[merged > cut]
+    cand_ref = ray.put(np.sort(merged.index.to_numpy(dtype=np.int64)))
+
+    def recount(b: pd.DataFrame) -> pd.DataFrame:
+        cand = cached_get(cand_ref)
+        keys = b[key_col].to_numpy(dtype=np.int64)
+        m = np.isin(keys, cand)
+        vc = pd.Series(keys[m]).value_counts()
+        return pd.DataFrame(
+            {"k": vc.index.to_numpy(dtype=np.int64), "c": vc.to_numpy(dtype=np.int64)}
+        )
+
+    ex = ds.map_batches(recount, batch_format="pandas", batch_size=262144).to_pandas()
+    if "k" not in ex.columns or not len(ex):
+        return empty
+    n_total = ds.count()
+    cnt = ex.groupby("k", sort=True)["c"].sum()
+    keep = cnt[cnt.to_numpy() * denom > n_total]
+    return pd.DataFrame(
+        {
+            "user_id": keep.index.to_numpy(dtype=np.int64),
+            "n_events": keep.to_numpy(dtype=np.int64),
+        }
+    )

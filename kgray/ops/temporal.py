@@ -2285,3 +2285,126 @@ def conversion_lag_hist(
             "n_conversions": agg["n"].astype("int64"),
         }
     )
+
+
+def daily_changepoint(
+    ds: ray.data.Dataset,
+    ts_col: str = "ts",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Single change-point in the daily event-count series via the
+    integer CUSUM statistic: the split day k maximizing
+    |prefix_sum·n_days − total·k| (the max deviation of the observed
+    prefix from the homogeneous-rate line), earliest day on ties.
+
+    Exactness: day counts, prefix sums and the statistic are all exact
+    ints; the reported side means micro-quantize the two divisions the
+    same way on both engines.
+
+    Scale shape: per-batch (day → count) combiner partials; the driver
+    folds ≤ |days| rows — bounded by the calendar, not the corpus."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[ts_col].dt.strftime("%Y-%m-%d")
+        out = d.value_counts().reset_index()
+        out.columns = ["day", "c"]
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=262144).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "change_day": pd.Series(dtype=object),
+            "d_stat": pd.Series(dtype="int64"),
+            "mean_before": pd.Series(dtype="float64"),
+            "mean_after": pd.Series(dtype="float64"),
+        }
+    )
+    if "day" not in parts.columns or not len(parts):
+        return empty
+    daily = parts.groupby("day", sort=True)["c"].sum()
+    n = len(daily)
+    if n < 2:
+        return empty
+    total = int(daily.sum())
+    cnts = daily.to_numpy(dtype=np.int64)
+    prefix = np.cumsum(cnts)
+    k = np.arange(1, n + 1, dtype=np.int64)
+    # splits after day k for k in 1..n-1
+    dev = np.abs(prefix[:-1] * np.int64(n) - np.int64(total) * k[:-1])
+    best = int(np.argmax(dev))  # argmax returns the FIRST max -> earliest day
+    s1, n1 = int(prefix[best]), best + 1
+    s2, n2 = total - s1, n - (best + 1)
+    return pd.DataFrame(
+        {
+            "change_day": [daily.index[best]],
+            "d_stat": [np.int64(dev[best])],
+            "mean_before": [np.floor(s1 / n1 * 1e6 + 0.5) / 1e6],
+            "mean_after": [np.floor(s2 / n2 * 1e6 + 0.5) / 1e6],
+        }
+    )
+
+
+def burst_windows(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    k: int = 5,
+    window_s: int = 60,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Bot-rate detector: per user, the number of events that begin a
+    run of ≥ ``k`` events within ``window_s`` seconds (t[i+k−1] − t[i] ≤
+    window) — the superhuman-rate filter a training-data pipeline runs
+    before trusting behavioral signals.  Only flagged users return.
+
+    Exactness: integer microsecond differences; the window test is a
+    vectorized shifted-array compare on the per-user sorted times.
+
+    Scale shape: one USER-hash shuffle; per bucket the check is one
+    sort + one shifted subtraction per user group."""
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": (b[key_col] % num_buckets).astype("int32"),
+                "u": b[key_col].astype("int64"),
+                "us": b[ts_col].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    w_us = int(window_s) * 1_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "us"], kind="mergesort")
+        u = g["u"].to_numpy()
+        t = g["us"].to_numpy()
+        rows: list[tuple[int, int]] = []
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        ends = np.concatenate([starts[1:], [len(u)]])
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < k:
+                continue
+            tt = t[s:e]
+            nb = int(np.count_nonzero(tt[k - 1 :] - tt[: m - k + 1] <= w_us))
+            if nb:
+                rows.append((int(u[s]), nb))
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "n_bursts": pd.Series([r[1] for r in rows], dtype="int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "user_id" not in out.columns or not len(out):
+        return pd.DataFrame(
+            {"user_id": pd.Series(dtype="int64"), "n_bursts": pd.Series(dtype="int64")}
+        )
+    return out.sort_values("user_id").reset_index(drop=True)

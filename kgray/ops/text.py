@@ -1034,3 +1034,57 @@ def sentence_length_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "var_len": pa.array(var, pa.float64()),
         }
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_word_rules(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style word-level quality rules (Rae et al. 2021 §A1.1,
+    restricted to the word rules — this corpus is single-line text):
+    word count in [50, 100000], mean word length in [3, 10], ≥ 2
+    distinct stop words.  The mean-word-length bounds evaluate as the
+    EXACT integer cross-multiplication 3·n ≤ Σlen ≤ 10·n (Σlen =
+    chars − spaces for single-space text), so no float ever decides a
+    keep flag."""
+    text = batch["text"].fillna("")
+    tokens = text.str.split(" ")
+    n_words = tokens.map(len).astype("int64")
+    sum_len = (text.str.len() - (n_words - 1)).astype("int64")
+    n_stop = tokens.map(lambda t: len(set(t) & set(GOPHER_STOPWORDS))).astype("int64")
+    words_ok = (n_words >= 50) & (n_words <= 100_000)
+    len_ok = (3 * n_words <= sum_len) & (sum_len <= 10 * n_words)
+    stop_ok = n_stop >= 2
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": n_words,
+            "sum_word_len": sum_len,
+            "n_stopwords": n_stop,
+            "keep": (words_ok & len_ok & stop_ok).astype("int64"),
+        }
+    )
+
+
+def compression_ratio(batch: pd.DataFrame, level: int = 6) -> pd.DataFrame:
+    """zlib compression ratio per document — the classic redundancy
+    filter (boilerplate and generated spam compress far below prose).
+    zlib at a fixed level is deterministic, but no SQL engine exposes
+    it, so this op ships without an oracle twin (rows-only driver
+    check).  Ratio micro-quantizes as compressed·10⁶ // raw."""
+    import zlib
+
+    text = batch["text"].fillna("")
+    raw = text.str.encode("utf-8")
+    comp = raw.map(lambda b: len(zlib.compress(b, level)))
+    rawlen = raw.map(len).astype("int64").clip(lower=1)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "raw_bytes": rawlen,
+            "compressed_bytes": comp.astype("int64"),
+            "ratio": (comp.astype("int64") * 1_000_000 // rawlen).astype("int64")
+            .astype("float64")
+            / 1e6,
+        }
+    )

@@ -1,0 +1,87 @@
+"""Semantic pins for the session-4 curation/monitoring ops: CUSUM
+change point, burst windows, Misra-Gries heavy hitters, Gopher word
+rules, zlib compression ratio."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def test_changepoint_step_series(ray_session):
+    from kgray.ops.temporal import daily_changepoint
+
+    # 5 days at 2/day then 5 days at 10/day -> change after day 5
+    rows = []
+    for d in range(1, 6):
+        rows += [{"ts": pd.Timestamp(f"2024-01-0{d} 12:00:00")}] * 2
+    for d in range(6, 10):
+        rows += [{"ts": pd.Timestamp(f"2024-01-0{d} 12:00:00")}] * 10
+    rows += [{"ts": pd.Timestamp("2024-01-10 12:00:00")}] * 10
+    out = daily_changepoint(ray.data.from_pandas(pd.DataFrame(rows)))
+    assert out["change_day"].iloc[0] == "2024-01-05"
+    assert out["mean_before"].iloc[0] == 2.0
+    assert out["mean_after"].iloc[0] == 10.0
+
+
+def test_burst_windows_counts_starts(ray_session):
+    from kgray.ops.temporal import burst_windows
+
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    rows = (
+        # user 1: 4 events within 30s -> starts at i=0 and i=1 with k=3
+        [{"user_id": 1, "ts": t0 + pd.Timedelta(seconds=s)} for s in (0, 10, 20, 30)]
+        # user 2: 3 events spread over 3 hours -> no burst
+        + [{"user_id": 2, "ts": t0 + pd.Timedelta(hours=h)} for h in (0, 1.5, 3.0)]
+    )
+    out = burst_windows(ray.data.from_pandas(pd.DataFrame(rows)), k=3, window_s=60)
+    assert list(out["user_id"]) == [1]
+    assert list(out["n_bursts"]) == [2]
+
+
+def test_heavy_hitters_exact_and_superset(ray_session):
+    from kgray.ops.stats import heavy_hitters
+
+    # user 7 has 60 of 120 events (> 120/4=30); user 8 has 30 (NOT > 30)
+    ids = [7] * 60 + [8] * 30 + list(range(100, 130))
+    ds = ray.data.from_pandas(pd.DataFrame({"user_id": ids}))
+    out = heavy_hitters(ds, denom=4, capacity=8)
+    assert list(out["user_id"]) == [7]
+    assert list(out["n_events"]) == [60]
+
+
+def test_heavy_hitters_small_batches_never_miss(ray_session):
+    from kgray.ops.stats import heavy_hitters
+
+    # scatter a heavy key across many tiny blocks; MG must still keep it
+    rng = np.random.default_rng(5)
+    ids = np.concatenate([np.full(500, 42, dtype=np.int64),
+                          rng.integers(1000, 3000, size=1500)])
+    rng.shuffle(ids)
+    ds = ray.data.from_pandas(pd.DataFrame({"user_id": ids})).repartition(20)
+    out = heavy_hitters(ds, denom=8, capacity=64)  # threshold 250
+    assert 42 in set(out["user_id"])
+    assert int(out.loc[out["user_id"] == 42, "n_events"].iloc[0]) == 500
+
+
+def test_gopher_word_rules_bounds():
+    from kgray.ops.text import gopher_word_rules
+
+    good = "the cat sat on the mat and that dog ran with joy " * 5  # 60 words
+    short = "the cat sat"  # < 50 words
+    nostop = "alpha beta gamma delta " * 15  # no stopwords
+    b = pd.DataFrame({"doc_id": [1, 2, 3], "text": [good.strip(), short, nostop.strip()]})
+    out = gopher_word_rules(b)
+    assert list(out["keep"]) == [1, 0, 0]
+    assert out["n_words"].iloc[0] == 60
+
+
+def test_compression_ratio_repetitive_compresses():
+    from kgray.ops.text import compression_ratio
+
+    b = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["abc " * 500, "the quick brown fox jumps"]}
+    )
+    out = compression_ratio(b)
+    assert out["ratio"].iloc[0] < 0.05  # pure repetition
+    assert out["ratio"].iloc[1] > 0.5
+    assert (out["compressed_bytes"] > 0).all()

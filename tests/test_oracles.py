@@ -172,6 +172,10 @@ def _compare(query: str):
         "events_ks_test",
         "events_mannwhitney",
         "embedding_dot_hist",
+        "events_changepoint",
+        "events_burst_users",
+        "events_heavy_hitters",
+        "doc_gopher_rules",
         "doc_readability",
         "doc_zipf_slope",
         "doc_heaps_curve",
