@@ -456,6 +456,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         .map_batches(tx.compression_ratio, batch_format="pandas")
         .to_pandas()
     )
+    q["doc_minhash_eval"] = lambda sf: dd.minhash_eval(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    )
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
     q["kg_assortativity_events"] = _q_kg_assortativity_events
@@ -6808,6 +6811,30 @@ FROM cs GROUP BY 1
                    floor(cume_dist() OVER (PARTITION BY event_type ORDER BY c) * 1e6 + 0.5) / 1e6 AS pct
             FROM h
         """,
+        "doc_minhash_eval": _minhash_ctes(
+            "2 * sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) >= 63"
+        )
+        + """,
+esizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM shh GROUP BY 1),
+einter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS ni
+  FROM shh x JOIN shh y ON y.h = x.h AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+etruth AS (
+  -- J >= 0.5 in exact integers: ni/(na+nb-ni) >= 1/2  <=>  3·ni >= na+nb
+  SELECT i.a, i.b FROM einter i
+  JOIN esizes sa ON sa.doc_id = i.a JOIN esizes sb ON sb.doc_id = i.b
+  WHERE 3 * i.ni >= sa.nsh + sb.nsh),
+conf AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM good) AS np,
+         (SELECT CAST(count(*) AS BIGINT) FROM etruth) AS nt,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM good g JOIN etruth t ON t.a = g.a AND t.b = g.b) AS tp)
+SELECT np AS n_pred, nt AS n_true, tp, np - tp AS fp, nt - tp AS fn,
+       floor(CAST(tp AS DOUBLE) / greatest(1, np) * 1e6 + 0.5) / 1e6 AS prec,
+       floor(CAST(tp AS DOUBLE) / greatest(1, nt) * 1e6 + 0.5) / 1e6 AS recall
+FROM conf
+""",
         "doc_minhash_match_hist": _minhash_ctes(
             "1 = 1"  # keep every candidate: the histogram IS the S-curve
         )

@@ -1381,24 +1381,19 @@ def dup_ngram_fraction(
     )
 
 
-def minhash_match_histogram(
+def _candidate_match_counts(
     docs: ray.data.Dataset,
     num_perm: int = 63,
     n_bands: int = 21,
     shingle_n: int = 3,
     max_bucket: int = 200,
 ) -> pd.DataFrame:
-    """LSH calibration diagnostic: for every banded-LSH candidate pair,
-    the number of matching signature positions k (est-Jaccard = k/63),
-    rolled to a (k, n_pairs) histogram — the empirical S-curve that tells
-    an operator whether the banding (b=21, r=3 → threshold ≈0.36) fits
-    the corpus before committing to a threshold.
-
-    Scale shape: identical candidate machinery to minhash_lsh_dedup
-    (16-byte band rows, super-bucket pair generation, star-link skew
-    rule); the per-pair match count is computed on candidate-only
-    signatures fetched via a broadcast id-set filter — the histogram
-    reduce is bounded by num_perm + 1 rows."""
+    """Shared kernel for the LSH diagnostics: every banded-LSH candidate
+    pair (a < b) with its matching-signature-position count k.  Identical
+    candidate machinery to minhash_lsh_dedup (16-byte band rows,
+    super-bucket pair generation, star-link skew rule); per-pair k is
+    computed on candidate-only signatures fetched via a broadcast id-set
+    filter."""
     rows_per_band = num_perm // n_bands
     sigs = _minhash_sigs(docs, num_perm, shingle_n).materialize()
     explode = _band_explode_fn(n_bands, rows_per_band)
@@ -1429,9 +1424,14 @@ def minhash_match_histogram(
         .map_groups(pairs_in_super, batch_format="pandas")
         .to_pandas()
     )
-    empty = pd.DataFrame({"k": pd.Series(dtype="int64"), "n_pairs": pd.Series(dtype="int64")})
     if "a" not in pairs.columns or not len(pairs):
-        return empty
+        return pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "k": pd.Series(dtype="int64"),
+            }
+        )
     pairs = pairs.drop_duplicates(subset=["a", "b"])
     cand_ids = set(pairs["a"].tolist()) | set(pairs["b"].tolist())
     ids_ref = ray.put(cand_ids)
@@ -1443,9 +1443,83 @@ def minhash_match_histogram(
     sig_of = dict(zip(cand["doc_id"].astype(int), cand["sig"]))
     sa = np.stack([np.asarray(sig_of[int(a)], dtype=np.uint64) for a in pairs["a"]])
     sb = np.stack([np.asarray(sig_of[int(b)], dtype=np.uint64) for b in pairs["b"]])
-    k = (sa == sb).sum(axis=1).astype(np.int64)
-    u, cnt = np.unique(k, return_counts=True)
+    out = pd.DataFrame(
+        {
+            "a": pairs["a"].to_numpy(dtype=np.int64),
+            "b": pairs["b"].to_numpy(dtype=np.int64),
+            "k": (sa == sb).sum(axis=1).astype(np.int64),
+        }
+    )
+    return out
+
+
+def minhash_match_histogram(
+    docs: ray.data.Dataset,
+    num_perm: int = 63,
+    n_bands: int = 21,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+) -> pd.DataFrame:
+    """LSH calibration diagnostic: for every banded-LSH candidate pair,
+    the number of matching signature positions k (est-Jaccard = k/63),
+    rolled to a (k, n_pairs) histogram — the empirical S-curve that tells
+    an operator whether the banding (b=21, r=3 → threshold ≈0.36) fits
+    the corpus before committing to a threshold.
+
+    Scale shape: see :func:`_candidate_match_counts`; the histogram
+    reduce is bounded by num_perm + 1 rows."""
+    pk = _candidate_match_counts(docs, num_perm, n_bands, shingle_n, max_bucket)
+    if not len(pk):
+        return pd.DataFrame(
+            {"k": pd.Series(dtype="int64"), "n_pairs": pd.Series(dtype="int64")}
+        )
+    u, cnt = np.unique(pk["k"].to_numpy(), return_counts=True)
     return pd.DataFrame({"k": u.astype("int64"), "n_pairs": cnt.astype("int64")})
+
+
+def minhash_eval(
+    docs: ray.data.Dataset,
+    threshold: float = 0.5,
+    num_perm: int = 63,
+    n_bands: int = 21,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+) -> pd.DataFrame:
+    """Pipeline-QA for the MinHash near-dup detector: predicted pairs
+    (LSH candidates whose estimated Jaccard k/num_perm ≥ threshold,
+    integer form 2k ≥ num_perm for 0.5) scored against the EXACT
+    distinct-shingle Jaccard ≥ threshold ground truth from
+    :func:`kgray.ops.setsim.set_similarity_join` (complete: J > 0 needs
+    a shared shingle, so the inverted-index join misses nothing) —
+    precision/recall of the sketch before anyone trusts its clusters.
+
+    Scale shape: the two pair sets come from the existing distributed
+    paths; the confusion counts are a driver merge of two pair frames
+    (each bounded by the near-dup pair count, not the corpus)."""
+    from kgray.ops.setsim import set_similarity_join
+
+    pk = _candidate_match_counts(docs, num_perm, n_bands, shingle_n, max_bucket)
+    need2 = int(np.ceil(2 * threshold * num_perm))  # 2k ≥ num_perm at 0.5
+    pred = pk.loc[2 * pk["k"].to_numpy() >= need2, ["a", "b"]]
+    truth = set_similarity_join(docs, threshold=threshold, shingle_n=shingle_n)[
+        ["a", "b"]
+    ]
+    pset = set(zip(pred["a"].astype(int), pred["b"].astype(int)))
+    tset = set(zip(truth["a"].astype(int), truth["b"].astype(int)))
+    tp, fp, fn = len(pset & tset), len(pset - tset), len(tset - pset)
+    precision = np.floor(tp / max(1, tp + fp) * 1e6 + 0.5) / 1e6
+    recall = np.floor(tp / max(1, tp + fn) * 1e6 + 0.5) / 1e6
+    return pd.DataFrame(
+        {
+            "n_pred": [np.int64(len(pset))],
+            "n_true": [np.int64(len(tset))],
+            "tp": [np.int64(tp)],
+            "fp": [np.int64(fp)],
+            "fn": [np.int64(fn)],
+            "prec": [precision],
+            "recall": [recall],
+        }
+    )
 
 
 def substring_dedup(

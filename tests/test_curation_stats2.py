@@ -85,3 +85,24 @@ def test_compression_ratio_repetitive_compresses():
     assert out["ratio"].iloc[0] < 0.05  # pure repetition
     assert out["ratio"].iloc[1] > 0.5
     assert (out["compressed_bytes"] > 0).all()
+
+
+def test_minhash_eval_clean_corpus(ray_session):
+    from kgray.ops.dedup import minhash_eval
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank " * 4
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                base.strip(),
+                base.strip() + " extra tail words here",  # near-dup of 1
+                "completely different text about ray data pipelines and arrow " * 4,
+                "yet another unrelated document discussing parquet readers " * 4,
+            ],
+        }
+    )
+    out = minhash_eval(ray.data.from_pandas(docs))
+    assert out["tp"].iloc[0] >= 1  # the (1,2) near-dup pair is found
+    assert out["fp"].iloc[0] == 0
+    assert out["prec"].iloc[0] == 1.0

@@ -176,6 +176,7 @@ def _compare(query: str):
         "events_burst_users",
         "events_heavy_hitters",
         "doc_gopher_rules",
+        "doc_minhash_eval",
         "doc_readability",
         "doc_zipf_slope",
         "doc_heaps_curve",
