@@ -459,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_minhash_eval"] = lambda sf: dd.minhash_eval(
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     )
+    q["knn_ivf_recall"] = _q_knn_ivf_recall
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
     q["kg_assortativity_events"] = _q_kg_assortativity_events
@@ -3495,6 +3496,26 @@ def _q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     return sim.knn_ivf(emb, qids, qmat, k=10)
 
 
+def _q_knn_ivf_recall(sf_dir: str) -> pd.DataFrame:
+    """ANN-quality eval: recall@10 of the IVF index against the exact
+    brute-force top-10 per query — the sketch-vs-truth QA twin of
+    doc_minhash_eval for the vector path.  Both sides reuse the existing
+    distributed kNN operators; the join is 5×10 rows of driver math."""
+    truth = _q_knn(sf_dir)[["query_id", "neighbor_id"]]
+    approx = _q_knn_ivf(sf_dir)[["query_id", "neighbor_id"]]
+    hit = truth.merge(approx, on=["query_id", "neighbor_id"], how="inner")
+    n_hits = hit.groupby("query_id").size()
+    out = (
+        truth.groupby("query_id")
+        .size()
+        .rename("k")
+        .reset_index()
+        .assign(n_hits=lambda d: d["query_id"].map(n_hits).fillna(0).astype("int64"))
+    )
+    out["recall"] = out["n_hits"].astype(float) / out["k"].astype(float)
+    return out[["query_id", "n_hits", "recall"]].sort_values("query_id").reset_index(drop=True)
+
+
 def _q_embedding_kmeans(sf_dir: str) -> pd.DataFrame:
     """Spherical k-means cluster assignment (sampled quantizer broadcast,
     one streaming matmul per batch) — the curation clustering primitive."""
@@ -4215,6 +4236,26 @@ vassign AS MATERIALIZED (
                               ORDER BY list_dot_product(uv.u, c.v) DESC, c.cid) AS rn
     FROM unitv uv CROSS JOIN {prev} c) WHERE rn = 1
 )""", prev
+
+
+_KNN_BF_ORACLE = """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5),
+            scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])) AS cos_raw
+              FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos_raw,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_raw DESC, neighbor_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+                   round(cos_raw, 6) AS cosine
+            FROM ranked WHERE rank <= 10
+        """
 
 
 def _knn_ivf_oracle_sql(nprobe: int = 4, k: int = 10) -> str:
@@ -4941,23 +4982,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, CAST(cosine AS DOUBLE) AS cosine FROM p WHERE cosine >= 0.3
         """,
-        "knn_bruteforce": """
-            WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5),
-            scored AS (
-              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                            CAST(e.embedding AS DOUBLE[])) AS cos_raw
-              FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
-            ),
-            ranked AS (
-              SELECT query_id, neighbor_id, cos_raw,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY cos_raw DESC, neighbor_id) AS rank
-              FROM scored
-            )
-            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-                   round(cos_raw, 6) AS cosine
-            FROM ranked WHERE rank <= 10
+        "knn_bruteforce": _KNN_BF_ORACLE,
+        "knn_ivf_recall": f"""
+            WITH bf AS ({_KNN_BF_ORACLE}),
+            ivf AS ({_knn_ivf_oracle_sql()})
+            SELECT bf.query_id,
+                   CAST(count(ivf.neighbor_id) AS BIGINT) AS n_hits,
+                   CAST(count(ivf.neighbor_id) AS DOUBLE) / count(*) AS recall
+            FROM bf LEFT JOIN ivf ON ivf.query_id = bf.query_id
+                                 AND ivf.neighbor_id = bf.neighbor_id
+            GROUP BY 1
         """,
         "multimodal_payload_stats": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes

@@ -177,6 +177,7 @@ def _compare(query: str):
         "events_heavy_hitters",
         "doc_gopher_rules",
         "doc_minhash_eval",
+        "knn_ivf_recall",
         "doc_readability",
         "doc_zipf_slope",
         "doc_heaps_curve",
