@@ -460,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     )
     q["knn_ivf_recall"] = _q_knn_ivf_recall
+    q["events_circadian"] = _q_events_circadian
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
     q["kg_assortativity_events"] = _q_kg_assortativity_events
@@ -1529,6 +1530,15 @@ def _q_events_mannwhitney(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     return mannwhitney_auc(ds)
+
+
+def _q_events_circadian(sf_dir: str) -> pd.DataFrame:
+    """Per-type circular time-of-day statistics (mean cos/sin +
+    resultant length): kgray/ops/temporal.py circadian_stats."""
+    from kgray.ops.temporal import circadian_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return circadian_stats(ds)
 
 
 def _q_events_changepoint(sf_dir: str) -> pd.DataFrame:
@@ -6495,6 +6505,25 @@ FROM cs GROUP BY 1
                    (SELECT CAST(count(*) AS BIGINT) FROM firstd WHERE fd <= checkpoint) AS vocab,
                    (SELECT CAST(count(*) AS BIGINT) FROM toks WHERE doc_id <= checkpoint) AS total_tokens
             FROM cps
+        """,
+        "events_circadian": """
+            WITH x AS (
+              SELECT event_type,
+                     CAST(floor(cos((CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 1e6
+                                     / 86400.0) * (2 * pi())) * 1e9 + 0.5) AS BIGINT) AS cq,
+                     CAST(floor(sin((CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 1e6
+                                     / 86400.0) * (2 * pi())) * 1e9 + 0.5) AS BIGINT) AS sq
+              FROM events),
+            m AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cq) AS HUGEINT) AS c, CAST(sum(sq) AS HUGEINT) AS s
+              FROM x GROUP BY 1)
+            SELECT event_type, n,
+                   floor(c::DOUBLE / n / 1e9 * 1e6 + 0.5) / 1e6 AS mean_cos,
+                   floor(s::DOUBLE / n / 1e9 * 1e6 + 0.5) / 1e6 AS mean_sin,
+                   floor(sqrt((c * c + s * s)::DOUBLE) / n / 1e9 * 1e6 + 0.5) / 1e6
+                     AS resultant
+            FROM m
         """,
         "events_changepoint": """
             WITH d AS (

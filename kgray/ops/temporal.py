@@ -2408,3 +2408,57 @@ def burst_windows(
             {"user_id": pd.Series(dtype="int64"), "n_bursts": pd.Series(dtype="int64")}
         )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def circadian_stats(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Circular (clock-face) statistics per event type: mean cos/sin of
+    the time-of-day angle and the resultant length R ∈ [0,1] — R near 1
+    means the type fires at one time of day, near 0 means uniformly
+    (the circadian concentration a bot/burst audit reads first).
+
+    Exactness: numpy's cos/sin match DuckDB's bit-for-bit on this
+    platform (pinned by tests/test_circadian.py); each row's cos/sin
+    nano-quantizes to ints, sums combine as PYTHON ints on the driver
+    (n·1e9 outgrows int64 at corpus scale), and the final divisions
+    micro-quantize in identical operation order on both engines.
+
+    Scale shape: one streaming pass of per-batch (type, n, Σcos, Σsin)
+    partials — |types| driver rows."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b[ts_col].astype("datetime64[us]").astype("int64") % 86_400_000_000
+        s = us.to_numpy(np.int64) / 1e6
+        x = (s / 86400.0) * (2 * np.pi)
+        cq = np.floor(np.cos(x) * 1e9 + 0.5).astype(np.int64)
+        sq = np.floor(np.sin(x) * 1e9 + 0.5).astype(np.int64)
+        d = pd.DataFrame({"t": b[type_col].to_numpy(dtype=object), "n": 1, "c": cq, "s": sq})
+        return d.groupby("t", sort=False).sum().reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=262144).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "event_type": pd.Series(dtype=object),
+            "n": pd.Series(dtype="int64"),
+            "mean_cos": pd.Series(dtype="float64"),
+            "mean_sin": pd.Series(dtype="float64"),
+            "resultant": pd.Series(dtype="float64"),
+        }
+    )
+    if "t" not in parts.columns or not len(parts):
+        return empty
+    rows = []
+    for t, grp in parts.groupby("t", sort=True):
+        n = int(grp["n"].sum())
+        c = sum(int(v) for v in grp["c"])
+        s = sum(int(v) for v in grp["s"])
+        mean_cos = np.floor(float(c) / n / 1e9 * 1e6 + 0.5) / 1e6
+        mean_sin = np.floor(float(s) / n / 1e9 * 1e6 + 0.5) / 1e6
+        r = np.floor(np.sqrt(np.float64(float(c * c + s * s))) / n / 1e9 * 1e6 + 0.5) / 1e6
+        rows.append((t, n, mean_cos, mean_sin, r))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n", "mean_cos", "mean_sin", "resultant"]
+    )

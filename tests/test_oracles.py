@@ -178,6 +178,7 @@ def _compare(query: str):
         "doc_gopher_rules",
         "doc_minhash_eval",
         "knn_ivf_recall",
+        "events_circadian",
         "doc_readability",
         "doc_zipf_slope",
         "doc_heaps_curve",
