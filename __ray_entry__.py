@@ -461,6 +461,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["knn_ivf_recall"] = _q_knn_ivf_recall
     q["events_circadian"] = _q_events_circadian
+    q["events_welch_ttest"] = _q_events_welch_ttest
+    q["nation_revenue_hhi"] = rel.nation_revenue_hhi
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
     q["kg_assortativity_events"] = _q_kg_assortativity_events
@@ -1530,6 +1532,15 @@ def _q_events_mannwhitney(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     return mannwhitney_auc(ds)
+
+
+def _q_events_welch_ttest(sf_dir: str) -> pd.DataFrame:
+    """Welch's t between purchase and view values: kgray/ops/stats.py
+    welch_ttest (exact integer moments, fixed-order float formula)."""
+    from kgray.ops.stats import welch_ttest
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return welch_ttest(ds)
 
 
 def _q_events_circadian(sf_dir: str) -> pd.DataFrame:
@@ -6505,6 +6516,50 @@ FROM cs GROUP BY 1
                    (SELECT CAST(count(*) AS BIGINT) FROM firstd WHERE fd <= checkpoint) AS vocab,
                    (SELECT CAST(count(*) AS BIGINT) FROM toks WHERE doc_id <= checkpoint) AS total_tokens
             FROM cps
+        """,
+        "events_welch_ttest": """
+            WITH x AS (
+              SELECT event_type AS t,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events WHERE event_type IN ('purchase', 'view')),
+            m AS (
+              SELECT t, CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(v) AS HUGEINT) AS s,
+                     CAST(sum(v * v) AS HUGEINT) AS ss
+              FROM x GROUP BY 1),
+            ab AS (
+              SELECT a.n AS n1, a.s AS s1, a.n * a.ss - a.s * a.s AS a1,
+                     b.n AS n2, b.s AS s2, b.n * b.ss - b.s * b.s AS a2
+              FROM (SELECT * FROM m WHERE t = 'purchase') a,
+                   (SELECT * FROM m WHERE t = 'view') b)
+            SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+                   floor(s1::DOUBLE / n1 / 100.0 * 1e6 + 0.5) / 1e6 AS mean_a,
+                   floor(s2::DOUBLE / n2 / 100.0 * 1e6 + 0.5) / 1e6 AS mean_b,
+                   floor((s1::DOUBLE / n1 - s2::DOUBLE / n2)
+                         / sqrt(a1::DOUBLE / n1 / (n1 - 1) / n1
+                                + a2::DOUBLE / n2 / (n2 - 1) / n2)
+                         * 1e6 + 0.5) / 1e6 AS t_stat
+            FROM ab
+            WHERE n1 >= 2 AND n2 >= 2
+              AND a1::DOUBLE / n1 / (n1 - 1) / n1 + a2::DOUBLE / n2 / (n2 - 1) / n2 > 0
+        """,
+        "nation_revenue_hhi": """
+            WITH r AS (
+              SELECT c_nationkey AS nk,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                          AS HUGEINT) AS rc
+              FROM orders JOIN customer ON c_custkey = o_custkey
+              GROUP BY 1),
+            t AS (SELECT CAST(sum(rc) AS HUGEINT) AS total,
+                         CAST(sum(rc * rc) AS HUGEINT) AS sumsq,
+                         CAST(max(rc) AS HUGEINT) AS mx,
+                         CAST(count(*) AS BIGINT) AS nn
+                  FROM r)
+            SELECT nn AS n_nations,
+                   floor(sumsq::DOUBLE / total::DOUBLE / total::DOUBLE * 1e6 + 0.5)
+                     / 1e6 AS hhi,
+                   floor(mx::DOUBLE / total::DOUBLE * 1e6 + 0.5) / 1e6 AS top_share
+            FROM t WHERE total > 0
         """,
         "events_circadian": """
             WITH x AS (

@@ -2334,3 +2334,74 @@ def heavy_hitters(
             "n_events": keep.to_numpy(dtype=np.int64),
         }
     )
+
+
+def welch_ttest(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    type_a: str = "purchase",
+    type_b: str = "view",
+    quant: float = 100.0,
+) -> pd.DataFrame:
+    """Welch's unequal-variance t statistic between two event types'
+    values — the parametric member of the two-sample family (KS =
+    distributional, Mann-Whitney = rank, Welch = mean difference).
+
+    Exactness: cents moments accumulate as exact ints (python bigints on
+    the driver, HUGEINT in the twin); the t formula runs in ONE fixed
+    operation order — aᵢ = nᵢ·ssᵢ − sᵢ², termᵢ = aᵢ/nᵢ/(nᵢ−1)/nᵢ,
+    t = (s₁/n₁ − s₂/n₂)/√(term₁+term₂) — and micro-quantizes.
+
+    Scale shape: one streaming pass of (type, n, Σ, Σ²) partials."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[type_col].isin([type_a, type_b])
+        b = b.loc[m]
+        v = np.floor(b[value_col].to_numpy(dtype=np.float64) * quant + 0.5).astype(np.int64)
+        d = pd.DataFrame(
+            {"t": b[type_col].to_numpy(dtype=object), "n": 1, "s": v, "ss": v * v}
+        )
+        return d.groupby("t", sort=False).sum().reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=262144).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+            "mean_a": pd.Series(dtype="float64"),
+            "mean_b": pd.Series(dtype="float64"),
+            "t_stat": pd.Series(dtype="float64"),
+        }
+    )
+    if "t" not in parts.columns or not len(parts):
+        return empty
+
+    def fold(t: str) -> tuple[int, int, int]:
+        g = parts.loc[parts["t"] == t]
+        return (
+            int(g["n"].sum()),
+            sum(int(v) for v in g["s"]),
+            sum(int(v) for v in g["ss"]),
+        )
+
+    n1, s1, ss1 = fold(type_a)
+    n2, s2, ss2 = fold(type_b)
+    if n1 < 2 or n2 < 2:
+        return empty
+    a1, a2 = n1 * ss1 - s1 * s1, n2 * ss2 - s2 * s2
+    term1 = float(a1) / n1 / (n1 - 1) / n1
+    term2 = float(a2) / n2 / (n2 - 1) / n2
+    if term1 + term2 <= 0:
+        return empty
+    m1, m2 = float(s1) / n1, float(s2) / n2
+    t = (m1 - m2) / np.sqrt(np.float64(term1 + term2))
+    return pd.DataFrame(
+        {
+            "n_a": [np.int64(n1)],
+            "n_b": [np.int64(n2)],
+            "mean_a": [np.floor(m1 / quant * 1e6 + 0.5) / 1e6],
+            "mean_b": [np.floor(m2 / quant * 1e6 + 0.5) / 1e6],
+            "t_stat": [np.floor(t * 1e6 + 0.5) / 1e6],
+        }
+    )

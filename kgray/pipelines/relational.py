@@ -3277,3 +3277,57 @@ def qty_discount_spearman(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {"n": [np.int64(n)], "rho": [np.floor(rho * 1e6 + 0.5) / 1e6]}
     )
+
+
+def nation_revenue_hhi(sf_dir: str) -> pd.DataFrame:
+    """Herfindahl-Hirschman concentration of order revenue across
+    customer nations: HHI = Σ shareᵢ² and the largest single share —
+    is the business concentrated in one market?
+
+    Exactness: HHI·total² = Σ rᵢ² in exact integer cents (python
+    bigints / HUGEINT twin), so only the final two divisions are
+    floating and micro-quantize identically.
+
+    Scale shape: customer→nation broadcast; per-batch (nation, cents)
+    partials; 25 driver rows."""
+    from kgray.functions.broadcast import cached_get
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cmap_ref = ray.put(
+        dict(zip(cust["c_custkey"].astype(int), cust["c_nationkey"].astype(int)))
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cm = cached_get(cmap_ref)
+        rc = np.floor(b["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        nk = np.array([cm[int(k)] for k in b["o_custkey"].to_numpy(dtype=np.int64)])
+        return (
+            pd.DataFrame({"nk": nk, "rc": rc}).groupby("nk", sort=False)["rc"].sum().reset_index()
+        )
+
+    parts = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas", batch_size=262144)
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "n_nations": pd.Series(dtype="int64"),
+            "hhi": pd.Series(dtype="float64"),
+            "top_share": pd.Series(dtype="float64"),
+        }
+    )
+    if "nk" not in parts.columns or not len(parts):
+        return empty
+    rev = {
+        int(nk): sum(int(v) for v in grp["rc"]) for nk, grp in parts.groupby("nk")
+    }
+    total = sum(rev.values())
+    if total <= 0:
+        return empty
+    sumsq = sum(r * r for r in rev.values())
+    hhi = np.floor(float(sumsq) / float(total) / float(total) * 1e6 + 0.5) / 1e6
+    top = np.floor(float(max(rev.values())) / float(total) * 1e6 + 0.5) / 1e6
+    return pd.DataFrame(
+        {"n_nations": [np.int64(len(rev))], "hhi": [hhi], "top_share": [top]}
+    )

@@ -179,6 +179,8 @@ def _compare(query: str):
         "doc_minhash_eval",
         "knn_ivf_recall",
         "events_circadian",
+        "events_welch_ttest",
+        "nation_revenue_hhi",
         "doc_readability",
         "doc_zipf_slope",
         "doc_heaps_curve",

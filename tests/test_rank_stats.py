@@ -84,3 +84,45 @@ def test_pairwise_dot_hist_counts_all_pairs(ray_session):
     )
     out = pairwise_dot_hist(ray.data.from_pandas(df), batch_size=8)
     assert out["n_pairs"].sum() == n * (n - 1) // 2
+
+
+def test_welch_separated_means(ray_session):
+    from kgray.ops.stats import welch_ttest
+
+    rows = [{"event_type": "purchase", "value": v} for v in (10.0, 11.0, 12.0, 13.0)] + [
+        {"event_type": "view", "value": v} for v in (1.0, 2.0, 1.5, 2.5)
+    ]
+    out = welch_ttest(_events(rows))
+    assert out["mean_a"].iloc[0] == 11.5
+    assert out["mean_b"].iloc[0] == 1.75
+    assert out["t_stat"].iloc[0] > 5  # clearly separated
+
+
+def test_welch_identical_zero_t(ray_session):
+    from kgray.ops.stats import welch_ttest
+
+    rows = [{"event_type": t, "value": v} for t in ("purchase", "view") for v in (1.0, 2.0, 3.0)]
+    out = welch_ttest(_events(rows))
+    assert out["t_stat"].iloc[0] == 0.0
+
+
+def test_hhi_monopoly_and_uniform(ray_session, tmp_path):
+    from kgray.pipelines.relational import nation_revenue_hhi
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame({"c_custkey": [1, 2], "c_nationkey": [0, 1]}).to_parquet(
+        d / "customer.parquet"
+    )
+    # all revenue in nation 0 -> HHI = 1, top_share = 1
+    pd.DataFrame({"o_custkey": [1, 1], "o_totalprice": [10.0, 20.0]}).to_parquet(
+        d / "orders.parquet"
+    )
+    out = nation_revenue_hhi(str(d))
+    assert out["hhi"].iloc[0] == 1.0 and out["top_share"].iloc[0] == 1.0
+    # 50/50 split -> HHI = 0.5
+    pd.DataFrame({"o_custkey": [1, 2], "o_totalprice": [15.0, 15.0]}).to_parquet(
+        d / "orders.parquet"
+    )
+    out = nation_revenue_hhi(str(d))
+    assert out["hhi"].iloc[0] == 0.5 and out["top_share"].iloc[0] == 0.5
