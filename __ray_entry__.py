@@ -463,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_circadian"] = _q_events_circadian
     q["events_welch_ttest"] = _q_events_welch_ttest
     q["nation_revenue_hhi"] = rel.nation_revenue_hhi
+    q["engagement_revenue_link"] = rel.engagement_revenue_link
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
     q["kg_assortativity_events"] = _q_kg_assortativity_events
@@ -6542,6 +6543,30 @@ FROM cs GROUP BY 1
             FROM ab
             WHERE n1 >= 2 AND n2 >= 2
               AND a1::DOUBLE / n1 / (n1 - 1) / n1 + a2::DOUBLE / n2 / (n2 - 1) / n2 > 0
+        """,
+        "engagement_revenue_link": """
+            WITH uc AS (
+              SELECT user_id AS u, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1),
+            tm AS (
+              SELECT u, ((row_number() OVER (ORDER BY n, u) - 1) * 3)
+                        // (SELECT count(*) FROM uc) AS tercile
+              FROM uc),
+            o AS (
+              SELECT coalesce(tm.tercile, -1) AS tercile,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS rc
+              FROM orders LEFT JOIN tm ON tm.u = o_custkey),
+            users_per AS (
+              SELECT tercile, CAST(count(*) AS BIGINT) AS n_users FROM tm GROUP BY 1
+              UNION ALL
+              SELECT -1, (SELECT count(*) FROM customer) - (SELECT count(*) FROM uc)),
+            agg AS (
+              SELECT tercile, CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(rc) AS BIGINT) AS rc
+              FROM o GROUP BY 1)
+            SELECT a.tercile, up.n_users, a.n_orders,
+                   CAST(a.rc AS DOUBLE) / 100.0 AS revenue
+            FROM agg a JOIN users_per up ON up.tercile = a.tercile
         """,
         "nation_revenue_hhi": """
             WITH r AS (

@@ -3331,3 +3331,83 @@ def nation_revenue_hhi(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {"n_nations": [np.int64(len(rev))], "hhi": [hhi], "top_share": [top]}
     )
+
+
+def engagement_revenue_link(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Cross-dataset federation: bucket users into engagement terciles by
+    EVENT count (behavioral table), then roll their ORDER revenue up per
+    tercile — does engagement actually monetize?  Customers with no
+    events land in tercile −1 (the dark-traffic segment).
+
+    Exactness: terciles come from the deterministic rank cut
+    idx·3 // n over users sorted by (count, user_id); revenue in cents.
+
+    Scale shape: per-user event counts via user-bucket combiner (driver
+    sees ≤ |users| rows — dimension-bounded); the user→tercile map
+    broadcasts; one streaming orders pass emits per-tercile partials."""
+    from kgray.functions.broadcast import cached_get
+
+    events = _read(sf_dir, "events", ["user_id"])
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b.groupby("user_id", sort=False).size().reset_index(name="n")
+        return pd.DataFrame(
+            {
+                "bucket": (c["user_id"] % num_buckets).astype("int32"),
+                "u": c["user_id"].astype("int64"),
+                "n": c["n"].astype("int64"),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("u", sort=False)["n"].sum().reset_index()
+
+    counts = (
+        events.map_batches(count_partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "tercile": pd.Series(dtype="int64"),
+            "n_users": pd.Series(dtype="int64"),
+            "n_orders": pd.Series(dtype="int64"),
+            "revenue": pd.Series(dtype="float64"),
+        }
+    )
+    if "u" not in counts.columns or not len(counts):
+        return empty
+    counts = counts.sort_values(["n", "u"], kind="mergesort").reset_index(drop=True)
+    nu = len(counts)
+    terc = (np.arange(nu, dtype=np.int64) * 3) // nu
+    tmap_ref = ray.put(dict(zip(counts["u"].astype(int), terc)))
+
+    def order_partial(b: pd.DataFrame) -> pd.DataFrame:
+        tm = cached_get(tmap_ref)
+        rc = np.floor(b["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        t = np.array(
+            [tm.get(int(k), -1) for k in b["o_custkey"].to_numpy(dtype=np.int64)],
+            dtype=np.int64,
+        )
+        d = pd.DataFrame({"tercile": t, "n_orders": 1, "rc": rc})
+        return d.groupby("tercile", sort=False).sum().reset_index()
+
+    parts = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(order_partial, batch_format="pandas", batch_size=262144)
+        .to_pandas()
+    )
+    if "tercile" not in parts.columns or not len(parts):
+        return empty
+    agg = parts.groupby("tercile", sort=True)[["n_orders", "rc"]].sum().reset_index()
+    users_per = pd.Series(terc).value_counts().to_dict()
+    # dark segment: customers with orders but no events counted from the
+    # customer dimension (total customers − event users)
+    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
+    users_per[-1] = n_customers - nu
+    agg["n_users"] = agg["tercile"].map(lambda t: users_per.get(int(t), 0)).astype("int64")
+    agg["revenue"] = agg["rc"].to_numpy(dtype=np.float64) / 100.0
+    return agg[["tercile", "n_users", "n_orders", "revenue"]].astype(
+        {"tercile": "int64", "n_orders": "int64"}
+    )

@@ -181,6 +181,7 @@ def _compare(query: str):
         "events_circadian",
         "events_welch_ttest",
         "nation_revenue_hhi",
+        "engagement_revenue_link",
         "doc_readability",
         "doc_zipf_slope",
         "doc_heaps_curve",

@@ -154,3 +154,21 @@ def test_important_parts_threshold(ray_session, tmp_path):
     out = rel.important_parts(sf)
     assert list(out["p_partkey"]) == [1]
     assert out["value"].iloc[0] == pytest.approx(999.0)
+
+
+def test_engagement_revenue_link_terciles(ray_session, tmp_path):
+    from kgray.pipelines.relational import engagement_revenue_link
+
+    # users 1,2,3 with 1,2,3 events -> terciles 0,1,2; customer 4 dark
+    events = {"user_id": [1, 2, 2, 3, 3, 3]}
+    customer = {"c_custkey": [1, 2, 3, 4]}
+    orders = {
+        "o_custkey": [1, 2, 3, 3, 4],
+        "o_totalprice": [10.0, 20.0, 30.0, 40.0, 5.0],
+    }
+    sf = _mk(tmp_path, events=events, customer=customer, orders=orders)
+    out = engagement_revenue_link(sf).set_index("tercile")
+    assert out.loc[-1, "n_users"] == 1 and out.loc[-1, "revenue"] == 5.0
+    assert out.loc[0, "revenue"] == 10.0
+    assert out.loc[1, "revenue"] == 20.0
+    assert out.loc[2, "n_orders"] == 2 and out.loc[2, "revenue"] == 70.0
