@@ -1638,6 +1638,7 @@ def winnowing_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 64,
+    pre_split: int | None = 32,
 ) -> ray.data.Dataset:
     """Winnowing fingerprint matching (Schleimer/Wilkerson/Aiken 2003, the
     MOSS local-fingerprinting algorithm): per doc, the MIN k-gram hash of
@@ -1656,10 +1657,19 @@ def winnowing_pairs(
     density bound — meet once in FP-hash buckets; each bucket emits
     bounded pairs; a second PAIR-hash shuffle merges overlap counts
     exactly.  Returns a Dataset (doc_a, doc_b, n_shared).
+
+    ``pre_split``: the per-position md5 loop is the CPU hot spot, and a
+    single-row-group parquet file reaches it as ONE block (serial).  The
+    cheap row-count repartition spreads it across the pool; pass None
+    when the input already arrives in many blocks (corpus scale) to skip
+    the extra exchange.
     """
     import hashlib
 
     _md5 = hashlib.md5
+
+    if pre_split:
+        ds = ds.repartition(pre_split)
 
     def fingerprints(b: pd.DataFrame) -> pd.DataFrame:
         fps: list[int] = []
