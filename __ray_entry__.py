@@ -464,6 +464,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_welch_ttest"] = _q_events_welch_ttest
     q["nation_revenue_hhi"] = rel.nation_revenue_hhi
     q["engagement_revenue_link"] = rel.engagement_revenue_link
+    q["events_theilsen_trend"] = _q_events_theilsen_trend
+    q["events_error_uplift"] = _q_events_error_uplift
+    q["orders_seasonal_index"] = rel.monthly_seasonal_index
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
     q["kg_assortativity_events"] = _q_kg_assortativity_events
@@ -1533,6 +1536,24 @@ def _q_events_mannwhitney(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     return mannwhitney_auc(ds)
+
+
+def _q_events_theilsen_trend(sf_dir: str) -> pd.DataFrame:
+    """Theil-Sen robust daily-count trend (exact rational median of
+    pairwise slopes): kgray/ops/temporal.py theil_sen_trend."""
+    from kgray.ops.temporal import theil_sen_trend
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return theil_sen_trend(ds)
+
+
+def _q_events_error_uplift(sf_dir: str) -> pd.DataFrame:
+    """Error-exposure → purchase relative risk (per-user flag cohorts):
+    kgray/ops/temporal.py exposure_uplift."""
+    from kgray.ops.temporal import exposure_uplift
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return exposure_uplift(ds)
 
 
 def _q_events_welch_ttest(sf_dir: str) -> pd.DataFrame:
@@ -6517,6 +6538,74 @@ FROM cs GROUP BY 1
                    (SELECT CAST(count(*) AS BIGINT) FROM firstd WHERE fd <= checkpoint) AS vocab,
                    (SELECT CAST(count(*) AS BIGINT) FROM toks WHERE doc_id <= checkpoint) AS total_tokens
             FROM cps
+        """,
+        "events_theilsen_trend": """
+            WITH d AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1),
+            s AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k, c FROM d),
+            p AS (
+              SELECT (b.c - a.c) AS num, (b.k - a.k) AS den
+              FROM s a JOIN s b ON b.k > a.k),
+            o AS (
+              SELECT num, den,
+                     row_number() OVER (ORDER BY CAST(num AS DOUBLE) / den, num, den)
+                       AS rn
+              FROM p),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p)
+            SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+                   m.m AS n_pairs,
+                   CASE WHEN m.m % 2 = 1
+                        THEN floor((SELECT CAST(num AS DOUBLE) / den FROM o
+                                    WHERE rn = (m.m + 1) // 2) * 1e6 + 0.5) / 1e6
+                        ELSE floor(((SELECT CAST(num AS DOUBLE) / den FROM o
+                                     WHERE rn = m.m // 2)
+                                    + (SELECT CAST(num AS DOUBLE) / den FROM o
+                                       WHERE rn = m.m // 2 + 1)) / 2.0
+                                   * 1e6 + 0.5) / 1e6
+                   END AS slope
+            FROM m WHERE m.m >= 1
+        """,
+        "events_error_uplift": """
+            WITH f AS (
+              SELECT user_id,
+                     CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS e,
+                     CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS o
+              FROM events GROUP BY 1),
+            t AS (SELECT CAST(sum(e) AS BIGINT) AS te,
+                         CAST(count(*) AS BIGINT) AS nu FROM f),
+            c AS (
+              SELECT CAST(sum(CASE WHEN e * nu > te THEN 1 ELSE 0 END) AS BIGINT) AS eu,
+                     CAST(sum(CASE WHEN e * nu > te THEN o ELSE 0 END) AS BIGINT) AS eo,
+                     CAST(sum(CASE WHEN e * nu > te THEN 0 ELSE 1 END) AS BIGINT) AS cu,
+                     CAST(sum(CASE WHEN e * nu > te THEN 0 ELSE o END) AS BIGINT) AS co
+              FROM f, t)
+            SELECT eu AS exp_users, cu AS ctl_users,
+                   floor(CAST(eo AS DOUBLE) / eu * 1e6 + 0.5) / 1e6 AS rate_exposed,
+                   floor(CAST(co AS DOUBLE) / cu * 1e6 + 0.5) / 1e6 AS rate_control,
+                   floor((CAST(eo AS DOUBLE) * cu) / (CAST(co AS DOUBLE) * eu)
+                         * 1e6 + 0.5) / 1e6 AS rate_ratio
+            FROM c WHERE eu > 0 AND cu > 0 AND co > 0
+        """,
+        "orders_seasonal_index": """
+            WITH dd AS (
+              SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+                     strftime(o_orderdate, '%Y-%m-%d') AS day,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS rc
+              FROM orders GROUP BY 1, 2),
+            pm AS (
+              SELECT mon, CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(sum(rc) AS BIGINT) AS rc
+              FROM dd GROUP BY 1),
+            t AS (SELECT CAST(sum(rc) AS BIGINT) AS tc,
+                         CAST(sum(n_days) AS BIGINT) AS td FROM pm)
+            SELECT mon AS month, n_days, CAST(rc AS DOUBLE) / 100.0 AS revenue,
+                   floor((CAST(rc AS DOUBLE) * td) / (CAST(n_days AS DOUBLE) * tc)
+                         * 1e6 + 0.5) / 1e6 AS seasonal_index
+            FROM pm, t
         """,
         "events_welch_ttest": """
             WITH x AS (

@@ -2462,3 +2462,138 @@ def circadian_stats(
     return pd.DataFrame(
         rows, columns=["event_type", "n", "mean_cos", "mean_sin", "resultant"]
     )
+
+
+def theil_sen_trend(
+    ds: ray.data.Dataset,
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Theil-Sen robust trend of the daily event-count series: the MEDIAN
+    of all pairwise slopes (c_j−c_i)/(j−i) — the outlier-proof answer to
+    "is traffic growing?", immune to the single spike that wrecks OLS.
+
+    Exactness: day counts are ints; slopes stay RATIONAL (num, den) and
+    sort by (double value, num, den) — the double tie-broken by the exact
+    integer pair so both engines pick the same median element(s); an even
+    pair count averages two rationals in one fixed-order float expression.
+
+    Scale shape: per-batch day-count combiner; the |days|² pair set is
+    driver math bounded by the calendar."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[ts_col].dt.strftime("%Y-%m-%d")
+        out = d.value_counts().reset_index()
+        out.columns = ["day", "c"]
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=262144).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "n_days": pd.Series(dtype="int64"),
+            "n_pairs": pd.Series(dtype="int64"),
+            "slope": pd.Series(dtype="float64"),
+        }
+    )
+    if "day" not in parts.columns or not len(parts):
+        return empty
+    daily = parts.groupby("day", sort=True)["c"].sum()
+    n = len(daily)
+    if n < 2:
+        return empty
+    c = daily.to_numpy(dtype=np.int64)
+    i, j = np.triu_indices(n, k=1)
+    num = c[j] - c[i]
+    den = (j - i).astype(np.int64)
+    order = np.lexsort((den, num, num / den))  # double first, exact ints tie-break
+    num, den = num[order], den[order]
+    m = len(num)
+    if m % 2:
+        mid = m // 2
+        slope = num[mid] / den[mid]
+    else:
+        a, b_ = m // 2 - 1, m // 2
+        slope = (num[a] / den[a] + num[b_] / den[b_]) / 2.0
+    return pd.DataFrame(
+        {
+            "n_days": [np.int64(n)],
+            "n_pairs": [np.int64(m)],
+            "slope": [np.floor(slope * 1e6 + 0.5) / 1e6],
+        }
+    )
+
+
+def exposure_uplift(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    exposure_type: str = "error",
+    outcome_type: str = "purchase",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Cohort rate ratio: split users into ABOVE-average vs at/below-
+    average ``exposure_type`` count (the exact integer cut eᵢ·n_users >
+    Σe — no float threshold), compare mean ``outcome_type`` events per
+    user between the cohorts — the quasi-causal read (do error-heavy
+    users purchase less?).
+
+    Exactness: per-user counts are exact ints; the two rates and their
+    ratio (Σo_e·cu)/(Σo_c·eu) are fixed-order float divisions of
+    exact-int operands, micro-quantized.
+
+    Scale shape: one USER-hash shuffle of per-batch (user, counts)
+    combiner rows; the driver folds ≤ |users| rows (dimension-bounded).
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "u": b[key_col].astype("int64"),
+                "e": (b[type_col] == exposure_type).astype("int64"),
+                "o": (b[type_col] == outcome_type).astype("int64"),
+            }
+        )
+        g = d.groupby("u", sort=False)[["e", "o"]].sum().reset_index()
+        g["bucket"] = (g["u"] % num_buckets).astype("int32")
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("u", sort=False)[["e", "o"]].sum().reset_index()
+
+    per_user = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "exp_users": pd.Series(dtype="int64"),
+            "ctl_users": pd.Series(dtype="int64"),
+            "rate_exposed": pd.Series(dtype="float64"),
+            "rate_control": pd.Series(dtype="float64"),
+            "rate_ratio": pd.Series(dtype="float64"),
+        }
+    )
+    if "u" not in per_user.columns or not len(per_user):
+        return empty
+    nu = len(per_user)
+    te = int(per_user["e"].sum())
+    exposed = per_user["e"].to_numpy(dtype=np.int64) * nu > te
+    eu, cu = int(exposed.sum()), int((~exposed).sum())
+    eo = int(per_user.loc[exposed, "o"].sum())
+    co = int(per_user.loc[~exposed, "o"].sum())
+    if eu == 0 or cu == 0 or co == 0:
+        return empty
+    re_ = float(eo) / eu
+    rc = float(co) / cu
+    rr = (float(eo) * cu) / (float(co) * eu)  # exact-int products, one division
+    return pd.DataFrame(
+        {
+            "exp_users": [np.int64(eu)],
+            "ctl_users": [np.int64(cu)],
+            "rate_exposed": [np.floor(re_ * 1e6 + 0.5) / 1e6],
+            "rate_control": [np.floor(rc * 1e6 + 0.5) / 1e6],
+            "rate_ratio": [np.floor(rr * 1e6 + 0.5) / 1e6],
+        }
+    )

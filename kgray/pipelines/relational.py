@@ -3411,3 +3411,54 @@ def engagement_revenue_link(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
     return agg[["tercile", "n_users", "n_orders", "revenue"]].astype(
         {"tercile": "int64", "n_orders": "int64"}
     )
+
+
+def monthly_seasonal_index(sf_dir: str) -> pd.DataFrame:
+    """Seasonal index per calendar month: month's average daily revenue
+    over the all-months average daily revenue (index 1.0 = typical) —
+    the classical-decomposition seasonal factor on the order series.
+
+    Exactness: cents and day counts are exact ints; the index evaluates
+    in ONE fixed-order float expression (rc·D)/(days·T) of exact-int
+    operands, micro-quantized.
+
+    Scale shape: per-batch (month → cents, distinct-day set is bounded
+    by the calendar) partials; |months| driver rows."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rc = np.floor(b["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        mon = b["o_orderdate"].dt.strftime("%Y-%m")
+        day = b["o_orderdate"].dt.strftime("%Y-%m-%d")
+        d = pd.DataFrame({"mon": mon, "day": day, "rc": rc})
+        out = d.groupby(["mon", "day"], sort=False)["rc"].sum().reset_index()
+        return out
+
+    parts = (
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas", batch_size=262144)
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "month": pd.Series(dtype=object),
+            "n_days": pd.Series(dtype="int64"),
+            "revenue": pd.Series(dtype="float64"),
+            "seasonal_index": pd.Series(dtype="float64"),
+        }
+    )
+    if "mon" not in parts.columns or not len(parts):
+        return empty
+    daily = parts.groupby(["mon", "day"], sort=True)["rc"].sum().reset_index()
+    per_mon = daily.groupby("mon", sort=True).agg(
+        n_days=("day", "size"), rc=("rc", "sum")
+    )
+    total_c = int(per_mon["rc"].sum())
+    total_days = int(per_mon["n_days"].sum())
+    rows = []
+    for mon, r in per_mon.iterrows():
+        rc, nd = int(r["rc"]), int(r["n_days"])
+        idx = (float(rc) * total_days) / (float(nd) * total_c)
+        rows.append((mon, nd, rc / 100.0, np.floor(idx * 1e6 + 0.5) / 1e6))
+    return pd.DataFrame(
+        rows, columns=["month", "n_days", "revenue", "seasonal_index"]
+    )

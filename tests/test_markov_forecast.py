@@ -99,3 +99,46 @@ def test_conversion_lag_bins(ray_session):
     assert len(out) == 1
     assert out["lag_bin"].iloc[0] == 7
     assert out["n_conversions"].iloc[0] == 1
+
+
+def test_theilsen_linear_series(ray_session):
+    from kgray.ops.temporal import theil_sen_trend
+
+    # counts 1,2,3,...,6 per day -> every pairwise slope is 1
+    rows = []
+    for d in range(1, 7):
+        rows += [{"ts": pd.Timestamp(f"2024-01-0{d} 08:00:00")}] * d
+    out = theil_sen_trend(ray.data.from_pandas(pd.DataFrame(rows)))
+    assert out["slope"].iloc[0] == 1.0
+    assert out["n_pairs"].iloc[0] == 15
+
+
+def test_theilsen_outlier_immune(ray_session):
+    from kgray.ops.temporal import theil_sen_trend
+
+    # flat at 5/day with one 100-spike: median slope stays 0
+    counts = [5, 5, 5, 100, 5, 5, 5]
+    rows = []
+    for d, c in enumerate(counts, start=1):
+        rows += [{"ts": pd.Timestamp(f"2024-01-0{d} 08:00:00")}] * c
+    out = theil_sen_trend(ray.data.from_pandas(pd.DataFrame(rows)))
+    assert out["slope"].iloc[0] == 0.0
+
+
+def test_exposure_uplift_cohorts(ray_session):
+    from kgray.ops.temporal import exposure_uplift
+
+    rows = (
+        # user 1: 4 errors (above avg), 1 purchase
+        [{"user_id": 1, "event_type": "error"}] * 4
+        + [{"user_id": 1, "event_type": "purchase"}]
+        # user 2: 0 errors, 3 purchases
+        + [{"user_id": 2, "event_type": "purchase"}] * 3
+        # user 3: 0 errors, 1 purchase (avg error = 4/3; cut e*3 > 4)
+        + [{"user_id": 3, "event_type": "purchase"}]
+    )
+    out = exposure_uplift(ray.data.from_pandas(pd.DataFrame(rows)))
+    assert out["exp_users"].iloc[0] == 1 and out["ctl_users"].iloc[0] == 2
+    assert out["rate_exposed"].iloc[0] == 1.0
+    assert out["rate_control"].iloc[0] == 2.0
+    assert out["rate_ratio"].iloc[0] == 0.5

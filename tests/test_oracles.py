@@ -182,6 +182,9 @@ def _compare(query: str):
         "events_welch_ttest",
         "nation_revenue_hhi",
         "engagement_revenue_link",
+        "events_theilsen_trend",
+        "events_error_uplift",
+        "orders_seasonal_index",
         "doc_readability",
         "doc_zipf_slope",
         "doc_heaps_curve",
