@@ -467,6 +467,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_theilsen_trend"] = _q_events_theilsen_trend
     q["events_error_uplift"] = _q_events_error_uplift
     q["orders_seasonal_index"] = rel.monthly_seasonal_index
+    q["doc_encoding_audit"] = lambda sf: (
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(tx.encoding_audit, batch_format="pandas")
+        .to_pandas()
+    )
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
     q["kg_assortativity_events"] = _q_kg_assortativity_events
@@ -6538,6 +6543,20 @@ FROM cs GROUP BY 1
                    (SELECT CAST(count(*) AS BIGINT) FROM firstd WHERE fd <= checkpoint) AS vocab,
                    (SELECT CAST(count(*) AS BIGINT) FROM toks WHERE doc_id <= checkpoint) AS total_tokens
             FROM cps
+        """,
+        "doc_encoding_audit": """
+            WITH x AS (
+              SELECT doc_id,
+                     CAST(greatest(length(text), 1) AS BIGINT) AS n_chars,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     CAST(CASE WHEN text LIKE '%' || chr(65533) || '%'
+                               THEN 1 ELSE 0 END AS BIGINT) AS has_replacement
+              FROM documents)
+            SELECT doc_id, n_chars, n_bytes,
+                   CAST(((n_bytes - n_chars) * 1000000) // n_chars AS DOUBLE) / 1e6
+                     AS multibyte_ratio,
+                   has_replacement
+            FROM x
         """,
         "events_theilsen_trend": """
             WITH d AS (

@@ -1088,3 +1088,28 @@ def compression_ratio(batch: pd.DataFrame, level: int = 6) -> pd.DataFrame:
             / 1e6,
         }
     )
+
+
+def encoding_audit(batch: pd.DataFrame) -> pd.DataFrame:
+    """Byte-vs-codepoint encoding audit: UTF-8 byte count, code-point
+    count, exact integer-micro multibyte ratio, and a replacement-char
+    flag (U+FFFD marks upstream decode damage) — the cheap screen a
+    multilingual corpus runs before any byte-budgeted packing.
+
+    Exactness: ratio = (bytes − chars)·10⁶ // chars on non-negative ints
+    (truncating and flooring division agree), so the twin is bit-exact."""
+    text = batch["text"].fillna("")
+    n_chars = text.str.len().astype("int64").clip(lower=1)
+    n_bytes = text.str.encode("utf-8").map(len).astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": n_chars,
+            "n_bytes": n_bytes,
+            "multibyte_ratio": ((n_bytes - n_chars) * 1_000_000 // n_chars).astype(
+                "float64"
+            )
+            / 1e6,
+            "has_replacement": text.str.contains("�", regex=False).astype("int64"),
+        }
+    )

@@ -106,3 +106,15 @@ def test_minhash_eval_clean_corpus(ray_session):
     assert out["tp"].iloc[0] >= 1  # the (1,2) near-dup pair is found
     assert out["fp"].iloc[0] == 0
     assert out["prec"].iloc[0] == 1.0
+
+
+def test_encoding_audit_multibyte():
+    from kgray.ops.text import encoding_audit
+
+    b = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["abcd", "日本語です", "bad�byte"]})
+    out = encoding_audit(b)
+    assert out["multibyte_ratio"].iloc[0] == 0.0
+    # 5 chars, 15 bytes -> (15-5)*1e6//5 = 2.0
+    assert out["n_bytes"].iloc[1] == 15
+    assert out["multibyte_ratio"].iloc[1] == 2.0
+    assert list(out["has_replacement"]) == [0, 0, 1]

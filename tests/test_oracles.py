@@ -185,6 +185,7 @@ def _compare(query: str):
         "events_theilsen_trend",
         "events_error_uplift",
         "orders_seasonal_index",
+        "doc_encoding_audit",
         "doc_readability",
         "doc_zipf_slope",
         "doc_heaps_curve",
