@@ -206,6 +206,12 @@ def run_bench() -> dict:
           lambda: size(entry.queries()["lineitem_qty_discount_spearman"](sf_dir)))
     timed("embedding_dot_hist", lambda: size(entry.queries()["embedding_dot_hist"](sf_dir)))
     timed("events_conversion_lag", lambda: size(entry.queries()["events_conversion_lag"](sf_dir)))
+    timed("events_heavy_hitters", lambda: size(entry.queries()["events_heavy_hitters"](sf_dir)))
+    timed("doc_gopher_rules", lambda: size(entry.queries()["doc_gopher_rules"](sf_dir)))
+    timed("doc_minhash_eval", lambda: size(entry.queries()["doc_minhash_eval"](sf_dir)))
+    timed("events_circadian", lambda: size(entry.queries()["events_circadian"](sf_dir)))
+    timed("engagement_revenue_link",
+          lambda: size(entry.queries()["engagement_revenue_link"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {
