@@ -467,6 +467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_theilsen_trend"] = _q_events_theilsen_trend
     q["events_error_uplift"] = _q_events_error_uplift
     q["orders_seasonal_index"] = rel.monthly_seasonal_index
+    q["events_run_lengths"] = _q_events_run_lengths
+    q["events_frequency_cap"] = _q_events_frequency_cap
     q["doc_encoding_audit"] = lambda sf: (
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(tx.encoding_audit, batch_format="pandas")
@@ -1541,6 +1543,28 @@ def _q_events_mannwhitney(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     return mannwhitney_auc(ds)
+
+
+def _q_events_run_lengths(sf_dir: str) -> pd.DataFrame:
+    """Per-type run-length histogram of user behavior streams:
+    kgray/ops/temporal.py run_length_census."""
+    from kgray.ops.temporal import run_length_census
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    return run_length_census(ds)
+
+
+def _q_events_frequency_cap(sf_dir: str) -> pd.DataFrame:
+    """Debounce audit (events within 24h of the previous same-type event
+    by the same user): kgray/ops/temporal.py frequency_cap_audit."""
+    from kgray.ops.temporal import frequency_cap_audit
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    return frequency_cap_audit(ds)
 
 
 def _q_events_theilsen_trend(sf_dir: str) -> pd.DataFrame:
@@ -6543,6 +6567,41 @@ FROM cs GROUP BY 1
                    (SELECT CAST(count(*) AS BIGINT) FROM firstd WHERE fd <= checkpoint) AS vocab,
                    (SELECT CAST(count(*) AS BIGINT) FROM toks WHERE doc_id <= checkpoint) AS total_tokens
             FROM cps
+        """,
+        "events_run_lengths": """
+            WITH x AS (
+              SELECT user_id AS u, event_type AS t,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn,
+                     CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id)
+                               IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            r AS (
+              SELECT u, t,
+                     CAST(sum(brk) OVER (PARTITION BY u ORDER BY rn) AS BIGINT) AS grp
+              FROM x),
+            runs AS (
+              SELECT u, t, grp, CAST(count(*) AS BIGINT) AS run_len
+              FROM r GROUP BY 1, 2, 3)
+            SELECT t AS event_type, run_len, CAST(count(*) AS BIGINT) AS n_runs
+            FROM runs GROUP BY 1, 2
+        """,
+        "events_frequency_cap": """
+            WITH x AS (
+              SELECT event_type AS t,
+                     CAST(epoch_us(ts) AS BIGINT)
+                       - lag(CAST(epoch_us(ts) AS BIGINT))
+                           OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS lag_us
+              FROM events)
+            SELECT t AS event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(coalesce(sum(CASE WHEN lag_us IS NOT NULL
+                                           AND lag_us <= CAST(86400 AS BIGINT) * 1000000
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS n_suppressed
+            FROM x GROUP BY 1
         """,
         "doc_encoding_audit": """
             WITH x AS (

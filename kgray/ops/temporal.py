@@ -2597,3 +2597,153 @@ def exposure_uplift(
             "rate_ratio": [np.floor(rr * 1e6 + 0.5) / 1e6],
         }
     )
+
+
+def run_length_census(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Run-length census of per-user behavior streams: how often does a
+    user repeat the SAME event type k times in a row?  Long view-runs vs
+    purchase-singletons is the classic engagement signature; a spike of
+    long identical runs is also a bot tell.
+
+    Exactness: run boundaries come from a deterministic (ts, event_id)
+    sort; output is the exact (type, run_len → n_runs) histogram.
+
+    Scale shape: one USER-hash shuffle; per bucket one mergesort + two
+    shifted compares; partials are |types|×|len domain| bounded."""
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": (b[key_col] % num_buckets).astype("int32"),
+                "u": b[key_col].astype("int64"),
+                "t": b[type_col].astype(str),
+                "ts": b[ts_col],
+                "eid": b[id_col].astype("int64"),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "ts", "eid"], kind="mergesort")
+        u = g["u"].to_numpy()
+        t = g["t"].to_numpy()
+        n = len(g)
+        if not n:
+            return pd.DataFrame(
+                {
+                    "t": pd.Series(dtype=object),
+                    "run_len": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        brk = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (t[1:] != t[:-1])]
+        )
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [n]])
+        lens = (ends - starts).astype(np.int64)
+        d = pd.DataFrame({"t": t[starts], "run_len": lens})
+        out = d.groupby(["t", "run_len"], sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "event_type": pd.Series(dtype=object),
+            "run_len": pd.Series(dtype="int64"),
+            "n_runs": pd.Series(dtype="int64"),
+        }
+    )
+    if "t" not in parts.columns or not len(parts):
+        return empty
+    agg = parts.groupby(["t", "run_len"], sort=True)["n"].sum().reset_index()
+    return pd.DataFrame(
+        {
+            "event_type": agg["t"],
+            "run_len": agg["run_len"].astype("int64"),
+            "n_runs": agg["n"].astype("int64"),
+        }
+    )
+
+
+def frequency_cap_audit(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    ttl_s: int = 86_400,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Debounce / frequency-cap audit: per event type, how many events
+    fall within ``ttl_s`` seconds of the user's PREVIOUS same-type event
+    (lag semantics — the standard throttle rule) — what a once-per-day
+    cap would suppress.
+
+    Exactness: integer microsecond lags over the deterministic
+    (ts, event_id) per-key order.
+
+    Scale shape: one USER-hash shuffle; per bucket one mergesort + one
+    shifted subtraction; |types| driver rows."""
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": (b[key_col] % num_buckets).astype("int32"),
+                "u": b[key_col].astype("int64"),
+                "t": b[type_col].astype(str),
+                "us": b[ts_col].astype("datetime64[us]").astype("int64"),
+                "eid": b[id_col].astype("int64"),
+            }
+        )
+
+    ttl_us = int(ttl_s) * 1_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "t", "us", "eid"], kind="mergesort")
+        u = g["u"].to_numpy()
+        t = g["t"].to_numpy()
+        us = g["us"].to_numpy()
+        same = np.concatenate([[False], (u[1:] == u[:-1]) & (t[1:] == t[:-1])])
+        lag = np.concatenate([[0], us[1:] - us[:-1]])
+        suppressed = same & (lag <= ttl_us)
+        d = pd.DataFrame({"t": t, "s": suppressed.astype(np.int64)})
+        out = d.groupby("t", sort=False)["s"].agg(["size", "sum"]).reset_index()
+        out.columns = ["t", "n_events", "n_suppressed"]
+        return out
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "event_type": pd.Series(dtype=object),
+            "n_events": pd.Series(dtype="int64"),
+            "n_suppressed": pd.Series(dtype="int64"),
+        }
+    )
+    if "t" not in parts.columns or not len(parts):
+        return empty
+    agg = parts.groupby("t", sort=True)[["n_events", "n_suppressed"]].sum().reset_index()
+    return pd.DataFrame(
+        {
+            "event_type": agg["t"],
+            "n_events": agg["n_events"].astype("int64"),
+            "n_suppressed": agg["n_suppressed"].astype("int64"),
+        }
+    )

@@ -142,3 +142,38 @@ def test_exposure_uplift_cohorts(ray_session):
     assert out["rate_exposed"].iloc[0] == 1.0
     assert out["rate_control"].iloc[0] == 2.0
     assert out["rate_ratio"].iloc[0] == 0.5
+
+
+def test_run_length_census(ray_session):
+    rows = [
+        {"user_id": 1, "event_type": t, "ts": f"2024-01-01 00:0{i}:00", "event_id": i}
+        for i, t in enumerate(["a", "a", "a", "b", "a"])
+    ] + [
+        {"user_id": 2, "event_type": "a", "ts": "2024-01-01 09:00:00", "event_id": 99}
+    ]
+    from kgray.ops.temporal import run_length_census
+
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"])
+    out = run_length_census(ray.data.from_pandas(df))
+    m = {(r.event_type, r.run_len): r.n_runs for r in out.itertuples()}
+    # user1: aaa (3), b (1), a (1); user2: a (1) -> runs don't span users
+    assert m[("a", 3)] == 1 and m[("a", 1)] == 2 and m[("b", 1)] == 1
+
+
+def test_frequency_cap_audit(ray_session):
+    from kgray.ops.temporal import frequency_cap_audit
+
+    rows = [
+        # user 1 'a': 0s, +100s (suppressed), +2h (kept w/ ttl 3600)
+        {"user_id": 1, "event_type": "a", "ts": "2024-01-01 00:00:00", "event_id": 1},
+        {"user_id": 1, "event_type": "a", "ts": "2024-01-01 00:01:40", "event_id": 2},
+        {"user_id": 1, "event_type": "a", "ts": "2024-01-01 02:30:00", "event_id": 3},
+        # different type not capped against 'a'
+        {"user_id": 1, "event_type": "b", "ts": "2024-01-01 00:00:30", "event_id": 4},
+    ]
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"])
+    out = frequency_cap_audit(ray.data.from_pandas(df), ttl_s=3600).set_index("event_type")
+    assert out.loc["a", "n_events"] == 3 and out.loc["a", "n_suppressed"] == 1
+    assert out.loc["b", "n_suppressed"] == 0

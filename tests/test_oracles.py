@@ -186,6 +186,8 @@ def _compare(query: str):
         "events_error_uplift",
         "orders_seasonal_index",
         "doc_encoding_audit",
+        "events_run_lengths",
+        "events_frequency_cap",
         "doc_readability",
         "doc_zipf_slope",
         "doc_heaps_curve",
