@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_error_uplift"] = _q_events_error_uplift
     q["orders_seasonal_index"] = rel.monthly_seasonal_index
     q["events_run_lengths"] = _q_events_run_lengths
+    q["events_dominant_cycle"] = _q_events_dominant_cycle
     q["events_frequency_cap"] = _q_events_frequency_cap
     q["doc_encoding_audit"] = lambda sf: (
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
@@ -1543,6 +1544,15 @@ def _q_events_mannwhitney(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     return mannwhitney_auc(ds)
+
+
+def _q_events_dominant_cycle(sf_dir: str) -> pd.DataFrame:
+    """Dominant daily-count periodicity (exact integer autocovariance
+    argmax over lags 2..10): kgray/ops/temporal.py dominant_cycle."""
+    from kgray.ops.temporal import dominant_cycle
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return dominant_cycle(ds)
 
 
 def _q_events_run_lengths(sf_dir: str) -> pd.DataFrame:
@@ -6567,6 +6577,35 @@ FROM cs GROUP BY 1
                    (SELECT CAST(count(*) AS BIGINT) FROM firstd WHERE fd <= checkpoint) AS vocab,
                    (SELECT CAST(count(*) AS BIGINT) FROM toks WHERE doc_id <= checkpoint) AS total_tokens
             FROM cps
+        """,
+        "events_dominant_cycle": """
+            WITH d AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1),
+            s AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i, c FROM d),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS ss FROM d),
+            y AS (SELECT i, CAST(c * n - ss AS HUGEINT) AS y FROM s, t),
+            ks AS (SELECT CAST(unnest(range(2, 11)) AS BIGINT) AS k),
+            a AS (
+              SELECT k, CAST(sum(y1.y * y2.y) AS HUGEINT) AS ak
+              FROM ks JOIN y y1 ON true JOIN y y2 ON y2.i = y1.i + ks.k
+              GROUP BY k),
+            a0 AS (SELECT CAST(sum(y * y) AS HUGEINT) AS a0 FROM y),
+            best AS (
+              SELECT x.k, x.ak FROM a x, t
+              WHERE x.k <= t.n - 1
+                AND NOT EXISTS (
+                  SELECT 1 FROM a z, t t2
+                  WHERE z.k <= t2.n - 1
+                    AND (z.ak * (t2.n - x.k) > x.ak * (t2.n - z.k)
+                         OR (z.ak * (t2.n - x.k) = x.ak * (t2.n - z.k)
+                             AND z.k < x.k))))
+            SELECT t.n AS n_days, best.k AS best_lag,
+                   floor((best.ak::DOUBLE * t.n)
+                         / ((t.n - best.k)::DOUBLE * a0.a0::DOUBLE) * 1e6 + 0.5) / 1e6
+                     AS strength
+            FROM best, t, a0
+            WHERE t.n > 3 AND a0.a0 > 0
         """,
         "events_run_lengths": """
             WITH x AS (

@@ -2747,3 +2747,63 @@ def frequency_cap_audit(
             "n_suppressed": agg["n_suppressed"].astype("int64"),
         }
     )
+
+
+def dominant_cycle(
+    ds: ray.data.Dataset,
+    ts_col: str = "ts",
+    min_lag: int = 2,
+    max_lag: int = 10,
+) -> pd.DataFrame:
+    """Dominant periodicity of the daily event-count series: the lag
+    k ∈ [min_lag, max_lag] maximizing the mean-centered autocovariance
+    — does traffic cycle weekly, bi-daily, …?
+
+    Exactness: work in n-scaled space yᵢ = n·xᵢ − S (exact ints, no
+    float mean), aₖ = Σ yᵢ·yᵢ₊ₖ; lags compare as exact rationals
+    aₖ/(n−k) via cross-multiplication (smallest lag on ties); only the
+    reported strength aₖ·n / ((n−k)·a₀) is floating, micro-quantized.
+
+    Scale shape: per-batch day-count combiner; |days|·|lags| driver
+    math bounded by the calendar."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[ts_col].dt.strftime("%Y-%m-%d")
+        out = d.value_counts().reset_index()
+        out.columns = ["day", "c"]
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=262144).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "n_days": pd.Series(dtype="int64"),
+            "best_lag": pd.Series(dtype="int64"),
+            "strength": pd.Series(dtype="float64"),
+        }
+    )
+    if "day" not in parts.columns or not len(parts):
+        return empty
+    daily = parts.groupby("day", sort=True)["c"].sum()
+    n = len(daily)
+    if n <= max(min_lag, 1) + 1:
+        return empty
+    x = daily.to_numpy(dtype=np.int64)
+    s = int(x.sum())
+    y = [int(v) * n - s for v in x]  # python ints: n·x can exceed int64 at corpus scale
+    a0 = sum(v * v for v in y)
+    if a0 == 0:
+        return empty
+    best_k, best_a = None, None
+    for k in range(min_lag, min(max_lag, n - 1) + 1):
+        ak = sum(y[i] * y[i + k] for i in range(n - k))
+        if best_k is None or ak * (n - best_k) > best_a * (n - k):
+            best_k, best_a = k, ak
+    strength = (float(best_a) * n) / (float(n - best_k) * float(a0))
+    return pd.DataFrame(
+        {
+            "n_days": [np.int64(n)],
+            "best_lag": [np.int64(best_k)],
+            "strength": [np.floor(strength * 1e6 + 0.5) / 1e6],
+        }
+    )

@@ -177,3 +177,16 @@ def test_frequency_cap_audit(ray_session):
     out = frequency_cap_audit(ray.data.from_pandas(df), ttl_s=3600).set_index("event_type")
     assert out.loc["a", "n_events"] == 3 and out.loc["a", "n_suppressed"] == 1
     assert out.loc["b", "n_suppressed"] == 0
+
+
+def test_dominant_cycle_weekly(ray_session):
+    from kgray.ops.temporal import dominant_cycle
+
+    # period-7 square wave over 28 days: lag 7 wins
+    rows = []
+    for d in range(28):
+        c = 20 if d % 7 == 0 else 5
+        rows += [{"ts": pd.Timestamp("2024-01-01") + pd.Timedelta(days=d, hours=9)}] * c
+    out = dominant_cycle(ray.data.from_pandas(pd.DataFrame(rows)))
+    assert out["best_lag"].iloc[0] == 7
+    assert out["strength"].iloc[0] > 0.5

@@ -188,6 +188,7 @@ def _compare(query: str):
         "doc_encoding_audit",
         "events_run_lengths",
         "events_frequency_cap",
+        "events_dominant_cycle",
         "doc_readability",
         "doc_zipf_slope",
         "doc_heaps_curve",
