@@ -469,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["orders_seasonal_index"] = rel.monthly_seasonal_index
     q["events_run_lengths"] = _q_events_run_lengths
     q["events_dominant_cycle"] = _q_events_dominant_cycle
+    q["embedding_centroid_drift"] = _q_embedding_centroid_drift
     q["events_frequency_cap"] = _q_events_frequency_cap
     q["doc_encoding_audit"] = lambda sf: (
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
@@ -1544,6 +1545,17 @@ def _q_events_mannwhitney(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     return mannwhitney_auc(ds)
+
+
+def _q_embedding_centroid_drift(sf_dir: str) -> pd.DataFrame:
+    """Half-vs-half embedding centroid drift (cosine + max per-dim mean
+    shift): kgray/ops/similarity.py centroid_drift."""
+    from kgray.ops.similarity import centroid_drift
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return centroid_drift(ds)
 
 
 def _q_events_dominant_cycle(sf_dir: str) -> pd.DataFrame:
@@ -6577,6 +6589,33 @@ FROM cs GROUP BY 1
                    (SELECT CAST(count(*) AS BIGINT) FROM firstd WHERE fd <= checkpoint) AS vocab,
                    (SELECT CAST(count(*) AS BIGINT) FROM toks WHERE doc_id <= checkpoint) AS total_tokens
             FROM cps
+        """,
+        "embedding_centroid_drift": """
+            WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+            x AS (
+              SELECT vec_id % 2 AS par, d.i AS i,
+                     CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1e4 + 0.5)
+                          AS BIGINT) AS q
+              FROM embeddings CROSS JOIN dims d),
+            s AS (SELECT par, i, CAST(sum(q) AS HUGEINT) AS s FROM x GROUP BY 1, 2),
+            n AS (
+              SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                     CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+              FROM embeddings),
+            m AS (
+              SELECT CAST(sum(a.s * b.s) AS HUGEINT) AS dot,
+                     CAST(sum(a.s * a.s) AS HUGEINT) AS na2,
+                     CAST(sum(b.s * b.s) AS HUGEINT) AS nb2,
+                     CAST(max(abs(a.s * n.n1 - b.s * n.n0)) AS HUGEINT) AS mx
+              FROM (SELECT i, s FROM s WHERE par = 0) a
+              JOIN (SELECT i, s FROM s WHERE par = 1) b USING (i), n)
+            SELECT n.n0 AS n_even, n.n1 AS n_odd,
+                   floor(m.dot::DOUBLE / sqrt(m.na2::DOUBLE * m.nb2::DOUBLE)
+                         * 1e6 + 0.5) / 1e6 AS cosine,
+                   floor(m.mx::DOUBLE / (CAST(n.n0 AS DOUBLE) * n.n1) / 1e4
+                         * 1e9 + 0.5) / 1e9 AS max_dim_shift
+            FROM m, n
+            WHERE n.n0 > 0 AND n.n1 > 0 AND m.na2 > 0 AND m.nb2 > 0
         """,
         "events_dominant_cycle": """
             WITH d AS (

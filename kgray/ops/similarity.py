@@ -1240,3 +1240,81 @@ def pairwise_dot_hist(
     out["bin"] = out["bin"].astype("int64")
     out["n_pairs"] = out["n_pairs"].astype("int64")
     return out
+
+
+def centroid_drift(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: float = 1e4,
+) -> pd.DataFrame:
+    """Embedding drift monitor: split the corpus into two halves by id
+    parity (a deterministic stand-in for before/after batches), compare
+    the half centroids — cosine near 1 means the embedding distribution
+    is stable, a drop is the retrain/upstream-change alarm.
+
+    Exactness: quantized component SUM vectors per half are exact ints
+    (cosine is scale-invariant, so the un-divided sums ARE the centroid
+    directions); Σab/√(Σa²·Σb²) runs in python bigints with one
+    micro-quantized division; the per-dimension max |mean shift| uses
+    the exact cross-multiplied integer argmax before its one division.
+
+    Scale shape: one streaming pass of (parity, n, Σxq-vector)
+    partials — two driver rows."""
+
+    def sum_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(dtype=np.int64)
+        m = np.floor(np.stack(b[vec_col].to_numpy()).astype(np.float64) * quant + 0.5).astype(
+            np.int64
+        )
+        rows = []
+        for par in (0, 1):
+            sel = (ids % 2) == par
+            if sel.any():
+                rows.append((par, int(sel.sum()), m[sel].sum(axis=0)))
+        return pd.DataFrame(
+            {
+                "par": pd.Series([r[0] for r in rows], dtype="int64"),
+                "n": pd.Series([r[1] for r in rows], dtype="int64"),
+                "sxq": pd.Series([r[2] for r in rows]),
+            }
+        )
+
+    parts = ds.map_batches(sum_partial, batch_format="pandas", batch_size=65536).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "n_even": pd.Series(dtype="int64"),
+            "n_odd": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+            "max_dim_shift": pd.Series(dtype="float64"),
+        }
+    )
+    if "par" not in parts.columns or not len(parts):
+        return empty
+    sums, ns = {}, {}
+    for par, grp in parts.groupby("par"):
+        sums[int(par)] = np.sum(np.stack(grp["sxq"].to_numpy()), axis=0).astype(object)
+        ns[int(par)] = int(grp["n"].sum())
+    if 0 not in sums or 1 not in sums or ns[0] == 0 or ns[1] == 0:
+        return empty
+    a = [int(v) for v in sums[0]]
+    b = [int(v) for v in sums[1]]
+    dot = sum(x * y for x, y in zip(a, b))
+    na2 = sum(x * x for x in a)
+    nb2 = sum(y * y for y in b)
+    if na2 == 0 or nb2 == 0:
+        return empty
+    cos = float(dot) / np.sqrt(np.float64(float(na2)) * np.float64(float(nb2)))
+    # per-dim mean shift |a_i/n0 − b_i/n1| = |a_i·n1 − b_i·n0| / (n0·n1):
+    # exact integer argmax on the shared-denominator numerators
+    diffs = [abs(x * ns[1] - y * ns[0]) for x, y in zip(a, b)]
+    mx = max(diffs)
+    shift = float(mx) / (float(ns[0]) * ns[1]) / quant
+    return pd.DataFrame(
+        {
+            "n_even": [np.int64(ns[0])],
+            "n_odd": [np.int64(ns[1])],
+            "cosine": [np.floor(cos * 1e6 + 0.5) / 1e6],
+            "max_dim_shift": [np.floor(shift * 1e9 + 0.5) / 1e9],
+        }
+    )

@@ -189,6 +189,7 @@ def _compare(query: str):
         "events_run_lengths",
         "events_frequency_cap",
         "events_dominant_cycle",
+        "embedding_centroid_drift",
         "doc_readability",
         "doc_zipf_slope",
         "doc_heaps_curve",

@@ -126,3 +126,33 @@ def test_hhi_monopoly_and_uniform(ray_session, tmp_path):
     )
     out = nation_revenue_hhi(str(d))
     assert out["hhi"].iloc[0] == 0.5 and out["top_share"].iloc[0] == 0.5
+
+
+def test_centroid_drift_identical_halves(ray_session):
+    from kgray.ops.similarity import centroid_drift
+
+    # even and odd ids get the SAME vector -> cosine 1, shift 0
+    v = np.arange(64, dtype=np.float64) / 64.0
+    df = pd.DataFrame(
+        {"vec_id": np.arange(10, dtype=np.int64), "embedding": [v.copy() for _ in range(10)]}
+    )
+    out = centroid_drift(ray.data.from_pandas(df))
+    assert out["cosine"].iloc[0] == 1.0
+    assert out["max_dim_shift"].iloc[0] == 0.0
+    assert out["n_even"].iloc[0] == 5 and out["n_odd"].iloc[0] == 5
+
+
+def test_centroid_drift_orthogonal_halves(ray_session):
+    from kgray.ops.similarity import centroid_drift
+
+    a = np.zeros(64); a[0] = 1.0
+    b = np.zeros(64); b[1] = 1.0
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(4, dtype=np.int64),
+            "embedding": [a, b, a, b],  # even ids -> a, odd -> b
+        }
+    )
+    out = centroid_drift(ray.data.from_pandas(df))
+    assert out["cosine"].iloc[0] == 0.0
+    assert out["max_dim_shift"].iloc[0] == 1.0
