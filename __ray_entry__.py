@@ -809,8 +809,11 @@ def _q_doc_winnowing_pairs(sf_dir: str) -> pd.DataFrame:
     from kgray.ops.dedup import winnowing_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # test-scale documents.parquet is ONE row group → one block; pre-split
+    # so the md5-hot fingerprint stage parallelizes (corpus-scale inputs
+    # with many blocks should omit pre_split)
     return (
-        winnowing_pairs(ds, k=20, w=4, min_shared=2)
+        winnowing_pairs(ds, k=20, w=4, min_shared=2, pre_split=32)
         .to_pandas()
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
@@ -5425,17 +5428,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us
               FROM events WHERE event_type IN ('click', 'purchase')),
             t AS (SELECT user_id, us FROM x WHERE event_type = 'click'),
-            c AS (SELECT user_id, us FROM x WHERE event_type = 'purchase'),
+            -- carry the multiplicity: two purchases at the SAME microsecond
+            -- are two conversions (the Ray side counts event rows)
+            c AS (SELECT user_id, us, CAST(count(*) AS BIGINT) AS cnt
+                  FROM x WHERE event_type = 'purchase' GROUP BY 1, 2),
             l AS (
-              SELECT c.user_id, c.us, CAST(max(t.us) AS BIGINT) AS lastt
+              SELECT c.user_id, c.us, any_value(c.cnt) AS cnt,
+                     CAST(max(t.us) AS BIGINT) AS lastt
               FROM c JOIN t ON t.user_id = c.user_id AND t.us <= c.us
               GROUP BY 1, 2),
             b AS (
               SELECT CASE WHEN (us - lastt) // 1000000 > 0
                           THEN CAST(length(bin((us - lastt) // 1000000)) AS BIGINT)
-                          ELSE 0 END AS lag_bin
+                          ELSE 0 END AS lag_bin, cnt
               FROM l)
-            SELECT lag_bin, CAST(count(*) AS BIGINT) AS n_conversions
+            SELECT lag_bin, CAST(sum(cnt) AS BIGINT) AS n_conversions
             FROM b GROUP BY 1
         """,
         "events_weekday_cosine": """
@@ -6684,14 +6691,14 @@ FROM cs GROUP BY 1
         "doc_encoding_audit": """
             WITH x AS (
               SELECT doc_id,
-                     CAST(greatest(length(text), 1) AS BIGINT) AS n_chars,
+                     CAST(length(text) AS BIGINT) AS n_chars,
                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                      CAST(CASE WHEN text LIKE '%' || chr(65533) || '%'
                                THEN 1 ELSE 0 END AS BIGINT) AS has_replacement
               FROM documents)
             SELECT doc_id, n_chars, n_bytes,
-                   CAST(((n_bytes - n_chars) * 1000000) // n_chars AS DOUBLE) / 1e6
-                     AS multibyte_ratio,
+                   CAST(((n_bytes - n_chars) * 1000000) // greatest(n_chars, 1)
+                        AS DOUBLE) / 1e6 AS multibyte_ratio,
                    has_replacement
             FROM x
         """,

@@ -1499,8 +1499,13 @@ def minhash_eval(
     from kgray.ops.setsim import set_similarity_join
 
     pk = _candidate_match_counts(docs, num_perm, n_bands, shingle_n, max_bucket)
-    need2 = int(np.ceil(2 * threshold * num_perm))  # 2k ≥ num_perm at 0.5
-    pred = pk.loc[2 * pk["k"].to_numpy() >= need2, ["a", "b"]]
+    # smallest k with k/num_perm ≥ threshold; the 1e-9 nudge keeps an
+    # FP-inexact-but-integral product (e.g. 0.3·60 → 18.000000000000004)
+    # from over-rounding the inclusive boundary out of the predicted set
+    import math
+
+    need_k = math.ceil(threshold * num_perm - 1e-9)
+    pred = pk.loc[pk["k"].to_numpy() >= need_k, ["a", "b"]]
     truth = set_similarity_join(docs, threshold=threshold, shingle_n=shingle_n)[
         ["a", "b"]
     ]
@@ -1638,7 +1643,7 @@ def winnowing_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 64,
-    pre_split: int | None = 32,
+    pre_split: int | None = None,
 ) -> ray.data.Dataset:
     """Winnowing fingerprint matching (Schleimer/Wilkerson/Aiken 2003, the
     MOSS local-fingerprinting algorithm): per doc, the MIN k-gram hash of
@@ -1659,10 +1664,11 @@ def winnowing_pairs(
     exactly.  Returns a Dataset (doc_a, doc_b, n_shared).
 
     ``pre_split``: the per-position md5 loop is the CPU hot spot, and a
-    single-row-group parquet file reaches it as ONE block (serial).  The
-    cheap row-count repartition spreads it across the pool; pass None
-    when the input already arrives in many blocks (corpus scale) to skip
-    the extra exchange.
+    single-row-group parquet file reaches it as ONE block (serial).
+    Passing pre_split=N repartitions first so the hot stage spreads
+    across the pool — set it ONLY for few-block inputs (the test-scale
+    query wrapper passes 32); the default None never coalesces a
+    many-block corpus-scale stream or adds an exchange.
     """
     import hashlib
 

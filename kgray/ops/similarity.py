@@ -1224,6 +1224,13 @@ def pairwise_dot_hist(
             np.int64
         )
         dots = X @ Q.T  # exact int64
+        if len(dots) and int(dots.min()) < -offset:
+            # a negative dividend would floor in numpy but truncate in the
+            # SQL twin — the offset must dominate the dot range
+            raise ValueError(
+                f"pairwise dot {int(dots.min())} < -offset ({-offset}); "
+                "raise `offset` (keep it a multiple of bin_div)"
+            )
         mask = ids[:, None] < ids_r[None, :]
         bins = (dots[mask] + offset) // bin_div - shift
         if not len(bins):

@@ -1187,10 +1187,35 @@ def markov_stationary(
     construction.  Types with no outgoing transitions keep their mass
     (self-loop), the standard absorbing-state patch.
     """
-    import pyarrow as pa
+    c = _transition_counts(ds, key_col, type_col, ts_col, num_buckets)
+    empty = pd.DataFrame(
+        {"event_type": pd.Series(dtype=object), "stationary": pd.Series(dtype="float64")}
+    )
+    if not len(c):
+        return empty
+    types, q = _stationary_from_counts(c, iterations, scale)
+    return pd.DataFrame(
+        {
+            "event_type": types,
+            "stationary": [float(v) / float(scale) for v in q],
+        }
+    )
+
+
+def _transition_counts(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Shared kernel: aggregated per-user consecutive-event transition
+    counts (prev, nxt, c) via ONE user-hash bucket shuffle — feeds
+    markov_stationary AND markov_entropy_rate (the entropy op reuses
+    the counts instead of re-shuffling the events table)."""
 
     def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {
                 "bucket": (b[key_col] % num_buckets).astype("int32"),
                 "u": b[key_col].astype("int64"),
@@ -1199,7 +1224,6 @@ def markov_stationary(
                 "eid": b["event_id"].astype("int64"),
             }
         )
-        return out
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["u", "ts", "eid"], kind="mergesort")
@@ -1221,12 +1245,22 @@ def markov_stationary(
         .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()  # ≤ |types|² × buckets rows
     )
-    empty = pd.DataFrame(
-        {"event_type": pd.Series(dtype=object), "stationary": pd.Series(dtype="float64")}
-    )
     if "prev" not in trans.columns or not len(trans):
-        return empty
-    c = trans.groupby(["prev", "nxt"], sort=True)["c"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "prev": pd.Series(dtype=object),
+                "nxt": pd.Series(dtype=object),
+                "c": pd.Series(dtype="int64"),
+            }
+        )
+    return trans.groupby(["prev", "nxt"], sort=True)["c"].sum().reset_index()
+
+
+def _stationary_from_counts(
+    c: pd.DataFrame, iterations: int, scale: int
+) -> tuple[list, list]:
+    """The all-integer power iteration x'_j = Σᵢ (qᵢ·cᵢⱼ) // rᵢ on the
+    aggregated transition counts; returns (types, scale-denominated q)."""
     types = sorted(set(c["prev"]) | set(c["nxt"]))
     idx = {t: i for i, t in enumerate(types)}
     k = len(types)
@@ -1244,12 +1278,7 @@ def markov_stationary(
             sum(q[i] * int(cm[i, j]) // int(r[i]) for i in range(k))
             for j in range(k)
         ]
-    return pd.DataFrame(
-        {
-            "event_type": types,
-            "stationary": [float(v) / float(scale) for v in q],
-        }
-    )
+    return types, q
 
 
 def seasonal_naive_backtest(
@@ -2148,71 +2177,27 @@ def markov_entropy_rate(
     expression (πᵢ · (cᵢⱼ/rᵢ) · ln(rᵢ/cᵢⱼ)) on both engines, quantizes to
     nano-units, and sums as exact ints.
 
-    Scale shape: the transition matrix is the one user-hash shuffle of
-    markov_stationary; everything after is |types|²-bounded driver math.
+    Scale shape: ONE user-hash shuffle — the shared
+    :func:`_transition_counts` kernel feeds both the integer stationary
+    iteration and the entropy terms; everything after the shuffle is
+    |types|²-bounded driver math.
     """
-    pi = markov_stationary(
-        ds,
-        key_col=key_col,
-        type_col=type_col,
-        ts_col=ts_col,
-        iterations=iterations,
-        scale=scale,
-        num_buckets=num_buckets,
-    )
     empty = pd.DataFrame(
         {"n_types": pd.Series(dtype="int64"), "entropy_rate": pd.Series(dtype="float64")}
     )
-    if not len(pi):
+    c = _transition_counts(ds, key_col, type_col, ts_col, num_buckets)
+    if not len(c):
         return empty
-
-    # rebuild the transition counts (same kernel; the pi call's shuffle
-    # already produced them but returns only the distribution — the
-    # recompute stays one shuffle and keeps the two ops composable)
-    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "bucket": (b[key_col] % num_buckets).astype("int32"),
-                "u": b[key_col].astype("int64"),
-                "t": b[type_col].astype(str),
-                "ts": b[ts_col],
-                "eid": b["event_id"].astype("int64"),
-            }
-        )
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["u", "ts", "eid"], kind="mergesort")
-        prev = g["t"].to_numpy()
-        same = g["u"].to_numpy()[1:] == g["u"].to_numpy()[:-1]
-        a, bb = prev[:-1][same], prev[1:][same]
-        out = (
-            pd.DataFrame({"prev": a, "nxt": bb})
-            .groupby(["prev", "nxt"], sort=False)
-            .size()
-            .reset_index(name="c")
-        )
-        out["c"] = out["c"].astype("int64")
-        return out
-
-    trans = (
-        ds.map_batches(pair_partial, batch_format="pandas", batch_size=262144)
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-        .to_pandas()
-    )
-    if "prev" not in trans.columns or not len(trans):
-        return empty
-    c = trans.groupby(["prev", "nxt"], sort=True)["c"].sum().reset_index()
+    types, q = _stationary_from_counts(c, iterations, scale)
+    q_by_type = dict(zip(types, q))  # exact scale-denominated ints
     r = c.groupby("prev", sort=False)["c"].transform("sum")
-    # pi as the raw integer q (scale-denominated), matching the SQL twin
-    q_by_type = dict(zip(pi["event_type"], (pi["stationary"] * scale).round().astype(np.int64)))
-    qv = c["prev"].map(q_by_type).fillna(0).to_numpy(dtype=np.float64)
+    qv = np.array([float(q_by_type[p]) for p in c["prev"]], dtype=np.float64)
     cc = c["c"].to_numpy(dtype=np.float64)
     rr = r.to_numpy(dtype=np.float64)
     term = (qv / float(scale)) * (cc / rr) * np.log(rr / cc)
     nano = int(np.floor(term * 1e9 + 0.5).astype(np.int64).sum())
     return pd.DataFrame(
-        {"n_types": [np.int64(len(pi))], "entropy_rate": [nano / 1e9]}
+        {"n_types": [np.int64(len(types))], "entropy_rate": [nano / 1e9]}
     )
 
 

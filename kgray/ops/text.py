@@ -1077,13 +1077,14 @@ def compression_ratio(batch: pd.DataFrame, level: int = 6) -> pd.DataFrame:
     text = batch["text"].fillna("")
     raw = text.str.encode("utf-8")
     comp = raw.map(lambda b: len(zlib.compress(b, level)))
-    rawlen = raw.map(len).astype("int64").clip(lower=1)
+    rawlen = raw.map(len).astype("int64")
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
-            "raw_bytes": rawlen,
+            "raw_bytes": rawlen,  # true byte count; only the divisor clips
             "compressed_bytes": comp.astype("int64"),
-            "ratio": (comp.astype("int64") * 1_000_000 // rawlen).astype("int64")
+            "ratio": (comp.astype("int64") * 1_000_000 // rawlen.clip(lower=1))
+            .astype("int64")
             .astype("float64")
             / 1e6,
         }
@@ -1099,16 +1100,18 @@ def encoding_audit(batch: pd.DataFrame) -> pd.DataFrame:
     Exactness: ratio = (bytes − chars)·10⁶ // chars on non-negative ints
     (truncating and flooring division agree), so the twin is bit-exact."""
     text = batch["text"].fillna("")
-    n_chars = text.str.len().astype("int64").clip(lower=1)
+    n_chars = text.str.len().astype("int64")
     n_bytes = text.str.encode("utf-8").map(len).astype("int64")
+    # clip ONLY the divisor: an empty doc has bytes == chars == 0 and must
+    # report ratio 0.0, not (0-1)//1 = -1
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
             "n_chars": n_chars,
             "n_bytes": n_bytes,
-            "multibyte_ratio": ((n_bytes - n_chars) * 1_000_000 // n_chars).astype(
-                "float64"
-            )
+            "multibyte_ratio": (
+                (n_bytes - n_chars) * 1_000_000 // n_chars.clip(lower=1)
+            ).astype("float64")
             / 1e6,
             "has_replacement": text.str.contains("�", regex=False).astype("int64"),
         }

@@ -2664,39 +2664,48 @@ def product_profit(
 
     part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
     m = part["p_name"].str.contains(name_like, regex=False)
+    fp = part.loc[m].sort_values("p_partkey")
+    # sorted key/value ARRAYS (not dicts): lookups inside the hot batch fn
+    # are one vectorized searchsorted, no per-row python and no per-batch
+    # key-array rebuild
     pmap_ref = ray.put(
-        dict(
-            zip(
-                part.loc[m, "p_partkey"].astype(int),
-                np.floor(part.loc[m, "p_retailprice"].to_numpy() * 100.0 + 0.5).astype(
-                    np.int64
-                ),
-            )
+        (
+            fp["p_partkey"].to_numpy(dtype=np.int64),
+            np.floor(fp["p_retailprice"].to_numpy() * 100.0 + 0.5).astype(np.int64),
         )
     )
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     n_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    supp = supp.sort_values("s_suppkey")
     smap_ref = ray.put(
-        dict(zip(supp["s_suppkey"].astype(int), supp["s_nationkey"].map(n_name)))
+        (
+            supp["s_suppkey"].to_numpy(dtype=np.int64),
+            supp["s_nationkey"].map(n_name).to_numpy(dtype=object),
+        )
     )
 
     def line_rows(b: pd.DataFrame) -> pd.DataFrame:
-        pm, sm = cached_get(pmap_ref), cached_get(smap_ref)
+        pkeys, rcst = cached_get(pmap_ref)
+        skeys, snat = cached_get(smap_ref)
         keys = b["l_partkey"].to_numpy(dtype=np.int64)
-        sel = np.isin(keys, np.fromiter(pm.keys(), dtype=np.int64, count=len(pm)))
+        if len(pkeys):
+            pos_c = np.minimum(np.searchsorted(pkeys, keys), len(pkeys) - 1)
+            sel = pkeys[pos_c] == keys
+        else:
+            pos_c = np.zeros(len(keys), dtype=np.int64)
+            sel = np.zeros(len(keys), dtype=bool)
         b = b.loc[sel]
         rev_c = np.floor(
             b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy()) * 100.0
             + 0.5
         ).astype(np.int64)
-        cost_c = np.array(
-            [pm[int(k)] for k in b["l_partkey"].to_numpy(dtype=np.int64)], dtype=np.int64
-        ) * b["l_quantity"].to_numpy().astype(np.int64)
+        cost_c = rcst[pos_c[sel]] * b["l_quantity"].to_numpy().astype(np.int64)
+        spos = np.searchsorted(skeys, b["l_suppkey"].to_numpy(dtype=np.int64))
         out = pd.DataFrame(
             {
                 "okey": b["l_orderkey"].to_numpy(dtype=np.int64),
-                "nation": [sm[int(k)] for k in b["l_suppkey"].to_numpy(dtype=np.int64)],
+                "nation": snat[spos],
                 "pc": rev_c - cost_c,
             }
         )

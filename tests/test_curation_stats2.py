@@ -118,3 +118,38 @@ def test_encoding_audit_multibyte():
     assert out["n_bytes"].iloc[1] == 15
     assert out["multibyte_ratio"].iloc[1] == 2.0
     assert list(out["has_replacement"]) == [0, 0, 1]
+
+
+def test_encoding_audit_empty_doc_zero_ratio():
+    from kgray.ops.text import encoding_audit
+
+    b = pd.DataFrame({"doc_id": [1], "text": [""]})
+    out = encoding_audit(b)
+    assert out["multibyte_ratio"].iloc[0] == 0.0
+    assert out["n_chars"].iloc[0] == 0 and out["n_bytes"].iloc[0] == 0
+
+
+def test_conversion_lag_duplicate_timestamp_purchases(ray_session):
+    from kgray.ops.temporal import conversion_lag_hist
+    import ray.data as rd
+
+    rows = [
+        {"user_id": 1, "event_type": "click", "ts": "2024-01-01 10:00:00"},
+        # TWO purchases at the identical microsecond: both are conversions
+        {"user_id": 1, "event_type": "purchase", "ts": "2024-01-01 10:01:40"},
+        {"user_id": 1, "event_type": "purchase", "ts": "2024-01-01 10:01:40"},
+    ]
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    out = conversion_lag_hist(rd.from_pandas(df))
+    assert out["n_conversions"].sum() == 2
+
+    # and the SQL twin must carry the multiplicity too
+    import duckdb
+
+    import __ray_entry__ as m
+
+    con = duckdb.connect()
+    con.register("events", df)
+    oracle = con.sql(m.oracle_sql()["events_conversion_lag"]).df()
+    assert int(oracle["n_conversions"].sum()) == 2
