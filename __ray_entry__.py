@@ -1514,11 +1514,9 @@ def _q_events_conversion_lag(sf_dir: str) -> pd.DataFrame:
 def _markov_entropy_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str:
     """Entropy-rate twin: the markov CTE chain + one fixed-order double
     term per observed transition, nano-quantized and integer-summed."""
-    base = _markov_oracle_sql(iterations=iterations, scale=scale)
-    # strip the builder's final SELECT, keep the WITH chain
-    head = base[: base.rindex("SELECT ty AS event_type")]
     return (
-        head
+        "WITH "
+        + ",\n".join(_markov_cte_parts(iterations, scale))
         + f"""
         SELECT (SELECT CAST(count(*) AS BIGINT) FROM types) AS n_types,
                CAST(sum(CAST(floor((CAST(q{iterations}.q AS DOUBLE) / {float(scale)})
@@ -1667,10 +1665,12 @@ def _q_embedding_dot_hist(sf_dir: str) -> pd.DataFrame:
     return pairwise_dot_hist(ds)
 
 
-def _markov_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str:
-    """Markov stationary twin: the SAME integer floor-division iteration
-    x'_j = Σᵢ (qᵢ·cᵢⱼ) // rᵢ unrolled as MATERIALIZED CTEs (the HITS
-    builder pattern); absorbing types get the self-loop patch."""
+def _markov_cte_parts(iterations: int = 20, scale: int = 10**12) -> list[str]:
+    """Shared WITH-chain for the Markov twins (stationary + entropy):
+    the SAME integer floor-division iteration x'_j = Σᵢ (qᵢ·cᵢⱼ) // rᵢ
+    unrolled as MATERIALIZED CTEs (the HITS builder pattern); absorbing
+    types get the self-loop patch.  Returned as a parts list so each
+    consumer appends its own final SELECT — no string surgery."""
     parts = [
         """seq AS MATERIALIZED (
             SELECT event_type AS prev,
@@ -1700,9 +1700,14 @@ def _markov_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str:
                                   WHERE cm.nxt = types.ty), 0) AS BIGINT) AS q
             FROM types)"""
         )
+    return parts
+
+
+def _markov_oracle_sql(iterations: int = 20, scale: int = 10**12) -> str:
+    """Markov stationary twin — final SELECT over _markov_cte_parts."""
     return (
         "WITH "
-        + ",\n".join(parts)
+        + ",\n".join(_markov_cte_parts(iterations, scale))
         + f"""
         SELECT ty AS event_type, CAST(q AS DOUBLE) / {float(scale)} AS stationary
         FROM q{iterations}"""

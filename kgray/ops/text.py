@@ -1037,6 +1037,7 @@ def sentence_length_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STOPSET = frozenset(GOPHER_STOPWORDS)
 
 
 def gopher_word_rules(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1051,7 +1052,7 @@ def gopher_word_rules(batch: pd.DataFrame) -> pd.DataFrame:
     tokens = text.str.split(" ")
     n_words = tokens.map(len).astype("int64")
     sum_len = (text.str.len() - (n_words - 1)).astype("int64")
-    n_stop = tokens.map(lambda t: len(set(t) & set(GOPHER_STOPWORDS))).astype("int64")
+    n_stop = tokens.map(lambda t: len(_GOPHER_STOPSET.intersection(t))).astype("int64")
     words_ok = (n_words >= 50) & (n_words <= 100_000)
     len_ok = (3 * n_words <= sum_len) & (sum_len <= 10 * n_words)
     stop_ok = n_stop >= 2
@@ -1078,15 +1079,18 @@ def compression_ratio(batch: pd.DataFrame, level: int = 6) -> pd.DataFrame:
     raw = text.str.encode("utf-8")
     comp = raw.map(lambda b: len(zlib.compress(b, level)))
     rawlen = raw.map(len).astype("int64")
+    # empty documents get ratio 0.0 (mirrors encoding_audit's empty
+    # handling) instead of the nonsense compressed_bytes/1 value
+    ratio = (comp.astype("int64") * 1_000_000 // rawlen.clip(lower=1)).astype(
+        "int64"
+    ).astype("float64") / 1e6
+    ratio[rawlen == 0] = 0.0
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
             "raw_bytes": rawlen,  # true byte count; only the divisor clips
             "compressed_bytes": comp.astype("int64"),
-            "ratio": (comp.astype("int64") * 1_000_000 // rawlen.clip(lower=1))
-            .astype("int64")
-            .astype("float64")
-            / 1e6,
+            "ratio": ratio,
         }
     )
 

@@ -2701,14 +2701,25 @@ def product_profit(
             + 0.5
         ).astype(np.int64)
         cost_c = rcst[pos_c[sel]] * b["l_quantity"].to_numpy().astype(np.int64)
-        spos = np.searchsorted(skeys, b["l_suppkey"].to_numpy(dtype=np.int64))
+        lsup = b["l_suppkey"].to_numpy(dtype=np.int64)
+        if len(skeys):
+            spos = np.minimum(np.searchsorted(skeys, lsup), len(skeys) - 1)
+            smiss = skeys[spos] != lsup
+        else:
+            spos = np.zeros(len(lsup), dtype=np.int64)
+            smiss = np.ones(len(lsup), dtype=bool)
+        nation = snat[spos]
+        if smiss.any():  # dangling l_suppkey: drop rather than mis-attribute
+            nation = np.where(smiss, None, nation)
         out = pd.DataFrame(
             {
                 "okey": b["l_orderkey"].to_numpy(dtype=np.int64),
-                "nation": snat[spos],
+                "nation": nation,
                 "pc": rev_c - cost_c,
             }
         )
+        if smiss.any():
+            out = out.loc[~smiss]
         out["side"] = np.int8(0)
         out["o_year"] = ""
         return out
@@ -3302,16 +3313,25 @@ def nation_revenue_hhi(sf_dir: str) -> pd.DataFrame:
     from kgray.functions.broadcast import cached_get
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.sort_values("c_custkey")
     cmap_ref = ray.put(
-        dict(zip(cust["c_custkey"].astype(int), cust["c_nationkey"].astype(int)))
+        (
+            cust["c_custkey"].to_numpy(dtype=np.int64),
+            cust["c_nationkey"].to_numpy(dtype=np.int64),
+        )
     )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        cm = cached_get(cmap_ref)
+        ckeys, cnat = cached_get(cmap_ref)
         rc = np.floor(b["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
-        nk = np.array([cm[int(k)] for k in b["o_custkey"].to_numpy(dtype=np.int64)])
+        ok = b["o_custkey"].to_numpy(dtype=np.int64)
+        pos = np.minimum(np.searchsorted(ckeys, ok), max(len(ckeys) - 1, 0))
+        hit = (ckeys[pos] == ok) if len(ckeys) else np.zeros(len(ok), dtype=bool)
         return (
-            pd.DataFrame({"nk": nk, "rc": rc}).groupby("nk", sort=False)["rc"].sum().reset_index()
+            pd.DataFrame({"nk": cnat[pos][hit], "rc": rc[hit]})
+            .groupby("nk", sort=False)["rc"]
+            .sum()
+            .reset_index()
         )
 
     parts = (
