@@ -802,6 +802,54 @@ def _q_embedding_outlier_z(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _winnowing_oracle_sql(
+    k: int = 20, w: int = 4, min_shared: int = 2, max_docs_per_fp: int = 100
+) -> str:
+    """Winnowing twin for the poly hash mode: the SAME polynomial
+    code-point hash h(p) = Σᵢ c[p+i]·B^{k-1-i} mod 2⁴⁰, built from k
+    lead() terms over a per-doc code-point table (one char-split + one
+    sort per doc) in HUGEINT — DuckDB ascii()/string_split are
+    code-point-based, matching the numpy UTF-32 reinterpret exactly."""
+    from kgray.ops.dedup import WINNOW_POLY_MOD, winnow_poly_powers
+
+    pows = winnow_poly_powers(k).tolist()
+    terms = " + ".join(
+        f"CAST({'c' if i == 0 else f'lead(c, {i}) OVER wd'} AS HUGEINT) * {p}"
+        for i, p in enumerate(pows)
+    )
+    return f"""
+        WITH cs AS (
+          SELECT doc_id, string_split(text, '') AS cl
+          FROM documents WHERE length(text) >= {k + w - 1}),
+        codes AS MATERIALIZED (
+          SELECT doc_id, p, ascii(cl[CAST(p AS INTEGER)]) AS c
+          FROM cs, LATERAL unnest(generate_series(1, len(cl), 1)) AS t(p)),
+        h AS MATERIALIZED (
+          SELECT doc_id, p,
+                 CAST(({terms}) % {WINNOW_POLY_MOD} AS BIGINT) AS hv,
+                 count(*) OVER (PARTITION BY doc_id) AS nchar
+          FROM codes
+          WINDOW wd AS (PARTITION BY doc_id ORDER BY p)
+          QUALIFY p <= nchar - {k - 1}),
+        wins AS (
+          SELECT doc_id, p,
+                 min(hv) OVER (PARTITION BY doc_id ORDER BY p
+                               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
+                 count(*) OVER (PARTITION BY doc_id) AS npos
+          FROM h),
+        fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE p <= npos - {w - 1}),
+        good AS (SELECT fp FROM fps GROUP BY fp
+                 HAVING count(*) BETWEEN 2 AND {max_docs_per_fp}),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM fps a JOIN fps b USING (fp) JOIN good USING (fp)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= {min_shared}
+    """
+
+
 def _q_doc_winnowing_pairs(sf_dir: str) -> pd.DataFrame:
     """Winnowing (MOSS) fingerprint match pairs: fp-hash bucket shuffle +
     pair-hash merge, ubiquitous fingerprints cut at both ends
@@ -810,8 +858,8 @@ def _q_doc_winnowing_pairs(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     # test-scale documents.parquet is ONE row group → one block; pre-split
-    # so the md5-hot fingerprint stage parallelizes (corpus-scale inputs
-    # with many blocks should omit pre_split)
+    # so the fingerprint stage parallelizes (corpus-scale inputs with many
+    # blocks should omit pre_split)
     return (
         winnowing_pairs(ds, k=20, w=4, min_shared=2, pre_split=32)
         .to_pandas()
@@ -6486,29 +6534,7 @@ FROM cs GROUP BY 1
                    END AS z
             FROM d2 JOIN mo ON mo.label = d2.label
         """,
-        "doc_winnowing_pairs": """
-            WITH h AS (
-              SELECT doc_id, p,
-                     CAST(concat('0x', substr(md5(substr(text, CAST(p AS INTEGER), 20)), 1, 15))
-                          AS BIGINT) AS hv
-              FROM documents, LATERAL unnest(generate_series(1, length(text) - 19, 1)) AS t(p)
-              WHERE length(text) >= 20),
-            wins AS (
-              SELECT doc_id, p,
-                     min(hv) OVER (PARTITION BY doc_id ORDER BY p
-                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-                     count(*) OVER (PARTITION BY doc_id) AS npos
-              FROM h),
-            fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE p <= npos - 3),
-            good AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 100),
-            pairs AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     CAST(count(*) AS BIGINT) AS n_shared
-              FROM fps a JOIN fps b USING (fp) JOIN good USING (fp)
-              WHERE a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
-        """,
+        "doc_winnowing_pairs": _winnowing_oracle_sql(),
         "doc_substring_dedup": """
             WITH w AS (
               SELECT doc_id, substr(text, CAST(p AS INTEGER), 40) AS sub

@@ -24,6 +24,22 @@ from kgray.state.unionfind import UnionFind
 
 _MERSENNE = (1 << 61) - 1
 
+# winnowing poly-hash constants — shared with the DuckDB twin builder
+# (__ray_entry__._winnowing_oracle_sql).  MOD is a power of two so the
+# numpy side masks instead of dividing; BASE is odd so the map doesn't
+# degenerate.  Code points < 2^21 and powers < 2^40 keep every
+# multiply-add below 2^62 (int64-safe).
+WINNOW_POLY_BASE = 1_000_003
+WINNOW_POLY_MOD = 1 << 40
+
+
+def winnow_poly_powers(k: int) -> np.ndarray:
+    """B^(k-1-i) mod 2^40 for i in 0..k-1 (highest power first)."""
+    return np.array(
+        [pow(WINNOW_POLY_BASE, k - 1 - i, WINNOW_POLY_MOD) for i in range(k)],
+        dtype=np.int64,
+    )
+
 
 def _mix64(a: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer — vectorized uint64 mixing for band-bucket ids."""
@@ -1644,6 +1660,7 @@ def winnowing_pairs(
     id_col: str = "doc_id",
     num_buckets: int = 64,
     pre_split: int | None = None,
+    hash_mode: str = "poly",
 ) -> ray.data.Dataset:
     """Winnowing fingerprint matching (Schleimer/Wilkerson/Aiken 2003, the
     MOSS local-fingerprinting algorithm): per doc, the MIN k-gram hash of
@@ -1652,23 +1669,32 @@ def winnowing_pairs(
     count — local similarity that survives insertions/reorderings where
     whole-doc hashes break.
 
-    Hashes are md5-prefix ints (60 bits) so the DuckDB twin reproduces
-    them exactly.  Fingerprints matching more than ``max_docs_per_fp``
-    docs are DROPPED on both sides (ubiquitous boilerplate ≈ stopword
-    fingerprints — the standard MOSS idf cut; this bounds the per-bucket
-    pair fan-out to cap²).
+    ``hash_mode="poly"`` (default): the k-gram hash is a polynomial
+    rolling hash over Unicode CODE POINTS, h = Σᵢ c[p+i]·B^{k-1-i}
+    mod 2⁴⁰ (B = 1000003) — computed as ONE batch-concatenated numpy
+    pass (k vectorized multiply-add-mask steps over all docs at once,
+    no per-position Python calls), and reproduced exactly by the DuckDB
+    twin with lead() terms in HUGEINT (code-point semantics match
+    DuckDB ascii/substr — pinned in PARITY tests).  ``hash_mode="md5"``
+    keeps the original md5-prefix hash (60 bits) for twin/parity
+    compatibility with the round-3/4 oracle.
+
+    Fingerprints matching more than ``max_docs_per_fp`` docs are DROPPED
+    on both sides (ubiquitous boilerplate ≈ stopword fingerprints — the
+    standard MOSS idf cut; this bounds the per-bucket pair fan-out to
+    cap²).
 
     Scale shape: (fp, doc) distinct rows — ~|corpus|/2 per the winnowing
     density bound — meet once in FP-hash buckets; each bucket emits
     bounded pairs; a second PAIR-hash shuffle merges overlap counts
     exactly.  Returns a Dataset (doc_a, doc_b, n_shared).
 
-    ``pre_split``: the per-position md5 loop is the CPU hot spot, and a
-    single-row-group parquet file reaches it as ONE block (serial).
-    Passing pre_split=N repartitions first so the hot stage spreads
-    across the pool — set it ONLY for few-block inputs (the test-scale
-    query wrapper passes 32); the default None never coalesces a
-    many-block corpus-scale stream or adds an exchange.
+    ``pre_split``: a single-row-group parquet file reaches the
+    fingerprint stage as ONE block (serial).  Passing pre_split=N
+    repartitions first so the stage spreads across the pool — set it
+    ONLY for few-block inputs (the test-scale query wrapper passes 32);
+    the default None never coalesces a many-block corpus-scale stream
+    or adds an exchange.
     """
     import hashlib
 
@@ -1677,10 +1703,51 @@ def winnowing_pairs(
     if pre_split:
         ds = ds.repartition(pre_split)
 
+    # poly-hash constants (shared with the DuckDB twin builder,
+    # __ray_entry__._winnowing_oracle_sql)
+    MASK = WINNOW_POLY_MOD - 1
+    POW = winnow_poly_powers(k)
+
+    def _poly_doc_fps(b: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        """All docs of the batch in ONE concatenated vectorized pass.
+        Returns (doc_row_idx, fp) with (doc, fp) NOT yet deduped."""
+        texts = b[text_col].fillna("").tolist()
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        total = int(lens.sum())
+        if total < k + w - 1:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        # UTF-32 reinterpret = code points, matching DuckDB ascii/substr
+        cat = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        npos_t = total - k + 1
+        h = np.zeros(npos_t, dtype=np.int64)
+        for i in range(k):  # k vectorized multiply-add-mask steps, whole batch
+            h += cat[i : i + npos_t] * POW[i]
+            h &= MASK
+        nwin_t = npos_t - w + 1
+        m = h[:nwin_t].copy()
+        for off in range(1, w):
+            np.minimum(m, h[off : off + nwin_t], out=m)
+        # valid window starts per doc: starts[d] .. starts[d]+lens[d]-(k+w-1)
+        nwin = np.maximum(lens - (k + w - 2), 0)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), nwin)
+        cum = np.cumsum(nwin) - nwin
+        within = np.arange(int(nwin.sum()), dtype=np.int64) - np.repeat(cum, nwin)
+        gpos = np.repeat(starts, nwin) + within
+        return doc_idx, m[gpos]
+
     def fingerprints(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(dtype=np.int64)
+        if hash_mode == "poly":
+            doc_idx, fp = _poly_doc_fps(b)
+            out = pd.DataFrame({"fp": fp, "doc_id": ids[doc_idx]}).drop_duplicates()
+            out = out.astype({"fp": "int64", "doc_id": "int64"})
+            out["bucket"] = (out["fp"] % num_buckets).astype("int32")
+            return out
         fps: list[int] = []
         docs: list[int] = []
-        ids = b[id_col].to_numpy(dtype=np.int64)
         for did, s in zip(ids, b[text_col].fillna("").tolist()):
             npos = len(s) - k + 1
             if npos < w:
@@ -1718,11 +1785,21 @@ def winnowing_pairs(
         g = g.loc[(sizes >= 2) & (sizes <= max_docs_per_fp)]
         rows_a: list[np.ndarray] = []
         rows_b: list[np.ndarray] = []
-        for _, grp in g.groupby("fp", sort=False):
-            ids = np.sort(grp["doc_id"].to_numpy(dtype=np.int64))
-            i, j = np.triu_indices(len(ids), k=1)
-            rows_a.append(ids[i])
-            rows_b.append(ids[j])
+        if len(g):
+            # offset-d vectorized pair emission (no Python loop over fp
+            # groups): rows sorted by (fp, doc_id); offset d pairs row r
+            # with r+d when both share the fp — group sizes are capped at
+            # max_docs_per_fp so d is bounded
+            g = g.sort_values(["fp", "doc_id"])
+            fpv = g["fp"].to_numpy(dtype=np.int64)
+            idv = g["doc_id"].to_numpy(dtype=np.int64)
+            brk = np.flatnonzero(np.concatenate(([True], fpv[1:] != fpv[:-1])))
+            max_sz = int(np.diff(np.concatenate((brk, [len(fpv)]))).max())
+            for d in range(1, max_sz):
+                msk = fpv[d:] == fpv[:-d]
+                if msk.any():
+                    rows_a.append(idv[:-d][msk])
+                    rows_b.append(idv[d:][msk])
         if not rows_a:
             return pd.DataFrame(
                 {

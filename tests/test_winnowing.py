@@ -31,6 +31,59 @@ def test_winnowing_short_docs_no_crash(ray_session):
     assert len(out) == 0
 
 
+def test_winnowing_md5_mode_finds_moved_passage(ray_session):
+    passage = "this exact shared passage survives being moved around in the document"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "intro words before. " + passage + " trailing one",
+                passage + " completely different remainder of text here",
+            ],
+        }
+    )
+    out = winnowing_pairs(ray.data.from_pandas(docs), hash_mode="md5").to_pandas()
+    assert set(zip(out["doc_a"], out["doc_b"])) == {(1, 2)}
+
+
+def test_winnowing_poly_duckdb_parity_multibyte(ray_session):
+    """The vectorized UTF-32 poly-hash kernel must reproduce the DuckDB
+    twin bit-for-bit, including on multibyte (code-point ≠ byte) text."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    passage = "this exact shared passage survives being moved around in the document"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "intro words before. " + passage + " trailing one",
+                passage + " completely different remainder of text here",
+                "no overlap with the others at all, a separate subject entirely",
+                "短い中文テキスト with mixed 多字节 content long enough to matter " + passage,
+            ],
+        }
+    )
+    out = (
+        winnowing_pairs(ray.data.from_pandas(docs))
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    oracle = (
+        con.execute(entry._winnowing_oracle_sql())
+        .df()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(out, oracle)
+
+
 def test_langid_confusion_diagonal(ray_session):
     docs = pd.DataFrame(
         {
