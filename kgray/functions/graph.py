@@ -645,6 +645,185 @@ def connected_components_named(
     )
 
 
+def _shortest_paths_bucketed(
+    edges: ray.data.Dataset,
+    seeds: list[str],
+    *,
+    hops: int,
+    src_col: str,
+    dst_col: str,
+    weight_col: str | None,
+    directed: bool,
+    num_buckets: int,
+) -> pd.DataFrame:
+    """Shortest-paths rung with NO node-sized driver state (the pagerank
+    `_pagerank_bucketed` pattern): distances live as a hash-bucketed
+    (node, d) Dataset keyed by the node NAME, initialized sparse at the
+    seed set, and each Bellman-Ford round is two reduce-side bucket
+    joins — (dist ∪ edges) co-locate in hash(src) buckets and emit
+    per-dst candidate minima; (dist ∪ candidates) co-locate in
+    hash(node) buckets and keep the min.  Driver traffic is zero during
+    the rounds; the final result (reached nodes only) is output-sized.
+
+    Candidate values are the identical ``dist + cost`` floats the driver
+    rung computes and min() is order-independent, so the rungs agree
+    bit-for-bit before the 1e-6 rounding (pinned by a forced-knob parity
+    test)."""
+    B = num_buckets
+
+    def _nb(names) -> np.ndarray:
+        return (
+            pd.util.hash_array(np.asarray(names, dtype=object)) % np.uint64(B)
+        ).astype("int32")
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bkt": pd.Series(dtype="int32"),
+                "kind": pd.Series(dtype="int8"),
+                "node": pd.Series(dtype=object),
+                "dst": pd.Series(dtype=object),
+                "d": pd.Series(dtype="float64"),
+            }
+        )
+
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        w = (
+            b[weight_col].to_numpy(dtype=np.float64)
+            if weight_col is not None
+            else np.ones(len(b))
+        )
+        c = 1.0 / w
+        src = b[src_col].to_numpy(dtype=object)
+        dst = b[dst_col].to_numpy(dtype=object)
+        if not directed:
+            src, dst, c = (
+                np.concatenate([src, dst]),
+                np.concatenate([dst, src]),
+                np.concatenate([c, c]),
+            )
+        out = pd.DataFrame({"node": src, "dst": dst, "d": c})
+        # parallel edges keep the cheapest per (src, dst) within the batch;
+        # the bucket-level min below makes it global (src keys co-locate)
+        out = out.groupby(["node", "dst"], sort=False, as_index=False)["d"].min()
+        out.insert(0, "kind", np.int8(1))
+        out.insert(0, "bkt", _nb(out["node"]))
+        return out
+
+    def edge_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["node", "dst"], sort=False, as_index=False)["d"].min()
+        out.insert(0, "kind", np.int8(1))
+        out.insert(0, "bkt", _nb(out["node"]))
+        return out
+
+    edges_b = (
+        edges.map_batches(edge_rows, batch_format="pandas")
+        .groupby("bkt")
+        .map_groups(edge_dedup, batch_format="pandas")
+        .materialize()
+    )
+
+    # seed membership: the seed set is small by definition and broadcasts;
+    # one tiny distinct reduce finds the seeds present in the graph
+    from kgray.functions.broadcast import cached_get as _cg
+
+    seed_ref = ray.put(frozenset(seeds))
+
+    def seed_hits(b: pd.DataFrame) -> pd.DataFrame:
+        sset = _cg(seed_ref)
+        hit = pd.unique(
+            np.concatenate(
+                [
+                    b.loc[b["node"].isin(sset), "node"].to_numpy(dtype=object),
+                    b.loc[b["dst"].isin(sset), "dst"].to_numpy(dtype=object),
+                ]
+            )
+        )
+        return pd.DataFrame({"node": pd.Series(hit, dtype=object)})
+
+    present = edges_b.map_batches(seed_hits, batch_format="pandas").to_pandas()
+    present_names = (
+        np.unique(present["node"].to_numpy(dtype=object))
+        if "node" in present.columns and len(present)
+        else np.array([], dtype=object)
+    )
+    if not len(present_names):
+        raise ValueError("no seed present in the graph")
+
+    dist = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "bkt": _nb(present_names),
+                "kind": np.zeros(len(present_names), dtype=np.int8),
+                "node": pd.Series(present_names, dtype=object),
+                "dst": pd.Series([""] * len(present_names), dtype=object),
+                "d": np.zeros(len(present_names)),
+            }
+        )
+    )
+
+    def cand_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dv = g[g["kind"] == 0]
+        e = g[g["kind"] == 1]
+        if not len(e) or not len(dv):
+            return _empty()
+        m = e.merge(dv[["node", "d"]].rename(columns={"d": "dd"}), on="node")
+        if not len(m):
+            return _empty()
+        out = (
+            pd.DataFrame(
+                {
+                    "node": m["dst"].to_numpy(dtype=object),
+                    "d": m["dd"].to_numpy() + m["d"].to_numpy(),
+                }
+            )
+            .groupby("node", sort=False, as_index=False)["d"]
+            .min()
+        )
+        return pd.DataFrame(
+            {
+                "bkt": _nb(out["node"]),
+                "kind": np.full(len(out), 2, dtype=np.int8),
+                "node": out["node"].astype(object),
+                "dst": np.full(len(out), "", dtype=object),
+                "d": out["d"].to_numpy(dtype=np.float64),
+            }
+        )
+
+    def min_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", sort=False, as_index=False)["d"].min()
+        return pd.DataFrame(
+            {
+                "bkt": _nb(out["node"]),
+                "kind": np.zeros(len(out), dtype=np.int8),
+                "node": out["node"].astype(object),
+                "dst": np.full(len(out), "", dtype=object),
+                "d": out["d"].to_numpy(dtype=np.float64),
+            }
+        )
+
+    for _ in range(hops):
+        cands = (
+            dist.union(edges_b)
+            .groupby("bkt")
+            .map_groups(cand_in_bucket, batch_format="pandas")
+        )
+        dist = (
+            dist.union(cands)
+            .groupby("bkt")
+            .map_groups(min_in_bucket, batch_format="pandas")
+            .materialize()
+        )
+
+    out = dist.to_pandas()
+    d = np.floor(out["d"].to_numpy(dtype=np.float64) * 1e6 + 0.5) / 1e6
+    return (
+        pd.DataFrame({"node": out["node"].astype(object), "dist": d})
+        .sort_values("node", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 def shortest_paths(
     edges: ray.data.Dataset,
     seeds: list[str],
@@ -654,6 +833,8 @@ def shortest_paths(
     weight_col: str | None = "n_obs",
     directed: bool = False,
     driver_edge_max: int = 200_000,
+    driver_node_max: int = 10_000_000,
+    num_buckets: int = 64,
 ) -> pd.DataFrame:
     """Hop-bounded weighted single-source shortest distances (multi-seed
     Bellman-Ford): for every node reachable from the seed set within
@@ -664,14 +845,18 @@ def shortest_paths(
     synchronized rounds, so they agree even on graphs whose true shortest
     paths need more hops.
 
-    Scale ladder mirrors :func:`pagerank`'s first two rungs: sorted node
-    vocabulary collected once, edges integer-encode once; below
-    ``driver_edge_max`` the relaxation loop is driver numpy, above it
-    each round re-streams the encoded edges with per-batch
-    ``np.minimum``-reduced sparse partials over the broadcast distance
-    vector — driver state is one float per node.  min() is
-    order-independent and each candidate is the identical ``dist + 1/w``
-    float, so the twin matches bit-for-bit before the 1e-6 rounding.
+    Scale ladder mirrors :func:`pagerank`'s: sorted node vocabulary
+    collected once, edges integer-encode once; below ``driver_edge_max``
+    the relaxation loop is driver numpy, above it each round re-streams
+    the encoded edges with per-batch ``np.minimum``-reduced sparse
+    partials over the broadcast distance vector — driver state is one
+    float per node; past ``driver_node_max`` (or with the knob forced to
+    0) NO node-sized driver state exists — distances live as a
+    hash-bucketed sparse (node, d) Dataset and each round is two
+    reduce-side bucket joins (see :func:`_shortest_paths_bucketed`).
+    min() is order-independent and each candidate is the identical
+    ``dist + 1/w`` float, so all rungs match bit-for-bit before the 1e-6
+    rounding.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -689,7 +874,21 @@ def shortest_paths(
         )
         return pa.table({"node": pc.unique(nodes)})
 
-    vocab = edges.map_batches(vocab_partial, batch_format="pyarrow").to_pandas()
+    vp = edges.map_batches(vocab_partial, batch_format="pyarrow").materialize()
+    # rung pick WITHOUT collecting the vocabulary: per-block partial rows
+    # upper-bound the distinct node count
+    if driver_node_max <= 0 or vp.count() > driver_node_max:
+        return _shortest_paths_bucketed(
+            edges,
+            seeds,
+            hops=hops,
+            src_col=src_col,
+            dst_col=dst_col,
+            weight_col=weight_col,
+            directed=directed,
+            num_buckets=num_buckets,
+        )
+    vocab = vp.to_pandas()
     if "node" not in vocab.columns or not len(vocab):
         return pd.DataFrame(
             {"node": pd.Series(dtype=object), "dist": pd.Series(dtype="float64")}
@@ -761,12 +960,188 @@ def shortest_paths(
     return pd.DataFrame({"node": node_names[reached], "dist": d})
 
 
+def _lpa_bucketed(
+    edges: ray.data.Dataset,
+    *,
+    rounds: int,
+    src_col: str,
+    dst_col: str,
+    num_buckets: int,
+) -> pd.DataFrame:
+    """Label-propagation rung with NO node-sized driver state: labels
+    live as a hash-bucketed (node, lbl) Dataset keyed by the node NAME;
+    each synchronous round is two reduce-side bucket joins — (labels ∪
+    directed edges) co-locate in hash(src) buckets and emit
+    pre-aggregated (voter, label, count) vote partials; (labels ∪ votes)
+    co-locate in hash(node) buckets and each bucket applies the argmax
+    (max count, tie → lexicographically smallest label — identical to
+    the driver rung's sorted-vocabulary index tie-break, since the dense
+    index order IS lexicographic).  Driver traffic during the rounds is
+    zero; the returned frame is output-sized, as in the other rungs."""
+    B = num_buckets
+
+    def _nb(names) -> np.ndarray:
+        return (
+            pd.util.hash_array(np.asarray(names, dtype=object)) % np.uint64(B)
+        ).astype("int32")
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bkt": pd.Series(dtype="int32"),
+                "kind": pd.Series(dtype="int8"),
+                "node": pd.Series(dtype=object),
+                "dst": pd.Series(dtype=object),
+                "lbl": pd.Series(dtype=object),
+                "c": pd.Series(dtype="int64"),
+            }
+        )
+
+    def seed_rows(b: pd.DataFrame) -> pd.DataFrame:
+        src = b[src_col].to_numpy(dtype=object)
+        dst = b[dst_col].to_numpy(dtype=object)
+        # every endpoint (self-loop-only nodes included) seeds a label row
+        nodes = pd.unique(np.concatenate([src, dst]))
+        keep = src != dst  # self-loops don't vote
+        # directed BOTH ways so each endpoint's label reaches the other
+        vs = np.concatenate([src[keep], dst[keep]])
+        vd = np.concatenate([dst[keep], src[keep]])
+        ev = pd.DataFrame({"node": vs, "dst": vd}).drop_duplicates()
+        out = pd.DataFrame(
+            {
+                "bkt": np.concatenate([_nb(nodes), _nb(ev["node"])]),
+                "kind": np.concatenate(
+                    [np.zeros(len(nodes), dtype=np.int8), np.ones(len(ev), dtype=np.int8)]
+                ),
+                "node": np.concatenate(
+                    [nodes, ev["node"].to_numpy(dtype=object)]
+                ),
+                "dst": np.concatenate(
+                    [np.full(len(nodes), "", dtype=object), ev["dst"].to_numpy(dtype=object)]
+                ),
+                "lbl": np.concatenate(
+                    [nodes, np.full(len(ev), "", dtype=object)]
+                ),
+                "c": np.zeros(len(nodes) + len(ev), dtype=np.int64),
+            }
+        )
+        return out
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # hash(node) co-locates every copy of a directed edge AND every
+        # seed copy of a node, so in-bucket dedup is global
+        e = g[g["kind"] == 1].drop_duplicates(["node", "dst"])
+        s = g[g["kind"] == 0].drop_duplicates(["node"])
+        return pd.concat([s, e], ignore_index=True)
+
+    state0 = (
+        edges.map_batches(seed_rows, batch_format="pandas")
+        .groupby("bkt")
+        .map_groups(dedup_bucket, batch_format="pandas")
+        .materialize()
+    )
+    edges_b = state0.map_batches(
+        lambda b: b[b["kind"] == 1], batch_format="pandas"
+    ).materialize()
+    labels = state0.map_batches(
+        lambda b: b[b["kind"] == 0], batch_format="pandas"
+    ).materialize()
+
+    def votes_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lb = g[g["kind"] == 0]
+        e = g[g["kind"] == 1]
+        if not len(e) or not len(lb):
+            return _empty()
+        m = e.merge(lb[["node", "lbl"]].rename(columns={"lbl": "sl"}), on="node")
+        if not len(m):
+            return _empty()
+        out = (
+            pd.DataFrame(
+                {
+                    "node": m["dst"].to_numpy(dtype=object),
+                    "lbl": m["sl"].to_numpy(dtype=object),
+                }
+            )
+            .groupby(["node", "lbl"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "bkt": _nb(out["node"]),
+                "kind": np.full(len(out), 2, dtype=np.int8),
+                "node": out["node"].astype(object),
+                "dst": np.full(len(out), "", dtype=object),
+                "lbl": out["lbl"].astype(object),
+                "c": out["c"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    def update_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[g["kind"] == 0]
+        if not len(base):
+            return _empty()
+        v = g[g["kind"] == 2]
+        if len(v):
+            # votes from two bucket tasks for the same voter merge here
+            v = v.groupby(["node", "lbl"], sort=False, as_index=False)["c"].sum()
+            v = v.sort_values(["node", "c", "lbl"], ascending=[True, False, True])
+            win = v.drop_duplicates("node").set_index("node")["lbl"]
+            new = base["node"].map(win)
+            lbl = np.where(
+                new.notna().to_numpy(),
+                new.to_numpy(dtype=object),
+                base["lbl"].to_numpy(dtype=object),
+            )
+        else:
+            lbl = base["lbl"].to_numpy(dtype=object)
+        return pd.DataFrame(
+            {
+                "bkt": base["bkt"].astype("int32"),
+                "kind": np.zeros(len(base), dtype=np.int8),
+                "node": base["node"].astype(object),
+                "dst": np.full(len(base), "", dtype=object),
+                "lbl": pd.Series(lbl, dtype=object).to_numpy(dtype=object),
+                "c": np.zeros(len(base), dtype=np.int64),
+            }
+        )
+
+    for _ in range(rounds):
+        votes = (
+            labels.union(edges_b)
+            .groupby("bkt")
+            .map_groups(votes_in_bucket, batch_format="pandas")
+        )
+        labels = (
+            labels.union(votes)
+            .groupby("bkt")
+            .map_groups(update_in_bucket, batch_format="pandas")
+            .materialize()
+        )
+
+    out = labels.to_pandas()
+    if "node" not in out.columns or not len(out):
+        return pd.DataFrame(
+            {"node": pd.Series(dtype=object), "community": pd.Series(dtype=object)}
+        )
+    return (
+        pd.DataFrame(
+            {"node": out["node"].astype(object), "community": out["lbl"].astype(object)}
+        )
+        .sort_values("node", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 def label_propagation(
     edges: ray.data.Dataset,
     rounds: int = 4,
     src_col: str = "subj_name",
     dst_col: str = "obj_name",
     driver_edge_max: int = 200_000,
+    driver_node_max: int = 10_000_000,
+    num_buckets: int = 64,
 ) -> pd.DataFrame:
     """Synchronous label-propagation community detection over the
     undirected DISTINCT edge set: every node starts labelled with its own
@@ -785,7 +1160,10 @@ def label_propagation(
     per-batch (dst, label, count) partials pre-aggregate in
     ``map_batches`` and the driver combines label votes — driver state is
     one int per node plus the (node, label) vote stream, bounded by the
-    distinct edge count."""
+    distinct edge count; past ``driver_node_max`` (or with the knob
+    forced to 0) NO node-sized driver state exists — labels live as a
+    hash-bucketed (node, lbl) Dataset and each round is two reduce-side
+    bucket joins (see :func:`_lpa_bucketed`)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -800,7 +1178,18 @@ def label_propagation(
         )
         return pa.table({"node": pc.unique(nodes)})
 
-    vocab = edges.map_batches(vocab_partial, batch_format="pyarrow").to_pandas()
+    vp = edges.map_batches(vocab_partial, batch_format="pyarrow").materialize()
+    # rung pick WITHOUT collecting the vocabulary: per-block partial rows
+    # upper-bound the distinct node count
+    if driver_node_max <= 0 or vp.count() > driver_node_max:
+        return _lpa_bucketed(
+            edges,
+            rounds=rounds,
+            src_col=src_col,
+            dst_col=dst_col,
+            num_buckets=num_buckets,
+        )
+    vocab = vp.to_pandas()
     if "node" not in vocab.columns or not len(vocab):
         return pd.DataFrame(
             {"node": pd.Series(dtype=object), "community": pd.Series(dtype=object)}
@@ -1577,57 +1966,90 @@ def hits(
     )
 
 
-def degree_assortativity(
+def _assortativity_moments_bucketed(
     edges: ray.data.Dataset,
-    src_col: str = "subj_name",
-    dst_col: str = "obj_name",
+    degs_ds: ray.data.Dataset,
+    *,
+    src_col: str,
+    dst_col: str,
+    num_buckets: int,
 ) -> pd.DataFrame:
-    """Degree assortativity of the KG: Pearson correlation between the
-    TOTAL degrees at the two ends of every edge (negative = hubs link to
-    leaves, the usual KG shape; positive = rich-club).
+    """Edge-degree moment partials with the degree table NEVER on the
+    driver: (degree rows ∪ edge rows) co-locate in hash(src) buckets to
+    attach x = deg(src); the annotated edges re-key by dst and meet the
+    degree rows again in hash(dst) buckets, where each bucket emits ONE
+    int64 (n, sx, sy, sxx, syy, sxy) partial row."""
+    B = num_buckets
 
-    Scale shape: degrees come from per-batch (node, count) partials and
-    one node-hash groupby (the documented vocabulary-bounded reduce); the
-    broadcast degree map then annotates the re-streamed edge batches,
-    which emit int64-exact moment partials — the driver reduces a
-    6-scalar row per block and does the one float division.
-    """
-    from kgray.functions.broadcast import cached_get
-
-    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
-        s = b.groupby(src_col, sort=False).size().reset_index(name="d")
-        s.columns = ["name", "d"]
-        o = b.groupby(dst_col, sort=False).size().reset_index(name="d")
-        o.columns = ["name", "d"]
-        out = pd.concat([s, o], ignore_index=True)
-        out["bucket"] = (
-            pd.util.hash_array(out["name"].to_numpy(dtype=object)) % 64
+    def _nb(names) -> np.ndarray:
+        return (
+            pd.util.hash_array(np.asarray(names, dtype=object)) % np.uint64(B)
         ).astype("int32")
-        out["d"] = out["d"].astype("int64")
-        return out
 
-    def deg_combine(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("name", sort=False)["d"].sum().reset_index(name="deg")
-        out["deg"] = out["deg"].astype("int64")
-        return out[["name", "deg"]]
+    def deg_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bkt": _nb(b["name"]),
+                "kind": np.zeros(len(b), dtype=np.int8),
+                "name": b["name"].astype(object),
+                "dst": np.full(len(b), "", dtype=object),
+                "v": b["deg"].to_numpy(dtype=np.int64),
+            }
+        )
 
-    degs = (
-        edges.map_batches(deg_partial, batch_format="pandas", batch_size=262144)
-        .groupby("bucket")
-        .map_groups(deg_combine, batch_format="pandas")
-        .to_pandas()  # one row per node (vocabulary-bounded)
+    deg_b = degs_ds.map_batches(deg_rows, batch_format="pandas").materialize()
+
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bkt": _nb(b[src_col]),
+                "kind": np.ones(len(b), dtype=np.int8),
+                "name": b[src_col].astype(object),
+                "dst": b[dst_col].astype(object),
+                "v": np.zeros(len(b), dtype=np.int64),
+            }
+        )
+
+    def attach_x(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["kind"] == 0]
+        e = g[g["kind"] == 1]
+        if not len(e) or not len(d):
+            return pd.DataFrame(
+                {
+                    "bkt": pd.Series(dtype="int32"),
+                    "kind": pd.Series(dtype="int8"),
+                    "name": pd.Series(dtype=object),
+                    "dst": pd.Series(dtype=object),
+                    "v": pd.Series(dtype="int64"),
+                }
+            )
+        m = e.merge(d[["name", "v"]].rename(columns={"v": "x"}), on="name")
+        return pd.DataFrame(
+            {
+                "bkt": _nb(m["dst"]),
+                "kind": np.full(len(m), 2, dtype=np.int8),
+                "name": m["dst"].astype(object),
+                "dst": np.full(len(m), "", dtype=object),
+                "v": m["x"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    annotated = (
+        deg_b.union(edges.map_batches(edge_rows, batch_format="pandas"))
+        .groupby("bkt")
+        .map_groups(attach_x, batch_format="pandas")
     )
-    empty = pd.DataFrame(
-        {"n_edges": pd.Series(dtype="int64"), "assortativity": pd.Series(dtype="float64")}
-    )
-    if "name" not in degs.columns or not len(degs):
-        return empty
-    deg_ref = ray.put(dict(zip(degs["name"], degs["deg"].astype(np.int64))))
 
-    def moment_partial(b: pd.DataFrame) -> pd.DataFrame:
-        d = cached_get(deg_ref)
-        x = b[src_col].map(d).to_numpy(dtype=np.int64)
-        y = b[dst_col].map(d).to_numpy(dtype=np.int64)
+    def moments_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["kind"] == 0]
+        e = g[g["kind"] == 2]
+        if not len(e) or not len(d):
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+            )
+        m = e.merge(d[["name", "v"]].rename(columns={"v": "y"}), on="name")
+        x = m["v"].to_numpy(dtype=np.int64)
+        y = m["y"].to_numpy(dtype=np.int64)
         return pd.DataFrame(
             {
                 "n": [np.int64(len(x))],
@@ -1639,7 +2061,99 @@ def degree_assortativity(
             }
         )
 
-    mo = edges.map_batches(moment_partial, batch_format="pandas", batch_size=262144).to_pandas()
+    return (
+        deg_b.union(annotated)
+        .groupby("bkt")
+        .map_groups(moments_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def degree_assortativity(
+    edges: ray.data.Dataset,
+    src_col: str = "subj_name",
+    dst_col: str = "obj_name",
+    driver_node_max: int = 10_000_000,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Degree assortativity of the KG: Pearson correlation between the
+    TOTAL degrees at the two ends of every edge (negative = hubs link to
+    leaves, the usual KG shape; positive = rich-club).
+
+    Scale ladder: degrees come from per-batch (node, count) partials and
+    one node-hash groupby.  Below ``driver_node_max`` nodes the combined
+    degree table broadcasts and annotates the re-streamed edge batches,
+    which emit int64-exact moment partials — the driver reduces a
+    6-scalar row per block and does the one float division.  Past the
+    ceiling (or with the knob forced to 0) the degree table NEVER
+    reaches the driver: two reduce-side bucket joins annotate each edge
+    with its endpoint degrees (hash(src) co-location attaches x, the
+    re-keyed stream meets the degree rows again in hash(dst) buckets for
+    y) and the moment partials reduce to the same 6 scalars — integer
+    sums are order-independent, so the rungs agree exactly (pinned by a
+    forced-knob parity test)."""
+    from kgray.functions.broadcast import cached_get
+
+    B = num_buckets
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby(src_col, sort=False).size().reset_index(name="d")
+        s.columns = ["name", "d"]
+        o = b.groupby(dst_col, sort=False).size().reset_index(name="d")
+        o.columns = ["name", "d"]
+        out = pd.concat([s, o], ignore_index=True)
+        out["bucket"] = (
+            pd.util.hash_array(out["name"].to_numpy(dtype=object)) % np.uint64(B)
+        ).astype("int32")
+        out["d"] = out["d"].astype("int64")
+        return out
+
+    def deg_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("name", sort=False)["d"].sum().reset_index(name="deg")
+        out["deg"] = out["deg"].astype("int64")
+        return out[["name", "deg"]]
+
+    degs_ds = (
+        edges.map_batches(deg_partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(deg_combine, batch_format="pandas")
+        .materialize()  # one row per node, still distributed
+    )
+    empty = pd.DataFrame(
+        {"n_edges": pd.Series(dtype="int64"), "assortativity": pd.Series(dtype="float64")}
+    )
+    n_nodes = degs_ds.count()
+    if n_nodes == 0:
+        return empty
+
+    if driver_node_max <= 0 or n_nodes > driver_node_max:
+        mo = _assortativity_moments_bucketed(
+            edges, degs_ds, src_col=src_col, dst_col=dst_col, num_buckets=B
+        )
+    else:
+        degs = degs_ds.to_pandas()
+        if "name" not in degs.columns or not len(degs):
+            return empty
+        deg_ref = ray.put(dict(zip(degs["name"], degs["deg"].astype(np.int64))))
+
+        def moment_partial(b: pd.DataFrame) -> pd.DataFrame:
+            d = cached_get(deg_ref)
+            x = b[src_col].map(d).to_numpy(dtype=np.int64)
+            y = b[dst_col].map(d).to_numpy(dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "n": [np.int64(len(x))],
+                    "sx": [x.sum()],
+                    "sy": [y.sum()],
+                    "sxx": [(x * x).sum()],
+                    "syy": [(y * y).sum()],
+                    "sxy": [(x * y).sum()],
+                }
+            )
+
+        mo = edges.map_batches(
+            moment_partial, batch_format="pandas", batch_size=262144
+        ).to_pandas()
     n = int(mo["n"].sum())
     if n == 0:
         return empty

@@ -1,0 +1,85 @@
+"""VERDICT r4 #3: the fully-bucketed no-driver-vector rungs for
+shortest_paths, label_propagation and degree_assortativity must match
+their driver rungs exactly (forced knob driver_node_max=0 — the
+kcore/CC/pagerank parity pattern)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from kgray.functions.graph import (
+    degree_assortativity,
+    label_propagation,
+    shortest_paths,
+)
+
+
+def _graph(seed=11, n_nodes=40, n_edges=160):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_nodes, n_edges)
+    dst = rng.integers(0, n_nodes, n_edges)
+    return pd.DataFrame(
+        {
+            "subj_name": [f"n{i:03d}" for i in src],
+            "obj_name": [f"n{i:03d}" for i in dst],
+            "n_obs": rng.integers(1, 6, n_edges),
+        }
+    )
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_shortest_paths_bucketed_matches_driver(ray_session, directed):
+    df = _graph()
+    ds = ray.data.from_pandas(df)
+    driver = shortest_paths(
+        ds, seeds=["n000", "n007"], hops=3, directed=directed
+    )
+    bucketed = shortest_paths(
+        ds,
+        seeds=["n000", "n007"],
+        hops=3,
+        directed=directed,
+        driver_node_max=0,
+        num_buckets=8,
+    )
+    pd.testing.assert_frame_equal(driver, bucketed)
+
+
+def test_shortest_paths_bucketed_missing_seed_raises(ray_session):
+    ds = ray.data.from_pandas(_graph())
+    with pytest.raises(ValueError):
+        shortest_paths(ds, seeds=["nope"], hops=2, driver_node_max=0)
+
+
+def test_lpa_bucketed_matches_driver(ray_session):
+    df = _graph(seed=5, n_nodes=30, n_edges=90)
+    # add a self-loop-only node: it must appear in BOTH rungs' output,
+    # keeping its own label (self-loops don't vote)
+    df = pd.concat(
+        [df, pd.DataFrame({"subj_name": ["zzz"], "obj_name": ["zzz"], "n_obs": [1]})],
+        ignore_index=True,
+    )
+    ds = ray.data.from_pandas(df)
+    driver = label_propagation(ds, rounds=3)
+    bucketed = label_propagation(ds, rounds=3, driver_node_max=0, num_buckets=8)
+    pd.testing.assert_frame_equal(driver, bucketed)
+    assert dict(zip(bucketed["node"], bucketed["community"]))["zzz"] == "zzz"
+
+
+def test_lpa_bucketed_star(ray_session):
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"subj_name": ["h"] * 4, "obj_name": [f"l{i}" for i in range(1, 5)]}
+        )
+    )
+    out = label_propagation(ds, rounds=2, driver_node_max=0, num_buckets=4)
+    got = dict(zip(out["node"], out["community"]))
+    assert got == {"h": "h", "l1": "l1", "l2": "l1", "l3": "l1", "l4": "l1"}
+
+
+def test_assortativity_bucketed_matches_driver(ray_session):
+    ds = ray.data.from_pandas(_graph(seed=3))
+    driver = degree_assortativity(ds)
+    bucketed = degree_assortativity(ds, driver_node_max=0, num_buckets=8)
+    pd.testing.assert_frame_equal(driver, bucketed)
