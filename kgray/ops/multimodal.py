@@ -1,12 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio/video decode libraries are not available in this container, so
-the decode kernels are STUBS behind a clearly-marked gate — but the
-Ray-side plumbing is real and tested: binary columns flow as Arrow
-``large_binary`` (keep batches small: payload bytes x batch_size x
-concurrency must fit the worker heap), feature extraction is an actor-pool
-``map_batches`` stage whose model state loads once per actor, and outputs
-are fixed-size float vectors + scalar metadata.
+Image (24-bit BMP, binary PPM) and audio (PCM16 mono WAV) payloads DECODE
+FOR REAL via the pure-numpy codecs in kgray/functions/codecs.py —
+``use_real_decoder=True`` on ImageResizer/AudioWindower runs actual
+decode → resample/window → content stats, oracle-checked against the
+deterministic synthesis formulas.  Only exotic codecs (JPEG/PNG/FLAC,
+video) remain gated behind the absent libraries (PIL/torchaudio/pyav).
+The Ray-side plumbing is shared by both paths: binary columns flow as
+Arrow ``large_binary`` (keep batches small: payload bytes × batch_size ×
+concurrency must fit the worker heap), feature extraction is an
+actor-pool ``map_batches`` stage whose state loads once per actor, and
+outputs are fixed-size vectors + scalar metadata.
 """
 
 from __future__ import annotations
@@ -35,6 +39,59 @@ def attach_payload(batch: pa.Table, source_col: str = "text") -> pa.Table:
         col = col.combine_chunks()
     payload = pc.cast(pc.cast(col, pa.large_string()), pa.large_binary())
     return batch.append_column("payload", payload)
+
+
+# Deterministic synthetic media payloads (VERDICT r4 #4): REAL encoded
+# bytes whose decoded content is a closed-form function of the row id, so
+# a DuckDB twin can verify stats computed FROM THE DECODED PIXELS/SAMPLES
+# with integer arithmetic — no decoder needed oracle-side.
+#
+# image(doc_id d): W = 8 + d%5, H = 6 + d%7, pixel at column x, row y:
+#   r = (3x +  5y +  7d) % 256
+#   g = (11x + 2y + 13d) % 256
+#   b = (7x + 17y +  3d) % 256
+# audio(doc_id d): n = 200 + d%100 samples, a = d%997 + 3, c = (d·d)%65536,
+#   s(i) = ((i·a + c) % 65536) − 32768   (PCM16 mono, 16 kHz)
+
+
+def synth_image_payload(batch: pa.Table, id_col: str = "doc_id",
+                        fmt: str = "bmp") -> pa.Table:
+    """id rows → real encoded BMP/PPM payload bytes (formula above)."""
+    from kgray.functions.codecs import encode_bmp, encode_ppm
+
+    enc = encode_bmp if fmt == "bmp" else encode_ppm
+    payloads = []
+    for did in batch[id_col].to_pylist():
+        d = int(did)
+        w, h = 8 + d % 5, 6 + d % 7
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        px = np.stack(
+            [
+                (3 * x + 5 * y + 7 * d) % 256,
+                (11 * x + 2 * y + 13 * d) % 256,
+                (7 * x + 17 * y + 3 * d) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        payloads.append(enc(px))
+    return batch.append_column("payload", pa.array(payloads, type=pa.large_binary()))
+
+
+def synth_audio_payload(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """id rows → real PCM16 mono WAV payload bytes (formula above)."""
+    from kgray.functions.codecs import encode_wav
+
+    payloads = []
+    for did in batch[id_col].to_pylist():
+        d = int(did)
+        n = 200 + d % 100
+        a = d % 997 + 3
+        c = (d * d) % 65536
+        i = np.arange(n, dtype=np.int64)
+        s = ((i * a + c) % 65536 - 32768).astype(np.int16)
+        payloads.append(encode_wav(s))
+    return batch.append_column("payload", pa.array(payloads, type=pa.large_binary()))
 
 
 class FeatureExtractor:
@@ -182,26 +239,66 @@ def sample_frames(
 
 
 class ImageResizer:
-    """Actor-pool image-resize stage.  Real decode/resize (PIL) is gated —
-    absent in this container — so the "resize" is a deterministic fake
-    (truncate the payload to width×height bytes, standing in for the
-    resampled pixel buffer); the Ray plumbing is real: actor pool, small
-    payload-dominated batches, binary out-column + (width, height, bytes,
-    digest) metadata for the downstream embedding stage."""
+    """Actor-pool image-resize stage.
+
+    ``use_real_decoder=True`` DECODES the payload for real: BMP and PPM
+    payloads (magic-sniffed) decode with the pure-numpy codecs in
+    kgray/functions/codecs.py, resize is integer-exact nearest-neighbor
+    (``src = (dst·in)//out``), and the output carries the re-encoded BMP
+    plus integer channel sums OF THE RESIZED PIXELS — stats a DuckDB twin
+    can reproduce from the synthesis formula.  Exotic codecs (JPEG/PNG)
+    still require PIL and raise behind the library gate.  The default
+    fake path (payload truncation) is kept for plumbing-only tests."""
 
     def __init__(self, width: int = 32, height: int = 32, use_real_decoder: bool = False):
-        if use_real_decoder and not _HAVE_IMAGE_LIBS:
-            raise NotImplementedError(
-                "No image decode libraries in this environment; "
-                "run with use_real_decoder=False for the deterministic fake."
-            )
         self.width = width
         self.height = height
         self.use_real_decoder = use_real_decoder
 
+    def _decode(self, payload: bytes) -> np.ndarray:
+        from kgray.functions.codecs import decode_bmp, decode_ppm
+
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:2] == b"P6":
+            return decode_ppm(payload)
+        if _HAVE_IMAGE_LIBS:  # pragma: no cover - PIL absent in sandbox
+            import io
+
+            return np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("RGB"))
+        raise NotImplementedError(
+            "only BMP/PPM decode is available without PIL in this environment"
+        )
+
+    def _call_real(self, batch: pa.Table) -> pa.Table:
+        from kgray.functions.codecs import encode_bmp, resize_nearest
+
+        src_w, src_h, sums, blobs = [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            px = self._decode(payload)
+            src_h.append(px.shape[0])
+            src_w.append(px.shape[1])
+            rs = resize_nearest(px, self.width, self.height)
+            sums.append(rs.astype(np.int64).sum(axis=(0, 1)))
+            blobs.append(encode_bmp(rs))
+        sums = np.asarray(sums, dtype=np.int64).reshape(-1, 3)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("src_w", pa.array(src_w, type=pa.int64()))
+        out = out.append_column("src_h", pa.array(src_h, type=pa.int64()))
+        n = len(blobs)
+        out = out.append_column("width", pa.array([self.width] * n, type=pa.int64()))
+        out = out.append_column("height", pa.array([self.height] * n, type=pa.int64()))
+        out = out.append_column("sum_r", pa.array(sums[:, 0], type=pa.int64()))
+        out = out.append_column("sum_g", pa.array(sums[:, 1], type=pa.int64()))
+        out = out.append_column("sum_b", pa.array(sums[:, 2], type=pa.int64()))
+        out = out.append_column(
+            "n_bytes", pa.array([len(b) for b in blobs], type=pa.int64())
+        )
+        return out.append_column("resized", pa.array(blobs, type=pa.large_binary()))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.use_real_decoder:
-            raise NotImplementedError("real resize path requires PIL")
+            return self._call_real(batch)
         cap = self.width * self.height
         payloads = [p[:cap] for p in batch["payload"].to_pylist()]
         out = batch.drop_columns(["payload"])
@@ -228,19 +325,35 @@ def resize_images(
     height: int = 32,
     batch_size: int = 64,
     concurrency: int | tuple[int, int] | None = None,
+    payload: str = "text",
+    use_real_decoder: bool = False,
 ) -> ray.data.Dataset:
-    """payload rows → fixed-size "resized" payloads + metadata (actor
-    pool; decode stubbed, plumbing real)."""
+    """payload rows → fixed-size resized payloads + metadata (actor pool).
+
+    ``payload="image"`` synthesizes REAL encoded BMP bytes from the id
+    column (deterministic formula, see :func:`synth_image_payload`);
+    ``use_real_decoder=True`` then decodes/resizes them for real with the
+    pure-numpy codecs.  ``payload="text"`` keeps the byte-truncation fake
+    for plumbing-only paths."""
     if concurrency is None:
         from kgray.functions.broadcast import auto_concurrency
 
         concurrency = auto_concurrency()
-    with_payload = ds.map_batches(
-        lambda t: attach_payload(t, source_col), batch_format="pyarrow"
-    )
+    if payload == "image":
+        with_payload = ds.map_batches(
+            lambda t: synth_image_payload(t, source_col), batch_format="pyarrow"
+        )
+    else:
+        with_payload = ds.map_batches(
+            lambda t: attach_payload(t, source_col), batch_format="pyarrow"
+        )
     return with_payload.map_batches(
         ImageResizer,
-        fn_constructor_kwargs={"width": width, "height": height},
+        fn_constructor_kwargs={
+            "width": width,
+            "height": height,
+            "use_real_decoder": use_real_decoder,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -260,16 +373,52 @@ class AudioWindower:
 
     def __init__(self, window: int = 256, hop: int = 128,
                  max_windows: int | None = None, use_real_decoder: bool = False):
-        if use_real_decoder:
-            raise NotImplementedError(
-                "No audio decode libraries in this environment; "
-                "run with use_real_decoder=False for the byte-slice fake."
-            )
         self.window = window
         self.hop = hop
         self.max_windows = max_windows
+        self.use_real_decoder = use_real_decoder
+
+    def _call_real(self, batch: pa.Table) -> pa.Table:
+        """REAL decode path: PCM16 mono WAV payloads decode with the
+        pure-numpy codec and window over SAMPLES (window/hop counted in
+        samples); each window row carries integer-exact content stats
+        (sum, sum of |s|, max |s|) a DuckDB twin reproduces from the
+        synthesis formula.  Non-WAV payloads raise — other audio codecs
+        need torchaudio/soundfile, absent in this environment."""
+        from kgray.functions.codecs import decode_wav
+
+        w, h = self.window, self.hop
+        id_col = batch.column_names[0]
+        ids, idxs, nsamp, ssum, sabs, smax = [], [], [], [], [], []
+        for rid, payload in zip(batch[id_col].to_pylist(), batch["payload"].to_pylist()):
+            samples, _ = decode_wav(payload)
+            s64 = samples.astype(np.int64)
+            n = -(-len(samples) // h)
+            if self.max_windows is not None:
+                n = min(n, self.max_windows)
+            for i in range(n):
+                win = s64[i * h : i * h + w]
+                ids.append(rid)
+                idxs.append(i)
+                nsamp.append(len(win))
+                ssum.append(int(win.sum()))
+                a = np.abs(win)
+                sabs.append(int(a.sum()))
+                smax.append(int(a.max()) if len(a) else 0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "win_idx": pa.array(idxs, type=pa.int64()),
+                "win_n": pa.array(nsamp, type=pa.int64()),
+                "sum_s": pa.array(ssum, type=pa.int64()),
+                "sum_abs": pa.array(sabs, type=pa.int64()),
+                "max_abs": pa.array(smax, type=pa.int64()),
+            }
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.use_real_decoder:
+            return self._call_real(batch)
         w, h = self.window, self.hop
         ids, idxs, wins, lens, digests = [], [], [], [], []
         id_col = batch.column_names[0]
@@ -303,19 +452,36 @@ def window_audio(
     max_windows: int | None = None,
     batch_size: int = 64,
     concurrency: int | tuple[int, int] | None = None,
+    payload: str = "text",
+    use_real_decoder: bool = False,
 ) -> ray.data.Dataset:
     """payload rows → overlapping window rows (1→N expansion with
-    window/hop byte inflation; decode stubbed, plumbing real)."""
+    window/hop inflation).
+
+    ``payload="audio"`` synthesizes REAL PCM16 WAV bytes from the id
+    column (see :func:`synth_audio_payload`); ``use_real_decoder=True``
+    then decodes them and windows over SAMPLES with integer-exact
+    content stats.  ``payload="text"`` keeps the byte-slice fake."""
     if concurrency is None:
         from kgray.functions.broadcast import auto_concurrency
 
         concurrency = auto_concurrency()
-    with_payload = ds.map_batches(
-        lambda t: attach_payload(t, source_col), batch_format="pyarrow"
-    )
+    if payload == "audio":
+        with_payload = ds.map_batches(
+            lambda t: synth_audio_payload(t, source_col), batch_format="pyarrow"
+        )
+    else:
+        with_payload = ds.map_batches(
+            lambda t: attach_payload(t, source_col), batch_format="pyarrow"
+        )
     return with_payload.map_batches(
         AudioWindower,
-        fn_constructor_kwargs={"window": window, "hop": hop, "max_windows": max_windows},
+        fn_constructor_kwargs={
+            "window": window,
+            "hop": hop,
+            "max_windows": max_windows,
+            "use_real_decoder": use_real_decoder,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -306,8 +306,10 @@ def test_image_resize(ray_session):
     assert bytes(out.loc[0, "resized"]) == b"a" * 1024
     assert out.loc[1, "content_md5"] == hashlib.md5(b"xy").hexdigest()
 
+    # real decode is now supported for BMP/PPM (kgray/functions/codecs.py);
+    # exotic codecs still gate at decode time
     with pytest.raises(NotImplementedError):
-        ImageResizer(use_real_decoder=True)
+        ImageResizer(use_real_decoder=True)._decode(b"\x89PNG....")
 
 
 def test_audio_windowing(ray_session):
@@ -334,8 +336,14 @@ def test_audio_windowing(ray_session):
     ).to_pandas()
     assert len(capped[capped["doc_id"] == 1]) == 2
 
-    with pytest.raises(NotImplementedError):
-        AudioWindower(use_real_decoder=True)
+    # real WAV decode is now supported (kgray/functions/codecs.py); a
+    # non-RIFF payload fails loudly at decode time
+    import pyarrow as pa
+
+    with pytest.raises(ValueError):
+        AudioWindower(use_real_decoder=True)(
+            pa.table({"doc_id": [1], "payload": pa.array([b"mp3junk"], pa.large_binary())})
+        )
 
 
 def test_split_documents_windows(ray_session):
