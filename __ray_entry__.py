@@ -2700,25 +2700,42 @@ def _q_kg_diff_events(sf_dir: str) -> pd.DataFrame:
     from kgray.sources.events_transcripts import chunks_from_events
     from kgray.stages.extract import EventsRuleExtractor
 
-    def _edges(events):
+    def _edges(quintuples):
         res = build_kg(
-            chunks=chunks_from_events(events, _CFG.max_chunk_chars),
+            quintuples=quintuples,
             cfg=_CFG,
             embedder_factory=lambda: HashEmbedder(dim=_CFG.embed_dim),
-            extractor_cls=EventsRuleExtractor,
         )
         df = res.edges.to_pandas()
         return df[["subj_name", "pred", "obj_name", "n_obs"]]
 
-    import pyarrow.compute as _pc
-
+    # SHARED chunk+extract prefix (VERDICT r4 #5): the even half used to be
+    # chunked + extracted in BOTH builds.  The rule extractor is per-line
+    # (one event → one fact, independent of chunk neighbors), so the FULL
+    # stream is chunked + extracted exactly once, materialized, and the
+    # "old" build's quintuples are a vectorized parity filter on the very
+    # same materialized stream (the event id rides in the atomic fact
+    # text).  One chunking shuffle + one extraction pass instead of two
+    # each; the oracle twin is unchanged and pins the equivalence.
     full_ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
-    old_ds = full_ds.map_batches(
-        lambda t: t.filter(_pc.equal(_pc.bit_wise_and(t["event_id"], 1), 0)),
-        batch_format="pyarrow",
-    )
-    new = _edges(full_ds)
-    old = _edges(old_ds)
+    q_full = extract_quintuples(
+        None, _CFG, EventsRuleExtractor,
+        chunks=chunks_from_events(full_ds, _CFG.max_chunk_chars),
+    ).materialize()
+
+    def _even_only(t):
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        eid = _pc.cast(
+            _pc.struct_field(
+                _pc.extract_regex(t["atomic_fact"], r"event (?P<id>\d+)\.$"), "id"
+            ),
+            pa.int64(),
+        )
+        return t.filter(_pc.equal(_pc.bit_wise_and(eid, 1), 0))
+
+    new = _edges(q_full)
+    old = _edges(q_full.map_batches(_even_only, batch_format="pyarrow"))
     m = new.merge(old, on=["subj_name", "pred", "obj_name"], how="left", suffixes=("_new", "_old"))
     m["n_obs_old"] = m["n_obs_old"].fillna(0).astype("int64")
     m["n_obs_new"] = m["n_obs_new"].astype("int64")
@@ -3399,7 +3416,14 @@ def _q_kg_incremental_events(sf_dir: str) -> pd.DataFrame:
     whole conversations, while the shared event-type entities recur
     across runs and must resolve to the STORED canonicals (the ST4
     evolving-state rule, atom.py:196-208).  The merged edge aggregate
-    equals the one-shot build, so kg_triples_events' SQL is the oracle."""
+    equals the one-shot build, so kg_triples_events' SQL is the oracle.
+
+    Note on shared-prefix caching (VERDICT r4 #5): unlike kg_diff_events,
+    the two runs here ingest DISJOINT halves — every event is chunked and
+    extracted exactly once across the pair of builds already, so there is
+    no shared chunk+extract prefix to cache; the cost is irreducibly two
+    builds plus one store round-trip (that round-trip IS the semantics
+    under test)."""
     import shutil
     import tempfile
 
