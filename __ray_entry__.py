@@ -459,6 +459,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_minhash_eval"] = lambda sf: dd.minhash_eval(
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     )
+    # corpus-scale QA mode: the deterministic md5-parity ~1/3 doc sample
+    # (VERDICT r4 #6) — P/R over a sampled sub-corpus, exact-truth cost
+    # decoupled from the full near-dup universe
+    q["doc_minhash_eval_sampled"] = lambda sf: dd.minhash_eval(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
+        sample_mod=3,
+    )
     q["knn_ivf_recall"] = _q_knn_ivf_recall
     q["events_circadian"] = _q_events_circadian
     q["events_welch_ttest"] = _q_events_welch_ttest
@@ -3801,7 +3808,7 @@ b0 AS (
     return block, prev
 
 
-def _minhash_ctes(est_having: str) -> str:
+def _minhash_ctes(est_having: str, src: str = "documents", pre: str = "") -> str:
     """DuckDB twin of kgray.ops.dedup._minhash_mapping, stage for stage:
     the :func:`_minhash_sig_prefix` signature/band chain →
     per-bucket pair generation (all pairs ≤200 members, star-link to the
@@ -3811,10 +3818,13 @@ def _minhash_ctes(est_having: str) -> str:
     recursive label-propagation CTE with the min doc_id as canonical
     representative (CTE ``roots``).  Shared by the doc_minhash_dedup
     (threshold 0.5) and doc_ngram_jaccard (LSH propose at 0.3, exact
-    shingle-set Jaccard disposes) oracles."""
-    block, prev = _minhash_sig_prefix()
+    shingle-set Jaccard disposes) oracles.  ``src``/``pre`` point the
+    chain at a substitute (doc_id, text) CTE (``pre`` carries the CTE
+    body and its trailing comma) — used by the sampled minhash_eval
+    twin."""
+    block, prev = _minhash_sig_prefix(src=src)
     return f"""
-WITH RECURSIVE {block}ranked AS (
+WITH RECURSIVE {pre}{block}ranked AS (
   SELECT doc_id, x AS bucket,
          count(*) OVER (PARTITION BY x) AS cnt,
          min(doc_id) OVER (PARTITION BY x) AS bmin
@@ -3845,6 +3855,42 @@ reach AS (
   SELECT reach.doc_id, sym.b AS r FROM reach JOIN sym ON sym.a = reach.r
 ),
 roots AS (SELECT doc_id, least(min(r), doc_id) AS root FROM reach GROUP BY doc_id)"""
+
+
+def _minhash_eval_oracle_sql(src: str = "documents", pre: str = "") -> str:
+    """Twin of kgray.ops.dedup.minhash_eval: LSH predictions (the shared
+    minhash CTE chain, threshold 0.5 in integer form) scored against the
+    COMPLETE exact distinct-shingle Jaccard truth, both over ``src`` —
+    so the sampled variant evaluates predictions and truth on the same
+    deterministic sub-corpus, exactly like the Ray op."""
+    return (
+        _minhash_ctes(
+            "2 * sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) >= 63",
+            src=src,
+            pre=pre,
+        )
+        + """,
+esizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM shh GROUP BY 1),
+einter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS ni
+  FROM shh x JOIN shh y ON y.h = x.h AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+etruth AS (
+  -- J >= 0.5 in exact integers: ni/(na+nb-ni) >= 1/2  <=>  3·ni >= na+nb
+  SELECT i.a, i.b FROM einter i
+  JOIN esizes sa ON sa.doc_id = i.a JOIN esizes sb ON sb.doc_id = i.b
+  WHERE 3 * i.ni >= sa.nsh + sb.nsh),
+conf AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM good) AS np,
+         (SELECT CAST(count(*) AS BIGINT) FROM etruth) AS nt,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM good g JOIN etruth t ON t.a = g.a AND t.b = g.b) AS tp)
+SELECT np AS n_pred, nt AS n_true, tp, np - tp AS fp, nt - tp AS fn,
+       floor(CAST(tp AS DOUBLE) / greatest(1, np) * 1e6 + 0.5) / 1e6 AS prec,
+       floor(CAST(tp AS DOUBLE) / greatest(1, nt) * 1e6 + 0.5) / 1e6 AS recall
+FROM conf
+"""
+    )
 
 
 def _minhash_oracle_sql() -> str:
@@ -7274,30 +7320,16 @@ FROM cs GROUP BY 1
                    floor(cume_dist() OVER (PARTITION BY event_type ORDER BY c) * 1e6 + 0.5) / 1e6 AS pct
             FROM h
         """,
-        "doc_minhash_eval": _minhash_ctes(
-            "2 * sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) >= 63"
-        )
-        + """,
-esizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM shh GROUP BY 1),
-einter AS (
-  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS ni
-  FROM shh x JOIN shh y ON y.h = x.h AND x.doc_id < y.doc_id
-  GROUP BY 1, 2),
-etruth AS (
-  -- J >= 0.5 in exact integers: ni/(na+nb-ni) >= 1/2  <=>  3·ni >= na+nb
-  SELECT i.a, i.b FROM einter i
-  JOIN esizes sa ON sa.doc_id = i.a JOIN esizes sb ON sb.doc_id = i.b
-  WHERE 3 * i.ni >= sa.nsh + sb.nsh),
-conf AS (
-  SELECT (SELECT CAST(count(*) AS BIGINT) FROM good) AS np,
-         (SELECT CAST(count(*) AS BIGINT) FROM etruth) AS nt,
-         (SELECT CAST(count(*) AS BIGINT)
-          FROM good g JOIN etruth t ON t.a = g.a AND t.b = g.b) AS tp)
-SELECT np AS n_pred, nt AS n_true, tp, np - tp AS fp, nt - tp AS fn,
-       floor(CAST(tp AS DOUBLE) / greatest(1, np) * 1e6 + 0.5) / 1e6 AS prec,
-       floor(CAST(tp AS DOUBLE) / greatest(1, nt) * 1e6 + 0.5) / 1e6 AS recall
-FROM conf
+        "doc_minhash_eval": _minhash_eval_oracle_sql(),
+        "doc_minhash_eval_sampled": _minhash_eval_oracle_sql(
+            src="dsamp",
+            pre="""dsamp AS (
+  -- the SAME deterministic md5-parity doc sample the Ray op applies
+  -- (kgray/ops/dedup.py minhash_eval sample_mod=3)
+  SELECT doc_id, text FROM documents
+  WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 3 = 0),
 """,
+        ),
         "doc_minhash_match_hist": _minhash_ctes(
             "1 = 1"  # keep every candidate: the histogram IS the S-curve
         )

@@ -1500,6 +1500,8 @@ def minhash_eval(
     n_bands: int = 21,
     shingle_n: int = 3,
     max_bucket: int = 200,
+    sample_mod: int = 0,
+    id_col: str = "doc_id",
 ) -> pd.DataFrame:
     """Pipeline-QA for the MinHash near-dup detector: predicted pairs
     (LSH candidates whose estimated Jaccard k/num_perm ≥ threshold,
@@ -1511,8 +1513,27 @@ def minhash_eval(
 
     Scale shape: the two pair sets come from the existing distributed
     paths; the confusion counts are a driver merge of two pair frames
-    (each bounded by the near-dup pair count, not the corpus)."""
+    (each bounded by the near-dup pair count, not the corpus).
+
+    ``sample_mod`` (corpus-scale QA knob): when ≥ 2, the eval runs on the
+    deterministic document sample ``md5_number_lower(str(doc_id)) %
+    sample_mod == 0`` — both the LSH predictions AND the exact-Jaccard
+    ground truth are computed over the SAME sampled sub-corpus, so P/R
+    stay a valid estimate of the sketch while the exact-truth cost (the
+    quadratic-ish part) shrinks by ~sample_mod² in the pair universe.
+    The predicate is SQL-reproducible (DuckDB ``md5_number_lower``), so
+    sampled runs remain oracle-checkable.  0/1 = full corpus (default —
+    the right mode at test scale)."""
     from kgray.ops.setsim import set_similarity_join
+
+    if sample_mod >= 2:
+        mod = np.uint64(sample_mod)
+
+        def _sample(b: pd.DataFrame) -> pd.DataFrame:
+            h = _md5_u64_np(b[id_col].astype(str).tolist())
+            return b.loc[h % mod == np.uint64(0)]
+
+        docs = docs.map_batches(_sample, batch_format="pandas")
 
     pk = _candidate_match_counts(docs, num_perm, n_bands, shingle_n, max_bucket)
     # smallest k with k/num_perm ≥ threshold; the 1e-9 nudge keeps an

@@ -108,6 +108,32 @@ def test_minhash_eval_clean_corpus(ray_session):
     assert out["prec"].iloc[0] == 1.0
 
 
+def test_minhash_eval_sample_mod_parity(ray_session):
+    """sample_mod=k must equal a full-mode eval over the explicitly
+    pre-filtered corpus (the md5-parity predicate applied by hand)."""
+    from kgray.ops.dedup import _md5_u64_np, minhash_eval
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        toks = list(rng.choice(words, size=30))
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+        if i % 4 == 0:  # plant near-dups
+            rows.append({"doc_id": 1000 + i, "text": " ".join(toks[:-2] + ["tailx"])})
+    docs = pd.DataFrame(rows)
+
+    sampled = minhash_eval(ray.data.from_pandas(docs), sample_mod=3)
+    keep = _md5_u64_np(docs["doc_id"].astype(str).tolist()) % np.uint64(3) == 0
+    manual = minhash_eval(ray.data.from_pandas(docs.loc[keep]))
+    pd.testing.assert_frame_equal(
+        sampled.reset_index(drop=True), manual.reset_index(drop=True)
+    )
+    # the sample is a strict subset: fewer (or equal) truth pairs than full
+    full = minhash_eval(ray.data.from_pandas(docs))
+    assert sampled["n_true"].iloc[0] <= full["n_true"].iloc[0]
+
+
 def test_encoding_audit_multibyte():
     from kgray.ops.text import encoding_audit
 
