@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sample_mod=3,
     )
     q["knn_ivf_recall"] = _q_knn_ivf_recall
+    q["knn_truncated_recall"] = _q_knn_truncated_recall
     q["events_circadian"] = _q_events_circadian
     q["events_welch_ttest"] = _q_events_welch_ttest
     q["nation_revenue_hhi"] = rel.nation_revenue_hhi
@@ -3710,6 +3711,38 @@ def _q_knn_ivf_recall(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "n_hits", "recall"]].sort_values("query_id").reset_index(drop=True)
 
 
+def _q_knn_truncated_recall(sf_dir: str) -> pd.DataFrame:
+    """Matryoshka-truncation QA: recall@10 of exact cosine retrieval over
+    the FIRST 32 of 64 dimensions against the full-dimension truth — the
+    dimension-reduction sanity gate before a fleet ships half-size
+    vectors (2× storage / matmul savings).  Both sides are the existing
+    distributed brute-force operator (`knn_bruteforce(dims=...)` slices
+    inside the block actor); the join is 5×10 rows of driver math."""
+    qids, qmat = _query_vectors(sf_dir)
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    truth = sim.knn_bruteforce(emb, qids, qmat, k=10)[["query_id", "neighbor_id"]]
+    approx = sim.knn_bruteforce(emb, qids, qmat, k=10, dims=32)[
+        ["query_id", "neighbor_id"]
+    ]
+    hit = truth.merge(approx, on=["query_id", "neighbor_id"], how="inner")
+    n_hits = hit.groupby("query_id").size()
+    out = (
+        truth.groupby("query_id")
+        .size()
+        .rename("k")
+        .reset_index()
+        .assign(n_hits=lambda d: d["query_id"].map(n_hits).fillna(0).astype("int64"))
+    )
+    out["recall"] = out["n_hits"].astype(float) / out["k"].astype(float)
+    return (
+        out[["query_id", "n_hits", "recall"]]
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_embedding_kmeans(sf_dir: str) -> pd.DataFrame:
     """Spherical k-means cluster assignment (sampled quantizer broadcast,
     one streaming matmul per batch) — the curation clustering primitive."""
@@ -5216,6 +5249,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(cosine AS DOUBLE) AS cosine FROM p WHERE cosine >= 0.3
         """,
         "knn_bruteforce": _KNN_BF_ORACLE,
+        "knn_truncated_recall": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5),
+            tr AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])) AS cfull,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[])[1:32],
+                                            CAST(e.embedding AS DOUBLE[])[1:32]) AS chalf
+              FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+            ),
+            rt AS (SELECT query_id, neighbor_id,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cfull DESC, neighbor_id) AS r
+                   FROM tr),
+            rh AS (SELECT query_id, neighbor_id,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY chalf DESC, neighbor_id) AS r
+                   FROM tr),
+            t10 AS (SELECT query_id, neighbor_id FROM rt WHERE r <= 10),
+            h10 AS (SELECT query_id, neighbor_id FROM rh WHERE r <= 10)
+            SELECT t.query_id, CAST(count(h.neighbor_id) AS BIGINT) AS n_hits,
+                   CAST(count(h.neighbor_id) AS DOUBLE) / 10 AS recall
+            FROM t10 t LEFT JOIN h10 h
+              ON h.query_id = t.query_id AND h.neighbor_id = t.neighbor_id
+            GROUP BY t.query_id ORDER BY t.query_id
+        """,
         "knn_ivf_recall": f"""
             WITH bf AS ({_KNN_BF_ORACLE}),
             ivf AS ({_knn_ivf_oracle_sql()})

@@ -37,14 +37,19 @@ class _BlockKnn:
     """Per-block exact top-k against the broadcast query matrix (fetched
     once per actor, zero-copy)."""
 
-    def __init__(self, queries_ref, k: int):
+    def __init__(self, queries_ref, k: int, dims: int | None = None):
         self.qids, qmat = ray.get(queries_ref)
+        if dims is not None:
+            qmat = np.asarray(qmat, dtype=np.float64)[:, :dims]
         self.qunit = _unit(qmat)
         self.k = k
+        self.dims = dims
 
     def __call__(self, batch: dict) -> pd.DataFrame:
         ids = np.asarray(batch["vec_id"], dtype=np.int64)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        if self.dims is not None:
+            mat = mat[:, : self.dims]
         unit = _unit(mat)
         sims = self.qunit @ unit.T  # (Q, B)
         k = min(self.k, sims.shape[1])
@@ -67,16 +72,25 @@ def knn_bruteforce(
     query_mat: np.ndarray,
     k: int = 10,
     exclude_self: bool = True,
+    dims: int | None = None,
 ) -> pd.DataFrame:
     """Exact cosine top-k for each query over the full corpus.
 
     Returns (query_id, neighbor_id, cosine, rank) with rank 1..k, ties
     broken by neighbor_id (deterministic, matches the SQL oracle's
-    ORDER BY cosine DESC, neighbor_id)."""
+    ORDER BY cosine DESC, neighbor_id).
+
+    ``dims``: score over only the FIRST ``dims`` dimensions of both sides
+    (matryoshka-style truncation) — the storage/compute-reduction QA
+    path; None = full vectors."""
     ref = ray.put((np.asarray(query_ids, dtype=np.int64), query_mat))
     partials = embeddings.map_batches(
         _BlockKnn,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k + (1 if exclude_self else 0)},
+        fn_constructor_kwargs={
+            "queries_ref": ref,
+            "k": k + (1 if exclude_self else 0),
+            "dims": dims,
+        },
         batch_format="numpy",
         batch_size=8192,
         concurrency=auto_concurrency(),

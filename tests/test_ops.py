@@ -430,3 +430,24 @@ def test_token_entropy_orders_boilerplate_below_prose():
     assert out.loc[0, "entropy"] == 0.0 and out.loc[0, "n_distinct"] == 1
     assert out.loc[2, "entropy"] == 1.0  # two equiprobable tokens = 1 bit
     assert out.loc[1, "entropy"] > out.loc[2, "entropy"] > out.loc[0, "entropy"]
+
+
+def test_knn_bruteforce_dims_truncation():
+    """dims=d must equal full brute force over vectors pre-truncated to d."""
+    rng = np.random.default_rng(23)
+    mat = rng.standard_normal((200, 16))
+    df = pd.DataFrame({"vec_id": np.arange(200), "embedding": list(mat)})
+    ds = ray.data.from_pandas(df)
+    qids, qmat = np.arange(4), mat[:4]
+    trunc = knn_bruteforce(ds, qids, qmat, k=5, dims=8)
+
+    dft = pd.DataFrame({"vec_id": np.arange(200), "embedding": list(mat[:, :8])})
+    manual = knn_bruteforce(ray.data.from_pandas(dft), qids, qmat[:, :8], k=5)
+    pd.testing.assert_frame_equal(
+        trunc.reset_index(drop=True), manual.reset_index(drop=True)
+    )
+    # truncation changes the ranking (sanity: this corpus isn't degenerate)
+    full = knn_bruteforce(ds, qids, qmat, k=5)
+    assert set(zip(trunc["query_id"], trunc["neighbor_id"])) != set(
+        zip(full["query_id"], full["neighbor_id"])
+    )
