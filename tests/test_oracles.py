@@ -177,7 +177,9 @@ def _compare(query: str):
         "events_heavy_hitters",
         "doc_gopher_rules",
         "doc_minhash_eval",
+        "doc_minhash_eval_sampled",
         "knn_ivf_recall",
+        "knn_truncated_recall",
         "events_circadian",
         "events_welch_ttest",
         "nation_revenue_hhi",
