@@ -2886,7 +2886,7 @@ def _q_multimodal_audio_windows(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     out = window_audio(
-        ds, source_col="doc_id", window=64, hop=32,
+        ds, id_col="doc_id", window=64, hop=32,
         payload="audio", use_real_decoder=True,
     ).to_pandas()
     return out.sort_values(["doc_id", "win_idx"]).reset_index(drop=True)
@@ -2904,7 +2904,7 @@ def _q_multimodal_resize(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     out = (
         resize_images(
-            ds, source_col="doc_id", width=8, height=8,
+            ds, id_col="doc_id", width=8, height=8,
             payload="image", use_real_decoder=True,
         )
         .drop_columns(["resized"])

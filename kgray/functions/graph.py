@@ -748,6 +748,13 @@ def _shortest_paths_bucketed(
         else np.array([], dtype=object)
     )
     if not len(present_names):
+        # rung parity: an EMPTY graph returns the empty typed frame (the
+        # driver rung's early return); seeds absent from a non-empty
+        # graph raise, exactly as the driver rung does
+        if edges_b.count() == 0:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype=object), "dist": pd.Series(dtype="float64")}
+            )
         raise ValueError("no seed present in the graph")
 
     dist = ray.data.from_pandas(

@@ -327,21 +327,23 @@ def resize_images(
     concurrency: int | tuple[int, int] | None = None,
     payload: str = "text",
     use_real_decoder: bool = False,
+    id_col: str = "doc_id",
 ) -> ray.data.Dataset:
     """payload rows → fixed-size resized payloads + metadata (actor pool).
 
-    ``payload="image"`` synthesizes REAL encoded BMP bytes from the id
-    column (deterministic formula, see :func:`synth_image_payload`);
-    ``use_real_decoder=True`` then decodes/resizes them for real with the
-    pure-numpy codecs.  ``payload="text"`` keeps the byte-truncation fake
-    for plumbing-only paths."""
+    ``payload="image"`` synthesizes REAL encoded BMP bytes from the
+    ``id_col`` integer column (deterministic formula, see
+    :func:`synth_image_payload`); ``use_real_decoder=True`` then
+    decodes/resizes them for real with the pure-numpy codecs.
+    ``payload="text"`` keeps the byte-truncation fake for plumbing-only
+    paths, reading bytes from ``source_col``."""
     if concurrency is None:
         from kgray.functions.broadcast import auto_concurrency
 
         concurrency = auto_concurrency()
     if payload == "image":
         with_payload = ds.map_batches(
-            lambda t: synth_image_payload(t, source_col), batch_format="pyarrow"
+            lambda t: synth_image_payload(t, id_col), batch_format="pyarrow"
         )
     else:
         with_payload = ds.map_batches(
@@ -454,21 +456,23 @@ def window_audio(
     concurrency: int | tuple[int, int] | None = None,
     payload: str = "text",
     use_real_decoder: bool = False,
+    id_col: str = "doc_id",
 ) -> ray.data.Dataset:
     """payload rows → overlapping window rows (1→N expansion with
     window/hop inflation).
 
-    ``payload="audio"`` synthesizes REAL PCM16 WAV bytes from the id
-    column (see :func:`synth_audio_payload`); ``use_real_decoder=True``
-    then decodes them and windows over SAMPLES with integer-exact
-    content stats.  ``payload="text"`` keeps the byte-slice fake."""
+    ``payload="audio"`` synthesizes REAL PCM16 WAV bytes from the
+    ``id_col`` integer column (see :func:`synth_audio_payload`);
+    ``use_real_decoder=True`` then decodes them and windows over SAMPLES
+    with integer-exact content stats.  ``payload="text"`` keeps the
+    byte-slice fake, reading bytes from ``source_col``."""
     if concurrency is None:
         from kgray.functions.broadcast import auto_concurrency
 
         concurrency = auto_concurrency()
     if payload == "audio":
         with_payload = ds.map_batches(
-            lambda t: synth_audio_payload(t, source_col), batch_format="pyarrow"
+            lambda t: synth_audio_payload(t, id_col), batch_format="pyarrow"
         )
     else:
         with_payload = ds.map_batches(

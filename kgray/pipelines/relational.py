@@ -2704,22 +2704,19 @@ def product_profit(
         lsup = b["l_suppkey"].to_numpy(dtype=np.int64)
         if len(skeys):
             spos = np.minimum(np.searchsorted(skeys, lsup), len(skeys) - 1)
-            smiss = skeys[spos] != lsup
-        else:
-            spos = np.zeros(len(lsup), dtype=np.int64)
-            smiss = np.ones(len(lsup), dtype=bool)
-        nation = snat[spos]
-        if smiss.any():  # dangling l_suppkey: drop rather than mis-attribute
-            nation = np.where(smiss, None, nation)
+            keep = skeys[spos] == lsup
+            nation = snat[spos[keep]]
+        else:  # empty supplier dimension: every l_suppkey dangles
+            keep = np.zeros(len(lsup), dtype=bool)
+            nation = snat[:0]
+        # dangling l_suppkey: drop rather than mis-attribute
         out = pd.DataFrame(
             {
-                "okey": b["l_orderkey"].to_numpy(dtype=np.int64),
+                "okey": b["l_orderkey"].to_numpy(dtype=np.int64)[keep],
                 "nation": nation,
-                "pc": rev_c - cost_c,
+                "pc": (rev_c - cost_c)[keep],
             }
         )
-        if smiss.any():
-            out = out.loc[~smiss]
         out["side"] = np.int8(0)
         out["o_year"] = ""
         return out
@@ -3325,10 +3322,15 @@ def nation_revenue_hhi(sf_dir: str) -> pd.DataFrame:
         ckeys, cnat = cached_get(cmap_ref)
         rc = np.floor(b["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
         ok = b["o_custkey"].to_numpy(dtype=np.int64)
-        pos = np.minimum(np.searchsorted(ckeys, ok), max(len(ckeys) - 1, 0))
-        hit = (ckeys[pos] == ok) if len(ckeys) else np.zeros(len(ok), dtype=bool)
+        if len(ckeys):
+            pos = np.minimum(np.searchsorted(ckeys, ok), len(ckeys) - 1)
+            hit = ckeys[pos] == ok
+            nk = cnat[pos][hit]
+        else:  # empty dimension: no order attributes to any nation
+            hit = np.zeros(len(ok), dtype=bool)
+            nk = np.empty(0, dtype=np.int64)
         return (
-            pd.DataFrame({"nk": cnat[pos][hit], "rc": rc[hit]})
+            pd.DataFrame({"nk": nk, "rc": rc[hit]})
             .groupby("nk", sort=False)["rc"]
             .sum()
             .reset_index()

@@ -68,7 +68,7 @@ def test_real_image_resize_stage(ray_session):
     ids = [0, 3, 11, 42]
     ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids}))
     out = (
-        resize_images(ds, source_col="doc_id", width=8, height=8,
+        resize_images(ds, id_col="doc_id", width=8, height=8,
                       payload="image", use_real_decoder=True)
         .to_pandas()
         .sort_values("doc_id")
@@ -103,7 +103,7 @@ def test_real_audio_window_stage(ray_session):
     ids = [0, 7, 99]
     ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids}))
     out = (
-        window_audio(ds, source_col="doc_id", window=64, hop=32,
+        window_audio(ds, id_col="doc_id", window=64, hop=32,
                      payload="audio", use_real_decoder=True)
         .to_pandas()
         .sort_values(["doc_id", "win_idx"])

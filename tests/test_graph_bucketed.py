@@ -52,6 +52,24 @@ def test_shortest_paths_bucketed_missing_seed_raises(ray_session):
         shortest_paths(ds, seeds=["nope"], hops=2, driver_node_max=0)
 
 
+def test_shortest_paths_bucketed_empty_graph_matches_driver(ray_session):
+    """Rung parity on the empty graph: both rungs return the empty typed
+    frame (neither raises — only seeds absent from a NON-empty graph do)."""
+    empty = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "subj_name": pd.Series(dtype=object),
+                "obj_name": pd.Series(dtype=object),
+                "n_obs": pd.Series(dtype="int64"),
+            }
+        )
+    )
+    driver = shortest_paths(empty, seeds=["a"], hops=2)
+    bucketed = shortest_paths(empty, seeds=["a"], hops=2, driver_node_max=0)
+    pd.testing.assert_frame_equal(driver, bucketed)
+    assert driver.empty and list(driver.columns) == ["node", "dist"]
+
+
 def test_lpa_bucketed_matches_driver(ray_session):
     df = _graph(seed=5, n_nodes=30, n_edges=90)
     # add a self-loop-only node: it must appear in BOTH rungs' output,
