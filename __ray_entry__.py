@@ -487,6 +487,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_shortest_path_events"] = _q_kg_shortest_path_events
     q["kg_lpa_events"] = _q_kg_lpa_events
     q["kg_assortativity_events"] = _q_kg_assortativity_events
+    q["events_shard_skew"] = _q_events_shard_skew
+    q["doc_label_kappa"] = _q_doc_label_kappa
+    q["events_crosscorr"] = _q_events_crosscorr
+    q["events_dau_overlap"] = _q_events_dau_overlap
 
     # --- sketches (kgray/ops/stats.py) -----------------------------------
     q["doc_hll_distinct"] = _q_doc_hll_distinct
@@ -4802,6 +4806,66 @@ SELECT * FROM chunkout
     )
 
 
+def _q_events_shard_skew(sf_dir: str) -> pd.DataFrame:
+    """Hash-shard balance audit over the events partitioning key
+    (kgray.ops.stats.shard_skew): rows per md5(user_id) % 64 shard +
+    integer-exact load factor vs perfect balance."""
+    from kgray.ops.stats import shard_skew
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return shard_skew(ds, key_col="user_id", n_shards=64)
+
+
+def _q_doc_label_kappa(sf_dir: str) -> pd.DataFrame:
+    """Cohen's kappa between two cheap document labelers — char-length
+    tercile rule vs whitespace-token tercile rule (kgray.ops.stats.
+    cohen_kappa over Arrow-derived labels; both labelers are pure SQL
+    CASE expressions, so the twin rebuilds the identical confusion
+    matrix)."""
+    from kgray.ops.stats import cohen_kappa
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def labels(t):
+        import pyarrow as pa  # noqa: PLC0415 (worker-local)
+        import pyarrow.compute as pc  # noqa: PLC0415
+
+        txt = pc.fill_null(t["text"], "")
+        nch = pc.utf8_length(txt)
+        ntok = pc.add(pc.count_substring(txt, " "), 1)
+
+        def bucket(v, lo, hi):
+            return pc.if_else(
+                pc.less(v, lo),
+                pa.scalar("short"),
+                pc.if_else(pc.less(v, hi), pa.scalar("medium"), pa.scalar("long")),
+            )
+
+        return pa.table({"la": bucket(nch, 200, 1000), "lb": bucket(ntok, 40, 200)})
+
+    return cohen_kappa(ds.map_batches(labels, batch_format="pyarrow"), "la", "lb")
+
+
+def _q_events_crosscorr(sf_dir: str) -> pd.DataFrame:
+    """Lagged view→purchase daily-count cross-correlation over the
+    zero-filled calendar, lags 0..7 (kgray.ops.stats.daily_crosscorr):
+    exact int64 moments, one micro-quantized division per lag."""
+    from kgray.ops.stats import daily_crosscorr
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return daily_crosscorr(ds, type_a="view", type_b="purchase", max_lag=7)
+
+
+def _q_events_dau_overlap(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day active-user Jaccard (kgray.ops.temporal.dau_overlap):
+    distinct (user, day) pre-shrink, one user-hash bucket shuffle,
+    driver fold bounded by buckets × days."""
+    from kgray.ops.temporal import dau_overlap
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return dau_overlap(ds)
+
+
 def oracle_sql() -> dict[str, str]:
     transcripts_cte = f"WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
     cw = _closed_world_oracle_ctes()
@@ -6409,6 +6473,88 @@ def oracle_sql() -> dict[str, str]:
                          * 1e6 + 0.5) / 1e6 AS r1
             FROM mo
             WHERE n >= 2 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+        """,
+        "events_shard_skew": """
+            WITH h AS (
+              SELECT CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 64 AS BIGINT)
+                     AS shard
+              FROM events),
+            agg AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows FROM h GROUP BY 1),
+            t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM agg)
+            SELECT shard, n_rows,
+                   CAST(n_rows * 64 * 1000000 // t.total AS BIGINT)::DOUBLE / 1e6
+                     AS load
+            FROM agg, t
+        """,
+        "doc_label_kappa": """
+            WITH lab AS (
+              SELECT CASE WHEN length(coalesce(text, '')) < 200 THEN 'short'
+                          WHEN length(coalesce(text, '')) < 1000 THEN 'medium'
+                          ELSE 'long' END AS la,
+                     CASE WHEN len(string_split(coalesce(text, ''), ' ')) < 40 THEN 'short'
+                          WHEN len(string_split(coalesce(text, ''), ' ')) < 200 THEN 'medium'
+                          ELSE 'long' END AS lb
+              FROM documents),
+            cm AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS c FROM lab GROUP BY 1, 2),
+            nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cm),
+            dg AS (SELECT CAST(coalesce(sum(CASE WHEN la = lb THEN c END), 0) AS BIGINT)
+                          AS diag FROM cm),
+            rc AS (SELECT CAST(sum(r.rc * c.cc) AS BIGINT) AS s
+                   FROM (SELECT la AS k, sum(c) AS rc FROM cm GROUP BY 1) r
+                   JOIN (SELECT lb AS k, sum(c) AS cc FROM cm GROUP BY 1) c ON r.k = c.k)
+            SELECT nn.n,
+                   CAST(dg.diag * 1000000 // nn.n AS BIGINT)::DOUBLE / 1e6 AS agree,
+                   floor((nn.n * dg.diag - rc.s)::DOUBLE
+                         / (nn.n * nn.n - rc.s)::DOUBLE * 1e6 + 0.5) / 1e6 AS kappa
+            FROM nn, dg, rc
+            WHERE nn.n * nn.n - rc.s <> 0
+        """,
+        "events_crosscorr": """
+            WITH d AS (
+              SELECT event_type AS t, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2),
+            b AS (SELECT CAST(min(day) AS DATE) AS mn, CAST(max(day) AS DATE) AS mx FROM d),
+            cal0 AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS gs FROM b),
+            cal AS (SELECT CAST(gs AS DATE) AS day,
+                           row_number() OVER (ORDER BY gs) - 1 AS idx
+                    FROM cal0),
+            xy AS (SELECT cal.idx, coalesce(dv.c, 0) AS x, coalesce(dp.c, 0) AS y
+                   FROM cal
+                   LEFT JOIN d dv ON dv.t = 'view' AND CAST(dv.day AS DATE) = cal.day
+                   LEFT JOIN d dp ON dp.t = 'purchase' AND CAST(dp.day AS DATE) = cal.day),
+            pairs AS (SELECT l.k, a.x, b.y
+                      FROM range(0, 8) l(k)
+                      JOIN xy a ON true JOIN xy b ON b.idx = a.idx + l.k),
+            mo AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                          CAST(sum(x * x) AS BIGINT) AS sxx,
+                          CAST(sum(y * y) AS BIGINT) AS syy,
+                          CAST(sum(x * y) AS BIGINT) AS sxy
+                   FROM pairs GROUP BY 1)
+            SELECT CAST(k AS BIGINT) AS lag, n AS n_pairs,
+                   floor((n * sxy - sx * sy)::DOUBLE
+                         / sqrt(((n * sxx - sx * sx) * (n * syy - sy * sy))::DOUBLE)
+                         * 1e6 + 0.5) / 1e6 AS r
+            FROM mo
+            WHERE n >= 2 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+        """,
+        "events_dau_overlap": """
+            WITH p AS (SELECT DISTINCT user_id,
+                              CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS day
+                       FROM events),
+            n AS (SELECT day, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1),
+            i AS (SELECT a.day, CAST(count(*) AS BIGINT) AS c
+                  FROM p a JOIN p b ON b.user_id = a.user_id AND b.day = a.day + 1
+                  GROUP BY 1)
+            SELECT strftime(a.day, '%Y-%m-%d') AS day,
+                   a.c AS n_today, b.c AS n_next,
+                   coalesce(i.c, 0) AS n_both,
+                   floor(coalesce(i.c, 0)::DOUBLE
+                         / (a.c + b.c - coalesce(i.c, 0))::DOUBLE * 1e6 + 0.5) / 1e6
+                     AS jaccard
+            FROM n a JOIN n b ON b.day = a.day + 1
+            LEFT JOIN i ON i.day = a.day
         """,
         "events_type_phi": """
             WITH p AS (SELECT DISTINCT user_id, event_type FROM events WHERE value >= 100),

@@ -2405,3 +2405,167 @@ def welch_ttest(
             "t_stat": [np.floor(t * 1e6 + 0.5) / 1e6],
         }
     )
+
+
+def shard_skew(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """Hash-shard balance audit: rows per ``md5(key) % n_shards`` shard
+    plus each shard's load factor vs perfect balance — the check a
+    pipeline runs BEFORE picking a partitioning key (a skewed key turns
+    every downstream shuffle into a straggler).
+
+    Exactness: shard assignment is the engine-wide md5 convention
+    (``_md5_u64_np(str(key))`` ≡ DuckDB ``md5_number_lower(CAST(key AS
+    VARCHAR))``); counts are exact int64; ``load`` = floor(n·shards·10⁶ /
+    total)/10⁶ — one integer division, bit-equal on both engines.
+
+    Scale shape: each batch collapses to ≤ n_shards partial counts
+    (Arrow group_by combiner); the driver folds blocks × n_shards rows.
+    No shuffle — the audit never moves the row stream."""
+    from kgray.ops.dedup import _md5_u64_np
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_u64_np([str(x) for x in b[key_col]]) % np.uint64(n_shards)
+        u, c = np.unique(h.astype(np.int64), return_counts=True)
+        return pd.DataFrame({"shard": u, "n": c.astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=262144).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "shard": pd.Series(dtype="int64"),
+            "n_rows": pd.Series(dtype="int64"),
+            "load": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    agg = parts.groupby("shard", sort=True)["n"].sum().reset_index(name="n_rows")
+    total = int(agg["n_rows"].sum())
+    agg["load"] = (
+        agg["n_rows"].to_numpy(dtype=np.int64) * np.int64(n_shards) * np.int64(10**6)
+        // np.int64(total)
+    ).astype("float64") / 1e6
+    return agg
+
+
+def cohen_kappa(
+    ds: ray.data.Dataset,
+    col_a: str,
+    col_b: str,
+) -> pd.DataFrame:
+    """Cohen's kappa between two categorical label columns — the
+    chance-corrected agreement score a curation stack uses to decide
+    whether two cheap labelers (or a labeler and a gold rule) measure
+    the same thing.
+
+    kappa = (n·Σnᵢᵢ − Σrᵢcᵢ) / (n² − Σrᵢcᵢ) over the confusion matrix —
+    every term exact int64 (Python ints on the driver fold, so no
+    overflow at any corpus size); the single division micro-quantizes
+    identically on both engines.  Degenerate tables (pe = 1, i.e. both
+    raters constant) report no row.
+
+    Scale shape: each batch collapses to its (a, b) confusion partial
+    (bounded by label-vocabulary², not rows); the driver folds
+    blocks × cells rows.  No shuffle."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby([col_a, col_b], sort=False).size().reset_index(name="n")
+        return out.rename(columns={col_a: "a", col_b: "b"})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=262144).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "n": pd.Series(dtype="int64"),
+            "agree": pd.Series(dtype="float64"),
+            "kappa": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    cm = parts.groupby(["a", "b"], sort=False)["n"].sum()
+    n = int(cm.sum())
+    diag = int(cm[[i for i in cm.index if i[0] == i[1]]].sum()) if n else 0
+    rows = cm.groupby(level=0).sum()
+    cols = cm.groupby(level=1).sum()
+    s = sum(int(rows[k]) * int(cols[k]) for k in rows.index if k in cols.index)
+    den = n * n - s
+    if den == 0:
+        return empty
+    agree = float(diag * 10**6 // n) / 1e6
+    kappa = np.floor((n * diag - s) / den * 1e6 + 0.5) / 1e6
+    return pd.DataFrame({"n": [np.int64(n)], "agree": [agree], "kappa": [float(kappa)]})
+
+
+def daily_crosscorr(
+    events: ray.data.Dataset,
+    type_a: str = "view",
+    type_b: str = "purchase",
+    max_lag: int = 7,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Lagged cross-correlation between two event types' daily count
+    series — does behavior A lead behavior B, and by how many days?
+    Pearson r between x_t (type_a) and y_{t+k} (type_b) for each lag
+    k ∈ [0, max_lag], over the ZERO-FILLED calendar spanning both
+    series (sparse-day gaps count as 0 activity, so lags are true
+    calendar days; the twin builds the same calendar with
+    generate_series).
+
+    Exactness: all moments are exact int64 over the paired counts; the
+    one division + sqrt micro-quantizes identically.  Lags with zero
+    variance on either side report no row.
+
+    Scale shape: per-batch (type, day) count partials (combiner) →
+    driver fold bounded by the calendar length, never the row stream."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t[type_col], value_set=pa.array([type_a, type_b]))
+        t = t.filter(keep)
+        day = pc.strftime(t[ts_col].cast(pa.timestamp("us")), format="%Y-%m-%d")
+        return (
+            pa.table({"t": t[type_col], "day": day})
+            .group_by(["t", "day"])
+            .aggregate([([], "count_all")])
+        )
+
+    parts = events.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "lag": pd.Series(dtype="int64"),
+            "n_pairs": pd.Series(dtype="int64"),
+            "r": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    daily = parts.groupby(["t", "day"], sort=True)["count_all"].sum().reset_index(name="c")
+    cal = pd.date_range(daily["day"].min(), daily["day"].max(), freq="D").strftime(
+        "%Y-%m-%d"
+    )
+    idx = pd.Index(cal)
+
+    def series(ty: str) -> np.ndarray:
+        g = daily.loc[daily["t"] == ty].set_index("day")["c"]
+        return g.reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+
+    x, y = series(type_a), series(type_b)
+    rows = []
+    for k in range(0, max_lag + 1):
+        if len(x) - k < 2:
+            break
+        xs, ys = x[: len(x) - k], y[k:]
+        n = np.int64(len(xs))
+        sx, sy = xs.sum(), ys.sum()
+        sxx, syy, sxy = (xs * xs).sum(), (ys * ys).sum(), (xs * ys).sum()
+        den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        if den2 <= 0:
+            continue
+        r = (n * sxy - sx * sy).astype(np.float64) / np.sqrt(np.float64(den2))
+        rows.append((int(k), int(n), np.floor(r * 1e6 + 0.5) / 1e6))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["lag", "n_pairs", "r"])

@@ -2792,3 +2792,96 @@ def dominant_cycle(
             "strength": [np.floor(strength * 1e6 + 0.5) / 1e6],
         }
     )
+
+
+def dau_overlap(
+    events: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Day-over-day active-set Jaccard: for every pair of CONSECUTIVE
+    calendar days both having activity, |A∩B| / |A∪B| over the distinct
+    active-key sets — the retention-style churn pulse a training-data
+    service watches on its user (or source-domain) dimension.
+
+    Exactness: intersection and per-day distinct counts are exact int64;
+    the one Jaccard division micro-quantizes identically on both engines.
+
+    Scale shape: per-batch distinct (key, day) pre-shrink → ONE key-hash
+    bucket shuffle; each bucket re-distincts its keys and emits per-day
+    count partials plus per-(day, day+1) intersection partials (a key
+    active on consecutive days is counted where it lives, so no second
+    shuffle) — the driver folds rows bounded by buckets × days."""
+
+    def distinct_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "k": b[key_col],
+                "day": b[ts_col].dt.strftime("%Y-%m-%d"),
+            }
+        ).drop_duplicates()
+        out["bucket"] = (
+            out["k"].to_numpy(dtype=np.int64) % np.int64(n_buckets)
+        ).astype("int32")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["k", "day"]).sort_values(["k", "day"])
+        days = g["day"].to_numpy()
+        keys = g["k"].to_numpy()
+        frames = [
+            g.groupby("day", sort=False).size().reset_index(name="cnt").assign(kind="n")
+        ]
+        if len(g) > 1:
+            d = pd.to_datetime(pd.Series(days))
+            nxt = (keys[:-1] == keys[1:]) & (
+                (d.values[1:] - d.values[:-1]) == np.timedelta64(1, "D")
+            )
+            if nxt.any():
+                inter = (
+                    pd.DataFrame({"day": days[:-1][nxt]})
+                    .groupby("day", sort=False)
+                    .size()
+                    .reset_index(name="cnt")
+                    .assign(kind="i")
+                )
+                frames.append(inter)
+        return pd.concat(frames, ignore_index=True)[["day", "kind", "cnt"]]
+
+    parts = (
+        events.map_batches(distinct_partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "day": pd.Series(dtype=object),
+            "n_today": pd.Series(dtype="int64"),
+            "n_next": pd.Series(dtype="int64"),
+            "n_both": pd.Series(dtype="int64"),
+            "jaccard": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    agg = parts.groupby(["day", "kind"], sort=True)["cnt"].sum().unstack(fill_value=0)
+    n = agg["n"] if "n" in agg.columns else pd.Series(dtype="int64")
+    i = agg["i"] if "i" in agg.columns else pd.Series(0, index=agg.index, dtype="int64")
+    days = sorted(n.index)
+    rows = []
+    for d in days:
+        nd = pd.Timestamp(d) + pd.Timedelta(days=1)
+        nd_s = nd.strftime("%Y-%m-%d")
+        if nd_s not in n.index:
+            continue
+        n1, n2 = int(n[d]), int(n[nd_s])
+        both = int(i.get(d, 0))
+        union = n1 + n2 - both
+        rows.append(
+            (d, n1, n2, both, np.floor(both / union * 1e6 + 0.5) / 1e6)
+        )
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["day", "n_today", "n_next", "n_both", "jaccard"])

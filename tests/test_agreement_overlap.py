@@ -1,0 +1,87 @@
+"""Hand-computed pins for the session-5 agreement/overlap/skew ops:
+cohen_kappa, dau_overlap, daily_crosscorr, shard_skew."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from kgray.ops.stats import cohen_kappa, daily_crosscorr, shard_skew
+from kgray.ops.temporal import dau_overlap
+
+
+def test_cohen_kappa_hand():
+    # confusion: (x,x)x2, (x,y), (y,y) -> n=4 diag=3 rows x:3 y:1 cols x:2 y:2
+    # s = 3*2 + 1*2 = 8; kappa = (4*3 - 8) / (16 - 8) = 0.5; agree = 0.75
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"a": ["x", "x", "x", "y"], "b": ["x", "x", "y", "y"]})
+    )
+    out = cohen_kappa(ds, "a", "b")
+    assert out.iloc[0]["n"] == 4
+    assert out.iloc[0]["agree"] == 0.75
+    assert out.iloc[0]["kappa"] == 0.5
+
+
+def test_cohen_kappa_degenerate_and_empty():
+    # both raters constant -> pe = 1 -> no row
+    ds = ray.data.from_pandas(pd.DataFrame({"a": ["x", "x"], "b": ["x", "x"]}))
+    assert len(cohen_kappa(ds, "a", "b")) == 0
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
+    )
+    out = cohen_kappa(empty, "a", "b")
+    assert len(out) == 0 and list(out.columns) == ["n", "agree", "kappa"]
+
+
+def test_dau_overlap_hand():
+    ts = pd.to_datetime(
+        [
+            "2020-01-01 10:00",
+            "2020-01-01 11:00",
+            "2020-01-02 09:00",
+            "2020-01-02 10:00",
+            "2020-01-04 10:00",  # gap day: no (jan2, jan3) or (jan3, jan4) row
+        ]
+    )
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"user_id": [1, 2, 2, 3, 3], "ts": ts})
+    )
+    out = dau_overlap(ds)
+    assert list(out["day"]) == ["2020-01-01"]
+    r = out.iloc[0]
+    assert (r["n_today"], r["n_next"], r["n_both"]) == (2, 2, 1)
+    assert r["jaccard"] == round(1 / 3, 6)
+
+
+def test_daily_crosscorr_perfect_and_zero_fill():
+    # a on days 1..3 with counts 1,2,3; b only on days 1 and 3 (day 2
+    # zero-fills): lag-0 pairs (1,2),(2,0),(3,6)
+    rows = []
+    for day, n in (("01", 1), ("02", 2), ("03", 3)):
+        rows += [("view", f"2020-01-{day} 08:00")] * n
+    rows += [("purchase", "2020-01-01 09:00")] * 2
+    rows += [("purchase", "2020-01-03 09:00")] * 6
+    df = pd.DataFrame(rows, columns=["event_type", "ts"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    out = daily_crosscorr(ray.data.from_pandas(df), max_lag=1)
+    out = out.set_index("lag")
+    x = np.array([1, 2, 3], dtype=np.float64)
+    y = np.array([2, 0, 6], dtype=np.float64)
+    exp0 = np.corrcoef(x, y)[0, 1]
+    assert out.loc[0, "n_pairs"] == 3
+    assert abs(out.loc[0, "r"] - exp0) < 2e-6
+    # lag 1: x=[1,2] vs y=[0,6] -> r = 1.0
+    assert out.loc[1, "r"] == 1.0
+
+
+def test_shard_skew_matches_md5_and_load():
+    from kgray.ops.dedup import _md5_u64_np
+
+    keys = list(range(100))
+    ds = ray.data.from_pandas(pd.DataFrame({"user_id": keys}))
+    out = shard_skew(ds, n_shards=8).set_index("shard")
+    h = _md5_u64_np([str(k) for k in keys]) % np.uint64(8)
+    u, c = np.unique(h.astype(np.int64), return_counts=True)
+    for shard, cnt in zip(u, c):
+        assert out.loc[shard, "n_rows"] == cnt
+        assert out.loc[shard, "load"] == (int(cnt) * 8 * 10**6 // 100) / 1e6
+    assert int(out["n_rows"].sum()) == 100

@@ -249,6 +249,10 @@ def _compare(query: str):
         "doc_lang_kl",
         "lineitem_price_qty_corr",
         "events_dup_audit",
+        "events_shard_skew",
+        "doc_label_kappa",
+        "events_crosscorr",
+        "events_dau_overlap",
         "events_weekday_chi2",
         "small_qty_revenue",
         "large_orders",
