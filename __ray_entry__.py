@@ -488,6 +488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_lpa_events"] = _q_kg_lpa_events
     q["kg_assortativity_events"] = _q_kg_assortativity_events
     q["events_shard_skew"] = _q_events_shard_skew
+    q["doc_rrf_fusion"] = _q_doc_rrf_fusion
+    q["doc_classifier_calibration"] = _q_doc_classifier_calibration
     q["doc_label_kappa"] = _q_doc_label_kappa
     q["events_crosscorr"] = _q_events_crosscorr
     q["events_dau_overlap"] = _q_events_dau_overlap
@@ -4806,6 +4808,36 @@ SELECT * FROM chunkout
     )
 
 
+def _q_doc_rrf_fusion(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal-rank fusion of BM25 and query-term-density rankings for
+    the fixed retrieval query (kgray.ops.ranking.rrf_fuse_rank): each
+    scorer's top-100 fused as Σ 1/(60+rank), top-20 reported."""
+    from kgray.ops.ranking import rrf_fuse_rank
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return rrf_fuse_rank(ds, BM25_QUERY_TERMS)
+
+
+def _q_doc_classifier_calibration(sf_dir: str) -> pd.DataFrame:
+    """Reliability diagram for the hashed-linear quality classifier vs
+    the corpus's independent lang == 'en' gold label (kgray.ops.ranking.
+    ClassifierCalibration actor pool + finish_calibration driver fold)."""
+    from kgray.ops.ranking import ClassifierCalibration, finish_calibration
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        .map_batches(
+            ClassifierCalibration,
+            batch_format="pyarrow",
+            concurrency=auto_concurrency(),
+        )
+        .to_pandas()
+    )
+    return finish_calibration(parts)
+
+
 def _q_events_shard_skew(sf_dir: str) -> pd.DataFrame:
     """Hash-shard balance audit over the events partitioning key
     (kgray.ops.stats.shard_skew): rows per md5(user_id) % 64 shard +
@@ -5660,6 +5692,86 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(score, 6) AS score
             FROM scores ORDER BY round(score, 6) DESC, doc_id LIMIT 20
+        """,
+        "doc_rrf_fusion": f"""
+            WITH tok AS MATERIALIZED (
+              SELECT doc_id, t AS token
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''
+            ),
+            dl AS MATERIALIZED (
+              SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS DOUBLE) AS dl
+              FROM documents d
+              LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+            ),
+            corpus AS MATERIALIZED (
+              SELECT CAST(count(*) AS BIGINT) AS n, sum(dl) AS sum_dl FROM dl
+            ),
+            df AS MATERIALIZED (
+              SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM tok WHERE token IN {BM25_QUERY_TERMS!r} GROUP BY token
+            ),
+            tf AS MATERIALIZED (
+              SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+              FROM tok WHERE token IN {BM25_QUERY_TERMS!r} GROUP BY doc_id, token
+            ),
+            bsc AS (
+              SELECT dl.doc_id,
+                     round(COALESCE(sum(
+                       ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (corpus.sum_dl / corpus.n)))
+                     ), 0.0), 6) AS score
+              FROM dl CROSS JOIN corpus
+              LEFT JOIN tf ON tf.doc_id = dl.doc_id
+              LEFT JOIN df ON df.token = tf.token
+              GROUP BY dl.doc_id
+            ),
+            tsc AS (
+              SELECT dl.doc_id,
+                     round(CASE WHEN dl.dl = 0 THEN 0.0
+                                ELSE COALESCE(q.qtf, 0.0) / dl.dl END, 6) AS score
+              FROM dl
+              LEFT JOIN (SELECT doc_id, sum(tf) AS qtf FROM tf GROUP BY doc_id) q
+                USING (doc_id)
+            ),
+            br AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+                   FROM bsc QUALIFY r <= 100),
+            tr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+                   FROM tsc QUALIFY r <= 100),
+            u AS (
+              SELECT coalesce(br.doc_id, tr.doc_id) AS doc_id,
+                     coalesce(1.0 / (60 + br.r), 0.0)
+                       + coalesce(1.0 / (60 + tr.r), 0.0) AS s,
+                     CAST(coalesce(br.r, 0) AS BIGINT) AS rank_bm25,
+                     CAST(coalesce(tr.r, 0) AS BIGINT) AS rank_tf
+              FROM br FULL OUTER JOIN tr ON tr.doc_id = br.doc_id)
+            SELECT doc_id, floor(s * 1e6 + 0.5) / 1e6 AS rrf, rank_bm25, rank_tf
+            FROM u
+            ORDER BY floor(s * 1e6 + 0.5) / 1e6 DESC, doc_id LIMIT 20
+        """,
+        "doc_classifier_calibration": """
+            WITH tk AS MATERIALIZED (
+              SELECT doc_id, t
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''
+            ),
+            sc0 AS (
+              SELECT doc_id,
+                     CAST(sum(CAST(md5_number_lower(
+                              'w:' || CAST(md5_number_lower(t) % 256 AS VARCHAR)
+                            ) % 2001 AS BIGINT) - 1000) AS BIGINT) AS score_milli
+              FROM tk GROUP BY doc_id),
+            sc AS (SELECT d.doc_id, coalesce(sc0.score_milli, 0) AS score_milli,
+                          CASE WHEN coalesce(d.lang, '') = 'en' THEN 1 ELSE 0 END AS g
+                   FROM documents d LEFT JOIN sc0 USING (doc_id)),
+            j AS (SELECT CAST(floor(score_milli::DOUBLE / 20000) AS BIGINT) AS bin, g
+                  FROM sc)
+            SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(g) AS BIGINT) AS n_gold,
+                   CAST(sum(g) * 1000000 // count(*) AS BIGINT)::DOUBLE / 1e6
+                     AS gold_rate
+            FROM j GROUP BY bin
         """,
         "doc_inverted_index": """
             WITH tok AS MATERIALIZED (

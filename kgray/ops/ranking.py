@@ -422,3 +422,186 @@ def boolean_search(
         )
 
     return docs.map_batches(match, batch_format="pyarrow")
+
+
+def rrf_fuse_rank(
+    ds: ray.data.Dataset,
+    query_terms: tuple[str, ...],
+    k0: int = 60,
+    pool: int = 100,
+    top_k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Reciprocal-rank fusion of two retrieval scorers for one query —
+    BM25 and a plain query-term-density scorer (Σtf / dl) — the standard
+    hybrid-retrieval merge (fused = Σ 1/(k0 + rank), Cormack et al.).
+    Each scorer contributes its top-``pool`` list; documents absent from
+    a list contribute nothing from it (their rank column reports 0).
+
+    Exactness: both scores micro-round half-away (DuckDB ``round(x,6)``)
+    before ranking; ranks break ties by doc_id; the fused sum of ≤2
+    double reciprocals micro-quantizes identically on both engines.
+
+    Scale shape: ONE corpus-stats pass (one row per batch) + ONE scoring
+    pass emitting per-batch top-``pool`` partials per scorer — the
+    driver merges blocks × pool × 2 candidate rows, never the corpus."""
+    terms = list(dict.fromkeys(query_terms))
+    t_index = {t: i for i, t in enumerate(terms)}
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        flat, parent, n = _flat_tokens(t[text_col])
+        dl = np.bincount(parent, minlength=n)
+        cols: dict = {"n_docs": [n], "sum_dl": [int(dl.sum())]}
+        for term in terms:
+            has = np.bincount(parent[flat == term], minlength=n) > 0
+            cols[f"df_{t_index[term]}"] = [int(has.sum())]
+        return pa.table(cols)
+
+    stats_df = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            id_col: pd.Series(dtype="int64"),
+            "rrf": pd.Series(dtype="float64"),
+            "rank_bm25": pd.Series(dtype="int64"),
+            "rank_tf": pd.Series(dtype="int64"),
+        }
+    )
+    if not len(stats_df) or "n_docs" not in stats_df.columns:
+        return empty
+    stats = stats_df.sum(axis=0)
+    n_docs = int(stats["n_docs"])
+    if n_docs == 0:
+        return empty
+    avgdl = float(stats["sum_dl"]) / n_docs
+    idf = np.array(
+        [
+            np.log((n_docs - stats[f"df_{i}"] + 0.5) / (stats[f"df_{i}"] + 0.5) + 1.0)
+            for i in range(len(terms))
+        ]
+    )
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        flat, parent, n = _flat_tokens(t[text_col])
+        dl = np.bincount(parent, minlength=n).astype(np.float64)
+        bm = np.zeros(n)
+        qtf = np.zeros(n)
+        denom_dl = k1 * (1.0 - b + b * dl / avgdl)
+        for term, i in t_index.items():
+            tf = np.bincount(parent[flat == term], minlength=n).astype(np.float64)
+            bm += idf[i] * tf * (k1 + 1.0) / (tf + denom_dl)
+            qtf += tf
+        tfr = np.where(dl > 0, qtf / np.where(dl > 0, dl, 1.0), 0.0)
+        bm, tfr = _round6(bm), _round6(tfr)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ob = np.lexsort((ids, -bm))[:pool]
+        ot = np.lexsort((ids, -tfr))[:pool]
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate([ids[ob], ids[ot]]), pa.int64()),
+                "score": pa.array(np.concatenate([bm[ob], tfr[ot]]), pa.float64()),
+                "which": pa.array(
+                    np.repeat(np.array([0, 1], dtype=np.int8), [len(ob), len(ot)])
+                ),
+            }
+        )
+
+    cand = ds.map_batches(score_partial, batch_format="pyarrow").to_pandas()
+    ranks: dict[int, dict[int, int]] = {}
+    for which in (0, 1):
+        g = (
+            cand.loc[cand["which"] == which]
+            .sort_values(["score", id_col], ascending=[False, True], kind="mergesort")
+            .head(pool)
+        )
+        ranks[which] = {int(d): r + 1 for r, d in enumerate(g[id_col])}
+    fused: dict[int, float] = {}
+    for which in (0, 1):
+        for d, r in ranks[which].items():
+            fused[d] = fused.get(d, 0.0) + 1.0 / (k0 + r)
+    out = pd.DataFrame(
+        {
+            id_col: np.array(list(fused.keys()), dtype=np.int64),
+            "rrf": _round6(np.array(list(fused.values()))),
+        }
+    )
+    out["rank_bm25"] = out[id_col].map(lambda d: ranks[0].get(int(d), 0)).astype("int64")
+    out["rank_tf"] = out[id_col].map(lambda d: ranks[1].get(int(d), 0)).astype("int64")
+    out = out.sort_values(["rrf", id_col], ascending=[False, True], kind="mergesort")
+    return out.head(top_k).reset_index(drop=True)
+
+
+class ClassifierCalibration:
+    """Reliability-diagram partials for the hashed-linear quality
+    classifier: per fixed-width score bin, document count and the rate at
+    which an INDEPENDENT gold label column agrees (default: the corpus's
+    ``lang == 'en'`` tag) — the calibration audit run before trusting a
+    learned filter's threshold.
+
+    Actor-pool stage: the weight table builds once per actor; each batch
+    collapses to ≤ bins (bin, n, n_gold) partial rows.  All counts exact
+    int64; ``finish_calibration`` folds partials and quantizes the one
+    rate division."""
+
+    BIN_WIDTH = 20_000
+
+    def __init__(self, gold_col: str = "lang", gold_value: str = "en") -> None:
+        from kgray.ops.dedup import _md5_u64_np
+
+        self._md5 = _md5_u64_np
+        self.w = (
+            _md5_u64_np([f"w:{j}" for j in range(HashedLinearClassifier.N_FEATURES)])
+            % 2001
+        ).astype(np.int64) - 1000
+        self.gold_col = gold_col
+        self.gold_value = gold_value
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        toks, parent, n_rows = _flat_tokens(t["text"])
+        vocab, inv = np.unique(toks, return_inverse=True)
+        idx = (self._md5(list(vocab)) % HashedLinearClassifier.N_FEATURES).astype(
+            np.int64
+        )
+        score_milli = np.bincount(
+            parent, weights=self.w[idx[inv]], minlength=n_rows
+        ).astype(np.int64)
+        bins = np.floor_divide(score_milli, np.int64(self.BIN_WIDTH))
+        gold = pc.equal(
+            pc.fill_null(t[self.gold_col], ""), self.gold_value
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"bin": bins, "g": gold})
+        agg = df.groupby("bin", sort=False).agg(n=("g", "size"), n_gold=("g", "sum"))
+        agg = agg.reset_index()
+        return pa.table(
+            {
+                "bin": pa.array(agg["bin"].to_numpy(dtype=np.int64), pa.int64()),
+                "n": pa.array(agg["n"].to_numpy(dtype=np.int64), pa.int64()),
+                "n_gold": pa.array(agg["n_gold"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+
+def finish_calibration(parts: pd.DataFrame) -> pd.DataFrame:
+    """Fold ClassifierCalibration partials into the reliability table."""
+    empty = pd.DataFrame(
+        {
+            "bin": pd.Series(dtype="int64"),
+            "n_docs": pd.Series(dtype="int64"),
+            "n_gold": pd.Series(dtype="int64"),
+            "gold_rate": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    agg = (
+        parts.groupby("bin", sort=True)
+        .agg(n_docs=("n", "sum"), n_gold=("n_gold", "sum"))
+        .reset_index()
+    )
+    agg["gold_rate"] = (
+        agg["n_gold"].to_numpy(dtype=np.int64) * np.int64(10**6)
+        // agg["n_docs"].to_numpy(dtype=np.int64)
+    ).astype("float64") / 1e6
+    return agg

@@ -85,3 +85,59 @@ def test_shard_skew_matches_md5_and_load():
         assert out.loc[shard, "n_rows"] == cnt
         assert out.loc[shard, "load"] == (int(cnt) * 8 * 10**6 // 100) / 1e6
     assert int(out["n_rows"].sum()) == 100
+
+
+def test_rrf_fusion_hand():
+    from kgray.ops.ranking import rrf_fuse_rank
+
+    # doc 1: both terms many times but long; doc 2: one term, short; doc 3
+    # no terms (rank by id among zero scores)
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["hash join " * 5 + "filler " * 20, "hash", "nothing here"],
+        }
+    )
+    out = rrf_fuse_rank(
+        ray.data.from_pandas(df), ("hash", "join"), pool=2, top_k=3
+    )
+    # pool=2 -> doc 3 absent from both lists and from the fused output
+    assert set(out["doc_id"]) == {1, 2}
+    top = out.iloc[0]
+    # every doc in the output carries its per-list rank (0 = absent)
+    assert set(out["rank_bm25"]) == {1, 2} and set(out["rank_tf"]) == {1, 2}
+    assert top["rrf"] >= out.iloc[1]["rrf"]
+
+
+def test_rrf_fusion_empty():
+    from kgray.ops.ranking import rrf_fuse_rank
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "text": pd.Series(dtype=object)})
+    )
+    out = rrf_fuse_rank(ds, ("hash",))
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "rrf", "rank_bm25", "rank_tf"]
+
+
+def test_classifier_calibration_counts():
+    from kgray.ops.ranking import ClassifierCalibration, finish_calibration
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["the cat and the dog", "xyzzy plugh", "the the the"],
+            "lang": ["en", "zh", "fr"],  # exactly one gold positive
+        }
+    )
+    parts = (
+        ray.data.from_pandas(df)
+        .map_batches(ClassifierCalibration, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+    )
+    out = finish_calibration(parts)
+    assert int(out["n_docs"].sum()) == 3
+    assert int(out["n_gold"].sum()) == 1
+    # rate is the exact integer micro-division
+    for _, r in out.iterrows():
+        assert r["gold_rate"] == (int(r["n_gold"]) * 10**6 // int(r["n_docs"])) / 1e6

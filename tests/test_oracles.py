@@ -250,6 +250,8 @@ def _compare(query: str):
         "lineitem_price_qty_corr",
         "events_dup_audit",
         "events_shard_skew",
+        "doc_rrf_fusion",
+        "doc_classifier_calibration",
         "doc_label_kappa",
         "events_crosscorr",
         "events_dau_overlap",
