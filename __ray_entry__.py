@@ -488,6 +488,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_lpa_events"] = _q_kg_lpa_events
     q["kg_assortativity_events"] = _q_kg_assortativity_events
     q["events_shard_skew"] = _q_events_shard_skew
+    q["doc_token_coverage"] = _q_doc_token_coverage
+    q["doc_source_overlap"] = _q_doc_source_overlap
+    q["kg_pred_cardinality"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["predicate_cardinality"]
+    ).predicate_cardinality(_kg_closed_world(sf).edges)
     q["doc_rrf_fusion"] = _q_doc_rrf_fusion
     q["doc_classifier_calibration"] = _q_doc_classifier_calibration
     q["doc_label_kappa"] = _q_doc_label_kappa
@@ -4808,6 +4813,28 @@ SELECT * FROM chunkout
     )
 
 
+def _q_doc_token_coverage(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary coverage curve at k ∈ {10, 100, 1000} (kgray.ops.stats.
+    token_coverage_curve): top-k token types' share of all occurrences,
+    exact integer micro-division."""
+    from kgray.ops.stats import token_coverage_curve
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return token_coverage_curve(ds)
+
+
+def _q_doc_source_overlap(sf_dir: str) -> pd.DataFrame:
+    """Cross-source distinct-token Jaccard matrix (kgray.ops.curation.
+    source_token_overlap): complete source-pair grid, one token-hash
+    bucket shuffle."""
+    from kgray.ops.curation import source_token_overlap
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return source_token_overlap(ds)
+
+
 def _q_doc_rrf_fusion(sf_dir: str) -> pd.DataFrame:
     """Reciprocal-rank fusion of BM25 and query-term-density rankings for
     the fixed retrieval query (kgray.ops.ranking.rrf_fuse_rank): each
@@ -4917,6 +4944,53 @@ def oracle_sql() -> dict[str, str]:
             FROM canon""",
         "kg_quintuples_closed_world": f"""WITH {cw}
             SELECT pred, count(*)::BIGINT AS n FROM quint GROUP BY pred""",
+        "kg_pred_cardinality": f"""WITH {cw}
+            SELECT pred, CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(count(DISTINCT subj_name || chr(31) || subj_label) AS BIGINT)
+                     AS n_subj,
+                   CAST(count(DISTINCT obj_name || chr(31) || obj_label) AS BIGINT)
+                     AS n_obj,
+                   CAST(count(*) * 1000000
+                        // count(DISTINCT subj_name || chr(31) || subj_label)
+                        AS BIGINT)::DOUBLE / 1e6 AS obj_per_subj
+            FROM merged GROUP BY pred""",
+        "doc_token_coverage": """
+            WITH tok AS MATERIALIZED (
+              SELECT t FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''),
+            c AS MATERIALIZED (
+              SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+            r AS MATERIALIZED (
+              SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rn
+              FROM c),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                           CAST(count(*) AS BIGINT) AS n_vocab FROM c),
+            ks AS (SELECT unnest([10, 100, 1000]) AS k)
+            SELECT k, covered, total, n_vocab,
+                   CAST(covered * 1000000 // total AS BIGINT)::DOUBLE / 1e6 AS share
+            FROM (SELECT CAST(ks.k AS BIGINT) AS k,
+                         (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT)
+                          FROM r WHERE rn <= ks.k) AS covered,
+                         tot.total AS total, tot.n_vocab AS n_vocab
+                  FROM ks, tot)
+        """,
+        "doc_source_overlap": """
+            WITH p AS MATERIALIZED (
+              SELECT DISTINCT source, t AS token
+              FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''),
+            n AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1),
+            co AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS c
+                   FROM p a JOIN p b ON a.token = b.token AND a.source < b.source
+                   GROUP BY 1, 2)
+            SELECT na.source AS src_a, nb.source AS src_b, na.c AS n_a, nb.c AS n_b,
+                   coalesce(co.c, 0) AS n_common,
+                   floor(coalesce(co.c, 0)::DOUBLE
+                         / (na.c + nb.c - coalesce(co.c, 0))::DOUBLE * 1e6 + 0.5) / 1e6
+                     AS jaccard
+            FROM n na JOIN n nb ON na.source < nb.source
+            LEFT JOIN co ON co.sa = na.source AND co.sb = nb.source
+        """,
         # snapshot: a 'start' boundary after the date or an 'end' boundary
         # before it invalidates the observation; missing/unparseable
         # boundaries are open (atemporal facts valid at every instant)

@@ -2173,3 +2173,48 @@ def degree_assortativity(
     return pd.DataFrame(
         {"n_edges": [np.int64(n)], "assortativity": [np.floor(r * 1e6 + 0.5) / 1e6]}
     )
+
+
+def predicate_cardinality(edges: ray.data.Dataset) -> pd.DataFrame:
+    """Per-predicate cardinality profile of a canonical KG edge table:
+    edge count, distinct subjects, distinct objects, and the mean objects
+    per subject (micro-quantized integer division) — the ontology-QA
+    readout that tells a schema designer which predicates are functional
+    (≈1 object per subject) and which are set-valued.
+
+    Edges are already distinct (subj, pred, obj) post-merge, so counts
+    are exact.  Scale shape: ONE pred-key shuffle of the
+    (pred, subj_id, obj_id) projection; per-group nunique — bounded by
+    the (small) predicate vocabulary on the driver."""
+
+    def per_pred(g: pd.DataFrame) -> pd.DataFrame:
+        n = np.int64(len(g))
+        ns = np.int64(g["subj_id"].nunique())
+        no = np.int64(g["obj_id"].nunique())
+        return pd.DataFrame(
+            {
+                "pred": [g["pred"].iloc[0]],
+                "n_edges": [n],
+                "n_subj": [ns],
+                "n_obj": [no],
+                "obj_per_subj": [(int(n) * 10**6 // int(ns)) / 1e6],
+            }
+        )
+
+    out = (
+        edges.select_columns(["pred", "subj_id", "obj_id"])
+        .groupby("pred")
+        .map_groups(per_pred, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(out):
+        return pd.DataFrame(
+            {
+                "pred": pd.Series(dtype=object),
+                "n_edges": pd.Series(dtype="int64"),
+                "n_subj": pd.Series(dtype="int64"),
+                "n_obj": pd.Series(dtype="int64"),
+                "obj_per_subj": pd.Series(dtype="float64"),
+            }
+        )
+    return out.sort_values("pred", kind="mergesort").reset_index(drop=True)

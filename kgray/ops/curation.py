@@ -981,3 +981,113 @@ def length_psi(
             "term_nano": np.floor(term * 1e9 + 0.5).astype(np.int64),
         }
     )
+
+
+def source_token_overlap(
+    ds: ray.data.Dataset,
+    source_col: str = "source",
+    text_col: str = "text",
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """Cross-source vocabulary overlap matrix: for every unordered source
+    pair, the Jaccard of the two sources' distinct-token sets — the
+    leakage/shared-boilerplate screen run before treating corpus sources
+    as independent (a pair sharing most of its vocabulary will defeat any
+    per-source split).  The grid is COMPLETE: never-overlapping pairs
+    report 0.
+
+    Exactness: intersections and per-source distinct counts are exact
+    int64; the one Jaccard division micro-quantizes identically.
+
+    Scale shape: per-batch distinct (source, token) pre-shrink → ONE
+    token-hash bucket shuffle; each bucket re-distincts and emits
+    per-source counts plus per-token source-pair intersections (sources²
+    bounded, sources is small by construction) — driver fold bounded by
+    buckets × sources²."""
+
+    def distinct_partial(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa_  # noqa: PLC0415 (worker-local)
+        import pyarrow.compute as pc_  # noqa: PLC0415
+
+        texts = t[text_col]
+        if isinstance(texts, pa_.ChunkedArray):
+            texts = texts.combine_chunks()
+        lst = pc_.split_pattern(pc_.cast(texts, pa_.large_string()), " ")
+        flat = pc_.list_flatten(lst)
+        lens = pc_.list_value_length(lst).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(lens)), lens)
+        src = np.asarray(t[source_col].to_pandas(), dtype=object)[parent]
+        tt = pa_.table(
+            {
+                "source": pa_.array(src, pa_.large_string()),
+                "token": pc_.cast(flat, pa_.large_string()),
+            }
+        )
+        tt = tt.filter(pc_.not_equal(tt["token"], ""))
+        dd = tt.group_by(["source", "token"]).aggregate([])
+        h = _md5_u64_np(dd["token"].to_pylist()) % np.uint64(num_buckets)
+        return dd.append_column("bucket", pa_.array(h.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["source", "token"])
+        frames = [
+            g.groupby("source", sort=False)
+            .size()
+            .reset_index(name="cnt")
+            .rename(columns={"source": "sa"})
+            .assign(sb="")
+        ]
+        j = g.merge(g, on="token", suffixes=("_a", "_b"))
+        j = j[j["source_a"] < j["source_b"]]
+        if len(j):
+            co = (
+                j.groupby(["source_a", "source_b"], sort=False)
+                .size()
+                .reset_index(name="cnt")
+            )
+            co.columns = ["sa", "sb", "cnt"]
+            frames.append(co)
+        return pd.concat(frames, ignore_index=True)[["sa", "sb", "cnt"]]
+
+    parts = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "src_a": pd.Series(dtype=object),
+            "src_b": pd.Series(dtype=object),
+            "n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+            "n_common": pd.Series(dtype="int64"),
+            "jaccard": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    agg = parts.groupby(["sa", "sb"], sort=True)["cnt"].sum()
+    singles = {k[0]: int(v) for k, v in agg.items() if k[1] == ""}
+    inter = {(k[0], k[1]): int(v) for k, v in agg.items() if k[1] != ""}
+    srcs = sorted(singles)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            common = inter.get((a, b), 0)
+            union = singles[a] + singles[b] - common
+            rows.append(
+                (
+                    a,
+                    b,
+                    singles[a],
+                    singles[b],
+                    common,
+                    np.floor(common / union * 1e6 + 0.5) / 1e6 if union else 0.0,
+                )
+            )
+    if not rows:
+        return empty
+    return pd.DataFrame(
+        rows, columns=["src_a", "src_b", "n_a", "n_b", "n_common", "jaccard"]
+    )

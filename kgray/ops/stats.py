@@ -2569,3 +2569,83 @@ def daily_crosscorr(
     if not rows:
         return empty
     return pd.DataFrame(rows, columns=["lag", "n_pairs", "r"])
+
+
+def token_coverage_curve(
+    ds: ray.data.Dataset,
+    ks: tuple[int, ...] = (10, 100, 1000),
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Vocabulary coverage curve: what fraction of all token OCCURRENCES
+    the top-k token TYPES cover, for each k — the first question a
+    tokenizer/vocabulary design asks of a corpus (Zipf corpora saturate
+    fast; flat ones don't).
+
+    Ranking is (count desc, token asc); share = covered·10⁶ // total —
+    exact integer division, bit-equal on both engines.
+
+    Scale shape: per-batch Arrow ``group_by`` token-count partials →
+    ONE token-hash bucket shuffle; each bucket emits its top-max(ks)
+    rows (any global top-k member is in its own bucket's top-k) plus a
+    (total, n_distinct) scalar — the driver merges buckets × max(ks)
+    candidate rows, never the vocabulary."""
+    maxk = max(ks)
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern(pc.cast(texts, pa.large_string()), " ").flatten()
+        tt = pa.table({"token": toks})
+        tt = tt.filter(pc.not_equal(tt["token"], ""))
+        counted = tt.group_by("token").aggregate([([], "count_all")])
+        bucket = pd.util.hash_array(
+            np.asarray(counted["token"].to_pandas(), dtype=object)
+        ) % num_buckets
+        return counted.append_column("bucket", pa.array(bucket.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("token", sort=False)["count_all"].sum().reset_index(name="cnt")
+        top = c.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort").head(maxk)
+        top = top.assign(kind="t")
+        scalars = pd.DataFrame(
+            {"token": ["", ""], "cnt": [int(c["cnt"].sum()), len(c)], "kind": ["s", "d"]}
+        )
+        return pd.concat([top, scalars], ignore_index=True)[["token", "cnt", "kind"]]
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "k": pd.Series(dtype="int64"),
+            "covered": pd.Series(dtype="int64"),
+            "total": pd.Series(dtype="int64"),
+            "n_vocab": pd.Series(dtype="int64"),
+            "share": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    total = int(parts.loc[parts["kind"] == "s", "cnt"].sum())
+    n_vocab = int(parts.loc[parts["kind"] == "d", "cnt"].sum())
+    if total == 0:
+        return empty
+    cand = (
+        parts.loc[parts["kind"] == "t"]
+        .sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
+        .head(maxk)
+    )
+    counts = cand["cnt"].to_numpy(dtype=np.int64)
+    csum = np.cumsum(counts)
+    rows = []
+    for k in ks:
+        covered = int(csum[min(k, len(csum)) - 1]) if len(csum) else 0
+        rows.append(
+            (int(k), covered, total, n_vocab, (covered * 10**6 // total) / 1e6)
+        )
+    return pd.DataFrame(rows, columns=["k", "covered", "total", "n_vocab", "share"])

@@ -141,3 +141,69 @@ def test_classifier_calibration_counts():
     # rate is the exact integer micro-division
     for _, r in out.iterrows():
         assert r["gold_rate"] == (int(r["n_gold"]) * 10**6 // int(r["n_docs"])) / 1e6
+
+
+def test_predicate_cardinality_hand():
+    from kgray.functions.graph import predicate_cardinality
+
+    edges = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "pred": ["works_at"] * 3 + ["ceo_of"],
+                "subj_id": ["a", "a", "b", "c"],
+                "obj_id": ["x", "y", "x", "x"],
+            }
+        )
+    )
+    out = predicate_cardinality(edges).set_index("pred")
+    assert out.loc["works_at", "n_edges"] == 3
+    assert out.loc["works_at", "n_subj"] == 2
+    assert out.loc["works_at", "n_obj"] == 2
+    assert out.loc["works_at", "obj_per_subj"] == 1.5
+    assert out.loc["ceo_of", "obj_per_subj"] == 1.0
+    empty = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "pred": pd.Series(dtype=object),
+                "subj_id": pd.Series(dtype=object),
+                "obj_id": pd.Series(dtype=object),
+            }
+        )
+    )
+    assert len(predicate_cardinality(empty)) == 0
+
+
+def test_token_coverage_hand():
+    from kgray.ops.stats import token_coverage_curve
+
+    # counts: a:4 b:2 c:1 -> total 7, vocab 3
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"text": ["a a b", "a a b c", ""]})
+    )
+    out = token_coverage_curve(ds, ks=(1, 2, 5)).set_index("k")
+    assert int(out.loc[1, "covered"]) == 4
+    assert int(out.loc[2, "covered"]) == 6
+    assert int(out.loc[5, "covered"]) == 7  # k beyond vocab covers all
+    assert int(out.loc[5, "n_vocab"]) == 3
+    assert out.loc[1, "share"] == (4 * 10**6 // 7) / 1e6
+
+
+def test_source_overlap_hand():
+    from kgray.ops.curation import source_token_overlap
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "source": ["s1", "s1", "s2", "s3"],
+                "text": ["a b", "b c", "b c d", "zzz"],
+            }
+        )
+    )
+    out = source_token_overlap(ds).set_index(["src_a", "src_b"])
+    r = out.loc[("s1", "s2")]
+    # s1={a,b,c}, s2={b,c,d}: inter 2, union 4
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (3, 3, 2)
+    assert r["jaccard"] == 0.5
+    # complete grid: zero-overlap pair present with jaccard 0
+    assert out.loc[("s1", "s3")]["n_common"] == 0
+    assert out.loc[("s2", "s3")]["jaccard"] == 0.0

@@ -252,6 +252,8 @@ def _compare(query: str):
         "events_shard_skew",
         "doc_rrf_fusion",
         "doc_classifier_calibration",
+        "doc_token_coverage",
+        "doc_source_overlap",
         "doc_label_kappa",
         "events_crosscorr",
         "events_dau_overlap",
