@@ -493,6 +493,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_pred_cardinality"] = lambda sf: __import__(
         "kgray.functions.graph", fromlist=["predicate_cardinality"]
     ).predicate_cardinality(_kg_closed_world(sf).edges)
+    q["kg_temporal_conflicts"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["temporal_conflicts"]
+    ).temporal_conflicts(_kg_closed_world(sf).edges)
     q["doc_rrf_fusion"] = _q_doc_rrf_fusion
     q["doc_classifier_calibration"] = _q_doc_classifier_calibration
     q["doc_label_kappa"] = _q_doc_label_kappa
@@ -4954,6 +4957,33 @@ def oracle_sql() -> dict[str, str]:
                         // count(DISTINCT subj_name || chr(31) || subj_label)
                         AS BIGINT)::DOUBLE / 1e6 AS obj_per_subj
             FROM merged GROUP BY pred""",
+        "kg_temporal_conflicts": f"""WITH {cw},
+            iv AS (
+              SELECT cs.eid AS subj_id, pr.canon_pred AS pred, co.eid AS obj_id,
+                     min(CASE WHEN q.slot = 'start'
+                                   AND try_strptime(q.d, '%Y-%m-%d') IS NOT NULL
+                              THEN q.d END) AS ts,
+                     max(CASE WHEN q.slot = 'end'
+                                   AND try_strptime(q.d, '%Y-%m-%d') IS NOT NULL
+                              THEN q.d END) AS te
+              FROM quint q
+              JOIN canon cs ON cs.name = q.subj_name AND cs.label = q.subj_label
+              JOIN canon co ON co.name = q.obj_name AND co.label = q.obj_label
+              JOIN prep pr ON pr.pred = q.pred
+              GROUP BY 1, 2, 3),
+            pairs AS (
+              SELECT a.pred, a.subj_id,
+                     CASE WHEN coalesce(a.ts, '0') <= coalesce(b.te, 'A')
+                               AND coalesce(b.ts, '0') <= coalesce(a.te, 'A')
+                          THEN 1 ELSE 0 END AS conflict
+              FROM iv a JOIN iv b
+                ON a.pred = b.pred AND a.subj_id = b.subj_id
+                   AND a.obj_id < b.obj_id)
+            SELECT pred, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(conflict) AS BIGINT) AS n_conflicts,
+                   CAST(count(DISTINCT CASE WHEN conflict = 1 THEN subj_id END)
+                        AS BIGINT) AS n_subj_conflict
+            FROM pairs GROUP BY pred""",
         "doc_token_coverage": """
             WITH tok AS MATERIALIZED (
               SELECT t FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

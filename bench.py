@@ -212,6 +212,16 @@ def run_bench() -> dict:
     timed("events_circadian", lambda: size(entry.queries()["events_circadian"](sf_dir)))
     timed("engagement_revenue_link",
           lambda: size(entry.queries()["engagement_revenue_link"](sf_dir)))
+    timed("events_shard_skew", lambda: size(entry.queries()["events_shard_skew"](sf_dir)))
+    timed("doc_label_kappa", lambda: size(entry.queries()["doc_label_kappa"](sf_dir)))
+    timed("events_crosscorr", lambda: size(entry.queries()["events_crosscorr"](sf_dir)))
+    timed("events_dau_overlap", lambda: size(entry.queries()["events_dau_overlap"](sf_dir)))
+    timed("doc_rrf_fusion", lambda: size(entry.queries()["doc_rrf_fusion"](sf_dir)))
+    timed("doc_classifier_calibration",
+          lambda: size(entry.queries()["doc_classifier_calibration"](sf_dir)))
+    timed("doc_token_coverage", lambda: size(entry.queries()["doc_token_coverage"](sf_dir)))
+    timed("doc_source_overlap", lambda: size(entry.queries()["doc_source_overlap"](sf_dir)))
+    timed("kg_pred_cardinality", lambda: size(entry.queries()["kg_pred_cardinality"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

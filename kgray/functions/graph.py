@@ -2218,3 +2218,95 @@ def predicate_cardinality(edges: ray.data.Dataset) -> pd.DataFrame:
             }
         )
     return out.sort_values("pred", kind="mergesort").reset_index(drop=True)
+
+
+def temporal_conflicts(edges: ray.data.Dataset) -> pd.DataFrame:
+    """Temporal-consistency audit of a canonical KG: for every
+    (subject, predicate) holding ≥2 distinct objects, count object pairs
+    whose validity intervals overlap — the contradiction detector a
+    temporal KG runs after ingest (two simultaneous CEOs, two concurrent
+    employers).  An edge's interval is [min(t_start), max(t_end)] with a
+    missing boundary OPEN (an atemporal fact conflicts with everything on
+    the same slot, mirroring the snapshot semantics).
+
+    Output per predicate: n_pairs (same-subject object pairs),
+    n_conflicts (overlapping pairs), n_subj_conflict (subjects with ≥1).
+    All counts exact int64; interval comparison is order-isomorphic
+    between the engine's epoch floats and the twin's ISO date strings.
+
+    Scale shape: per-batch vectorized interval extraction (flatten +
+    reduceat, no per-row Python), then ONE pred-key shuffle; the
+    within-subject pair blowup is bounded by objects-per-subject (the
+    cardinality profile above is the guard to check first)."""
+
+    def intervals(t: "pa.Table") -> "pa.Table":
+        import numpy as np  # noqa: PLC0415 (worker-local)
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.compute as pc  # noqa: PLC0415
+
+        def bound(col, fn, empty_val):
+            lens = pc.list_value_length(t[col]).to_numpy(zero_copy_only=False)
+            flat = pc.list_flatten(t[col]).to_numpy(zero_copy_only=False)
+            out = np.full(len(lens), empty_val, dtype=np.float64)
+            nz = lens > 0
+            if nz.any():
+                offs = np.zeros(len(lens), dtype=np.int64)
+                offs[1:] = np.cumsum(lens)[:-1]
+                red = fn.reduceat(flat, offs[nz])
+                out[nz] = red
+            return out
+
+        ts = bound("t_start", np.minimum, -np.inf)
+        te = bound("t_end", np.maximum, np.inf)
+        return pa.table(
+            {
+                "pred": t["pred"],
+                "subj_id": t["subj_id"],
+                "obj_id": t["obj_id"],
+                "ts": pa.array(ts, pa.float64()),
+                "te": pa.array(te, pa.float64()),
+            }
+        )
+
+    def per_pred(g: pd.DataFrame) -> pd.DataFrame:
+        j = g.merge(g, on="subj_id", suffixes=("_a", "_b"))
+        j = j[j["obj_id_a"] < j["obj_id_b"]]
+        if not len(j):
+            return pd.DataFrame(
+                {
+                    "pred": pd.Series(dtype=object),
+                    "n_pairs": pd.Series(dtype="int64"),
+                    "n_conflicts": pd.Series(dtype="int64"),
+                    "n_subj_conflict": pd.Series(dtype="int64"),
+                }
+            )
+        conflict = (j["ts_a"].to_numpy() <= j["te_b"].to_numpy()) & (
+            j["ts_b"].to_numpy() <= j["te_a"].to_numpy()
+        )
+        subj_conf = j.loc[conflict, "subj_id"].nunique()
+        return pd.DataFrame(
+            {
+                "pred": [g["pred"].iloc[0]],
+                "n_pairs": [np.int64(len(j))],
+                "n_conflicts": [np.int64(int(conflict.sum()))],
+                "n_subj_conflict": [np.int64(subj_conf)],
+            }
+        )
+
+    out = (
+        edges.select_columns(["pred", "subj_id", "obj_id", "t_start", "t_end"])
+        .map_batches(intervals, batch_format="pyarrow")
+        .groupby("pred")
+        .map_groups(per_pred, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(out):
+        return pd.DataFrame(
+            {
+                "pred": pd.Series(dtype=object),
+                "n_pairs": pd.Series(dtype="int64"),
+                "n_conflicts": pd.Series(dtype="int64"),
+                "n_subj_conflict": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values("pred", kind="mergesort").reset_index(drop=True)

@@ -207,3 +207,29 @@ def test_source_overlap_hand():
     # complete grid: zero-overlap pair present with jaccard 0
     assert out.loc[("s1", "s3")]["n_common"] == 0
     assert out.loc[("s2", "s3")]["jaccard"] == 0.0
+
+
+def test_temporal_conflicts_hand():
+    from kgray.functions.graph import temporal_conflicts
+
+    edges = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "pred": ["works_at"] * 4 + ["ceo_of"] * 2,
+                "subj_id": ["s1", "s1", "s1", "s2", "s3", "s3"],
+                "obj_id": ["o1", "o2", "o3", "o1", "o1", "o2"],
+                # s1: o1=[10,20], o2=[15,30] overlap; o3=[25,inf) overlaps
+                # o2 but not o1. s2 single object: no pair.
+                # s3 ceo_of: o1=(-inf,5], o2=[6,inf): disjoint.
+                "t_start": [[10.0], [15.0], [25.0], [1.0], [], [6.0]],
+                "t_end": [[20.0], [30.0], [], [2.0], [5.0], []],
+            }
+        )
+    )
+    out = temporal_conflicts(edges).set_index("pred")
+    assert out.loc["works_at", "n_pairs"] == 3
+    assert out.loc["works_at", "n_conflicts"] == 2  # (o1,o2) and (o2,o3)
+    assert out.loc["works_at", "n_subj_conflict"] == 1
+    assert out.loc["ceo_of", "n_pairs"] == 1
+    assert out.loc["ceo_of", "n_conflicts"] == 0
+    assert out.loc["ceo_of", "n_subj_conflict"] == 0
