@@ -497,6 +497,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgray.functions.graph", fromlist=["temporal_conflicts"]
     ).temporal_conflicts(_kg_closed_world(sf).edges)
     q["doc_rrf_fusion"] = _q_doc_rrf_fusion
+    q["events_quantile_sketch"] = _q_events_quantile_sketch
+    q["doc_bm25_ndcg"] = _q_doc_bm25_ndcg
     q["doc_classifier_calibration"] = _q_doc_classifier_calibration
     q["doc_label_kappa"] = _q_doc_label_kappa
     q["events_crosscorr"] = _q_events_crosscorr
@@ -4838,6 +4840,35 @@ def _q_doc_source_overlap(sf_dir: str) -> pd.DataFrame:
     return source_token_overlap(ds)
 
 
+def _q_events_quantile_sketch(sf_dir: str) -> pd.DataFrame:
+    """Histogram-sketch quantile-error audit on event value cents
+    (kgray.ops.stats.quantile_sketch_audit): exact discrete p50/p90/p99
+    vs the $10-bucket streaming-histogram estimate."""
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.compute as pc  # noqa: PLC0415
+
+    from kgray.ops.stats import quantile_sketch_audit
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64())
+        return pa.table({"cents": c})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"]).map_batches(
+        cents, batch_format="pyarrow"
+    )
+    return quantile_sketch_audit(ds)
+
+
+def _q_doc_bm25_ndcg(sf_dir: str) -> pd.DataFrame:
+    """NDCG@10 of the BM25 ranking vs the distinct-query-terms-present
+    relevance rule (kgray.ops.ranking.bm25_ndcg): order-independent
+    per-term micro-quantized DCG sums."""
+    from kgray.ops.ranking import bm25_ndcg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_ndcg(ds, BM25_QUERY_TERMS)
+
+
 def _q_doc_rrf_fusion(sf_dir: str) -> pd.DataFrame:
     """Reciprocal-rank fusion of BM25 and query-term-density rankings for
     the fixed retrieval query (kgray.ops.ranking.rrf_fuse_rank): each
@@ -5003,6 +5034,84 @@ def oracle_sql() -> dict[str, str]:
                           FROM r WHERE rn <= ks.k) AS covered,
                          tot.total AS total, tot.n_vocab AS n_vocab
                   FROM ks, tot)
+        """,
+        "events_quantile_sketch": """
+            WITH c AS MATERIALIZED (
+              SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+            ex AS (SELECT CAST(quantile_disc(v, 0.50) AS BIGINT) AS e1,
+                          CAST(quantile_disc(v, 0.90) AS BIGINT) AS e2,
+                          CAST(quantile_disc(v, 0.99) AS BIGINT) AS e3 FROM c),
+            bh AS (SELECT v // 1000 AS b, CAST(count(*) AS BIGINT) AS cnt
+                   FROM c GROUP BY 1),
+            bc AS (SELECT b, CAST(sum(cnt) OVER (ORDER BY b) AS BIGINT) AS cs FROM bh),
+            es AS (SELECT
+              (SELECT CAST(min((b + 1) * 1000 - 1) AS BIGINT) FROM bc, nn
+               WHERE cs >= (1 * nn.n + 1) // 2) AS s1,
+              (SELECT CAST(min((b + 1) * 1000 - 1) AS BIGINT) FROM bc, nn
+               WHERE cs >= (9 * nn.n + 9) // 10) AS s2,
+              (SELECT CAST(min((b + 1) * 1000 - 1) AS BIGINT) FROM bc, nn
+               WHERE cs >= (99 * nn.n + 99) // 100) AS s3)
+            SELECT 'p50' AS pct, ex.e1 AS exact, es.s1 AS estimate,
+                   abs(es.s1 - ex.e1) AS abs_err FROM ex, es
+            UNION ALL SELECT 'p90', ex.e2, es.s2, abs(es.s2 - ex.e2) FROM ex, es
+            UNION ALL SELECT 'p99', ex.e3, es.s3, abs(es.s3 - ex.e3) FROM ex, es
+        """,
+        "doc_bm25_ndcg": f"""
+            WITH tok AS MATERIALIZED (
+              SELECT doc_id, t AS token
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''
+            ),
+            dl AS MATERIALIZED (
+              SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS DOUBLE) AS dl
+              FROM documents d
+              LEFT JOIN (SELECT doc_id, count(*) AS cnt FROM tok GROUP BY doc_id) c USING (doc_id)
+            ),
+            corpus AS MATERIALIZED (
+              SELECT CAST(count(*) AS BIGINT) AS n, sum(dl) AS sum_dl FROM dl
+            ),
+            df AS MATERIALIZED (
+              SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM tok WHERE token IN {BM25_QUERY_TERMS!r} GROUP BY token
+            ),
+            tf AS MATERIALIZED (
+              SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+              FROM tok WHERE token IN {BM25_QUERY_TERMS!r} GROUP BY doc_id, token
+            ),
+            bsc AS (
+              SELECT dl.doc_id,
+                     round(COALESCE(sum(
+                       ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (corpus.sum_dl / corpus.n)))
+                     ), 0.0), 6) AS score
+              FROM dl CROSS JOIN corpus
+              LEFT JOIN tf ON tf.doc_id = dl.doc_id
+              LEFT JOIN df ON df.token = tf.token
+              GROUP BY dl.doc_id
+            ),
+            rel AS MATERIALIZED (
+              SELECT d.doc_id, CAST(coalesce(r.nt, 0) AS BIGINT) AS rel
+              FROM documents d
+              LEFT JOIN (SELECT doc_id, count(DISTINCT token) AS nt
+                         FROM tok WHERE token IN {BM25_QUERY_TERMS!r}
+                         GROUP BY doc_id) r USING (doc_id)
+            ),
+            top AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+                           AS rnk
+                    FROM bsc QUALIFY rnk <= 10),
+            dcg AS (SELECT CAST(sum(CAST(floor(rel.rel * 1000000.0 / log2(rnk + 1)
+                                               + 0.5) AS BIGINT)) AS BIGINT) AS d
+                    FROM top JOIN rel USING (doc_id)),
+            ideal AS (SELECT rel, row_number() OVER (ORDER BY rel DESC) AS rnk
+                      FROM rel QUALIFY rnk <= 10),
+            idcg AS (SELECT CAST(sum(CAST(floor(rel * 1000000.0 / log2(rnk + 1)
+                                               + 0.5) AS BIGINT)) AS BIGINT) AS d
+                     FROM ideal)
+            SELECT dcg.d AS dcg_micro, idcg.d AS idcg_micro,
+                   floor(dcg.d::DOUBLE / idcg.d::DOUBLE * 1e6 + 0.5) / 1e6 AS ndcg
+            FROM dcg, idcg WHERE idcg.d > 0
         """,
         "doc_source_overlap": """
             WITH p AS MATERIALIZED (

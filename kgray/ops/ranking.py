@@ -605,3 +605,121 @@ def finish_calibration(parts: pd.DataFrame) -> pd.DataFrame:
         // agg["n_docs"].to_numpy(dtype=np.int64)
     ).astype("float64") / 1e6
     return agg
+
+
+def bm25_ndcg(
+    ds: ray.data.Dataset,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """NDCG@k of the BM25 ranking against a rule relevance label
+    (rel(doc) = number of DISTINCT query terms present, 0..|q|) — the
+    standard ranking-quality eval, runnable without human judgments.
+
+    Exactness: each DCG term micro-quantizes independently
+    (floor(rel·10⁶ / log₂(rank+1) + 0.5)) so the sum is an
+    order-independent int64 on both engines; the final NDCG division
+    micro-quantizes.  Reports no row when IDCG = 0 (no relevant doc).
+
+    Scale shape: one corpus-stats pass + ONE scoring pass per batch
+    emitting (top-k candidates with their rel) AND a rel-histogram
+    partial (≤ |q|+1 rows); the driver merges blocks × (k + |q|+1)."""
+    terms = list(dict.fromkeys(query_terms))
+    t_index = {t: i for i, t in enumerate(terms)}
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        flat, parent, n = _flat_tokens(t[text_col])
+        dl = np.bincount(parent, minlength=n)
+        cols: dict = {"n_docs": [n], "sum_dl": [int(dl.sum())]}
+        for term in terms:
+            has = np.bincount(parent[flat == term], minlength=n) > 0
+            cols[f"df_{t_index[term]}"] = [int(has.sum())]
+        return pa.table(cols)
+
+    stats_df = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "dcg_micro": pd.Series(dtype="int64"),
+            "idcg_micro": pd.Series(dtype="int64"),
+            "ndcg": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(stats_df) or "n_docs" not in stats_df.columns:
+        return empty
+    stats = stats_df.sum(axis=0)
+    n_docs = int(stats["n_docs"])
+    if n_docs == 0:
+        return empty
+    avgdl = float(stats["sum_dl"]) / n_docs
+    idf = np.array(
+        [
+            np.log((n_docs - stats[f"df_{i}"] + 0.5) / (stats[f"df_{i}"] + 0.5) + 1.0)
+            for i in range(len(terms))
+        ]
+    )
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        flat, parent, n = _flat_tokens(t[text_col])
+        dl = np.bincount(parent, minlength=n).astype(np.float64)
+        score = np.zeros(n)
+        rel = np.zeros(n, dtype=np.int64)
+        denom_dl = k1 * (1.0 - b + b * dl / avgdl)
+        for term, i in t_index.items():
+            tf = np.bincount(parent[flat == term], minlength=n).astype(np.float64)
+            score += idf[i] * tf * (k1 + 1.0) / (tf + denom_dl)
+            rel += (tf > 0).astype(np.int64)
+        score = _round6(score)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.lexsort((ids, -score))[:k]
+        ru, rc = np.unique(rel, return_counts=True)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.concatenate([ids[order], np.zeros(len(ru), dtype=np.int64)])
+                ),
+                "score": pa.array(
+                    np.concatenate([score[order], np.zeros(len(ru))]), pa.float64()
+                ),
+                "rel": pa.array(
+                    np.concatenate([rel[order], ru]).astype(np.int64), pa.int64()
+                ),
+                "cnt": pa.array(
+                    np.concatenate(
+                        [np.full(len(order), -1, dtype=np.int64), rc.astype(np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = ds.map_batches(score_partial, batch_format="pyarrow").to_pandas()
+    cand = parts.loc[parts["cnt"] == -1]
+    hist = (
+        parts.loc[parts["cnt"] >= 0].groupby("rel", sort=False)["cnt"].sum().sort_index()
+    )
+    top = cand.sort_values(["score", id_col], ascending=[False, True], kind="mergesort").head(k)
+    discounts = np.log2(np.arange(1, k + 1, dtype=np.float64) + 1.0)
+    rels = top["rel"].to_numpy(dtype=np.float64)
+    dcg = int(np.floor(rels * 1e6 / discounts[: len(rels)] + 0.5).astype(np.int64).sum())
+    # ideal: rel values sorted desc, first k, same per-term quantization
+    ideal: list[float] = []
+    for rv in sorted(hist.index, reverse=True):
+        take = min(int(hist[rv]), k - len(ideal))
+        ideal.extend([float(rv)] * take)
+        if len(ideal) >= k:
+            break
+    iarr = np.array(ideal, dtype=np.float64)
+    idcg = int(np.floor(iarr * 1e6 / discounts[: len(iarr)] + 0.5).astype(np.int64).sum())
+    if idcg == 0:
+        return empty
+    return pd.DataFrame(
+        {
+            "dcg_micro": [np.int64(dcg)],
+            "idcg_micro": [np.int64(idcg)],
+            "ndcg": [np.floor(dcg / idcg * 1e6 + 0.5) / 1e6],
+        }
+    )

@@ -2649,3 +2649,66 @@ def token_coverage_curve(
             (int(k), covered, total, n_vocab, (covered * 10**6 // total) / 1e6)
         )
     return pd.DataFrame(rows, columns=["k", "covered", "total", "n_vocab", "share"])
+
+
+def quantile_sketch_audit(
+    events: ray.data.Dataset,
+    value_col: str = "cents",
+    bucket_width: int = 1000,
+    quantiles: tuple[tuple[str, int, int], ...] = (
+        ("p50", 1, 2),
+        ("p90", 9, 10),
+        ("p99", 99, 100),
+    ),
+) -> pd.DataFrame:
+    """Sketch-QA for histogram quantile estimation: the exact discrete
+    quantile (``ceil(q·n) − 1`` index, DuckDB ``quantile_disc``) vs the
+    estimate a fixed-width streaming histogram would report (the upper
+    bound of the first bucket whose cumulative count reaches the index) —
+    the audit that tells an ops dashboard how coarse its cheap sketch is.
+
+    All arithmetic integer-exact: quantile indices via
+    ``(num·n + den − 1) // den − 1``, bucket bounds via floor division.
+
+    Scale shape: ONE pass of per-batch (value, count) Arrow partials
+    (domain-bounded, same as grouped_quantiles); both the exact and the
+    sketch answer fold from the same histogram on the driver."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"v": t[value_col]})
+            .group_by("v")
+            .aggregate([([], "count_all")])
+        )
+
+    parts = events.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "pct": pd.Series(dtype=object),
+            "exact": pd.Series(dtype="int64"),
+            "estimate": pd.Series(dtype="int64"),
+            "abs_err": pd.Series(dtype="int64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    hist = parts.groupby("v", sort=True)["count_all"].sum()
+    vals = hist.index.to_numpy(dtype=np.int64)
+    cnts = hist.to_numpy(dtype=np.int64)
+    n = int(cnts.sum())
+    if n == 0:
+        return empty
+    csum = np.cumsum(cnts)
+    # bucketized histogram (the sketch): value // width -> count
+    b = pd.DataFrame({"b": vals // np.int64(bucket_width), "c": cnts})
+    bh = b.groupby("b", sort=True)["c"].sum()
+    bvals = bh.index.to_numpy(dtype=np.int64)
+    bcsum = np.cumsum(bh.to_numpy(dtype=np.int64))
+    rows = []
+    for name, num, den in quantiles:
+        idx = (num * n + den - 1) // den - 1  # 0-based rank of the quantile
+        exact = int(vals[np.searchsorted(csum, idx + 1)])
+        bi = int(np.searchsorted(bcsum, idx + 1))
+        estimate = int((bvals[bi] + 1) * bucket_width - 1)  # bucket upper bound
+        rows.append((name, exact, estimate, abs(estimate - exact)))
+    return pd.DataFrame(rows, columns=["pct", "exact", "estimate", "abs_err"])

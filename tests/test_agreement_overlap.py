@@ -233,3 +233,39 @@ def test_temporal_conflicts_hand():
     assert out.loc["ceo_of", "n_pairs"] == 1
     assert out.loc["ceo_of", "n_conflicts"] == 0
     assert out.loc["ceo_of", "n_subj_conflict"] == 0
+
+
+def test_quantile_sketch_audit_hand():
+    from kgray.ops.stats import quantile_sketch_audit
+
+    # values 1..100 (cents): exact p50 = 50; with width 30 buckets are
+    # [0,29],[30,59],[60,89],[90,119] -> p50 estimate = 59
+    ds = ray.data.from_pandas(pd.DataFrame({"cents": list(range(1, 101))}))
+    out = quantile_sketch_audit(ds, bucket_width=30).set_index("pct")
+    assert int(out.loc["p50", "exact"]) == 50
+    assert int(out.loc["p50", "estimate"]) == 59
+    assert int(out.loc["p50", "abs_err"]) == 9
+    assert int(out.loc["p99", "exact"]) == 99
+    assert int(out.loc["p99", "estimate"]) == 119
+
+
+def test_bm25_ndcg_bounds_and_perfect():
+    from kgray.ops.ranking import bm25_ndcg
+
+    # every relevant doc scores above every irrelevant one -> the BM25
+    # order IS the ideal order -> ndcg == 1.0
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["hash join", "hash", "filler text", "more filler"],
+        }
+    )
+    out = bm25_ndcg(ray.data.from_pandas(df), ("hash", "join"), k=3)
+    assert len(out) == 1
+    assert out.iloc[0]["ndcg"] == 1.0
+    # no relevant docs -> IDCG 0 -> no row
+    none = bm25_ndcg(
+        ray.data.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["abc"]})),
+        ("zzz",),
+    )
+    assert len(none) == 0

@@ -254,6 +254,8 @@ def _compare(query: str):
         "doc_classifier_calibration",
         "doc_token_coverage",
         "doc_source_overlap",
+        "events_quantile_sketch",
+        "doc_bm25_ndcg",
         "doc_label_kappa",
         "events_crosscorr",
         "events_dau_overlap",
