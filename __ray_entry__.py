@@ -5034,6 +5034,8 @@ def oracle_sql() -> dict[str, str]:
                           FROM r WHERE rn <= ks.k) AS covered,
                          tot.total AS total, tot.n_vocab AS n_vocab
                   FROM ks, tot)
+            -- degenerate corpus (no tokens): 0 rows, matching the engine
+            WHERE total IS NOT NULL AND total > 0
         """,
         "events_quantile_sketch": """
             WITH c AS MATERIALIZED (

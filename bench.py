@@ -222,6 +222,11 @@ def run_bench() -> dict:
     timed("doc_token_coverage", lambda: size(entry.queries()["doc_token_coverage"](sf_dir)))
     timed("doc_source_overlap", lambda: size(entry.queries()["doc_source_overlap"](sf_dir)))
     timed("kg_pred_cardinality", lambda: size(entry.queries()["kg_pred_cardinality"](sf_dir)))
+    timed("kg_temporal_conflicts",
+          lambda: size(entry.queries()["kg_temporal_conflicts"](sf_dir)))
+    timed("doc_bm25_ndcg", lambda: size(entry.queries()["doc_bm25_ndcg"](sf_dir)))
+    timed("events_quantile_sketch",
+          lambda: size(entry.queries()["events_quantile_sketch"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

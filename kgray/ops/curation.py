@@ -1009,7 +1009,7 @@ def source_token_overlap(
         import pyarrow as pa_  # noqa: PLC0415 (worker-local)
         import pyarrow.compute as pc_  # noqa: PLC0415
 
-        texts = t[text_col]
+        texts = pc_.fill_null(t[text_col], "")
         if isinstance(texts, pa_.ChunkedArray):
             texts = texts.combine_chunks()
         lst = pc_.split_pattern(pc_.cast(texts, pa_.large_string()), " ")

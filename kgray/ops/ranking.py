@@ -51,6 +51,58 @@ def _round6(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 1e6 + 0.5) / 1e6
 
 
+def _bm25_stats(ds, terms, t_index, text_col):
+    """ONE corpus-stats pass shared by every BM25-family op: per-batch
+    one-row partials -> (n_docs, avgdl, idf) or None for an empty/
+    schema-less stream."""
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        flat, parent, n = _flat_tokens(t[text_col])
+        dl = np.bincount(parent, minlength=n)
+        cols: dict = {"n_docs": [n], "sum_dl": [int(dl.sum())]}
+        for term in terms:
+            has = np.bincount(parent[flat == term], minlength=n) > 0
+            cols[f"df_{t_index[term]}"] = [int(has.sum())]
+        return pa.table(cols)
+
+    stats_df = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    if not len(stats_df) or "n_docs" not in stats_df.columns:
+        return None
+    stats = stats_df.sum(axis=0)
+    n_docs = int(stats["n_docs"])
+    if n_docs == 0:
+        return None
+    avgdl = float(stats["sum_dl"]) / n_docs
+    idf = np.array(
+        [
+            np.log((n_docs - stats[f"df_{i}"] + 0.5) / (stats[f"df_{i}"] + 0.5) + 1.0)
+            for i in range(len(terms))
+        ]
+    )
+    return n_docs, avgdl, idf
+
+
+def _bm25_batch_scores(t, t_index, idf, avgdl, k1, b, id_col, text_col):
+    """Vectorized per-batch BM25 kernel shared by rank/fuse/ndcg: returns
+    (ids, round6 BM25 score, dl, query-term frequency, distinct-terms
+    relevance) so each caller derives its own ranking signal from ONE
+    token pass."""
+    flat, parent, n = _flat_tokens(t[text_col])
+    dl = np.bincount(parent, minlength=n).astype(np.float64)
+    score = np.zeros(n)
+    qtf = np.zeros(n)
+    rel = np.zeros(n, dtype=np.int64)
+    denom_dl = k1 * (1.0 - b + b * dl / avgdl)
+    for term, i in t_index.items():
+        tf = np.bincount(parent[flat == term], minlength=n).astype(np.float64)
+        score += idf[i] * tf * (k1 + 1.0) / (tf + denom_dl)
+        qtf += tf
+        rel += (tf > 0).astype(np.int64)
+    ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+    return ids, _round6(score), dl, qtf, rel
+
+
+
 def bm25_rank(
     ds: ray.data.Dataset,
     query_terms: tuple[str, ...],
@@ -67,41 +119,15 @@ def bm25_rank(
     terms = list(dict.fromkeys(query_terms))
     t_index = {t: i for i, t in enumerate(terms)}
 
-    def stats_partial(t: pa.Table) -> pa.Table:
-        flat, parent, n = _flat_tokens(t[text_col])
-        dl = np.bincount(parent, minlength=n)
-        cols: dict = {"n_docs": [n], "sum_dl": [int(dl.sum())]}
-        for term in terms:
-            has = np.bincount(parent[flat == term], minlength=n) > 0
-            cols[f"df_{t_index[term]}"] = [int(has.sum())]
-        return pa.table(cols)
-
-    stats = (
-        ds.map_batches(stats_partial, batch_format="pyarrow")
-        .to_pandas()
-        .sum(axis=0)
-    )
-    n_docs = int(stats["n_docs"])
-    if n_docs == 0:
+    st = _bm25_stats(ds, terms, t_index, text_col)
+    if st is None:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
-    avgdl = float(stats["sum_dl"]) / n_docs
-    idf = np.array(
-        [
-            np.log((n_docs - stats[f"df_{i}"] + 0.5) / (stats[f"df_{i}"] + 0.5) + 1.0)
-            for i in range(len(terms))
-        ]
-    )
+    _, avgdl, idf = st
 
     def score_partial(t: pa.Table) -> pa.Table:
-        flat, parent, n = _flat_tokens(t[text_col])
-        dl = np.bincount(parent, minlength=n).astype(np.float64)
-        score = np.zeros(n)
-        denom_dl = k1 * (1.0 - b + b * dl / avgdl)
-        for term, i in t_index.items():
-            tf = np.bincount(parent[flat == term], minlength=n).astype(np.float64)
-            score += idf[i] * tf * (k1 + 1.0) / (tf + denom_dl)
-        score = _round6(score)
-        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ids, score, _, _, _ = _bm25_batch_scores(
+            t, t_index, idf, avgdl, k1, b, id_col, text_col
+        )
         # per-batch top-k partial: rank by (-score, doc_id)
         order = np.lexsort((ids, -score))[:top_k]
         return pa.table({id_col: ids[order], "score": score[order]})
@@ -451,16 +477,6 @@ def rrf_fuse_rank(
     terms = list(dict.fromkeys(query_terms))
     t_index = {t: i for i, t in enumerate(terms)}
 
-    def stats_partial(t: pa.Table) -> pa.Table:
-        flat, parent, n = _flat_tokens(t[text_col])
-        dl = np.bincount(parent, minlength=n)
-        cols: dict = {"n_docs": [n], "sum_dl": [int(dl.sum())]}
-        for term in terms:
-            has = np.bincount(parent[flat == term], minlength=n) > 0
-            cols[f"df_{t_index[term]}"] = [int(has.sum())]
-        return pa.table(cols)
-
-    stats_df = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
     empty = pd.DataFrame(
         {
             id_col: pd.Series(dtype="int64"),
@@ -469,33 +485,16 @@ def rrf_fuse_rank(
             "rank_tf": pd.Series(dtype="int64"),
         }
     )
-    if not len(stats_df) or "n_docs" not in stats_df.columns:
+    st = _bm25_stats(ds, terms, t_index, text_col)
+    if st is None:
         return empty
-    stats = stats_df.sum(axis=0)
-    n_docs = int(stats["n_docs"])
-    if n_docs == 0:
-        return empty
-    avgdl = float(stats["sum_dl"]) / n_docs
-    idf = np.array(
-        [
-            np.log((n_docs - stats[f"df_{i}"] + 0.5) / (stats[f"df_{i}"] + 0.5) + 1.0)
-            for i in range(len(terms))
-        ]
-    )
+    _, avgdl, idf = st
 
     def score_partial(t: pa.Table) -> pa.Table:
-        flat, parent, n = _flat_tokens(t[text_col])
-        dl = np.bincount(parent, minlength=n).astype(np.float64)
-        bm = np.zeros(n)
-        qtf = np.zeros(n)
-        denom_dl = k1 * (1.0 - b + b * dl / avgdl)
-        for term, i in t_index.items():
-            tf = np.bincount(parent[flat == term], minlength=n).astype(np.float64)
-            bm += idf[i] * tf * (k1 + 1.0) / (tf + denom_dl)
-            qtf += tf
-        tfr = np.where(dl > 0, qtf / np.where(dl > 0, dl, 1.0), 0.0)
-        bm, tfr = _round6(bm), _round6(tfr)
-        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ids, bm, dl, qtf, _ = _bm25_batch_scores(
+            t, t_index, idf, avgdl, k1, b, id_col, text_col
+        )
+        tfr = _round6(np.where(dl > 0, qtf / np.where(dl > 0, dl, 1.0), 0.0))
         ob = np.lexsort((ids, -bm))[:pool]
         ot = np.lexsort((ids, -tfr))[:pool]
         return pa.table(
@@ -548,25 +547,16 @@ class ClassifierCalibration:
     BIN_WIDTH = 20_000
 
     def __init__(self, gold_col: str = "lang", gold_value: str = "en") -> None:
-        from kgray.ops.dedup import _md5_u64_np
-
-        self._md5 = _md5_u64_np
-        self.w = (
-            _md5_u64_np([f"w:{j}" for j in range(HashedLinearClassifier.N_FEATURES)])
-            % 2001
-        ).astype(np.int64) - 1000
+        # the audited scorer IS the classifier: reuse its weight table and
+        # kernel so the two can never drift apart
+        self._clf = HashedLinearClassifier()
         self.gold_col = gold_col
         self.gold_value = gold_value
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        toks, parent, n_rows = _flat_tokens(t["text"])
-        vocab, inv = np.unique(toks, return_inverse=True)
-        idx = (self._md5(list(vocab)) % HashedLinearClassifier.N_FEATURES).astype(
-            np.int64
+        score_milli = (
+            self._clf(t)["score_milli"].to_numpy(zero_copy_only=False).astype(np.int64)
         )
-        score_milli = np.bincount(
-            parent, weights=self.w[idx[inv]], minlength=n_rows
-        ).astype(np.int64)
         bins = np.floor_divide(score_milli, np.int64(self.BIN_WIDTH))
         gold = pc.equal(
             pc.fill_null(t[self.gold_col], ""), self.gold_value
@@ -631,16 +621,6 @@ def bm25_ndcg(
     terms = list(dict.fromkeys(query_terms))
     t_index = {t: i for i, t in enumerate(terms)}
 
-    def stats_partial(t: pa.Table) -> pa.Table:
-        flat, parent, n = _flat_tokens(t[text_col])
-        dl = np.bincount(parent, minlength=n)
-        cols: dict = {"n_docs": [n], "sum_dl": [int(dl.sum())]}
-        for term in terms:
-            has = np.bincount(parent[flat == term], minlength=n) > 0
-            cols[f"df_{t_index[term]}"] = [int(has.sum())]
-        return pa.table(cols)
-
-    stats_df = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
     empty = pd.DataFrame(
         {
             "dcg_micro": pd.Series(dtype="int64"),
@@ -648,32 +628,15 @@ def bm25_ndcg(
             "ndcg": pd.Series(dtype="float64"),
         }
     )
-    if not len(stats_df) or "n_docs" not in stats_df.columns:
+    st = _bm25_stats(ds, terms, t_index, text_col)
+    if st is None:
         return empty
-    stats = stats_df.sum(axis=0)
-    n_docs = int(stats["n_docs"])
-    if n_docs == 0:
-        return empty
-    avgdl = float(stats["sum_dl"]) / n_docs
-    idf = np.array(
-        [
-            np.log((n_docs - stats[f"df_{i}"] + 0.5) / (stats[f"df_{i}"] + 0.5) + 1.0)
-            for i in range(len(terms))
-        ]
-    )
+    _, avgdl, idf = st
 
     def score_partial(t: pa.Table) -> pa.Table:
-        flat, parent, n = _flat_tokens(t[text_col])
-        dl = np.bincount(parent, minlength=n).astype(np.float64)
-        score = np.zeros(n)
-        rel = np.zeros(n, dtype=np.int64)
-        denom_dl = k1 * (1.0 - b + b * dl / avgdl)
-        for term, i in t_index.items():
-            tf = np.bincount(parent[flat == term], minlength=n).astype(np.float64)
-            score += idf[i] * tf * (k1 + 1.0) / (tf + denom_dl)
-            rel += (tf > 0).astype(np.int64)
-        score = _round6(score)
-        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ids, score, _, _, rel = _bm25_batch_scores(
+            t, t_index, idf, avgdl, k1, b, id_col, text_col
+        )
         order = np.lexsort((ids, -score))[:k]
         ru, rc = np.unique(rel, return_counts=True)
         return pa.table(

@@ -2558,13 +2558,17 @@ def daily_crosscorr(
         if len(x) - k < 2:
             break
         xs, ys = x[: len(x) - k], y[k:]
-        n = np.int64(len(xs))
-        sx, sy = xs.sum(), ys.sum()
-        sxx, syy, sxy = (xs * xs).sum(), (ys * ys).sum(), (xs * ys).sum()
+        # python ints: the variance product wraps int64 at realistic
+        # corpus-wide daily counts (the graph/relational folds use the
+        # same guard)
+        n = len(xs)
+        sx, sy = int(xs.sum()), int(ys.sum())
+        sxx, syy = int((xs * xs).sum()), int((ys * ys).sum())
+        sxy = int((xs * ys).sum())
         den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
         if den2 <= 0:
             continue
-        r = (n * sxy - sx * sy).astype(np.float64) / np.sqrt(np.float64(den2))
+        r = float(n * sxy - sx * sy) / np.sqrt(np.float64(den2))
         rows.append((int(k), int(n), np.floor(r * 1e6 + 0.5) / 1e6))
     if not rows:
         return empty

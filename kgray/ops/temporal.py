@@ -2815,14 +2815,19 @@ def dau_overlap(
     shuffle) — the driver folds rows bounded by buckets × days."""
 
     def distinct_partial(b: pd.DataFrame) -> pd.DataFrame:
+        from kgray.ops.dedup import _md5_u64_np
+
         out = pd.DataFrame(
             {
                 "k": b[key_col],
                 "day": b[ts_col].dt.strftime("%Y-%m-%d"),
             }
         ).drop_duplicates()
+        # md5 bucketing works for any key type (string source domains as
+        # well as integer user ids); the bucket only partitions work, so
+        # the hash choice never affects results
         out["bucket"] = (
-            out["k"].to_numpy(dtype=np.int64) % np.int64(n_buckets)
+            _md5_u64_np([str(x) for x in out["k"]]) % np.uint64(n_buckets)
         ).astype("int32")
         return out
 
