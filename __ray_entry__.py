@@ -496,6 +496,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_temporal_conflicts"] = lambda sf: __import__(
         "kgray.functions.graph", fromlist=["temporal_conflicts"]
     ).temporal_conflicts(_kg_closed_world(sf).edges)
+    q["kg_pred_cooccurrence"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["predicate_cooccurrence"]
+    ).predicate_cooccurrence(_kg_closed_world(sf).edges)
+    q["corpus_curation_funnel"] = _q_corpus_curation_funnel
     q["doc_rrf_fusion"] = _q_doc_rrf_fusion
     q["events_quantile_sketch"] = _q_events_quantile_sketch
     q["doc_bm25_ndcg"] = _q_doc_bm25_ndcg
@@ -4818,6 +4822,29 @@ SELECT * FROM chunkout
     )
 
 
+def _q_corpus_curation_funnel(sf_dir: str) -> pd.DataFrame:
+    """Per-stage survival counts of the curation chain (kgray.pipelines.
+    curation.curation_funnel): raw → length-filter → exact-dedup →
+    decontaminate → chunks, same doc_id%97 corpus/benchmark split as
+    corpus_curation."""
+    import pyarrow as pa  # noqa: PLC0415
+
+    from kgray.pipelines.curation import curation_funnel
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _mod_split(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            is_bench = t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+            return t.filter(pa.array(is_bench if keep_bench else ~is_bench))
+
+        return f
+
+    corpus = docs.map_batches(_mod_split(False), batch_format="pyarrow")
+    benchmark = docs.map_batches(_mod_split(True), batch_format="pyarrow")
+    return curation_funnel(corpus, benchmark, chunk_chars=64, overlap=16)
+
+
 def _q_doc_token_coverage(sf_dir: str) -> pd.DataFrame:
     """Vocabulary coverage curve at k ∈ {10, 100, 1000} (kgray.ops.stats.
     token_coverage_curve): top-k token types' share of all occurrences,
@@ -4988,6 +5015,26 @@ def oracle_sql() -> dict[str, str]:
                         // count(DISTINCT subj_name || chr(31) || subj_label)
                         AS BIGINT)::DOUBLE / 1e6 AS obj_per_subj
             FROM merged GROUP BY pred""",
+        "kg_pred_cooccurrence": f"""WITH {cw},
+            p AS (SELECT DISTINCT subj_name || chr(31) || subj_label AS s, pred
+                  FROM merged),
+            singles AS (SELECT pred, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1),
+            co AS (SELECT a.pred AS pa, b.pred AS pb, CAST(count(*) AS BIGINT) AS c
+                   FROM p a JOIN p b ON a.s = b.s AND a.pred < b.pred GROUP BY 1, 2)
+            SELECT sa.pred AS pred_a, sb.pred AS pred_b,
+                   sa.c AS n_a, sb.c AS n_b, coalesce(co.c, 0) AS n_both
+            FROM singles sa JOIN singles sb ON sa.pred < sb.pred
+            LEFT JOIN co ON co.pa = sa.pred AND co.pb = sb.pred""",
+        "corpus_curation_funnel": r"""
+            WITH """ + _CURATION_CTES + r"""
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents
+                    WHERE doc_id % 97 <> 0) AS n_raw,
+                   (SELECT CAST(count(*) AS BIGINT) FROM filt) AS n_filtered,
+                   (SELECT CAST(count(*) AS BIGINT) FROM ded) AS n_deduped,
+                   (SELECT CAST(count(*) AS BIGINT) FROM survive)
+                     AS n_decontaminated,
+                   (SELECT CAST(count(*) AS BIGINT) FROM chunkout) AS n_chunks
+        """,
         "kg_temporal_conflicts": f"""WITH {cw},
             iv AS (
               SELECT cs.eid AS subj_id, pr.canon_pred AS pred, co.eid AS obj_id,

@@ -227,6 +227,10 @@ def run_bench() -> dict:
     timed("doc_bm25_ndcg", lambda: size(entry.queries()["doc_bm25_ndcg"](sf_dir)))
     timed("events_quantile_sketch",
           lambda: size(entry.queries()["events_quantile_sketch"](sf_dir)))
+    timed("kg_pred_cooccurrence",
+          lambda: size(entry.queries()["kg_pred_cooccurrence"](sf_dir)))
+    timed("corpus_curation_funnel",
+          lambda: size(entry.queries()["corpus_curation_funnel"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

@@ -2310,3 +2310,74 @@ def temporal_conflicts(edges: ray.data.Dataset) -> pd.DataFrame:
             }
         )
     return out.sort_values("pred", kind="mergesort").reset_index(drop=True)
+
+
+def predicate_cooccurrence(edges: ray.data.Dataset, n_buckets: int = 64) -> pd.DataFrame:
+    """Predicate co-occurrence over subjects — the schema-discovery grid
+    (which attributes appear on the same entities): for every unordered
+    predicate pair, how many subjects hold BOTH, beside each predicate's
+    own subject count.  The grid is COMPLETE (never-co-occurring pairs
+    report 0).
+
+    Scale shape: per-batch distinct (subj, pred) pre-shrink → ONE
+    subject-hash bucket shuffle (each subject lives in one bucket, so
+    bucket partials add exactly) → per-bucket preds² pair partials;
+    driver fold bounded by buckets × predicates²."""
+    from kgray.ops.dedup import _md5_u64_np
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["subj_id", "pred"]].drop_duplicates()
+        out = out.assign(
+            bucket=(
+                _md5_u64_np([str(x) for x in out["subj_id"]]) % np.uint64(n_buckets)
+            ).astype("int32")
+        )
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["subj_id", "pred"])
+        frames = [
+            g.groupby("pred", sort=False)
+            .size()
+            .reset_index(name="cnt")
+            .rename(columns={"pred": "pa"})
+            .assign(pb="")
+        ]
+        j = g.merge(g, on="subj_id", suffixes=("_a", "_b"))
+        j = j[j["pred_a"] < j["pred_b"]]
+        if len(j):
+            co = j.groupby(["pred_a", "pred_b"], sort=False).size().reset_index(name="cnt")
+            co.columns = ["pa", "pb", "cnt"]
+            frames.append(co)
+        return pd.concat(frames, ignore_index=True)[["pa", "pb", "cnt"]]
+
+    parts = (
+        edges.select_columns(["subj_id", "pred"])
+        .map_batches(pair_partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "pred_a": pd.Series(dtype=object),
+            "pred_b": pd.Series(dtype=object),
+            "n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+            "n_both": pd.Series(dtype="int64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    agg = parts.groupby(["pa", "pb"], sort=True)["cnt"].sum()
+    singles = {k[0]: int(v) for k, v in agg.items() if k[1] == ""}
+    both = {(k[0], k[1]): int(v) for k, v in agg.items() if k[1] != ""}
+    preds = sorted(singles)
+    rows = [
+        (a, b, singles[a], singles[b], both.get((a, b), 0))
+        for i, a in enumerate(preds)
+        for b in preds[i + 1 :]
+    ]
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["pred_a", "pred_b", "n_a", "n_b", "n_both"])

@@ -111,3 +111,48 @@ def curate_corpus_budget(
     return sample_to_token_budget(
         safe, budget_tokens=budget_tokens, id_col=id_col, text_col="text_clean"
     )
+
+
+def curation_funnel(
+    docs: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length_quantile: tuple[int, int] = (1, 4),
+    ngram_n: int = 5,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> "pd.DataFrame":
+    """Per-stage survival funnel of the curation chain — the pipeline-
+    observability readout (how many documents each stage dropped) an
+    operator reads before trusting the curated output.  One row:
+    n_raw → n_filtered → n_deduped → n_decontaminated → n_chunks.
+
+    Each count consumes a stage as a streaming aggregate; the cheap
+    normalize/filter prefixes re-execute per count rather than
+    materializing the corpus (same trade the capstones make,
+    pipelines/curation.py:28)."""
+    import pandas as pd
+
+    from kgray.ops.curation import normalize_text
+
+    clean = normalize_text(docs, id_col=id_col, text_col=text_col)
+    kept = filter_by_length_quantile(clean, value_col="n_chars_clean", q=length_quantile)
+    deduped = dedup_keep_first(kept, text_col="text_clean", id_col=id_col)
+    bench_ref = benchmark_gram_set(benchmark, n=ngram_n, text_col=text_col)
+    safe = decontaminate(deduped, bench_ref, n=ngram_n, text_col="text_clean")
+    chunks = split_documents(
+        safe, id_col=id_col, text_col="text_clean",
+        chunk_chars=chunk_chars, overlap=overlap,
+    )
+    import numpy as np
+
+    return pd.DataFrame(
+        {
+            "n_raw": [np.int64(docs.count())],
+            "n_filtered": [np.int64(kept.count())],
+            "n_deduped": [np.int64(deduped.count())],
+            "n_decontaminated": [np.int64(safe.count())],
+            "n_chunks": [np.int64(chunks.count())],
+        }
+    )

@@ -269,3 +269,23 @@ def test_bm25_ndcg_bounds_and_perfect():
         ("zzz",),
     )
     assert len(none) == 0
+
+
+def test_predicate_cooccurrence_hand():
+    from kgray.functions.graph import predicate_cooccurrence
+
+    edges = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "pred": ["works_at", "lives_in", "works_at", "codes_in"],
+                "subj_id": ["a", "a", "b", "c"],
+                "obj_id": ["x", "y", "z", "w"],
+            }
+        )
+    )
+    out = predicate_cooccurrence(edges).set_index(["pred_a", "pred_b"])
+    # complete grid over 3 predicates = 3 pairs
+    assert len(out) == 3
+    r = out.loc[("lives_in", "works_at")]
+    assert (r["n_a"], r["n_b"], r["n_both"]) == (1, 2, 1)
+    assert out.loc[("codes_in", "works_at")]["n_both"] == 0

@@ -256,6 +256,7 @@ def _compare(query: str):
         "doc_source_overlap",
         "events_quantile_sketch",
         "doc_bm25_ndcg",
+        "corpus_curation_funnel",
         "doc_label_kappa",
         "events_crosscorr",
         "events_dau_overlap",
