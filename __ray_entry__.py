@@ -500,6 +500,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgray.functions.graph", fromlist=["predicate_cooccurrence"]
     ).predicate_cooccurrence(_kg_closed_world(sf).edges)
     q["corpus_curation_funnel"] = _q_corpus_curation_funnel
+    q["embedding_cluster_cohesion"] = lambda sf: __import__(
+        "kgray.ops.similarity", fromlist=["cluster_cohesion"]
+    ).cluster_cohesion(
+        ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    )
     q["doc_rrf_fusion"] = _q_doc_rrf_fusion
     q["events_quantile_sketch"] = _q_events_quantile_sketch
     q["doc_bm25_ndcg"] = _q_doc_bm25_ndcg
@@ -5531,6 +5536,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_ivf": _knn_ivf_oracle_sql(),
         "embedding_kmeans": _embedding_kmeans_oracle_sql(),
+        "embedding_cluster_cohesion": _kmeans_ctes()[0] + """,
+            agg AS (SELECT cid, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CAST(round(round(dot, 6) * 1000000, 0)
+                                         AS BIGINT)) AS BIGINT) AS sm,
+                           min(round(dot, 6)) AS mn
+                    FROM vassign GROUP BY cid),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM agg)
+            SELECT CAST(cid AS BIGINT) AS cluster, n,
+                   CAST(n * 16 * 1000000 // t.total AS BIGINT)::DOUBLE / 1e6 AS load,
+                   CAST(sm // n AS BIGINT)::DOUBLE / 1e6 AS mean_cos,
+                   mn AS min_cos
+            FROM agg, t""",
         "embedding_semdedup": _embedding_semdedup_oracle_sql(),
         # SimHash is fully SQL-reproducible because SimHasher's token hash
         # is md5-lower-64 == DuckDB md5_number_lower (kgray/ops/dedup.py).

@@ -1339,3 +1339,61 @@ def centroid_drift(
             "max_dim_shift": [np.floor(shift * 1e9 + 0.5) / 1e9],
         }
     )
+
+
+def cluster_cohesion(
+    embeddings: ray.data.Dataset,
+    n_centroids: int = 16,
+    seed: int = 23,
+) -> pd.DataFrame:
+    """Per-cluster cohesion + cell-balance audit of the spherical k-means
+    quantizer — the two numbers an IVF/SemDeDup deployment checks before
+    trusting its cells: is any cell overloaded (load factor vs perfect
+    balance) and how tight is each cell (mean / worst cosine to own
+    centroid)?
+
+    Exactness: cosines are rounded to 1e-6 at assignment (the engine-wide
+    convention), so the mean is an exact integer micro-sum // n and the
+    min is a bit-equal float; load = n·cells·10⁶ // total.
+
+    Scale shape: rides :func:`kmeans_assign` (broadcast centroid matmul),
+    then per-batch (cluster, n, sum_micro, min) partials — the driver
+    folds blocks × n_centroids rows, never the assignment stream."""
+    assigned = kmeans_assign(embeddings, n_centroids=n_centroids, seed=seed)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        micro = np.rint(b["cos_centroid"].to_numpy(dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        g = pd.DataFrame({"cluster": b["cluster"], "m": micro, "c": b["cos_centroid"]})
+        out = g.groupby("cluster", sort=False).agg(
+            n=("m", "size"), sm=("m", "sum"), mn=("c", "min")
+        )
+        return out.reset_index()
+
+    parts = assigned.map_batches(partial, batch_format="pandas").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "cluster": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "load": pd.Series(dtype="float64"),
+            "mean_cos": pd.Series(dtype="float64"),
+            "min_cos": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    agg = parts.groupby("cluster", sort=True).agg(
+        n=("n", "sum"), sm=("sm", "sum"), mn=("mn", "min")
+    )
+    total = int(agg["n"].sum())
+    n_arr = agg["n"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "cluster": agg.index.to_numpy(dtype=np.int64),
+            "n": n_arr,
+            "load": (n_arr * np.int64(n_centroids) * np.int64(10**6) // np.int64(total)).astype("float64") / 1e6,
+            "mean_cos": (agg["sm"].to_numpy(dtype=np.int64) // n_arr).astype("float64") / 1e6,
+            "min_cos": agg["mn"].to_numpy(dtype=np.float64),
+        }
+    )

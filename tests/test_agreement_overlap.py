@@ -289,3 +289,18 @@ def test_predicate_cooccurrence_hand():
     r = out.loc[("lives_in", "works_at")]
     assert (r["n_a"], r["n_b"], r["n_both"]) == (1, 2, 1)
     assert out.loc[("codes_in", "works_at")]["n_both"] == 0
+
+
+def test_cluster_cohesion_invariants():
+    from kgray.ops.similarity import cluster_cohesion
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = cluster_cohesion(ds)
+    total = int(out["n"].sum())
+    assert total == 500
+    # loads are the exact integer micro-division and sum to ~n_centroids
+    for _, r in out.iterrows():
+        assert r["load"] == (int(r["n"]) * 16 * 10**6 // total) / 1e6
+        assert r["min_cos"] <= r["mean_cos"] + 1e-9

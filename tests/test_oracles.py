@@ -257,6 +257,7 @@ def _compare(query: str):
         "events_quantile_sketch",
         "doc_bm25_ndcg",
         "corpus_curation_funnel",
+        "embedding_cluster_cohesion",
         "doc_label_kappa",
         "events_crosscorr",
         "events_dau_overlap",
