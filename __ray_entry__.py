@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["multimodal_frame_sample"] = _q_multimodal_frame_sample
     q["multimodal_resize"] = _q_multimodal_resize
     q["multimodal_audio_windows"] = _q_multimodal_audio_windows
+    q["multimodal_image_histogram"] = _q_multimodal_image_histogram
 
     # --- graph analytics (kgray/functions/graph.py) ----------------------
     q["kg_pagerank_events"] = _q_kg_pagerank_events
@@ -2915,6 +2916,16 @@ def _q_multimodal_audio_windows(sf_dir: str) -> pd.DataFrame:
         payload="audio", use_real_decoder=True,
     ).to_pandas()
     return out.sort_values(["doc_id", "win_idx"]).reset_index(drop=True)
+
+
+def _q_multimodal_image_histogram(sf_dir: str) -> pd.DataFrame:
+    """REAL image decode → 4-bin integer luminance histogram per image
+    (kgray.ops.multimodal.ImageHistogram over synthesized BMP payloads);
+    the oracle recomputes the bins from the pixel synthesis formula."""
+    from kgray.ops.multimodal import image_histograms
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return image_histograms(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_multimodal_resize(sf_dir: str) -> pd.DataFrame:
@@ -9006,6 +9017,32 @@ FROM mapping m JOIN cs USING (canonical_id)
                    CAST(sum(abs(sv)) AS BIGINT) AS sum_abs,
                    CAST(max(abs(sv)) AS BIGINT) AS max_abs
             FROM s GROUP BY 1, 2
+        """,
+        "multimodal_image_histogram": """
+            -- twin of the REAL BMP decode + 4-bin luminance histogram:
+            -- the engine decodes actual BMP bytes; the twin recomputes
+            -- lum = (r+g+b)//3 per source pixel from the synthesis
+            -- formulas and bins by lum//64
+            WITH p AS (
+              SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 7 AS h
+              FROM documents),
+            g AS (
+              SELECT p.doc_id, p.w, p.h,
+                     ((3 * tx.x + 5 * ty.y + 7 * doc_id) % 256
+                      + (11 * tx.x + 2 * ty.y + 13 * doc_id) % 256
+                      + (7 * tx.x + 17 * ty.y + 3 * doc_id) % 256) // 3 // 64
+                       AS b
+              FROM p,
+                   LATERAL unnest(generate_series(0, p.w - 1, 1)) AS tx(x),
+                   LATERAL unnest(generate_series(0, p.h - 1, 1)) AS ty(y))
+            SELECT doc_id,
+                   CAST(max(w) AS BIGINT) AS src_w,
+                   CAST(max(h) AS BIGINT) AS src_h,
+                   CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+                   CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+                   CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+                   CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+            FROM g GROUP BY doc_id
         """,
         "multimodal_resize": """
             -- twin of the REAL BMP decode + 8x8 nearest-neighbor resize:

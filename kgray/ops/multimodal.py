@@ -490,3 +490,68 @@ def window_audio(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ImageHistogram:
+    """Actor-pool luminance-histogram stage over REAL decoded pixels:
+    decode (BMP/PPM pure-numpy codecs, PIL-gated otherwise), integer
+    luminance lum = (r+g+b)//3 per pixel, 4 fixed bins (lum//64) — the
+    brightness-profile screen an image-curation pipeline runs before
+    filtering under/over-exposed captures.  All counts exact int64, so a
+    SQL twin reproduces them from the synthesis formula."""
+
+    N_BINS = 4
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        from kgray.functions.codecs import decode_bmp, decode_ppm
+
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:2] == b"P6":
+            return decode_ppm(payload)
+        if _HAVE_IMAGE_LIBS:  # pragma: no cover - PIL absent in sandbox
+            import io
+
+            return np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("RGB"))
+        raise NotImplementedError(
+            "only BMP/PPM decode is available without PIL in this environment"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src_w, src_h, bins = [], [], []
+        for payload in batch["payload"].to_pylist():
+            px = self._decode(payload).astype(np.int64)
+            src_h.append(px.shape[0])
+            src_w.append(px.shape[1])
+            lum = px.sum(axis=-1) // 3
+            bins.append(np.bincount((lum // 64).ravel(), minlength=self.N_BINS))
+        bins = np.asarray(bins, dtype=np.int64).reshape(-1, self.N_BINS)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("src_w", pa.array(src_w, type=pa.int64()))
+        out = out.append_column("src_h", pa.array(src_h, type=pa.int64()))
+        for j in range(self.N_BINS):
+            out = out.append_column(f"b{j}", pa.array(bins[:, j], type=pa.int64()))
+        return out
+
+
+def image_histograms(
+    ds: ray.data.Dataset,
+    batch_size: int = 64,
+    concurrency: int | tuple[int, int] | None = None,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """id rows → synthesized BMP payloads → decoded 4-bin luminance
+    histograms (actor pool; same payload synthesis as resize_images)."""
+    if concurrency is None:
+        from kgray.functions.broadcast import auto_concurrency
+
+        concurrency = auto_concurrency()
+    with_payload = ds.map_batches(
+        lambda t: synth_image_payload(t, id_col), batch_format="pyarrow"
+    )
+    return with_payload.map_batches(
+        ImageHistogram,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

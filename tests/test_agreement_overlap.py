@@ -304,3 +304,24 @@ def test_cluster_cohesion_invariants():
     for _, r in out.iterrows():
         assert r["load"] == (int(r["n"]) * 16 * 10**6 // total) / 1e6
         assert r["min_cos"] <= r["mean_cos"] + 1e-9
+
+
+def test_image_histogram_decode_parity():
+    from kgray.ops.multimodal import image_histograms
+
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [0, 1, 7]}))
+    out = image_histograms(ds, concurrency=1).to_pandas().set_index("doc_id")
+    for d in (0, 1, 7):
+        w, h = 8 + d % 5, 6 + d % 7
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        lum = (
+            (3 * x + 5 * y + 7 * d) % 256
+            + (11 * x + 2 * y + 13 * d) % 256
+            + (7 * x + 17 * y + 3 * d) % 256
+        ) // 3
+        exp = np.bincount((lum // 64).ravel(), minlength=4)
+        r = out.loc[d]
+        assert (r["src_w"], r["src_h"]) == (w, h)
+        assert [r["b0"], r["b1"], r["b2"], r["b3"]] == exp.tolist()
+        assert int(r[["b0", "b1", "b2", "b3"]].sum()) == w * h

@@ -258,6 +258,7 @@ def _compare(query: str):
         "doc_bm25_ndcg",
         "corpus_curation_funnel",
         "embedding_cluster_cohesion",
+        "multimodal_image_histogram",
         "doc_label_kappa",
         "events_crosscorr",
         "events_dau_overlap",
