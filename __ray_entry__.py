@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_daily_delta"] = _q_events_daily_delta
     q["events_benford"] = _q_events_benford
     q["doc_cluster_size_hist"] = _q_doc_cluster_size_hist
+    q["doc_cluster_lang_purity"] = _q_doc_cluster_lang_purity
     q["orders_profile"] = _q_orders_profile
     q["events_daily_autocorr"] = _q_events_daily_autocorr
     q["events_type_phi"] = _q_events_type_phi
@@ -2379,6 +2380,88 @@ def _q_doc_cluster_size_hist(sf_dir: str) -> pd.DataFrame:
 
 
 ORDERS_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+def _q_doc_cluster_lang_purity(sf_dir: str) -> pd.DataFrame:
+    """Near-dup cluster language purity: for every MinHash cluster of
+    size ≥2, how many distinct langs it spans — cross-language near-dup
+    clusters flag template/boilerplate leakage a per-language split
+    would miss.  Output: n_langs → n_clusters histogram.
+
+    Scale shape: the lsh mapping and the (doc_id, lang) projection meet
+    in a doc_id-hash bucket join (both sides pre-bucketed, no broadcast
+    of either corpus-sized side); per-cluster rollups ride a second
+    canonical-hash bucket shuffle; the driver folds the ≤ buckets ×
+    langs histogram."""
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.compute as pc  # noqa: PLC0415
+
+    from kgray.ops.dedup import minhash_lsh_dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    mapping = minhash_lsh_dedup(docs.select_columns(["doc_id", "text"]))
+
+    def tag(side: str, payload_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"]
+            return pa.table(
+                {
+                    "doc_id": ids,
+                    "bucket": pc.cast(
+                        pc.bit_wise_and(ids, pa.scalar(63, pa.int64())), pa.int32()
+                    ),
+                    "side": pa.array([side] * len(t), pa.large_string()),
+                    "payload": pc.cast(t[payload_col], pa.large_string()),
+                }
+            )
+
+        return f
+
+    joined = mapping.map_batches(tag("m", "canonical_id"), batch_format="pyarrow").union(
+        docs.select_columns(["doc_id", "lang"]).map_batches(
+            tag("l", "lang"), batch_format="pyarrow"
+        )
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.loc[g["side"] == "m", ["doc_id", "payload"]].rename(
+            columns={"payload": "canonical_id"}
+        )
+        l = g.loc[g["side"] == "l", ["doc_id", "payload"]].rename(
+            columns={"payload": "lang"}
+        )
+        j = m.merge(l, on="doc_id")
+        j["cbucket"] = (
+            j["canonical_id"].astype("int64").to_numpy() % np.int64(64)
+        ).astype("int32")
+        return j[["canonical_id", "lang", "cbucket"]]
+
+    def per_cluster_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("canonical_id", sort=False).agg(
+            sz=("lang", "size"), nl=("lang", "nunique")
+        )
+        agg = agg.loc[agg["sz"] >= 2]
+        out = agg.groupby("nl", sort=False).size().reset_index(name="n")
+        return out.rename(columns={"nl": "n_langs"})
+
+    parts = (
+        joined.groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("cbucket")
+        .map_groups(per_cluster_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {"n_langs": pd.Series(dtype="int64"), "n_clusters": pd.Series(dtype="int64")}
+    )
+    if not len(parts) or "n_langs" not in parts.columns:
+        return empty
+    out = parts.groupby("n_langs", sort=True)["n"].sum().reset_index(name="n_clusters")
+    out["n_langs"] = out["n_langs"].astype("int64")
+    out["n_clusters"] = out["n_clusters"].astype("int64")
+    return out
 
 
 def _q_orders_profile(sf_dir: str) -> pd.DataFrame:
@@ -6991,6 +7074,18 @@ cs AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
        FROM mapping GROUP BY 1)
 SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
 FROM cs GROUP BY 1
+""",
+        "doc_cluster_lang_purity": _minhash_ctes(
+            "2 * sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) >= 63"
+        )
+        + """,
+mapping AS (SELECT d.doc_id, coalesce(r.root, d.doc_id) AS canonical_id
+            FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id),
+cl AS (SELECT m.canonical_id, CAST(count(*) AS BIGINT) AS sz,
+              CAST(count(DISTINCT d.lang) AS BIGINT) AS nl
+       FROM mapping m JOIN documents d USING (doc_id) GROUP BY 1)
+SELECT nl AS n_langs, CAST(count(*) AS BIGINT) AS n_clusters
+FROM cl WHERE sz >= 2 GROUP BY 1
 """,
         "orders_profile": """
             SELECT 'o_custkey' AS "column",

@@ -259,6 +259,7 @@ def _compare(query: str):
         "corpus_curation_funnel",
         "embedding_cluster_cohesion",
         "multimodal_image_histogram",
+        "doc_cluster_lang_purity",
         "doc_label_kappa",
         "events_crosscorr",
         "events_dau_overlap",
