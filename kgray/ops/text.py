@@ -206,20 +206,18 @@ def split_documents(
     return ds.map_batches(split, batch_format="pyarrow")
 
 
-def filter_by_length_quantile(
+def length_quantile_stats(
     ds: ray.data.Dataset,
     value_col: str = "n_chars",
     q: tuple[int, int] = (1, 4),
-) -> ray.data.Dataset:
-    """Corpus-derived threshold filter: keep rows whose ``value_col`` is at
-    least the corpus q-quantile (discrete quantile, ``ceil(q·n)−1`` index —
-    DuckDB ``quantile_disc`` semantics).
-
-    Two streaming passes: pass 1 collapses each batch to a (value, count)
-    histogram partial (bounded by the value domain, never the row count);
-    the driver reduces the histogram, derives the threshold and broadcasts
-    it into a stateless pass-2 Arrow filter.
-    """
+) -> tuple[int, "pd.Series"]:
+    """One streaming histogram pass over ``value_col`` → (q-quantile
+    threshold, full value→count histogram).  The discrete quantile is the
+    ``ceil(q·n)−1`` index — DuckDB ``quantile_disc`` semantics.  Each
+    batch collapses to a (value, count) partial bounded by the value
+    domain, never the row count; callers that also need corpus-level
+    counts (total rows, rows ≥ threshold) read them off the returned
+    histogram without another pass."""
 
     def hist_partial(t: pa.Table) -> pa.Table:
         return (
@@ -240,6 +238,24 @@ def filter_by_length_quantile(
     num, den = q
     idx = max(0, -(-(num * n) // den) - 1)  # ceil(num*n/den) - 1
     threshold = hist.index.to_numpy()[np.searchsorted(cum, idx + 1)]
+    return int(threshold), hist
+
+
+def filter_by_length_quantile(
+    ds: ray.data.Dataset,
+    value_col: str = "n_chars",
+    q: tuple[int, int] = (1, 4),
+) -> ray.data.Dataset:
+    """Corpus-derived threshold filter: keep rows whose ``value_col`` is at
+    least the corpus q-quantile (discrete quantile, ``ceil(q·n)−1`` index —
+    DuckDB ``quantile_disc`` semantics).
+
+    Two streaming passes: pass 1 is the :func:`length_quantile_stats`
+    histogram (bounded by the value domain, never the row count); the
+    driver derives the threshold and broadcasts it into a stateless
+    pass-2 Arrow filter.
+    """
+    threshold, _ = length_quantile_stats(ds, value_col=value_col, q=q)
 
     def keep(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t[value_col], int(threshold)))

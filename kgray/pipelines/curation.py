@@ -128,31 +128,76 @@ def curation_funnel(
     operator reads before trusting the curated output.  One row:
     n_raw → n_filtered → n_deduped → n_decontaminated → n_chunks.
 
-    Each count consumes a stage as a streaming aggregate; the cheap
-    normalize/filter prefixes re-execute per count rather than
-    materializing the corpus (same trade the capstones make,
-    pipelines/curation.py:28)."""
+    Single-pass shape (was: one chain re-execution per count, i.e. the
+    dedup shuffle ran three times): the length-quantile histogram pass
+    already carries ``n_raw`` (histogram total) and ``n_filtered`` (mass
+    at/above the threshold) driver-side for free; the main stream then
+    runs ONCE through the one corpus shuffle (dedup keep-first), and a
+    fused tail partial computes the decontamination verdict AND the
+    arithmetic chunk count (``1 + ceil(max(len−chunk_chars,0)/step)`` —
+    exactly :func:`~kgray.ops.text.split_documents`'s window count, so no
+    1→N expansion is ever emitted) per survivor, collapsing each block to
+    one counter row.  Driver traffic: histogram (value-domain-bounded) +
+    one row per block."""
+    import numpy as np
     import pandas as pd
 
-    from kgray.ops.curation import normalize_text
+    from kgray.functions.broadcast import cached_get
+    from kgray.ops.curation import _flat_grams, normalize_text
+    from kgray.ops.text import length_quantile_stats
+
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
 
     clean = normalize_text(docs, id_col=id_col, text_col=text_col)
-    kept = filter_by_length_quantile(clean, value_col="n_chars_clean", q=length_quantile)
+    threshold, hist = length_quantile_stats(
+        clean, value_col="n_chars_clean", q=length_quantile
+    )
+    counts = hist.to_numpy(dtype=np.int64)
+    n_raw = int(counts.sum())
+    n_filtered = int(counts[hist.index.to_numpy() >= threshold].sum())
+
+    def keep_len(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_chars_clean"], threshold))
+
+    kept = clean.map_batches(keep_len, batch_format="pyarrow")
     deduped = dedup_keep_first(kept, text_col="text_clean", id_col=id_col)
     bench_ref = benchmark_gram_set(benchmark, n=ngram_n, text_col=text_col)
-    safe = decontaminate(deduped, bench_ref, n=ngram_n, text_col="text_clean")
-    chunks = split_documents(
-        safe, id_col=id_col, text_col="text_clean",
-        chunk_chars=chunk_chars, overlap=overlap,
-    )
-    import numpy as np
 
+    def tail_partial(t: pa.Table) -> pa.Table:
+        bench = cached_get(bench_ref)
+        doc_of, h = _flat_grams(t["text_clean"], ngram_n)
+        ndocs = len(t)
+        if len(bench) and len(h):
+            pos = np.searchsorted(bench, h)
+            hit = (pos < len(bench)) & (bench[np.minimum(pos, len(bench) - 1)] == h)
+            n_hit = np.bincount(doc_of, weights=hit, minlength=ndocs)
+        else:
+            n_hit = np.zeros(ndocs)
+        safe = n_hit == 0
+        lens = t["n_chars_clean"].to_numpy(zero_copy_only=False)[safe]
+        extra = np.maximum(lens - chunk_chars, 0)
+        nchunks = 1 + -(-extra // step)
+        return pa.table(
+            {
+                "n_deduped": pa.array([ndocs], pa.int64()),
+                "n_decontaminated": pa.array([int(safe.sum())], pa.int64()),
+                "n_chunks": pa.array([int(nchunks.sum())], pa.int64()),
+            }
+        )
+
+    tail = (
+        deduped.map_batches(tail_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
     return pd.DataFrame(
         {
-            "n_raw": [np.int64(docs.count())],
-            "n_filtered": [np.int64(kept.count())],
-            "n_deduped": [np.int64(deduped.count())],
-            "n_decontaminated": [np.int64(safe.count())],
-            "n_chunks": [np.int64(chunks.count())],
+            "n_raw": [np.int64(n_raw)],
+            "n_filtered": [np.int64(n_filtered)],
+            "n_deduped": [np.int64(tail["n_deduped"])],
+            "n_decontaminated": [np.int64(tail["n_decontaminated"])],
+            "n_chunks": [np.int64(tail["n_chunks"])],
         }
     )
