@@ -501,6 +501,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_pred_cooccurrence"] = lambda sf: __import__(
         "kgray.functions.graph", fromlist=["predicate_cooccurrence"]
     ).predicate_cooccurrence(_kg_closed_world(sf).edges)
+    q["kg_resolution_clusters"] = lambda sf: __import__(
+        "kgray.stages.canonicalize", fromlist=["resolution_cluster_histogram"]
+    ).resolution_cluster_histogram(_kg_closed_world(sf).ent_map)
+    q["kg_random_walks_events"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["random_walk_visits"]
+    ).random_walk_visits(
+        _kg_events(sf).edges, src_col="subj_name", dst_col="obj_name", n_steps=3
+    )
+    # closed-world, not events: the events KG is strictly bipartite, where
+    # cross-side pairs can never share a common neighbor — AA recall is
+    # structurally zero there; the closed-world KG has org-org edges
+    q["kg_lp_recall_closed_world"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["link_prediction_recall"]
+    ).link_prediction_recall(
+        _kg_closed_world(sf).edges, src_col="subj_name", dst_col="obj_name"
+    )
     q["corpus_curation_funnel"] = _q_corpus_curation_funnel
     q["embedding_cluster_cohesion"] = lambda sf: __import__(
         "kgray.ops.similarity", fromlist=["cluster_cohesion"]
@@ -5093,6 +5109,126 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj_name, subj_label, pred, obj_name, obj_label,
                    n_obs, n_dates, n_start, n_end
             FROM merged""",
+        "kg_resolution_clusters": f"""WITH {cw},
+            sizes AS (SELECT eid, CAST(count(*) AS BIGINT) AS n_variants
+                      FROM canon GROUP BY eid)
+            SELECT n_variants, CAST(count(*) AS BIGINT) AS n_entities
+            FROM sizes GROUP BY n_variants""",
+        # deterministic hash-seeded walks: step from v at time t goes to
+        # sorted-neighbor index md5_number_lower(v || '|' || t) % deg(v) —
+        # the exact kernel the Ray op uses, so the walks replay bit-for-bit
+        "kg_random_walks_events": """
+            WITH base AS (
+              SELECT DISTINCT 'user ' || CAST(user_id AS VARCHAR) AS s,
+                     event_type AS d
+              FROM events
+            ),
+            und AS (SELECT s AS z, d AS nbr FROM base
+                    UNION SELECT d, s FROM base),
+            adj AS (
+              SELECT z, nbr,
+                     CAST(row_number() OVER (PARTITION BY z ORDER BY nbr) - 1
+                          AS BIGINT) AS rnk,
+                     CAST(count(*) OVER (PARTITION BY z) AS BIGINT) AS dg
+              FROM und
+            ),
+            w0 AS (SELECT DISTINCT z AS node, CAST(1 AS BIGINT) AS w FROM adj),
+            s1 AS (
+              SELECT a.nbr AS node, CAST(sum(f.w) AS BIGINT) AS w
+              FROM w0 f JOIN adj a ON a.z = f.node
+               AND a.rnk = CAST(md5_number_lower(f.node || '|0')
+                                % CAST(a.dg AS UBIGINT) AS BIGINT)
+              GROUP BY a.nbr
+            ),
+            s2 AS (
+              SELECT a.nbr AS node, CAST(sum(f.w) AS BIGINT) AS w
+              FROM s1 f JOIN adj a ON a.z = f.node
+               AND a.rnk = CAST(md5_number_lower(f.node || '|1')
+                                % CAST(a.dg AS UBIGINT) AS BIGINT)
+              GROUP BY a.nbr
+            ),
+            s3 AS (
+              SELECT a.nbr AS node, CAST(sum(f.w) AS BIGINT) AS w
+              FROM s2 f JOIN adj a ON a.z = f.node
+               AND a.rnk = CAST(md5_number_lower(f.node || '|2')
+                                % CAST(a.dg AS UBIGINT) AS BIGINT)
+              GROUP BY a.nbr
+            )
+            SELECT name, CAST(sum(w) AS BIGINT) AS visits
+            FROM (SELECT node AS name, w FROM s1
+                  UNION ALL SELECT node, w FROM s2
+                  UNION ALL SELECT node, w FROM s3)
+            GROUP BY name""",
+        # KG-completion eval: hash-held-out edges, Adamic-Adar on the
+        # remainder (same hub cut as kg_link_prediction_events), rank by
+        # (rounded score desc, u, v), integer micro-division recall;
+        # runs on the closed-world KG (the events KG is bipartite — AA
+        # recall is structurally zero there)
+        "kg_lp_recall_closed_world": f"""
+            WITH {cw},
+            base AS (
+              SELECT DISTINCT least(subj_name, obj_name) AS s,
+                     greatest(subj_name, obj_name) AS d
+              FROM merged
+            ),
+            hold AS (SELECT s, d FROM base
+                     WHERE md5_number_lower(s || '|' || d) % 5 = 0),
+            train AS (SELECT s, d FROM base
+                      WHERE md5_number_lower(s || '|' || d) % 5 <> 0),
+            und AS (SELECT z, nbr FROM (SELECT s AS z, d AS nbr FROM train
+                                        UNION SELECT d, s FROM train)
+                    WHERE z <> nbr),
+            deg AS (SELECT z, count(*) AS dg FROM und GROUP BY z),
+            wedge AS (
+              SELECT a.nbr AS u, b.nbr AS v, g.dg
+              FROM und a JOIN und b ON a.z = b.z AND a.nbr < b.nbr
+              JOIN deg g ON g.z = a.z
+              WHERE g.dg BETWEEN 2 AND 64
+            ),
+            agg AS (
+              SELECT u, v, count(*) AS cn,
+                     round(sum(1.0 / ln(CAST(dg AS DOUBLE))), 6) AS aa
+              FROM wedge GROUP BY u, v
+            ),
+            torig AS (
+              SELECT DISTINCT m.subj_name AS s, m.obj_name AS d
+              FROM merged m JOIN train t
+                ON t.s = least(m.subj_name, m.obj_name)
+               AND t.d = greatest(m.subj_name, m.obj_name)
+            ),
+            srcs AS (SELECT DISTINCT s AS node FROM torig),
+            dsts AS (SELECT DISTINCT d AS node FROM torig),
+            cand AS (
+              SELECT u, v, aa FROM agg
+              WHERE cn >= 1
+                AND NOT EXISTS (SELECT 1 FROM und e
+                                WHERE e.z = agg.u AND e.nbr = agg.v)
+                AND ((u IN (SELECT node FROM srcs)
+                        AND v IN (SELECT node FROM dsts))
+                     OR (u IN (SELECT node FROM dsts)
+                           AND v IN (SELECT node FROM srcs)))
+            ),
+            ranked AS (
+              SELECT u, v, row_number() OVER (ORDER BY aa DESC, u, v) AS rn
+              FROM cand
+            ),
+            hkeys AS (SELECT least(s, d) AS lo, greatest(s, d) AS hi FROM hold),
+            ks AS (SELECT unnest([10, 50, 100]) AS k),
+            counted AS (
+              SELECT CAST(ks.k AS BIGINT) AS k,
+                     (SELECT CAST(count(*) AS BIGINT) FROM hkeys) AS n_holdout,
+                     (SELECT CAST(count(*) AS BIGINT)
+                      FROM ranked r JOIN hkeys h
+                        ON r.u = h.lo AND r.v = h.hi
+                      WHERE r.rn <= ks.k) AS n_hits
+              FROM ks
+            )
+            SELECT k, n_holdout, n_hits,
+                   CASE WHEN n_holdout = 0 THEN 0.0
+                        ELSE CAST(n_hits * 1000000 // n_holdout AS BIGINT)::DOUBLE
+                             / 1e6
+                   END AS recall
+            FROM counted""",
         "kg_nodes_closed_world": f"""WITH {cw}
             SELECT DISTINCT eid AS entity_id, canon_name AS name, canon_label AS label,
                    CASE WHEN regexp_replace(canon_label, '[^A-Za-z0-9_]+', '', 'g') = ''

@@ -2381,3 +2381,338 @@ def predicate_cooccurrence(edges: ray.data.Dataset, n_buckets: int = 64) -> pd.D
     if not rows:
         return empty
     return pd.DataFrame(rows, columns=["pred_a", "pred_b", "n_a", "n_b", "n_both"])
+
+
+def _md5_u64(strings) -> np.ndarray:
+    """uint64 string hash equal to DuckDB's ``md5_number_lower(s)`` —
+    the same kernel MinHash uses (kgray/ops/dedup.py), duplicated here to
+    keep the graph module free of the dedup import."""
+    import hashlib
+
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int.from_bytes(md5(s.encode("utf-8")).digest()[8:], "little") for s in strings),
+        dtype=np.uint64,
+        count=len(strings),
+    )
+
+
+def random_walk_visits(
+    edges: ray.data.Dataset,
+    src_col: str = "subj_name",
+    dst_col: str = "obj_name",
+    n_steps: int = 3,
+    driver_edge_max: int = 200_000,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Deterministic hash-seeded random walks — the graph-ML sampling
+    primitive (DeepWalk/node2vec neighborhoods, GraphSAGE fan-out) made
+    SQL-reproducible: one walk starts at EVERY node of the undirected
+    distinct-edge graph and advances ``n_steps`` steps, where the step
+    from node ``v`` at time ``t`` goes to sorted-neighbor index
+    ``md5_u64(v + '|' + t) % deg(v)`` (DuckDB ``md5_number_lower``
+    semantics, so the oracle replays the exact walks).  Returns per-node
+    visit counts over steps 1..n_steps summed across all walks — the
+    visit distribution a sampling-based embedding trainer would see.
+
+    The choice depends only on ``(v, t)``, so colliding walkers follow
+    the same continuation: walker state collapses to a (node → walker
+    count) frontier, which is what makes the op scale — the frontier is
+    vocabulary-bounded regardless of walk count.
+
+    Rungs (the pagerank ladder):
+    - driver (default, distinct edge set ≤ ``driver_edge_max`` — the
+      documented connected_components budget): CSR + ``np.add.at``
+      weight propagation, one vectorized pass per step;
+    - bucketed (knob forced to 0 or exceeded): ranked adjacency built in
+      hash(node) buckets ONCE (one shuffle), then each step co-locates
+      the (node, walkers) frontier with its adjacency bucket and emits
+      the chosen neighbors — ``n_steps`` + 2 bucket shuffles total, no
+      node- or edge-sized driver state (parity pinned in tests).
+    """
+    und_cols = edges.select_columns([src_col, dst_col])
+    n_edges = und_cols.count()
+    if driver_edge_max > 0 and n_edges <= driver_edge_max:
+        raw = und_cols.to_pandas()
+        s = raw[src_col].astype(str).to_numpy(dtype=object)
+        d = raw[dst_col].astype(str).to_numpy(dtype=object)
+        z = np.concatenate([s, d])
+        nbr = np.concatenate([d, s])
+        keep = z != nbr
+        pairs = pd.DataFrame({"z": z[keep], "nbr": nbr[keep]}).drop_duplicates()
+        pairs = pairs.sort_values(["z", "nbr"], kind="mergesort")
+        zv = pairs["z"].to_numpy(dtype=object)
+        nv = pairs["nbr"].to_numpy(dtype=object)
+        starts = np.flatnonzero(np.r_[True, zv[1:] != zv[:-1]])
+        nodes = zv[starts]
+        deg = np.diff(np.r_[starts, len(zv)])
+        # map neighbor surface -> node index for the hop (every neighbor
+        # IS a node: the graph is built from both edge orientations)
+        order = np.argsort(nodes, kind="mergesort")
+        nbr_idx = order[np.searchsorted(nodes[order], nv)]
+        w = np.ones(len(nodes), dtype=np.int64)
+        visits = np.zeros(len(nodes), dtype=np.int64)
+        for t in range(n_steps):
+            r = (_md5_u64([f"{v}|{t}" for v in nodes]) % deg.astype(np.uint64)).astype(
+                np.int64
+            )
+            nxt = nbr_idx[starts + r]
+            new_w = np.zeros(len(nodes), dtype=np.int64)
+            np.add.at(new_w, nxt, w)
+            visits += new_w
+            w = new_w
+        keep_v = visits > 0
+        return (
+            pd.DataFrame({"name": nodes[keep_v], "visits": visits[keep_v]})
+            .sort_values("name", kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    # ---- bucketed rung: no node- or edge-sized driver state ----
+    def _nb(names) -> np.ndarray:
+        return (
+            pd.util.hash_array(np.asarray(names, dtype=object)) % np.uint64(num_buckets)
+        ).astype("int32")
+
+    def und_rows(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[src_col].astype(str).to_numpy(dtype=object)
+        d = b[dst_col].astype(str).to_numpy(dtype=object)
+        z = np.concatenate([s, d])
+        nbr = np.concatenate([d, s])
+        out = pd.DataFrame({"z": z, "nbr": nbr})
+        out = out[out["z"] != out["nbr"]].drop_duplicates()
+        out["nb"] = _nb(out["z"].to_numpy(dtype=object))
+        return out
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["z", "nbr"]].drop_duplicates().sort_values(["z", "nbr"], kind="mergesort")
+        g["rnk"] = g.groupby("z", sort=False).cumcount().astype("int64")
+        g["dg"] = g.groupby("z", sort=False)["nbr"].transform("size").astype("int64")
+        g["nb"] = _nb(g["z"].to_numpy(dtype=object))
+        return g
+
+    adj = (
+        edges.map_batches(und_rows, batch_format="pandas")
+        .groupby("nb")
+        .map_groups(rank_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+    def start_rows(b: pd.DataFrame) -> pd.DataFrame:
+        # rnk==0 row exists for every node (deg >= 1 by construction)
+        f = b[b["rnk"] == 0]
+        return pd.DataFrame(
+            {
+                "node": f["z"].to_numpy(dtype=object),
+                "w": np.ones(len(f), dtype=np.int64),
+                "nb": f["nb"].to_numpy(),
+            }
+        )
+
+    frontier = adj.map_batches(start_rows, batch_format="pandas").materialize()
+    step_outputs = []
+    for t in range(n_steps):
+
+        def advance(g: pd.DataFrame, t=t) -> pd.DataFrame:
+            e = g[g["kind"] == 1]
+            f = g[g["kind"] == 2]
+            if not len(f) or not len(e):
+                return pd.DataFrame(
+                    {"node": pd.Series(dtype=object), "w": pd.Series(dtype="int64")}
+                )
+            f = f.groupby("node", sort=False, as_index=False)["w"].sum()
+            dg = e.drop_duplicates("z").set_index("z")["dg"]
+            d = f["node"].map(dg)
+            ok = d.notna()
+            f = f[ok]
+            r = (
+                _md5_u64([f"{v}|{t}" for v in f["node"]])
+                % d[ok].to_numpy(dtype=np.uint64)
+            ).astype("int64")
+            key = pd.MultiIndex.from_arrays([f["node"], r])
+            nxt = e.set_index(["z", "rnk"])["nbr"].reindex(key)
+            return pd.DataFrame(
+                {"node": nxt.to_numpy(dtype=object), "w": f["w"].to_numpy()}
+            )
+
+        def tag_adj(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["kind"] = np.int8(1)
+            b["node"] = b["z"]
+            b["w"] = np.int64(0)
+            return b[["nb", "kind", "node", "w", "z", "nbr", "rnk", "dg"]]
+
+        def tag_frontier(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["kind"] = np.int8(2)
+            b["z"] = ""
+            b["nbr"] = ""
+            b["rnk"] = np.int64(0)
+            b["dg"] = np.int64(0)
+            return b[["nb", "kind", "node", "w", "z", "nbr", "rnk", "dg"]]
+
+        stepped = (
+            adj.map_batches(tag_adj, batch_format="pandas")
+            .union(frontier.map_batches(tag_frontier, batch_format="pandas"))
+            .groupby("nb")
+            .map_groups(advance, batch_format="pandas")
+        )
+
+        def rebucket(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["nb"] = _nb(b["node"].to_numpy(dtype=object)) if len(b) else pd.Series(
+                dtype="int32"
+            )
+            return b
+
+        frontier = stepped.map_batches(rebucket, batch_format="pandas").materialize()
+        step_outputs.append(frontier)
+
+    def reduce_visits(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", sort=False, as_index=False)["w"].sum()
+        return pd.DataFrame(
+            {"name": out["node"].to_numpy(dtype=object), "visits": out["w"].astype("int64")}
+        )
+
+    allv = step_outputs[0]
+    for ds in step_outputs[1:]:
+        allv = allv.union(ds)
+    out = (
+        allv.groupby("nb")
+        .map_groups(reduce_visits, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("name", kind="mergesort").reset_index(drop=True)
+
+
+def link_prediction_recall(
+    edges: ray.data.Dataset,
+    src_col: str = "subj_name",
+    dst_col: str = "obj_name",
+    holdout_mod: int = 5,
+    ks: tuple[int, ...] = (10, 50, 100),
+    max_center_degree: int = 64,
+) -> pd.DataFrame:
+    """KG-completion evaluation (the standard link-prediction benchmark
+    protocol, FB15k-style, made deterministic): hold out every distinct
+    edge whose ``md5_u64(src + '|' + dst) % holdout_mod == 0``, score all
+    non-adjacent pairs of the REMAINING graph with :func:`adamic_adar`
+    (identical hub cut), rank by (score desc, u, v), and report
+    recall@k — the fraction of held-out edges recovered in the top-k
+    candidates — for each ``k``.
+
+    Candidates are restricted to BIPARTITE pairs — one endpoint from the
+    training graph's src-role node set, one from its dst-role set — i.e.
+    pairs with the same shape as real edges.  Without this the ranking is
+    dominated by same-side affinity pairs (two users sharing event types)
+    that can never be edges, and recall is structurally zero.
+
+    Scale shape: the scoring reuses adamic_adar's distributed wedge
+    pipeline; the top-``max(ks)`` selection is a per-block partial
+    (each block ships at most max(ks) rows, with the role filter applied
+    before the cut) + driver merge, and the holdout set is
+    1/``holdout_mod`` of the edge universe — the same documented driver
+    budget as adamic_adar's ``exclude_existing`` membership set (the role
+    sets are node-vocabulary-sized, strictly smaller).  ``recall`` is
+    integer micro-division (``hits * 1e6 // n_holdout / 1e6``) so the SQL
+    twin is value-exact.
+    """
+    kmax = max(ks)
+    sep = "|"
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        # the holdout universe is UNORDERED pairs (an edge present in both
+        # orientations is one retrieval target): hash the (lo, hi) form
+        s = b[src_col].astype(str)
+        d = b[dst_col].astype(str)
+        lo = s.where(s <= d, d)
+        hi = d.where(s <= d, s)
+        h = _md5_u64((lo + sep + hi).to_numpy(dtype=object)) % np.uint64(holdout_mod)
+        b = b.copy()
+        b["_holdout"] = h == 0
+        return b
+
+    tagged = edges.map_batches(tag, batch_format="pandas").materialize()
+    train = tagged.map_batches(
+        lambda b: b[~b["_holdout"]].drop(columns=["_holdout"]), batch_format="pandas"
+    )
+
+    hold = tagged.map_batches(
+        lambda b: b.loc[b["_holdout"], [src_col, dst_col]], batch_format="pandas"
+    ).to_pandas()
+    if len(hold):
+        a = hold[src_col].astype(str)
+        b_ = hold[dst_col].astype(str)
+        lo = a.where(a <= b_, b_)
+        hi = b_.where(a <= b_, a)
+        holdout_keys = set(lo + "\x1f" + hi)
+    else:
+        holdout_keys = set()
+    n_holdout = len(holdout_keys)
+
+    roles = train.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [
+                        b[src_col].astype(str).unique(),
+                        b[dst_col].astype(str).unique(),
+                    ]
+                ),
+                "role": np.concatenate(
+                    [
+                        np.zeros(b[src_col].nunique(), dtype=np.int8),
+                        np.ones(b[dst_col].nunique(), dtype=np.int8),
+                    ]
+                ),
+            }
+        ).drop_duplicates(),
+        batch_format="pandas",
+    ).to_pandas().drop_duplicates()
+    src_set = set(roles.loc[roles["role"] == 0, "node"])
+    dst_set = set(roles.loc[roles["role"] == 1, "node"])
+    roles_ref = ray.put((src_set, dst_set))
+
+    cand = adamic_adar(
+        train,
+        src_col=src_col,
+        dst_col=dst_col,
+        max_center_degree=max_center_degree,
+    )
+
+    def topk_partial(b: pd.DataFrame) -> pd.DataFrame:
+        from kgray.functions.broadcast import cached_get
+
+        if not len(b):
+            return b
+        ss, ds_ = cached_get(roles_ref)
+        u = b["u"].astype(str)
+        v = b["v"].astype(str)
+        bip = (u.isin(ss) & v.isin(ds_)) | (u.isin(ds_) & v.isin(ss))
+        b = b[bip]
+        return b.sort_values(
+            ["adamic_adar", "u", "v"], ascending=[False, True, True], kind="mergesort"
+        ).head(kmax)
+
+    parts = cand.map_batches(topk_partial, batch_format="pandas").to_pandas()
+    if len(parts):
+        top = parts.sort_values(
+            ["adamic_adar", "u", "v"], ascending=[False, True, True], kind="mergesort"
+        ).head(kmax)
+        keys = (top["u"].astype(str) + "\x1f" + top["v"].astype(str)).to_numpy(
+            dtype=object
+        )
+        is_hit = np.fromiter((k in holdout_keys for k in keys), dtype=bool, count=len(keys))
+        cum_hits = np.cumsum(is_hit)
+    else:
+        cum_hits = np.zeros(0, dtype=np.int64)
+
+    rows = []
+    for k in ks:
+        hits = int(cum_hits[min(k, len(cum_hits)) - 1]) if len(cum_hits) else 0
+        recall = (hits * 1_000_000 // n_holdout) / 1e6 if n_holdout else 0.0
+        rows.append(
+            {"k": np.int64(k), "n_holdout": np.int64(n_holdout),
+             "n_hits": np.int64(hits), "recall": float(recall)}
+        )
+    return pd.DataFrame(rows)

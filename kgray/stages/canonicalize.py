@@ -974,3 +974,97 @@ def apply_resolution(
     # batch_size=None → one zero-copy Arrow block per call (no slicing);
     # the vectorized kernel costs O(rows) with tiny constants
     return timeparsed.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def resolution_cluster_histogram(
+    ent_map: dict, raw: "ray.data.Dataset | None" = None
+) -> "pd.DataFrame":
+    """Entity-resolution QA readout: how aggressively did resolution merge —
+    for each canonical entity, the number of distinct surface ``(name,
+    label)`` variants mapped onto it, returned as the histogram
+    ``(n_variants, n_entities)`` sorted by ``n_variants``.  An operator
+    reads this before trusting a KG build: a spike at large cluster sizes
+    means over-merging (threshold too low / embedder collapse), everything
+    at 1 means resolution did nothing.
+
+    Rungs mirror the node-table ladder (pipelines/kg.py):
+
+    - full mapping dict (identity entries included): vocabulary-sized
+      driver groupby — the exact ``_nodes_from_mapping`` budget, valid
+      while the vocabulary fits the driver;
+    - compact map (``identity_omitted``, vocabulary beyond driver RAM):
+      pass the normalized quintuple stream as ``raw`` — the histogram is
+      computed distributed: :func:`distinct_entities` vocabulary stream →
+      broadcast non-identity lookup (the compact map is small by
+      construction) with identity fallback via the Arrow md5 id kernel →
+      one vocabulary-sized eid groupby → value-domain-bounded histogram
+      partials.  The driver sees only (n_variants, count) rows.
+
+    Forced-rung parity is pinned in tests (dict == distributed on the same
+    input, the nodes_from_edges pattern)."""
+    import pandas as pd  # noqa: PLC0415
+
+    compact = getattr(ent_map, "identity_omitted", False)
+    if not compact:
+        sizes: dict = {}
+        for _, (_, _, eid) in ent_map.items():
+            sizes[eid] = sizes.get(eid, 0) + 1
+        counts = pd.Series(list(sizes.values()), dtype="int64")
+        hist = counts.value_counts().sort_index()
+        return pd.DataFrame(
+            {
+                "n_variants": hist.index.to_numpy(dtype="int64"),
+                "n_entities": hist.to_numpy(dtype="int64"),
+            }
+        )
+
+    if raw is None:
+        raise ValueError(
+            "compact resolution map omits identity entries; pass the "
+            "normalized quintuple stream as `raw` for the distributed rung"
+        )
+    ent_ref = ray.put(ent_map)
+
+    def to_eid(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa  # noqa: PLC0415 (worker-local)
+
+        from kgray.functions.normalize import entity_ids  # noqa: PLC0415
+
+        _, _, cid = _resolution_columns(_cached_get(ent_ref))
+        names = t["name"].to_pandas()
+        labels = t["label"].to_pandas()
+        ids = names.str.cat(labels, sep="\x1f").map(cid)
+        missing = ids.isna()
+        if missing.any():
+            mask = missing.to_numpy()
+            ids = ids.copy()
+            ids[mask] = entity_ids(
+                pa.array(names[mask].fillna("None"), type=pa.string()),
+                pa.array(labels[mask].fillna("None"), type=pa.string()),
+            ).to_numpy(zero_copy_only=False)
+        return pa.table({"eid": pa.array(ids, type=pa.large_string())})
+
+    def hist_partial(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa  # noqa: PLC0415 (worker-local)
+
+        return (
+            pa.table({"n_variants": t["count()"]})
+            .group_by("n_variants")
+            .aggregate([([], "count_all")])
+        )
+
+    parts = (
+        distinct_entities(raw)
+        .map_batches(to_eid, batch_format="pyarrow")
+        .groupby("eid")
+        .count()
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    hist = parts.groupby("n_variants", sort=True)["count_all"].sum()
+    return pd.DataFrame(
+        {
+            "n_variants": hist.index.to_numpy(dtype="int64"),
+            "n_entities": hist.to_numpy(dtype="int64"),
+        }
+    )

@@ -101,3 +101,30 @@ def test_assortativity_bucketed_matches_driver(ray_session):
     driver = degree_assortativity(ds)
     bucketed = degree_assortativity(ds, driver_node_max=0, num_buckets=8)
     pd.testing.assert_frame_equal(driver, bucketed)
+
+
+def test_random_walk_visits_bucketed_matches_driver(ray_session):
+    """Forced-knob parity: the bucketed frontier-join rung (no node- or
+    edge-sized driver state) must reproduce the driver CSR rung walk for
+    walk, plus a hand-pinned visit table for the 5-node cycle world."""
+    import pandas as pd
+    import ray.data
+
+    from kgray.functions.graph import random_walk_visits
+
+    df = pd.DataFrame(
+        {
+            "subj_name": ["a", "a", "b", "c", "d", "e", "e"],
+            "obj_name": ["b", "c", "c", "d", "e", "a", "b"],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    drv = random_walk_visits(ds, n_steps=3)
+    bkt = random_walk_visits(ds, n_steps=3, driver_edge_max=0)
+    pd.testing.assert_frame_equal(drv, bkt)
+    # hand-derived from md5_number_lower(v || '|' || t) % deg: 5 walkers,
+    # 3 steps = 15 visits; node d is never chosen
+    pinned = pd.DataFrame(
+        {"name": ["a", "b", "c", "e"], "visits": pd.array([3, 4, 4, 4], dtype="int64")}
+    )
+    pd.testing.assert_frame_equal(drv, pinned)

@@ -80,3 +80,74 @@ def test_adamic_adar_partition_invariance(ray_session):
     many = many.sort_values(["u", "v"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(one, many)
     assert len(one) > 0
+
+
+def test_link_prediction_recall_matches_bruteforce(ray_session):
+    """kg-completion recall: the distributed pipeline (hash holdout ->
+    adamic_adar on the remainder -> bipartite role filter -> per-block
+    top-k partials) must match an independent all-in-one brute force."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kgray.functions.graph import link_prediction_recall
+
+    rng = np.random.default_rng(11)
+    people = [f"p{i}" for i in range(12)]
+    orgs = [f"org{i}" for i in range(6)]
+    rows = set()
+    for p in people:
+        for o in rng.choice(orgs, size=2, replace=False):
+            rows.add((p, o))
+    for i in range(len(orgs) - 1):  # org-org edges so AA has wedges
+        rows.add((orgs[i], orgs[i + 1]))
+    df = pd.DataFrame(sorted(rows), columns=["subj_name", "obj_name"])
+    ks, mod = (3, 8), 3
+    out = link_prediction_recall(
+        ray.data.from_pandas(df), src_col="subj_name", dst_col="obj_name",
+        holdout_mod=mod, ks=ks,
+    )
+
+    # ---- brute force ----
+    def h64(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+
+    lo = df["subj_name"].where(df["subj_name"] <= df["obj_name"], df["obj_name"])
+    hi = df["obj_name"].where(df["subj_name"] <= df["obj_name"], df["subj_name"])
+    held = {
+        (l, h) for l, h in zip(lo, hi) if h64(f"{l}|{h}") % mod == 0
+    }
+    train = df[[h64(f"{l}|{h}") % mod != 0 for l, h in zip(lo, hi)]]
+    srcs = set(train["subj_name"])
+    dsts = set(train["obj_name"])
+    adj: dict = {}
+    for s, d in zip(train["subj_name"], train["obj_name"]):
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    score: dict = {}
+    for z, nbrs in adj.items():
+        if not (2 <= len(nbrs) <= 64):
+            continue
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                score[(ns[i], ns[j])] = score.get((ns[i], ns[j]), 0.0) + 1.0 / math.log(len(nbrs))
+    cand = [
+        (round(aa, 6), u, v)
+        for (u, v), aa in score.items()
+        if v not in adj.get(u, set())
+        and ((u in srcs and v in dsts) or (u in dsts and v in srcs))
+    ]
+    cand.sort(key=lambda t: (-t[0], t[1], t[2]))
+    for k, row in zip(ks, out.itertuples(index=False)):
+        hits = sum(1 for _, u, v in cand[:k] if (u, v) in held)
+        assert row.k == k
+        assert row.n_holdout == len(held)
+        assert row.n_hits == hits, (k, cand[:k], held)
+        exp = (hits * 1_000_000 // len(held)) / 1e6 if held else 0.0
+        assert row.recall == exp
+    assert len(held) > 0 and out["n_hits"].max() >= 0

@@ -239,3 +239,37 @@ def test_compact_incremental_merges_onto_existing(data, tmp_path):
     key = lambda df: set(zip(df.subj_name, df.subj_label, df.pred, df.obj_name, df.obj_label))
     assert key(run_b.edges.to_pandas()) == key(full.edges.to_pandas())
     assert set(run_b.nodes.to_pandas()["entity_id"]) == set(full.nodes.to_pandas()["entity_id"])
+
+
+def test_resolution_cluster_histogram_compact_matches_dict(data):
+    """ER-QA histogram parity: the compact-map distributed rung (vocabulary
+    stream -> broadcast non-identity lookup -> eid groupby -> histogram
+    partials) must reproduce the full-dict driver groupby exactly."""
+    import pandas as pd
+
+    from kgray.pipelines.kg import extract_quintuples
+    from kgray.stages.canonicalize import (
+        resolution_cluster_histogram,
+        resolve_vocabulary,
+    )
+
+    path, concepts = data
+    emb = lambda cfg: (lambda: HashEmbedder(dim=cfg.embed_dim, concepts=concepts))
+
+    default_cfg = PipelineConfig(extract_concurrency=2)
+    quints = extract_quintuples(
+        ray.data.read_parquet(path), default_cfg
+    ).materialize()
+
+    ent_dict, _ = resolve_vocabulary(quints, default_cfg, emb(default_cfg))
+    compact_cfg = PipelineConfig(**COMPACT_CFG_KW)
+    ent_compact, _ = resolve_vocabulary(quints, compact_cfg, emb(compact_cfg))
+    assert getattr(ent_compact, "identity_omitted", False)
+
+    h_dict = resolution_cluster_histogram(ent_dict)
+    h_compact = resolution_cluster_histogram(ent_compact, raw=quints)
+    pd.testing.assert_frame_equal(
+        h_dict.reset_index(drop=True), h_compact.reset_index(drop=True)
+    )
+    # merging happened in this world: at least one multi-variant cluster
+    assert (h_dict["n_variants"] > 1).any()

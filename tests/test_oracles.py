@@ -268,6 +268,7 @@ def _compare(query: str):
         "large_orders",
         "top_supplier",
         "brand_disjunction_revenue",
+        "kg_random_walks_events",
     ],
 )
 def test_sql_oracle_matches_ray(query):
