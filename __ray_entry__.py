@@ -529,6 +529,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_classifier_calibration"] = _q_doc_classifier_calibration
     q["doc_label_kappa"] = _q_doc_label_kappa
     q["events_crosscorr"] = _q_events_crosscorr
+    q["events_kendall_tau"] = _q_events_kendall_tau
+    q["doc_rake_keywords"] = lambda sf: __import__(
+        "kgray.ops.text", fromlist=["rake_keywords"]
+    ).rake_keywords(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    )
     q["events_dau_overlap"] = _q_events_dau_overlap
 
     # --- sketches (kgray/ops/stats.py) -----------------------------------
@@ -5091,6 +5097,16 @@ def _q_events_crosscorr(sf_dir: str) -> pd.DataFrame:
     return daily_crosscorr(ds, type_a="view", type_b="purchase", max_lag=7)
 
 
+def _q_events_kendall_tau(sf_dir: str) -> pd.DataFrame:
+    """Kendall tau-b between the view and purchase daily-count series
+    (kgray.ops.stats.kendall_tau_daily): exact integer pair census over
+    the zero-filled calendar, one micro-quantized division."""
+    from kgray.ops.stats import kendall_tau_daily
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return kendall_tau_daily(ds, type_a="view", type_b="purchase")
+
+
 def _q_events_dau_overlap(sf_dir: str) -> pd.DataFrame:
     """Day-over-day active-user Jaccard (kgray.ops.temporal.dau_overlap):
     distinct (user, day) pre-shrink, one user-hash bucket shuffle,
@@ -7159,6 +7175,80 @@ def oracle_sql() -> dict[str, str]:
                          * 1e6 + 0.5) / 1e6 AS r
             FROM mo
             WHERE n >= 2 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+        """,
+        # RAKE: stopword-delimited candidate phrases (len <= 4), word score
+        # deg*1e6 // freq in integer micro-units, phrase = sum over tokens
+        "doc_rake_keywords": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            tk AS (
+              SELECT doc_id, i, l[i] AS w,
+                     CASE WHEN l[i] = '' OR l[i] IN
+                          ('the','be','to','of','and','that','have','with')
+                          THEN 1 ELSE 0 END AS stop
+              FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM t)),
+            ph AS (
+              SELECT doc_id, i, w, stop,
+                     sum(stop) OVER (PARTITION BY doc_id ORDER BY i) AS pid
+              FROM tk),
+            pw AS (SELECT doc_id, pid, i, w FROM ph WHERE stop = 0),
+            pl AS (
+              SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen,
+                     string_agg(w, ' ' ORDER BY i) AS phrase
+              FROM pw GROUP BY doc_id, pid
+              HAVING count(*) <= 4),
+            wo AS (SELECT pw.w, pl.plen
+                   FROM pw JOIN pl ON pl.doc_id = pw.doc_id AND pl.pid = pw.pid),
+            ws AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                          CAST(sum(plen) AS BIGINT) AS deg
+                   FROM wo GROUP BY w),
+            sc AS (SELECT w, CAST(deg * 1000000 // freq AS BIGINT) AS s FROM ws),
+            pscore AS (
+              SELECT pl.doc_id, pl.pid, pl.phrase,
+                     CAST(sum(sc.s) AS BIGINT) AS score_micro
+              FROM pw JOIN pl ON pl.doc_id = pw.doc_id AND pl.pid = pw.pid
+              JOIN sc ON sc.w = pw.w
+              GROUP BY pl.doc_id, pl.pid, pl.phrase),
+            agg AS (
+              SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+                     min(score_micro) AS score_micro
+              FROM pscore GROUP BY phrase)
+            SELECT phrase, n_occurrences, score_micro
+            FROM agg ORDER BY score_micro DESC, phrase LIMIT 50
+        """,
+        "events_kendall_tau": """
+            WITH d AS (
+              SELECT event_type AS t, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2),
+            b AS (SELECT CAST(min(day) AS DATE) AS mn, CAST(max(day) AS DATE) AS mx FROM d),
+            cal0 AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS gs FROM b),
+            cal AS (SELECT CAST(gs AS DATE) AS day,
+                           row_number() OVER (ORDER BY gs) - 1 AS idx
+                    FROM cal0),
+            xy AS (SELECT cal.idx, coalesce(dv.c, 0) AS x, coalesce(dp.c, 0) AS y
+                   FROM cal
+                   LEFT JOIN d dv ON dv.t = 'view' AND CAST(dv.day AS DATE) = cal.day
+                   LEFT JOIN d dp ON dp.t = 'purchase' AND CAST(dp.day AS DATE) = cal.day),
+            p AS (SELECT i.x AS xi, i.y AS yi, j.x AS xj, j.y AS yj
+                  FROM xy i JOIN xy j ON i.idx < j.idx),
+            agg AS (SELECT
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(CASE WHEN (xi < xj AND yi < yj)
+                              OR (xi > xj AND yi > yj) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS concordant,
+              CAST(sum(CASE WHEN (xi < xj AND yi > yj)
+                              OR (xi > xj AND yi < yj) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS discordant,
+              CAST(sum(CASE WHEN xi = xj THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+              CAST(sum(CASE WHEN yi = yj THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+              FROM p),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM xy)
+            SELECT n_days, n_pairs, concordant, discordant, ties_x, ties_y,
+                   floor((concordant - discordant)::DOUBLE
+                         / sqrt(((n_pairs - ties_x) * (n_pairs - ties_y))::DOUBLE)
+                         * 1e6 + 0.5) / 1e6 AS tau
+            FROM agg, nd
+            WHERE n_days >= 2 AND (n_pairs - ties_x) * (n_pairs - ties_y) > 0
         """,
         "events_dau_overlap": """
             WITH p AS (SELECT DISTINCT user_id,

@@ -231,6 +231,16 @@ def run_bench() -> dict:
           lambda: size(entry.queries()["kg_pred_cooccurrence"](sf_dir)))
     timed("corpus_curation_funnel",
           lambda: size(entry.queries()["corpus_curation_funnel"](sf_dir)))
+    timed("kg_resolution_clusters",
+          lambda: size(entry.queries()["kg_resolution_clusters"](sf_dir)))
+    timed("kg_random_walks_events",
+          lambda: size(entry.queries()["kg_random_walks_events"](sf_dir)))
+    timed("kg_lp_recall_closed_world",
+          lambda: size(entry.queries()["kg_lp_recall_closed_world"](sf_dir)))
+    timed("events_kendall_tau",
+          lambda: size(entry.queries()["events_kendall_tau"](sf_dir)))
+    timed("doc_rake_keywords",
+          lambda: size(entry.queries()["doc_rake_keywords"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

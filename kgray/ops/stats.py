@@ -2716,3 +2716,90 @@ def quantile_sketch_audit(
         estimate = int((bvals[bi] + 1) * bucket_width - 1)  # bucket upper bound
         rows.append((name, exact, estimate, abs(estimate - exact)))
     return pd.DataFrame(rows, columns=["pct", "exact", "estimate", "abs_err"])
+
+
+def kendall_tau_daily(
+    events: ray.data.Dataset,
+    type_a: str = "view",
+    type_b: str = "purchase",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Kendall tau-b rank concordance between two event types' daily count
+    series — the rank-based complement to ``daily_crosscorr``'s Pearson r
+    and ``histogram_spearman``: robust to any monotone transform of
+    either series, with the standard tie correction.
+
+    Same calendar convention as :func:`daily_crosscorr` (zero-filled
+    span of both series).  All pair census counts are exact integers
+    (concordant / discordant / ties_x / ties_y over the O(days²) pair
+    grid — days-sized, a driver fold like every daily op); tau-b's one
+    division + sqrt micro-quantizes with the crosscorr convention
+    (``floor(x·1e6 + 0.5) / 1e6``).  Zero variance on either side (all
+    pairs tied) reports no row.
+
+    Scale shape: per-batch (type, day) Arrow count partials → driver
+    fold bounded by the calendar length, never the event stream."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t[type_col], value_set=pa.array([type_a, type_b]))
+        t = t.filter(keep)
+        day = pc.strftime(t[ts_col].cast(pa.timestamp("us")), format="%Y-%m-%d")
+        return (
+            pa.table({"t": t[type_col], "day": day})
+            .group_by(["t", "day"])
+            .aggregate([([], "count_all")])
+        )
+
+    parts = events.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "n_days": pd.Series(dtype="int64"),
+            "n_pairs": pd.Series(dtype="int64"),
+            "concordant": pd.Series(dtype="int64"),
+            "discordant": pd.Series(dtype="int64"),
+            "ties_x": pd.Series(dtype="int64"),
+            "ties_y": pd.Series(dtype="int64"),
+            "tau": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    daily = parts.groupby(["t", "day"], sort=True)["count_all"].sum().reset_index(name="c")
+    cal = pd.date_range(daily["day"].min(), daily["day"].max(), freq="D").strftime(
+        "%Y-%m-%d"
+    )
+    idx = pd.Index(cal)
+
+    def series(ty: str) -> np.ndarray:
+        g = daily.loc[daily["t"] == ty].set_index("day")["c"]
+        return g.reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+
+    x, y = series(type_a), series(type_b)
+    n = len(x)
+    if n < 2:
+        return empty
+    dx = np.sign(x[:, None] - x[None, :])
+    dy = np.sign(y[:, None] - y[None, :])
+    iu = np.triu_indices(n, k=1)
+    sx, sy = dx[iu], dy[iu]
+    conc = int(np.count_nonzero(sx * sy > 0))
+    disc = int(np.count_nonzero(sx * sy < 0))
+    ties_x = int(np.count_nonzero(sx == 0))
+    ties_y = int(np.count_nonzero(sy == 0))
+    n_pairs = len(sx)
+    den2 = (n_pairs - ties_x) * (n_pairs - ties_y)
+    if den2 <= 0:
+        return empty
+    tau = float(conc - disc) / np.sqrt(np.float64(den2))
+    return pd.DataFrame(
+        {
+            "n_days": [np.int64(n)],
+            "n_pairs": [np.int64(n_pairs)],
+            "concordant": [np.int64(conc)],
+            "discordant": [np.int64(disc)],
+            "ties_x": [np.int64(ties_x)],
+            "ties_y": [np.int64(ties_y)],
+            "tau": [np.floor(tau * 1e6 + 0.5) / 1e6],
+        }
+    )

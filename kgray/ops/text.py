@@ -1136,3 +1136,161 @@ def encoding_audit(batch: pd.DataFrame) -> pd.DataFrame:
             "has_replacement": text.str.contains("�", regex=False).astype("int64"),
         }
     )
+
+
+def rake_keywords(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    max_phrase_len: int = 4,
+    k: int = 50,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal runs of non-stopword tokens (phrases
+    longer than ``max_phrase_len`` are discarded as candidates AND from
+    the word statistics); per word, ``freq`` = occurrences in candidate
+    phrases and ``deg`` = sum of the lengths of the phrases containing it
+    (self included); ``word_score = deg·1e6 // freq`` (integer
+    micro-units) and a phrase scores the sum of its words' scores with
+    multiplicity.  Returns the global top-``k`` phrases by
+    (score desc, phrase asc) with occurrence counts — score stays in
+    integer micro-units (``score_micro``) so the SQL twin is bit-exact.
+
+    Scale shape: two streaming passes over the corpus (the cheap phrase
+    split re-executes rather than materializing, the capstone trade).
+    Pass 1 folds per-batch Arrow (word, freq, deg) partials on the driver
+    — vocabulary-sized, the documented unigram-LM budget — and broadcasts
+    the score table once via ``ray.put``.  Pass 2 scores phrase
+    occurrences vectorized (contiguous-run ListArray + ``binary_join``,
+    segment sums via ``np.add.reduceat``), pre-aggregates per batch, then
+    ONE phrase-hash bucket shuffle; each bucket ships its top-``k`` (any
+    global top-k member wins its bucket) so the driver merges
+    buckets × k candidate rows, never the phrase table."""
+    import ray
+
+    from kgray.functions.broadcast import cached_get
+
+    stop_arr = np.array(sorted(set(stopwords) | {""}), dtype=object)
+
+    def _runs(t: pa.Table):
+        """(phrase_strings, run_len_per_kept_token, kept_words,
+        run_id_per_kept_token) for one batch — all vectorized."""
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern(pc.cast(texts, pa.large_string()), " ")
+        off = toks.offsets.to_numpy()
+        flat = toks.flatten()
+        words = flat.to_numpy(zero_copy_only=False)
+        if not len(words):
+            return None
+        stop = np.isin(words, stop_arr)
+        doc_of = np.repeat(np.arange(len(t), dtype=np.int64), np.diff(off))
+        keep = ~stop
+        # a run starts at a kept token preceded by a boundary or a doc edge
+        prev_kept = np.r_[False, keep[:-1]]
+        prev_doc = np.r_[-1, doc_of[:-1]]
+        starts = keep & (~prev_kept | (prev_doc != doc_of))
+        run_id = np.cumsum(starts)[keep] - 1
+        if not len(run_id):
+            return None
+        kept_words = words[keep]
+        lens = np.bincount(run_id).astype(np.int64)
+        # kept tokens are in order and each run is contiguous -> ListArray
+        bounds = np.r_[0, np.cumsum(lens)]
+        seg = pa.LargeListArray.from_arrays(
+            pa.array(bounds, pa.int64()), pa.array(kept_words, pa.large_string())
+        )
+        phrases = pc.binary_join(seg, pa.scalar(" ", pa.large_string()))
+        return phrases, lens, kept_words, run_id
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        r = _runs(t)
+        if r is None:
+            return pa.table(
+                {"w": pa.array([], pa.large_string()),
+                 "freq": pa.array([], pa.int64()),
+                 "deg": pa.array([], pa.int64())}
+            )
+        _, lens, kept_words, run_id = r
+        tok_len = lens[run_id]
+        ok = tok_len <= max_phrase_len
+        return (
+            pa.table(
+                {"w": pa.array(kept_words[ok], pa.large_string()),
+                 "deg": pa.array(tok_len[ok], pa.int64())}
+            )
+            .group_by("w")
+            .aggregate([("deg", "sum"), ([], "count_all")])
+            .rename_columns(["w", "deg", "freq"])
+        )
+
+    parts = docs.map_batches(word_partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {"phrase": pd.Series(dtype=object),
+             "n_occurrences": pd.Series(dtype="int64"),
+             "score_micro": pd.Series(dtype="int64")}
+        )
+    ws = parts.groupby("w", sort=False)[["deg", "freq"]].sum()
+    score = (ws["deg"].to_numpy(dtype=np.int64) * 1_000_000) // ws[
+        "freq"
+    ].to_numpy(dtype=np.int64)
+    score_ref = ray.put(dict(zip(ws.index.to_numpy(dtype=object), score)))
+
+    def phrase_partial(t: pa.Table) -> pa.Table:
+        r = _runs(t)
+        empty = pa.table(
+            {"phrase": pa.array([], pa.large_string()),
+             "n_occ": pa.array([], pa.int64()),
+             "score_micro": pa.array([], pa.int64())}
+        )
+        if r is None:
+            return empty
+        phrases, lens, kept_words, _ = r
+        sc = cached_get(score_ref)
+        wsc = pd.Series(kept_words).map(sc).fillna(0).to_numpy(dtype=np.int64)
+        bounds = np.r_[0, np.cumsum(lens)][:-1]
+        psc = np.add.reduceat(wsc, bounds) if len(wsc) else np.zeros(0, np.int64)
+        ok = lens <= max_phrase_len
+        if not ok.any():
+            return empty
+        out = (
+            pa.table(
+                {"phrase": phrases.filter(pa.array(ok)),
+                 "score_micro": pa.array(psc[ok], pa.int64())}
+            )
+            .group_by(["phrase", "score_micro"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["phrase", "score_micro", "n_occ"])
+        )
+        b = pd.util.hash_array(
+            np.asarray(out["phrase"].to_pandas(), dtype=object)
+        ) % num_buckets
+        return out.append_column("bucket", pa.array(b.astype(np.int32)))
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["phrase", "score_micro"], sort=False, as_index=False)[
+            "n_occ"
+        ].sum()
+        return agg.sort_values(
+            ["score_micro", "phrase"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    cand = (
+        docs.map_batches(phrase_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    top = cand.sort_values(
+        ["score_micro", "phrase"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return pd.DataFrame(
+        {
+            "phrase": top["phrase"].to_numpy(dtype=object),
+            "n_occurrences": top["n_occ"].astype("int64").to_numpy(),
+            "score_micro": top["score_micro"].astype("int64").to_numpy(),
+        }
+    ).reset_index(drop=True)

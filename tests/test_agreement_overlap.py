@@ -325,3 +325,92 @@ def test_image_histogram_decode_parity():
         assert (r["src_w"], r["src_h"]) == (w, h)
         assert [r["b0"], r["b1"], r["b2"], r["b3"]] == exp.tolist()
         assert int(r[["b0", "b1", "b2", "b3"]].sum()) == w * h
+
+
+def test_kendall_tau_daily_hand():
+    """Two types over 4 calendar days; counts x=(2,1,1,0), y=(1,0,2,1).
+    Pairs (i<j over 6): dx/dy signs ->
+      (0,1): x 2>1, y 1>0 -> concordant
+      (0,2): x 2>1, y 1<2 -> discordant
+      (0,3): x 2>0, y 1=1 -> tie_y
+      (1,2): x 1=1, y 0<2 -> tie_x
+      (1,3): x 1>0, y 0<1 -> discordant
+      (2,3): x 1>0, y 2>1 -> concordant
+    C=2 D=2 ties_x=1 ties_y=1 -> tau = 0 / sqrt(5*5) = 0."""
+    from kgray.ops.stats import kendall_tau_daily
+
+    rows = []
+    days = ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+    xs, ys = [2, 1, 1, 0], [1, 0, 2, 1]
+    for d, x, y in zip(days, xs, ys):
+        rows += [{"event_type": "view", "ts": pd.Timestamp(d)}] * x
+        rows += [{"event_type": "purchase", "ts": pd.Timestamp(d)}] * y
+    out = kendall_tau_daily(ray.data.from_pandas(pd.DataFrame(rows)))
+    r = out.iloc[0]
+    assert (
+        r["n_days"], r["n_pairs"], r["concordant"], r["discordant"],
+        r["ties_x"], r["ties_y"], r["tau"],
+    ) == (4, 6, 2, 2, 1, 1, 0.0)
+
+
+def test_kendall_tau_daily_degenerate():
+    from kgray.ops.stats import kendall_tau_daily
+
+    # constant x series (all pairs tied in x) -> den 0 -> no row
+    rows = [
+        {"event_type": "view", "ts": pd.Timestamp("2024-01-01")},
+        {"event_type": "view", "ts": pd.Timestamp("2024-01-02")},
+        {"event_type": "purchase", "ts": pd.Timestamp("2024-01-01")},
+        {"event_type": "purchase", "ts": pd.Timestamp("2024-01-02")},
+        {"event_type": "purchase", "ts": pd.Timestamp("2024-01-02")},
+    ]
+    assert len(kendall_tau_daily(ray.data.from_pandas(pd.DataFrame(rows)))) == 0
+    # empty input -> empty frame, right columns
+    empty = kendall_tau_daily(
+        ray.data.from_pandas(
+            pd.DataFrame({"event_type": pd.Series(dtype=str),
+                          "ts": pd.Series(dtype="datetime64[us]")})
+        )
+    )
+    assert list(empty.columns) == [
+        "n_days", "n_pairs", "concordant", "discordant", "ties_x", "ties_y", "tau"
+    ]
+    assert len(empty) == 0
+
+
+def test_rake_keywords_hand():
+    """Two docs; 'and'/'the' are stopword boundaries.  Candidate phrases:
+    'quick brown fox' (x2, len 3) and 'lazy dog' (len 2).  Word scores
+    (deg*1e6 // freq): quick/brown/fox = 6e6//2 = 3e6, lazy/dog = 2e6.
+    Phrase scores: 9e6 and 4e6."""
+    from kgray.ops.text import rake_keywords
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {"text": ["quick brown fox and the lazy dog", "quick brown fox"]}
+        )
+    )
+    out = rake_keywords(docs)
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        ("quick brown fox", 2, 9_000_000),
+        ("lazy dog", 1, 4_000_000),
+    ]
+
+
+def test_rake_keywords_cap_and_empty():
+    from kgray.ops.text import rake_keywords
+
+    # a 5-token run is discarded entirely (candidates AND word stats)
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"text": ["alpha beta gamma delta epsilon", "alpha beta"]})
+    )
+    out = rake_keywords(docs, max_phrase_len=4)
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        ("alpha beta", 1, 4_000_000)
+    ]
+    # all-stopword corpus -> empty frame with the right columns
+    empty = rake_keywords(
+        ray.data.from_pandas(pd.DataFrame({"text": ["the and of", ""]}))
+    )
+    assert len(empty) == 0
+    assert list(empty.columns) == ["phrase", "n_occurrences", "score_micro"]

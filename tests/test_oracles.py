@@ -269,6 +269,8 @@ def _compare(query: str):
         "top_supplier",
         "brand_disjunction_revenue",
         "kg_random_walks_events",
+        "events_kendall_tau",
+        "doc_rake_keywords",
     ],
 )
 def test_sql_oracle_matches_ray(query):

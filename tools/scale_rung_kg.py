@@ -21,6 +21,15 @@ spot-check runs first on a deterministic subsample (same generator,
 small n).  Results go to stdout as one JSON line; record in BASELINE.md.
 
 Usage: python tools/scale_rung_kg.py [n_conversations]  (default 1_200_000)
+
+``--incremental``: the evolving-KG (ST4) rung — split the corpus into two
+conversation halves, build half A (all driver-vocabulary rungs disabled),
+persist the canonical store, build half B INCREMENTALLY against it
+(existing canonicals seed resolution, stored edges re-enter the merge),
+then verify the two-run result equals the one-shot full-corpus build
+edge for edge (set equality over (subj_id, pred, obj_id, n_obs) — the
+diagnostic pull to the driver is edge-table-sized, tool-only).  Reports
+per-phase walls, store-directory size, and object-store peak.
 """
 
 from __future__ import annotations
@@ -87,8 +96,102 @@ def _build(path: str, concepts: dict, cfg):
     )
 
 
+def _half(path: str, keep_even: bool):
+    """Stream-filter the cached transcript parquet to one conversation
+    half by conv_id hash parity — no second corpus is written."""
+    import pandas as pd
+
+    from kgray.sources.transcripts import read_transcripts
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(b["conv_id"].to_numpy(dtype=object)) % 2
+        return b[(h == 0) if keep_even else (h == 1)]
+
+    return read_transcripts(path).map_batches(f, batch_format="pandas")
+
+
+def _incremental_rung(path: str, concepts: dict, cfg, out: dict) -> None:
+    import shutil
+
+    from kgray.pipelines.kg import build_kg, save_kg_store
+    from kgray.stages.embed import HashEmbedder
+
+    emb = lambda: HashEmbedder(dim=cfg.embed_dim, concepts=concepts)
+    store_dir = "/tmp/kg_rung_store"
+    shutil.rmtree(store_dir, ignore_errors=True)
+
+    with StoreMonitor() as mon:
+        t0 = time.time()
+        run_a = build_kg(_half(path, True), cfg=cfg, embedder_factory=emb)
+        save_kg_store(run_a, store_dir)
+        t1 = time.time()
+        run_b = build_kg(
+            _half(path, False), cfg=cfg, embedder_factory=emb,
+            existing_store=store_dir,
+        )
+        df_inc = run_b.edges.to_pandas()
+        t2 = time.time()
+        one = build_kg(
+            __import__("kgray.sources.transcripts", fromlist=["read_transcripts"])
+            .read_transcripts(path),
+            cfg=cfg,
+            embedder_factory=emb,
+        )
+        df_one = one.edges.to_pandas()
+        t3 = time.time()
+
+    # The incremental run's representatives are half-A-first-seen while the
+    # one-shot run's are global-first-seen — same CLUSTERS, possibly
+    # different canonical labels.  The invariant to check is therefore the
+    # edge multiset AFTER remapping both sides through the ONE-SHOT
+    # resolution maps (every canonical name is itself a corpus surface, so
+    # the one-shot map resolves it); n_obs must survive exactly.
+    one_ent = dict(one.ent_map)  # compact: non-identity entries only
+    one_pred = dict(one.pred_map)
+
+    cmap = {
+        f"{n}\x1f{l}": f"{c0}\x1f{c1}" for (n, l), (c0, c1, _) in one_ent.items()
+    }
+
+    def remap(df):
+        import pandas as pd
+
+        def side(names, labels):
+            k = names.str.cat(labels, sep="\x1f")
+            return k.map(cmap).fillna(k)
+
+        s = side(df.subj_name, df.subj_label)
+        o = side(df.obj_name, df.obj_label)
+        p = df.pred.map(one_pred).fillna(df.pred)
+        out = pd.DataFrame(
+            {"k": s + "\x1e" + p + "\x1e" + o, "n_obs": df["n_obs"].to_numpy()}
+        )
+        return out.groupby("k", sort=True)["n_obs"].sum()
+
+    a, b = remap(df_inc), remap(df_one)
+    equal = a.sort_index().equals(b.sort_index())
+    du = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(store_dir)
+        for f in fs
+    )
+    out["incremental"] = {
+        "wall_half_a_plus_store_sec": round(t1 - t0, 1),
+        "wall_half_b_incremental_sec": round(t2 - t1, 1),
+        "wall_one_shot_sec": round(t3 - t2, 1),
+        "n_edges_incremental": int(len(df_inc)),
+        "n_edges_one_shot": int(len(df_one)),
+        "edge_sets_equal_incl_n_obs": bool(equal),
+        "store_dir_bytes": int(du),
+        "object_store_peak_gb": round(mon.peak / 2**30, 2),
+    }
+    assert equal, "incremental != one-shot edge set"
+
+
 def main() -> None:
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
+    incremental = "--incremental" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_convs = int(args[0]) if args else 1_200_000
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if not ray.is_initialized():
         ray.init(
@@ -147,6 +250,13 @@ def main() -> None:
     ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
         lambda b: b, batch_size=1
     ).materialize()
+
+    if incremental:
+        out["metric"] = "kg_scale_rung_incremental"
+        _incremental_rung(path, concepts, _cfg(num_cpus, True), out)
+        print(json.dumps(out))
+        ray.shutdown()
+        return
 
     with StoreMonitor() as mon:
         t0 = time.time()
