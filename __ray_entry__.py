@@ -535,6 +535,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ).rake_keywords(
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["text"])
     )
+    q["kg_entity_lifespan"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["entity_lifespan"]
+    ).entity_lifespan(_kg_closed_world(sf).edges)
     q["events_dau_overlap"] = _q_events_dau_overlap
 
     # --- sketches (kgray/ops/stats.py) -----------------------------------
@@ -7176,6 +7179,23 @@ def oracle_sql() -> dict[str, str]:
             FROM mo
             WHERE n >= 2 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
         """,
+        # per-entity observation lifespan over the canonical KG: both
+        # endpoints observed at each edge observation date; epoch seconds
+        # via strptime (UTC container, same convention as ts_us twins)
+        "kg_entity_lifespan": f"""WITH {cw},
+            obs AS (
+              SELECT subj_name AS name, subj_label AS label, obs_date FROM cq
+              UNION SELECT obj_name, obj_label, obs_date FROM cq)
+            SELECT name, label,
+                   CAST(epoch(strptime(min(obs_date), '%Y-%m-%d')) AS DOUBLE)
+                     AS first_obs,
+                   CAST(epoch(strptime(max(obs_date), '%Y-%m-%d')) AS DOUBLE)
+                     AS last_obs,
+                   CAST((epoch(strptime(max(obs_date), '%Y-%m-%d'))
+                         - epoch(strptime(min(obs_date), '%Y-%m-%d'))) // 86400
+                        AS BIGINT) AS span_days,
+                   CAST(count(DISTINCT obs_date) AS BIGINT) AS n_dates
+            FROM obs GROUP BY name, label""",
         # RAKE: stopword-delimited candidate phrases (len <= 4), word score
         # deg*1e6 // freq in integer micro-units, phrase = sum over tokens
         "doc_rake_keywords": """

@@ -241,6 +241,8 @@ def run_bench() -> dict:
           lambda: size(entry.queries()["events_kendall_tau"](sf_dir)))
     timed("doc_rake_keywords",
           lambda: size(entry.queries()["doc_rake_keywords"](sf_dir)))
+    timed("kg_entity_lifespan",
+          lambda: size(entry.queries()["kg_entity_lifespan"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

@@ -2716,3 +2716,67 @@ def link_prediction_recall(
              "n_hits": np.int64(hits), "recall": float(recall)}
         )
     return pd.DataFrame(rows)
+
+
+def entity_lifespan(
+    edges: ray.data.Dataset,
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """Temporal-KG QA: per canonical entity, the observation lifespan —
+    first/last observation timestamp across ALL incident edges' ``t_obs``
+    lists (both endpoints of an edge are observed at each of its
+    observation dates), the span in whole days, and the count of distinct
+    observation timestamps.  The readout an evolving-KG operator checks
+    for stale entities (old last_obs) and one-shot mentions (n_dates 1).
+
+    Scale shape: per-batch explode of both endpoints × ``t_obs`` →
+    batch-distinct (name, label, t) Arrow partials → ONE entity-hash
+    bucket shuffle → per-bucket dedup + min/max/count.  Driver receives
+    the per-entity result only (vocabulary-sized — it IS the return
+    value)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        obs = t["t_obs"]
+        if isinstance(obs, pa.ChunkedArray):
+            obs = obs.combine_chunks()
+        lens = np.diff(obs.offsets.to_numpy())
+        flat = obs.flatten().to_numpy(zero_copy_only=False)
+        rows = []
+        for side in ("subj", "obj"):
+            names = t[f"{side}_name"].to_numpy(zero_copy_only=False)
+            labels = t[f"{side}_label"].to_numpy(zero_copy_only=False)
+            rows.append(
+                pa.table(
+                    {
+                        "name": pa.array(np.repeat(names, lens), pa.large_string()),
+                        "label": pa.array(np.repeat(labels, lens), pa.large_string()),
+                        "t": pa.array(flat, pa.float64()),
+                    }
+                )
+            )
+        out = pa.concat_tables(rows).group_by(["name", "label", "t"]).aggregate([])
+        b = pd.util.hash_array(
+            np.asarray(out["name"].to_pandas(), dtype=object)
+        ) % num_buckets
+        return out.append_column("bucket", pa.array(b.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["name", "label", "t"])
+        agg = g.groupby(["name", "label"], sort=False).agg(
+            first_obs=("t", "min"), last_obs=("t", "max"), n_dates=("t", "size")
+        )
+        agg["span_days"] = (
+            np.round((agg["last_obs"] - agg["first_obs"]) / 86400.0).astype("int64")
+        )
+        agg["n_dates"] = agg["n_dates"].astype("int64")
+        return agg.reset_index()[
+            ["name", "label", "first_obs", "last_obs", "span_days", "n_dates"]
+        ]
+
+    out = (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["name", "label"], kind="mergesort").reset_index(drop=True)

@@ -1646,34 +1646,39 @@ def bilateral_trade(
     n_name = dict(zip(ndf["n_nationkey"].astype(int), ndf["n_name"]))
     wanted_keys = {k for k, v in n_name.items() if v in nations}
 
+    def _sorted_map(df, key_col, nat_col):
+        # broadcast (sorted keys, names) arrays once: per-batch lookups are
+        # one searchsorted, not a Python dict loop + per-batch key rebuild
+        sel = df[df[nat_col].isin(wanted_keys)]
+        order = np.argsort(sel[key_col].to_numpy(dtype=np.int64), kind="mergesort")
+        return ray.put(
+            (
+                sel[key_col].to_numpy(dtype=np.int64)[order],
+                sel[nat_col].map(n_name).to_numpy(dtype=object)[order],
+            )
+        )
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    cmap_ref = ray.put(
-        dict(
-            zip(
-                cust.loc[cust["c_nationkey"].isin(wanted_keys), "c_custkey"].astype(int),
-                cust.loc[cust["c_nationkey"].isin(wanted_keys), "c_nationkey"].map(n_name),
-            )
-        )
-    )
+    cmap_ref = _sorted_map(cust, "c_custkey", "c_nationkey")
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    smap_ref = ray.put(
-        dict(
-            zip(
-                supp.loc[supp["s_nationkey"].isin(wanted_keys), "s_suppkey"].astype(int),
-                supp.loc[supp["s_nationkey"].isin(wanted_keys), "s_nationkey"].map(n_name),
-            )
-        )
-    )
+    smap_ref = _sorted_map(supp, "s_suppkey", "s_nationkey")
     lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
 
+    def _lookup(keys: np.ndarray, ref) -> tuple[np.ndarray, np.ndarray]:
+        mk, mv = cached_get(ref)
+        pos = np.minimum(np.searchsorted(mk, keys), len(mk) - 1) if len(mk) else None
+        if pos is None:
+            return np.zeros(len(keys), dtype=bool), np.empty(0, dtype=object)
+        m = mk[pos] == keys
+        return m, mv[pos[m]]
+
     def order_rows(b: pd.DataFrame) -> pd.DataFrame:
-        cm = cached_get(cmap_ref)
         keys = b["o_custkey"].to_numpy(dtype=np.int64)
-        m = np.isin(keys, np.fromiter(cm.keys(), dtype=np.int64, count=len(cm)))
+        m, names = _lookup(keys, cmap_ref)
         out = pd.DataFrame(
             {
                 "okey": b.loc[m, "o_orderkey"].to_numpy(dtype=np.int64),
-                "cust_nation": [cm[int(k)] for k in keys[m]],
+                "cust_nation": names,
             }
         )
         out["side"] = np.int8(1)
@@ -1683,10 +1688,10 @@ def bilateral_trade(
         return out
 
     def line_rows(b: pd.DataFrame) -> pd.DataFrame:
-        sm = cached_get(smap_ref)
         keys = b["l_suppkey"].to_numpy(dtype=np.int64)
+        mk_hit, _ = _lookup(keys, smap_ref)
         m = (
-            np.isin(keys, np.fromiter(sm.keys(), dtype=np.int64, count=len(sm)))
+            mk_hit
             & (b["l_shipdate"] >= lo).to_numpy()
             & (b["l_shipdate"] < hi).to_numpy()
         )
@@ -1696,11 +1701,12 @@ def bilateral_trade(
             * 100.0
             + 0.5
         ).astype(np.int64)
+        _, snames = _lookup(keys[m], smap_ref)  # all hits by construction
         out = pd.DataFrame(
             {
                 "okey": b.loc[m, "l_orderkey"].to_numpy(dtype=np.int64),
                 "cust_nation": "",
-                "supp_nation": [sm[int(k)] for k in keys[m]],
+                "supp_nation": snames,
                 "l_year": b.loc[m, "l_shipdate"].dt.strftime("%Y").to_numpy(dtype=object),
                 "rc": rc,
             }

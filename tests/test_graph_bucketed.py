@@ -128,3 +128,36 @@ def test_random_walk_visits_bucketed_matches_driver(ray_session):
         {"name": ["a", "b", "c", "e"], "visits": pd.array([3, 4, 4, 4], dtype="int64")}
     )
     pd.testing.assert_frame_equal(drv, pinned)
+
+
+def test_entity_lifespan_hand(ray_session):
+    """Edge a->b observed at days 0 and 2 (epoch 0, 172800), edge b->c at
+    day 1: a spans [0, 172800] (2 days, 2 dates), b [0, 172800] (3 dates),
+    c [86400, 86400] (0 days, 1 date)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from kgray.functions.graph import entity_lifespan
+
+    t = pa.table(
+        {
+            "subj_name": ["a", "b"],
+            "subj_label": ["x", "x"],
+            "obj_name": ["b", "c"],
+            "obj_label": ["x", "x"],
+            "t_obs": pa.array([[0.0, 172800.0], [86400.0]], pa.list_(pa.float64())),
+        }
+    )
+    out = entity_lifespan(ray.data.from_arrow(t))
+    exp = pd.DataFrame(
+        {
+            "name": ["a", "b", "c"],
+            "label": ["x", "x", "x"],
+            "first_obs": [0.0, 0.0, 86400.0],
+            "last_obs": [172800.0, 172800.0, 86400.0],
+            "span_days": pd.array([2, 2, 0], dtype="int64"),
+            "n_dates": pd.array([2, 3, 1], dtype="int64"),
+        }
+    )
+    pd.testing.assert_frame_equal(out, exp)
