@@ -538,6 +538,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_entity_lifespan"] = lambda sf: __import__(
         "kgray.functions.graph", fromlist=["entity_lifespan"]
     ).entity_lifespan(_kg_closed_world(sf).edges)
+    q["kg_components_closed_world"] = _q_kg_components_closed_world
+    q["doc_lsh_bucket_balance"] = lambda sf: __import__(
+        "kgray.ops.dedup", fromlist=["lsh_bucket_balance"]
+    ).lsh_bucket_balance(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    )
     q["events_dau_overlap"] = _q_events_dau_overlap
 
     # --- sketches (kgray/ops/stats.py) -----------------------------------
@@ -5100,6 +5106,23 @@ def _q_events_crosscorr(sf_dir: str) -> pd.DataFrame:
     return daily_crosscorr(ds, type_a="view", type_b="purchase", max_lag=7)
 
 
+def _q_kg_components_closed_world(sf_dir: str) -> pd.DataFrame:
+    """Connected-component size histogram of the canonical closed-world KG
+    (kgray.functions.graph.connected_components_named min-label ladder):
+    (comp_size, n_components) — the fragmentation readout of a KG build."""
+    from kgray.functions.graph import connected_components_named
+
+    cc = connected_components_named(_kg_closed_world(sf_dir).edges)
+    sizes = cc.groupby("component").size()
+    hist = sizes.value_counts().sort_index()
+    return pd.DataFrame(
+        {
+            "comp_size": hist.index.to_numpy(dtype="int64"),
+            "n_components": hist.to_numpy(dtype="int64"),
+        }
+    )
+
+
 def _q_events_kendall_tau(sf_dir: str) -> pd.DataFrame:
     """Kendall tau-b between the view and purchase daily-count series
     (kgray.ops.stats.kendall_tau_daily): exact integer pair census over
@@ -5623,6 +5646,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "doc_minhash_dedup": _minhash_oracle_sql(),
+        # band-bucket occupancy histogram over the same signature/band
+        # chain every minhash twin uses
+        "doc_lsh_bucket_balance": (
+            lambda _blk: f"""WITH RECURSIVE {_blk[0]}
+            sizes AS (SELECT x, CAST(count(*) AS BIGINT) AS bucket_size
+                      FROM {_blk[1]} GROUP BY x)
+            SELECT bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
+            FROM sizes GROUP BY bucket_size"""
+        )(_minhash_sig_prefix()),
         "doc_minhash_incremental": _minhash_incremental_oracle_sql(),
         "kg_kcore_events": _kcore_oracle_sql(),
         # Adamic-Adar link prediction: wedges through ≤64-degree centers,
@@ -7179,6 +7211,22 @@ def oracle_sql() -> dict[str, str]:
             FROM mo
             WHERE n >= 2 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
         """,
+        # component-size histogram via recursive min-label reachability
+        # (node x reachable-label pairs — vocabulary-bounded at the KG's
+        # canonical graph size)
+        "kg_components_closed_world": f"""WITH RECURSIVE {cw},
+            und AS (SELECT subj_name AS a, obj_name AS b FROM merged
+                    UNION SELECT obj_name, subj_name FROM merged),
+            nodes AS (SELECT DISTINCT a AS n FROM und),
+            lp(n, lbl) AS (
+              SELECT n, n AS lbl FROM nodes
+              UNION
+              SELECT u.b AS n, lp.lbl FROM lp JOIN und u ON u.a = lp.n),
+            comp AS (SELECT n, min(lbl) AS c FROM lp GROUP BY n),
+            sizes AS (SELECT c, CAST(count(*) AS BIGINT) AS comp_size
+                      FROM comp GROUP BY c)
+            SELECT comp_size, CAST(count(*) AS BIGINT) AS n_components
+            FROM sizes GROUP BY comp_size""",
         # per-entity observation lifespan over the canonical KG: both
         # endpoints observed at each edge observation date; epoch seconds
         # via strptime (UTC container, same convention as ts_us twins)

@@ -243,6 +243,10 @@ def run_bench() -> dict:
           lambda: size(entry.queries()["doc_rake_keywords"](sf_dir)))
     timed("kg_entity_lifespan",
           lambda: size(entry.queries()["kg_entity_lifespan"](sf_dir)))
+    timed("kg_components_closed_world",
+          lambda: size(entry.queries()["kg_components_closed_world"](sf_dir)))
+    timed("doc_lsh_bucket_balance",
+          lambda: size(entry.queries()["doc_lsh_bucket_balance"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

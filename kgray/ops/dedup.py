@@ -1857,3 +1857,56 @@ def winnowing_pairs(
         .groupby("pbucket")
         .map_groups(per_pair_bucket, batch_format="pandas")
     )
+
+
+def lsh_bucket_balance(
+    docs: ray.data.Dataset,
+    num_perm: int = 63,
+    n_bands: int = 21,
+    shingle_n: int = 3,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """LSH shuffle-skew observability: the band-bucket OCCUPANCY histogram
+    of the MinHash dedup's banded explode — (bucket_size, n_buckets) over
+    all (band, bucket) cells.  The operator readout before pointing
+    ``minhash_lsh_dedup`` at a corpus: a heavy tail here is exactly the
+    skew the ``max_bucket`` star-link guard absorbs, and total mass =
+    n_docs × n_bands by construction (a cheap invariant check).
+
+    Scale shape: the same ~16-byte (doc_id, band_bucket) stream the dedup
+    shuffles, ONE bucket-hash shard shuffle, per-shard occupancy counts
+    collapse to (bucket_size, count) partials — the driver sees the
+    histogram, never the bucket table."""
+
+    sigs = _minhash_sigs(docs, num_perm, shingle_n)
+    rows = sigs.map_batches(
+        _band_explode_fn(n_bands, num_perm // n_bands), batch_format="pandas"
+    )
+
+    def shard(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["shard"] = (b["bucket"] % np.uint64(num_buckets)).astype("int32")
+        return b
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby("bucket", sort=False).size().value_counts()
+        return pd.DataFrame(
+            {
+                "bucket_size": h.index.to_numpy(dtype="int64"),
+                "n_buckets": h.to_numpy(dtype="int64"),
+            }
+        )
+
+    parts = (
+        rows.map_batches(shard, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    hist = parts.groupby("bucket_size", sort=True)["n_buckets"].sum()
+    return pd.DataFrame(
+        {
+            "bucket_size": hist.index.to_numpy(dtype="int64"),
+            "n_buckets": hist.to_numpy(dtype="int64"),
+        }
+    )

@@ -414,3 +414,26 @@ def test_rake_keywords_cap_and_empty():
     )
     assert len(empty) == 0
     assert list(empty.columns) == ["phrase", "n_occurrences", "score_micro"]
+
+
+def test_lsh_bucket_balance_invariant():
+    """Total histogram mass == n_docs x n_bands (every doc lands in exactly
+    one bucket per band), and identical docs share every band bucket."""
+    from kgray.ops.dedup import lsh_bucket_balance
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "alpha beta gamma delta epsilon zeta",
+                    "alpha beta gamma delta epsilon zeta",
+                    "one two three four five six seven",
+                ],
+            }
+        )
+    )
+    out = lsh_bucket_balance(docs, n_bands=21)
+    assert int((out["bucket_size"] * out["n_buckets"]).sum()) == 3 * 21
+    # docs 1 and 2 are identical -> 21 buckets of size exactly 2
+    assert int(out.loc[out["bucket_size"] == 2, "n_buckets"].sum()) == 21

@@ -271,6 +271,7 @@ def _compare(query: str):
         "kg_random_walks_events",
         "events_kendall_tau",
         "doc_rake_keywords",
+        "doc_lsh_bucket_balance",
     ],
 )
 def test_sql_oracle_matches_ray(query):
