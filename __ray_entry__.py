@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- similarity search ----------------------------------------------
     q["knn_bruteforce"] = _q_knn
+    q["knn_filtered"] = _q_knn_filtered
     q["knn_lsh"] = _q_knn_lsh
     q["knn_ivf"] = _q_knn_ivf
     q["knn_join_self"] = _q_knn_join_self
@@ -3829,6 +3830,36 @@ def _q_knn(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "neighbor_id", "rank", "cosine"]]
 
 
+def _q_knn_filtered(sf_dir: str) -> pd.DataFrame:
+    """Metadata-filtered vector search (the vector-DB hybrid-retrieval
+    primitive): exact cosine top-10 per query over ONLY the lang='en'
+    corpus slice.  The language lives in a different table than the
+    vectors, so the filter is the big×big reduce-side hash join
+    (kgray/ops/join.py — neither side broadcast, both streams bucket
+    once) with an in-bucket predicate, then the block-parallel
+    brute-force scorer.  Queries stay the first 5 vectors overall
+    (a query need not satisfy its own filter)."""
+    from kgray.ops.join import hash_join
+
+    qids, qmat = _query_vectors(sf_dir)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    j = hash_join(docs, embs, "doc_id", "vec_id")
+
+    def keep_en(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.compute as pc  # noqa: PLC0415
+
+        t = t.filter(pc.equal(t["lang"], "en"))
+        return pa.table({"vec_id": t["doc_id"], "embedding": t["embedding"]})
+
+    filt = j.map_batches(keep_en, batch_format="pyarrow")
+    out = sim.knn_bruteforce(filt, qids, qmat, k=10)
+    return out[["query_id", "neighbor_id", "rank", "cosine"]]
+
+
 def _q_knn_lsh(sf_dir: str) -> pd.DataFrame:
     qids, qmat = _query_vectors(sf_dir)
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -5905,6 +5936,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(cosine AS DOUBLE) AS cosine FROM p WHERE cosine >= 0.3
         """,
         "knn_bruteforce": _KNN_BF_ORACLE,
+        "knn_filtered": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5),
+            corp AS (
+              SELECT e.vec_id, e.embedding
+              FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+              WHERE d.lang = 'en'
+            ),
+            scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])) AS cos_raw
+              FROM q JOIN corp e ON e.vec_id <> q.vec_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos_raw,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_raw DESC, neighbor_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+                   round(cos_raw, 6) AS cosine
+            FROM ranked WHERE rank <= 10
+        """,
         "knn_truncated_recall": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5),
             tr AS (

@@ -247,6 +247,7 @@ def run_bench() -> dict:
           lambda: size(entry.queries()["kg_components_closed_world"](sf_dir)))
     timed("doc_lsh_bucket_balance",
           lambda: size(entry.queries()["doc_lsh_bucket_balance"](sf_dir)))
+    timed("knn_filtered", lambda: size(entry.queries()["knn_filtered"](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

@@ -272,6 +272,7 @@ def _compare(query: str):
         "events_kendall_tau",
         "doc_rake_keywords",
         "doc_lsh_bucket_balance",
+        "knn_filtered",
     ],
 )
 def test_sql_oracle_matches_ray(query):
