@@ -5196,8 +5196,9 @@ def oracle_sql() -> dict[str, str]:
                      event_type AS d
               FROM events
             ),
-            und AS (SELECT s AS z, d AS nbr FROM base
-                    UNION SELECT d, s FROM base),
+            und AS (SELECT z, nbr FROM (SELECT s AS z, d AS nbr FROM base
+                                        UNION SELECT d, s FROM base)
+                    WHERE z <> nbr),
             adj AS (
               SELECT z, nbr,
                      CAST(row_number() OVER (PARTITION BY z ORDER BY nbr) - 1

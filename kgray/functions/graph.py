@@ -2650,24 +2650,22 @@ def link_prediction_recall(
         holdout_keys = set()
     n_holdout = len(holdout_keys)
 
-    roles = train.map_batches(
-        lambda b: pd.DataFrame(
+    def role_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # build the arrays once and size the roles off THOSE arrays —
+        # astype(str).unique() and nunique() disagree on nulls
+        s = b[src_col].astype(str).unique()
+        d = b[dst_col].astype(str).unique()
+        return pd.DataFrame(
             {
-                "node": np.concatenate(
-                    [
-                        b[src_col].astype(str).unique(),
-                        b[dst_col].astype(str).unique(),
-                    ]
-                ),
+                "node": np.concatenate([s, d]),
                 "role": np.concatenate(
-                    [
-                        np.zeros(b[src_col].nunique(), dtype=np.int8),
-                        np.ones(b[dst_col].nunique(), dtype=np.int8),
-                    ]
+                    [np.zeros(len(s), dtype=np.int8), np.ones(len(d), dtype=np.int8)]
                 ),
             }
-        ).drop_duplicates(),
-        batch_format="pandas",
+        ).drop_duplicates()
+
+    roles = train.map_batches(
+        role_partial, batch_format="pandas"
     ).to_pandas().drop_duplicates()
     src_set = set(roles.loc[roles["role"] == 0, "node"])
     dst_set = set(roles.loc[roles["role"] == 1, "node"])
@@ -2765,8 +2763,10 @@ def entity_lifespan(
         agg = g.groupby(["name", "label"], sort=False).agg(
             first_obs=("t", "min"), last_obs=("t", "max"), n_dates=("t", "size")
         )
+        # floor division, matching the twin's (max - min) // 86400 exactly
+        # (np.round would diverge on non-day-aligned timestamps)
         agg["span_days"] = (
-            np.round((agg["last_obs"] - agg["first_obs"]) / 86400.0).astype("int64")
+            ((agg["last_obs"] - agg["first_obs"]) // 86400.0).astype("int64")
         )
         agg["n_dates"] = agg["n_dates"].astype("int64")
         return agg.reset_index()[

@@ -229,15 +229,19 @@ def length_quantile_stats(
     hist = (
         ds.map_batches(hist_partial, batch_format="pyarrow")
         .to_pandas()
-        .groupby(value_col, sort=True)["count_all"]
+        # keep the null-value group (dropna=False): callers reading row
+        # counts off the histogram must see ALL input rows, null values
+        # included — the quantile itself is over non-null values only
+        .groupby(value_col, sort=True, dropna=False)["count_all"]
         .sum()
     )
-    counts = hist.to_numpy(dtype=np.int64)
+    valid = hist[hist.index.notna()]
+    counts = valid.to_numpy(dtype=np.int64)
     cum = np.cumsum(counts)
     n = int(cum[-1])
     num, den = q
     idx = max(0, -(-(num * n) // den) - 1)  # ceil(num*n/den) - 1
-    threshold = hist.index.to_numpy()[np.searchsorted(cum, idx + 1)]
+    threshold = valid.index.to_numpy()[np.searchsorted(cum, idx + 1)]
     return int(threshold), hist
 
 
@@ -1210,20 +1214,24 @@ def rake_keywords(
         if r is None:
             return pa.table(
                 {"w": pa.array([], pa.large_string()),
-                 "freq": pa.array([], pa.int64()),
-                 "deg": pa.array([], pa.int64())}
+                 "deg": pa.array([], pa.int64()),
+                 "freq": pa.array([], pa.int64())}
             )
         _, lens, kept_words, run_id = r
         tok_len = lens[run_id]
         ok = tok_len <= max_phrase_len
-        return (
+        agg = (
             pa.table(
                 {"w": pa.array(kept_words[ok], pa.large_string()),
                  "deg": pa.array(tok_len[ok], pa.int64())}
             )
             .group_by("w")
             .aggregate([("deg", "sum"), ([], "count_all")])
-            .rename_columns(["w", "deg", "freq"])
+        )
+        # select by NAME: pyarrow's key-vs-aggregate ordering has differed
+        # across release lines (same guard as distinct_entities)
+        return pa.table(
+            {"w": agg["w"], "deg": agg["deg_sum"], "freq": agg["count_all"]}
         )
 
     parts = docs.map_batches(word_partial, batch_format="pyarrow").to_pandas()
@@ -1241,10 +1249,13 @@ def rake_keywords(
 
     def phrase_partial(t: pa.Table) -> pa.Table:
         r = _runs(t)
+        # schema-identical to the non-empty path (incl. bucket) so the
+        # downstream groupby never sees heterogeneous block schemas
         empty = pa.table(
             {"phrase": pa.array([], pa.large_string()),
+             "score_micro": pa.array([], pa.int64()),
              "n_occ": pa.array([], pa.int64()),
-             "score_micro": pa.array([], pa.int64())}
+             "bucket": pa.array([], pa.int32())}
         )
         if r is None:
             return empty
@@ -1256,14 +1267,17 @@ def rake_keywords(
         ok = lens <= max_phrase_len
         if not ok.any():
             return empty
-        out = (
+        agg = (
             pa.table(
                 {"phrase": phrases.filter(pa.array(ok)),
                  "score_micro": pa.array(psc[ok], pa.int64())}
             )
             .group_by(["phrase", "score_micro"])
             .aggregate([([], "count_all")])
-            .rename_columns(["phrase", "score_micro", "n_occ"])
+        )
+        out = pa.table(
+            {"phrase": agg["phrase"], "score_micro": agg["score_micro"],
+             "n_occ": agg["count_all"]}
         )
         b = pd.util.hash_array(
             np.asarray(out["phrase"].to_pandas(), dtype=object)

@@ -154,9 +154,13 @@ def curation_funnel(
     threshold, hist = length_quantile_stats(
         clean, value_col="n_chars_clean", q=length_quantile
     )
-    counts = hist.to_numpy(dtype=np.int64)
-    n_raw = int(counts.sum())
-    n_filtered = int(counts[hist.index.to_numpy() >= threshold].sum())
+    # n_raw counts EVERY input row (null-text docs ride the histogram's
+    # null group); the filtered count compares non-null values only
+    n_raw = int(hist.to_numpy(dtype=np.int64).sum())
+    valid = hist[hist.index.notna()]
+    n_filtered = int(
+        valid.to_numpy(dtype=np.int64)[valid.index.to_numpy() >= threshold].sum()
+    )
 
     def keep_len(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["n_chars_clean"], threshold))

@@ -1664,21 +1664,23 @@ def bilateral_trade(
     smap_ref = _sorted_map(supp, "s_suppkey", "s_nationkey")
     lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
 
-    def _lookup(keys: np.ndarray, ref) -> tuple[np.ndarray, np.ndarray]:
+    def _lookup(keys: np.ndarray, ref):
+        """(hit mask, names array, positions) — one searchsorted pass;
+        callers slice names as ``mv[pos[final_mask]]`` so a narrower final
+        mask (e.g. after a date filter) needs no second scan."""
         mk, mv = cached_get(ref)
-        pos = np.minimum(np.searchsorted(mk, keys), len(mk) - 1) if len(mk) else None
-        if pos is None:
-            return np.zeros(len(keys), dtype=bool), np.empty(0, dtype=object)
-        m = mk[pos] == keys
-        return m, mv[pos[m]]
+        if not len(mk):
+            return np.zeros(len(keys), dtype=bool), mv, np.zeros(len(keys), np.int64)
+        pos = np.minimum(np.searchsorted(mk, keys), len(mk) - 1)
+        return mk[pos] == keys, mv, pos
 
     def order_rows(b: pd.DataFrame) -> pd.DataFrame:
         keys = b["o_custkey"].to_numpy(dtype=np.int64)
-        m, names = _lookup(keys, cmap_ref)
+        m, mv, pos = _lookup(keys, cmap_ref)
         out = pd.DataFrame(
             {
                 "okey": b.loc[m, "o_orderkey"].to_numpy(dtype=np.int64),
-                "cust_nation": names,
+                "cust_nation": mv[pos[m]],
             }
         )
         out["side"] = np.int8(1)
@@ -1689,7 +1691,7 @@ def bilateral_trade(
 
     def line_rows(b: pd.DataFrame) -> pd.DataFrame:
         keys = b["l_suppkey"].to_numpy(dtype=np.int64)
-        mk_hit, _ = _lookup(keys, smap_ref)
+        mk_hit, smv, spos = _lookup(keys, smap_ref)
         m = (
             mk_hit
             & (b["l_shipdate"] >= lo).to_numpy()
@@ -1701,7 +1703,7 @@ def bilateral_trade(
             * 100.0
             + 0.5
         ).astype(np.int64)
-        _, snames = _lookup(keys[m], smap_ref)  # all hits by construction
+        snames = smv[spos[m]]
         out = pd.DataFrame(
             {
                 "okey": b.loc[m, "l_orderkey"].to_numpy(dtype=np.int64),

@@ -132,3 +132,29 @@ def test_length_psi_zero_on_identical_halves(ray_session):
     ]
     out2 = length_psi(ray.data.from_pandas(pd.DataFrame({"doc_id": range(40), "text": texts2})))
     assert out2["term_nano"].sum() > 100_000_000  # PSI > 0.1 (drift alarm)
+
+
+def test_funnel_n_raw_counts_null_text_rows(ray_session):
+    """Review regression: n_raw must equal the INGESTED row count even when
+    some docs carry null text (normalize yields a null length; the
+    histogram's null group must not be dropped from the raw count, while
+    the quantile threshold and every later stage see non-null rows only)."""
+    from kgray.pipelines.curation import curation_funnel
+
+    texts = ["alpha beta gamma"] * 6 + ["delta epsilon zeta eta theta iota"] * 6
+    df = pd.DataFrame({"doc_id": range(14), "text": texts + [None, None]})
+    bench = pd.DataFrame(
+        {"doc_id": [99], "text": ["benchmark only words kappa lambda mu nu"]}
+    )
+    out = curation_funnel(
+        ray.data.from_pandas(df),
+        ray.data.from_pandas(bench),
+        chunk_chars=16,
+        overlap=4,
+    )
+    r = out.iloc[0]
+    assert r["n_raw"] == 14  # nulls included
+    assert r["n_filtered"] == 12  # nulls dropped by the length filter
+    assert r["n_deduped"] == 2  # two distinct texts
+    assert r["n_decontaminated"] == 2
+    assert r["n_chunks"] >= 2
