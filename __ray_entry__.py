@@ -540,6 +540,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgray.functions.graph", fromlist=["entity_lifespan"]
     ).entity_lifespan(_kg_closed_world(sf).edges)
     q["kg_components_closed_world"] = _q_kg_components_closed_world
+    q["kg_meta_paths"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["meta_path_census"]
+    ).meta_path_census(_kg_closed_world(sf).edges)
+    q["kg_neighbor_jaccard"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["neighbor_jaccard"]
+    ).neighbor_jaccard(_kg_closed_world(sf).edges)
+    q["kg_degree_spectrum"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["degree_spectrum"]
+    ).degree_spectrum(_kg_closed_world(sf).edges)
     q["doc_lsh_bucket_balance"] = lambda sf: __import__(
         "kgray.ops.dedup", fromlist=["lsh_bucket_balance"]
     ).lsh_bucket_balance(
@@ -7299,6 +7308,44 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS span_days,
                    CAST(count(DISTINCT obs_date) AS BIGINT) AS n_dates
             FROM obs GROUP BY name, label""",
+        # directed 2-path census by predicate pair; the Ray side never joins
+        # edge-by-edge (per-middle-node in x out degree products), the twin
+        # is the plain self-join over the distinct canonical edge set
+        "kg_meta_paths": f"""WITH {cw},
+            eset AS (SELECT DISTINCT subj_id, pred, obj_id FROM cq)
+            SELECT a.pred AS pred_a, b.pred AS pred_b,
+                   CAST(count(*) AS BIGINT) AS n_paths
+            FROM eset a JOIN eset b ON a.obj_id = b.subj_id
+            GROUP BY 1, 2""",
+        # undirected neighbor-set Jaccard with the adamic_adar hub cut
+        # (centers with degree > 64 contribute no wedges, identically on
+        # both sides); jaccard micro-quantized by integer floor division
+        "kg_neighbor_jaccard": f"""WITH {cw},
+            eset AS (SELECT DISTINCT subj_id AS s, obj_id AS o FROM cq
+                     WHERE subj_id <> obj_id),
+            und AS (SELECT s AS z, o AS nbr FROM eset
+                    UNION SELECT o, s FROM eset),
+            deg AS (SELECT z, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY z),
+            ctr AS (SELECT z FROM deg WHERE d BETWEEN 2 AND 64),
+            w AS (SELECT a.nbr AS u, b.nbr AS v, CAST(count(*) AS BIGINT) AS common
+                  FROM und a JOIN und b ON a.z = b.z AND a.nbr < b.nbr
+                  JOIN ctr ON ctr.z = a.z
+                  GROUP BY 1, 2)
+            SELECT w.u, w.v, w.common, du.d AS deg_u, dv.d AS deg_v,
+                   CAST(w.common * 1000000 // (du.d + dv.d - w.common)
+                        AS BIGINT)::DOUBLE / 1e6 AS jaccard
+            FROM w JOIN deg du ON du.z = w.u JOIN deg dv ON dv.z = w.v""",
+        # undirected distinct-neighbor degree histogram by canonical label
+        "kg_degree_spectrum": f"""WITH {cw},
+            eset AS (SELECT DISTINCT subj_id AS s, subj_label AS sl,
+                            obj_id AS o, obj_label AS ol FROM cq
+                     WHERE subj_id <> obj_id),
+            und AS (SELECT s AS node, sl AS label, o AS nbr FROM eset
+                    UNION SELECT o, ol, s FROM eset),
+            deg AS (SELECT node, label, CAST(count(*) AS BIGINT) AS degree
+                    FROM und GROUP BY 1, 2)
+            SELECT label, degree, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY 1, 2""",
         # RAKE: stopword-delimited candidate phrases (len <= 4), word score
         # deg*1e6 // freq in integer micro-units, phrase = sum over tokens
         "doc_rake_keywords": """

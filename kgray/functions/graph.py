@@ -2780,3 +2780,297 @@ def entity_lifespan(
         .to_pandas()
     )
     return out.sort_values(["name", "label"], kind="mergesort").reset_index(drop=True)
+
+
+def meta_path_census(edges: ray.data.Dataset, n_buckets: int = 64) -> pd.DataFrame:
+    """Directed 2-path census grouped by predicate pair — the meta-path
+    profile of the KG schema (how often does an ``acquired`` edge feed a
+    ``works_at`` edge, etc.).  A 2-path is an ordered edge pair
+    (a -p1-> m, m -p2-> b); backtracking (b == a) counts, matching the
+    plain SQL self-join semantics.
+
+    Scale shape: the path count through a middle node m for (p1, p2) is
+    in_deg(m, p1) * out_deg(m, p2), so NO edge-by-edge join ever runs —
+    per-batch (node, pred, side) count partials shrink first, ONE
+    node-hash bucket shuffle co-locates each middle node, each bucket
+    multiplies its in x out pred counts per node, and the driver folds
+    bucket partials bounded by buckets x preds².  Works on any edge
+    distribution: hubs cost O(preds) per node, never O(deg²).
+    """
+
+    def io_partial(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for node_col, side in (("obj_id", "i"), ("subj_id", "o")):
+            g = (
+                b.groupby([node_col, "pred"], sort=False)
+                .size()
+                .reset_index(name="cnt")
+                .rename(columns={node_col: "node"})
+            )
+            g["side"] = side
+            frames.append(g)
+        out = pd.concat(frames, ignore_index=True)
+        out["bucket"] = (
+            _md5_u64([str(x) for x in out["node"]]) % np.uint64(n_buckets)
+        ).astype("int32")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.groupby(["node", "pred", "side"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        ins = g[g["side"] == "i"][["node", "pred", "cnt"]]
+        outs = g[g["side"] == "o"][["node", "pred", "cnt"]]
+        j = ins.merge(outs, on="node", suffixes=("_a", "_b"))
+        if not len(j):
+            return pd.DataFrame(
+                {
+                    "pred_a": pd.Series(dtype=object),
+                    "pred_b": pd.Series(dtype=object),
+                    "n_paths": pd.Series(dtype="int64"),
+                }
+            )
+        j["n_paths"] = j["cnt_a"].to_numpy("int64") * j["cnt_b"].to_numpy("int64")
+        return (
+            j.groupby(["pred_a", "pred_b"], sort=False)["n_paths"]
+            .sum()
+            .reset_index()
+        )
+
+    parts = (
+        edges.select_columns(["subj_id", "pred", "obj_id"])
+        .map_batches(io_partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "pred_a": pd.Series(dtype=object),
+                "pred_b": pd.Series(dtype=object),
+                "n_paths": pd.Series(dtype="int64"),
+            }
+        )
+    out = (
+        parts.groupby(["pred_a", "pred_b"], sort=True)["n_paths"]
+        .sum()
+        .astype("int64")
+        .reset_index()
+    )
+    return out.reset_index(drop=True)
+
+
+def neighbor_jaccard(
+    edges: ray.data.Dataset,
+    max_center_degree: int = 64,
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Neighbor-set Jaccard similarity for canonical entity pairs that
+    share at least one (non-hub) neighbor: |N(u) ∩ N(v)| over
+    |N(u) ∪ N(v)| on the UNDIRECTED distinct-neighbor sets.
+
+    Same wedge discipline as ``adamic_adar``: shared neighbors are found
+    per CENTER in hash(center) buckets (one shuffle), centers with more
+    than ``max_center_degree`` neighbors are skipped (the standard hub
+    cut, applied identically in the SQL twin so the result stays
+    oracle-exact — a hub contributes deg² wedges but near-zero
+    similarity signal), pair partials meet once in hash(u, v) buckets
+    (second shuffle).  Full degrees (hub edges included) come from the
+    same first shuffle: each bucket owns its centers outright, so
+    (node, degree) is exact there and rides along as a third frame.
+    Jaccard is micro-quantized to 1e-6 by integer floor division so the
+    DuckDB twin is bit-exact.
+
+    Returns (u, v, common, deg_u, deg_v, jaccard) with u < v, driver
+    frame bounded by the surviving pair set (the same budget as the
+    Adamic-Adar candidate output).
+    """
+    sep = "\x1f"
+
+    def und_rows(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["subj_id"].astype(str).to_numpy(dtype=object)
+        d = b["obj_id"].astype(str).to_numpy(dtype=object)
+        out = pd.DataFrame(
+            {"z": np.concatenate([s, d]), "nbr": np.concatenate([d, s])}
+        )
+        out = out[out["z"] != out["nbr"]].drop_duplicates()
+        out["bucket"] = (
+            _md5_u64([str(x) for x in out["z"]]) % np.uint64(n_buckets)
+        ).astype("int32")
+        return out
+
+    def wedges_and_degrees(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "u": pd.Series(dtype=object),
+                "v": pd.Series(dtype=object),
+                "common": pd.Series(dtype="int64"),
+                "deg_node": pd.Series(dtype=object),
+                "deg": pd.Series(dtype="int64"),
+            }
+        )
+        if not len(g):
+            return empty
+        g = g[["z", "nbr"]].drop_duplicates().sort_values(["z", "nbr"], kind="mergesort")
+        z = g["z"].to_numpy(dtype=object)
+        nbr = g["nbr"].to_numpy(dtype=object)
+        starts = np.flatnonzero(np.r_[True, z[1:] != z[:-1]])
+        ends = np.r_[starts[1:], len(z)]
+        degs = pd.DataFrame(
+            {
+                "u": "",
+                "v": "",
+                "common": np.zeros(len(starts), dtype="int64"),
+                "deg_node": z[starts],
+                "deg": (ends - starts).astype("int64"),
+            }
+        )
+        us: list = []
+        vs: list = []
+        for s, e in zip(starts, ends):
+            d = e - s
+            if d < 2 or d > max_center_degree:
+                continue
+            block = nbr[s:e]
+            iu, iv = np.triu_indices(d, k=1)
+            us.append(block[iu])
+            vs.append(block[iv])
+        if not us:
+            return degs
+        pairs = pd.DataFrame({"u": np.concatenate(us), "v": np.concatenate(vs)})
+        pairs = pairs.groupby(["u", "v"], sort=False).size().reset_index(name="common")
+        pairs["common"] = pairs["common"].astype("int64")
+        pairs["deg_node"] = ""
+        pairs["deg"] = np.int64(0)
+        return pd.concat([pairs, degs], ignore_index=True)
+
+    def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        if not len(b):
+            b["pbucket"] = pd.Series(dtype="int32")
+            return b
+        # degree rows shuffle by their node, pair rows by the pair key, so
+        # each reduce bucket owns complete pairs AND complete degree rows
+        key = np.where(
+            b["deg_node"].astype(str) != "",
+            b["deg_node"].astype(str),
+            b["u"].astype(str) + sep + b["v"].astype(str),
+        )
+        b["pbucket"] = (_md5_u64(list(key)) % np.uint64(n_buckets)).astype("int32")
+        return b
+
+    parts = (
+        edges.select_columns(["subj_id", "obj_id"])
+        .map_batches(und_rows, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(wedges_and_degrees, batch_format="pandas")
+        .map_batches(pair_bucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(
+            lambda g: g.groupby(["u", "v", "deg_node"], sort=False)
+            .agg(common=("common", "sum"), deg=("deg", "sum"))
+            .reset_index(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    cols = ["u", "v", "common", "deg_u", "deg_v", "jaccard"]
+    if not len(parts):
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+    deg = parts[parts["deg_node"] != ""].set_index("deg_node")["deg"]
+    pairs = parts[parts["deg_node"] == ""][["u", "v", "common"]].copy()
+    if not len(pairs):
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+    pairs["deg_u"] = pairs["u"].map(deg).astype("int64")
+    pairs["deg_v"] = pairs["v"].map(deg).astype("int64")
+    union = pairs["deg_u"] + pairs["deg_v"] - pairs["common"]
+    pairs["jaccard"] = (
+        (pairs["common"] * 1_000_000 // union).astype("int64").astype("float64") / 1e6
+    )
+    pairs["common"] = pairs["common"].astype("int64")
+    return (
+        pairs.sort_values(["u", "v"], kind="mergesort").reset_index(drop=True)[cols]
+    )
+
+
+def degree_spectrum(edges: ray.data.Dataset, n_buckets: int = 64) -> pd.DataFrame:
+    """Undirected distinct-neighbor degree spectrum split by canonical
+    label: one row per (label, degree) with the node count — the
+    shape-of-the-graph readout (stars vs chains vs cliques per entity
+    type).
+
+    Scale shape: per-batch distinct (node, label, nbr) pre-shrink → ONE
+    node-hash shuffle (a node's neighbor rows all land in its bucket, so
+    the per-bucket distinct count is the true degree) → (label, degree)
+    partials; driver fold bounded by buckets x labels x distinct degrees.
+    """
+
+    def und_rows(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [
+                        b["subj_id"].astype(str).to_numpy(dtype=object),
+                        b["obj_id"].astype(str).to_numpy(dtype=object),
+                    ]
+                ),
+                "label": np.concatenate(
+                    [
+                        b["subj_label"].astype(str).to_numpy(dtype=object),
+                        b["obj_label"].astype(str).to_numpy(dtype=object),
+                    ]
+                ),
+                "nbr": np.concatenate(
+                    [
+                        b["obj_id"].astype(str).to_numpy(dtype=object),
+                        b["subj_id"].astype(str).to_numpy(dtype=object),
+                    ]
+                ),
+            }
+        )
+        out = out[out["node"] != out["nbr"]].drop_duplicates()
+        out["bucket"] = (
+            _md5_u64([str(x) for x in out["node"]]) % np.uint64(n_buckets)
+        ).astype("int32")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["node", "label", "nbr"]].drop_duplicates()
+        d = (
+            g.groupby(["node", "label"], sort=False)
+            .size()
+            .reset_index(name="degree")
+        )
+        out = (
+            d.groupby(["label", "degree"], sort=False)
+            .size()
+            .reset_index(name="n_nodes")
+        )
+        return out
+
+    parts = (
+        edges.select_columns(["subj_id", "subj_label", "obj_id", "obj_label"])
+        .map_batches(und_rows, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "label": pd.Series(dtype=object),
+                "degree": pd.Series(dtype="int64"),
+                "n_nodes": pd.Series(dtype="int64"),
+            }
+        )
+    out = (
+        parts.groupby(["label", "degree"], sort=True)["n_nodes"]
+        .sum()
+        .astype("int64")
+        .reset_index()
+    )
+    out["degree"] = out["degree"].astype("int64")
+    return out.reset_index(drop=True)

@@ -1,0 +1,131 @@
+"""Unit tests for the round-5 KG schema/similarity analytics:
+meta-path census (per-middle-node degree products — no edge-by-edge
+join), neighbor-set Jaccard (adamic_adar wedge discipline + exact full
+degrees), and the undirected degree spectrum by label
+(kgray/functions/graph.py).  All three are oracle-checked at sf0.01 by
+tools/check_correctness.py; here the semantics are hand-pinned on tiny
+graphs, including the hub cut and self-loop conventions."""
+
+import pandas as pd
+import ray.data
+
+from kgray.functions.graph import (
+    degree_spectrum,
+    meta_path_census,
+    neighbor_jaccard,
+)
+
+
+def _edges(rows):
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            rows,
+            columns=["subj_id", "subj_label", "pred", "obj_id", "obj_label"],
+        )
+    )
+
+
+def test_meta_path_census_counts_ordered_pairs():
+    # a -p-> m, b -p-> m, m -q-> c  => 2 paths (p, q); plus m -q-> c
+    # feeding nothing and a self-loop-free graph
+    ds = _edges(
+        [
+            ("a", "person", "p", "m", "org"),
+            ("b", "person", "p", "m", "org"),
+            ("m", "org", "q", "c", "org"),
+        ]
+    )
+    out = meta_path_census(ds)
+    got = {(r.pred_a, r.pred_b): r.n_paths for r in out.itertuples()}
+    assert got == {("p", "q"): 2}
+
+
+def test_meta_path_census_backtracking_counts():
+    # a -p-> m and m -q-> a: the 2-path a->m->a backtracks and COUNTS
+    # (plain SQL self-join semantics, documented)
+    ds = _edges(
+        [
+            ("a", "person", "p", "m", "org"),
+            ("m", "org", "q", "a", "person"),
+        ]
+    )
+    out = meta_path_census(ds)
+    got = {(r.pred_a, r.pred_b): r.n_paths for r in out.itertuples()}
+    assert got == {("p", "q"): 1, ("q", "p"): 1}
+
+
+def test_meta_path_census_empty():
+    out = meta_path_census(_edges([]))
+    assert len(out) == 0
+    assert list(out.columns) == ["pred_a", "pred_b", "n_paths"]
+
+
+def test_neighbor_jaccard_triangle_plus_tail():
+    # u-z, v-z, u-v, v-t: N(u)={z,v}, N(v)={z,u,t}, common via center z
+    # (and centers u, v themselves contribute the (z, v)/(z, u)/... pairs)
+    ds = _edges(
+        [
+            ("u", "person", "p", "z", "org"),
+            ("v", "person", "p", "z", "org"),
+            ("u", "person", "q", "v", "person"),
+            ("v", "person", "p", "t", "org"),
+        ]
+    )
+    out = neighbor_jaccard(ds)
+    got = {(r.u, r.v): (r.common, r.deg_u, r.deg_v, r.jaccard) for r in out.itertuples()}
+    # pair (u, v): shared neighbor z only; deg_u=2, deg_v=3, union=4
+    assert got[("u", "v")] == (1, 2, 3, 0.25)
+    # pair (t, z): shared neighbor v; deg_t=1, deg_z=2, union=2 -> 0.5
+    assert got[("t", "z")] == (1, 1, 2, 0.5)
+    # pairs through centers u and v also appear: (v, z) via u; (t, u), (t, z), (u, z) via v
+    assert ("v", "z") in got and ("t", "u") in got and ("u", "z") in got
+
+
+def test_neighbor_jaccard_hub_cut_drops_center_not_degree():
+    # star center h with 3 leaves, cut at max_center_degree=2: h emits no
+    # wedges, leaves (degree 1) emit none either -> no pairs at all; but
+    # with the default cut the leaf pairs appear with h's FULL degree
+    rows = [("h", "org", "p", leaf, "person") for leaf in ("x", "y", "z")]
+    ds = _edges(rows)
+    assert len(neighbor_jaccard(ds, max_center_degree=2)) == 0
+    out = neighbor_jaccard(ds)
+    got = {(r.u, r.v): (r.common, r.deg_u, r.deg_v, r.jaccard) for r in out.itertuples()}
+    assert got == {
+        ("x", "y"): (1, 1, 1, 1.0),
+        ("x", "z"): (1, 1, 1, 1.0),
+        ("y", "z"): (1, 1, 1, 1.0),
+    }
+
+
+def test_neighbor_jaccard_multi_pred_edges_dedup():
+    # two predicates between the same endpoints = ONE neighbor relation
+    ds = _edges(
+        [
+            ("a", "person", "p", "z", "org"),
+            ("a", "person", "q", "z", "org"),
+            ("b", "person", "p", "z", "org"),
+        ]
+    )
+    out = neighbor_jaccard(ds)
+    got = {(r.u, r.v): (r.common, r.deg_u, r.deg_v, r.jaccard) for r in out.itertuples()}
+    assert got == {("a", "b"): (1, 1, 1, 1.0)}
+
+
+def test_degree_spectrum_star():
+    rows = [("h", "org", "p", leaf, "person") for leaf in ("x", "y", "z")]
+    out = degree_spectrum(_edges(rows))
+    got = {(r.label, r.degree): r.n_nodes for r in out.itertuples()}
+    assert got == {("org", 3): 1, ("person", 1): 3}
+
+
+def test_degree_spectrum_self_loop_excluded():
+    ds = _edges(
+        [
+            ("a", "person", "p", "a", "person"),
+            ("a", "person", "p", "b", "person"),
+        ]
+    )
+    out = degree_spectrum(ds)
+    got = {(r.label, r.degree): r.n_nodes for r in out.itertuples()}
+    # the self-loop contributes no neighbor; both nodes have degree 1
+    assert got == {("person", 1): 2}
