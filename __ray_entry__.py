@@ -549,6 +549,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_degree_spectrum"] = lambda sf: __import__(
         "kgray.functions.graph", fromlist=["degree_spectrum"]
     ).degree_spectrum(_kg_closed_world(sf).edges)
+    q["kg_label_pair_census"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["label_pair_census"]
+    ).label_pair_census(_kg_closed_world(sf).edges)
+    q["kg_reciprocity"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["reciprocity"]
+    ).reciprocity(_kg_closed_world(sf).edges)
+    q["kg_nobs_spectrum"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["nobs_spectrum"]
+    ).nobs_spectrum(_kg_closed_world(sf).edges)
     q["doc_lsh_bucket_balance"] = lambda sf: __import__(
         "kgray.ops.dedup", fromlist=["lsh_bucket_balance"]
     ).lsh_bucket_balance(
@@ -7346,6 +7355,32 @@ def oracle_sql() -> dict[str, str]:
                     FROM und GROUP BY 1, 2)
             SELECT label, degree, CAST(count(*) AS BIGINT) AS n_nodes
             FROM deg GROUP BY 1, 2""",
+        # ontology signature: (subj_label, pred, obj_label) edge counts +
+        # observation mass over the canonical distinct-edge table
+        "kg_label_pair_census": f"""WITH {cw}
+            SELECT subj_label, pred, obj_label,
+                   CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(sum(n_obs) AS BIGINT) AS total_obs
+            FROM merged GROUP BY 1, 2, 3""",
+        # same-pred reciprocity over distinct directed edges (u <> v);
+        # ratio micro-quantized by integer floor division
+        "kg_reciprocity": f"""WITH {cw},
+            eset AS (SELECT DISTINCT subj_id, pred, obj_id FROM cq
+                     WHERE subj_id <> obj_id)
+            SELECT e.pred, CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(sum(CASE WHEN r.subj_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_reciprocal,
+                   CAST(sum(CASE WHEN r.subj_id IS NOT NULL THEN 1 ELSE 0 END)
+                        * 1000000 // count(*) AS BIGINT)::DOUBLE / 1e6
+                     AS reciprocity
+            FROM eset e LEFT JOIN eset r
+              ON r.subj_id = e.obj_id AND r.obj_id = e.subj_id
+                 AND r.pred = e.pred
+            GROUP BY 1""",
+        # evidence-mass profile: per-pred histogram of edge n_obs
+        "kg_nobs_spectrum": f"""WITH {cw}
+            SELECT pred, n_obs, CAST(count(*) AS BIGINT) AS n_edges
+            FROM merged GROUP BY 1, 2""",
         # RAKE: stopword-delimited candidate phrases (len <= 4), word score
         # deg*1e6 // freq in integer micro-units, phrase = sum over tokens
         "doc_rake_keywords": """

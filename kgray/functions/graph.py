@@ -3074,3 +3074,141 @@ def degree_spectrum(edges: ray.data.Dataset, n_buckets: int = 64) -> pd.DataFram
     )
     out["degree"] = out["degree"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def label_pair_census(edges: ray.data.Dataset) -> pd.DataFrame:
+    """Ontology signature of the canonical KG: one row per
+    (subj_label, pred, obj_label) with the distinct-edge count and the
+    total observation mass — the induced schema with usage weights.
+
+    Scale shape: purely additive partials (per-batch groupby over the
+    distinct edge stream), label x pred fold on the driver — no shuffle
+    at all; the output is schema-sized, never data-sized."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            b.groupby(["subj_label", "pred", "obj_label"], sort=False)
+            .agg(n_edges=("n_obs", "size"), total_obs=("n_obs", "sum"))
+            .reset_index()
+        )
+        return g
+
+    parts = (
+        edges.select_columns(["subj_label", "pred", "obj_label", "n_obs"])
+        .map_batches(partial, batch_format="pandas", batch_size=262144)
+        .to_pandas()
+    )
+    cols = ["subj_label", "pred", "obj_label", "n_edges", "total_obs"]
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "subj_label": pd.Series(dtype=object),
+                "pred": pd.Series(dtype=object),
+                "obj_label": pd.Series(dtype=object),
+                "n_edges": pd.Series(dtype="int64"),
+                "total_obs": pd.Series(dtype="int64"),
+            }
+        )
+    out = (
+        parts.groupby(["subj_label", "pred", "obj_label"], sort=True)
+        .sum()
+        .reset_index()
+    )
+    out["n_edges"] = out["n_edges"].astype("int64")
+    out["total_obs"] = out["total_obs"].astype("int64")
+    return out[cols]
+
+
+def reciprocity(edges: ray.data.Dataset, n_buckets: int = 64) -> pd.DataFrame:
+    """Same-predicate reciprocity per predicate: of the distinct directed
+    edges (u, p, v) with u != v, how many have the reverse (v, p, u) —
+    plus the micro-quantized ratio.  Asymmetric ontologies (employment)
+    read 0; genuinely mutual relations (partnerships) read high.
+
+    Scale shape: distinct-edge batch partials → ONE unordered-pair-hash
+    shuffle (both directions of a pair land together) → per-bucket
+    direction matching; driver fold is preds-sized."""
+
+    def pair_rows(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["subj_id", "pred", "obj_id"]].drop_duplicates()
+        out = out[out["subj_id"] != out["obj_id"]]
+        u = out["subj_id"].astype(str).to_numpy(dtype=object)
+        v = out["obj_id"].astype(str).to_numpy(dtype=object)
+        lo = np.where(u <= v, u, v)
+        hi = np.where(u <= v, v, u)
+        key = [a + "\x1f" + b_ + "\x1f" + p for a, b_, p in zip(lo, hi, out["pred"])]
+        out = out.assign(
+            bucket=(_md5_u64(key) % np.uint64(n_buckets)).astype("int32")
+        )
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["subj_id", "pred", "obj_id"]].drop_duplicates()
+        rev = g.rename(columns={"subj_id": "obj_id", "obj_id": "subj_id"})
+        m = g.merge(rev, on=["subj_id", "pred", "obj_id"], how="left", indicator=True)
+        out = pd.DataFrame(
+            {
+                "pred": m["pred"],
+                "n": np.int64(1),
+                "n_recip": (m["_merge"] == "both").astype("int64"),
+            }
+        )
+        return out.groupby("pred", sort=False).sum().reset_index()
+
+    parts = (
+        edges.select_columns(["subj_id", "pred", "obj_id"])
+        .map_batches(pair_rows, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "pred": pd.Series(dtype=object),
+                "n_edges": pd.Series(dtype="int64"),
+                "n_reciprocal": pd.Series(dtype="int64"),
+                "reciprocity": pd.Series(dtype="float64"),
+            }
+        )
+    out = parts.groupby("pred", sort=True).sum().reset_index()
+    out.columns = ["pred", "n_edges", "n_reciprocal"]
+    out["n_edges"] = out["n_edges"].astype("int64")
+    out["n_reciprocal"] = out["n_reciprocal"].astype("int64")
+    out["reciprocity"] = (
+        (out["n_reciprocal"] * 1_000_000 // out["n_edges"]).astype("int64").astype("float64")
+        / 1e6
+    )
+    return out
+
+
+def nobs_spectrum(edges: ray.data.Dataset) -> pd.DataFrame:
+    """Per-predicate observation-count histogram over the canonical edge
+    table: one row per (pred, n_obs) with the edge count — the
+    evidence-mass profile (how much of the KG rests on single
+    observations vs repeatedly-confirmed facts).
+
+    Scale shape: additive (pred, n_obs) batch partials, no shuffle;
+    output bounded by preds x distinct observation counts."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["pred", "n_obs"], sort=False).size().reset_index(name="n_edges")
+        return g
+
+    parts = (
+        edges.select_columns(["pred", "n_obs"])
+        .map_batches(partial, batch_format="pandas", batch_size=262144)
+        .to_pandas()
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "pred": pd.Series(dtype=object),
+                "n_obs": pd.Series(dtype="int64"),
+                "n_edges": pd.Series(dtype="int64"),
+            }
+        )
+    out = parts.groupby(["pred", "n_obs"], sort=True)["n_edges"].sum().reset_index()
+    out["n_obs"] = out["n_obs"].astype("int64")
+    out["n_edges"] = out["n_edges"].astype("int64")
+    return out

@@ -129,3 +129,66 @@ def test_degree_spectrum_self_loop_excluded():
     got = {(r.label, r.degree): r.n_nodes for r in out.itertuples()}
     # the self-loop contributes no neighbor; both nodes have degree 1
     assert got == {("person", 1): 2}
+
+
+# ---- label_pair_census / reciprocity / nobs_spectrum --------------------
+
+from kgray.functions.graph import label_pair_census, nobs_spectrum, reciprocity
+
+
+def _edges_with_obs(rows):
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            rows,
+            columns=["subj_id", "subj_label", "pred", "obj_id", "obj_label", "n_obs"],
+        )
+    )
+
+
+def test_label_pair_census_counts_and_mass():
+    ds = _edges_with_obs(
+        [
+            ("a", "person", "works_at", "m", "org", 3),
+            ("b", "person", "works_at", "m", "org", 1),
+            ("m", "org", "acquired", "n", "org", 2),
+        ]
+    )
+    out = label_pair_census(ds)
+    got = {
+        (r.subj_label, r.pred, r.obj_label): (r.n_edges, r.total_obs)
+        for r in out.itertuples()
+    }
+    assert got == {
+        ("person", "works_at", "org"): (2, 4),
+        ("org", "acquired", "org"): (1, 2),
+    }
+
+
+def test_reciprocity_mutual_and_oneway():
+    ds = _edges_with_obs(
+        [
+            ("a", "org", "partner_of", "b", "org", 1),
+            ("b", "org", "partner_of", "a", "org", 1),
+            ("a", "org", "partner_of", "c", "org", 1),
+            ("p", "person", "works_at", "a", "org", 1),
+            ("s", "person", "works_at", "s", "person", 1),  # self-loop: dropped
+        ]
+    )
+    out = reciprocity(ds)
+    got = {r.pred: (r.n_edges, r.n_reciprocal, r.reciprocity) for r in out.itertuples()}
+    assert got["partner_of"] == (3, 2, 0.666666)
+    assert got["works_at"] == (1, 0, 0.0)
+
+
+def test_nobs_spectrum_histogram():
+    ds = _edges_with_obs(
+        [
+            ("a", "person", "p", "m", "org", 1),
+            ("b", "person", "p", "n", "org", 1),
+            ("c", "person", "p", "m", "org", 5),
+            ("m", "org", "q", "n", "org", 2),
+        ]
+    )
+    out = nobs_spectrum(ds)
+    got = {(r.pred, r.n_obs): r.n_edges for r in out.itertuples()}
+    assert got == {("p", 1): 2, ("p", 5): 1, ("q", 2): 1}
