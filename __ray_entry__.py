@@ -381,6 +381,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_dup_audit"] = _q_events_dup_audit
     q["doc_substring_dedup"] = _q_doc_substring_dedup
     q["doc_winnowing_pairs"] = _q_doc_winnowing_pairs
+    q["doc_cdc_dedup"] = lambda sf: __import__(
+        "kgray.ops.dedup", fromlist=["cdc_chunk_stats"]
+    ).cdc_chunk_stats(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
+        pre_split=32,
+    )
     q["embedding_outlier_z"] = _q_embedding_outlier_z
     q["embedding_jl_project"] = _q_embedding_jl_project
     q["events_user_entropy"] = _q_events_user_entropy
@@ -932,6 +938,63 @@ def _winnowing_oracle_sql(
           WHERE a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= {min_shared}
+    """
+
+
+def _cdc_oracle_sql(k: int = 16, divisor: int = 64) -> str:
+    """DuckDB twin of kgray.ops.dedup.cdc_chunk_stats: the same
+    polynomial code-point hash (shared winnowing kernel constants) built
+    from k lead() terms, cut after every k-gram with hv % divisor == 0,
+    chunks keyed by md5_number_lower (== the engine's md5-lower-64)."""
+    from kgray.ops.dedup import WINNOW_POLY_MOD, winnow_poly_powers
+
+    pows = winnow_poly_powers(k).tolist()
+    terms = " + ".join(
+        f"CAST({'c' if i == 0 else f'lead(c, {i}) OVER wd'} AS HUGEINT) * {p}"
+        for i, p in enumerate(pows)
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, text FROM documents
+                   WHERE text IS NOT NULL AND length(text) > 0),
+        long AS (SELECT doc_id, text, string_split(text, '') AS cl
+                 FROM d WHERE length(text) >= {k}),
+        codes AS MATERIALIZED (
+          SELECT doc_id, p, ascii(cl[CAST(p AS INTEGER)]) AS c
+          FROM long, LATERAL unnest(generate_series(1, len(cl), 1)) AS t(p)),
+        h AS MATERIALIZED (
+          SELECT doc_id, p,
+                 CAST(({terms}) % {WINNOW_POLY_MOD} AS BIGINT) AS hv,
+                 count(*) OVER (PARTITION BY doc_id) AS nchar
+          FROM codes
+          WINDOW wd AS (PARTITION BY doc_id ORDER BY p)
+          QUALIFY p <= nchar - {k - 1}),
+        cuts AS (SELECT doc_id, p FROM h WHERE hv % {divisor} = 0),
+        starts AS (
+          SELECT doc_id, 1 AS s FROM long
+          UNION ALL SELECT doc_id, p + {k} AS s FROM cuts),
+        ch AS (
+          SELECT doc_id, text, s,
+                 coalesce(lead(s) OVER (PARTITION BY doc_id ORDER BY s),
+                          length(text) + 1) AS nxt
+          FROM starts JOIN long USING (doc_id)),
+        chunks_long AS (
+          SELECT substr(text, CAST(s AS INTEGER), CAST(nxt - s AS INTEGER)) AS chunk
+          FROM ch WHERE nxt - s > 0),
+        short AS (SELECT text AS chunk FROM d WHERE length(text) < {k}),
+        keyed AS MATERIALIZED (
+          SELECT md5_number_lower(chunk) AS key, length(chunk) AS clen
+          FROM (SELECT chunk FROM chunks_long UNION ALL SELECT chunk FROM short)),
+        u AS (SELECT key, min(clen) AS clen FROM keyed GROUP BY key),
+        tk AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+                      CAST(coalesce(sum(clen), 0) AS BIGINT) AS total_chars FROM keyed),
+        tu AS (SELECT CAST(count(*) AS BIGINT) AS n_unique_chunks,
+                      CAST(coalesce(sum(clen), 0) AS BIGINT) AS unique_chars FROM u)
+        SELECT tk.n_chunks, tu.n_unique_chunks, tk.total_chars, tu.unique_chars,
+               CASE WHEN tk.total_chars = 0 THEN 0.0
+                    ELSE CAST((tk.total_chars - tu.unique_chars) * 1000000
+                              // tk.total_chars AS BIGINT)::DOUBLE / 1e6
+               END AS savings
+        FROM tk, tu
     """
 
 
@@ -7751,6 +7814,7 @@ FROM cl WHERE sz >= 2 GROUP BY 1
             FROM d2 JOIN mo ON mo.label = d2.label
         """,
         "doc_winnowing_pairs": _winnowing_oracle_sql(),
+        "doc_cdc_dedup": _cdc_oracle_sql(),
         "doc_substring_dedup": """
             WITH w AS (
               SELECT doc_id, substr(text, CAST(p AS INTEGER), 40) AS sub

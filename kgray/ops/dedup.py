@@ -1910,3 +1910,162 @@ def lsh_bucket_balance(
             "n_buckets": hist.to_numpy(dtype="int64"),
         }
     )
+
+
+def cdc_chunk_stats(
+    ds: ray.data.Dataset,
+    k: int = 16,
+    divisor: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    pre_split: int | None = None,
+) -> pd.DataFrame:
+    """Content-defined chunking dedup audit (the storage-dedup readout):
+    every document is split at content-derived boundaries — a cut falls
+    AFTER each k-gram whose polynomial rolling hash (the shared winnowing
+    kernel: code points, base 1000003, mod 2^40) is ≡ 0 mod ``divisor``
+    (expected chunk ≈ ``divisor`` chars) — then chunks are deduplicated
+    by content across the WHOLE corpus.  Because boundaries depend only
+    on local content, an insertion shifts at most one chunk: shared runs
+    between near-duplicate docs dedup even when byte offsets differ,
+    which is exactly why CDC beats fixed-size blocks for backup/storage
+    dedup.  Stateless cut rule (no min/max chunk clamp) keeps the
+    operator a pure per-position predicate — fully vectorized here and
+    reproduced exactly by the DuckDB twin.
+
+    Docs shorter than ``k`` (but non-empty) are a single chunk; chunk
+    identity is the 64-bit md5-lower content hash (== DuckDB
+    ``md5_number_lower``, the corpus-dedup convention — the twin hashes
+    the same substrings, so a collision conflates identically on both
+    sides).
+
+    Scale shape: the batch pass computes all hashes in ONE concatenated
+    numpy pass (k multiply-add-mask steps) and emits per-batch
+    pre-deduped (key, chunk_len, multiplicity, char_mass) partials —
+    8-byte keys, never chunk text, leave the node; ONE key-hash bucket
+    shuffle makes distinct counts exact; per-bucket partials fold to a
+    single driver row.
+
+    Returns one row: n_chunks, n_unique_chunks, total_chars,
+    unique_chars, savings (1 - unique/total, micro-quantized).
+    """
+    if pre_split:
+        ds = ds.repartition(pre_split)
+
+    MASK = WINNOW_POLY_MOD - 1
+    POW = winnow_poly_powers(k)
+    md5 = hashlib.md5
+
+    def chunk_partials(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b[text_col].fillna("").tolist()
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        total = int(lens.sum())
+        # rolling hash over the batch-concatenated code points
+        cuts_by_doc: dict[int, np.ndarray] = {}
+        if total >= k:
+            cat = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            npos_t = total - k + 1
+            h = np.zeros(npos_t, dtype=np.int64)
+            for i in range(k):
+                h += cat[i : i + npos_t] * POW[i]
+                h &= MASK
+            npos = np.maximum(lens - (k - 1), 0)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), npos)
+            cum = np.cumsum(npos) - npos
+            within = np.arange(int(npos.sum()), dtype=np.int64) - np.repeat(cum, npos)
+            gpos = np.repeat(starts[npos > 0], npos[npos > 0]) + within
+            hv = h[gpos]
+            cut = hv % divisor == 0
+            cd, cp = doc_idx[cut], within[cut]
+            order = np.argsort(cd, kind="stable")
+            cd, cp = cd[order], cp[order]
+            bnd = np.flatnonzero(np.r_[True, cd[1:] != cd[:-1]])
+            for s, e in zip(bnd, np.r_[bnd[1:], len(cd)]):
+                cuts_by_doc[int(cd[s])] = cp[s:e]
+        keys: list[int] = []
+        clens: list[int] = []
+        for d, t in enumerate(texts):
+            n = len(t)
+            if n == 0:
+                continue
+            cp = cuts_by_doc.get(d)
+            if cp is None or not len(cp):
+                bounds = [0, n]
+            else:
+                bounds = [0] + [int(p) + k for p in cp]
+                if bounds[-1] != n:
+                    bounds.append(n)
+            for s, e in zip(bounds, bounds[1:]):
+                chunk = t[s:e]
+                keys.append(
+                    int.from_bytes(md5(chunk.encode("utf-8")).digest()[8:], "little")
+                )
+                clens.append(e - s)
+        if not keys:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series(dtype="int32"),
+                    "key": pd.Series(dtype="uint64"),
+                    "clen": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                    "mass": pd.Series(dtype="int64"),
+                }
+            )
+        f = pd.DataFrame(
+            {"key": np.array(keys, dtype=np.uint64), "clen": np.array(clens, dtype=np.int64)}
+        )
+        g = f.groupby("key", sort=False).agg(
+            clen=("clen", "first"), n=("clen", "size"), mass=("clen", "sum")
+        )
+        g = g.reset_index()
+        g["bucket"] = (g["key"] % np.uint64(num_buckets)).astype("int32")
+        g["n"] = g["n"].astype("int64")
+        return g[["bucket", "key", "clen", "n", "mass"]]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("key", sort=False).agg(
+            clen=("clen", "first"), n=("n", "sum"), mass=("mass", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "n_chunks": [int(agg["n"].sum())],
+                "total_chars": [int(agg["mass"].sum())],
+                "n_unique_chunks": [len(agg)],
+                "unique_chars": [int(agg["clen"].sum())],
+            }
+        )
+
+    parts = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(chunk_partials, batch_format="pandas", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts):
+        parts = pd.DataFrame(
+            {"n_chunks": [0], "total_chars": [0], "n_unique_chunks": [0], "unique_chars": [0]}
+        )
+    tot = parts.sum()
+    n_chunks = int(tot["n_chunks"])
+    total_chars = int(tot["total_chars"])
+    n_unique = int(tot["n_unique_chunks"])
+    unique_chars = int(tot["unique_chars"])
+    savings = (
+        float((total_chars - unique_chars) * 1_000_000 // total_chars) / 1e6
+        if total_chars
+        else 0.0
+    )
+    return pd.DataFrame(
+        {
+            "n_chunks": [np.int64(n_chunks)],
+            "n_unique_chunks": [np.int64(n_unique)],
+            "total_chars": [np.int64(total_chars)],
+            "unique_chars": [np.int64(unique_chars)],
+            "savings": [savings],
+        }
+    )

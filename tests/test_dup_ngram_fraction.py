@@ -93,3 +93,60 @@ def test_ngram_containment_vs_jaccard(ray_session):
     got = {(r.a, r.b): r.containment for r in cont.itertuples()}
     assert got.get((1, 2)) == 1.0          # small ⊂ big
     assert (1, 2) not in {(r.a, r.b) for r in jac.itertuples()}  # J = 9/20 < 0.5
+
+
+# ---- CDC chunking dedup (round-5) ---------------------------------------
+
+from kgray.ops.dedup import cdc_chunk_stats
+
+
+def _docs(texts):
+    import pandas as pd
+    import ray.data
+
+    return ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+
+def test_cdc_exact_duplicates_halve_unique_mass():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    t = "".join(rng.choice(list("abcdefghijklmnop ")) for _ in range(1500))
+    solo = cdc_chunk_stats(_docs([t])).iloc[0]
+    r = cdc_chunk_stats(_docs([t, t])).iloc[0]
+    # a second identical copy adds chunk mass but zero unique mass
+    assert r["total_chars"] == 2 * len(t) == 2 * solo["total_chars"]
+    assert r["unique_chars"] == solo["unique_chars"]
+    assert r["n_unique_chunks"] == solo["n_unique_chunks"]
+    assert r["n_chunks"] == 2 * solo["n_chunks"]
+
+
+def test_cdc_insertion_shifts_at_most_prefix_chunks():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = "".join(rng.choice(list("abcdefgh ")) for _ in range(2000))
+    shifted = "XYZPREFIX-" + base
+    out = cdc_chunk_stats(_docs([base, shifted]))
+    r = out.iloc[0]
+    # content-defined boundaries re-sync after the insertion: most of the
+    # shared run dedups even though every byte offset differs
+    assert r["unique_chars"] < r["total_chars"] * 0.65
+    assert r["savings"] > 0.35
+
+
+def test_cdc_short_and_empty_docs():
+    out = cdc_chunk_stats(_docs(["tiny", "", None]))
+    r = out.iloc[0]
+    # one whole-doc chunk for the short doc; empty/None contribute nothing
+    assert r["n_chunks"] == 1 and r["n_unique_chunks"] == 1
+    assert r["total_chars"] == 4 and r["unique_chars"] == 4
+    assert r["savings"] == 0.0
+
+
+def test_cdc_empty_corpus():
+    out = cdc_chunk_stats(_docs([]))
+    r = out.iloc[0]
+    assert r["n_chunks"] == 0 and r["total_chars"] == 0 and r["savings"] == 0.0
