@@ -564,6 +564,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_nobs_spectrum"] = lambda sf: __import__(
         "kgray.functions.graph", fromlist=["nobs_spectrum"]
     ).nobs_spectrum(_kg_closed_world(sf).edges)
+    q["kg_functional_violations"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["functional_violations"]
+    ).functional_violations(_kg_closed_world(sf).edges)
+    q["kg_predicate_redundancy"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["predicate_redundancy"]
+    ).predicate_redundancy(_kg_closed_world(sf).edges)
     q["doc_lsh_bucket_balance"] = lambda sf: __import__(
         "kgray.ops.dedup", fromlist=["lsh_bucket_balance"]
     ).lsh_bucket_balance(
@@ -7444,6 +7450,38 @@ def oracle_sql() -> dict[str, str]:
         "kg_nobs_spectrum": f"""WITH {cw}
             SELECT pred, n_obs, CAST(count(*) AS BIGINT) AS n_edges
             FROM merged GROUP BY 1, 2""",
+        # functional-predicate audit: subjects with > 1 distinct object
+        "kg_functional_violations": f"""WITH {cw},
+            eset AS (SELECT DISTINCT pred, subj_id, obj_id FROM cq),
+            fan AS (SELECT pred, subj_id, CAST(count(*) AS BIGINT) AS fanout
+                    FROM eset GROUP BY 1, 2)
+            SELECT pred, CAST(count(*) AS BIGINT) AS n_subjects,
+                   CAST(sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_violating,
+                   CAST(max(fanout) AS BIGINT) AS max_fanout,
+                   CAST(sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END)
+                        * 1000000 // count(*) AS BIGINT)::DOUBLE / 1e6
+                     AS violation_rate
+            FROM fan GROUP BY pred""",
+        # predicate-redundancy grid: endpoint-pair Jaccard per pred pair,
+        # complete grid with zeros (the cooccurrence convention)
+        "kg_predicate_redundancy": f"""WITH {cw},
+            eset AS (SELECT DISTINCT subj_id, pred, obj_id FROM cq),
+            singles AS (SELECT pred, CAST(count(*) AS BIGINT) AS c
+                        FROM eset GROUP BY 1),
+            co AS (SELECT a.pred AS pa, b.pred AS pb,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM eset a JOIN eset b
+                     ON a.subj_id = b.subj_id AND a.obj_id = b.obj_id
+                        AND a.pred < b.pred
+                   GROUP BY 1, 2)
+            SELECT sa.pred AS pred_a, sb.pred AS pred_b,
+                   sa.c AS n_a, sb.c AS n_b, coalesce(co.c, 0) AS n_both,
+                   CAST(coalesce(co.c, 0) * 1000000
+                        // (sa.c + sb.c - coalesce(co.c, 0))
+                        AS BIGINT)::DOUBLE / 1e6 AS jaccard
+            FROM singles sa JOIN singles sb ON sa.pred < sb.pred
+            LEFT JOIN co ON co.pa = sa.pred AND co.pb = sb.pred""",
         # RAKE: stopword-delimited candidate phrases (len <= 4), word score
         # deg*1e6 // freq in integer micro-units, phrase = sum over tokens
         "doc_rake_keywords": """

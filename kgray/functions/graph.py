@@ -3212,3 +3212,163 @@ def nobs_spectrum(edges: ray.data.Dataset) -> pd.DataFrame:
     out["n_obs"] = out["n_obs"].astype("int64")
     out["n_edges"] = out["n_edges"].astype("int64")
     return out
+
+
+def functional_violations(edges: ray.data.Dataset, n_buckets: int = 64) -> pd.DataFrame:
+    """Functional-predicate audit: per predicate, how many subjects have
+    MORE than one distinct object — the constraint check an ontology
+    engineer runs to decide which predicates are functional (a person has
+    one employer at a time?) and where extraction over-merged.
+
+    Scale shape: batch-distinct (pred, subj, obj) pre-shrink → ONE
+    subject-hash shuffle (a subject's edges land together, so per-bucket
+    fan-out counts are exact) → per-bucket (pred) partials
+    (n_subjects, n_violating, max_fanout); driver fold is preds-sized.
+    Returns (pred, n_subjects, n_violating, max_fanout, violation_rate)
+    with the rate micro-quantized."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["pred", "subj_id", "obj_id"]].drop_duplicates()
+        out = out.assign(
+            bucket=(
+                _md5_u64([str(x) for x in out["subj_id"]]) % np.uint64(n_buckets)
+            ).astype("int32")
+        )
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["pred", "subj_id", "obj_id"]].drop_duplicates()
+        fan = (
+            g.groupby(["pred", "subj_id"], sort=False)
+            .size()
+            .reset_index(name="fanout")
+        )
+        out = fan.groupby("pred", sort=False).agg(
+            n_subjects=("fanout", "size"),
+            n_violating=("fanout", lambda s: int((s > 1).sum())),
+            max_fanout=("fanout", "max"),
+        )
+        return out.reset_index()
+
+    parts = (
+        edges.select_columns(["pred", "subj_id", "obj_id"])
+        .map_batches(partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "pred": pd.Series(dtype=object),
+                "n_subjects": pd.Series(dtype="int64"),
+                "n_violating": pd.Series(dtype="int64"),
+                "max_fanout": pd.Series(dtype="int64"),
+                "violation_rate": pd.Series(dtype="float64"),
+            }
+        )
+    out = parts.groupby("pred", sort=True).agg(
+        n_subjects=("n_subjects", "sum"),
+        n_violating=("n_violating", "sum"),
+        max_fanout=("max_fanout", "max"),
+    ).reset_index()
+    for c in ("n_subjects", "n_violating", "max_fanout"):
+        out[c] = out[c].astype("int64")
+    out["violation_rate"] = (
+        (out["n_violating"] * 1_000_000 // out["n_subjects"]).astype("int64").astype("float64")
+        / 1e6
+    )
+    return out
+
+
+def predicate_redundancy(edges: ray.data.Dataset, n_buckets: int = 64) -> pd.DataFrame:
+    """Predicate-redundancy grid: for every unordered predicate pair, the
+    Jaccard overlap of their directed endpoint-pair sets — near-synonym
+    predicates (``works_at`` vs ``is_employed_at`` extracted from
+    different phrasings) connect the same (subj, obj) pairs and light up
+    here; the grid is COMPLETE (non-overlapping pairs report 0), the
+    schema-normalization counterpart of ``predicate_cooccurrence``.
+
+    Scale shape: batch-distinct (subj, obj, pred) → ONE endpoint-pair-hash
+    shuffle (both preds of a shared pair land together) → per-bucket
+    preds² co-count partials; driver fold bounded by buckets × preds².
+    Jaccard micro-quantized by integer floor division."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["subj_id", "pred", "obj_id"]].drop_duplicates()
+        key = [
+            str(s) + "\x1f" + str(o)
+            for s, o in zip(out["subj_id"], out["obj_id"])
+        ]
+        out = out.assign(
+            bucket=(_md5_u64(key) % np.uint64(n_buckets)).astype("int32")
+        )
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["subj_id", "pred", "obj_id"]].drop_duplicates()
+        frames = [
+            g.groupby("pred", sort=False)
+            .size()
+            .reset_index(name="cnt")
+            .rename(columns={"pred": "pa"})
+            .assign(pb="")
+        ]
+        j = g.merge(g, on=["subj_id", "obj_id"], suffixes=("_a", "_b"))
+        j = j[j["pred_a"] < j["pred_b"]]
+        if len(j):
+            co = (
+                j.groupby(["pred_a", "pred_b"], sort=False)
+                .size()
+                .reset_index(name="cnt")
+            )
+            co.columns = ["pa", "pb", "cnt"]
+            frames.append(co)
+        return pd.concat(frames, ignore_index=True)[["pa", "pb", "cnt"]]
+
+    parts = (
+        edges.select_columns(["subj_id", "pred", "obj_id"])
+        .map_batches(partial, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    cols = ["pred_a", "pred_b", "n_a", "n_b", "n_both", "jaccard"]
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "pred_a": pd.Series(dtype=object),
+                "pred_b": pd.Series(dtype=object),
+                "n_a": pd.Series(dtype="int64"),
+                "n_b": pd.Series(dtype="int64"),
+                "n_both": pd.Series(dtype="int64"),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
+    agg = parts.groupby(["pa", "pb"], sort=True)["cnt"].sum()
+    singles = {k[0]: int(v) for k, v in agg.items() if k[1] == ""}
+    both = {(k[0], k[1]): int(v) for k, v in agg.items() if k[1] != ""}
+    preds = sorted(singles)
+    rows = []
+    for i, a in enumerate(preds):
+        for b in preds[i + 1 :]:
+            nb = both.get((a, b), 0)
+            union = singles[a] + singles[b] - nb
+            rows.append(
+                (a, b, singles[a], singles[b], nb, float(nb * 1_000_000 // union) / 1e6)
+            )
+    if not rows:
+        return pd.DataFrame(
+            {
+                "pred_a": pd.Series(dtype=object),
+                "pred_b": pd.Series(dtype=object),
+                "n_a": pd.Series(dtype="int64"),
+                "n_b": pd.Series(dtype="int64"),
+                "n_both": pd.Series(dtype="int64"),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
+    out = pd.DataFrame(rows, columns=cols)
+    for c in ("n_a", "n_b", "n_both"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -192,3 +192,59 @@ def test_nobs_spectrum_histogram():
     out = nobs_spectrum(ds)
     got = {(r.pred, r.n_obs): r.n_edges for r in out.itertuples()}
     assert got == {("p", 1): 2, ("p", 5): 1, ("q", 2): 1}
+
+
+# ---- functional_violations / predicate_redundancy -----------------------
+
+from kgray.functions.graph import functional_violations, predicate_redundancy
+
+
+def test_functional_violations_fanout():
+    ds = _edges(
+        [
+            ("a", "person", "works_at", "m", "org"),
+            ("a", "person", "works_at", "n", "org"),
+            ("b", "person", "works_at", "m", "org"),
+            ("a", "person", "lives_in", "c", "city"),
+        ]
+    )
+    out = functional_violations(ds)
+    got = {
+        r.pred: (r.n_subjects, r.n_violating, r.max_fanout, r.violation_rate)
+        for r in out.itertuples()
+    }
+    assert got["works_at"] == (2, 1, 2, 0.5)
+    assert got["lives_in"] == (1, 0, 1, 0.0)
+
+
+def test_predicate_redundancy_synonym_detection():
+    # p and q connect the same two pairs; r shares one pair with p
+    ds = _edges(
+        [
+            ("a", "person", "p", "m", "org"),
+            ("b", "person", "p", "n", "org"),
+            ("a", "person", "q", "m", "org"),
+            ("b", "person", "q", "n", "org"),
+            ("a", "person", "r", "m", "org"),
+        ]
+    )
+    out = predicate_redundancy(ds)
+    got = {
+        (r.pred_a, r.pred_b): (r.n_a, r.n_b, r.n_both, r.jaccard)
+        for r in out.itertuples()
+    }
+    assert got[("p", "q")] == (2, 2, 2, 1.0)
+    assert got[("p", "r")] == (2, 1, 1, 0.5)
+    assert got[("q", "r")] == (2, 1, 1, 0.5)
+
+
+def test_predicate_redundancy_complete_grid_zero():
+    ds = _edges(
+        [
+            ("a", "person", "p", "m", "org"),
+            ("b", "person", "q", "n", "org"),
+        ]
+    )
+    out = predicate_redundancy(ds)
+    got = {(r.pred_a, r.pred_b): (r.n_both, r.jaccard) for r in out.itertuples()}
+    assert got == {("p", "q"): (0, 0.0)}
