@@ -570,6 +570,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_predicate_redundancy"] = lambda sf: __import__(
         "kgray.functions.graph", fromlist=["predicate_redundancy"]
     ).predicate_redundancy(_kg_closed_world(sf).edges)
+    q["kg_betweenness"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["betweenness_sampled"]
+    ).betweenness_sampled(_kg_closed_world(sf).edges, sample_mod=2, hops=6)
     q["doc_lsh_bucket_balance"] = lambda sf: __import__(
         "kgray.ops.dedup", fromlist=["lsh_bucket_balance"]
     ).lsh_bucket_balance(
@@ -945,6 +948,43 @@ def _winnowing_oracle_sql(
           GROUP BY 1, 2)
         SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= {min_shared}
     """
+
+
+def _betweenness_ctes(hops: int, sample_mod: int) -> str:
+    """Unrolled level-synchronous BFS CTE chain for the betweenness twin
+    (the PPR/HITS unrolling convention: no aggregates in recursive terms,
+    one candidate + one settle CTE per level per direction).  Expects an
+    ``eset(s, o)`` CTE upstream; exposes f{hops} / r{hops} / seeds."""
+    # every level references its predecessor 3x (candidate join, union,
+    # settled anti-join) — without MATERIALIZED the inlined plan grows
+    # 3^hops copies of the whole transcript scan and DuckDB falls over
+    parts = [
+        """nds AS MATERIALIZED (SELECT DISTINCT n FROM (SELECT s AS n FROM eset
+                                           UNION SELECT o FROM eset)),
+        seeds AS MATERIALIZED (SELECT n FROM nds WHERE md5_number_lower(n) % """
+        + str(sample_mod)
+        + """ = 0),
+        f0 AS MATERIALIZED (SELECT n AS seed, n AS node, 0 AS dist,
+                      CAST(1 AS HUGEINT) AS sigma FROM seeds),
+        r0 AS MATERIALIZED (SELECT n AS seed, n AS node, 0 AS dist,
+                      CAST(1 AS HUGEINT) AS sigma FROM seeds)"""
+    ]
+    for lvl in range(hops):
+        for d, fwd in (("f", True), ("r", False)):
+            src, dst = ("s", "o") if fwd else ("o", "s")
+            parts.append(
+                f"""{d}c{lvl + 1} AS (
+              SELECT f.seed, e.{dst} AS node, CAST(sum(f.sigma) AS HUGEINT) AS sigma
+              FROM {d}{lvl} f JOIN eset e ON e.{src} = f.node
+              WHERE f.dist = {lvl} GROUP BY 1, 2),
+            {d}{lvl + 1} AS MATERIALIZED (
+              SELECT * FROM {d}{lvl}
+              UNION ALL
+              SELECT c.seed, c.node, {lvl + 1} AS dist, c.sigma FROM {d}c{lvl + 1} c
+              WHERE NOT EXISTS (SELECT 1 FROM {d}{lvl} p
+                                WHERE p.seed = c.seed AND p.node = c.node))"""
+            )
+    return ",\n".join(parts)
 
 
 def _cdc_oracle_sql(k: int = 16, divisor: int = 64) -> str:
@@ -7450,6 +7490,28 @@ def oracle_sql() -> dict[str, str]:
         "kg_nobs_spectrum": f"""WITH {cw}
             SELECT pred, n_obs, CAST(count(*) AS BIGINT) AS n_edges
             FROM merged GROUP BY 1, 2""",
+        # hop-bounded betweenness over hash-sampled seed pairs: the
+        # Brandes pair identity sigma(s,v)*sigma(v,t)/sigma(s,t) with
+        # per-term integer micro-floor, forward+reverse unrolled BFS
+        "kg_betweenness": f"""WITH {cw},
+            eset AS MATERIALIZED (SELECT DISTINCT subj_id AS s, obj_id AS o
+                     FROM cq WHERE subj_id <> obj_id),
+            {_betweenness_ctes(hops=6, sample_mod=2)},
+            st AS (SELECT f.seed AS s, f.node AS t, f.dist AS dst,
+                          f.sigma AS sst
+                   FROM f6 f JOIN seeds sd ON sd.n = f.node
+                   WHERE f.node <> f.seed),
+            contrib AS (
+              SELECT f.node AS v,
+                     CAST(f.sigma * r.sigma * 1000000 // st.sst AS HUGEINT)
+                       AS term
+              FROM f6 f
+              JOIN r6 r ON r.node = f.node
+              JOIN st ON st.s = f.seed AND st.t = r.seed
+              WHERE f.node <> f.seed AND r.node <> r.seed
+                AND f.dist + r.dist = st.dst)
+            SELECT v AS node, CAST(sum(term) AS BIGINT) AS bc_micro
+            FROM contrib GROUP BY v HAVING sum(term) > 0""",
         # functional-predicate audit: subjects with > 1 distinct object
         "kg_functional_violations": f"""WITH {cw},
             eset AS (SELECT DISTINCT pred, subj_id, obj_id FROM cq),

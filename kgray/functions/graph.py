@@ -3372,3 +3372,449 @@ def predicate_redundancy(edges: ray.data.Dataset, n_buckets: int = 64) -> pd.Dat
     for c in ("n_a", "n_b", "n_both"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def betweenness_sampled(
+    edges: ray.data.Dataset,
+    src_col: str = "subj_id",
+    dst_col: str = "obj_id",
+    sample_mod: int = 1,
+    hops: int = 6,
+    driver_edge_max: int = 200_000,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Betweenness centrality over hash-sampled seed pairs (directed,
+    unweighted, hop-bounded) — the Brandes pair identity computed from a
+    forward and a reverse BFS: for seeds S = {n : md5_u64(n) %
+    ``sample_mod`` == 0} and every ordered pair (s, t) ∈ S×S with
+    d(s, t) <= ``hops``,
+
+        bc(v) += floor(sigma(s→v) * sigma(v→t) * 1e6 / sigma(s→t))
+
+    for every v on a shortest s→t path (d(s,v) + d(v,t) == d(s,t),
+    v ∉ {s, t}).  ``sample_mod=1`` is the exact hop-bounded betweenness;
+    larger values sample deterministically (the md5 convention shared
+    with minhash_eval's corpus sample), so the DuckDB twin applies the
+    identical predicate and every term floors identically — the result
+    is oracle-exact at any sampling rate.  All sigma arithmetic is
+    Python-int (no int64 wrap on dense graphs; the daily_crosscorr
+    convention).
+
+    Rungs (the pagerank/k-hop ladder):
+    - driver rung (<= ``driver_edge_max`` distinct edges): adjacency
+      dicts + per-seed BFS on the driver — exact, vocabulary-sized;
+    - distributed rung (``driver_edge_max=0`` forces): BFS state is a
+      hash-bucketed (seed, node, dist, sigma) Dataset per direction;
+      each level is two reduce-side bucket joins (frontier ⋈ edges by
+      node, candidate-merge + settled anti-join by (seed, node)) with
+      ZERO driver traffic during rounds; contributions meet in
+      hash(v) buckets (F ⋈ R), pair distances in hash(s, t) buckets
+      (⋈ ST), partials fold per node.  Seed membership is recomputed
+      from the hash — no broadcast set.
+
+    Returns (node, bc_micro) with bc_micro > 0, BIGINT micro-units.
+    """
+    sep = "\x1f"
+
+    def _pair_rows(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"u": pd.Series(dtype=object), "v": pd.Series(dtype=object)}
+            )
+        out = (
+            b[[src_col, dst_col]]
+            .astype(str)
+            .drop_duplicates()
+            .rename(columns={src_col: "u", dst_col: "v"})
+        )
+        return out[out["u"] != out["v"]]
+
+    pairs = (
+        edges.select_columns([src_col, dst_col])
+        .map_batches(_pair_rows, batch_format="pandas", batch_size=262144)
+        .materialize()
+    )
+
+    def _is_seed(names) -> np.ndarray:
+        return _md5_u64(list(names)) % np.uint64(sample_mod) == 0
+
+    n_edges = pairs.count()
+    if n_edges == 0:
+        return pd.DataFrame(
+            {"node": pd.Series(dtype=object), "bc_micro": pd.Series(dtype="int64")}
+        )
+    if driver_edge_max and n_edges <= driver_edge_max:
+        df = pairs.to_pandas().drop_duplicates()
+        fwd: dict[str, list[str]] = {}
+        rev: dict[str, list[str]] = {}
+        nodes: set[str] = set()
+        for u, v in zip(df["u"], df["v"]):
+            fwd.setdefault(u, []).append(v)
+            rev.setdefault(v, []).append(u)
+            nodes.add(u)
+            nodes.add(v)
+        node_list = sorted(nodes)
+        if not node_list:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype=object), "bc_micro": pd.Series(dtype="int64")}
+            )
+        seeds = [n for n, m in zip(node_list, _is_seed(node_list)) if m]
+
+        def _bfs(adj: dict, s: str) -> dict[str, tuple[int, int]]:
+            out = {s: (0, 1)}
+            frontier = [s]
+            for lvl in range(hops):
+                nxt: dict[str, int] = {}
+                for x in frontier:
+                    sx = out[x][1]
+                    for y in adj.get(x, ()):
+                        if y in out:
+                            continue
+                        nxt[y] = nxt.get(y, 0) + sx
+                if not nxt:
+                    break
+                for y, sy in nxt.items():
+                    out[y] = (lvl + 1, sy)
+                frontier = list(nxt)
+            return out
+
+        F = {s: _bfs(fwd, s) for s in seeds}
+        R = {t: _bfs(rev, t) for t in seeds}
+        bc: dict[str, int] = {}
+        for s in seeds:
+            fs = F[s]
+            for t in seeds:
+                if t == s or t not in fs:
+                    continue
+                dst, sst = fs[t]
+                rt = R[t]
+                for v, (dfv, sfv) in fs.items():
+                    if v == s or v == t:
+                        continue
+                    hit = rt.get(v)
+                    if hit is None or dfv + hit[0] != dst:
+                        continue
+                    bc[v] = bc.get(v, 0) + sfv * hit[1] * 1_000_000 // sst
+        rows = sorted((n, c) for n, c in bc.items() if c > 0)
+        return pd.DataFrame(
+            {
+                "node": [r[0] for r in rows],
+                "bc_micro": np.array([r[1] for r in rows], dtype="int64"),
+            }
+        )
+
+    # ---- distributed rung ------------------------------------------------
+    B = num_buckets
+
+    def _kb(keys) -> np.ndarray:
+        return (_md5_u64(list(keys)) % np.uint64(B)).astype("int32")
+
+    def _edge_rows(rev: bool):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            u = b["v" if rev else "u"].to_numpy(dtype=object)
+            v = b["u" if rev else "v"].to_numpy(dtype=object)
+            return pd.DataFrame(
+                {
+                    "bkt": _kb(u),
+                    "kind": np.int8(0),
+                    "seed": "",
+                    "node": u,
+                    "dst": v,
+                    "dist": np.int64(-1),
+                    "sigma": np.zeros(len(u), dtype=object),
+                }
+            )
+
+        return f
+
+    def _bfs_ds(rev: bool) -> ray.data.Dataset:
+        """(seed, node, dist, sigma[object-int]) rows, all levels."""
+        e_ds = pairs.map_batches(_edge_rows(rev), batch_format="pandas")
+
+        def seed_rows(b: pd.DataFrame) -> pd.DataFrame:
+            n = pd.unique(
+                np.concatenate(
+                    [b["u"].to_numpy(dtype=object), b["v"].to_numpy(dtype=object)]
+                )
+            )
+            n = n[_is_seed(n)]
+            return pd.DataFrame(
+                {
+                    "seed": n,
+                    "node": n,
+                    "dist": np.int64(0),
+                    "sigma": np.array([1] * len(n), dtype=object),
+                }
+            )
+
+        # dedupe seed rows (a seed appears in many batches)
+        state = (
+            pairs.map_batches(seed_rows, batch_format="pandas")
+            .map_batches(
+                lambda b: b.assign(bkt=_kb(b["seed"].astype(str) + sep + b["node"].astype(str))),
+                batch_format="pandas",
+            )
+            .groupby("bkt")
+            .map_groups(
+                lambda g: g.drop_duplicates(["seed", "node"]),
+                batch_format="pandas",
+            )
+            .drop_columns(["bkt"])
+            .materialize()
+        )
+
+        for lvl in range(hops):
+            frontier = state.map_batches(
+                lambda b, lvl=lvl: b[b["dist"] == lvl], batch_format="pandas"
+            )
+            fr = frontier.map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "bkt": _kb(b["node"].astype(str)),
+                        "kind": np.int8(1),
+                        "seed": b["seed"].to_numpy(dtype=object),
+                        "node": b["node"].to_numpy(dtype=object),
+                        "dst": "",
+                        "dist": b["dist"].to_numpy(dtype="int64"),
+                        "sigma": b["sigma"].to_numpy(dtype=object),
+                    }
+                ),
+                batch_format="pandas",
+            )
+
+            def expand(g: pd.DataFrame) -> pd.DataFrame:
+                e = g[g["kind"] == 0][["node", "dst"]]
+                f = g[g["kind"] == 1][["seed", "node", "sigma"]]
+                if not len(e) or not len(f):
+                    return pd.DataFrame(
+                        {
+                            "seed": pd.Series(dtype=object),
+                            "node": pd.Series(dtype=object),
+                            "sigma": pd.Series(dtype=object),
+                        }
+                    )
+                j = f.merge(e, on="node")
+                if not len(j):
+                    return pd.DataFrame(
+                        {
+                            "seed": pd.Series(dtype=object),
+                            "node": pd.Series(dtype=object),
+                            "sigma": pd.Series(dtype=object),
+                        }
+                    )
+                out = (
+                    j.groupby(["seed", "dst"], sort=False)["sigma"]
+                    .apply(lambda s: sum(s.tolist()))
+                    .reset_index()
+                    .rename(columns={"dst": "node"})
+                )
+                out["sigma"] = out["sigma"].astype(object)
+                return out
+
+            cand = (
+                e_ds.union(fr)
+                .groupby("bkt")
+                .map_groups(expand, batch_format="pandas")
+            )
+            # candidate-merge + settled anti-join in (seed, node) buckets
+            c2 = cand.map_batches(
+                lambda b, lvl=lvl: pd.DataFrame(
+                    {
+                        "bkt": _kb(b["seed"].astype(str) + sep + b["node"].astype(str)),
+                        "new": np.int8(1),
+                        "seed": b["seed"].to_numpy(dtype=object),
+                        "node": b["node"].to_numpy(dtype=object),
+                        "dist": np.int64(lvl + 1),
+                        "sigma": b["sigma"].to_numpy(dtype=object),
+                    }
+                ),
+                batch_format="pandas",
+            )
+            s2 = state.map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "bkt": _kb(b["seed"].astype(str) + sep + b["node"].astype(str)),
+                        "new": np.int8(0),
+                        "seed": b["seed"].to_numpy(dtype=object),
+                        "node": b["node"].to_numpy(dtype=object),
+                        "dist": b["dist"].to_numpy(dtype="int64"),
+                        "sigma": b["sigma"].to_numpy(dtype=object),
+                    }
+                ),
+                batch_format="pandas",
+            )
+
+            def settle(g: pd.DataFrame) -> pd.DataFrame:
+                old = g[g["new"] == 0]
+                new = g[g["new"] == 1]
+                if len(new):
+                    merged = (
+                        new.groupby(["seed", "node"], sort=False)
+                        .agg(sigma=("sigma", lambda s: sum(s.tolist())), dist=("dist", "first"))
+                        .reset_index()
+                    )
+                    key_old = set(
+                        zip(old["seed"].tolist(), old["node"].tolist())
+                    )
+                    keep = merged[
+                        [
+                            (s, n) not in key_old
+                            for s, n in zip(merged["seed"], merged["node"])
+                        ]
+                    ]
+                    out = pd.concat(
+                        [old[["seed", "node", "dist", "sigma"]], keep[["seed", "node", "dist", "sigma"]]],
+                        ignore_index=True,
+                    )
+                else:
+                    out = old[["seed", "node", "dist", "sigma"]].copy()
+                out["sigma"] = out["sigma"].astype(object)
+                out["dist"] = out["dist"].astype("int64")
+                return out
+
+            state = (
+                c2.union(s2)
+                .groupby("bkt")
+                .map_groups(settle, batch_format="pandas")
+                .materialize()
+            )
+        return state
+
+    F = _bfs_ds(rev=False)
+    Rv = _bfs_ds(rev=True)
+
+    def _tag(direction: np.int8):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "bkt": _kb(b["node"].astype(str)),
+                    "dirn": direction,
+                    "seed": b["seed"].to_numpy(dtype=object),
+                    "node": b["node"].to_numpy(dtype=object),
+                    "dist": b["dist"].to_numpy(dtype="int64"),
+                    "sigma": b["sigma"].to_numpy(dtype=object),
+                }
+            )
+
+        return f
+
+    def vjoin(g: pd.DataFrame) -> pd.DataFrame:
+        f = g[g["dirn"] == 0]
+        r = g[g["dirn"] == 1]
+        f = f[f["node"] != f["seed"]]
+        r = r[r["node"] != r["seed"]]
+        if not len(f) or not len(r):
+            return pd.DataFrame(
+                {
+                    "s": pd.Series(dtype=object),
+                    "t": pd.Series(dtype=object),
+                    "v": pd.Series(dtype=object),
+                    "sumd": pd.Series(dtype="int64"),
+                    "prod": pd.Series(dtype=object),
+                }
+            )
+        j = f.merge(r, on="node", suffixes=("_f", "_r"))
+        j = j[j["seed_f"] != j["seed_r"]]
+        j = j[j["dist_f"] + j["dist_r"] <= hops]
+        out = pd.DataFrame(
+            {
+                "s": j["seed_f"].to_numpy(dtype=object),
+                "t": j["seed_r"].to_numpy(dtype=object),
+                "v": j["node"].to_numpy(dtype=object),
+                "sumd": (j["dist_f"] + j["dist_r"]).to_numpy(dtype="int64"),
+                "prod": np.array(
+                    [a * b for a, b in zip(j["sigma_f"], j["sigma_r"])], dtype=object
+                ),
+            }
+        )
+        return out
+
+    contrib = (
+        F.map_batches(_tag(np.int8(0)), batch_format="pandas")
+        .union(Rv.map_batches(_tag(np.int8(1)), batch_format="pandas"))
+        .groupby("bkt")
+        .map_groups(vjoin, batch_format="pandas")
+    )
+
+    # pair-distance table: forward rows whose node is itself a seed
+    st = F.map_batches(
+        lambda b: (
+            lambda m: pd.DataFrame(
+                {
+                    "bkt": _kb(
+                        b["seed"][m].astype(str) + sep + b["node"][m].astype(str)
+                    ),
+                    "kind": np.int8(0),
+                    "s": b["seed"][m].to_numpy(dtype=object),
+                    "t": b["node"][m].to_numpy(dtype=object),
+                    "v": "",
+                    "sumd": b["dist"][m].to_numpy(dtype="int64"),
+                    "prod": b["sigma"][m].to_numpy(dtype=object),
+                }
+            )
+        )(np.asarray(_is_seed(b["node"].astype(str))) & (b["node"] != b["seed"]).to_numpy()),
+        batch_format="pandas",
+    )
+    cb = contrib.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "bkt": _kb(b["s"].astype(str) + sep + b["t"].astype(str)),
+                "kind": np.int8(1),
+                "s": b["s"].to_numpy(dtype=object),
+                "t": b["t"].to_numpy(dtype=object),
+                "v": b["v"].to_numpy(dtype=object),
+                "sumd": b["sumd"].to_numpy(dtype="int64"),
+                "prod": b["prod"].to_numpy(dtype=object),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def pair_terms(g: pd.DataFrame) -> pd.DataFrame:
+        stt = g[g["kind"] == 0][["s", "t", "sumd", "prod"]].rename(
+            columns={"sumd": "dst", "prod": "sst"}
+        )
+        c = g[g["kind"] == 1]
+        if not len(stt) or not len(c):
+            return pd.DataFrame(
+                {"v": pd.Series(dtype=object), "term": pd.Series(dtype=object)}
+            )
+        j = c.merge(stt, on=["s", "t"])
+        j = j[j["sumd"] == j["dst"]]
+        if not len(j):
+            return pd.DataFrame(
+                {"v": pd.Series(dtype=object), "term": pd.Series(dtype=object)}
+            )
+        out = pd.DataFrame(
+            {
+                "v": j["v"].to_numpy(dtype=object),
+                "term": np.array(
+                    [p * 1_000_000 // s for p, s in zip(j["prod"], j["sst"])],
+                    dtype=object,
+                ),
+            }
+        )
+        return (
+            out.groupby("v", sort=False)["term"]
+            .apply(lambda s: sum(s.tolist()))
+            .reset_index()
+        )
+
+    parts = (
+        st.union(cb)
+        .groupby("bkt")
+        .map_groups(pair_terms, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {"node": pd.Series(dtype=object), "bc_micro": pd.Series(dtype="int64")}
+        )
+    agg = parts.groupby("v", sort=True)["term"].apply(lambda s: sum(s.tolist()))
+    agg = agg[agg > 0]
+    return pd.DataFrame(
+        {
+            "node": agg.index.to_numpy(dtype=object),
+            "bc_micro": np.array([int(x) for x in agg.to_numpy()], dtype="int64"),
+        }
+    ).reset_index(drop=True)

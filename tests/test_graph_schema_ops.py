@@ -248,3 +248,67 @@ def test_predicate_redundancy_complete_grid_zero():
     out = predicate_redundancy(ds)
     got = {(r.pred_a, r.pred_b): (r.n_both, r.jaccard) for r in out.itertuples()}
     assert got == {("p", "q"): (0, 0.0)}
+
+
+# ---- betweenness_sampled ------------------------------------------------
+
+import pytest
+
+from kgray.functions.graph import betweenness_sampled
+
+
+def _pairs(rows):
+    return ray.data.from_pandas(
+        pd.DataFrame(rows, columns=["subj_id", "obj_id"])
+    )
+
+
+@pytest.mark.parametrize("dmax", [200_000, 0])
+def test_betweenness_chain_with_shortcut(dmax):
+    # a->b->c, a->c (shortcut), c->d: only c lies on shortest paths
+    # (a->d and b->d both pass through c; 1e6 each)
+    out = betweenness_sampled(
+        _pairs([("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]),
+        driver_edge_max=dmax,
+    )
+    got = dict(zip(out["node"], out["bc_micro"]))
+    assert got == {"c": 2_000_000}
+
+
+@pytest.mark.parametrize("dmax", [200_000, 0])
+def test_betweenness_diamond_splits_sigma(dmax):
+    # a->{b,c}->d: two shortest a->d paths, each middle gets 1e6 // 2
+    out = betweenness_sampled(
+        _pairs([("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]),
+        driver_edge_max=dmax,
+    )
+    got = dict(zip(out["node"], out["bc_micro"]))
+    assert got == {"b": 500_000, "c": 500_000}
+
+
+def test_betweenness_hop_bound_cuts_pairs():
+    # chain a->b->c->d with hops=2: pair (a, d) is out of range, so only
+    # the 2-hop pairs contribute (b on a->c, c on b->d)
+    out = betweenness_sampled(
+        _pairs([("a", "b"), ("b", "c"), ("c", "d")]), hops=2
+    )
+    got = dict(zip(out["node"], out["bc_micro"]))
+    assert got == {"b": 1_000_000, "c": 1_000_000}
+
+
+@pytest.mark.parametrize("dmax", [200_000, 0])
+def test_betweenness_sampling_restricts_seed_pairs(dmax):
+    # sample_mod=2 keeps only hash-even endpoints as sources/targets on
+    # BOTH rungs; result must equal the driver rung on the same seeds
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"), ("b", "e")]
+    full = betweenness_sampled(_pairs(edges), sample_mod=2, driver_edge_max=200_000)
+    got = betweenness_sampled(_pairs(edges), sample_mod=2, driver_edge_max=dmax)
+    assert dict(zip(got["node"], got["bc_micro"])) == dict(
+        zip(full["node"], full["bc_micro"])
+    )
+
+
+def test_betweenness_empty():
+    out = betweenness_sampled(_pairs([]))
+    assert len(out) == 0
+    assert list(out.columns) == ["node", "bc_micro"]
