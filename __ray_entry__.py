@@ -573,6 +573,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_betweenness"] = lambda sf: __import__(
         "kgray.functions.graph", fromlist=["betweenness_sampled"]
     ).betweenness_sampled(_kg_closed_world(sf).edges, sample_mod=2, hops=6)
+    q["kg_harmonic"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["harmonic_sampled"]
+    ).harmonic_sampled(_kg_closed_world(sf).edges, sample_mod=1, hops=6)
     q["doc_lsh_bucket_balance"] = lambda sf: __import__(
         "kgray.ops.dedup", fromlist=["lsh_bucket_balance"]
     ).lsh_bucket_balance(
@@ -7512,6 +7515,16 @@ def oracle_sql() -> dict[str, str]:
                 AND f.dist + r.dist = st.dst)
             SELECT v AS node, CAST(sum(term) AS BIGINT) AS bc_micro
             FROM contrib GROUP BY v HAVING sum(term) > 0""",
+        # harmonic centrality + eccentricity per seed from the same
+        # unrolled-BFS chain (forward direction only)
+        "kg_harmonic": f"""WITH {cw},
+            eset AS MATERIALIZED (SELECT DISTINCT subj_id AS s, obj_id AS o
+                     FROM cq WHERE subj_id <> obj_id),
+            {_betweenness_ctes(hops=6, sample_mod=1)}
+            SELECT seed AS node, CAST(count(*) AS BIGINT) AS n_reached,
+                   CAST(max(dist) AS BIGINT) AS ecc,
+                   CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
+            FROM f6 WHERE dist > 0 GROUP BY seed""",
         # functional-predicate audit: subjects with > 1 distinct object
         "kg_functional_violations": f"""WITH {cw},
             eset AS (SELECT DISTINCT pred, subj_id, obj_id FROM cq),

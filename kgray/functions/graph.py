@@ -3818,3 +3818,287 @@ def betweenness_sampled(
             "bc_micro": np.array([int(x) for x in agg.to_numpy()], dtype="int64"),
         }
     ).reset_index(drop=True)
+
+
+def harmonic_sampled(
+    edges: ray.data.Dataset,
+    src_col: str = "subj_id",
+    dst_col: str = "obj_id",
+    sample_mod: int = 1,
+    hops: int = 6,
+    driver_edge_max: int = 200_000,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Harmonic centrality + eccentricity for hash-sampled seeds
+    (directed, unweighted, hop-bounded): per seed s,
+
+        harmonic_micro = Σ_{t reached, t != s} floor(1e6 / d(s, t))
+        ecc            = max d(s, t)      n_reached = |{t}|
+
+    Unreachable nodes contribute 0 (the harmonic convention — why this
+    metric, unlike closeness, is well-defined on disconnected KGs).
+    Seeds are {n : md5_u64(n) % sample_mod == 0}; ``sample_mod=1`` scores
+    every node.  Same rung ladder as ``betweenness_sampled``: driver BFS
+    under ``driver_edge_max`` distinct edges, else a hash-bucketed
+    (seed, node, dist) Dataset BFS — one frontier-expand + one settle
+    shuffle per level, ZERO driver state, int64 throughout (no sigma).
+
+    Returns (node, n_reached, ecc, harmonic_micro) for seeds that reach
+    at least one node, micro-units BIGINT."""
+    sep = "\x1f"
+
+    def _pair_rows(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"u": pd.Series(dtype=object), "v": pd.Series(dtype=object)}
+            )
+        out = (
+            b[[src_col, dst_col]]
+            .astype(str)
+            .drop_duplicates()
+            .rename(columns={src_col: "u", dst_col: "v"})
+        )
+        return out[out["u"] != out["v"]]
+
+    pairs = (
+        edges.select_columns([src_col, dst_col])
+        .map_batches(_pair_rows, batch_format="pandas", batch_size=262144)
+        .materialize()
+    )
+
+    def _is_seed(names) -> np.ndarray:
+        return _md5_u64(list(names)) % np.uint64(sample_mod) == 0
+
+    cols = ["node", "n_reached", "ecc", "harmonic_micro"]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.Series(dtype=object),
+                "n_reached": pd.Series(dtype="int64"),
+                "ecc": pd.Series(dtype="int64"),
+                "harmonic_micro": pd.Series(dtype="int64"),
+            }
+        )
+
+    n_edges = pairs.count()
+    if n_edges == 0:
+        return _empty()
+
+    if driver_edge_max and n_edges <= driver_edge_max:
+        df = pairs.to_pandas().drop_duplicates()
+        adj: dict[str, list[str]] = {}
+        nodes: set[str] = set()
+        for u, v in zip(df["u"], df["v"]):
+            adj.setdefault(u, []).append(v)
+            nodes.add(u)
+            nodes.add(v)
+        node_list = sorted(nodes)
+        seeds = [n for n, m in zip(node_list, _is_seed(node_list)) if m]
+        rows = []
+        for s in seeds:
+            dist = {s: 0}
+            frontier = [s]
+            for lvl in range(hops):
+                nxt = []
+                for x in frontier:
+                    for y in adj.get(x, ()):
+                        if y not in dist:
+                            dist[y] = lvl + 1
+                            nxt.append(y)
+                if not nxt:
+                    break
+                frontier = nxt
+            reached = [d for n, d in dist.items() if n != s]
+            if reached:
+                rows.append(
+                    (
+                        s,
+                        len(reached),
+                        max(reached),
+                        sum(1_000_000 // d for d in reached),
+                    )
+                )
+        rows.sort()
+        return pd.DataFrame(rows, columns=cols).astype(
+            {"n_reached": "int64", "ecc": "int64", "harmonic_micro": "int64"}
+        )
+
+    # ---- distributed rung: (seed, node, dist) BFS, int64 only ------------
+    B = num_buckets
+
+    def _kb(keys) -> np.ndarray:
+        return (_md5_u64(list(keys)) % np.uint64(B)).astype("int32")
+
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["u"].to_numpy(dtype=object)
+        v = b["v"].to_numpy(dtype=object)
+        return pd.DataFrame(
+            {
+                "bkt": _kb(u),
+                "kind": np.int8(0),
+                "seed": "",
+                "node": u,
+                "dst": v,
+                "dist": np.int64(-1),
+            }
+        )
+
+    e_ds = pairs.map_batches(edge_rows, batch_format="pandas")
+
+    def seed_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = pd.unique(
+            np.concatenate(
+                [b["u"].to_numpy(dtype=object), b["v"].to_numpy(dtype=object)]
+            )
+        )
+        n = n[_is_seed(n)]
+        return pd.DataFrame({"seed": n, "node": n, "dist": np.int64(0)})
+
+    state = (
+        pairs.map_batches(seed_rows, batch_format="pandas")
+        .map_batches(
+            lambda b: b.assign(
+                bkt=_kb(b["seed"].astype(str) + sep + b["node"].astype(str))
+            ),
+            batch_format="pandas",
+        )
+        .groupby("bkt")
+        .map_groups(
+            lambda g: g.drop_duplicates(["seed", "node"]),
+            batch_format="pandas",
+        )
+        .drop_columns(["bkt"])
+        .materialize()
+    )
+
+    for lvl in range(hops):
+        fr = state.map_batches(
+            lambda b, lvl=lvl: (
+                lambda f: pd.DataFrame(
+                    {
+                        "bkt": _kb(f["node"].astype(str)),
+                        "kind": np.int8(1),
+                        "seed": f["seed"].to_numpy(dtype=object),
+                        "node": f["node"].to_numpy(dtype=object),
+                        "dst": "",
+                        "dist": f["dist"].to_numpy(dtype="int64"),
+                    }
+                )
+            )(b[b["dist"] == lvl]),
+            batch_format="pandas",
+        )
+
+        def expand(g: pd.DataFrame) -> pd.DataFrame:
+            e = g[g["kind"] == 0][["node", "dst"]]
+            f = g[g["kind"] == 1][["seed", "node"]]
+            if not len(e) or not len(f):
+                return pd.DataFrame(
+                    {"seed": pd.Series(dtype=object), "node": pd.Series(dtype=object)}
+                )
+            j = f.merge(e, on="node")[["seed", "dst"]].drop_duplicates()
+            return j.rename(columns={"dst": "node"})
+
+        cand = (
+            e_ds.union(fr).groupby("bkt").map_groups(expand, batch_format="pandas")
+        )
+        c2 = cand.map_batches(
+            lambda b, lvl=lvl: pd.DataFrame(
+                {
+                    "bkt": _kb(b["seed"].astype(str) + sep + b["node"].astype(str)),
+                    "new": np.int8(1),
+                    "seed": b["seed"].to_numpy(dtype=object),
+                    "node": b["node"].to_numpy(dtype=object),
+                    "dist": np.int64(lvl + 1),
+                }
+            ),
+            batch_format="pandas",
+        )
+        s2 = state.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "bkt": _kb(b["seed"].astype(str) + sep + b["node"].astype(str)),
+                    "new": np.int8(0),
+                    "seed": b["seed"].to_numpy(dtype=object),
+                    "node": b["node"].to_numpy(dtype=object),
+                    "dist": b["dist"].to_numpy(dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+        def settle(g: pd.DataFrame) -> pd.DataFrame:
+            old = g[g["new"] == 0]
+            new = g[g["new"] == 1].drop_duplicates(["seed", "node"])
+            if len(new):
+                key_old = set(zip(old["seed"].tolist(), old["node"].tolist()))
+                keep = new[
+                    [
+                        (s, n) not in key_old
+                        for s, n in zip(new["seed"], new["node"])
+                    ]
+                ]
+                out = pd.concat(
+                    [
+                        old[["seed", "node", "dist"]],
+                        keep[["seed", "node", "dist"]],
+                    ],
+                    ignore_index=True,
+                )
+            else:
+                out = old[["seed", "node", "dist"]].copy()
+            out["dist"] = out["dist"].astype("int64")
+            return out
+
+        state = (
+            c2.union(s2)
+            .groupby("bkt")
+            .map_groups(settle, batch_format="pandas")
+            .materialize()
+        )
+
+    def seed_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["dist"] > 0]
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "bkt": pd.Series(dtype="int32"),
+                    "node": pd.Series(dtype=object),
+                    "n_reached": pd.Series(dtype="int64"),
+                    "ecc": pd.Series(dtype="int64"),
+                    "harmonic_micro": pd.Series(dtype="int64"),
+                }
+            )
+        h = (1_000_000 // b["dist"].to_numpy(dtype="int64")).astype("int64")
+        g = (
+            pd.DataFrame(
+                {"node": b["seed"].to_numpy(dtype=object), "d": b["dist"], "h": h}
+            )
+            .groupby("node", sort=False)
+            .agg(n_reached=("d", "size"), ecc=("d", "max"), harmonic_micro=("h", "sum"))
+            .reset_index()
+        )
+        g.insert(0, "bkt", _kb(g["node"].astype(str)))
+        return g
+
+    parts = (
+        state.map_batches(seed_partial, batch_format="pandas")
+        .groupby("bkt")
+        .map_groups(
+            lambda g: g.groupby("node", sort=False)
+            .agg(
+                n_reached=("n_reached", "sum"),
+                ecc=("ecc", "max"),
+                harmonic_micro=("harmonic_micro", "sum"),
+            )
+            .reset_index(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if not len(parts):
+        return _empty()
+    out = parts.sort_values("node", kind="mergesort").reset_index(drop=True)
+    for c in ("n_reached", "ecc", "harmonic_micro"):
+        out[c] = out[c].astype("int64")
+    return out[cols]

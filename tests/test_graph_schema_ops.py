@@ -312,3 +312,43 @@ def test_betweenness_empty():
     out = betweenness_sampled(_pairs([]))
     assert len(out) == 0
     assert list(out.columns) == ["node", "bc_micro"]
+
+
+# ---- harmonic_sampled ---------------------------------------------------
+
+from kgray.functions.graph import harmonic_sampled
+
+
+@pytest.mark.parametrize("dmax", [200_000, 0])
+def test_harmonic_chain(dmax):
+    # a->b->c->d: from a, dists {b:1, c:2, d:3} -> 1e6 + 5e5 + 333333
+    out = harmonic_sampled(
+        _pairs([("a", "b"), ("b", "c"), ("c", "d")]), driver_edge_max=dmax
+    )
+    got = {
+        r.node: (r.n_reached, r.ecc, r.harmonic_micro) for r in out.itertuples()
+    }
+    assert got["a"] == (3, 3, 1_833_333)
+    assert got["b"] == (2, 2, 1_500_000)
+    assert got["c"] == (1, 1, 1_000_000)
+    assert "d" not in got  # reaches nothing
+
+
+def test_harmonic_hop_bound():
+    out = harmonic_sampled(_pairs([("a", "b"), ("b", "c"), ("c", "d")]), hops=2)
+    got = {r.node: (r.n_reached, r.ecc, r.harmonic_micro) for r in out.itertuples()}
+    assert got["a"] == (2, 2, 1_500_000)
+
+
+@pytest.mark.parametrize("dmax", [200_000, 0])
+def test_harmonic_sampling_parity(dmax):
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    full = harmonic_sampled(_pairs(edges), sample_mod=2, driver_edge_max=200_000)
+    got = harmonic_sampled(_pairs(edges), sample_mod=2, driver_edge_max=dmax)
+    assert got.to_dict("records") == full.to_dict("records")
+
+
+def test_harmonic_empty():
+    out = harmonic_sampled(_pairs([]))
+    assert len(out) == 0
+    assert list(out.columns) == ["node", "n_reached", "ecc", "harmonic_micro"]
