@@ -576,6 +576,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_harmonic"] = lambda sf: __import__(
         "kgray.functions.graph", fromlist=["harmonic_sampled"]
     ).harmonic_sampled(_kg_closed_world(sf).edges, sample_mod=1, hops=6)
+    q["kg_ktruss"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["ktruss"]
+    ).ktruss(_kg_closed_world(sf).edges, k=3)
     q["doc_lsh_bucket_balance"] = lambda sf: __import__(
         "kgray.ops.dedup", fromlist=["lsh_bucket_balance"]
     ).lsh_bucket_balance(
@@ -987,6 +990,34 @@ def _betweenness_ctes(hops: int, sample_mod: int) -> str:
               WHERE NOT EXISTS (SELECT 1 FROM {d}{lvl} p
                                 WHERE p.seed = c.seed AND p.node = c.node))"""
             )
+    return ",\n".join(parts)
+
+
+def _ktruss_ctes(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled synchronized k-truss peel rounds (the kcore unroll
+    convention: extra rounds past the fixpoint are no-ops, a too-shallow
+    unroll surfaces as a hash mismatch, never a silent divergence).
+    Expects ``u0(a, b)`` — the canonical a < b undirected distinct edge
+    set — upstream; exposes ``w{rounds-1}`` with the final supports."""
+    parts = []
+    for r in range(rounds):
+        parts.append(
+            f"""t{r} AS MATERIALIZED (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM u{r} e1
+              JOIN u{r} e2 ON e2.a = e1.b
+              JOIN u{r} e3 ON e3.a = e1.a AND e3.b = e2.b),
+            s{r} AS MATERIALIZED (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+                SELECT x AS a, y AS b FROM t{r}
+                UNION ALL SELECT y, z FROM t{r}
+                UNION ALL SELECT x, z FROM t{r}) GROUP BY 1, 2),
+            w{r} AS MATERIALIZED (
+              SELECT e.a, e.b, coalesce(s.sup, 0) AS sup
+              FROM u{r} e LEFT JOIN s{r} s USING (a, b)),
+            u{r + 1} AS MATERIALIZED (
+              SELECT a, b FROM w{r} WHERE sup >= {k - 2})"""
+        )
     return ",\n".join(parts)
 
 
@@ -7515,6 +7546,15 @@ def oracle_sql() -> dict[str, str]:
                 AND f.dist + r.dist = st.dst)
             SELECT v AS node, CAST(sum(term) AS BIGINT) AS bc_micro
             FROM contrib GROUP BY v HAVING sum(term) > 0""",
+        # k-truss: synchronized edge peel rounds unrolled, triangle
+        # census per round via the ordered x<y<z 3-way self-join
+        "kg_ktruss": f"""WITH {cw},
+            u0 AS MATERIALIZED (
+              SELECT DISTINCT least(subj_id, obj_id) AS a,
+                     greatest(subj_id, obj_id) AS b
+              FROM cq WHERE subj_id <> obj_id),
+            {_ktruss_ctes(k=3, rounds=8)}
+            SELECT a, b, sup AS support FROM w7 WHERE sup >= 1""",
         # harmonic centrality + eccentricity per seed from the same
         # unrolled-BFS chain (forward direction only)
         "kg_harmonic": f"""WITH {cw},

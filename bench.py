@@ -248,6 +248,13 @@ def run_bench() -> dict:
     timed("doc_lsh_bucket_balance",
           lambda: size(entry.queries()["doc_lsh_bucket_balance"](sf_dir)))
     timed("knn_filtered", lambda: size(entry.queries()["knn_filtered"](sf_dir)))
+    for _q5 in (
+        "kg_meta_paths", "kg_neighbor_jaccard", "kg_degree_spectrum",
+        "kg_label_pair_census", "kg_reciprocity", "kg_nobs_spectrum",
+        "kg_functional_violations", "kg_predicate_redundancy",
+        "kg_betweenness", "kg_harmonic", "doc_cdc_dedup", "kg_ktruss",
+    ):
+        timed(_q5, lambda _q5=_q5: size(entry.queries()[_q5](sf_dir)))
 
     headline = timings["kg_closed_world"]
     result = {

@@ -4102,3 +4102,311 @@ def harmonic_sampled(
     for c in ("n_reached", "ecc", "harmonic_micro"):
         out[c] = out[c].astype("int64")
     return out[cols]
+
+
+def ktruss(
+    edges: ray.data.Dataset,
+    k: int = 3,
+    src_col: str = "subj_id",
+    dst_col: str = "obj_id",
+    driver_edge_max: int = 200_000,
+    num_buckets: int = 64,
+    max_rounds: int | None = None,
+) -> pd.DataFrame:
+    """k-truss decomposition membership (undirected): synchronized
+    peeling — each round simultaneously removes every surviving edge in
+    fewer than ``k - 2`` triangles of the surviving subgraph — until a
+    fixed point; returns the surviving edges with their final support.
+    The community-robustness upgrade of k-core: a k-truss edge is
+    embedded in overlapping triangles, not merely incident to busy nodes.
+
+    Synchronized peeling is order-independent, so the result is exactly
+    the k-truss and the SQL twin unrolls the same rounds verbatim (the
+    kcore convention; a too-shallow unroll surfaces as a hash mismatch,
+    never a silently wrong engine result).  Always runs to the fixpoint;
+    ``max_rounds`` set RAISES if convergence takes longer.
+
+    Scale shape: under ``driver_edge_max`` distinct undirected edges the
+    peel loop is driver sets; above, each round is three bucket
+    exchanges with NO driver edge-state — (1) neighbor lists meet in
+    hash(center) buckets and emit wedge pairs (deg² per center, exact by
+    necessity: truss support admits no hub cut — document hubs as the
+    cost driver), (2) wedges + alive edges meet in hash(u, v) buckets to
+    confirm triangles and emit the 3 per-edge support increments,
+    (3) increments + alive edges meet in hash(edge) buckets for the sum
+    and the < k-2 filter; the driver sees one removed-count scalar per
+    round.
+
+    Returns (a, b, support) with a < b, BIGINT support."""
+    sep = "\x1f"
+
+    def _pair_rows(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)}
+            )
+        u = b[src_col].astype(str).to_numpy(dtype=object)
+        v = b[dst_col].astype(str).to_numpy(dtype=object)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        lo = np.where(u <= v, u, v)
+        hi = np.where(u <= v, v, u)
+        return pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+
+    pairs = (
+        edges.select_columns([src_col, dst_col])
+        .map_batches(_pair_rows, batch_format="pandas", batch_size=262144)
+        .materialize()
+    )
+    out_cols = ["a", "b", "support"]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "a": pd.Series(dtype=object),
+                "b": pd.Series(dtype=object),
+                "support": pd.Series(dtype="int64"),
+            }
+        )
+
+    n_edges = pairs.count()
+    if n_edges == 0:
+        return _empty()
+
+    need = k - 2
+
+    if driver_edge_max and n_edges <= driver_edge_max:
+        df = pairs.to_pandas().drop_duplicates()
+        alive = set(zip(df["a"], df["b"]))
+        rounds = 0
+        while True:
+            adj: dict[str, set] = {}
+            for a, b in alive:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            sup = {e: len(adj[e[0]] & adj[e[1]]) for e in alive}
+            drop = [e for e, s in sup.items() if s < need]
+            if not drop:
+                rows = sorted((a, b, s) for (a, b), s in sup.items())
+                return pd.DataFrame(rows, columns=out_cols).astype(
+                    {"support": "int64"}
+                )
+            alive.difference_update(drop)
+            rounds += 1
+            if max_rounds is not None and rounds > max_rounds:
+                raise RuntimeError(
+                    f"ktruss did not converge within max_rounds={max_rounds}"
+                )
+            if not alive:
+                return _empty()
+
+    # ---- distributed rung ------------------------------------------------
+    B = num_buckets
+
+    def _kb(keys) -> np.ndarray:
+        return (_md5_u64(list(keys)) % np.uint64(B)).astype("int32")
+
+    alive_ds = pairs
+    rounds = 0
+    while True:
+        # (1) wedges per center
+        und = alive_ds.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "bkt": _kb(
+                        np.concatenate(
+                            [
+                                b["a"].to_numpy(dtype=object),
+                                b["b"].to_numpy(dtype=object),
+                            ]
+                        )
+                    ),
+                    "z": np.concatenate(
+                        [b["a"].to_numpy(dtype=object), b["b"].to_numpy(dtype=object)]
+                    ),
+                    "nbr": np.concatenate(
+                        [b["b"].to_numpy(dtype=object), b["a"].to_numpy(dtype=object)]
+                    ),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+        def wedges(g: pd.DataFrame) -> pd.DataFrame:
+            g = g[["z", "nbr"]].drop_duplicates().sort_values(
+                ["z", "nbr"], kind="mergesort"
+            )
+            z = g["z"].to_numpy(dtype=object)
+            nbr = g["nbr"].to_numpy(dtype=object)
+            starts = np.flatnonzero(np.r_[True, z[1:] != z[:-1]])
+            ends = np.r_[starts[1:], len(z)]
+            us, vs, zs = [], [], []
+            for s, e in zip(starts, ends):
+                d = e - s
+                if d < 2:
+                    continue
+                block = nbr[s:e]
+                iu, iv = np.triu_indices(d, k=1)
+                us.append(block[iu])
+                vs.append(block[iv])
+                zs.append(np.repeat(z[s], len(iu)))
+            if not us:
+                return pd.DataFrame(
+                    {
+                        "u": pd.Series(dtype=object),
+                        "v": pd.Series(dtype=object),
+                        "z": pd.Series(dtype=object),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "u": np.concatenate(us),
+                    "v": np.concatenate(vs),
+                    "z": np.concatenate(zs),
+                }
+            )
+
+        w_ds = und.groupby("bkt").map_groups(wedges, batch_format="pandas")
+
+        # (2) confirm triangles in hash(u, v) buckets
+        wt = w_ds.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "bkt": _kb(b["u"].astype(str) + sep + b["v"].astype(str)),
+                    "kind": np.int8(1),
+                    "u": b["u"].to_numpy(dtype=object),
+                    "v": b["v"].to_numpy(dtype=object),
+                    "z": b["z"].to_numpy(dtype=object),
+                }
+            ),
+            batch_format="pandas",
+        )
+        et = alive_ds.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "bkt": _kb(b["a"].astype(str) + sep + b["b"].astype(str)),
+                    "kind": np.int8(0),
+                    "u": b["a"].to_numpy(dtype=object),
+                    "v": b["b"].to_numpy(dtype=object),
+                    "z": "",
+                }
+            ),
+            batch_format="pandas",
+        )
+
+        def confirm(g: pd.DataFrame) -> pd.DataFrame:
+            e = g[g["kind"] == 0]
+            w = g[g["kind"] == 1]
+            cols = {"ea": pd.Series(dtype=object), "eb": pd.Series(dtype=object)}
+            if not len(e) or not len(w):
+                return pd.DataFrame(cols)
+            key_e = set(zip(e["u"].tolist(), e["v"].tolist()))
+            m = [(u, v) in key_e for u, v in zip(w["u"], w["v"])]
+            t = w[m]
+            if not len(t):
+                return pd.DataFrame(cols)
+            # a triangle {x, y, z} surfaces as THREE wedges (one per
+            # center), and each confirmed wedge increments exactly its
+            # own pair edge (u, v) — so every edge collects one +1 per
+            # triangle it belongs to, never three
+            return pd.DataFrame(
+                {
+                    "ea": t["u"].to_numpy(dtype=object),
+                    "eb": t["v"].to_numpy(dtype=object),
+                }
+            )
+
+        inc = (
+            wt.union(et).groupby("bkt").map_groups(confirm, batch_format="pandas")
+        )
+
+        # (3) sum + filter in hash(edge) buckets
+        ib = inc.map_batches(
+            lambda b: (
+                lambda g: pd.DataFrame(
+                    {
+                        "bkt": _kb(g["ea"].astype(str) + sep + g["eb"].astype(str)),
+                        "kind": np.int8(1),
+                        "a": g["ea"].to_numpy(dtype=object),
+                        "b": g["eb"].to_numpy(dtype=object),
+                        "c": g["c"].to_numpy(dtype="int64"),
+                    }
+                )
+            )(
+                b.groupby(["ea", "eb"], sort=False)
+                .size()
+                .reset_index(name="c")
+            )
+            if len(b)
+            else pd.DataFrame(
+                {
+                    "bkt": pd.Series(dtype="int32"),
+                    "kind": pd.Series(dtype="int8"),
+                    "a": pd.Series(dtype=object),
+                    "b": pd.Series(dtype=object),
+                    "c": pd.Series(dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+        eb2 = alive_ds.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "bkt": _kb(b["a"].astype(str) + sep + b["b"].astype(str)),
+                    "kind": np.int8(0),
+                    "a": b["a"].to_numpy(dtype=object),
+                    "b": b["b"].to_numpy(dtype=object),
+                    "c": np.zeros(len(b), dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+        def supfilter(g: pd.DataFrame) -> pd.DataFrame:
+            e = g[g["kind"] == 0][["a", "b"]]
+            if not len(e):
+                return pd.DataFrame(
+                    {
+                        "a": pd.Series(dtype=object),
+                        "b": pd.Series(dtype=object),
+                        "support": pd.Series(dtype="int64"),
+                    }
+                )
+            s = (
+                g[g["kind"] == 1]
+                .groupby(["a", "b"], sort=False)["c"]
+                .sum()
+                .reset_index()
+            )
+            out = e.merge(s, on=["a", "b"], how="left")
+            out["support"] = out["c"].fillna(0).astype("int64")
+            return out[["a", "b", "support"]]
+
+        scored = (
+            ib.union(eb2)
+            .groupby("bkt")
+            .map_groups(supfilter, batch_format="pandas")
+            .materialize()
+        )
+        survivors = scored.map_batches(
+            lambda b: b[b["support"] >= need], batch_format="pandas"
+        ).materialize()
+        n_new = survivors.count()
+        n_old = alive_ds.count()
+        if n_new == n_old:
+            out = survivors.to_pandas()
+            if not len(out):
+                return _empty()
+            return (
+                out.sort_values(["a", "b"], kind="mergesort")
+                .reset_index(drop=True)[out_cols]
+                .astype({"support": "int64"})
+            )
+        if n_new == 0:
+            return _empty()
+        alive_ds = survivors.drop_columns(["support"]).materialize()
+        rounds += 1
+        if max_rounds is not None and rounds > max_rounds:
+            raise RuntimeError(
+                f"ktruss did not converge within max_rounds={max_rounds}"
+            )

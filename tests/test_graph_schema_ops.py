@@ -352,3 +352,60 @@ def test_harmonic_empty():
     out = harmonic_sampled(_pairs([]))
     assert len(out) == 0
     assert list(out.columns) == ["node", "n_reached", "ecc", "harmonic_micro"]
+
+
+# ---- ktruss -------------------------------------------------------------
+
+from kgray.functions.graph import ktruss
+
+
+@pytest.mark.parametrize("dmax", [200_000, 0])
+def test_ktruss_triangle_keeps_tail_drops(dmax):
+    out = ktruss(
+        _pairs([("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]),
+        k=3,
+        driver_edge_max=dmax,
+    )
+    got = {(r.a, r.b): r.support for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+
+@pytest.mark.parametrize("dmax", [200_000, 0])
+def test_ktruss_k4_clique_support_two(dmax):
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    out = ktruss(_pairs(k4), k=4, driver_edge_max=dmax)
+    got = {(r.a, r.b): r.support for r in out.itertuples()}
+    assert got == {(a, b): 2 for a, b in k4}
+
+
+@pytest.mark.parametrize("dmax", [200_000, 0])
+def test_ktruss_cascade_peel(dmax):
+    # two triangles sharing edge (b, c): each edge sits in one triangle
+    # except (b, c) in two -> k=4 (support >= 2) first drops the four
+    # outer edges, then (b, c) loses its triangles -> empty
+    two = [("a", "b"), ("b", "c"), ("a", "c"), ("b", "d"), ("c", "d")]
+    assert len(ktruss(_pairs(two), k=4, driver_edge_max=dmax)) == 0
+    out = ktruss(_pairs(two), k=3, driver_edge_max=dmax)
+    assert len(out) == 5
+
+
+def test_ktruss_direction_and_dups_collapse():
+    # directed duplicates and reverse edges are ONE undirected edge
+    out = ktruss(
+        _pairs([("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("a", "c")]), k=3
+    )
+    got = {(r.a, r.b): r.support for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_ktruss_max_rounds_raises():
+    # a 6-cycle chained to force >0 peel rounds with max_rounds=0
+    cyc = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    with pytest.raises(RuntimeError):
+        ktruss(_pairs(cyc), k=3, max_rounds=0)
+
+
+def test_ktruss_empty():
+    out = ktruss(_pairs([]))
+    assert len(out) == 0
+    assert list(out.columns) == ["a", "b", "support"]
