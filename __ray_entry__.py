@@ -579,6 +579,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_ktruss"] = lambda sf: __import__(
         "kgray.functions.graph", fromlist=["ktruss"]
     ).ktruss(_kg_closed_world(sf).edges, k=3)
+    q["kg_activity_decay"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["entity_activity_decay"]
+    ).entity_activity_decay(_kg_closed_world(sf).edges)
     q["doc_lsh_bucket_balance"] = lambda sf: __import__(
         "kgray.ops.dedup", fromlist=["lsh_bucket_balance"]
     ).lsh_bucket_balance(
@@ -7546,6 +7549,24 @@ def oracle_sql() -> dict[str, str]:
                 AND f.dist + r.dist = st.dst)
             SELECT v AS node, CAST(sum(term) AS BIGINT) AS bc_micro
             FROM contrib GROUP BY v HAVING sum(term) > 0""",
+        # staircase weekly half-life recency mass per entity over distinct
+        # observation dates — integer-exact (1e6 // 2^weeks), no FP pow
+        "kg_activity_decay": f"""WITH {cw},
+            obs AS (SELECT subj_name AS name, subj_label AS label, obs_date
+                    FROM cq
+                    UNION SELECT obj_name, obj_label, obs_date FROM cq),
+            mx AS (SELECT max(CAST(epoch(strptime(obs_date, '%Y-%m-%d'))
+                               AS BIGINT)) AS m FROM obs),
+            wt AS (SELECT name, label,
+                          CAST(epoch(strptime(obs_date, '%Y-%m-%d')) AS BIGINT)
+                            AS t, m
+                   FROM obs, mx)
+            SELECT name, label, CAST(count(*) AS BIGINT) AS n_dates,
+                   CAST(max(t) AS DOUBLE) AS last_obs,
+                   CAST(sum(1000000 // (CAST(1 AS BIGINT)
+                                        << least((m - t) // 604800, 40)))
+                        AS BIGINT) AS decayed_micro
+            FROM wt GROUP BY 1, 2""",
         # k-truss: synchronized edge peel rounds unrolled, triangle
         # census per round via the ordered x<y<z 3-way self-join
         "kg_ktruss": f"""WITH {cw},

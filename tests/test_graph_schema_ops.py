@@ -409,3 +409,64 @@ def test_ktruss_empty():
     out = ktruss(_pairs([]))
     assert len(out) == 0
     assert list(out.columns) == ["a", "b", "support"]
+
+
+# ---- entity_activity_decay ----------------------------------------------
+
+from kgray.functions.graph import entity_activity_decay
+
+
+def _edges_with_tobs(rows):
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            rows,
+            columns=["subj_name", "subj_label", "obj_name", "obj_label", "t_obs"],
+        )
+    )
+
+
+def test_activity_decay_staircase():
+    wk = 604800.0
+    t0 = 1_600_000_000.0
+    ds = _edges_with_tobs(
+        [
+            # a observed at max date and 2 weeks prior; b only 2 weeks prior
+            ("a", "person", "x", "org", [t0, t0 - 2 * wk]),
+            ("b", "person", "x", "org", [t0 - 2 * wk]),
+        ]
+    )
+    out = entity_activity_decay(ds)
+    got = {
+        (r.name, r.label): (r.n_dates, r.last_obs, r.decayed_micro)
+        for r in out.itertuples()
+    }
+    assert got[("a", "person")] == (2, t0, 1_000_000 + 250_000)
+    assert got[("b", "person")] == (1, t0 - 2 * wk, 250_000)
+    # x sits on both edges: dates {t0, t0-2wk} dedup to two
+    assert got[("x", "org")] == (2, t0, 1_250_000)
+
+
+def test_activity_decay_dedups_same_date_across_edges():
+    t0 = 1_600_000_000.0
+    ds = _edges_with_tobs(
+        [
+            ("a", "person", "x", "org", [t0]),
+            ("a", "person", "y", "org", [t0]),
+        ]
+    )
+    out = entity_activity_decay(ds)
+    got = {(r.name, r.label): (r.n_dates, r.decayed_micro) for r in out.itertuples()}
+    # a's single date counts once despite two incident edges
+    assert got[("a", "person")] == (1, 1_000_000)
+
+
+def test_activity_decay_old_observations_zero():
+    wk = 604800.0
+    t0 = 1_600_000_000.0
+    ds = _edges_with_tobs(
+        [("a", "person", "x", "org", [t0]), ("b", "person", "y", "org", [t0 - 25 * wk])]
+    )
+    out = entity_activity_decay(ds)
+    got = {(r.name, r.label): r.decayed_micro for r in out.itertuples()}
+    assert got[("b", "person")] == 0  # 1e6 // 2^25 == 0
+    assert got[("a", "person")] == 1_000_000
