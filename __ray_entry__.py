@@ -582,6 +582,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_activity_decay"] = lambda sf: __import__(
         "kgray.functions.graph", fromlist=["entity_activity_decay"]
     ).entity_activity_decay(_kg_closed_world(sf).edges)
+    q["kg_negative_samples"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["negative_samples"]
+    ).negative_samples(_kg_closed_world(sf).edges, k=2)
     q["doc_lsh_bucket_balance"] = lambda sf: __import__(
         "kgray.ops.dedup", fromlist=["lsh_bucket_balance"]
     ).lsh_bucket_balance(
@@ -7549,6 +7552,33 @@ def oracle_sql() -> dict[str, str]:
                 AND f.dist + r.dist = st.dst)
             SELECT v AS node, CAST(sum(term) AS BIGINT) AS bc_micro
             FROM contrib GROUP BY v HAVING sum(term) > 0""",
+        # deterministic filtered-setting negative sampling: corrupted tail
+        # = vocab[md5(s|p|o|slot) % n] over the lexicographic entity rank,
+        # anti-joined against true triples (and the original tail)
+        "kg_negative_samples": f"""WITH {cw},
+            eset AS MATERIALIZED (
+              SELECT DISTINCT subj_id, pred, obj_id FROM cq),
+            nsvocab AS MATERIALIZED (
+              SELECT eid, row_number() OVER (ORDER BY eid) - 1 AS r
+              FROM (SELECT DISTINCT subj_id AS eid FROM eset
+                    UNION SELECT obj_id FROM eset)),
+            nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nsvocab),
+            cand AS (
+              SELECT e.subj_id, e.pred, e.obj_id, s.slot,
+                     CAST(md5_number_lower(e.subj_id || '|' || e.pred || '|'
+                                           || e.obj_id || '|' || s.slot)
+                          % (SELECT n FROM nv) AS BIGINT) AS idx
+              FROM eset e CROSS JOIN (SELECT unnest([0, 1]) AS slot) s),
+            neg AS (
+              SELECT c.subj_id, c.pred, v.eid AS neg_obj_id, c.slot
+              FROM cand c JOIN nsvocab v ON v.r = c.idx
+              WHERE v.eid <> c.obj_id)
+            SELECT n.subj_id, n.pred, n.neg_obj_id,
+                   CAST(n.slot AS BIGINT) AS slot
+            FROM neg n LEFT JOIN eset t
+              ON t.subj_id = n.subj_id AND t.pred = n.pred
+                 AND t.obj_id = n.neg_obj_id
+            WHERE t.subj_id IS NULL""",
         # staircase weekly half-life recency mass per entity over distinct
         # observation dates — integer-exact (1e6 // 2^weeks), no FP pow
         "kg_activity_decay": f"""WITH {cw},

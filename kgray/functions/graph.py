@@ -4521,3 +4521,162 @@ def entity_activity_decay(
     return (
         out.sort_values(["name", "label"], kind="mergesort").reset_index(drop=True)[cols]
     )
+
+
+def negative_samples(
+    edges: ray.data.Dataset,
+    k: int = 2,
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Negative sampling for KG-embedding training (the TransE/DistMult
+    data-prep stage, FILTERED setting): for every distinct true triple
+    (s, p, o) and slot index i in 0..k-1, a corrupted tail is drawn
+    deterministically — vocab[md5_u64(s|p|o|i) % |vocab|] over the
+    lexicographically-ranked entity vocabulary — and kept only if the
+    corrupted triple is NOT itself a true edge (and not the original
+    tail).  Deterministic draws make the sample reproducible shard-by-
+    shard AND SQL-twinnable (md5_number_lower + row_number rank).
+
+    Scale shape: the entity vocabulary broadcasts once as a sorted array
+    (vocabulary-sized, the adamic_adar/edge-set budget) — corruption is
+    then one vectorized hash + take per batch; the filtered-setting
+    anti-join runs in hash(s, p, o) buckets against the true edge
+    stream, never on the driver.
+
+    Returns (subj_id, pred, neg_obj_id, slot) sorted."""
+    sep = "\x1f"
+
+    import ray as _ray
+
+    from kgray.functions.broadcast import cached_get
+
+    def _dedup(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["subj_id", "pred", "obj_id"]].astype(str).drop_duplicates()
+
+    eset = (
+        edges.select_columns(["subj_id", "pred", "obj_id"])
+        .map_batches(_dedup, batch_format="pandas", batch_size=262144)
+        .materialize()
+    )
+    cols = ["subj_id", "pred", "neg_obj_id", "slot"]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj_id": pd.Series(dtype=object),
+                "pred": pd.Series(dtype=object),
+                "neg_obj_id": pd.Series(dtype=object),
+                "slot": pd.Series(dtype="int64"),
+            }
+        )
+
+    vparts = eset.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "eid": pd.unique(
+                    np.concatenate(
+                        [
+                            b["subj_id"].to_numpy(dtype=object),
+                            b["obj_id"].to_numpy(dtype=object),
+                        ]
+                    )
+                )
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    if not len(vparts):
+        return _empty()
+    vocab = np.unique(vparts["eid"].to_numpy(dtype=object))  # sorted
+    n_vocab = len(vocab)
+    vocab_ref = _ray.put(vocab)
+
+    def corrupt(b: pd.DataFrame) -> pd.DataFrame:
+        v = cached_get(vocab_ref)
+        frames = []
+        s = b["subj_id"].to_numpy(dtype=object)
+        p = b["pred"].to_numpy(dtype=object)
+        o = b["obj_id"].to_numpy(dtype=object)
+        for i in range(k):
+            key = [
+                f"{a}|{q}|{c}|{i}" for a, q, c in zip(s, p, o)
+            ]
+            idx = (_md5_u64(key) % np.uint64(n_vocab)).astype(np.int64)
+            cand = v[idx]
+            keep = cand != o
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "subj_id": s[keep],
+                        "pred": p[keep],
+                        "neg_obj_id": cand[keep],
+                        "slot": np.int64(i),
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["bucket"] = (
+            _md5_u64(
+                [
+                    a + sep + q + sep + c
+                    for a, q, c in zip(out["subj_id"], out["pred"], out["neg_obj_id"])
+                ]
+            )
+            % np.uint64(n_buckets)
+        ).astype("int32")
+        out["kind"] = np.int8(1)
+        return out
+
+    truth = eset.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "subj_id": b["subj_id"].to_numpy(dtype=object),
+                "pred": b["pred"].to_numpy(dtype=object),
+                "neg_obj_id": b["obj_id"].to_numpy(dtype=object),
+                "slot": np.int64(-1),
+                "bucket": (
+                    _md5_u64(
+                        [
+                            a + sep + q + sep + c
+                            for a, q, c in zip(b["subj_id"], b["pred"], b["obj_id"])
+                        ]
+                    )
+                    % np.uint64(n_buckets)
+                ).astype("int32"),
+                "kind": np.int8(0),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def antijoin(g: pd.DataFrame) -> pd.DataFrame:
+        true_keys = set(
+            zip(
+                g.loc[g["kind"] == 0, "subj_id"],
+                g.loc[g["kind"] == 0, "pred"],
+                g.loc[g["kind"] == 0, "neg_obj_id"],
+            )
+        )
+        neg = g[g["kind"] == 1]
+        if not len(neg):
+            return _empty()
+        m = [
+            (a, q, c) not in true_keys
+            for a, q, c in zip(neg["subj_id"], neg["pred"], neg["neg_obj_id"])
+        ]
+        out = neg[m][cols].copy()
+        out["slot"] = out["slot"].astype("int64")
+        return out
+
+    out = (
+        eset.map_batches(corrupt, batch_format="pandas")
+        .union(truth)
+        .groupby("bucket")
+        .map_groups(antijoin, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(out):
+        return _empty()
+    return (
+        out.sort_values(cols, kind="mergesort").reset_index(drop=True)[cols]
+    )

@@ -470,3 +470,45 @@ def test_activity_decay_old_observations_zero():
     got = {(r.name, r.label): r.decayed_micro for r in out.itertuples()}
     assert got[("b", "person")] == 0  # 1e6 // 2^25 == 0
     assert got[("a", "person")] == 1_000_000
+
+
+# ---- negative_samples ---------------------------------------------------
+
+import numpy as np
+
+from kgray.functions.graph import _md5_u64, negative_samples
+
+
+def test_negative_samples_deterministic_filtered_and_reproducible():
+    rows = [
+        ("a", "person", "p", "x", "org"),
+        ("b", "person", "p", "y", "org"),
+        ("a", "person", "q", "y", "org"),
+    ]
+    ds = _edges(rows)
+    out1 = negative_samples(ds, k=2)
+    out2 = negative_samples(ds, k=2)
+    # deterministic: identical across runs
+    assert out1.to_dict("records") == out2.to_dict("records")
+    vocab = np.array(sorted({"a", "b", "x", "y"}), dtype=object)
+    true = {(s, p, o) for s, _, p, o, _ in rows}
+    assert len(out1) > 0
+    for r in out1.itertuples():
+        # filtered setting: never a true triple, always from the vocab
+        assert (r.subj_id, r.pred, r.neg_obj_id) not in true
+        assert r.neg_obj_id in set(vocab)
+    # every row reproduces the documented draw for SOME source triple:
+    # neg_obj == vocab[md5(s|p|o|slot) % n] with the original tail o
+    emitted = {(r.subj_id, r.pred, r.neg_obj_id, r.slot) for r in out1.itertuples()}
+    for s, _, p, o, _ in rows:
+        for slot in (0, 1):
+            idx = int(_md5_u64([f"{s}|{p}|{o}|{slot}"])[0] % np.uint64(len(vocab)))
+            cand = vocab[idx]
+            if cand != o and (s, p, cand) not in true:
+                assert (s, p, cand, slot) in emitted
+
+
+def test_negative_samples_empty():
+    out = negative_samples(_edges([]))
+    assert len(out) == 0
+    assert list(out.columns) == ["subj_id", "pred", "neg_obj_id", "slot"]
