@@ -585,6 +585,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_negative_samples"] = lambda sf: __import__(
         "kgray.functions.graph", fromlist=["negative_samples"]
     ).negative_samples(_kg_closed_world(sf).edges, k=2)
+    q["kg_path_features"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["path_features"]
+    ).path_features(_kg_closed_world(sf).edges)
+    q["kg_transitive_audit"] = lambda sf: __import__(
+        "kgray.functions.graph", fromlist=["transitive_audit"]
+    ).transitive_audit(_kg_closed_world(sf).edges)
     q["doc_lsh_bucket_balance"] = lambda sf: __import__(
         "kgray.ops.dedup", fromlist=["lsh_bucket_balance"]
     ).lsh_bucket_balance(
@@ -7552,6 +7558,53 @@ def oracle_sql() -> dict[str, str]:
                 AND f.dist + r.dist = st.dst)
             SELECT v AS node, CAST(sum(term) AS BIGINT) AS bc_micro
             FROM contrib GROUP BY v HAVING sum(term) > 0""",
+        # PRA path features: per ordered pair, 2-hop path counts by pred
+        # pair; hub middles (total distinct io degree > 256) cut on both
+        # sides
+        "kg_path_features": f"""WITH {cw},
+            eset AS MATERIALIZED (
+              SELECT DISTINCT subj_id, pred, obj_id FROM cq),
+            io AS MATERIALIZED (
+              SELECT obj_id AS node, 0 AS side, subj_id AS other, pred
+              FROM eset
+              UNION SELECT subj_id, 1, obj_id, pred FROM eset),
+            mdeg AS (SELECT node, count(*) AS d FROM io GROUP BY node),
+            mok AS (SELECT node FROM mdeg WHERE d <= 256)
+            SELECT a.other AS s, b.other AS t,
+                   a.pred AS pred_a, b.pred AS pred_b,
+                   CAST(count(*) AS BIGINT) AS n_paths
+            FROM io a
+            JOIN io b ON a.node = b.node AND a.side = 0 AND b.side = 1
+            JOIN mok k ON k.node = a.node
+            GROUP BY 1, 2, 3, 4""",
+        # transitive-redundancy audit: same-pred edges implied by a
+        # same-pred 2-path; per-(node, pred) hub cut identical both sides
+        "kg_transitive_audit": f"""WITH {cw},
+            eset AS MATERIALIZED (
+              SELECT DISTINCT subj_id, pred, obj_id FROM cq
+              WHERE subj_id <> obj_id),
+            pio AS MATERIALIZED (
+              SELECT obj_id AS node, pred, 0 AS side, subj_id AS other
+              FROM eset
+              UNION SELECT subj_id, pred, 1, obj_id FROM eset),
+            pdeg AS (SELECT node, pred, count(*) AS d FROM pio
+                     GROUP BY 1, 2),
+            pok AS (SELECT node, pred FROM pdeg WHERE d <= 256),
+            w AS (SELECT DISTINCT a.other AS s, a.pred, b.other AS t
+                  FROM pio a
+                  JOIN pio b ON a.node = b.node AND a.pred = b.pred
+                       AND a.side = 0 AND b.side = 1
+                  JOIN pok k ON k.node = a.node AND k.pred = a.pred
+                  WHERE a.other <> b.other)
+            SELECT e.pred, CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(sum(CASE WHEN w.s IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_implied,
+                   CAST(sum(CASE WHEN w.s IS NOT NULL THEN 1 ELSE 0 END)
+                        * 1000000 // count(*) AS BIGINT)::DOUBLE / 1e6
+                     AS implied_rate
+            FROM eset e LEFT JOIN w
+              ON w.s = e.subj_id AND w.pred = e.pred AND w.t = e.obj_id
+            GROUP BY 1""",
         # deterministic filtered-setting negative sampling: corrupted tail
         # = vocab[md5(s|p|o|slot) % n] over the lexicographic entity rank,
         # anti-joined against true triples (and the original tail)

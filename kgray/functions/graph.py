@@ -4680,3 +4680,316 @@ def negative_samples(
     return (
         out.sort_values(cols, kind="mergesort").reset_index(drop=True)[cols]
     )
+
+
+def path_features(
+    edges: ray.data.Dataset,
+    n_buckets: int = 64,
+    max_center_degree: int = 256,
+) -> pd.DataFrame:
+    """PRA-style path features for KG completion (Lao & Cohen's Path
+    Ranking Algorithm, feature-extraction stage): for every ordered
+    entity pair (s, t) connected by at least one directed 2-hop path,
+    the count of paths per predicate pair — the feature matrix a
+    completion model consumes (``(s, ?, t)`` scored by which meta-paths
+    connect them).
+
+    Scale shape: the in/out halves of each middle node meet in ONE
+    node-hash bucket shuffle and emit per-pair features there (deg_in ×
+    deg_out per middle, the wedge budget); middles above
+    ``max_center_degree`` total degree are SKIPPED on both sides (the
+    adamic_adar hub cut — a hub connects everything to everything and
+    carries no discriminative signal; the twin applies the identical
+    cut); a second (s, t)-hash shuffle folds duplicate features emitted
+    through different middles.
+
+    Returns (s, t, pred_a, pred_b, n_paths) with n_paths BIGINT."""
+    sep = "\x1f"
+
+    def io_rows(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[["subj_id", "pred", "obj_id"]].astype(str).drop_duplicates()
+        out = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "node": d["obj_id"].to_numpy(dtype=object),
+                        "side": np.int8(0),
+                        "other": d["subj_id"].to_numpy(dtype=object),
+                        "pred": d["pred"].to_numpy(dtype=object),
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "node": d["subj_id"].to_numpy(dtype=object),
+                        "side": np.int8(1),
+                        "other": d["obj_id"].to_numpy(dtype=object),
+                        "pred": d["pred"].to_numpy(dtype=object),
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+        out["bucket"] = (
+            _md5_u64([str(x) for x in out["node"]]) % np.uint64(n_buckets)
+        ).astype("int32")
+        return out
+
+    def per_middle(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["node", "side", "other", "pred"])
+        deg = g.groupby("node", sort=False).size()
+        ok = deg[deg <= max_center_degree].index
+        g = g[g["node"].isin(ok)]
+        ins = g[g["side"] == 0][["node", "other", "pred"]].rename(
+            columns={"other": "s", "pred": "pred_a"}
+        )
+        outs = g[g["side"] == 1][["node", "other", "pred"]].rename(
+            columns={"other": "t", "pred": "pred_b"}
+        )
+        if not len(ins) or not len(outs):
+            return pd.DataFrame(
+                {
+                    "s": pd.Series(dtype=object),
+                    "t": pd.Series(dtype=object),
+                    "pred_a": pd.Series(dtype=object),
+                    "pred_b": pd.Series(dtype=object),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        j = ins.merge(outs, on="node")
+        out = (
+            j.groupby(["s", "t", "pred_a", "pred_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        if not len(b):
+            b["pbucket"] = pd.Series(dtype="int32")
+            return b
+        key = [
+            s + sep + t for s, t in zip(b["s"].astype(str), b["t"].astype(str))
+        ]
+        b["pbucket"] = (_md5_u64(key) % np.uint64(n_buckets)).astype("int32")
+        return b
+
+    out = (
+        edges.select_columns(["subj_id", "pred", "obj_id"])
+        .map_batches(io_rows, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_middle, batch_format="pandas")
+        .map_batches(pair_bucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(
+            lambda g: g.groupby(["s", "t", "pred_a", "pred_b"], sort=False)["n"]
+            .sum()
+            .reset_index(name="n_paths")
+            if len(g)
+            else pd.DataFrame(
+                {
+                    "s": pd.Series(dtype=object),
+                    "t": pd.Series(dtype=object),
+                    "pred_a": pd.Series(dtype=object),
+                    "pred_b": pd.Series(dtype=object),
+                    "n_paths": pd.Series(dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    cols = ["s", "t", "pred_a", "pred_b", "n_paths"]
+    if not len(out):
+        return pd.DataFrame(
+            {
+                "s": pd.Series(dtype=object),
+                "t": pd.Series(dtype=object),
+                "pred_a": pd.Series(dtype=object),
+                "pred_b": pd.Series(dtype=object),
+                "n_paths": pd.Series(dtype="int64"),
+            }
+        )
+    out["n_paths"] = out["n_paths"].astype("int64")
+    return out.sort_values(cols[:4], kind="mergesort").reset_index(drop=True)[cols]
+
+
+def transitive_audit(
+    edges: ray.data.Dataset,
+    n_buckets: int = 64,
+    max_center_degree: int = 256,
+) -> pd.DataFrame:
+    """Transitive-redundancy audit per predicate: how many distinct
+    directed edges (a, p, c) are IMPLIED by a same-predicate 2-path
+    a -p-> b -p-> c — the transitive-reduction readout an ontology
+    engineer uses to decide whether a predicate is transitive (high
+    implied rate: ``part_of``-likes, candidates for closure pruning) or
+    genuinely flat.
+
+    Scale shape: same-pred wedges form in ONE middle-hash shuffle
+    (middles above ``max_center_degree`` per-pred degree skipped, twin
+    identical), then wedge pairs + the true edge stream meet in
+    hash(s, p, t) buckets — implied membership is confirmed where the
+    edge lives; per-pred partials fold driver-side.
+
+    Returns (pred, n_edges, n_implied, implied_rate) micro-quantized."""
+    sep = "\x1f"
+
+    def io_rows(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[["subj_id", "pred", "obj_id"]].astype(str).drop_duplicates()
+        d = d[d["subj_id"] != d["obj_id"]]
+        out = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "node": d["obj_id"].to_numpy(dtype=object),
+                        "pred": d["pred"].to_numpy(dtype=object),
+                        "side": np.int8(0),
+                        "other": d["subj_id"].to_numpy(dtype=object),
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "node": d["subj_id"].to_numpy(dtype=object),
+                        "pred": d["pred"].to_numpy(dtype=object),
+                        "side": np.int8(1),
+                        "other": d["obj_id"].to_numpy(dtype=object),
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+        out["bucket"] = (
+            _md5_u64(
+                [n + sep + p for n, p in zip(out["node"], out["pred"])]
+            )
+            % np.uint64(n_buckets)
+        ).astype("int32")
+        return out
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["node", "pred", "side", "other"])
+        deg = g.groupby(["node", "pred"], sort=False).size()
+        keep = deg[deg <= max_center_degree].index
+        g = g.set_index(["node", "pred"]).loc[
+            g.set_index(["node", "pred"]).index.isin(keep)
+        ].reset_index()
+        ins = g[g["side"] == 0][["node", "pred", "other"]].rename(
+            columns={"other": "s"}
+        )
+        outs = g[g["side"] == 1][["node", "pred", "other"]].rename(
+            columns={"other": "t"}
+        )
+        if not len(ins) or not len(outs):
+            return pd.DataFrame(
+                {
+                    "s": pd.Series(dtype=object),
+                    "pred": pd.Series(dtype=object),
+                    "t": pd.Series(dtype=object),
+                }
+            )
+        j = ins.merge(outs, on=["node", "pred"])
+        j = j[j["s"] != j["t"]]
+        return j[["s", "pred", "t"]].drop_duplicates()
+
+    wedges = (
+        edges.select_columns(["subj_id", "pred", "obj_id"])
+        .map_batches(io_rows, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(wedge_pairs, batch_format="pandas")
+    )
+
+    def tag_wedge(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bkt": (
+                    _md5_u64(
+                        [
+                            s + sep + p + sep + t
+                            for s, p, t in zip(b["s"], b["pred"], b["t"])
+                        ]
+                    )
+                    % np.uint64(n_buckets)
+                ).astype("int32"),
+                "kind": np.int8(1),
+                "s": b["s"].to_numpy(dtype=object),
+                "pred": b["pred"].to_numpy(dtype=object),
+                "t": b["t"].to_numpy(dtype=object),
+            }
+        )
+
+    def tag_edge(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[["subj_id", "pred", "obj_id"]].astype(str).drop_duplicates()
+        d = d[d["subj_id"] != d["obj_id"]]
+        return pd.DataFrame(
+            {
+                "bkt": (
+                    _md5_u64(
+                        [
+                            s + sep + p + sep + t
+                            for s, p, t in zip(d["subj_id"], d["pred"], d["obj_id"])
+                        ]
+                    )
+                    % np.uint64(n_buckets)
+                ).astype("int32"),
+                "kind": np.int8(0),
+                "s": d["subj_id"].to_numpy(dtype=object),
+                "pred": d["pred"].to_numpy(dtype=object),
+                "t": d["obj_id"].to_numpy(dtype=object),
+            }
+        )
+
+    def confirm(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 0]
+        w = g[g["kind"] == 1].drop_duplicates(["s", "pred", "t"])
+        if not len(e):
+            return pd.DataFrame(
+                {
+                    "pred": pd.Series(dtype=object),
+                    "n_edges": pd.Series(dtype="int64"),
+                    "n_implied": pd.Series(dtype="int64"),
+                }
+            )
+        wk = set(zip(w["s"].tolist(), w["pred"].tolist(), w["t"].tolist()))
+        implied = np.array(
+            [
+                (s, p, t) in wk
+                for s, p, t in zip(e["s"], e["pred"], e["t"])
+            ],
+            dtype=bool,
+        )
+        out = pd.DataFrame({"pred": e["pred"], "i": implied.astype("int64")})
+        agg = out.groupby("pred", sort=False).agg(
+            n_edges=("i", "size"), n_implied=("i", "sum")
+        )
+        return agg.reset_index().astype({"n_edges": "int64", "n_implied": "int64"})
+
+    parts = (
+        wedges.map_batches(tag_wedge, batch_format="pandas")
+        .union(
+            edges.select_columns(["subj_id", "pred", "obj_id"]).map_batches(
+                tag_edge, batch_format="pandas"
+            )
+        )
+        .groupby("bkt")
+        .map_groups(confirm, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "pred": pd.Series(dtype=object),
+                "n_edges": pd.Series(dtype="int64"),
+                "n_implied": pd.Series(dtype="int64"),
+                "implied_rate": pd.Series(dtype="float64"),
+            }
+        )
+    out = parts.groupby("pred", sort=True).sum().reset_index()
+    out["n_edges"] = out["n_edges"].astype("int64")
+    out["n_implied"] = out["n_implied"].astype("int64")
+    out["implied_rate"] = (
+        (out["n_implied"] * 1_000_000 // out["n_edges"]).astype("int64").astype("float64")
+        / 1e6
+    )
+    return out

@@ -512,3 +512,81 @@ def test_negative_samples_empty():
     out = negative_samples(_edges([]))
     assert len(out) == 0
     assert list(out.columns) == ["subj_id", "pred", "neg_obj_id", "slot"]
+
+
+# ---- path_features / transitive_audit -----------------------------------
+
+from kgray.functions.graph import path_features, transitive_audit
+
+
+def test_path_features_per_pair_counts():
+    # a-p->m, b-p->m, m-q->c: pairs (a,c) and (b,c) each get (p,q) x1;
+    # backtracks a->m->a do not exist here (no q edge back)
+    ds = _edges(
+        [
+            ("a", "person", "p", "m", "org"),
+            ("b", "person", "p", "m", "org"),
+            ("m", "org", "q", "c", "org"),
+        ]
+    )
+    out = path_features(ds)
+    got = {(r.s, r.t, r.pred_a, r.pred_b): r.n_paths for r in out.itertuples()}
+    assert got == {("a", "c", "p", "q"): 1, ("b", "c", "p", "q"): 1}
+
+
+def test_path_features_multi_middle_fold():
+    # a->m1->c and a->m2->c, same pred pair: ONE feature row with count 2
+    ds = _edges(
+        [
+            ("a", "person", "p", "m1", "org"),
+            ("a", "person", "p", "m2", "org"),
+            ("m1", "org", "q", "c", "org"),
+            ("m2", "org", "q", "c", "org"),
+        ]
+    )
+    out = path_features(ds)
+    got = {(r.s, r.t, r.pred_a, r.pred_b): r.n_paths for r in out.itertuples()}
+    assert got[("a", "c", "p", "q")] == 2
+
+
+def test_path_features_hub_cut():
+    # middle with total degree 3 > cap 2 emits nothing
+    ds = _edges(
+        [
+            ("a", "person", "p", "m", "org"),
+            ("b", "person", "p", "m", "org"),
+            ("m", "org", "q", "c", "org"),
+        ]
+    )
+    assert len(path_features(ds, max_center_degree=2)) == 0
+
+
+def test_transitive_audit_chain_and_closure():
+    # p: a->b, b->c, a->c  => (a,c) implied by a->b->c; 1/3 implied
+    # q: x->y only         => 0 implied
+    ds = _edges(
+        [
+            ("a", "org", "p", "b", "org"),
+            ("b", "org", "p", "c", "org"),
+            ("a", "org", "p", "c", "org"),
+            ("x", "org", "q", "y", "org"),
+        ]
+    )
+    out = transitive_audit(ds)
+    got = {r.pred: (r.n_edges, r.n_implied, r.implied_rate) for r in out.itertuples()}
+    assert got["p"] == (3, 1, 0.333333)
+    assert got["q"] == (1, 0, 0.0)
+
+
+def test_transitive_audit_cross_pred_not_implied():
+    # a-p->b-q->c does NOT imply (a, p, c)
+    ds = _edges(
+        [
+            ("a", "org", "p", "b", "org"),
+            ("b", "org", "q", "c", "org"),
+            ("a", "org", "p", "c", "org"),
+        ]
+    )
+    out = transitive_audit(ds)
+    got = {r.pred: r.n_implied for r in out.itertuples()}
+    assert got["p"] == 0
