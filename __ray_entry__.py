@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- conversation assembly (oracle-checked) --------------------------
     q["transcripts_from_events"] = _q_transcripts_from_events
     q["transcript_stats"] = _q_transcript_stats
+    q["transcript_turn_taking"] = _q_transcript_turn_taking
     q["conversation_concat_events"] = _q_conversation_concat
 
     # --- text analysis ---------------------------------------------------
@@ -3969,6 +3970,17 @@ def _q_transcript_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+def _q_transcript_turn_taking(sf_dir: str) -> pd.DataFrame:
+    """Order-sensitive dialogue-shape rollup: role switches, longest
+    same-role run, lower-median inter-turn gap — one conv-hash shuffle
+    (kgray/ops/transcripts.py turn_taking)."""
+    from kgray.ops.transcripts import turn_taking
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    out = turn_taking(transcripts_from_events(events)).to_pandas()
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
 def _q_conversation_concat(sf_dir: str) -> pd.DataFrame:
     events = ray.data.read_parquet(f"{sf_dir}/events.parquet")
     transcripts = transcripts_from_events(events)
@@ -5776,6 +5788,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
                      AS duration_us
             FROM transcripts GROUP BY conv_id
+        """,
+        "transcript_turn_taking": f"""
+            {transcripts_cte},
+            o AS (SELECT conv_id, turn_idx, role, epoch_us(ts) AS tus,
+                         lag(role) OVER w AS prole,
+                         lag(epoch_us(ts)) OVER w AS ptus
+                  FROM transcripts
+                  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+            sw AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                          CAST(sum(CASE WHEN prole IS NOT NULL
+                                             AND role <> prole
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                            AS n_switches
+                   FROM o GROUP BY 1),
+            runs AS (SELECT conv_id, rid, count(*) AS rl FROM (
+                       SELECT conv_id,
+                              sum(CASE WHEN prole IS NULL OR role <> prole
+                                       THEN 1 ELSE 0 END)
+                                OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                                AS rid
+                       FROM o) GROUP BY 1, 2),
+            mr AS (SELECT conv_id, CAST(max(rl) AS BIGINT) AS max_run
+                   FROM runs GROUP BY 1),
+            gaps AS (SELECT conv_id, tus - ptus AS gap FROM o
+                     WHERE ptus IS NOT NULL),
+            gr AS (SELECT conv_id, gap,
+                          row_number() OVER (PARTITION BY conv_id
+                                             ORDER BY gap) AS rn,
+                          count(*) OVER (PARTITION BY conv_id) AS cnt
+                   FROM gaps),
+            md AS (SELECT conv_id, CAST(gap AS BIGINT) AS med_gap_us
+                   FROM gr WHERE rn = (cnt - 1) // 2 + 1)
+            SELECT sw.conv_id, sw.n_turns, sw.n_switches, mr.max_run,
+                   md.med_gap_us
+            FROM sw JOIN mr USING (conv_id) JOIN md USING (conv_id)
         """,
         "conversation_concat_events": f"""
             {transcripts_cte}

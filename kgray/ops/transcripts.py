@@ -8,6 +8,7 @@ quality scores do for documents.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -79,4 +80,92 @@ def conversation_stats(
         transcripts.map_batches(partial, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(combine, batch_format="pandas")
+    )
+
+
+def turn_taking(
+    transcripts: ray.data.Dataset, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Order-sensitive conversation-structure rollup: per conversation
+    with >= 2 turns, the role-switch count, the longest same-role run,
+    and the LOWER-median inter-turn gap in microseconds (exact discrete
+    median — index (n-1)//2 of the sorted gaps — so the SQL twin's
+    row_number pick matches bit-for-bit).  The dialogue-shape readout
+    agent-trace curation uses to separate ping-pong chats from
+    monologues and tool-burst traces.
+
+    Scale shape: ONE hash(conv_id) shuffle of the pruned (conv_id,
+    turn_idx, role, ts) projection — order-dependent metrics need the
+    conversation co-located, and a conversation is bounded (the
+    sessionize budget); within a bucket everything is vectorized
+    (shift-compare for switches, cumsum run-ids, sorted cumcount pick
+    for the median).
+    """
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "conv_id": b["conv_id"],
+                "turn_idx": b["turn_idx"].astype("int64"),
+                "role": b["role"],
+                "ts_us": b["ts"].astype("datetime64[ns]").astype("int64") // 1000,
+            }
+        )
+        out["bucket"] = (
+            pd.util.hash_array(out["conv_id"].to_numpy(dtype=object)) % num_buckets
+        ).astype("int32")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "conv_id": pd.Series(dtype=object),
+                "n_turns": pd.Series(dtype="int64"),
+                "n_switches": pd.Series(dtype="int64"),
+                "max_run": pd.Series(dtype="int64"),
+                "med_gap_us": pd.Series(dtype="int64"),
+            }
+        )
+        if not len(g):
+            return empty
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(
+            drop=True
+        )
+        conv = g["conv_id"].to_numpy(dtype=object)
+        role = g["role"].to_numpy(dtype=object)
+        ts = g["ts_us"].to_numpy(dtype="int64")
+        same = np.r_[False, conv[1:] == conv[:-1]]
+        switch = same & np.r_[False, role[1:] != role[:-1]]
+        nt = pd.Series(1, index=g.index).groupby(conv).sum()
+        keep = nt[nt >= 2].index
+        sw = pd.Series(switch.astype("int64")).groupby(conv).sum()
+        run_id = np.cumsum(~same | switch)
+        runs = (
+            pd.DataFrame({"conv": conv, "rid": run_id})
+            .groupby(["conv", "rid"], sort=False)
+            .size()
+            .reset_index(name="rl")
+        )
+        mr = runs.groupby("conv", sort=False)["rl"].max()
+        gaps = pd.DataFrame({"conv": conv[same], "gap": (ts - np.r_[0, ts[:-1]])[same]})
+        gaps = gaps.sort_values(["conv", "gap"], kind="mergesort")
+        gaps["rn"] = gaps.groupby("conv", sort=False).cumcount()
+        cnt = gaps.groupby("conv", sort=False)["gap"].transform("size")
+        med = gaps[gaps["rn"] == (cnt - 1) // 2].set_index("conv")["gap"]
+        out = pd.DataFrame(
+            {
+                "conv_id": list(keep),
+                "n_turns": nt[keep].to_numpy(dtype="int64"),
+                "n_switches": sw[keep].to_numpy(dtype="int64"),
+                "max_run": mr[keep].to_numpy(dtype="int64"),
+                "med_gap_us": med[keep].to_numpy(dtype="int64"),
+            }
+        )
+        return out
+
+    return (
+        transcripts.select_columns(["conv_id", "turn_idx", "role", "ts"])
+        .map_batches(tag, batch_format="pandas", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
     )

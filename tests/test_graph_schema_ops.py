@@ -590,3 +590,58 @@ def test_transitive_audit_cross_pred_not_implied():
     out = transitive_audit(ds)
     got = {r.pred: r.n_implied for r in out.itertuples()}
     assert got["p"] == 0
+
+
+# ---- turn_taking --------------------------------------------------------
+
+from kgray.ops.transcripts import turn_taking
+
+
+def test_turn_taking_switches_runs_median():
+    ts0 = pd.Timestamp("2024-01-01 00:00:00")
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 5 + ["c2"],
+            "turn_idx": [0, 1, 2, 3, 4, 0],
+            "role": ["user", "assistant", "assistant", "user", "assistant", "user"],
+            "text": [""] * 6,
+            "tool": [""] * 6,
+            "ts": [
+                ts0,
+                ts0 + pd.Timedelta(seconds=1),
+                ts0 + pd.Timedelta(seconds=3),
+                ts0 + pd.Timedelta(seconds=4),
+                ts0 + pd.Timedelta(seconds=10),
+                ts0,
+            ],
+        }
+    )
+    out = turn_taking(ray.data.from_pandas(df)).to_pandas()
+    got = {
+        r.conv_id: (r.n_turns, r.n_switches, r.max_run, r.med_gap_us)
+        for r in out.itertuples()
+    }
+    # c1: switches at turns 1, 3, 4 -> 3; runs [1, 2, 1, 1] -> max 2;
+    # gaps [1s, 2s, 1s, 6s] sorted [1, 1, 2, 6] lower-median idx 1 -> 1s
+    assert got == {"c1": (5, 3, 2, 1_000_000)}  # c2 has 1 turn: excluded
+
+
+def test_turn_taking_spans_batches():
+    ts0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 6,
+            "turn_idx": range(6),
+            "role": ["user", "user", "user", "assistant", "user", "assistant"],
+            "text": [""] * 6,
+            "tool": [""] * 6,
+            "ts": [ts0 + pd.Timedelta(seconds=i) for i in range(6)],
+        }
+    )
+    # 3 single-row blocks: the conversation must reassemble in its bucket
+    ds = ray.data.from_pandas([df.iloc[:2], df.iloc[2:4], df.iloc[4:]])
+    out = turn_taking(ds).to_pandas()
+    r = out.iloc[0]
+    assert (r["n_turns"], r["n_switches"], r["max_run"], r["med_gap_us"]) == (
+        6, 3, 3, 1_000_000,
+    )
