@@ -34,7 +34,10 @@ import ray.data
 
 
 def main() -> None:
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    bfs_only = "--bfs-only" in sys.argv
+    n_convs = int(args[0]) if args else 300_000
+    sample_mod = int(args[1]) if len(args) > 1 else 512
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=32, include_dashboard=False,
@@ -85,6 +88,30 @@ def main() -> None:
         sizes[name] = int(len(out))
         return out
 
+    if bfs_only:
+        timed(
+            "harmonic_distributed",
+            lambda: G.harmonic_sampled(
+                edges, sample_mod=sample_mod, hops=4, driver_edge_max=0
+            ),
+        )
+        timed(
+            "betweenness_distributed",
+            lambda: G.betweenness_sampled(
+                edges, sample_mod=sample_mod, hops=4, driver_edge_max=0
+            ),
+        )
+        mon.__exit__()
+        print(json.dumps({
+            "n_conversations": n_convs, "n_edges": int(n_edges),
+            "n_nodes": int(n_nodes), "sample_mod": sample_mod,
+            "kg_build_sec": round(build_s, 2), "ops_sec": timings,
+            "ops_rows": sizes,
+            "object_store_peak_gib": round(mon.peak / (1 << 30), 2),
+        }))
+        ray.shutdown()
+        return
+
     timed("label_pair_census", lambda: G.label_pair_census(edges))
     timed("nobs_spectrum", lambda: G.nobs_spectrum(edges))
     timed("meta_path_census", lambda: G.meta_path_census(edges))
@@ -104,13 +131,13 @@ def main() -> None:
     timed(
         "harmonic_distributed",
         lambda: G.harmonic_sampled(
-            edges, sample_mod=512, hops=4, driver_edge_max=0
+            edges, sample_mod=sample_mod, hops=4, driver_edge_max=0
         ),
     )
     timed(
         "betweenness_distributed",
         lambda: G.betweenness_sampled(
-            edges, sample_mod=512, hops=4, driver_edge_max=0
+            edges, sample_mod=sample_mod, hops=4, driver_edge_max=0
         ),
     )
 
