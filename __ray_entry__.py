@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
         pre_split=32,
     )
+    q["doc_cdc_incremental"] = _q_doc_cdc_incremental
     q["embedding_outlier_z"] = _q_embedding_outlier_z
     q["embedding_jl_project"] = _q_embedding_jl_project
     q["events_user_entropy"] = _q_events_user_entropy
@@ -1089,6 +1090,91 @@ def _cdc_oracle_sql(k: int = 16, divisor: int = 64) -> str:
                END AS savings
         FROM tk, tu
     """
+
+
+def _q_doc_cdc_incremental(sf_dir: str) -> pd.DataFrame:
+    """Incremental CDC chunk store (backup-delta): even docs seed the
+    persisted chunk-key store, the odd-doc run reports how many chunk
+    instances / bytes are NEW vs the store (kgray/ops/dedup.py
+    cdc_against_store — 8-byte keys shuffle, store rides the same
+    buckets, run appends one Parquet file)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.compute as pc
+
+    from kgray.ops.dedup import cdc_against_store
+
+    def half(rem: int):
+        def f(t):
+            ids = t["doc_id"]
+            return t.filter(
+                pc.equal(pc.cast(pc.bit_wise_and(ids, 1), _pa.int64()), rem)
+            )
+
+        return f
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    store = tempfile.mkdtemp(prefix="kgray_cdcstore_", dir="/tmp")
+    try:
+        cdc_against_store(
+            docs.map_batches(half(0), batch_format="pyarrow"), store, pre_split=16
+        )
+        return cdc_against_store(
+            docs.map_batches(half(1), batch_format="pyarrow"), store, pre_split=16
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _cdc_chunk_ctes(prefix: str, where: str, k: int = 16, divisor: int = 64) -> str:
+    """Parameterized CDC chunk CTE chain (the _cdc_oracle_sql kernel with
+    namespaced CTEs and a doc filter) ending at ``{prefix}keyed(key,
+    clen)`` — one row per chunk instance."""
+    from kgray.ops.dedup import WINNOW_POLY_MOD, winnow_poly_powers
+
+    pows = winnow_poly_powers(k).tolist()
+    terms = " + ".join(
+        f"CAST({'c' if i == 0 else f'lead(c, {i}) OVER wd'} AS HUGEINT) * {p}"
+        for i, p in enumerate(pows)
+    )
+    p = prefix
+    return f"""
+        {p}d AS (SELECT doc_id, text FROM documents
+                 WHERE text IS NOT NULL AND length(text) > 0 AND ({where})),
+        {p}long AS (SELECT doc_id, text, string_split(text, '') AS cl
+                    FROM {p}d WHERE length(text) >= {k}),
+        {p}codes AS MATERIALIZED (
+          SELECT doc_id, p, ascii(cl[CAST(p AS INTEGER)]) AS c
+          FROM {p}long, LATERAL unnest(generate_series(1, len(cl), 1)) AS t(p)),
+        {p}h AS MATERIALIZED (
+          SELECT doc_id, p,
+                 CAST(({terms}) % {WINNOW_POLY_MOD} AS BIGINT) AS hv,
+                 count(*) OVER (PARTITION BY doc_id) AS nchar
+          FROM {p}codes
+          WINDOW wd AS (PARTITION BY doc_id ORDER BY p)
+          QUALIFY p <= nchar - {k - 1}),
+        {p}cuts AS (SELECT doc_id, p FROM {p}h WHERE hv % {divisor} = 0),
+        {p}starts AS (
+          SELECT doc_id, 1 AS s FROM {p}long
+          UNION ALL SELECT doc_id, p + {k} AS s FROM {p}cuts),
+        {p}ch AS (
+          SELECT doc_id, text, s,
+                 coalesce(lead(s) OVER (PARTITION BY doc_id ORDER BY s),
+                          length(text) + 1) AS nxt
+          FROM {p}starts JOIN {p}long USING (doc_id)),
+        {p}chunks AS (
+          SELECT substr(text, CAST(s AS INTEGER), CAST(nxt - s AS INTEGER))
+            AS chunk
+          FROM {p}ch WHERE nxt - s > 0),
+        {p}keyed AS MATERIALIZED (
+          SELECT md5_number_lower(chunk) AS key, length(chunk) AS clen
+          FROM (SELECT chunk FROM {p}chunks
+                UNION ALL
+                SELECT text FROM {p}d WHERE length(text) < {k}))"""
 
 
 def _q_doc_winnowing_pairs(sf_dir: str) -> pd.DataFrame:
@@ -8119,6 +8205,28 @@ FROM cl WHERE sz >= 2 GROUP BY 1
         """,
         "doc_winnowing_pairs": _winnowing_oracle_sql(),
         "doc_cdc_dedup": _cdc_oracle_sql(),
+        # incremental CDC store twin: even-doc chunks seed the store,
+        # odd-doc run reports its backup delta vs those keys
+        "doc_cdc_incremental": f"""WITH
+            {_cdc_chunk_ctes('a_', 'doc_id % 2 = 0')},
+            {_cdc_chunk_ctes('b_', 'doc_id % 2 = 1')},
+            akeys AS (SELECT DISTINCT key FROM a_keyed),
+            bnew AS (SELECT key, min(clen) AS clen FROM b_keyed
+                     WHERE key NOT IN (SELECT key FROM akeys)
+                     GROUP BY key),
+            btot AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+                            CAST(coalesce(sum(clen), 0) AS BIGINT)
+                              AS total_chars FROM b_keyed),
+            bn AS (SELECT CAST(count(*) AS BIGINT) AS n_new_chunks,
+                          CAST(coalesce(sum(clen), 0) AS BIGINT)
+                            AS new_chars FROM bnew)
+            SELECT btot.n_chunks, btot.total_chars, bn.n_new_chunks,
+                   bn.new_chars,
+                   CASE WHEN btot.total_chars = 0 THEN 0.0
+                        ELSE CAST(bn.new_chars * 1000000 // btot.total_chars
+                                  AS BIGINT)::DOUBLE / 1e6
+                   END AS new_ratio
+            FROM btot, bn""",
         "doc_substring_dedup": """
             WITH w AS (
               SELECT doc_id, substr(text, CAST(p AS INTEGER), 40) AS sub

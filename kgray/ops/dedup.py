@@ -1953,59 +1953,11 @@ def cdc_chunk_stats(
     if pre_split:
         ds = ds.repartition(pre_split)
 
-    MASK = WINNOW_POLY_MOD - 1
-    POW = winnow_poly_powers(k)
-    md5 = hashlib.md5
-
     def chunk_partials(b: pd.DataFrame) -> pd.DataFrame:
-        texts = b[text_col].fillna("").tolist()
-        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
-        total = int(lens.sum())
-        # rolling hash over the batch-concatenated code points
-        cuts_by_doc: dict[int, np.ndarray] = {}
-        if total >= k:
-            cat = np.frombuffer(
-                "".join(texts).encode("utf-32-le"), dtype=np.uint32
-            ).astype(np.int64)
-            npos_t = total - k + 1
-            h = np.zeros(npos_t, dtype=np.int64)
-            for i in range(k):
-                h += cat[i : i + npos_t] * POW[i]
-                h &= MASK
-            npos = np.maximum(lens - (k - 1), 0)
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), npos)
-            cum = np.cumsum(npos) - npos
-            within = np.arange(int(npos.sum()), dtype=np.int64) - np.repeat(cum, npos)
-            gpos = np.repeat(starts[npos > 0], npos[npos > 0]) + within
-            hv = h[gpos]
-            cut = hv % divisor == 0
-            cd, cp = doc_idx[cut], within[cut]
-            order = np.argsort(cd, kind="stable")
-            cd, cp = cd[order], cp[order]
-            bnd = np.flatnonzero(np.r_[True, cd[1:] != cd[:-1]])
-            for s, e in zip(bnd, np.r_[bnd[1:], len(cd)]):
-                cuts_by_doc[int(cd[s])] = cp[s:e]
-        keys: list[int] = []
-        clens: list[int] = []
-        for d, t in enumerate(texts):
-            n = len(t)
-            if n == 0:
-                continue
-            cp = cuts_by_doc.get(d)
-            if cp is None or not len(cp):
-                bounds = [0, n]
-            else:
-                bounds = [0] + [int(p) + k for p in cp]
-                if bounds[-1] != n:
-                    bounds.append(n)
-            for s, e in zip(bounds, bounds[1:]):
-                chunk = t[s:e]
-                keys.append(
-                    int.from_bytes(md5(chunk.encode("utf-8")).digest()[8:], "little")
-                )
-                clens.append(e - s)
-        if not keys:
+        keys, clens = _cdc_batch_chunks(
+            b[text_col].fillna("").tolist(), k, divisor
+        )
+        if not len(keys):
             return pd.DataFrame(
                 {
                     "bucket": pd.Series(dtype="int32"),
@@ -2015,9 +1967,7 @@ def cdc_chunk_stats(
                     "mass": pd.Series(dtype="int64"),
                 }
             )
-        f = pd.DataFrame(
-            {"key": np.array(keys, dtype=np.uint64), "clen": np.array(clens, dtype=np.int64)}
-        )
+        f = pd.DataFrame({"key": keys, "clen": clens})
         g = f.groupby("key", sort=False).agg(
             clen=("clen", "first"), n=("clen", "size"), mass=("clen", "sum")
         )
@@ -2067,5 +2017,207 @@ def cdc_chunk_stats(
             "total_chars": [np.int64(total_chars)],
             "unique_chars": [np.int64(unique_chars)],
             "savings": [savings],
+        }
+    )
+
+
+def _cdc_batch_chunks(
+    texts: list, k: int, divisor: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared CDC batch kernel: content-defined chunk boundaries for every
+    doc of a batch in ONE concatenated rolling-hash pass (the
+    cdc_chunk_stats cut rule), returning md5-lower-64 chunk keys and
+    chunk lengths across the batch."""
+    MASK = WINNOW_POLY_MOD - 1
+    POW = winnow_poly_powers(k)
+    md5 = hashlib.md5
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    total = int(lens.sum())
+    cuts_by_doc: dict[int, np.ndarray] = {}
+    if total >= k:
+        cat = np.frombuffer(
+            "".join(texts).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        npos_t = total - k + 1
+        h = np.zeros(npos_t, dtype=np.int64)
+        for i in range(k):
+            h += cat[i : i + npos_t] * POW[i]
+            h &= MASK
+        npos = np.maximum(lens - (k - 1), 0)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), npos)
+        cum = np.cumsum(npos) - npos
+        within = np.arange(int(npos.sum()), dtype=np.int64) - np.repeat(cum, npos)
+        gpos = np.repeat(starts[npos > 0], npos[npos > 0]) + within
+        hv = h[gpos]
+        cut = hv % divisor == 0
+        cd, cp = doc_idx[cut], within[cut]
+        if len(cd):
+            order = np.argsort(cd, kind="stable")
+            cd, cp = cd[order], cp[order]
+            bnd = np.flatnonzero(np.r_[True, cd[1:] != cd[:-1]])
+            for s, e in zip(bnd, np.r_[bnd[1:], len(cd)]):
+                cuts_by_doc[int(cd[s])] = cp[s:e]
+    keys: list[int] = []
+    clens: list[int] = []
+    for d, t in enumerate(texts):
+        n = len(t)
+        if n == 0:
+            continue
+        cp = cuts_by_doc.get(d)
+        if cp is None or not len(cp):
+            bounds = [0, n]
+        else:
+            bounds = [0] + [int(p) + k for p in cp]
+            if bounds[-1] != n:
+                bounds.append(n)
+        for s, e in zip(bounds, bounds[1:]):
+            chunk = t[s:e]
+            keys.append(
+                int.from_bytes(md5(chunk.encode("utf-8")).digest()[8:], "little")
+            )
+            clens.append(e - s)
+    return np.array(keys, dtype=np.uint64), np.array(clens, dtype=np.int64)
+
+
+def cdc_against_store(
+    ds: ray.data.Dataset,
+    store_dir: str,
+    k: int = 16,
+    divisor: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    pre_split: int | None = None,
+) -> pd.DataFrame:
+    """Incremental CDC chunk store (the backup-delta shape, the CDC
+    member of the persisted-store family beside the exact-hash, MinHash,
+    HLL and vector stores): chunk the incoming docs with the shared CDC
+    kernel, anti-join chunk keys against the PERSISTED store in
+    key-hash buckets, append the run's new distinct (key, clen) rows to
+    the store, and report the delta — what fraction of the run's bytes
+    a dedup-aware store would actually have to write.
+
+    Scale shape: 8-byte chunk keys only ever shuffle (ONE key-hash
+    exchange); the store rides in as a Dataset on the same buckets, so
+    no driver-resident key set exists at any size; the store append is
+    a new Parquet file per run (never a rewrite).
+
+    Returns one row: n_chunks, total_chars, n_new_chunks, new_chars,
+    new_ratio (new_chars/total_chars, micro-quantized)."""
+    import glob as _glob
+    import os
+
+    if pre_split:
+        ds = ds.repartition(pre_split)
+
+    def chunk_partials(b: pd.DataFrame) -> pd.DataFrame:
+        keys, clens = _cdc_batch_chunks(
+            b[text_col].fillna("").tolist(), k, divisor
+        )
+        if not len(keys):
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series(dtype="int32"),
+                    "kind": pd.Series(dtype="int8"),
+                    "key": pd.Series(dtype="uint64"),
+                    "clen": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                    "mass": pd.Series(dtype="int64"),
+                }
+            )
+        f = pd.DataFrame({"key": keys, "clen": clens})
+        g = (
+            f.groupby("key", sort=False)
+            .agg(clen=("clen", "first"), n=("clen", "size"), mass=("clen", "sum"))
+            .reset_index()
+        )
+        g["bucket"] = (g["key"] % np.uint64(num_buckets)).astype("int32")
+        g["kind"] = np.int8(1)
+        g["n"] = g["n"].astype("int64")
+        return g[["bucket", "kind", "key", "clen", "n", "mass"]]
+
+    partials = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(chunk_partials, batch_format="pandas", batch_size=65536)
+        .materialize()
+    )
+
+    tot = partials.map_batches(
+        lambda b: pd.DataFrame(
+            {"n": [int(b["n"].sum())], "mass": [int(b["mass"].sum())]}
+        )
+        if "n" in b.columns
+        else pd.DataFrame({"n": [0], "mass": [0]}),
+        batch_format="pandas",
+    ).to_pandas()
+    n_chunks = int(tot["n"].sum()) if len(tot) else 0
+    total_chars = int(tot["mass"].sum()) if len(tot) else 0
+
+    store_files = sorted(_glob.glob(os.path.join(store_dir, "*.parquet")))
+    if store_files:
+        store_ds = ray.data.read_parquet(store_files).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "bucket": (
+                        b["key"].to_numpy(dtype="uint64") % np.uint64(num_buckets)
+                    ).astype("int32"),
+                    "kind": np.int8(0),
+                    "key": b["key"].to_numpy(dtype="uint64"),
+                    "clen": b["clen"].to_numpy(dtype="int64"),
+                    "n": np.int64(0),
+                    "mass": np.int64(0),
+                }
+            ),
+            batch_format="pandas",
+        )
+        merged = partials.union(store_ds)
+    else:
+        merged = partials
+
+    def new_keys(g: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in g.columns or not len(g):
+            return pd.DataFrame(
+                {"key": pd.Series(dtype="uint64"), "clen": pd.Series(dtype="int64")}
+            )
+        have = set(g.loc[g["kind"] == 0, "key"].tolist())
+        new = g[g["kind"] == 1].drop_duplicates("key")
+        # np.array mask: a plain empty LIST would select columns, not rows
+        new = new[np.array([kk not in have for kk in new["key"]], dtype=bool)]
+        return pd.DataFrame(
+            {
+                "key": new["key"].to_numpy(dtype="uint64"),
+                "clen": new["clen"].to_numpy(dtype="int64"),
+            }
+        )
+
+    newkeys = (
+        merged.groupby("bucket").map_groups(new_keys, batch_format="pandas")
+    ).materialize()
+    agg = newkeys.map_batches(
+        lambda b: pd.DataFrame(
+            {"c": [int(len(b))], "chars": [int(b["clen"].sum())]}
+        )
+        if "clen" in b.columns
+        else pd.DataFrame({"c": [0], "chars": [0]}),
+        batch_format="pandas",
+    ).to_pandas()
+    n_new = int(agg["c"].sum()) if len(agg) else 0
+    new_chars = int(agg["chars"].sum()) if len(agg) else 0
+
+    os.makedirs(store_dir, exist_ok=True)
+    if n_new:
+        newkeys.write_parquet(store_dir)
+
+    ratio = (
+        float(new_chars * 1_000_000 // total_chars) / 1e6 if total_chars else 0.0
+    )
+    return pd.DataFrame(
+        {
+            "n_chunks": [np.int64(n_chunks)],
+            "total_chars": [np.int64(total_chars)],
+            "n_new_chunks": [np.int64(n_new)],
+            "new_chars": [np.int64(new_chars)],
+            "new_ratio": [ratio],
         }
     )

@@ -150,3 +150,53 @@ def test_cdc_empty_corpus():
     out = cdc_chunk_stats(_docs([]))
     r = out.iloc[0]
     assert r["n_chunks"] == 0 and r["total_chars"] == 0 and r["savings"] == 0.0
+
+
+def test_cdc_incremental_two_run_equals_one_shot_delta():
+    import shutil
+    import tempfile
+
+    from kgray.ops.dedup import cdc_against_store
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    mk = lambda n: "".join(rng.choice(list("abcdefgh ")) for _ in range(n))
+    a_docs = [mk(600), mk(600)]
+    shared = mk(400)
+    b_docs = [a_docs[0], shared + mk(100)]  # one exact dup, one partial
+    store = tempfile.mkdtemp(prefix="cdcstore_", dir="/tmp")
+    try:
+        first = cdc_against_store(_docs(a_docs), store).iloc[0]
+        second = cdc_against_store(_docs(b_docs), store).iloc[0]
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    # run 1 against an empty store: everything unique in-run is new
+    solo_a = cdc_chunk_stats(_docs(a_docs)).iloc[0]
+    assert first["n_new_chunks"] == solo_a["n_unique_chunks"]
+    assert first["new_chars"] == solo_a["unique_chars"]
+    # run 2's new-unique mass == union unique − run-1 unique (set algebra
+    # over the same deterministic chunk keys)
+    union = cdc_chunk_stats(_docs(a_docs + b_docs)).iloc[0]
+    assert second["n_new_chunks"] == union["n_unique_chunks"] - solo_a["n_unique_chunks"]
+    assert second["new_chars"] == union["unique_chars"] - solo_a["unique_chars"]
+    # the exact-dup doc contributes zero new chunks; only the fresh tail
+    # and boundary-crossing chunks of doc 2 are new
+    assert second["n_new_chunks"] < second["n_chunks"]
+
+
+def test_cdc_incremental_empty_store_dir_and_empty_run():
+    import shutil
+    import tempfile
+
+    from kgray.ops.dedup import cdc_against_store
+
+    store = tempfile.mkdtemp(prefix="cdcstore_", dir="/tmp")
+    try:
+        out = cdc_against_store(_docs([]), store).iloc[0]
+        assert out["n_chunks"] == 0 and out["n_new_chunks"] == 0
+        assert out["new_ratio"] == 0.0
+        out2 = cdc_against_store(_docs(["hello world of chunks"]), store).iloc[0]
+        assert out2["n_new_chunks"] >= 1
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
