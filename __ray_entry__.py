@@ -1036,53 +1036,19 @@ def _ktruss_ctes(k: int = 3, rounds: int = 8) -> str:
 
 
 def _cdc_oracle_sql(k: int = 16, divisor: int = 64) -> str:
-    """DuckDB twin of kgray.ops.dedup.cdc_chunk_stats: the same
-    polynomial code-point hash (shared winnowing kernel constants) built
-    from k lead() terms, cut after every k-gram with hv % divisor == 0,
-    chunks keyed by md5_number_lower (== the engine's md5-lower-64)."""
-    from kgray.ops.dedup import WINNOW_POLY_MOD, winnow_poly_powers
-
-    pows = winnow_poly_powers(k).tolist()
-    terms = " + ".join(
-        f"CAST({'c' if i == 0 else f'lead(c, {i}) OVER wd'} AS HUGEINT) * {p}"
-        for i, p in enumerate(pows)
-    )
-    return f"""
-        WITH d AS (SELECT doc_id, text FROM documents
-                   WHERE text IS NOT NULL AND length(text) > 0),
-        long AS (SELECT doc_id, text, string_split(text, '') AS cl
-                 FROM d WHERE length(text) >= {k}),
-        codes AS MATERIALIZED (
-          SELECT doc_id, p, ascii(cl[CAST(p AS INTEGER)]) AS c
-          FROM long, LATERAL unnest(generate_series(1, len(cl), 1)) AS t(p)),
-        h AS MATERIALIZED (
-          SELECT doc_id, p,
-                 CAST(({terms}) % {WINNOW_POLY_MOD} AS BIGINT) AS hv,
-                 count(*) OVER (PARTITION BY doc_id) AS nchar
-          FROM codes
-          WINDOW wd AS (PARTITION BY doc_id ORDER BY p)
-          QUALIFY p <= nchar - {k - 1}),
-        cuts AS (SELECT doc_id, p FROM h WHERE hv % {divisor} = 0),
-        starts AS (
-          SELECT doc_id, 1 AS s FROM long
-          UNION ALL SELECT doc_id, p + {k} AS s FROM cuts),
-        ch AS (
-          SELECT doc_id, text, s,
-                 coalesce(lead(s) OVER (PARTITION BY doc_id ORDER BY s),
-                          length(text) + 1) AS nxt
-          FROM starts JOIN long USING (doc_id)),
-        chunks_long AS (
-          SELECT substr(text, CAST(s AS INTEGER), CAST(nxt - s AS INTEGER)) AS chunk
-          FROM ch WHERE nxt - s > 0),
-        short AS (SELECT text AS chunk FROM d WHERE length(text) < {k}),
-        keyed AS MATERIALIZED (
-          SELECT md5_number_lower(chunk) AS key, length(chunk) AS clen
-          FROM (SELECT chunk FROM chunks_long UNION ALL SELECT chunk FROM short)),
+    """DuckDB twin of kgray.ops.dedup.cdc_chunk_stats, built on the ONE
+    shared chunk-CTE kernel (_cdc_chunk_ctes) so the full-corpus and
+    incremental oracles can never desynchronize: distinct keys by
+    md5_number_lower, corpus totals + micro-quantized savings."""
+    return f"""WITH
+        {_cdc_chunk_ctes('', 'TRUE', k=k, divisor=divisor)},
         u AS (SELECT key, min(clen) AS clen FROM keyed GROUP BY key),
         tk AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
-                      CAST(coalesce(sum(clen), 0) AS BIGINT) AS total_chars FROM keyed),
+                      CAST(coalesce(sum(clen), 0) AS BIGINT) AS total_chars
+               FROM keyed),
         tu AS (SELECT CAST(count(*) AS BIGINT) AS n_unique_chunks,
-                      CAST(coalesce(sum(clen), 0) AS BIGINT) AS unique_chars FROM u)
+                      CAST(coalesce(sum(clen), 0) AS BIGINT) AS unique_chars
+               FROM u)
         SELECT tk.n_chunks, tu.n_unique_chunks, tk.total_chars, tu.unique_chars,
                CASE WHEN tk.total_chars = 0 THEN 0.0
                     ELSE CAST((tk.total_chars - tu.unique_chars) * 1000000

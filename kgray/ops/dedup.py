@@ -1954,27 +1954,9 @@ def cdc_chunk_stats(
         ds = ds.repartition(pre_split)
 
     def chunk_partials(b: pd.DataFrame) -> pd.DataFrame:
-        keys, clens = _cdc_batch_chunks(
-            b[text_col].fillna("").tolist(), k, divisor
+        return _cdc_partial_frame(
+            b[text_col].fillna("").tolist(), k, divisor, num_buckets
         )
-        if not len(keys):
-            return pd.DataFrame(
-                {
-                    "bucket": pd.Series(dtype="int32"),
-                    "key": pd.Series(dtype="uint64"),
-                    "clen": pd.Series(dtype="int64"),
-                    "n": pd.Series(dtype="int64"),
-                    "mass": pd.Series(dtype="int64"),
-                }
-            )
-        f = pd.DataFrame({"key": keys, "clen": clens})
-        g = f.groupby("key", sort=False).agg(
-            clen=("clen", "first"), n=("clen", "size"), mass=("clen", "sum")
-        )
-        g = g.reset_index()
-        g["bucket"] = (g["key"] % np.uint64(num_buckets)).astype("int32")
-        g["n"] = g["n"].astype("int64")
-        return g[["bucket", "key", "clen", "n", "mass"]]
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby("key", sort=False).agg(
@@ -2080,6 +2062,34 @@ def _cdc_batch_chunks(
     return np.array(keys, dtype=np.uint64), np.array(clens, dtype=np.int64)
 
 
+def _cdc_partial_frame(
+    texts: list, k: int, divisor: int, num_buckets: int
+) -> pd.DataFrame:
+    """Shared per-batch CDC partial: chunk the batch with
+    :func:`_cdc_batch_chunks`, pre-aggregate per key, and attach the
+    key-hash bucket — the (bucket, key, clen, n, mass) frame both CDC
+    operators shuffle."""
+    keys, clens = _cdc_batch_chunks(texts, k, divisor)
+    if not len(keys):
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series(dtype="int32"),
+                "key": pd.Series(dtype="uint64"),
+                "clen": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "mass": pd.Series(dtype="int64"),
+            }
+        )
+    f = pd.DataFrame({"key": keys, "clen": clens})
+    g = f.groupby("key", sort=False).agg(
+        clen=("clen", "first"), n=("clen", "size"), mass=("clen", "sum")
+    )
+    g = g.reset_index()
+    g["bucket"] = (g["key"] % np.uint64(num_buckets)).astype("int32")
+    g["n"] = g["n"].astype("int64")
+    return g[["bucket", "key", "clen", "n", "mass"]]
+
+
 def cdc_against_store(
     ds: ray.data.Dataset,
     store_dir: str,
@@ -2112,29 +2122,10 @@ def cdc_against_store(
         ds = ds.repartition(pre_split)
 
     def chunk_partials(b: pd.DataFrame) -> pd.DataFrame:
-        keys, clens = _cdc_batch_chunks(
-            b[text_col].fillna("").tolist(), k, divisor
+        g = _cdc_partial_frame(
+            b[text_col].fillna("").tolist(), k, divisor, num_buckets
         )
-        if not len(keys):
-            return pd.DataFrame(
-                {
-                    "bucket": pd.Series(dtype="int32"),
-                    "kind": pd.Series(dtype="int8"),
-                    "key": pd.Series(dtype="uint64"),
-                    "clen": pd.Series(dtype="int64"),
-                    "n": pd.Series(dtype="int64"),
-                    "mass": pd.Series(dtype="int64"),
-                }
-            )
-        f = pd.DataFrame({"key": keys, "clen": clens})
-        g = (
-            f.groupby("key", sort=False)
-            .agg(clen=("clen", "first"), n=("clen", "size"), mass=("clen", "sum"))
-            .reset_index()
-        )
-        g["bucket"] = (g["key"] % np.uint64(num_buckets)).astype("int32")
-        g["kind"] = np.int8(1)
-        g["n"] = g["n"].astype("int64")
+        g["kind"] = pd.Series(np.int8(1), index=g.index, dtype="int8")
         return g[["bucket", "kind", "key", "clen", "n", "mass"]]
 
     partials = (
@@ -2180,10 +2171,8 @@ def cdc_against_store(
             return pd.DataFrame(
                 {"key": pd.Series(dtype="uint64"), "clen": pd.Series(dtype="int64")}
             )
-        have = set(g.loc[g["kind"] == 0, "key"].tolist())
         new = g[g["kind"] == 1].drop_duplicates("key")
-        # np.array mask: a plain empty LIST would select columns, not rows
-        new = new[np.array([kk not in have for kk in new["key"]], dtype=bool)]
+        new = new[~new["key"].isin(g.loc[g["kind"] == 0, "key"])]
         return pd.DataFrame(
             {
                 "key": new["key"].to_numpy(dtype="uint64"),
