@@ -2384,17 +2384,13 @@ def predicate_cooccurrence(edges: ray.data.Dataset, n_buckets: int = 64) -> pd.D
 
 
 def _md5_u64(strings) -> np.ndarray:
-    """uint64 string hash equal to DuckDB's ``md5_number_lower(s)`` —
-    the same kernel MinHash uses (kgray/ops/dedup.py), duplicated here to
-    keep the graph module free of the dedup import."""
-    import hashlib
+    """uint64 string hash equal to DuckDB's ``md5_number_lower(s)`` — the
+    ONE md5-lower-64 kernel, delegated to kgray.ops.dedup._md5_u64_np so
+    the graph and dedup families can never drift apart (the module
+    already imports from dedup in predicate_cooccurrence)."""
+    from kgray.ops.dedup import _md5_u64_np
 
-    md5 = hashlib.md5
-    return np.fromiter(
-        (int.from_bytes(md5(s.encode("utf-8")).digest()[8:], "little") for s in strings),
-        dtype=np.uint64,
-        count=len(strings),
-    )
+    return _md5_u64_np(strings)
 
 
 def random_walk_visits(
@@ -2432,6 +2428,10 @@ def random_walk_visits(
     """
     und_cols = edges.select_columns([src_col, dst_col])
     n_edges = und_cols.count()
+    if n_edges == 0:
+        return pd.DataFrame(
+            {"name": pd.Series(dtype=object), "visits": pd.Series(dtype="int64")}
+        )
     if driver_edge_max > 0 and n_edges <= driver_edge_max:
         raw = und_cols.to_pandas()
         s = raw[src_col].astype(str).to_numpy(dtype=object)
@@ -2440,6 +2440,10 @@ def random_walk_visits(
         nbr = np.concatenate([d, s])
         keep = z != nbr
         pairs = pd.DataFrame({"z": z[keep], "nbr": nbr[keep]}).drop_duplicates()
+        if not len(pairs):
+            return pd.DataFrame(
+                {"name": pd.Series(dtype=object), "visits": pd.Series(dtype="int64")}
+            )
         pairs = pairs.sort_values(["z", "nbr"], kind="mergesort")
         zv = pairs["z"].to_numpy(dtype=object)
         nv = pairs["nbr"].to_numpy(dtype=object)
@@ -2716,6 +2720,36 @@ def link_prediction_recall(
     return pd.DataFrame(rows)
 
 
+def _entity_obs_explode(t: "pa.Table", num_buckets: int) -> "pa.Table":
+    """Shared temporal-KG explode kernel: both endpoints x each edge's
+    ``t_obs`` entries, batch-distinct per (name, label, t), bucketed by
+    entity-name hash — the partial entity_lifespan and
+    entity_activity_decay both shuffle."""
+    obs = t["t_obs"]
+    if isinstance(obs, pa.ChunkedArray):
+        obs = obs.combine_chunks()
+    lens = np.diff(obs.offsets.to_numpy())
+    flat = obs.flatten().to_numpy(zero_copy_only=False)
+    rows = []
+    for side in ("subj", "obj"):
+        names = t[f"{side}_name"].to_numpy(zero_copy_only=False)
+        labels = t[f"{side}_label"].to_numpy(zero_copy_only=False)
+        rows.append(
+            pa.table(
+                {
+                    "name": pa.array(np.repeat(names, lens), pa.large_string()),
+                    "label": pa.array(np.repeat(labels, lens), pa.large_string()),
+                    "t": pa.array(flat, pa.float64()),
+                }
+            )
+        )
+    out = pa.concat_tables(rows).group_by(["name", "label", "t"]).aggregate([])
+    b = pd.util.hash_array(
+        np.asarray(out["name"].to_pandas(), dtype=object)
+    ) % num_buckets
+    return out.append_column("bucket", pa.array(b.astype(np.int32)))
+
+
 def entity_lifespan(
     edges: ray.data.Dataset,
     num_buckets: int = 32,
@@ -2734,29 +2768,7 @@ def entity_lifespan(
     value)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        obs = t["t_obs"]
-        if isinstance(obs, pa.ChunkedArray):
-            obs = obs.combine_chunks()
-        lens = np.diff(obs.offsets.to_numpy())
-        flat = obs.flatten().to_numpy(zero_copy_only=False)
-        rows = []
-        for side in ("subj", "obj"):
-            names = t[f"{side}_name"].to_numpy(zero_copy_only=False)
-            labels = t[f"{side}_label"].to_numpy(zero_copy_only=False)
-            rows.append(
-                pa.table(
-                    {
-                        "name": pa.array(np.repeat(names, lens), pa.large_string()),
-                        "label": pa.array(np.repeat(labels, lens), pa.large_string()),
-                        "t": pa.array(flat, pa.float64()),
-                    }
-                )
-            )
-        out = pa.concat_tables(rows).group_by(["name", "label", "t"]).aggregate([])
-        b = pd.util.hash_array(
-            np.asarray(out["name"].to_pandas(), dtype=object)
-        ) % num_buckets
-        return out.append_column("bucket", pa.array(b.astype(np.int32)))
+        return _entity_obs_explode(t, num_buckets)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["name", "label", "t"])
@@ -2779,6 +2791,17 @@ def entity_lifespan(
         .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()
     )
+    if not len(out) or "name" not in out.columns:
+        return pd.DataFrame(
+            {
+                "name": pd.Series(dtype=object),
+                "label": pd.Series(dtype=object),
+                "first_obs": pd.Series(dtype="float64"),
+                "last_obs": pd.Series(dtype="float64"),
+                "span_days": pd.Series(dtype="int64"),
+                "n_dates": pd.Series(dtype="int64"),
+            }
+        )
     return out.sort_values(["name", "label"], kind="mergesort").reset_index(drop=True)
 
 
@@ -3374,6 +3397,40 @@ def predicate_redundancy(edges: ray.data.Dataset, n_buckets: int = 64) -> pd.Dat
     return out
 
 
+def _global_pair_dedup(
+    pairs: "ray.data.Dataset", cols: tuple, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Globally deduplicate a projected pair stream: per-batch dedup only
+    removes duplicates WITHIN a 262k-row batch, but two edges with the
+    same endpoints and different predicates can land in different
+    batches — one hash-bucket exchange makes the dedup exact (a
+    duplicated pair would otherwise inflate BFS sigma counts or emit
+    duplicate peel rows).  Returns a materialized Dataset."""
+    key_cols = list(cols)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            b = b.copy()
+            b["_dbkt"] = pd.Series(dtype="int32")
+            return b
+        key = b[key_cols[0]].astype(str)
+        for c in key_cols[1:]:
+            key = key + "\x1f" + b[c].astype(str)
+        b = b.copy()
+        b["_dbkt"] = (_md5_u64(list(key)) % np.uint64(n_buckets)).astype("int32")
+        return b
+
+    return (
+        pairs.map_batches(tag, batch_format="pandas")
+        .groupby("_dbkt")
+        .map_groups(
+            lambda g: g.drop_duplicates(key_cols), batch_format="pandas"
+        )
+        .drop_columns(["_dbkt"])
+        .materialize()
+    )
+
+
 def betweenness_sampled(
     edges: ray.data.Dataset,
     src_col: str = "subj_id",
@@ -3429,10 +3486,12 @@ def betweenness_sampled(
         )
         return out[out["u"] != out["v"]]
 
-    pairs = (
-        edges.select_columns([src_col, dst_col])
-        .map_batches(_pair_rows, batch_format="pandas", batch_size=262144)
-        .materialize()
+    pairs = _global_pair_dedup(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            _pair_rows, batch_format="pandas", batch_size=262144
+        ),
+        ("u", "v"),
+        n_buckets=num_buckets,
     )
 
     def _is_seed(names) -> np.ndarray:
@@ -3860,10 +3919,12 @@ def harmonic_sampled(
         )
         return out[out["u"] != out["v"]]
 
-    pairs = (
-        edges.select_columns([src_col, dst_col])
-        .map_batches(_pair_rows, batch_format="pandas", batch_size=262144)
-        .materialize()
+    pairs = _global_pair_dedup(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            _pair_rows, batch_format="pandas", batch_size=262144
+        ),
+        ("u", "v"),
+        n_buckets=num_buckets,
     )
 
     def _is_seed(names) -> np.ndarray:
@@ -4153,10 +4214,12 @@ def ktruss(
         hi = np.where(u <= v, v, u)
         return pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
 
-    pairs = (
-        edges.select_columns([src_col, dst_col])
-        .map_batches(_pair_rows, batch_format="pandas", batch_size=262144)
-        .materialize()
+    pairs = _global_pair_dedup(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            _pair_rows, batch_format="pandas", batch_size=262144
+        ),
+        ("a", "b"),
+        n_buckets=num_buckets,
     )
     out_cols = ["a", "b", "support"]
 
@@ -4459,29 +4522,7 @@ def entity_activity_decay(
     max_epoch = int(mx["m"].max())
 
     def partial(t: pa.Table) -> pa.Table:
-        obs = t["t_obs"]
-        if isinstance(obs, pa.ChunkedArray):
-            obs = obs.combine_chunks()
-        lens = np.diff(obs.offsets.to_numpy())
-        flat = obs.flatten().to_numpy(zero_copy_only=False)
-        rows = []
-        for side in ("subj", "obj"):
-            names = t[f"{side}_name"].to_numpy(zero_copy_only=False)
-            labels = t[f"{side}_label"].to_numpy(zero_copy_only=False)
-            rows.append(
-                pa.table(
-                    {
-                        "name": pa.array(np.repeat(names, lens), pa.large_string()),
-                        "label": pa.array(np.repeat(labels, lens), pa.large_string()),
-                        "t": pa.array(flat, pa.float64()),
-                    }
-                )
-            )
-        out = pa.concat_tables(rows).group_by(["name", "label", "t"]).aggregate([])
-        b = pd.util.hash_array(
-            np.asarray(out["name"].to_pandas(), dtype=object)
-        ) % num_buckets
-        return out.append_column("bucket", pa.array(b.astype(np.int32)))
+        return _entity_obs_explode(t, num_buckets)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["name", "label", "t"])

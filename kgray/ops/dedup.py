@@ -1903,6 +1903,13 @@ def lsh_bucket_balance(
         .map_groups(per_shard, batch_format="pandas")
         .to_pandas()
     )
+    if not len(parts) or "bucket_size" not in parts.columns:
+        return pd.DataFrame(
+            {
+                "bucket_size": pd.Series(dtype="int64"),
+                "n_buckets": pd.Series(dtype="int64"),
+            }
+        )
     hist = parts.groupby("bucket_size", sort=True)["n_buckets"].sum()
     return pd.DataFrame(
         {

@@ -135,11 +135,18 @@ def turn_taking(
         role = g["role"].to_numpy(dtype=object)
         ts = g["ts_us"].to_numpy(dtype="int64")
         same = np.r_[False, conv[1:] == conv[:-1]]
-        switch = same & np.r_[False, role[1:] != role[:-1]]
+        # SQL three-valued parity (the twin's lag() comparisons): a NULL
+        # role is never a switch and never starts a run, but the row
+        # AFTER it does start a new run (prole IS NULL)
+        role_na = pd.isna(role)
+        prev_na = np.r_[True, role_na[:-1]]
+        neq = np.r_[False, role[1:] != role[:-1]]
+        valid_cmp = ~role_na & ~prev_na
+        switch = same & valid_cmp & neq
         nt = pd.Series(1, index=g.index).groupby(conv).sum()
         keep = nt[nt >= 2].index
         sw = pd.Series(switch.astype("int64")).groupby(conv).sum()
-        run_id = np.cumsum(~same | switch)
+        run_id = np.cumsum(~same | (same & (prev_na | (valid_cmp & neq))))
         runs = (
             pd.DataFrame({"conv": conv, "rid": run_id})
             .groupby(["conv", "rid"], sort=False)

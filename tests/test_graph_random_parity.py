@@ -261,3 +261,39 @@ def test_distributed_rungs_match_driver_on_random_graph():
         drv = fn(ds, driver_edge_max=200_000, **kw)
         dist = fn(ds, driver_edge_max=0, **kw)
         assert drv.to_dict("records") == dist.to_dict("records"), fn.__name__
+
+
+def test_cross_block_duplicate_pairs_distributed_parity():
+    """Two edges with the same endpoints but different predicates placed
+    in DIFFERENT input blocks: per-batch dedup alone would let both
+    copies into the distributed rungs (inflating BFS sigma / duplicating
+    peel rows); the global pair dedup must collapse them exactly like
+    the driver rung does."""
+    rows1 = pd.DataFrame(
+        [("a", "x", "p", "b", "y"), ("b", "y", "p", "c", "y"), ("a", "x", "p", "c", "y")],
+        columns=["subj_id", "subj_label", "pred", "obj_id", "obj_label"],
+    )
+    rows2 = pd.DataFrame(
+        [("a", "x", "q", "b", "y"), ("c", "y", "q", "d", "y"), ("b", "y", "r", "c", "y")],
+        columns=["subj_id", "subj_label", "pred", "obj_id", "obj_label"],
+    )
+    ds = ray.data.from_pandas([rows1, rows2])  # 2 blocks, (a,b)/(b,c) duplicated
+    for fn, kw in (
+        (betweenness_sampled, dict(sample_mod=1, hops=4)),
+        (harmonic_sampled, dict(sample_mod=1, hops=4)),
+        (ktruss, dict(k=3)),
+    ):
+        drv = fn(ds, driver_edge_max=200_000, **kw)
+        dist = fn(ds, driver_edge_max=0, **kw)
+        assert drv.to_dict("records") == dist.to_dict("records"), fn.__name__
+    # betweenness hand count on the deduped graph {a->b, b->c, a->c,
+    # c->d}: (a,c) is a DIRECT edge so b sits on no shortest path;
+    # c carries (a,d) and (b,d) fully — duplicate inflation would have
+    # put sigma(a,c)=2 and surfaced b with a 500_000 term
+    out = betweenness_sampled(ds, sample_mod=1, hops=4, driver_edge_max=0)
+    got = dict(zip(out["node"], out["bc_micro"]))
+    assert "b" not in got
+    assert got["c"] == 2_000_000
+    # ktruss yields each surviving edge exactly once
+    kt = ktruss(ds, k=3, driver_edge_max=0)
+    assert not kt.duplicated(["a", "b"]).any()

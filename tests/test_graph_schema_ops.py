@@ -645,3 +645,25 @@ def test_turn_taking_spans_batches():
     assert (r["n_turns"], r["n_switches"], r["max_run"], r["med_gap_us"]) == (
         6, 3, 3, 1_000_000,
     )
+
+
+def test_turn_taking_null_role_three_valued_parity():
+    # twin semantics: a NULL role is never a switch and never starts a
+    # run; the row AFTER it starts a new run (prole IS NULL)
+    ts0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 5,
+            "turn_idx": range(5),
+            "role": ["user", None, "user", "user", "assistant"],
+            "text": [""] * 5,
+            "tool": [""] * 5,
+            "ts": [ts0 + pd.Timedelta(seconds=i) for i in range(5)],
+        }
+    )
+    out = turn_taking(ray.data.from_pandas(df)).to_pandas().iloc[0]
+    # switches: only turn 4 (user -> assistant); the null row and the row
+    # after it are not switches
+    assert out["n_switches"] == 1
+    # runs: [user, None] | [user, user] | [assistant] -> max run 2
+    assert out["max_run"] == 2
