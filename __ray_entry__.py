@@ -548,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgray.functions.graph", fromlist=["entity_lifespan"]
     ).entity_lifespan(_kg_closed_world(sf).edges)
     q["kg_components_closed_world"] = _q_kg_components_closed_world
+    q["kg_health_report"] = _q_kg_health_report
     q["kg_meta_paths"] = lambda sf: __import__(
         "kgray.functions.graph", fromlist=["meta_path_census"]
     ).meta_path_census(_kg_closed_world(sf).edges)
@@ -5391,6 +5392,62 @@ def _q_kg_components_closed_world(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_kg_health_report(sf_dir: str) -> pd.DataFrame:
+    """KG-health capstone: ONE row rolling up the build-QA readouts an
+    operator checks before shipping a KG — size, fragmentation
+    (components + giant-component share), functional-violation rate,
+    same-pred reciprocity, temporal conflicts.  Every input is an
+    existing distributed op; the capstone folds their (tiny) outputs."""
+    from kgray.functions.graph import (
+        connected_components_named,
+        functional_violations,
+        reciprocity,
+        temporal_conflicts,
+    )
+
+    res = _kg_closed_world(sf_dir)
+    n_nodes = res.nodes.count()
+    n_edges = res.edges.count()
+    cc = connected_components_named(res.edges)
+    sizes = cc.groupby("component").size()
+    fv = functional_violations(res.edges)
+    rc = reciprocity(res.edges)
+    tc = temporal_conflicts(res.edges)
+    return pd.DataFrame(
+        {
+            "n_nodes": [np.int64(n_nodes)],
+            "n_edges": [np.int64(n_edges)],
+            "n_components": [np.int64(len(sizes))],
+            "max_component_share": [
+                float(int(sizes.max()) * 1_000_000 // int(sizes.sum())) / 1e6
+                if len(sizes)
+                else 0.0
+            ],
+            "violation_rate": [
+                float(
+                    int(fv["n_violating"].sum())
+                    * 1_000_000
+                    // int(fv["n_subjects"].sum())
+                )
+                / 1e6
+                if len(fv)
+                else 0.0
+            ],
+            "reciprocity": [
+                float(
+                    int(rc["n_reciprocal"].sum()) * 1_000_000 // int(rc["n_edges"].sum())
+                )
+                / 1e6
+                if len(rc)
+                else 0.0
+            ],
+            "n_temporal_conflicts": [
+                np.int64(int(tc["n_conflicts"].sum()) if len(tc) else 0)
+            ],
+        }
+    )
+
+
 def _q_events_kendall_tau(sf_dir: str) -> pd.DataFrame:
     """Kendall tau-b between the view and purchase daily-count series
     (kgray.ops.stats.kendall_tau_daily): exact integer pair census over
@@ -7554,6 +7611,66 @@ def oracle_sql() -> dict[str, str]:
                       FROM comp GROUP BY c)
             SELECT comp_size, CAST(count(*) AS BIGINT) AS n_components
             FROM sizes GROUP BY comp_size""",
+        # KG-health capstone: one-row rollup composed from the
+        # components / fanout / reciprocity / temporal-conflict twins
+        "kg_health_report": f"""WITH RECURSIVE {cw},
+            und AS (SELECT subj_name AS a, obj_name AS b FROM merged
+                    UNION SELECT obj_name, subj_name FROM merged),
+            nds AS (SELECT DISTINCT a AS n FROM und),
+            lp(n, lbl) AS (
+              SELECT n, n AS lbl FROM nds
+              UNION
+              SELECT u.b AS n, lp.lbl FROM lp JOIN und u ON u.a = lp.n),
+            comp AS (SELECT n, min(lbl) AS c FROM lp GROUP BY n),
+            sizes AS (SELECT c, CAST(count(*) AS BIGINT) AS s
+                      FROM comp GROUP BY c),
+            eset AS MATERIALIZED (
+              SELECT DISTINCT subj_id, pred, obj_id FROM cq),
+            fan AS (SELECT pred, subj_id,
+                           CAST(count(DISTINCT obj_id) AS BIGINT) AS fanout
+                    FROM eset GROUP BY 1, 2),
+            eset2 AS (SELECT * FROM eset WHERE subj_id <> obj_id),
+            rcp AS (SELECT CAST(count(*) AS BIGINT) AS ne,
+                           CAST(sum(CASE WHEN r.subj_id IS NOT NULL
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS nr
+                    FROM eset2 e LEFT JOIN eset2 r
+                      ON r.subj_id = e.obj_id AND r.obj_id = e.subj_id
+                         AND r.pred = e.pred),
+            iv AS (
+              SELECT cs.eid AS subj_id, pr.canon_pred AS pred,
+                     co.eid AS obj_id,
+                     min(CASE WHEN q.slot = 'start'
+                                   AND try_strptime(q.d, '%Y-%m-%d') IS NOT NULL
+                              THEN q.d END) AS ts,
+                     max(CASE WHEN q.slot = 'end'
+                                   AND try_strptime(q.d, '%Y-%m-%d') IS NOT NULL
+                              THEN q.d END) AS te
+              FROM quint q
+              JOIN canon cs ON cs.name = q.subj_name AND cs.label = q.subj_label
+              JOIN canon co ON co.name = q.obj_name AND co.label = q.obj_label
+              JOIN prep pr ON pr.pred = q.pred
+              GROUP BY 1, 2, 3),
+            confl AS (
+              SELECT CAST(sum(CASE WHEN coalesce(a.ts, '0') <= coalesce(b.te, 'A')
+                                        AND coalesce(b.ts, '0') <= coalesce(a.te, 'A')
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n
+              FROM iv a JOIN iv b
+                ON a.pred = b.pred AND a.subj_id = b.subj_id
+                   AND a.obj_id < b.obj_id)
+            SELECT (SELECT CAST(count(DISTINCT eid) AS BIGINT) FROM canon)
+                     AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM merged) AS n_edges,
+                   (SELECT CAST(count(*) AS BIGINT) FROM sizes)
+                     AS n_components,
+                   (SELECT CAST(max(s) * 1000000 // sum(s) AS BIGINT) FROM sizes
+                   )::DOUBLE / 1e6 AS max_component_share,
+                   (SELECT CAST(sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END)
+                                * 1000000 // count(*) AS BIGINT)
+                    FROM fan)::DOUBLE / 1e6 AS violation_rate,
+                   (SELECT CAST(nr * 1000000 // ne AS BIGINT)
+                    FROM rcp)::DOUBLE / 1e6 AS reciprocity,
+                   (SELECT coalesce(n, 0) FROM confl) AS n_temporal_conflicts
+            """,
         # per-entity observation lifespan over the canonical KG: both
         # endpoints observed at each edge observation date; epoch seconds
         # via strptime (UTC container, same convention as ts_us twins)
