@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["kg_quintuples_closed_world"] = lambda sf: _quintuple_counts(sf)
     q["kg_snapshot_closed_world"] = _q_kg_snapshot
+    q["kg_edge_timeline"] = _q_kg_edge_timeline
     q["kg_triples_events_llm"] = _q_kg_events_llm
     q["legacy_kg_triples_events"] = _q_legacy_kg_events
     q["kg_node_degrees_events"] = _q_node_degrees_events
@@ -3881,6 +3882,25 @@ def _q_kg_snapshot(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_TIMELINE_MONTHS = [
+    f"{y}-{m:02d}-01" for y in (2019, 2020) for m in range(1, 13)
+]
+
+
+def _q_kg_edge_timeline(sf_dir: str) -> pd.DataFrame:
+    """Edges-over-time curve: the valid_at snapshot swept over a 24-month
+    grid in ONE streaming pass over the quintuple stream (two
+    searchsorted lookups per grid point per batch, additive G-vector
+    partials — kgray/ops/temporal.py validity_timeline)."""
+    from kgray.functions.timeparse import parse_timestamp
+    from kgray.ops.temporal import validity_timeline
+
+    transcripts, _ = _world_transcripts(sf_dir)
+    quintuples = extract_quintuples(transcripts, _CFG)
+    grid = [(d, parse_timestamp(d)) for d in _TIMELINE_MONTHS]
+    return validity_timeline(quintuples, grid)
+
+
 def _q_events_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic modulo sampling (the reference's eval-subset sampling,
     SURVEY §2.6 O3) — vectorized Arrow filter at the read."""
@@ -5794,6 +5814,20 @@ def oracle_sql() -> dict[str, str]:
                        AND try_strptime(d, '%Y-%m-%d') IS NOT NULL
                        AND d < '{SNAPSHOT_DATE}')
             GROUP BY pred""",
+        # validity timeline: the snapshot predicate swept over the month
+        # grid (ISO string compare == the engine's epoch compare)
+        "kg_edge_timeline": f"""WITH {cw},
+            grid(snap_date) AS (VALUES {", ".join(f"('{d}')" for d in _TIMELINE_MONTHS)})
+            SELECT g.snap_date,
+                   CAST(count(q.pred) AS BIGINT) AS n_valid
+            FROM grid g LEFT JOIN quint q
+              ON NOT (coalesce(q.slot, '') = 'start'
+                      AND try_strptime(q.d, '%Y-%m-%d') IS NOT NULL
+                      AND q.d > g.snap_date)
+                 AND NOT (coalesce(q.slot, '') = 'end'
+                          AND try_strptime(q.d, '%Y-%m-%d') IS NOT NULL
+                          AND q.d < g.snap_date)
+            GROUP BY g.snap_date""",
         # incremental(first half) + extend(second half) == one-shot build
         # (pinned by tests/test_incremental.py), so the one-shot SQL is the
         # oracle for the incremental query too

@@ -253,7 +253,7 @@ def run_bench() -> dict:
         "kg_label_pair_census", "kg_reciprocity", "kg_nobs_spectrum",
         "kg_functional_violations", "kg_predicate_redundancy",
         "kg_betweenness", "kg_harmonic", "doc_cdc_dedup", "kg_ktruss",
-        "kg_activity_decay", "kg_negative_samples", "kg_path_features", "kg_transitive_audit", "transcript_turn_taking", "doc_cdc_incremental", "kg_health_report",
+        "kg_activity_decay", "kg_negative_samples", "kg_path_features", "kg_transitive_audit", "transcript_turn_taking", "doc_cdc_incremental", "kg_health_report", "kg_edge_timeline",
     ):
         timed(_q5, lambda _q5=_q5: size(entry.queries()[_q5](sf_dir)))
 

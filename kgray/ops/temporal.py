@@ -2890,3 +2890,70 @@ def dau_overlap(
     if not rows:
         return empty
     return pd.DataFrame(rows, columns=["day", "n_today", "n_next", "n_both", "jaccard"])
+
+
+def validity_timeline(
+    quintuples: "ray.data.Dataset",
+    grid: "list[tuple[str, float]]",
+    start_col: str = "t_start",
+    end_col: str = "t_end",
+) -> "pd.DataFrame":
+    """Temporal-KG validity TIMELINE: the :func:`valid_at` snapshot swept
+    over a date grid in ONE streaming pass — per grid date, how many
+    observations are valid (edges-over-time, the growth/decay curve of
+    an evolving KG).  ``grid`` is [(label, epoch_seconds), ...].
+
+    Per batch the two boundary arrays sort once and every grid point is
+    two searchsorted lookups (valid = N − #starts_after − #ends_before;
+    a quintuple carries at most ONE boundary, so the two counts never
+    overlap) — O(B log B + G log B) per batch, additive grid-vector
+    partials, NO shuffle; the driver folds a G-sized vector.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.types as pt
+
+    labels = [g[0] for g in grid]
+    points = np.array([g[1] for g in grid], dtype=np.float64)
+
+    def boundary(col) -> "np.ndarray":
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pt.is_list(col.type) or pt.is_large_list(col.type):
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            off = col.offsets.to_numpy()[: len(lens)]
+            out = np.full(len(lens), np.nan)
+            nz = lens > 0
+            out[nz] = flat[off[nz]]
+            return out
+        return col.to_numpy(zero_copy_only=False).astype(np.float64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = len(t)
+        s = boundary(t[start_col])
+        e = boundary(t[end_col])
+        s = np.sort(s[~np.isnan(s)])
+        e = np.sort(e[~np.isnan(e)])
+        starts_after = len(s) - np.searchsorted(s, points, side="right")
+        ends_before = np.searchsorted(e, points, side="left")
+        valid = n - starts_after - ends_before
+        return pa.table(
+            {
+                "gi": pa.array(np.arange(len(points), dtype=np.int64)),
+                "n_valid": pa.array(valid.astype(np.int64)),
+            }
+        )
+
+    parts = quintuples.select_columns([start_col, end_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()
+    if not len(parts):
+        counts = np.zeros(len(points), dtype=np.int64)
+    else:
+        counts = (
+            parts.groupby("gi")["n_valid"].sum().reindex(range(len(points)), fill_value=0)
+        ).to_numpy(dtype="int64")
+    return pd.DataFrame({"snap_date": labels, "n_valid": counts})

@@ -667,3 +667,42 @@ def test_turn_taking_null_role_three_valued_parity():
     assert out["n_switches"] == 1
     # runs: [user, None] | [user, user] | [assistant] -> max run 2
     assert out["max_run"] == 2
+
+
+# ---- validity_timeline --------------------------------------------------
+
+from kgray.ops.temporal import validity_timeline
+
+
+def test_validity_timeline_hand_pinned():
+    # rows: open (always valid), start@10 (valid from 10), end@20 (valid
+    # until 20), start@25
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "t_start": pa.array([[], [10.0], [], [25.0]], type=pa.list_(pa.float64())),
+            "t_end": pa.array([[], [], [20.0], []], type=pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    grid = [("g5", 5.0), ("g15", 15.0), ("g30", 30.0)]
+    out = validity_timeline(ds, grid)
+    got = dict(zip(out["snap_date"], out["n_valid"]))
+    # g5: open + end@20 -> 2; g15: open + start@10 + end@20 -> 3;
+    # g30: open + start@10 + start@25 -> 3
+    assert got == {"g5": 2, "g15": 3, "g30": 3}
+    assert list(out["snap_date"]) == ["g5", "g15", "g30"]  # grid order kept
+
+
+def test_validity_timeline_empty():
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "t_start": pa.array([], type=pa.list_(pa.float64())),
+            "t_end": pa.array([], type=pa.list_(pa.float64())),
+        }
+    )
+    out = validity_timeline(ray.data.from_arrow(t), [("g", 0.0)])
+    assert list(out["n_valid"]) == [0]
