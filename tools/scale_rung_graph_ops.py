@@ -36,6 +36,7 @@ import ray.data
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     bfs_only = "--bfs-only" in sys.argv
+    skip_truss = "--skip-truss" in sys.argv
     n_convs = int(args[0]) if args else 300_000
     sample_mod = int(args[1]) if len(args) > 1 else 512
 
@@ -124,10 +125,11 @@ def main() -> None:
     timed("path_features", lambda: G.path_features(edges))
     timed("activity_decay", lambda: G.entity_activity_decay(edges))
     timed("negative_samples", lambda: G.negative_samples(edges, k=2))
-    timed(
-        "ktruss_distributed",
-        lambda: G.ktruss(edges, k=3, driver_edge_max=0),
-    )
+    if not skip_truss:
+        timed(
+            "ktruss_distributed",
+            lambda: G.ktruss(edges, k=3, driver_edge_max=0),
+        )
     timed(
         "harmonic_distributed",
         lambda: G.harmonic_sampled(
