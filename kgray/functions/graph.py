@@ -4264,6 +4264,17 @@ def ktruss(
                 return _empty()
 
     # ---- distributed rung ------------------------------------------------
+    # Triangle enumeration uses DEGREE-ORDERED ORIENTATION (the standard
+    # forward/compact algorithm): every edge points from its lower-
+    # (degree, name) endpoint to the higher one, and wedges form only
+    # among a node's OUT-neighbors — each triangle then surfaces exactly
+    # once, at its minimum corner, and emits increments for all three of
+    # its edges.  Wedge mass drops from sum(deg^2) (quadratic in hub
+    # degree — intractable on a vocab-heavy KG whose orgs hold thousands
+    # of edges) to sum(outdeg^2) <= O(E^1.5), tiny under skew because a
+    # hub's edges all point INTO it.  Five bucket exchanges per round
+    # (degree count, two degree-attach joins, triangle confirm, support
+    # filter); the driver sees one removed-count scalar per round.
     B = num_buckets
 
     def _kb(keys) -> np.ndarray:
@@ -4272,35 +4283,94 @@ def ktruss(
     alive_ds = pairs
     rounds = 0
     while True:
-        # (1) wedges per center
-        und = alive_ds.map_batches(
-            lambda b: pd.DataFrame(
-                {
-                    "bkt": _kb(
-                        np.concatenate(
-                            [
-                                b["a"].to_numpy(dtype=object),
-                                b["b"].to_numpy(dtype=object),
-                            ]
-                        )
-                    ),
-                    "z": np.concatenate(
-                        [b["a"].to_numpy(dtype=object), b["b"].to_numpy(dtype=object)]
-                    ),
-                    "nbr": np.concatenate(
-                        [b["b"].to_numpy(dtype=object), b["a"].to_numpy(dtype=object)]
-                    ),
-                }
-            ),
-            batch_format="pandas",
+        # (1) degrees of the surviving graph
+        def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+            n = pd.Series(
+                np.concatenate(
+                    [b["a"].to_numpy(dtype=object), b["b"].to_numpy(dtype=object)]
+                )
+            )
+            g = n.value_counts().rename_axis("node").reset_index(name="c")
+            g["bkt"] = _kb(g["node"].astype(str))
+            return g[["bkt", "node", "c"]]
+
+        deg_ds = (
+            alive_ds.map_batches(deg_partial, batch_format="pandas")
+            .groupby("bkt")
+            .map_groups(
+                lambda g: g.groupby("node", sort=False)["c"].sum().reset_index(),
+                batch_format="pandas",
+            )
         )
 
-        def wedges(g: pd.DataFrame) -> pd.DataFrame:
-            g = g[["z", "nbr"]].drop_duplicates().sort_values(
-                ["z", "nbr"], kind="mergesort"
+        # (2) attach deg to endpoint a, then endpoint b (two bucket joins)
+        def _attach(ds, key_col, out_col):
+            left = ds.map_batches(
+                lambda b: b.assign(
+                    bkt=_kb(b[key_col].astype(str)), kind=np.int8(1)
+                ),
+                batch_format="pandas",
             )
-            z = g["z"].to_numpy(dtype=object)
-            nbr = g["nbr"].to_numpy(dtype=object)
+            right = deg_ds.map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "bkt": _kb(b["node"].astype(str)),
+                        "kind": np.int8(0),
+                        "node": b["node"].to_numpy(dtype=object),
+                        "c": b["c"].to_numpy(dtype="int64"),
+                    }
+                ),
+                batch_format="pandas",
+            )
+
+            def join(g: pd.DataFrame) -> pd.DataFrame:
+                e = g[g["kind"] == 1].drop(columns=["bkt", "kind"])
+                d = g[g["kind"] == 0][["node", "c"]]
+                if not len(e):
+                    e = e.copy()
+                    e[out_col] = pd.Series(dtype="int64")
+                    return e.drop(columns=[x for x in ("node", "c") if x in e.columns])
+                out = e.merge(
+                    d.rename(columns={"node": key_col, "c": out_col}),
+                    on=key_col,
+                    how="left",
+                )
+                out[out_col] = out[out_col].fillna(0).astype("int64")
+                return out
+
+            return left.union(right).groupby("bkt").map_groups(
+                join, batch_format="pandas"
+            )
+
+        withdeg = _attach(_attach(alive_ds, "a", "deg_a"), "b", "deg_b")
+
+        # (3) orient + (4) wedges among out-neighbors
+        def orient(b: pd.DataFrame) -> pd.DataFrame:
+            if not len(b):
+                return pd.DataFrame(
+                    {
+                        "bkt": pd.Series(dtype="int32"),
+                        "src": pd.Series(dtype=object),
+                        "dst": pd.Series(dtype=object),
+                    }
+                )
+            a = b["a"].to_numpy(dtype=object)
+            bb = b["b"].to_numpy(dtype=object)
+            da = b["deg_a"].to_numpy(dtype="int64")
+            db = b["deg_b"].to_numpy(dtype="int64")
+            a_first = (da < db) | ((da == db) & (a < bb))
+            src = np.where(a_first, a, bb)
+            dst = np.where(a_first, bb, a)
+            return pd.DataFrame(
+                {"bkt": _kb(src.astype(str)), "src": src, "dst": dst}
+            )
+
+        def wedges(g: pd.DataFrame) -> pd.DataFrame:
+            g = g[["src", "dst"]].drop_duplicates().sort_values(
+                ["src", "dst"], kind="mergesort"
+            )
+            z = g["src"].to_numpy(dtype=object)
+            nbr = g["dst"].to_numpy(dtype=object)
             starts = np.flatnonzero(np.r_[True, z[1:] != z[:-1]])
             ends = np.r_[starts[1:], len(z)]
             us, vs, zs = [], [], []
@@ -4321,17 +4391,21 @@ def ktruss(
                         "z": pd.Series(dtype=object),
                     }
                 )
-            return pd.DataFrame(
-                {
-                    "u": np.concatenate(us),
-                    "v": np.concatenate(vs),
-                    "z": np.concatenate(zs),
-                }
-            )
+            u = np.concatenate(us)
+            v = np.concatenate(vs)
+            lo = np.where(u <= v, u, v)
+            hi = np.where(u <= v, v, u)
+            return pd.DataFrame({"u": lo, "v": hi, "z": np.concatenate(zs)})
 
-        w_ds = und.groupby("bkt").map_groups(wedges, batch_format="pandas")
+        w_ds = (
+            withdeg.map_batches(orient, batch_format="pandas")
+            .groupby("bkt")
+            .map_groups(wedges, batch_format="pandas")
+        )
 
-        # (2) confirm triangles in hash(u, v) buckets
+        # (5) confirm triangles in hash(u, v) buckets; each confirmed
+        # triangle (found ONCE at its minimum corner) increments all 3
+        # of its edges
         wt = w_ds.map_batches(
             lambda b: pd.DataFrame(
                 {
@@ -4364,26 +4438,26 @@ def ktruss(
             if not len(e) or not len(w):
                 return pd.DataFrame(cols)
             key_e = set(zip(e["u"].tolist(), e["v"].tolist()))
-            m = [(u, v) in key_e for u, v in zip(w["u"], w["v"])]
+            m = np.array(
+                [(u, v) in key_e for u, v in zip(w["u"], w["v"])], dtype=bool
+            )
             t = w[m]
             if not len(t):
                 return pd.DataFrame(cols)
-            # a triangle {x, y, z} surfaces as THREE wedges (one per
-            # center), and each confirmed wedge increments exactly its
-            # own pair edge (u, v) — so every edge collects one +1 per
-            # triangle it belongs to, never three
+            u = t["u"].to_numpy(dtype=object)
+            v = t["v"].to_numpy(dtype=object)
+            z = t["z"].to_numpy(dtype=object)
+            ea = [u, np.where(z <= u, z, u), np.where(z <= v, z, v)]
+            eb = [v, np.where(z <= u, u, z), np.where(z <= v, v, z)]
             return pd.DataFrame(
-                {
-                    "ea": t["u"].to_numpy(dtype=object),
-                    "eb": t["v"].to_numpy(dtype=object),
-                }
+                {"ea": np.concatenate(ea), "eb": np.concatenate(eb)}
             )
 
         inc = (
             wt.union(et).groupby("bkt").map_groups(confirm, batch_format="pandas")
         )
 
-        # (3) sum + filter in hash(edge) buckets
+        # (6) sum + filter in hash(edge) buckets
         ib = inc.map_batches(
             lambda b: (
                 lambda g: pd.DataFrame(
@@ -4473,7 +4547,6 @@ def ktruss(
             raise RuntimeError(
                 f"ktruss did not converge within max_rounds={max_rounds}"
             )
-
 
 def entity_activity_decay(
     edges: ray.data.Dataset,
